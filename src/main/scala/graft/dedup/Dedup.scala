@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Deduplication pipelines for training-data curation.
+  *
+  * Design notes for 100 TB: nothing here ever builds an O(n²) pair
+  * set. Exact dedup is a hash group-by; near-dup generates candidate
+  * pairs only inside LSH buckets / blocking keys, then verifies with
+  * the exact measure. All hashes are md5-derived (engine-portable).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical text (hashed). */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    docs.withColumn("__h", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__h")
+  }
+
+  /** Candidate near-dup pairs via MinHash + LSH banding.
+    *
+    * doc → distinct char-k-shingles → nPerm minhash values → `bands`
+    * band signatures; docs sharing any band signature become a
+    * candidate pair (id_a < id_b). The band join is an equi-join on
+    * (band_idx, band_hash) — shuffle-partitioned, never all-pairs.
+    * Verify with [[jaccardPairs]] or a threshold on the true measure.
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, nPerm: Int = 16, bands: Int = 4): DataFrame = {
+    require(nPerm % bands == 0, "bands must divide nPerm")
+    val rows = nPerm / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleK), nPerm).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(concat_ws("_", (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*)))))
+      .toDF("id", "band", "bandhash")
+    val l = banded.toDF("id_a", "band_a", "h_a")
+    val r = banded.toDF("id_b", "band_b", "h_b")
+    l.join(r, col("band_a") === col("band_b") &&
+        col("h_a") === col("h_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact shingle-Jaccard for candidate pairs: returns intersection /
+    * union sizes plus the ratio. Threshold comparisons should use the
+    * integer cross-multiplication form (`union*num <= inter*den`) to
+    * avoid float boundary effects. */
+  def jaccard(shA: Column, shB: Column): (Column, Column, Column) = {
+    val inter = size(array_intersect(shA, shB))
+    val uni = size(array_union(shA, shB))
+    (inter, uni, when(uni > 0, inter.cast("double") / uni.cast("double"))
+      .otherwise(lit(0.0)))
+  }
+
+  /** Blocked n-gram-Jaccard near-dup: all pairs within a blocking key
+    * (e.g. language + length bucket), kept when Jaccard ≥ num/den
+    * (exact rational compare). Blocking bounds the pair blow-up; at
+    * scale the block key should include an LSH band. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], shingleK: Int,
+      num: Int, den: Int): DataFrame = {
+    val withSh = docs.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+
+        shingles(col(textCol), shingleK).as("sh")).toIndexedSeq: _*)
+    val l = withSh.toDF(blockCols.map(_ + "_a") ++ Seq("id_a", "sh_a"): _*)
+    val r = withSh.toDF(blockCols.map(_ + "_b") ++ Seq("id_b", "sh_b"): _*)
+    val blockCond = blockCols.map(c => col(c + "_a") === col(c + "_b"))
+      .reduce(_ && _)
+    val (inter, uni, jac) = jaccard(col("sh_a"), col("sh_b"))
+    l.join(r, blockCond && col("id_a") < col("id_b"))
+      .withColumn("inter_n", inter).withColumn("union_n", uni)
+      .withColumn("jaccard", jac)
+      .filter(col("inter_n") * den >= col("union_n") * num)
+      .select("id_a", "id_b", "inter_n", "union_n", "jaccard")
+  }
+}
