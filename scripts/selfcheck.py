@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB against the same
+sf tables, and compares: column-name set, row count, and cell values
+after sorting columns by name and rows by the full tuple (the driver
+sorts columns by name before hashing values).
+"""
+import sys, json, glob, math
+import duckdb
+
+def norm(v):
+    if v is None:
+        return ("\x00",)  # nulls sort first, match only null
+    if isinstance(v, float):
+        return ("f", round(v, 9))
+    return (type(v).__name__[0], str(v))
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = p.split("/")[-1].removesuffix(".parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for q, sql in sorted(oracle.items()):
+        if only and q not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{q}/*.parquet")
+        if not files:
+            print(f"FAIL {q}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM read_parquet({files!r})")
+            s_cols = [d[0] for d in spark_rel.description]
+            s_rows = spark_rel.fetchall()
+            duck_rel = con.execute(sql)
+            d_cols = [d[0] for d in duck_rel.description]
+            d_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {q}: exec error: {e}")
+            n_fail += 1
+            continue
+        msgs = []
+        if sorted(s_cols) != sorted(d_cols):
+            msgs.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            msgs.append(f"rows: spark={len(s_rows)} duck={len(d_rows)}")
+        if not msgs:
+            s_ix = [s_cols.index(c) for c in sorted(s_cols)]
+            d_ix = [d_cols.index(c) for c in sorted(d_cols)]
+            s_sorted = sorted([tuple(norm(r[i]) for i in s_ix) for r in s_rows])
+            d_sorted = sorted([tuple(norm(r[i]) for i in d_ix) for r in d_rows])
+            bad = [(a, b) for a, b in zip(s_sorted, d_sorted) if a != b]
+            if bad:
+                msgs.append(f"values: {len(bad)} mismatched rows; first: "
+                            f"spark={bad[0][0]} duck={bad[0][1]}")
+        if msgs:
+            print(f"FAIL {q}: " + " | ".join(msgs))
+            n_fail += 1
+        else:
+            print(f"PASS {q} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -65,13 +65,21 @@ object Dedup {
   /** Blocked n-gram-Jaccard near-dup: all pairs within a blocking key
     * (e.g. language + length bucket), kept when Jaccard ≥ num/den
     * (exact rational compare). Blocking bounds the pair blow-up; at
-    * scale the block key should include an LSH band. */
+    * scale the block key should include an LSH band. `maxBlock` is an
+    * enforced guard: any block larger than it fails the job loudly
+    * instead of silently going quadratic on a skewed key. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], shingleK: Int,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int, maxBlock: Int = 10000): DataFrame = {
+    val wBlk = Window.partitionBy(blockCols.map(col).toIndexedSeq: _*)
     val withSh = docs.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
         shingles(col(textCol), shingleK).as("sh")).toIndexedSeq: _*)
+      .withColumn("__bc", count(lit(1)).over(wBlk))
+      .filter(when(col("__bc") <= maxBlock, lit(true)).otherwise(
+        raise_error(concat(lit(s"ngramJaccardPairs: block over $maxBlock rows: "),
+          concat_ws(",", blockCols.map(col).toIndexedSeq: _*))).cast("boolean")))
+      .drop("__bc")
     val l = withSh.toDF(blockCols.map(_ + "_a") ++ Seq("id_a", "sh_a"): _*)
     val r = withSh.toDF(blockCols.map(_ + "_b") ++ Seq("id_b", "sh_b"): _*)
     val blockCond = blockCols.map(c => col(c + "_a") === col(c + "_b"))

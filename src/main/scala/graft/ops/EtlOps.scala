@@ -133,11 +133,21 @@ object EtlOps {
         gapDays: Int, flag: String): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
+      // Length-prefixed key parts: unambiguous for any string values
+      // (separator-only concat would still collide on values containing
+      // the separator); nulls encode distinctly from empty strings.
+      val keyParts = groupKeys.map { c =>
+        val s = col(c).cast("string")
+        when(s.isNull, lit("n:"))
+          .otherwise(concat(length(s).cast("string"), lit(":"), s))
+      }
+      // Ids ride along as strings so any id type works; the join back is
+      // on the string form of the original column (must be row-unique).
       val narrow = df.select(
-          concat_ws("", groupKeys.map(c => col(c).cast("string")).toIndexedSeq: _*).as("k"),
-          unix_micros(col(tsCol)).as("ts"),
-          col(idCol).cast("long").as("id"))
-        .as[(String, Long, Long)]
+          concat_ws("|", keyParts.toIndexedSeq: _*).as("k"),
+          unix_micros(col(tsCol).cast("timestamp")).as("ts"),
+          col(idCol).cast("string").as("id"))
+        .as[(String, Long, String)]
         .repartition(col("k"))
         .sortWithinPartitions(col("k"), col("ts"), col("id"))
       val flags = narrow.mapPartitions { it =>
@@ -149,7 +159,8 @@ object EtlOps {
           (id, if (mark) 1 else 0)
         }
       }.toDF("__gapid", flag)
-      df.join(flags, col(idCol) === col("__gapid"), "left").drop("__gapid")
+      df.join(flags, col(idCol).cast("string") === col("__gapid"), "left")
+        .drop("__gapid")
     }
   }
 }

@@ -25,19 +25,84 @@ object Similarity {
   /** Brute-force top-k cosine neighbors for each query vector.
     *
     * The baseline ANN path: broadcast the (small) query set against the
-    * corpus — a map-side cross product, no shuffle of the corpus until
-    * the final per-query top-k (tiny after filtering to k via window).
+    * corpus — a map-side cross product — then reduce to k candidates
+    * per (query, input partition) with a bounded heap BEFORE anything
+    * shuffles. The global window only sees ≤ partitions×|Q|×k rows, so
+    * the |corpus|×|Q| scored product never hits the wire (at 100 TB the
+    * full-product shuffle would be the bottleneck).
     * Returns (query_id, neighbor_id, rank); ties broken by neighbor id.
+    * Ids must be integral (cast to long internally).
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .as[(Long, Long, Double)]
+    val reduced = scored.mapPartitions { it =>
+      partialTopK(it, k)
+    }.toDF("query_id", "neighbor_id", "score")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    reduced.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Per-partition bounded top-k per query: a size-k ordered buffer per
+    * query id (worse-score-first so eviction is O(log k)). Order:
+    * higher score wins, ties to the lower neighbor id. */
+  private[sim] def partialTopK(it: Iterator[(Long, Long, Double)],
+      k: Int): Iterator[(Long, Long, Double)] = {
+    // (score asc, neighbor_id desc) priority ⇒ head is the weakest kept
+    val ord = Ordering.by[(Long, Double), (Double, Long)] {
+      case (nid, s) => (s, -nid)
+    }
+    val heaps = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
+    it.foreach { case (qid, nid, s) =>
+      val h = heaps.getOrElseUpdate(qid,
+        scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord.reverse))
+      if (h.size < k) h.enqueue((nid, s))
+      else if (ord.gt((nid, s), h.head)) { h.dequeue(); h.enqueue((nid, s)) }
+    }
+    heaps.iterator.flatMap { case (qid, h) =>
+      h.iterator.map { case (nid, s) => (qid, nid, s) }
+    }
+  }
+
+  /** LSH-bucketed ANN: corpus and queries are both signed with
+    * [[hyperplaneSig]]; candidates are corpus vectors sharing the
+    * query's bucket; per-query top-k among candidates (same bounded
+    * heap pre-reduction as [[bruteTopK]]). The scale path: the join is
+    * an equi-join on the signature — the corpus is shuffled once by
+    * bucket, never cross-producted. Recall < 1.0 by construction;
+    * increase `planes` for smaller buckets, decrease for recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, dim: Int, planes: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"), hyperplaneSig(col(vecCol), dim, planes).as("sig"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"), hyperplaneSig(col(vecCol), dim, planes).as("qsig"))
+    val scored = c.join(broadcast(q),
+        col("sig") === col("qsig") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .as[(Long, Long, Double)]
+    val reduced = scored.mapPartitions(partialTopK(_, k))
+      .toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    reduced.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
@@ -62,11 +127,17 @@ object Similarity {
 
   /** Near-dup pairs by cosine ≥ threshold within a blocking column.
     * At 100 TB the block is an LSH signature ([[hyperplaneSig]]);
-    * for verification any equi-block works. */
+    * for verification any equi-block works. `maxBlock` fails the job
+    * loudly if a block would go quadratic on a skewed key. */
   def nearDupPairs(vectors: DataFrame, vecCol: String, idCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double, maxBlock: Int = 10000): DataFrame = {
     val v = vectors.select(col(blockCol).as("blk"),
       col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(when(col("__bc") <= maxBlock, lit(true)).otherwise(
+        raise_error(concat(lit(s"nearDupPairs: block over $maxBlock rows: "),
+          col("blk").cast("string"))).cast("boolean")))
+      .drop("__bc")
     val l = v.toDF("blk_a", "id_a", "v_a")
     val r = v.toDF("blk_b", "id_b", "v_b")
     l.join(r, col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming variants of the events pipeline.
+  *
+  * The transformations are written once against an unbounded
+  * DataFrame and work identically on a batch frame — Spark's
+  * batch/stream unification. The streaming specs drive them through
+  * `MemoryStream`; production would swap `readStream` sources
+  * (kafka/files) and `writeStream` sinks without touching the logic.
+  */
+object StreamingOps {
+
+  /** Tumbling-window event counts + value sums per event_type with a
+    * watermark for state eviction: the canonical streaming agg. On a
+    * batch frame the watermark is a no-op and the result equals the
+    * batch time-bucket query. */
+  def windowedTypeCounts(events: DataFrame, windowLen: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Per-user running anomaly flag via stateful arbitrary processing
+    * is intentionally NOT used here: sessionization on a stream is
+    * expressed with the same watermark + session_window primitive. */
+  def sessionWindowCounts(events: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+}

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** SimHash near-duplicate detection (Charikar 2002, the classic
+  * web-dedup sketch; see e.g. the Manku/Jain/Sarma WWW'07 paper on
+  * Google's 64-bit simhash crawl dedup).
+  *
+  * Each document maps to a 60-bit signature: per bit position, sum
+  * +1/-1 votes over its token hashes and keep the sign. Near-dups are
+  * signature pairs within Hamming distance ≤ d. Pair generation never
+  * goes all-pairs: with d ≤ 3 and 4 bands of 15 bits, any pair within
+  * distance 3 shares at least one exact band (pigeonhole), so an
+  * equi-join on (band, bandBits) finds all candidates — the standard
+  * scale path. Hashes are md5-derived (engine-portable, oracle-able).
+  */
+object SimHash {
+
+  // The Scala wrappers for shiftleft/shiftright only take Int shift
+  // amounts; the SQL expressions accept columns — needed inside
+  // higher-order-function lambdas where the shift is lambda-bound.
+  private def shl(c: Column, n: Column) = call_function("shiftleft", c, n)
+  private def shr(c: Column, n: Column) = call_function("shiftright", c, n)
+
+  /** 60-bit simhash of the token multiset, as a non-negative long. */
+  def simhash60(text: Column): Column = {
+    val toks = tokens(text)
+    // per-token 60-bit hash → per-bit ±1 votes, summed via aggregate
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 60),
+      (acc, t) => {
+        val h = hash60(t)
+        zip_with(acc, sequence(lit(0), lit(59)),
+          (a, i) => a + when(shr(h, i).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+      })
+    // sign bits → long (bit i set iff votes[i] >= 0; empty text → 0)
+    when(size(toks) === 0, lit(0L)).otherwise(
+      aggregate(
+        zip_with(votes, sequence(lit(0), lit(59)),
+          (v, i) => when(v >= 0, shl(lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)))
+  }
+
+  /** Hamming distance between two 60-bit signatures. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs with hamming(sig) ≤ maxDist via banded LSH.
+    * Bands = maxDist + 1 (pigeonhole-complete). Returns
+    * (id_a, id_b, dist), id_a < id_b, distinct. */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val bands = maxDist + 1
+    val bandBits = 60 / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      simhash60(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        shr(col("sig"), b * bandBits)
+          .bitwiseAND((1L << bandBits) - 1))))
+      .toDF("id", "sig", "band", "bits")
+    val l = banded.toDF("id_a", "sig_a", "band_a", "bits_a")
+    val r = banded.toDF("id_b", "sig_b", "band_b", "bits_b")
+    l.join(r, col("band_a") === col("band_b") &&
+        col("bits_a") === col("bits_b") && col("id_a") < col("id_b"))
+      .withColumn("dist", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist").distinct()
+  }
+}
