@@ -356,8 +356,377 @@ object SparkEntry {
 
   // ======================================================== ETL rows 1-12
 
-  private def etlQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
-  private def etlOracle: Map[String, String] = Map.empty
+  private def etlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 1: projection + contains/startswith/isin filters — all three push
+    // to the parquet scan (PushedFilters) so a 100 TB scan reads only
+    // matching row groups and 4 columns.
+    "q_project_filter" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .filter(col("o_orderpriority").contains("IGH") &&
+          !col("o_orderstatus").startsWith("F") &&
+          col("o_orderstatus").isin("O", "P"))
+        .orderBy("o_orderkey")
+    }),
+
+    // 2: anti-join on ALL columns (cross-batch dedup); two "batches"
+    // carved deterministically from orders.
+    "q_antijoin_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 3 === 0)
+      val b = o.filter(col("o_orderkey") % 2 === 0)
+      a.antiJoinAll(b)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          to_date(col("o_orderdate")).as("o_orderdate"))
+        .orderBy("o_orderkey")
+    }),
+
+    // 3: first-match (dedup-first) left join — lookup deduped to one
+    // row per key before joining so the join cannot fan out. The
+    // lookup here is fact-sized, so no broadcast (shuffle join).
+    "q_first_match_join" -> ((s, dir) => {
+      val lookup = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
+          col("l_linenumber"), col("l_quantity"))
+      t(s, dir, "orders")
+        .firstMatchJoin(lookup,
+          Seq("o_orderkey"),
+          Seq(col("l_linenumber"), col("l_partkey"), col("l_quantity")),
+          broadcastLookup = false)
+        .select(col("o_orderkey"), col("l_partkey"),
+          col("l_quantity").cast("long").as("l_quantity"))
+        .orderBy("o_orderkey")
+    }),
+
+    // 4: two-level lookup with fallback — fine (partkey, suppkey) else
+    // coarse (partkey), enriched value = coalesce(fine, coarse).
+    "q_coalesce_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val lookup = li.filter(col("l_suppkey") % 2 === 0)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+      li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .coalesceLookup(lookup, Seq("l_partkey", "l_suppkey"),
+          Seq("l_partkey"), "l_extendedprice", Seq(col("l_extendedprice")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice")).as("lookup_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // 5: date parse (reference's sliced JS-date format) + tz offset +
+    // month filter + EDAD day-diff bucketing.
+    "q_date_derive" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(o("o_orderkey").as("factura"), l("l_linenumber").as("linea"),
+          date_format(o("o_orderdate"), "EEE MMM dd yyyy HH:mm:ss").as("fstr"),
+          date_format(l("l_shipdate"), "EEE MMM dd yyyy HH:mm:ss").as("sstr"))
+      val parsed = j
+        .withColumn("fecha_fact", to_date(Dates.parseRefDate(col("fstr"), 5)))
+        .withColumn("fec_servicio", to_date(Dates.parseRefDate(col("sstr"), 5)))
+        .filter(month(col("fecha_fact")) === 3)
+        .withColumn("dias", datediff(col("fec_servicio"), col("fecha_fact")))
+      parsed.select(col("factura"), col("linea"), col("fecha_fact"),
+          col("fec_servicio"), Dates.edadNum(col("dias")).as("edad1"),
+          Dates.edadUnit(col("dias")).as("edad2"))
+        .orderBy("factura", "linea")
+    }),
+
+    // 6: the chained CASE-mask validation column (C4/C7/C8/HD/ARI/C5/RM
+    // rules) incl. the marker-invoice semi-join invalidation.
+    "q_conditional_update" -> ((s, dir) => {
+      val base = Rules.semiMarker(sendas(s, dir), "factura",
+        col("servicio") === "132", "has_marker")
+      val ce = col("ambito") === "CONSULTA EXTERNA"
+      val inval = Seq("285", "385", "384", "284", "502")
+      val out = Rules.chainUpdate(base, "validacion", lit(0L), Seq(
+        (ce && col("tipologia") === "C4" && col("servicio") =!= "502", lit(1L)),
+        (ce && col("tipologia") === "C4" && col("servicio") === "502", col("cant")),
+        (ce && col("tipologia") === "C4" && col("has_marker") &&
+          col("servicio").isin(inval: _*), lit(0L)),
+        (col("tipologia") === "C7", col("cant")),
+        (ce && col("tipologia") === "C8", col("cant")),
+        (col("tipologia") === "HD", lit(1L)),
+        (col("tipologia") === "ARI", lit(1L)),
+        (col("tipologia") === "C5", lit(0L)),
+        (col("tipologia") === "RM", col("cant"))))
+      out.select("factura", "linea", "tipologia", "validacion")
+        .orderBy("factura", "linea")
+    }),
+
+    // 7: per-group capped marking (validacion_Qx): ≤3 per (factura,
+    // fecha), ≤2 per tipologia sub-group, scanning tipologia desc.
+    "q_capped_group_mark" -> ((s, dir) => {
+      sendas(s, dir)
+        .filter(col("tipologia").startsWith("Qx") && col("cant") > 0)
+        .cappedGroupMark(Seq("factura", "fec_servicio"), "tipologia",
+          Seq(col("tipologia").desc, col("linea").asc), 3, 2, "validacion")
+        .select("factura", "fec_servicio", "linea", "tipologia", "validacion")
+        .orderBy("factura", "fec_servicio", "linea")
+    }),
+
+    // 8: first-per-key flag (Qx1 rule): first (factura, servicio) row
+    // by linea gets 1, the rest 0.
+    "q_dedup_mark" -> ((s, dir) => {
+      sendas(s, dir).filter(col("tipologia") === "Qx1")
+        .dedupMarkFirst(Seq("factura", "servicio"), Seq(col("linea")),
+          "validacion")
+        .select("factura", "servicio", "linea", "validacion")
+        .orderBy("factura", "servicio", "linea")
+    }),
+
+    // 9: left-semi + left-anti composition — invoices that do / don't
+    // contain the marker service.
+    "q_semi_anti" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val marker = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 1000 === 132)
+        .select(col("l_orderkey"))
+      val has = o.join(marker, o("o_orderkey") === marker("l_orderkey"),
+        "left_semi").withColumn("tag", lit("has"))
+      val none = o.join(marker, o("o_orderkey") === marker("l_orderkey"),
+        "left_anti").withColumn("tag", lit("none"))
+      has.unionByName(none).select("o_orderkey", "tag").orderBy("o_orderkey")
+    }),
+
+    // 10: gap-based stateful marking (validacion_C5): first event per
+    // (user, type) or >3 days since the last MARKED event.
+    "q_gap_mark" -> ((s, dir) => {
+      t(s, dir, "events")
+        .gapMark(Seq("user_id", "event_type"), "ts", "event_id", 3,
+          "validacion")
+        .select("event_id", "validacion")
+        .orderBy("event_id")
+    }),
+
+    // 11: compound-particle full-name split (separar_nombres). Names
+    // are derived from document tokens with the reference's particles
+    // injected so every dispatch arm is exercised.
+    "q_name_split" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      val k = (col("doc_id") % 4 + 2).cast("int")
+      val mapped = transform(slice(toks, lit(1), k), t =>
+        when(t === "the", "de").when(t === "a", "la")
+          .when(t === "of", "del").when(t === "to", "los").otherwise(t))
+      val name = upper(array_join(mapped, " "))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), name.as("nombre_completo"))
+        .withColumn("p", Names.splitFullName(col("nombre_completo")))
+      d.select(col("doc_id"), col("nombre_completo"),
+          col("p.nombre1").as("nombre1"), col("p.nombre2").as("nombre2"),
+          col("p.apellido1").as("apellido1"), col("p.apellido2").as("apellido2"))
+        .orderBy("doc_id")
+    }),
+
+    // 12: numeric cast with coerce→0 + date→string export format.
+    "q_numeric_coerce" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k")
+      val dirty = when(col("event_id") % 7 === 0, concat(lit("x"), k))
+        .otherwise(k)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          coalesce(dirty.try_cast("int"), lit(0)).as("coerced"),
+          date_format(col("ts"), "yyyy/MM/dd").as("fecha"))
+        .orderBy("event_id")
+    }),
+
+    // 38 (beyond-§2): rule-priority row selection per group
+    // (asignar_tipologia): first Qx-if-small, else H-if-CE, else first
+    // neutral row.
+    "q_rule_priority" -> ((s, dir) => {
+      val picked = Rules.priorityPick(sendas(s, dir), Seq("servicio"),
+        Seq(
+          col("tipologia").startsWith("Qx") && col("cant") < 14,
+          col("tipologia").startsWith("H") && col("ambito") === "CONSULTA EXTERNA",
+          !col("tipologia").startsWith("Qx") && !col("tipologia").startsWith("H")),
+        Seq(col("factura"), col("linea")))
+      picked.select("servicio", "tipologia", "factura", "linea")
+        .orderBy("servicio")
+    }))
+
+  private def etlOracle: Map[String, String] = {
+    val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val antiCond = orderCols.map(c => s"a.$c IS NOT DISTINCT FROM b.$c")
+      .mkString(" AND ")
+    val nameGlue = (1 to 4).foldLeft("s2") { (acc, _) =>
+      s"regexp_replace($acc, '(^| |#)(DE|DEL|LA|LOS) ', '\\1\\2#', 'g')"
+    }
+    Map(
+    "q_project_filter" -> """
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders
+      WHERE o_orderpriority LIKE '%IGH%'
+        AND o_orderstatus NOT LIKE 'F%'
+        AND o_orderstatus IN ('O', 'P')
+      ORDER BY o_orderkey""",
+    "q_antijoin_all" -> s"""
+      SELECT a.o_orderkey, a.o_orderstatus, CAST(a.o_orderdate AS DATE) AS o_orderdate
+      FROM orders a
+      WHERE a.o_orderkey % 3 = 0 AND NOT EXISTS (
+        SELECT 1 FROM orders b WHERE b.o_orderkey % 2 = 0 AND $antiCond)
+      ORDER BY a.o_orderkey""",
+    "q_first_match_join" -> """
+      WITH first_li AS (
+        SELECT l_orderkey AS o_orderkey, l_partkey, l_quantity FROM (
+          SELECT *, row_number() OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+          FROM lineitem) WHERE rn = 1)
+      SELECT o.o_orderkey, f.l_partkey, CAST(f.l_quantity AS BIGINT) AS l_quantity
+      FROM orders o LEFT JOIN first_li f USING (o_orderkey)
+      ORDER BY o_orderkey""",
+    "q_coalesce_join" -> """
+      WITH lk AS (SELECT l_partkey, l_suppkey, l_extendedprice
+                  FROM lineitem WHERE l_suppkey % 2 = 0),
+      fine AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS fv
+               FROM lk GROUP BY 1, 2),
+      coarse AS (SELECT l_partkey, min(l_extendedprice) AS cv
+                 FROM lk GROUP BY 1)
+      SELECT f.l_orderkey, f.l_linenumber,
+             CAST(coalesce(fine.fv, coarse.cv) AS DECIMAL(18,2)) AS lookup_price
+      FROM lineitem f
+      LEFT JOIN fine   ON f.l_partkey = fine.l_partkey AND f.l_suppkey = fine.l_suppkey
+      LEFT JOIN coarse ON f.l_partkey = coarse.l_partkey
+      ORDER BY f.l_orderkey, f.l_linenumber""",
+    "q_date_derive" -> """
+      WITH j AS (
+        SELECT o_orderkey AS factura, l_linenumber AS linea,
+               CAST(strptime(substr(strftime(o_orderdate, '%a %b %d %Y %H:%M:%S'), 5, 20),
+                 '%b %d %Y %H:%M:%S') + INTERVAL 5 HOUR AS DATE) AS fecha_fact,
+               CAST(strptime(substr(strftime(l_shipdate, '%a %b %d %Y %H:%M:%S'), 5, 20),
+                 '%b %d %Y %H:%M:%S') + INTERVAL 5 HOUR AS DATE) AS fec_servicio
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      d AS (SELECT *, date_diff('day', fecha_fact, fec_servicio) AS dias
+            FROM j WHERE month(fecha_fact) = 3)
+      SELECT factura, linea, fecha_fact, fec_servicio,
+             CAST(CASE WHEN dias >= 365 THEN dias // 365
+                       WHEN dias >= 30 THEN dias // 30
+                       ELSE dias END AS BIGINT) AS edad1,
+             CASE WHEN dias >= 365 THEN 'Años'
+                  WHEN dias >= 30 THEN 'Meses' ELSE 'Días' END AS edad2
+      FROM d ORDER BY factura, linea""",
+    "q_conditional_update" -> s"""
+      WITH s AS ($sendasSql),
+      m AS (SELECT *, factura IN (SELECT factura FROM s WHERE servicio = '132')
+              AS has_marker FROM s)
+      SELECT factura, linea, tipologia,
+        CASE
+          WHEN tipologia = 'RM' THEN cant
+          WHEN tipologia = 'C5' THEN 0
+          WHEN tipologia = 'ARI' THEN 1
+          WHEN tipologia = 'HD' THEN 1
+          WHEN ambito = 'CONSULTA EXTERNA' AND tipologia = 'C8' THEN cant
+          WHEN tipologia = 'C7' THEN cant
+          WHEN ambito = 'CONSULTA EXTERNA' AND tipologia = 'C4' AND has_marker
+               AND servicio IN ('285','385','384','284','502') THEN 0
+          WHEN ambito = 'CONSULTA EXTERNA' AND tipologia = 'C4'
+               AND servicio = '502' THEN cant
+          WHEN ambito = 'CONSULTA EXTERNA' AND tipologia = 'C4'
+               AND servicio <> '502' THEN 1
+          ELSE 0 END AS validacion
+      FROM m ORDER BY factura, linea""",
+    "q_capped_group_mark" -> s"""
+      WITH s AS ($sendasSql),
+      f AS (SELECT * FROM s WHERE tipologia LIKE 'Qx%' AND cant > 0),
+      w AS (SELECT *,
+              row_number() OVER (PARTITION BY factura, fec_servicio, tipologia
+                ORDER BY tipologia DESC, linea) AS rsub
+            FROM f),
+      e AS (SELECT *, CASE WHEN rsub <= 2 THEN 1 ELSE 0 END AS elig FROM w),
+      c AS (SELECT *, sum(elig) OVER (PARTITION BY factura, fec_servicio
+              ORDER BY tipologia DESC, linea
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM e)
+      SELECT factura, fec_servicio, linea, tipologia,
+             CASE WHEN elig = 1 AND cum <= 3 THEN 1 ELSE 0 END AS validacion
+      FROM c ORDER BY factura, fec_servicio, linea""",
+    "q_dedup_mark" -> s"""
+      WITH s AS ($sendasSql)
+      SELECT factura, servicio, linea,
+             CASE WHEN row_number() OVER (PARTITION BY factura, servicio
+               ORDER BY linea) = 1 THEN 1 ELSE 0 END AS validacion
+      FROM s WHERE tipologia = 'Qx1'
+      ORDER BY factura, servicio, linea""",
+    "q_semi_anti" -> """
+      SELECT o_orderkey,
+             CASE WHEN EXISTS (SELECT 1 FROM lineitem
+               WHERE l_orderkey = o_orderkey AND l_partkey % 1000 = 132)
+             THEN 'has' ELSE 'none' END AS tag
+      FROM orders ORDER BY o_orderkey""",
+    "q_gap_mark" -> """
+      WITH RECURSIVE base AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                          CAST(event_id AS VARCHAR)) AS rn
+        FROM events),
+      r AS (
+        SELECT user_id, event_type, event_id, tsu, rn,
+               1 AS validacion, tsu AS last_ts
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_type, b.event_id, b.tsu, b.rn,
+               CASE WHEN (b.tsu - r.last_ts) // 86400000000 > 3
+                    THEN 1 ELSE 0 END,
+               CASE WHEN (b.tsu - r.last_ts) // 86400000000 > 3
+                    THEN b.tsu ELSE r.last_ts END
+        FROM base b JOIN r ON b.user_id = r.user_id
+          AND b.event_type = r.event_type AND b.rn = r.rn + 1)
+      SELECT event_id, validacion FROM r ORDER BY event_id""",
+    "q_name_split" -> s"""
+      WITH n AS (
+        SELECT doc_id, upper(array_to_string(list_transform(
+          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+            x -> x <> '')[1:CAST(doc_id % 4 + 2 AS INT)],
+          t -> CASE t WHEN 'the' THEN 'de' WHEN 'a' THEN 'la'
+                      WHEN 'of' THEN 'del' WHEN 'to' THEN 'los'
+                      ELSE t END), ' ')) AS nombre_completo
+        FROM documents),
+      m0 AS (SELECT doc_id, nombre_completo,
+               regexp_replace(nombre_completo, '( (DE|DEL|LA|LOS))+$$', '')
+                 AS s1 FROM n),
+      m1 AS (SELECT *, CASE WHEN regexp_matches(s1,
+               '^(DE|DEL|LA|LOS)( (DE|DEL|LA|LOS))*$$')
+               THEN '' ELSE s1 END AS s2 FROM m0),
+      g AS (SELECT doc_id, nombre_completo, $nameGlue AS glued FROM m1),
+      p AS (SELECT doc_id, nombre_completo,
+              list_filter(string_split(glued, ' '), x -> x <> '') AS parts
+            FROM g)
+      SELECT doc_id, nombre_completo,
+        replace(CASE WHEN len(parts) >= 1 THEN parts[1] ELSE '' END, '#', ' ') AS nombre1,
+        replace(CASE WHEN len(parts) = 4 THEN parts[2]
+                     WHEN len(parts) > 4 THEN array_to_string(parts[2:len(parts)-2], ' ')
+                     ELSE '' END, '#', ' ') AS nombre2,
+        replace(CASE WHEN len(parts) IN (2, 3) THEN parts[2]
+                     WHEN len(parts) >= 4 THEN parts[len(parts)-1]
+                     ELSE '' END, '#', ' ') AS apellido1,
+        replace(CASE WHEN len(parts) = 3 THEN parts[3]
+                     WHEN len(parts) >= 4 THEN parts[len(parts)]
+                     ELSE '' END, '#', ' ') AS apellido2
+      FROM p ORDER BY doc_id""",
+    "q_numeric_coerce" -> """
+      SELECT event_id,
+             coalesce(TRY_CAST(
+               CASE WHEN event_id % 7 = 0
+                    THEN 'x' || json_extract_string(props, '$.k')
+                    ELSE json_extract_string(props, '$.k') END AS INT), 0)
+               AS coerced,
+             strftime(CAST(ts AS TIMESTAMP), '%Y/%m/%d') AS fecha
+      FROM events ORDER BY event_id""",
+    "q_rule_priority" -> s"""
+      WITH s AS ($sendasSql),
+      p AS (SELECT *,
+              CASE WHEN tipologia LIKE 'Qx%' AND cant < 14 THEN 0
+                   WHEN tipologia LIKE 'H%' AND ambito = 'CONSULTA EXTERNA' THEN 1
+                   WHEN tipologia NOT LIKE 'Qx%' AND tipologia NOT LIKE 'H%' THEN 2
+                   ELSE NULL END AS prio
+            FROM s),
+      f AS (SELECT *, row_number() OVER (PARTITION BY servicio
+              ORDER BY prio, factura, linea) AS rn
+            FROM p WHERE prio IS NOT NULL)
+      SELECT servicio, tipologia, factura, linea
+      FROM f WHERE rn = 1 ORDER BY servicio""")
+  }
 
   // ======================================================== LLM rows 25-35
 

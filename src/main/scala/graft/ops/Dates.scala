@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
 object Dates {
 
   /** Parse the reference's 24-char "EEE MMM dd yyyy HH:mm:ss" slice
-    * with a +`offsetHours` correction; unparseable → null (coerce). */
+    * with a +`offsetHours` correction; unparseable → null (coerce).
+    * The weekday token is redundant and Spark's parser rejects 'E'
+    * patterns for parsing, so chars 5..24 are parsed. */
   def parseRefDate(s: Column, offsetHours: Int): Column =
-    to_timestamp(substring(s, 1, 24), "EEE MMM dd yyyy HH:mm:ss") +
+    try_to_timestamp(substring(s, 5, 20), lit("MMM dd yyyy HH:mm:ss")) +
       expr(s"INTERVAL $offsetHours HOURS")
 
   /** Numeric age bucket: days/365 when ≥ 1 year, days/30 when ≥ 1
