@@ -730,6 +730,273 @@ object SparkEntry {
 
   // ======================================================== LLM rows 25-35
 
-  private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
-  private def llmOracle: Map[String, String] = Map.empty
+  private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 25: exact dedup — one shuffle on the text hash.
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy("doc_id")
+    }),
+
+    // 26: token counting (pure Column tree, codegen'd).
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // 27: text-quality scoring — ratios rounded to 6dp (both engines
+    // evaluate the identical double expression tree).
+    "q_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TF.uniqueTokenRatio(col("text")), 6).as("uniq_ratio"),
+          round(TF.meanTokenLen(col("text")), 6).as("mean_token_len"),
+          round(TF.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // 28: heuristic language ID (stopword profiles, first-max wins).
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // 29: order-insensitive document fingerprint.
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // 30: blocked shingle-Jaccard near-dup pairs (≥ 0.5, exact
+    // rational compare); blocking on (lang, source, length bucket)
+    // bounds the pair blow-up.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      Dedup.ngramJaccardPairs(d, "text", "doc_id",
+          Seq("lang", "source", "len_bucket"), 3, 1, 2)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 31: MinHash + LSH banding — candidates only within band buckets.
+    "q_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+          shingleK = 3, nPerm = 16, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 32: 60-bit SimHash near-dup pairs, hamming ≤ 3, banded join.
+    "q_simhash" -> ((s, dir) => {
+      SimHash.simhashPairs(t(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 33: brute-force cosine top-k with per-partition heap
+    // pre-reduction (the full scored product never shuffles).
+    "q_embed_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      Similarity.bruteTopK(e, q, "embedding", "vec_id", 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // 34: LSH-bucketed ANN — equi-join on the hyperplane signature.
+    "q_embed_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      Similarity.lshTopK(e, q, "embedding", "vec_id", dim = 64,
+          planes = 8, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // 35: embedding near-dup pairs (cosine ≥ 0.3) within label blocks.
+    "q_embed_neardup" -> ((s, dir) => {
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "embedding",
+          "vec_id", "label", 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 36: multimodal plumbing — binary payload + typed metadata +
+    // stubbed decode (deterministic md5 features).
+    "q_multimodal" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.asMedia(
+        t(s, dir, "documents"), "doc_id", "text", "text", "text/plain")
+      media.select(col("media_id"), col("modality"),
+          col("meta.n_bytes").as("n_bytes"),
+          round(element_at(
+            graft.multimodal.Multimodal.fakeDecode(col("content")), 1), 6)
+            .as("feat0"))
+        .orderBy("media_id")
+    }))
+
+  private def llmOracle: Map[String, String] = {
+    // shared DuckDB fragments (token list / shingle set / hash60)
+    val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+    val sh3 = "CASE WHEN length(text) >= 3 THEN " +
+      "list_distinct([substring(text, i, 3) for i in range(1, length(text) - 1)]) " +
+      "ELSE [] END"
+    def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+    val stops = "('the','a','of','to','and','in','is','it','on','for')"
+    val sw = s"CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN $stops)) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END"
+    val uq = "CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END"
+    val ml = "CASE WHEN len(t) > 0 THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END"
+    val minhashes = (0 until 16).map(i =>
+      s"list_min(list_transform(sh, s -> ${h60(s"s || ':$i'")})) AS m$i").mkString(",\n        ")
+    val bandExprs = (0 until 4).map { b =>
+      val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"md5(concat_ws('_', $ms)) AS b$b"
+    }.mkString(",\n        ")
+    val langScores = Seq(
+      "de" -> "('der','die','das','und','nicht','ist','ein')",
+      "en" -> "('the','a','of','to','and','in','is')",
+      "es" -> "('el','la','de','que','y','en','un')",
+      "fr" -> "('le','la','de','et','un','une','est')",
+      "zh" -> "('的','了','和','是','在')")
+    val scoreCols = langScores.map { case (c, words) =>
+      s"len(list_filter(t, x -> x IN $words)) AS s_$c" }.mkString(",\n        ")
+    val codes = langScores.map(_._1)
+    val langCase = codes.zipWithIndex.map { case (c, i) =>
+      val laters = codes.drop(i + 1).map(l => s"s_$c >= s_$l")
+      val cond = (laters :+ s"s_$c > -1").mkString(" AND ")
+      s"WHEN $cond THEN '$c'"
+    }.mkString("\n          ")
+    // shared cosine fragments (left-fold sums so the double op order
+    // matches Spark's aggregate() exactly)
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    def cosine(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    val hpSig = "array_to_string(list_transform(range(0, 8), p -> " +
+      "CASE WHEN list_reduce(list_transform(range(1, 65), d -> " +
+      "CAST(v[d] AS DOUBLE) * ((('0x' || substr(md5('hp:' || p || ':' || (d - 1)), 1, 8))::BIGINT / 4294967296.0) - 0.5)" +
+      "), (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '')"
+    Map(
+    "q_dedup_exact" -> """
+      SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+      FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    "q_token_count" -> s"""
+      SELECT doc_id, CAST(len($toks) AS INT) AS n_tokens
+      FROM documents ORDER BY doc_id""",
+    "q_text_quality" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents)
+      SELECT doc_id,
+             round($sw, 6) AS stopword_ratio,
+             round($uq, 6) AS uniq_ratio,
+             round($ml, 6) AS mean_token_len,
+             round(($sw) * 0.4 + ($uq) * 0.4 +
+               (CASE WHEN ($ml) >= 3.0 AND ($ml) <= 8.0 THEN 0.2 ELSE 0.0 END), 6)
+               AS quality
+      FROM d ORDER BY doc_id""",
+    "q_lang_id" -> s"""
+      WITH d AS (SELECT doc_id, lang, $toks AS t FROM documents),
+      sc AS (SELECT doc_id, lang,
+        $scoreCols
+      FROM d)
+      SELECT doc_id, lang,
+        CASE $langCase
+          ELSE 'und' END AS lang_pred
+      FROM sc ORDER BY doc_id""",
+    "q_fingerprint" -> s"""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+      FROM documents ORDER BY doc_id""",
+    "q_ngram_jaccard" -> s"""
+      WITH d AS (SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
+                        $sh3 AS sh
+                 FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(list_intersect(a.sh, b.sh)) AS inter_n,
+              len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS union_n
+            FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+              AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(inter_n AS INT) AS inter_n,
+             CAST(union_n AS INT) AS union_n,
+             round(CASE WHEN union_n > 0
+               THEN CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE)
+               ELSE 0.0 END, 6) AS jaccard
+      FROM p WHERE inter_n * 2 >= union_n * 1
+      ORDER BY id_a, id_b""",
+    "q_minhash_lsh" -> s"""
+      WITH d AS (SELECT doc_id, $sh3 AS sh FROM documents),
+      mh AS (SELECT doc_id,
+        $minhashes
+      FROM d),
+      bands AS (SELECT doc_id,
+        $bandExprs
+      FROM mh),
+      e AS (
+        SELECT doc_id, 0 AS band, b0 AS bh FROM bands UNION ALL
+        SELECT doc_id, 1, b1 FROM bands UNION ALL
+        SELECT doc_id, 2, b2 FROM bands UNION ALL
+        SELECT doc_id, 3, b3 FROM bands)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM e a JOIN e b ON a.band = b.band AND a.bh = b.bh
+        AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b""",
+    "q_simhash" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+      tok AS (SELECT doc_id, unnest(t) AS tk FROM d),
+      th AS (SELECT doc_id, ${h60("tk")} AS h FROM tok),
+      votes AS (SELECT doc_id, i.i AS bit,
+                  sum(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM th, (SELECT unnest(range(0, 60)) AS i) i
+                GROUP BY doc_id, i.i),
+      sigs0 AS (SELECT doc_id,
+                  sum(CASE WHEN v >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS sig
+                FROM votes GROUP BY doc_id),
+      sigs AS (SELECT doc_id, coalesce(sig, 0)::BIGINT AS sig
+               FROM d LEFT JOIN sigs0 USING (doc_id)),
+      e AS (SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 15)) & 32767 AS bits
+            FROM sigs, (SELECT unnest(range(0, 4)) AS b) b)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+      FROM e a JOIN e b ON a.band = b.band AND a.bits = b.bits
+        AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      ORDER BY id_a, id_b""",
+    "q_embed_topk" -> s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                 WHERE vec_id % 50 = 0),
+      s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+              ${cosine("q.qv", "c.embedding")} AS score
+            FROM embeddings c, q WHERE q.qid <> c.vec_id),
+      r AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+            FROM s)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_embed_lsh" -> s"""
+      WITH sg AS (SELECT vec_id, embedding AS v, $hpSig AS sig
+                  FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv, sig AS qsig FROM sg
+            WHERE vec_id % 50 = 0),
+      s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+              ${cosine("q.qv", "c.v")} AS score
+            FROM sg c, q WHERE c.sig = q.qsig AND q.qid <> c.vec_id),
+      r AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+            FROM s)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_embed_neardup" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${cosine("a.v", "b.v")} >= 0.3
+      ORDER BY id_a, id_b""",
+    "q_multimodal" -> """
+      SELECT doc_id AS media_id, 'text' AS modality,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             round((('0x' || substr(md5(upper(hex(CAST(text AS BLOB))) || '0'), 1, 8))::BIGINT
+               / 4294967296.0), 6) AS feat0
+      FROM documents ORDER BY media_id""")
+  }
 }

@@ -51,7 +51,7 @@ object Multimodal {
   def fakeDecode(content: org.apache.spark.sql.Column, dim: Int = 8)
       : org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(dim - 1)), i =>
-      conv(substring(md5(concat(base64(content), i.cast("string"))), 1, 8),
+      conv(substring(md5(concat(hex(content), i.cast("string"))), 1, 8),
         16, 10).cast("double") / lit(4294967296.0))
 
   /** Batched per-partition feature extraction over the media schema —
