@@ -1,0 +1,49 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "b1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "b1"),
+    (3L, "the quick brown fox jumps over a lazy dog!!", "b1"),
+    (4L, "completely different text with nothing shared", "b1"),
+    (5L, "isolated other block text", "b2"))
+    .toDF("doc_id", "text", "blk")
+
+  test("exact dedup keeps min id and counts dups") {
+    val got = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("minhashLshPairs surfaces identical docs as candidates") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical -> all bands equal
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L) ||
+      pairs.forall(p => p._1 < p._2))
+  }
+
+  test("ngramJaccardPairs respects the threshold inside blocks") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        Seq("blk"), 3, 1, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // jaccard 1.0
+    assert(!pairs.contains((1L, 4L))) // near-zero overlap
+  }
+
+  test("ngramJaccardPairs fails loudly on an oversized block") {
+    val big = (1 to 50).map(i => (i.toLong, s"text number $i", "same"))
+      .toDF("doc_id", "text", "blk")
+    val ex = intercept[Exception] {
+      Dedup.ngramJaccardPairs(big, "text", "doc_id", Seq("blk"), 3, 1, 2,
+        maxBlock = 10).count()
+    }
+    assert(ex.getMessage.contains("block over"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.95f, 0.05f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("partialTopK keeps the k best per query with id tie-break") {
+    val it = Iterator((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9),
+      (1L, 13L, 0.1), (2L, 20L, 0.3))
+    val got = Similarity.partialTopK(it, 2).toSet
+    // ties at 0.9: lower neighbor id (11) beats 12? both kept at k=2
+    assert(got == Set((1L, 11L, 0.9), (1L, 12L, 0.9), (2L, 20L, 0.3)))
+  }
+
+  test("bruteTopK ranks nearest vectors first") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val got = Similarity.bruteTopK(vecs, q, "embedding", "vec_id", 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(got(1L) == 1) // most aligned
+    assert(got.size == 2 && !got.contains(0L))
+  }
+
+  test("lshTopK only pairs vectors sharing a bucket and never exceeds k") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val got = Similarity.lshTopK(vecs, q, "embedding", "vec_id",
+      dim = 3, planes = 2, k = 3).collect()
+    assert(got.length <= 3)
+    assert(got.forall(_.getAs[Long]("query_id") == 0L))
+  }
+
+  test("nearDupPairs honors threshold and block boundaries") {
+    val blocked = vecs.withColumn("blk",
+      when(col("vec_id") <= 1, "a").otherwise("b"))
+    val got = Similarity.nearDupPairs(blocked, "embedding", "vec_id",
+        "blk", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (2L, 3L))) // 4 is anti-aligned; cross-block never paired
+  }
+}
