@@ -749,19 +749,21 @@ object SparkEntry {
     // evaluate the identical double expression tree).
     "q_text_quality" -> ((s, dir) => {
       t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-          round(TF.uniqueTokenRatio(col("text")), 6).as("uniq_ratio"),
-          round(TF.meanTokenLen(col("text")), 6).as("mean_token_len"),
-          round(TF.qualityScore(col("text")), 6).as("quality"))
+          round(TF.stopwordRatioFromTokens(col("toks")), 6).as("stopword_ratio"),
+          round(TF.uniqueTokenRatioFromTokens(col("toks")), 6).as("uniq_ratio"),
+          round(TF.meanTokenLenFromTokens(col("toks")), 6).as("mean_token_len"),
+          round(TF.qualityScoreFromTokens(col("toks")), 6).as("quality"))
         .orderBy("doc_id")
     }),
 
     // 28: heuristic language ID (stopword profiles, first-max wins).
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("lang"),
-          TF.langId(col("text")).as("lang_pred"))
+          TF.langIdFromTokens(col("toks")).as("lang_pred"))
         .orderBy("doc_id")
     }),
 
@@ -846,8 +848,10 @@ object SparkEntry {
     val sw = s"CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN $stops)) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END"
     val uq = "CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END"
     val ml = "CASE WHEN len(t) > 0 THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END"
-    val minhashes = (0 until 16).map(i =>
-      s"list_min(list_transform(sh, s -> ${h60(s"s || ':$i'")})) AS m$i").mkString(",\n        ")
+    val minhashes = (0 until 16).map { i =>
+      val (a, b) = TF.minhashAB(i)
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % 2147483647)) AS m$i"
+    }.mkString(",\n        ")
     val bandExprs = (0 until 4).map { b =>
       val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
       s"md5(concat_ws('_', $ms)) AS b$b"
@@ -924,9 +928,13 @@ object SparkEntry {
       ORDER BY id_a, id_b""",
     "q_minhash_lsh" -> s"""
       WITH d AS (SELECT doc_id, $sh3 AS sh FROM documents),
+      dh AS (SELECT doc_id,
+               list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)
+                 AS hs
+             FROM d),
       mh AS (SELECT doc_id,
         $minhashes
-      FROM d),
+      FROM dh),
       bands AS (SELECT doc_id,
         $bandExprs
       FROM mh),

@@ -37,8 +37,13 @@ object Dedup {
       shingleK: Int = 3, nPerm: Int = 16, bands: Int = 4): DataFrame = {
     require(nPerm % bands == 0, "bands must divide nPerm")
     val rows = nPerm / bands
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleK), nPerm).as("sig"))
+    // Materialize per-shingle hashes in their own projection so the
+    // md5 work runs once, not once per permutation (CollapseProject
+    // keeps expensive multi-referenced aliases separate).
+    val sig = docs
+      .select(col(idCol).as("id"),
+        shingleHashes(shingles(col(textCol), shingleK)).as("hs"))
+      .select(col("id"), minhashFromHashes(col("hs"), nPerm).as("sig"))
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(concat_ws("_", (0 until rows).map(r =>
@@ -57,7 +62,9 @@ object Dedup {
     * avoid float boundary effects. */
   def jaccard(shA: Column, shB: Column): (Column, Column, Column) = {
     val inter = size(array_intersect(shA, shB))
-    val uni = size(array_union(shA, shB))
+    // inputs are distinct sets, so |A∪B| = |A|+|B|-|A∩B| — saves a
+    // second hash-build per pair vs array_union.
+    val uni = size(shA) + size(shB) - inter
     (inter, uni, when(uni > 0, inter.cast("double") / uni.cast("double"))
       .otherwise(lit(0.0)))
   }
@@ -84,10 +91,15 @@ object Dedup {
     val r = withSh.toDF(blockCols.map(_ + "_b") ++ Seq("id_b", "sh_b"): _*)
     val blockCond = blockCols.map(c => col(c + "_a") === col(c + "_b"))
       .reduce(_ && _)
-    val (inter, uni, jac) = jaccard(col("sh_a"), col("sh_b"))
+    // intersect once per pair; union/jaccard derive from the attribute
     l.join(r, blockCond && col("id_a") < col("id_b"))
-      .withColumn("inter_n", inter).withColumn("union_n", uni)
-      .withColumn("jaccard", jac)
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_n"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .withColumn("union_n", col("na") + col("nb") - col("inter_n"))
+      .withColumn("jaccard", when(col("union_n") > 0,
+        col("inter_n").cast("double") / col("union_n").cast("double"))
+        .otherwise(lit(0.0)))
       .filter(col("inter_n") * den >= col("union_n") * num)
       .select("id_a", "id_b", "inter_n", "union_n", "jaccard")
   }

@@ -37,12 +37,15 @@ object Similarity {
       idCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // norms are per-row — compute them once before the pair join so
+    // each scored pair costs ONE dot product, not three.
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      col(vecCol).as("cv"))
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).as("qv"))
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("query_id"), col("neighbor_id"), col("score"))
       .as[(Long, Long, Double)]
     val reduced = scored.mapPartitions { it =>
@@ -90,12 +93,15 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      col(vecCol).as("cv"), hyperplaneSig(col(vecCol), dim, planes).as("sig"))
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"),
+      hyperplaneSig(col(vecCol), dim, planes).as("sig"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).as("qv"), hyperplaneSig(col(vecCol), dim, planes).as("qsig"))
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"),
+      hyperplaneSig(col(vecCol), dim, planes).as("qsig"))
     val scored = c.join(broadcast(q),
         col("sig") === col("qsig") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("query_id"), col("neighbor_id"), col("score"))
       .as[(Long, Long, Double)]
     val reduced = scored.mapPartitions(partialTopK(_, k))
@@ -132,16 +138,17 @@ object Similarity {
   def nearDupPairs(vectors: DataFrame, vecCol: String, idCol: String,
       blockCol: String, threshold: Double, maxBlock: Int = 10000): DataFrame = {
     val v = vectors.select(col(blockCol).as("blk"),
-      col(idCol).as("id"), col(vecCol).as("v"))
+      col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("blk"))))
       .filter(when(col("__bc") <= maxBlock, lit(true)).otherwise(
         raise_error(concat(lit(s"nearDupPairs: block over $maxBlock rows: "),
           col("blk").cast("string"))).cast("boolean")))
       .drop("__bc")
-    val l = v.toDF("blk_a", "id_a", "v_a")
-    val r = v.toDF("blk_b", "id_b", "v_b")
+    val l = v.toDF("blk_a", "id_a", "v_a", "n_a")
+    val r = v.toDF("blk_b", "id_b", "v_b", "n_b")
     l.join(r, col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("v_a"), col("v_b")))
+      .withColumn("score",
+        dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b")
   }

@@ -25,26 +25,31 @@ object SimHash {
   private def shl(c: Column, n: Column) = call_function("shiftleft", c, n)
   private def shr(c: Column, n: Column) = call_function("shiftright", c, n)
 
-  /** 60-bit simhash of the token multiset, as a non-negative long. */
-  def simhash60(text: Column): Column = {
-    val toks = tokens(text)
-    // per-token 60-bit hash → per-bit ±1 votes, summed via aggregate
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 60),
-      (acc, t) => {
-        val h = hash60(t)
-        zip_with(acc, sequence(lit(0), lit(59)),
-          (a, i) => a + when(shr(h, i).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L))
-      })
-    // sign bits → long (bit i set iff votes[i] >= 0; empty text → 0)
-    when(size(toks) === 0, lit(0L)).otherwise(
-      aggregate(
-        zip_with(votes, sequence(lit(0), lit(59)),
-          (v, i) => when(v >= 0, shl(lit(1L), i)).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc.bitwiseOR(x)))
+  /** Per-token 60-bit hashes — materialize ONCE (withColumn) and feed
+    * [[simhashFromHashes]]; the md5 runs once per token. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => hash60(t))
+
+  /** 60-bit simhash from pre-hashed tokens. Bit i is set iff at least
+    * half the tokens have bit i set (votes = 2*ones - n >= 0). The 60
+    * per-bit counts are independent integer folds over the hash array
+    * — no per-token array allocation (the naive ±1-vector sum
+    * allocates a 60-long array per token and is ~10× slower). */
+  def simhashFromHashes(hashes: Column): Column = {
+    val n = size(hashes)
+    val bits = (0 until 60).map { i =>
+      val ones = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shr(h, lit(i)).bitwiseAND(1))
+      when(ones * 2 >= n, shl(lit(1L), lit(i))).otherwise(lit(0L))
+    }
+    when(n === 0, lit(0L)).otherwise(bits.reduce(_ bitwiseOR _))
   }
+
+  /** 60-bit simhash of the token multiset, as a non-negative long.
+    * Convenience wrapper; pipelines should materialize
+    * [[tokenHashes]] first. */
+  def simhash60(text: Column): Column =
+    simhashFromHashes(tokenHashes(text))
 
   /** Hamming distance between two 60-bit signatures. */
   def hamming(a: Column, b: Column): Column =
@@ -57,8 +62,9 @@ object SimHash {
       maxDist: Int = 3): DataFrame = {
     val bands = maxDist + 1
     val bandBits = 60 / bands
-    val sigs = docs.select(col(idCol).as("id"),
-      simhash60(col(textCol)).as("sig"))
+    val sigs = docs
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
     val banded = sigs.select(col("id"), col("sig"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         shr(col("sig"), b * bandBits)

@@ -30,14 +30,38 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
-  /** MinHash signature: for seed i, min over shingles of
-    * hash60(shingle || ':' || i). Classic Broder permutation
-    * approximation; nPerm independent md5-salted hash families. */
-  def minhashSignature(shingleSet: Column, nPerm: Int): Column =
+  /** 32-bit stable hash from md5 (cheap base for derived hash
+    * families — one md5 per value, not one per family member). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** Universal-hash constants for permutation family i: (a, b) with
+    * a < 2^30 so a*h32 + b stays below 2^63 (no overflow in either
+    * engine). Deterministic, engine-independent. */
+  private[graft] val MinhashP = 2147483647L // 2^31 - 1
+  private[graft] def minhashAB(i: Int): (Long, Long) = (
+    (2654435761L * (i + 1)) % 1073741789L + 1L,
+    (40503L * (i + 7) * 104729L) % MinhashP)
+
+  /** Per-shingle 32-bit hashes — materialize this ONCE (withColumn)
+    * and feed [[minhashFromHashes]], so the md5 work is not repeated
+    * per permutation (16× at nPerm=16). */
+  def shingleHashes(shingleSet: Column): Column =
+    transform(shingleSet, sh => hash32(sh))
+
+  /** MinHash signature from pre-hashed shingles: permutation i is the
+    * universal hash (a_i * h + b_i) mod (2^31-1) — integer-exact in
+    * any engine, one multiply+mod per shingle instead of an md5. */
+  def minhashFromHashes(hashes: Column, nPerm: Int): Column =
     array((0 until nPerm).map { i =>
-      array_min(transform(shingleSet,
-        sh => hash60(concat(sh, lit(":" + i)))))
+      val (a, b) = minhashAB(i)
+      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % MinhashP))
     }: _*)
+
+  /** MinHash signature straight from the shingle set (convenience;
+    * prefer materializing [[shingleHashes]] first in pipelines). */
+  def minhashSignature(shingleSet: Column, nPerm: Int): Column =
+    minhashFromHashes(shingleHashes(shingleSet), nPerm)
 
   /** Document fingerprint: md5 over the sorted distinct token set —
     * robust to token order / duplication, cheap exact-near-dup key. */
@@ -47,39 +71,46 @@ object TextFunctions {
   private val stopwordsEn =
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
 
+  // *FromTokens variants take an already-materialized token array so a
+  // multi-metric projection tokenizes each document exactly once.
+
   /** Ratio of stopword tokens to all tokens (0 when empty). */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatioFromTokens(toks: Column): Column = {
     val hits = size(filter(toks, t => t.isin(stopwordsEn.map(lit): _*)))
     when(size(toks) > 0,
       hits.cast("double") / size(toks).cast("double")).otherwise(lit(0.0))
   }
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFromTokens(tokens(text))
 
   /** Share of distinct tokens — low values indicate boilerplate/spam. */
-  def uniqueTokenRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def uniqueTokenRatioFromTokens(toks: Column): Column =
     when(size(toks) > 0,
       size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
       .otherwise(lit(0.0))
-  }
+  def uniqueTokenRatio(text: Column): Column =
+    uniqueTokenRatioFromTokens(tokens(text))
 
   /** Mean token length (0 when empty). */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLenFromTokens(toks: Column): Column =
     when(size(toks) > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(toks).cast("double"))
       .otherwise(lit(0.0))
-  }
+  def meanTokenLen(text: Column): Column =
+    meanTokenLenFromTokens(tokens(text))
 
   /** Composite quality score in [0,1]-ish: favors some stopwords
     * (natural prose), diverse tokens, and mid-length words. Fixed
     * left-associated arithmetic so any IEEE-754 engine reproduces it. */
-  def qualityScore(text: Column): Column =
-    stopwordRatio(text) * lit(0.4) +
-      uniqueTokenRatio(text) * lit(0.4) +
-      when(meanTokenLen(text) >= 3.0 && meanTokenLen(text) <= 8.0, lit(0.2))
+  def qualityScoreFromTokens(toks: Column): Column =
+    stopwordRatioFromTokens(toks) * lit(0.4) +
+      uniqueTokenRatioFromTokens(toks) * lit(0.4) +
+      when(meanTokenLenFromTokens(toks) >= 3.0 &&
+        meanTokenLenFromTokens(toks) <= 8.0, lit(0.2))
         .otherwise(lit(0.0))
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(tokens(text))
 
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
@@ -88,18 +119,17 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "un", "une", "est"),
     "zh" -> Seq("的", "了", "和", "是", "在"))
 
-  /** Heuristic language ID: stopword-profile hit counts, ties broken by
-    * language code order. N-gram-free so it stays codegen'd; a real
-    * deployment would swap in a fastText-style model via mapInPandas. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = langProfiles.map { case (code, words) =>
-      code -> size(filter(toks, t => t.isin(words.map(lit): _*)))
-    }
-    // argmax with deterministic first-wins tie-break (codes sorted)
-    scored.foldLeft((lit("und"), lit(-1))) { case ((bestL, bestS), (code, s)) =>
-      (when(s > bestS, lit(code)).otherwise(bestL),
-        when(s > bestS, s).otherwise(bestS))
-    }._1
+  /** Heuristic language ID: stopword-profile hit counts, first-max
+    * wins. Expressed as array_max + array_position (first occurrence)
+    * instead of a nested when-fold — the fold duplicates every score
+    * subtree per level (2^profiles expression blow-up). */
+  def langIdFromTokens(toks: Column): Column = {
+    val scores = array(langProfiles.map { case (_, words) =>
+      size(filter(toks, t => t.isin(words.map(lit): _*)))
+    }: _*)
+    val codes = array(langProfiles.map { case (code, _) => lit(code) }: _*)
+    element_at(codes,
+      array_position(scores, array_max(scores)).cast("int"))
   }
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 }
