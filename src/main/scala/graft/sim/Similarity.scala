@@ -13,10 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product with per-element double promotion. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product with per-element double promotion —
+    * the declarative reference form (allocates a zipped array/row). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Native codegen'd dot product ([[graft.plans.FloatVecDot]]):
+    * numerically identical to [[dotFold]] (same left-to-right double
+    * summation), no per-row allocation. */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.FloatVecDot(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge for custom Catalyst expressions.
+  *
+  * Spark 4's `Column` wraps a connect-compatible `ColumnNode`; the
+  * classic-session converters live behind `private[sql]`, so this
+  * shim (in the sql package, the standard extension-library pattern)
+  * re-exports the two conversions custom expressions need.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
