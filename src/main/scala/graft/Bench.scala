@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/scan paths once so the first timed query
+    // doesn't absorb session startup (~7s of JIT on a cold JVM).
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop-datasource write: forces full evaluation of every output column
     // (count() would let Catalyst prune the expression work away).
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -789,7 +789,7 @@ object SparkEntry {
     // 31: MinHash + LSH banding — candidates only within band buckets.
     "q_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
-          shingleK = 3, nPerm = 16, bands = 4)
+          shingleK = 5, nPerm = 16, bands = 4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -842,6 +842,11 @@ object SparkEntry {
     val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
     val sh3 = "CASE WHEN length(text) >= 3 THEN " +
       "list_distinct([substring(text, i, 3) for i in range(1, length(text) - 1)]) " +
+      "ELSE [] END"
+    // k=5 for minhash: 3-grams over the tiny synthetic vocab are so
+    // common that LSH buckets degenerate (2324-doc bucket at sf0.1).
+    val sh5 = "CASE WHEN length(text) >= 5 THEN " +
+      "list_distinct([substring(text, i, 5) for i in range(1, length(text) - 3)]) " +
       "ELSE [] END"
     def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
     val stops = "('the','a','of','to','and','in','is','it','on','for')"
@@ -927,7 +932,7 @@ object SparkEntry {
       FROM p WHERE inter_n * 2 >= union_n * 1
       ORDER BY id_a, id_b""",
     "q_minhash_lsh" -> s"""
-      WITH d AS (SELECT doc_id, $sh3 AS sh FROM documents),
+      WITH d AS (SELECT doc_id, $sh5 AS sh FROM documents),
       dh AS (SELECT doc_id,
                list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)
                  AS hs

@@ -39,16 +39,22 @@ object Dedup {
     val rows = nPerm / bands
     // Materialize per-shingle hashes in their own projection so the
     // md5 work runs once, not once per permutation (CollapseProject
-    // keeps expensive multi-referenced aliases separate).
+    // keeps expensive multi-referenced aliases separate). Min-sketches
+    // ignore duplicates, so the cheaper non-distinct shingle form.
     val sig = docs
       .select(col(idCol).as("id"),
-        shingleHashes(shingles(col(textCol), shingleK)).as("hs"))
+        shingleHashes(shinglesAll(col(textCol), shingleK)).as("hs"))
       .select(col("id"), minhashFromHashes(col("hs"), nPerm).as("sig"))
+    // Persist the (tiny: id + bands) signature table: both sides of
+    // the self-join read it, and without a materialization Spark
+    // re-derives the full shingle+hash pipeline per side. At warehouse
+    // scale this table would be written out as a artifact instead.
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(concat_ws("_", (0 until rows).map(r =>
           element_at(col("sig"), b * rows + r + 1)): _*)))))
       .toDF("id", "band", "bandhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.toDF("id_a", "band_a", "h_a")
     val r = banded.toDF("id_b", "band_b", "h_b")
     l.join(r, col("band_a") === col("band_b") &&

@@ -26,6 +26,14 @@ object TextFunctions {
         i => text.substr(i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Non-distinct k-gram shingles: min-based sketches (MinHash) are
+    * distinctness-invariant, so skip the per-row hash-set build. */
+  def shinglesAll(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
   /** 60-bit stable hash from md5 — reproducible across engines. */
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
