@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Multi-file batch loading: pick the latest batch by a filename date
+  * token, promote an in-data header row, and append batches with
+  * cross-batch dedup.
+  *
+  * Reference: capital_sendas.py:80-107 — lists `produccion_*.xlsx`,
+  * keeps files whose `_`-token-1 (yyyymm) equals the max, promotes
+  * the first data row to column names, and anti-joins each new batch
+  * against what is already loaded. File selection is driver-side name
+  * logic (as in the reference); everything row-shaped is distributed.
+  */
+object BatchLoad {
+
+  final case class Batch(files: Seq[String], anoMes: String, mes: Int)
+
+  /** Latest batch among `paths` by the yyyymm prefix of the
+    * `tokenIdx`-th `sep`-separated filename token. Files of the max
+    * yyyymm sort descending (reference keeps that order). */
+  def latestBatch(paths: Seq[String], sep: String = "_",
+      tokenIdx: Int = 1): Option[Batch] = {
+    val keyed = paths.flatMap { p =>
+      val name = p.split('/').last
+      val toks = name.split(sep)
+      if (toks.length > tokenIdx && toks(tokenIdx).length >= 6)
+        Some(toks(tokenIdx).take(6) -> p)
+      else None
+    }
+    if (keyed.isEmpty) None
+    else {
+      val maxKey = keyed.map(_._1).max
+      val files = keyed.filter(_._1 == maxKey).map(_._2)
+        .sorted(Ordering[String].reverse)
+      Some(Batch(files, maxKey, maxKey.takeRight(2).toInt))
+    }
+  }
+
+  /** Promote the first input row to column names and drop it.
+    *
+    * For sheets that arrive headerless (the reference's xlsx loads
+    * put the header in row 0). Row order is pinned with zipWithIndex
+    * (stable for a given input), the header row is read on the driver
+    * (a single row — not a collect of data), and the rest keep their
+    * distributed layout. All columns must be strings.
+    */
+  def promoteHeader(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val indexed = df.rdd.zipWithIndex()
+    val headerNames = indexed.filter(_._2 == 0L).map(_._1).collect() match {
+      case Array(row) => row.toSeq.map(v => if (v == null) "" else v.toString)
+      case _ => throw new IllegalArgumentException("promoteHeader: empty input")
+    }
+    require(df.schema.fields.forall(_.dataType == StringType),
+      "promoteHeader expects all-string columns (raw sheet load)")
+    val rows = indexed.filter(_._2 > 0L).map(_._1)
+    spark.createDataFrame(rows, df.schema).toDF(headerNames: _*)
+  }
+
+  /** Append a new batch to the accumulated frame, dropping rows that
+    * already exist (anti-join on all columns, null-safe) — the
+    * reference's incremental concat (capital_sendas.py:112-125). */
+  def appendIncremental(acc: Option[DataFrame], batch: DataFrame): DataFrame =
+    acc match {
+      case None => batch
+      case Some(a) =>
+        import graft.ops.EtlOps.RichDF
+        a.unionByName(batch.antiJoinAll(a))
+    }
+
+  /** Load a latest-batch set of CSV files with header promotion off
+    * (header comes as data) or on. The reference's xlsx sheets map to
+    * csv here; the API shape is the point. */
+  def loadLatestCsv(spark: SparkSession, paths: Seq[String],
+      headerInData: Boolean): Option[DataFrame] =
+    latestBatch(paths).map { b =>
+      b.files.foldLeft(Option.empty[DataFrame]) { (acc, f) =>
+        val raw = spark.read
+          .option("header", (!headerInData).toString)
+          .option("inferSchema", "false")
+          .csv(f)
+        val df = if (headerInData) promoteHeader(raw) else raw
+        Some(appendIncremental(acc, df))
+      }.get
+    }
+}
