@@ -835,6 +835,18 @@ object SparkEntry {
             graft.multimodal.Multimodal.fakeDecode(col("content")), 1), 6)
             .as("feat0"))
         .orderBy("media_id")
+    }),
+
+    // 37: the streaming pipeline's transformation, driven in batch
+    // mode (Spark's batch/stream unification makes them the same
+    // plan); the MemoryStream spec proves the streaming execution.
+    "q_stream_window" -> ((s, dir) => {
+      graft.streaming.StreamingOps
+        .windowedTypeCounts(t(s, dir, "events"), "1 hour", "1 hour")
+        .select(col("win_start").cast("date").as("day"),
+          hour(col("win_start")).as("hr"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("day", "hr", "event_type")
     }))
 
   private def llmOracle: Map[String, String] = {
@@ -1010,6 +1022,12 @@ object SparkEntry {
              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
              round((('0x' || substr(md5(upper(hex(CAST(text AS BLOB))) || '0'), 1, 8))::BIGINT
                / 4294967296.0), 6) AS feat0
-      FROM documents ORDER BY media_id""")
+      FROM documents ORDER BY media_id""",
+    "q_stream_window" -> """
+      SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
+             CAST(hour(date_trunc('hour', ts)) AS INT) AS hr, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM events GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""")
   }
 }

@@ -23,7 +23,8 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_value"))
       .select(col("window.start").as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 

@@ -27,11 +27,14 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("win_counts")
-      .select("win_start", "event_type", "n_events", "sum_value")
+      .select(col("win_start"), col("event_type"), col("n_events"),
+        col("sum_value").cast("double"))
       .as[(Timestamp, String, Long, Double)].collect().toSet
     val batch = StreamingOps.windowedTypeCounts(
         data.toDF("ts", "event_type", "value", "user_id"),
         "30 minutes", "1 hour")
+      .select(col("win_start"), col("event_type"), col("n_events"),
+        col("sum_value").cast("double"))
       .as[(Timestamp, String, Long, Double)].collect().toSet
     assert(streamed == batch)
     assert(batch.contains((ts("2024-01-01 00:00:00"), "click", 2L, 3.0)))
