@@ -530,6 +530,78 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // 39 (beyond-§2): the reference's FULL pipeline composed end-to-end
+    // — base load analog → marker semi-join → per-subset mark operators
+    // (capped Qx, dedup-first H/C1/Qx1, stateful C5 gap) joined back →
+    // the masked-update chain in reference order → export formatting.
+    // Proves the operators compose; every piece is individually
+    // oracle-checked by its own row above.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val ce = col("ambito") === "CONSULTA EXTERNA"
+      // (factura, linea) is NOT unique in the data; rank duplicates by
+      // the remaining columns for a unique, deterministic row key
+      // without a global sort (identical rows are symmetric).
+      val wdup = Window.partitionBy(col("factura"), col("linea"))
+        .orderBy(col("servicio"), col("tipologia"), col("cant"),
+          col("fec_servicio"), col("ambito"), col("cod_plan"))
+      val base = Rules.semiMarker(
+          sendas(s, dir).withColumn("uid",
+            concat_ws("_", col("factura"), col("linea"),
+              row_number().over(wdup))),
+          "factura", col("servicio") === "132", "has_marker")
+      def marks(df: DataFrame, flag: String): DataFrame =
+        df.select(col("uid").as(s"__u_$flag"), col(flag))
+      val qx = marks(base
+        .filter(col("tipologia").startsWith("Qx") && col("cant") > 0)
+        .cappedGroupMark(Seq("factura", "fec_servicio"), "tipologia",
+          Seq(col("tipologia").desc, col("linea").asc), 3, 2, "qx_mark"),
+        "qx_mark")
+      val h = marks(base.filter(col("tipologia") === "H1")
+        .dedupMarkFirst(Seq("factura", "servicio"), Seq(col("linea")),
+          "h_mark"), "h_mark")
+      val c1 = marks(base.filter(col("tipologia") === "C1" &&
+          col("cod_plan").startsWith("PGP"))
+        .dedupMarkFirst(Seq("servicio", "fec_servicio"),
+          Seq(col("factura"), col("linea")), "c1_mark"), "c1_mark")
+      val c5 = marks(base.filter(col("tipologia") === "C5")
+        .gapMark(Seq("servicio"), "fec_servicio", "uid", 3, "c5_gap"),
+        "c5_gap")
+      val qx1 = marks(base.filter(col("tipologia") === "Qx1")
+        .dedupMarkFirst(Seq("factura", "servicio"), Seq(col("linea")),
+          "qx1_mark"), "qx1_mark")
+      val joined = base
+        .join(qx, col("uid") === col("__u_qx_mark"), "left")
+        .join(h, col("uid") === col("__u_h_mark"), "left")
+        .join(c1, col("uid") === col("__u_c1_mark"), "left")
+        .join(c5, col("uid") === col("__u_c5_gap"), "left")
+        .join(qx1, col("uid") === col("__u_qx1_mark"), "left")
+      val out = Rules.chainUpdate(joined, "validacion", lit(0L), Seq(
+        (col("tipologia").startsWith("Qx") && col("cant") > 0,
+          coalesce(col("qx_mark"), lit(0)).cast("long")),
+        (col("tipologia") === "H1",
+          coalesce(col("h_mark"), lit(0)).cast("long")),
+        (col("tipologia") === "C1" && col("cod_plan").startsWith("PGP"),
+          coalesce(col("c1_mark"), lit(0)).cast("long")),
+        (ce && col("tipologia") === "C4" && col("servicio") =!= "502", lit(1L)),
+        (ce && col("tipologia") === "C4" && col("servicio") === "502", col("cant")),
+        (ce && col("tipologia") === "C4" && col("has_marker") &&
+          col("servicio").isin("285", "385", "384", "284", "502"), lit(0L)),
+        (col("tipologia") === "C7", col("cant")),
+        (ce && col("tipologia") === "C8", col("cant")),
+        (col("tipologia") === "HD", lit(1L)),
+        (col("tipologia") === "ARI", lit(1L)),
+        (col("tipologia") === "C5",
+          coalesce(col("c5_gap"), lit(0)).cast("long")),
+        (col("tipologia") === "Qx1",
+          coalesce(col("qx1_mark"), lit(0)).cast("long")),
+        (col("tipologia") === "RM", col("cant"))))
+      out.select(col("factura"), col("linea"), col("servicio"),
+          col("tipologia"),
+          date_format(col("fec_servicio"), "yyyy/MM/dd").as("fecha"),
+          col("validacion"))
+        .orderBy("factura", "linea")
+    }),
+
     // 38 (beyond-§2): rule-priority row selection per group
     // (asignar_tipologia): first Qx-if-small, else H-if-CE, else first
     // neutral row.
@@ -713,6 +785,81 @@ object SparkEntry {
                AS coerced,
              strftime(CAST(ts AS TIMESTAMP), '%Y/%m/%d') AS fecha
       FROM events ORDER BY event_id""",
+    "q_pipeline_e2e" -> s"""
+      WITH RECURSIVE s0 AS ($sendasSql),
+      s AS (SELECT *, factura || '_' || linea || '_' ||
+              row_number() OVER (PARTITION BY factura, linea
+                ORDER BY servicio, tipologia, cant, fec_servicio,
+                         ambito, cod_plan) AS uid
+            FROM s0),
+      m AS (SELECT *, factura IN (SELECT factura FROM s WHERE servicio = '132')
+              AS has_marker FROM s),
+      qxf AS (SELECT * FROM s WHERE tipologia LIKE 'Qx%' AND cant > 0),
+      qxw AS (SELECT uid, elig, sum(elig) OVER (PARTITION BY factura, fec_servicio
+                ORDER BY tipologia DESC, linea
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM (SELECT *, CASE WHEN row_number() OVER
+                  (PARTITION BY factura, fec_servicio, tipologia
+                   ORDER BY tipologia DESC, linea) <= 2 THEN 1 ELSE 0 END AS elig
+                FROM qxf)),
+      qx AS (SELECT uid, CASE WHEN elig = 1 AND cum <= 3 THEN 1 ELSE 0 END
+               AS qx_mark FROM qxw),
+      h AS (SELECT uid, CASE WHEN row_number() OVER (PARTITION BY factura,
+              servicio ORDER BY linea) = 1 THEN 1 ELSE 0 END AS h_mark
+            FROM s WHERE tipologia = 'H1'),
+      c1 AS (SELECT uid, CASE WHEN row_number() OVER (PARTITION BY servicio,
+               fec_servicio ORDER BY factura, linea) = 1 THEN 1 ELSE 0 END
+               AS c1_mark
+             FROM s WHERE tipologia = 'C1' AND cod_plan LIKE 'PGP%'),
+      c5base AS (SELECT servicio, uid,
+                   epoch_us(CAST(fec_servicio AS TIMESTAMP)) AS tsu,
+                   row_number() OVER (PARTITION BY servicio
+                     ORDER BY epoch_us(CAST(fec_servicio AS TIMESTAMP)),
+                              uid) AS rn
+                 FROM s WHERE tipologia = 'C5'),
+      c5r AS (
+        SELECT servicio, uid, tsu, rn, 1 AS c5_gap, tsu AS last_ts
+        FROM c5base WHERE rn = 1
+        UNION ALL
+        SELECT b.servicio, b.uid, b.tsu, b.rn,
+               CASE WHEN (b.tsu - r.last_ts) // 86400000000 > 3
+                    THEN 1 ELSE 0 END,
+               CASE WHEN (b.tsu - r.last_ts) // 86400000000 > 3
+                    THEN b.tsu ELSE r.last_ts END
+        FROM c5base b JOIN c5r r ON b.servicio = r.servicio
+          AND b.rn = r.rn + 1),
+      qx1 AS (SELECT uid, CASE WHEN row_number() OVER (PARTITION BY factura,
+                servicio ORDER BY linea) = 1 THEN 1 ELSE 0 END AS qx1_mark
+              FROM s WHERE tipologia = 'Qx1')
+      SELECT m.factura, m.linea, m.servicio, m.tipologia,
+             strftime(CAST(m.fec_servicio AS TIMESTAMP), '%Y/%m/%d') AS fecha,
+        CASE
+          WHEN m.tipologia = 'RM' THEN m.cant
+          WHEN m.tipologia = 'Qx1' THEN coalesce(qx1.qx1_mark, 0)
+          WHEN m.tipologia = 'C5' THEN coalesce(c5r.c5_gap, 0)
+          WHEN m.tipologia = 'ARI' THEN 1
+          WHEN m.tipologia = 'HD' THEN 1
+          WHEN m.ambito = 'CONSULTA EXTERNA' AND m.tipologia = 'C8' THEN m.cant
+          WHEN m.tipologia = 'C7' THEN m.cant
+          WHEN m.ambito = 'CONSULTA EXTERNA' AND m.tipologia = 'C4'
+               AND m.has_marker
+               AND m.servicio IN ('285','385','384','284','502') THEN 0
+          WHEN m.ambito = 'CONSULTA EXTERNA' AND m.tipologia = 'C4'
+               AND m.servicio = '502' THEN m.cant
+          WHEN m.ambito = 'CONSULTA EXTERNA' AND m.tipologia = 'C4'
+               AND m.servicio <> '502' THEN 1
+          WHEN m.tipologia = 'C1' AND m.cod_plan LIKE 'PGP%'
+               THEN coalesce(c1.c1_mark, 0)
+          WHEN m.tipologia = 'H1' THEN coalesce(h.h_mark, 0)
+          WHEN m.tipologia LIKE 'Qx%' AND m.cant > 0
+               THEN coalesce(qx.qx_mark, 0)
+          ELSE 0 END AS validacion
+      FROM m LEFT JOIN qx ON m.uid = qx.uid
+             LEFT JOIN h ON m.uid = h.uid
+             LEFT JOIN c1 ON m.uid = c1.uid
+             LEFT JOIN c5r ON m.uid = c5r.uid
+             LEFT JOIN qx1 ON m.uid = qx1.uid
+      ORDER BY m.factura, m.linea""",
     "q_rule_priority" -> s"""
       WITH s AS ($sendasSql),
       p AS (SELECT *,
