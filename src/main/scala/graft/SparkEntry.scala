@@ -551,24 +551,28 @@ object SparkEntry {
           "factura", col("servicio") === "132", "has_marker")
       def marks(df: DataFrame, flag: String): DataFrame =
         df.select(col("uid").as(s"__u_$flag"), col(flag))
+      // every mark ordering ends in uid: ties between rows that differ
+      // only in hidden columns would otherwise resolve differently per
+      // engine/run.
       val qx = marks(base
         .filter(col("tipologia").startsWith("Qx") && col("cant") > 0)
         .cappedGroupMark(Seq("factura", "fec_servicio"), "tipologia",
-          Seq(col("tipologia").desc, col("linea").asc), 3, 2, "qx_mark"),
+          Seq(col("tipologia").desc, col("linea").asc, col("uid").asc),
+          3, 2, "qx_mark"),
         "qx_mark")
       val h = marks(base.filter(col("tipologia") === "H1")
-        .dedupMarkFirst(Seq("factura", "servicio"), Seq(col("linea")),
-          "h_mark"), "h_mark")
+        .dedupMarkFirst(Seq("factura", "servicio"),
+          Seq(col("linea"), col("uid")), "h_mark"), "h_mark")
       val c1 = marks(base.filter(col("tipologia") === "C1" &&
           col("cod_plan").startsWith("PGP"))
         .dedupMarkFirst(Seq("servicio", "fec_servicio"),
-          Seq(col("factura"), col("linea")), "c1_mark"), "c1_mark")
+          Seq(col("factura"), col("linea"), col("uid")), "c1_mark"), "c1_mark")
       val c5 = marks(base.filter(col("tipologia") === "C5")
         .gapMark(Seq("servicio"), "fec_servicio", "uid", 3, "c5_gap"),
         "c5_gap")
       val qx1 = marks(base.filter(col("tipologia") === "Qx1")
-        .dedupMarkFirst(Seq("factura", "servicio"), Seq(col("linea")),
-          "qx1_mark"), "qx1_mark")
+        .dedupMarkFirst(Seq("factura", "servicio"),
+          Seq(col("linea"), col("uid")), "qx1_mark"), "qx1_mark")
       val joined = base
         .join(qx, col("uid") === col("__u_qx_mark"), "left")
         .join(h, col("uid") === col("__u_h_mark"), "left")
@@ -796,19 +800,19 @@ object SparkEntry {
               AS has_marker FROM s),
       qxf AS (SELECT * FROM s WHERE tipologia LIKE 'Qx%' AND cant > 0),
       qxw AS (SELECT uid, elig, sum(elig) OVER (PARTITION BY factura, fec_servicio
-                ORDER BY tipologia DESC, linea
+                ORDER BY tipologia DESC, linea, uid
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
               FROM (SELECT *, CASE WHEN row_number() OVER
                   (PARTITION BY factura, fec_servicio, tipologia
-                   ORDER BY tipologia DESC, linea) <= 2 THEN 1 ELSE 0 END AS elig
+                   ORDER BY tipologia DESC, linea, uid) <= 2 THEN 1 ELSE 0 END AS elig
                 FROM qxf)),
       qx AS (SELECT uid, CASE WHEN elig = 1 AND cum <= 3 THEN 1 ELSE 0 END
                AS qx_mark FROM qxw),
       h AS (SELECT uid, CASE WHEN row_number() OVER (PARTITION BY factura,
-              servicio ORDER BY linea) = 1 THEN 1 ELSE 0 END AS h_mark
+              servicio ORDER BY linea, uid) = 1 THEN 1 ELSE 0 END AS h_mark
             FROM s WHERE tipologia = 'H1'),
       c1 AS (SELECT uid, CASE WHEN row_number() OVER (PARTITION BY servicio,
-               fec_servicio ORDER BY factura, linea) = 1 THEN 1 ELSE 0 END
+               fec_servicio ORDER BY factura, linea, uid) = 1 THEN 1 ELSE 0 END
                AS c1_mark
              FROM s WHERE tipologia = 'C1' AND cod_plan LIKE 'PGP%'),
       c5base AS (SELECT servicio, uid,
@@ -829,7 +833,7 @@ object SparkEntry {
         FROM c5base b JOIN c5r r ON b.servicio = r.servicio
           AND b.rn = r.rn + 1),
       qx1 AS (SELECT uid, CASE WHEN row_number() OVER (PARTITION BY factura,
-                servicio ORDER BY linea) = 1 THEN 1 ELSE 0 END AS qx1_mark
+                servicio ORDER BY linea, uid) = 1 THEN 1 ELSE 0 END AS qx1_mark
               FROM s WHERE tipologia = 'Qx1')
       SELECT m.factura, m.linea, m.servicio, m.tipologia,
              strftime(CAST(m.fec_servicio AS TIMESTAMP), '%Y/%m/%d') AS fecha,
