@@ -610,12 +610,15 @@ object SparkEntry {
     // (asignar_tipologia): first Qx-if-small, else H-if-CE, else first
     // neutral row.
     "q_rule_priority" -> ((s, dir) => {
+      // order must be total: (factura, linea) is not unique, and ties
+      // differing in tipologia/cant would pick per-engine winners
       val picked = Rules.priorityPick(sendas(s, dir), Seq("servicio"),
         Seq(
           col("tipologia").startsWith("Qx") && col("cant") < 14,
           col("tipologia").startsWith("H") && col("ambito") === "CONSULTA EXTERNA",
           !col("tipologia").startsWith("Qx") && !col("tipologia").startsWith("H")),
-        Seq(col("factura"), col("linea")))
+        Seq(col("factura"), col("linea"), col("tipologia"), col("cant"),
+          col("ambito"), col("cod_plan"), col("fec_servicio")))
       picked.select("servicio", "tipologia", "factura", "linea")
         .orderBy("servicio")
     }))
@@ -873,7 +876,8 @@ object SparkEntry {
                    ELSE NULL END AS prio
             FROM s),
       f AS (SELECT *, row_number() OVER (PARTITION BY servicio
-              ORDER BY prio, factura, linea) AS rn
+              ORDER BY prio, factura, linea, tipologia, cant,
+                       ambito, cod_plan, fec_servicio) AS rn
             FROM p WHERE prio IS NOT NULL)
       SELECT servicio, tipologia, factura, linea
       FROM f WHERE rn = 1 ORDER BY servicio""")

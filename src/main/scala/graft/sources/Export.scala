@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Export path: the reference's publish step (capital_sendas.py:571-603)
+  * — format date columns as strings, select the publish column subset,
+  * and write csv/json. xlsx is out of scope for a cluster engine; the
+  * reference's xlsx consumers read the same rows from csv.
+  */
+object Export {
+
+  /** Publish projection: date columns → `fmt` strings (nulls stay
+    * null), then the exact column subset in order. */
+  def publish(df: DataFrame, dateCols: Seq[String], fmt: String,
+      columns: Seq[String]): DataFrame = {
+    val formatted = dateCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, date_format(col(c), fmt)))
+    formatted.select(columns.map(col): _*)
+  }
+
+  /** Header'd CSV. `singleFile` coalesces to one part — only for
+    * small driver-style exports (the reference's comprobar.csv);
+    * large outputs keep their partitioning. */
+  def csv(df: DataFrame, path: String, singleFile: Boolean = false,
+      delimiter: String = ","): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode("overwrite")
+      .option("header", "true").option("delimiter", delimiter)
+      .csv(path)
+  }
+
+  /** Newline-delimited JSON export. */
+  def json(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode("overwrite").json(path)
+  }
+}
