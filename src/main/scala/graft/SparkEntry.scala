@@ -284,7 +284,7 @@ object SparkEntry {
     "q_window_rank" -> """
       SELECT * FROM (
         SELECT o_orderkey, o_custkey,
-               rank() OVER w AS rnk,
+               CAST(rank() OVER w AS INT) AS rnk,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS DECIMAL(18,2)) AS running_spend
@@ -294,8 +294,8 @@ object SparkEntry {
     "q_topk_per_group" -> """
       SELECT p_brand, rn, p_partkey, p_name FROM (
         SELECT p_brand, p_partkey, p_name,
-               row_number() OVER (PARTITION BY p_brand
-                 ORDER BY p_retailprice DESC, p_partkey) AS rn
+               CAST(row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rn
         FROM part)
       WHERE rn <= 5 ORDER BY p_brand, rn""",
     "q_rollup" -> """
@@ -544,11 +544,14 @@ object SparkEntry {
       val wdup = Window.partitionBy(col("factura"), col("linea"))
         .orderBy(col("servicio"), col("tipologia"), col("cant"),
           col("fec_servicio"), col("ambito"), col("cod_plan"))
+      // base feeds five mark subsets + the final join — persist it so
+      // the lineitem⨝orders derivation runs once, not seven times
       val base = Rules.semiMarker(
           sendas(s, dir).withColumn("uid",
             concat_ws("_", col("factura"), col("linea"),
               row_number().over(wdup))),
           "factura", col("servicio") === "132", "has_marker")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def marks(df: DataFrame, flag: String): DataFrame =
         df.select(col("uid").as(s"__u_$flag"), col(flag))
       // every mark ordering ends in uid: ties between rows that differ

@@ -1,0 +1,52 @@
+package graft
+
+/** Plan invariants over EVERY driver-contract query at sf0.001:
+  * no accidental cartesian products, and the flagship scan behaviors
+  * (filter pushdown, column pruning, broadcast dims) hold. Guards the
+  * 100 TB story against silent plan regressions.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  // brute-force ANN is intentionally a broadcast nested loop (non-equi
+  // join against a broadcast query set) — everything else must not be.
+  private val intendedNestedLoop = Set("q_embed_topk")
+
+  test("no query plans a cartesian product or unintended nested loop") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!intendedNestedLoop(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("projection filters reach the parquet scan") {
+    val p = plan("q_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"),
+      "expected pushed filters in scan")
+    assert(p.contains("StringContains(o_orderpriority"),
+      "contains-filter not pushed")
+  }
+
+  test("star-join dims are broadcast, fact scans are column-pruned") {
+    val p = plan("q5_multijoin")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    // lineitem scan must not read all 11 columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
+      "l_extendedprice:double,l_discount:double>"),
+      "lineitem scan not pruned to 4 columns")
+  }
+
+  test("every oracle query has a matching queries entry and vice versa") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+}
