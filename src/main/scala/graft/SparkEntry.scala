@@ -69,9 +69,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- entry
 
-  /** Flagship: the 6-way star join (TPC-H Q5 shape) on sf0.001. */
+  /** Flagship smoke: TPC-H Q1 shape on sf0.001 (always ≥ 1 group at
+    * any scale factor, unlike the filtered star join). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q5_multijoin")(spark, "/root/testdata/sf0.001")
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- queries
 

@@ -26,9 +26,13 @@ object SimHash {
   private def shr(c: Column, n: Column) = call_function("shiftright", c, n)
 
   /** Per-token 60-bit hashes — materialize ONCE (withColumn) and feed
-    * [[simhashFromHashes]]; the md5 runs once per token. */
+    * [[simhashFromHashes]]; one native digest per token
+    * ([[graft.plans.Md5PrefixHashes]], identical to
+    * `transform(tokens, hash60)`). */
   def tokenHashes(text: Column): Column =
-    transform(tokens(text), t => hash60(t))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.Md5PrefixHashes(
+        org.apache.spark.sql.GraftBridge.expression(tokens(text)), 15))
 
   /** 60-bit simhash from pre-hashed tokens. Bit i is set iff at least
     * half the tokens have bit i set (votes = 2*ones - n >= 0). The 60

@@ -53,9 +53,13 @@ object TextFunctions {
 
   /** Per-shingle 32-bit hashes — materialize this ONCE (withColumn)
     * and feed [[minhashFromHashes]], so the md5 work is not repeated
-    * per permutation (16× at nPerm=16). */
+    * per permutation (16× at nPerm=16). Native batch expression
+    * ([[graft.plans.Md5PrefixHashes]]): one digest per element,
+    * numerically identical to `transform(arr, hash32)`. */
   def shingleHashes(shingleSet: Column): Column =
-    transform(shingleSet, sh => hash32(sh))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.Md5PrefixHashes(
+        org.apache.spark.sql.GraftBridge.expression(shingleSet), 8))
 
   /** MinHash signature from pre-hashed shingles: permutation i is the
     * universal hash (a_i * h + b_i) mod (2^31-1) — integer-exact in
