@@ -1088,7 +1088,8 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
     "q_ngram_jaccard" -> s"""
       WITH d AS (SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
-                        $sh3 AS sh
+                        list_distinct(list_transform($sh3,
+                          s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS sh
                  FROM documents),
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               len(list_intersect(a.sh, b.sh)) AS inter_n,

@@ -80,14 +80,20 @@ object Dedup {
     * (exact rational compare). Blocking bounds the pair blow-up; at
     * scale the block key should include an LSH band. `maxBlock` is an
     * enforced guard: any block larger than it fails the job loudly
-    * instead of silently going quadratic on a skewed key. */
+    * instead of silently going quadratic on a skewed key.
+    *
+    * Jaccard is computed over the 32-bit-hashed shingle space (long
+    * compares in the pair loop, not string compares — the only form
+    * that survives wide blocks at scale); a hash collision merging two
+    * distinct shingles is ~2^-32 per pair and deterministic. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], shingleK: Int,
       num: Int, den: Int, maxBlock: Int = 10000): DataFrame = {
     val wBlk = Window.partitionBy(blockCols.map(col).toIndexedSeq: _*)
     val withSh = docs.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
-        shingles(col(textCol), shingleK).as("sh")).toIndexedSeq: _*)
+        array_distinct(shingleHashes(shingles(col(textCol), shingleK)))
+          .as("sh")).toIndexedSeq: _*)
       .withColumn("__bc", count(lit(1)).over(wBlk))
       .filter(when(col("__bc") <= maxBlock, lit(true)).otherwise(
         raise_error(concat(lit(s"ngramJaccardPairs: block over $maxBlock rows: "),
