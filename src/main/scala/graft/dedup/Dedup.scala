@@ -92,7 +92,7 @@ object Dedup {
     val wBlk = Window.partitionBy(blockCols.map(col).toIndexedSeq: _*)
     val withSh = docs.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
-        array_distinct(shingleHashes(shingles(col(textCol), shingleK)))
+        array_sort(array_distinct(shingleHashes(shingles(col(textCol), shingleK))))
           .as("sh")).toIndexedSeq: _*)
       .withColumn("__bc", count(lit(1)).over(wBlk))
       .filter(when(col("__bc") <= maxBlock, lit(true)).otherwise(
@@ -103,10 +103,16 @@ object Dedup {
     val r = withSh.toDF(blockCols.map(_ + "_b") ++ Seq("id_b", "sh_b"): _*)
     val blockCond = blockCols.map(c => col(c + "_a") === col(c + "_b"))
       .reduce(_ && _)
-    // intersect once per pair; union/jaccard derive from the attribute
+    // intersect once per pair: native merge walk over the pre-sorted
+    // hash arrays (no per-pair hash-set build)
+    def interCount(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.SortedLongIntersectCount(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.GraftBridge.expression(b)))
     l.join(r, blockCond && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_n"),
+        interCount(col("sh_a"), col("sh_b")).as("inter_n"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
       .withColumn("union_n", col("na") + col("nb") - col("inter_n"))
       .withColumn("jaccard", when(col("union_n") > 0,
