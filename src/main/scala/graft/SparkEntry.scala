@@ -545,44 +545,50 @@ object SparkEntry {
       val wdup = Window.partitionBy(col("factura"), col("linea"))
         .orderBy(col("servicio"), col("tipologia"), col("cant"),
           col("fec_servicio"), col("ambito"), col("cod_plan"))
-      // base feeds five mark subsets + the final join — persist it so
-      // the lineitem⨝orders derivation runs once, not seven times
       val base = Rules.semiMarker(
           sendas(s, dir).withColumn("uid",
             concat_ws("_", col("factura"), col("linea"),
               row_number().over(wdup))),
           "factura", col("servicio") === "132", "has_marker")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def marks(df: DataFrame, flag: String): DataFrame =
-        df.select(col("uid").as(s"__u_$flag"), col(flag))
-      // every mark ordering ends in uid: ties between rows that differ
-      // only in hidden columns would otherwise resolve differently per
-      // engine/run.
-      val qx = marks(base
-        .filter(col("tipologia").startsWith("Qx") && col("cant") > 0)
-        .cappedGroupMark(Seq("factura", "fec_servicio"), "tipologia",
-          Seq(col("tipologia").desc, col("linea").asc, col("uid").asc),
-          3, 2, "qx_mark"),
-        "qx_mark")
-      val h = marks(base.filter(col("tipologia") === "H1")
-        .dedupMarkFirst(Seq("factura", "servicio"),
-          Seq(col("linea"), col("uid")), "h_mark"), "h_mark")
-      val c1 = marks(base.filter(col("tipologia") === "C1" &&
+      // Subset-scoped marks fold into conditional windows over base:
+      // rows outside a rule's subset contribute 0 to the running sums
+      // (or live in other partitions), so the values equal the
+      // filtered-subset computation — with zero join-backs. Every
+      // ordering ends in uid (total order; ties between rows that
+      // differ only in hidden columns must not pick per-engine
+      // winners). Only the stateful C5 gap needs a subset + join.
+      val inQx = col("tipologia").startsWith("Qx") && col("cant") > 0
+      val wSubQ = Window
+        .partitionBy(col("factura"), col("fec_servicio"), col("tipologia"))
+        .orderBy(col("linea"), col("uid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wScanQ = Window
+        .partitionBy(col("factura"), col("fec_servicio"))
+        .orderBy(col("tipologia").desc, col("linea"), col("uid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFst = Window
+        .partitionBy(col("factura"), col("servicio"), col("tipologia"))
+        .orderBy(col("linea"), col("uid"))
+      val wC1 = Window
+        .partitionBy(col("servicio"), col("fec_servicio"), col("tipologia"),
           col("cod_plan").startsWith("PGP"))
-        .dedupMarkFirst(Seq("servicio", "fec_servicio"),
-          Seq(col("factura"), col("linea"), col("uid")), "c1_mark"), "c1_mark")
-      val c5 = marks(base.filter(col("tipologia") === "C5")
-        .gapMark(Seq("servicio"), "fec_servicio", "uid", 3, "c5_gap"),
-        "c5_gap")
-      val qx1 = marks(base.filter(col("tipologia") === "Qx1")
-        .dedupMarkFirst(Seq("factura", "servicio"),
-          Seq(col("linea"), col("uid")), "qx1_mark"), "qx1_mark")
+        .orderBy(col("factura"), col("linea"), col("uid"))
+      val c5 = base.filter(col("tipologia") === "C5")
+        .gapMark(Seq("servicio"), "fec_servicio", "uid", 3, "c5_gap")
+        .select(col("uid").as("__u_c5"), col("c5_gap"))
       val joined = base
-        .join(qx, col("uid") === col("__u_qx_mark"), "left")
-        .join(h, col("uid") === col("__u_h_mark"), "left")
-        .join(c1, col("uid") === col("__u_c1_mark"), "left")
-        .join(c5, col("uid") === col("__u_c5_gap"), "left")
-        .join(qx1, col("uid") === col("__u_qx1_mark"), "left")
+        .withColumn("__elig",
+          inQx && sum(when(inQx, 1).otherwise(0)).over(wSubQ) <= 2)
+        .withColumn("qx_mark",
+          when(col("__elig") &&
+            sum(when(col("__elig"), 1).otherwise(0)).over(wScanQ) <= 3, 1)
+            .otherwise(0))
+        .withColumn("h_mark",
+          when(row_number().over(wFst) === 1, 1).otherwise(0))
+        .withColumn("qx1_mark", col("h_mark"))
+        .withColumn("c1_mark",
+          when(row_number().over(wC1) === 1, 1).otherwise(0))
+        .join(c5, col("uid") === col("__u_c5"), "left")
       val out = Rules.chainUpdate(joined, "validacion", lit(0L), Seq(
         (col("tipologia").startsWith("Qx") && col("cant") > 0,
           coalesce(col("qx_mark"), lit(0)).cast("long")),
