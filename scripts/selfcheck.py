@@ -62,6 +62,17 @@ def main():
             if bad:
                 msgs.append(f"values: {len(bad)} mismatched rows; first: "
                             f"spark={bad[0][0]} duck={bad[0][1]}")
+            else:
+                # strict in-order compare: the driver may not sort rows,
+                # so each query's ORDER BY must be total up to
+                # identical rows
+                ooo = sum(1 for a, b in zip(
+                    [tuple(norm(r[i]) for i in s_ix) for r in s_rows],
+                    [tuple(norm(r[i]) for i in d_ix) for r in d_rows])
+                    if a != b)
+                if ooo:
+                    msgs.append(f"row-order: {ooo} rows out of order "
+                                "(non-total ORDER BY?)")
         if msgs:
             print(f"FAIL {q}: " + " | ".join(msgs))
             n_fail += 1

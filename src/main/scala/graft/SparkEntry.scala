@@ -410,7 +410,7 @@ object SparkEntry {
           Seq("l_partkey"), "l_extendedprice", Seq(col("l_extendedprice")))
         .select(col("l_orderkey"), col("l_linenumber"),
           dec(col("l_extendedprice")).as("lookup_price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "lookup_price")
     }),
 
     // 5: date parse (reference's sliced JS-date format) + tz offset +
@@ -430,7 +430,7 @@ object SparkEntry {
       parsed.select(col("factura"), col("linea"), col("fecha_fact"),
           col("fec_servicio"), Dates.edadNum(col("dias")).as("edad1"),
           Dates.edadUnit(col("dias")).as("edad2"))
-        .orderBy("factura", "linea")
+        .orderBy("factura", "linea", "fec_servicio", "edad1")
     }),
 
     // 6: the chained CASE-mask validation column (C4/C7/C8/HD/ARI/C5/RM
@@ -452,7 +452,7 @@ object SparkEntry {
         (col("tipologia") === "C5", lit(0L)),
         (col("tipologia") === "RM", col("cant"))))
       out.select("factura", "linea", "tipologia", "validacion")
-        .orderBy("factura", "linea")
+        .orderBy("factura", "linea", "tipologia", "validacion")
     }),
 
     // 7: per-group capped marking (validacion_Qx): ≤3 per (factura,
@@ -463,7 +463,7 @@ object SparkEntry {
         .cappedGroupMark(Seq("factura", "fec_servicio"), "tipologia",
           Seq(col("tipologia").desc, col("linea").asc), 3, 2, "validacion")
         .select("factura", "fec_servicio", "linea", "tipologia", "validacion")
-        .orderBy("factura", "fec_servicio", "linea")
+        .orderBy("factura", "fec_servicio", "linea", "tipologia", "validacion")
     }),
 
     // 8: first-per-key flag (Qx1 rule): first (factura, servicio) row
@@ -473,7 +473,7 @@ object SparkEntry {
         .dedupMarkFirst(Seq("factura", "servicio"), Seq(col("linea")),
           "validacion")
         .select("factura", "servicio", "linea", "validacion")
-        .orderBy("factura", "servicio", "linea")
+        .orderBy("factura", "servicio", "linea", "validacion")
     }),
 
     // 9: left-semi + left-anti composition — invoices that do / don't
@@ -613,7 +613,8 @@ object SparkEntry {
           col("tipologia"),
           date_format(col("fec_servicio"), "yyyy/MM/dd").as("fecha"),
           col("validacion"))
-        .orderBy("factura", "linea")
+        .orderBy("factura", "linea", "servicio", "tipologia", "fecha",
+          "validacion")
     }),
 
     // 38 (beyond-§2): rule-priority row selection per group
@@ -676,7 +677,7 @@ object SparkEntry {
       FROM lineitem f
       LEFT JOIN fine   ON f.l_partkey = fine.l_partkey AND f.l_suppkey = fine.l_suppkey
       LEFT JOIN coarse ON f.l_partkey = coarse.l_partkey
-      ORDER BY f.l_orderkey, f.l_linenumber""",
+      ORDER BY f.l_orderkey, f.l_linenumber, lookup_price""",
     "q_date_derive" -> """
       WITH j AS (
         SELECT o_orderkey AS factura, l_linenumber AS linea,
@@ -693,7 +694,7 @@ object SparkEntry {
                        ELSE dias END AS BIGINT) AS edad1,
              CASE WHEN dias >= 365 THEN 'Años'
                   WHEN dias >= 30 THEN 'Meses' ELSE 'Días' END AS edad2
-      FROM d ORDER BY factura, linea""",
+      FROM d ORDER BY factura, linea, fec_servicio, edad1""",
     "q_conditional_update" -> s"""
       WITH s AS ($sendasSql),
       m AS (SELECT *, factura IN (SELECT factura FROM s WHERE servicio = '132')
@@ -713,7 +714,7 @@ object SparkEntry {
           WHEN ambito = 'CONSULTA EXTERNA' AND tipologia = 'C4'
                AND servicio <> '502' THEN 1
           ELSE 0 END AS validacion
-      FROM m ORDER BY factura, linea""",
+      FROM m ORDER BY factura, linea, tipologia, validacion""",
     "q_capped_group_mark" -> s"""
       WITH s AS ($sendasSql),
       f AS (SELECT * FROM s WHERE tipologia LIKE 'Qx%' AND cant > 0),
@@ -727,14 +728,14 @@ object SparkEntry {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM e)
       SELECT factura, fec_servicio, linea, tipologia,
              CASE WHEN elig = 1 AND cum <= 3 THEN 1 ELSE 0 END AS validacion
-      FROM c ORDER BY factura, fec_servicio, linea""",
+      FROM c ORDER BY factura, fec_servicio, linea, tipologia, validacion""",
     "q_dedup_mark" -> s"""
       WITH s AS ($sendasSql)
       SELECT factura, servicio, linea,
              CASE WHEN row_number() OVER (PARTITION BY factura, servicio
                ORDER BY linea) = 1 THEN 1 ELSE 0 END AS validacion
       FROM s WHERE tipologia = 'Qx1'
-      ORDER BY factura, servicio, linea""",
+      ORDER BY factura, servicio, linea, validacion""",
     "q_semi_anti" -> """
       SELECT o_orderkey,
              CASE WHEN EXISTS (SELECT 1 FROM lineitem
@@ -876,7 +877,7 @@ object SparkEntry {
              LEFT JOIN c1 ON m.uid = c1.uid
              LEFT JOIN c5r ON m.uid = c5r.uid
              LEFT JOIN qx1 ON m.uid = qx1.uid
-      ORDER BY m.factura, m.linea""",
+      ORDER BY m.factura, m.linea, m.servicio, m.tipologia, fecha, validacion""",
     "q_rule_priority" -> s"""
       WITH s AS ($sendasSql),
       p AS (SELECT *,
