@@ -236,6 +236,15 @@ object SparkEntry {
         .orderBy("user_id", "sess_id")
     }),
 
+    // 40: correlated scalar subqueries through the SQL front door —
+    // the ONE string below runs verbatim on both engines; Catalyst
+    // decorrelates the two per-part subqueries into an aggregate+join.
+    "q_corr_subquery" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(corrSubquerySql)
+    }),
+
     // 24: as-of join — most recent order ≤ event day per user.
     "q_asof_join" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -250,6 +259,7 @@ object SparkEntry {
     }))
 
   private def analyticsOracle: Map[String, String] = Map(
+    "q_corr_subquery" -> corrSubquerySql,
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
@@ -354,6 +364,21 @@ object SparkEntry {
       SELECT e.event_id, e.user_id, o.last_orderkey
       FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.d >= o.od
       ORDER BY event_id""")
+
+  /** Shared verbatim between Spark SQL and DuckDB: correlated scalar
+    * subqueries (TPC-H Q17 shape) — Catalyst decorrelates them into
+    * aggregate+join; the all-decimal threshold keeps both engines
+    * integer-exact. */
+  private val corrSubquerySql: String = """
+    SELECT p_brand,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_price,
+      count(*) AS n_small
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+          (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p_brand ORDER BY p_brand"""
 
   // ======================================================== ETL rows 1-12
 
