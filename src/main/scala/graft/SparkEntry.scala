@@ -1028,6 +1028,13 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // 41: per-label embedding centroids (IVF coarse-quantizer
+    // building block); decimal component sums are row-order-proof.
+    "q_embed_centroid" -> ((s, dir) => {
+      Similarity.centroids(t(s, dir, "embeddings"), "embedding", "label")
+        .orderBy("grp", "pos")
+    }),
+
     // 37: the streaming pipeline's transformation, driven in batch
     // mode (Spark's batch/stream unification makes them the same
     // plan); the MemoryStream spec proves the streaming execution.
@@ -1215,6 +1222,12 @@ object SparkEntry {
              round((('0x' || substr(md5(upper(hex(CAST(text AS BLOB))) || '0'), 1, 8))::BIGINT
                / 4294967296.0), 6) AS feat0
       FROM documents ORDER BY media_id""",
+    "q_embed_centroid" -> """
+      SELECT label AS grp, CAST(i.i AS INT) AS pos,
+             round(CAST(sum(CAST(embedding[i.i] AS DECIMAL(18,9))) AS DOUBLE)
+               / count(*), 6) AS avg
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY label, i.i ORDER BY grp, pos""",
     "q_stream_window" -> """
       SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
              CAST(hour(date_trunc('hour', ts)) AS INT) AS hr, event_type,

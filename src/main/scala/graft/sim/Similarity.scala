@@ -141,6 +141,25 @@ object Similarity {
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Per-group centroid components: explode vectors to (group, dim,
+    * value) and aggregate — the IVF coarse-quantizer building block.
+    * Component sums go through DECIMAL(18,9) so the result is
+    * independent of row order (float sums are not), making centroids
+    * reproducible across partitionings and engines. Returns
+    * (group, pos 1-based, avg) — long/thin beats rebuilding arrays in
+    * a shuffle, and downstream assignment joins on the group anyway.
+    */
+  def centroids(vectors: DataFrame, vecCol: String,
+      groupCol: String): DataFrame =
+    vectors
+      .select(col(groupCol).as("grp"), posexplode(col(vecCol)))
+      .select(col("grp"), (col("pos") + 1).as("pos"),
+        col("col").cast("decimal(18,9)").as("v"))
+      .groupBy("grp", "pos")
+      .agg((sum(col("v")).cast("double") / count(lit(1))).as("avg_raw"))
+      .withColumn("avg", round(col("avg_raw"), 6))
+      .drop("avg_raw")
+
   /** Near-dup pairs by cosine ≥ threshold within a blocking column.
     * At 100 TB the block is an LSH signature ([[hyperplaneSig]]);
     * for verification any equi-block works. `maxBlock` fails the job
