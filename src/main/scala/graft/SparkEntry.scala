@@ -570,11 +570,14 @@ object SparkEntry {
       val wdup = Window.partitionBy(col("factura"), col("linea"))
         .orderBy(col("servicio"), col("tipologia"), col("cant"),
           col("fec_servicio"), col("ambito"), col("cod_plan"))
-      val base = Rules.semiMarker(
-          sendas(s, dir).withColumn("uid",
-            concat_ws("_", col("factura"), col("linea"),
-              row_number().over(wdup))),
-          "factura", col("servicio") === "132", "has_marker")
+      // persist before the marker semi-join: its distinct-keys subquery
+      // would otherwise re-derive the whole lineitem⨝orders base
+      val base0 = sendas(s, dir).withColumn("uid",
+          concat_ws("_", col("factura"), col("linea"),
+            row_number().over(wdup)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = Rules.semiMarker(base0,
+        "factura", col("servicio") === "132", "has_marker")
       // Subset-scoped marks fold into conditional windows over base:
       // rows outside a rule's subset contribute 0 to the running sums
       // (or live in other partitions), so the values equal the
