@@ -1,0 +1,124 @@
+package graft
+
+import graft.ops.EtlOps.RichDF
+import graft.ops.Names
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Differential tests: randomized inputs, distributed operator vs a
+  * straight-line Scala oracle implementing the reference's sequential
+  * loop semantics (capital_sendas.py separar_nombres / validacion_Qx /
+  * validacion_C5). Catches window-rewrite divergences the fixed
+  * examples and the SQL oracle (same-algorithm) cannot.
+  */
+class DifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  // ---- reference loop: separar_nombres -------------------------------
+  private def splitRef(name: String): (String, String, String, String) = {
+    val particles = Set("DE", "DEL", "LA", "LOS")
+    var parte = ""
+    val partes = scala.collection.mutable.ArrayBuffer.empty[String]
+    name.split(" ").filter(_.nonEmpty).foreach { tok =>
+      if (particles(tok)) parte = parte + tok + " "
+      else { partes += (parte + tok); parte = "" }
+    }
+    val p = partes.toSeq
+    p.length match {
+      case 0 => ("", "", "", "")
+      case 1 => (p(0), "", "", "")
+      case 2 => (p(0), "", p(1), "")
+      case 3 => (p(0), "", p(1), p(2))
+      case 4 => (p(0), p(1), p(2), p(3))
+      case _ => (p(0), p.slice(1, p.length - 2).mkString(" "),
+        p(p.length - 2), p(p.length - 1))
+    }
+  }
+
+  test("name split matches the reference loop on 60 random names") {
+    val vocab = Seq("DE", "DEL", "LA", "LOS", "JUAN", "ANA", "CRUZ",
+      "MARIA", "PEREZ", "GOMEZ", "RIOS", "SOL")
+    val names = (1 to 60).map { _ =>
+      (1 + rnd.nextInt(7) to 7).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .take(1 + rnd.nextInt(6)).mkString(" ")
+    }.distinct
+    val got = names.toDF("n")
+      .withColumn("p", Names.splitFullName(col("n")))
+      .select(col("n"), col("p.nombre1"), col("p.nombre2"),
+        col("p.apellido1"), col("p.apellido2"))
+      .as[(String, String, String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    names.foreach { n =>
+      assert(got(n) == splitRef(n), s"name '$n'")
+    }
+  }
+
+  // ---- reference loop: validacion_Qx ---------------------------------
+  private def cappedRef(rows: Seq[(String, String, Int)]): Map[Int, Int] = {
+    // rows: (grupo, tipologia, id) pre-sorted by scan order
+    rows.groupBy(_._1).flatMap { case (_, g) =>
+      var tot = 0
+      var sub = 0
+      var cur = ""
+      g.map { case (_, tip, id) =>
+        var v = 0
+        if (tot < 3) {
+          if (tip == cur) {
+            if (sub < 2) { v = 1; tot += 1; sub += 1 }
+          } else { v = 1; tot += 1; sub = 1; cur = tip }
+        }
+        id -> v
+      }
+    }
+  }
+
+  test("cappedGroupMark matches the validacion_Qx loop on random data") {
+    val rows = (1 to 300).map { i =>
+      (s"F${rnd.nextInt(20)}", s"Qx${1 + rnd.nextInt(3)}", i)
+    }
+    // scan order: group asc, tipologia DESC, id asc (sub-groups contiguous)
+    val scan = rows.sorted(Ordering.Tuple3(
+      Ordering.String, Ordering.String.reverse, Ordering.Int))
+    val expected = cappedRef(scan)
+    val got = rows.toDF("g", "tip", "id")
+      .cappedGroupMark(Seq("g"), "tip",
+        Seq(col("tip").desc, col("id").asc), 3, 2, "v")
+      .select("id", "v").as[(Int, Int)].collect().toMap
+    expected.foreach { case (id, v) =>
+      assert(got(id) == v, s"row $id")
+    }
+  }
+
+  // ---- reference loop: validacion_C5 ---------------------------------
+  private def gapRef(rows: Seq[(String, Long, String)],
+      gapDays: Int): Map[String, Int] = {
+    rows.groupBy(_._1).flatMap { case (_, g) =>
+      var last = Option.empty[Long]
+      g.sortBy(r => (r._2, r._3)).map { case (_, ts, id) =>
+        val mark = last.forall(l => (ts - l) / 86400000000L > gapDays)
+        if (mark) last = Some(ts)
+        id -> (if (mark) 1 else 0)
+      }
+    }
+  }
+
+  test("gapMark matches the validacion_C5 loop on random timestamps") {
+    val baseMicros = 1704067200000000L // 2024-01-01 UTC
+    val rows = (1 to 400).map { i =>
+      val grp = s"g${rnd.nextInt(12)}"
+      val ts = baseMicros + rnd.nextInt(40) * 86400000000L +
+        rnd.nextInt(86400) * 1000000L
+      (grp, ts, f"e$i%04d")
+    }
+    val expected = gapRef(rows, 3)
+    val got = rows.toDF("g", "tsu", "id")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+      .gapMark(Seq("g"), "ts", "id", 3, "v")
+      .select("id", "v").as[(String, Int)].collect().toMap
+    expected.foreach { case (id, v) =>
+      assert(got(id) == v, s"event $id")
+    }
+  }
+}
