@@ -41,9 +41,13 @@ object Dedup {
     // md5 work runs once, not once per permutation (CollapseProject
     // keeps expensive multi-referenced aliases separate). Min-sketches
     // ignore duplicates, so the cheaper non-distinct shingle form.
+    def charShingleHashes(text: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.CharShingleHashes(
+          org.apache.spark.sql.GraftBridge.expression(text), shingleK, 8))
     val sig = docs
       .select(col(idCol).as("id"),
-        shingleHashes(shinglesAll(col(textCol), shingleK)).as("hs"))
+        charShingleHashes(col(textCol)).as("hs"))
       .select(col("id"), minhashFromHashes(col("hs"), nPerm).as("sig"))
     // Persist the (tiny: id + bands) signature table: both sides of
     // the self-join read it, and without a materialization Spark
@@ -90,9 +94,13 @@ object Dedup {
       blockCols: Seq[String], shingleK: Int,
       num: Int, den: Int, maxBlock: Int = 10000): DataFrame = {
     val wBlk = Window.partitionBy(blockCols.map(col).toIndexedSeq: _*)
+    val shingleHashExpr = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.CharShingleHashes(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+        shingleK, 8))
     val withSh = docs.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
-        array_sort(array_distinct(shingleHashes(shingles(col(textCol), shingleK))))
+        array_sort(array_distinct(shingleHashExpr))
           .as("sh")).toIndexedSeq: _*)
       .withColumn("__bc", count(lit(1)).over(wBlk))
       .filter(when(col("__bc") <= maxBlock, lit(true)).otherwise(

@@ -74,18 +74,24 @@ object Md5PrefixHashes {
       MessageDigest.getInstance("MD5")
   }
 
+  /** Thread-local reusable digest (shared with [[CharShingleHashes]]). */
+  def digest(): MessageDigest = md.get()
+
+  /** Value of the first hexLen hex chars == big-endian prefix bytes,
+    * dropping the low nibble when hexLen is odd. */
+  def prefixValue(digestBytes: Array[Byte], hexLen: Int): Long = {
+    val nBytes = (hexLen + 1) / 2
+    var v = 0L
+    var i = 0
+    while (i < nBytes) { v = (v << 8) | (digestBytes(i) & 0xffL); i += 1 }
+    if (hexLen % 2 == 1) v >>>= 4
+    v
+  }
+
   /** First `hexLen` hex chars of md5(utf8 bytes), base-16 → long. */
   def hashPrefix(s: UTF8String, hexLen: Int): Long = {
     val d = md.get()
     d.reset()
-    val digest = d.digest(s.getBytes)
-    // value of the first hexLen hex chars == big-endian prefix bytes,
-    // dropping the low nibble when hexLen is odd
-    val nBytes = (hexLen + 1) / 2
-    var v = 0L
-    var i = 0
-    while (i < nBytes) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
-    if (hexLen % 2 == 1) v >>>= 4
-    v
+    prefixValue(d.digest(s.getBytes), hexLen)
   }
 }
