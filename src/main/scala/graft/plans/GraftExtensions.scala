@@ -16,13 +16,27 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+  private def intLit(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
+  }
+
   private[plans] val descriptors: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     FloatVecDot.descriptor,
     (FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedLongIntersectCount].getCanonicalName,
         "graft_sorted_intersect_count"),
-      (c: Seq[Expression]) => SortedLongIntersectCount(c(0), c(1))))
+      (c: Seq[Expression]) => SortedLongIntersectCount(c(0), c(1))),
+    (FunctionIdentifier("graft_md5_prefix_hashes"),
+      new ExpressionInfo(classOf[Md5PrefixHashes].getCanonicalName,
+        "graft_md5_prefix_hashes"),
+      (c: Seq[Expression]) => Md5PrefixHashes(c(0), intLit(c(1)))),
+    (FunctionIdentifier("graft_char_shingle_hashes"),
+      new ExpressionInfo(classOf[CharShingleHashes].getCanonicalName,
+        "graft_char_shingle_hashes"),
+      (c: Seq[Expression]) => CharShingleHashes(c(0), intLit(c(1)), intLit(c(2)))))
 
   /** Idempotent runtime registration for an existing session. */
   def register(spark: SparkSession): Unit =
