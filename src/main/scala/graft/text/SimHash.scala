@@ -35,11 +35,16 @@ object SimHash {
         org.apache.spark.sql.GraftBridge.expression(tokens(text)), 15))
 
   /** 60-bit simhash from pre-hashed tokens. Bit i is set iff at least
-    * half the tokens have bit i set (votes = 2*ones - n >= 0). The 60
-    * per-bit counts are independent integer folds over the hash array
-    * — no per-token array allocation (the naive ±1-vector sum
-    * allocates a 60-long array per token and is ~10× slower). */
-  def simhashFromHashes(hashes: Column): Column = {
+    * half the tokens have bit i set (votes = 2*ones - n >= 0).
+    * Native one-pass expression ([[graft.plans.SimHash60]]); the
+    * declarative fold form is kept for differential specs. */
+  def simhashFromHashes(hashes: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.SimHash60(
+        org.apache.spark.sql.GraftBridge.expression(hashes)))
+
+  /** Declarative reference form: 60 independent integer folds. */
+  def simhashFromHashesFold(hashes: Column): Column = {
     val n = size(hashes)
     val bits = (0 until 60).map { i =>
       val ones = aggregate(hashes, lit(0L),
