@@ -15,7 +15,9 @@ import graft.sim.Similarity
   *
   * Oracle-parity rules (SURVEY §5): identical output column names and
   * aliases on both sides, explicit ORDER BY on a unique key, money
-  * sums through DECIMAL(18,2), no raw ns timestamps in outputs, and
+  * sums through exact BIGINT cents (see `cents` — double→decimal
+  * casts round differently across engines/versions; round-to-integer
+  * doesn't), no raw ns timestamps in outputs, and
   * every shared hash is md5-derived (DuckDB: `('0x'||substr(md5(x),
   * 1,15))::BIGINT` ≡ Spark `conv(substring(md5(x),1,15),16,10)`).
   */
@@ -28,6 +30,20 @@ object SparkEntry {
 
   /** decimal(18,2) cast used identically on both engines for money. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact integer cents from a cent-valued double. Round-to-INTEGER
+    * of a double is engine-unambiguous (a double whose shortest repr
+    * ends in ".5" IS exactly .5 in binary, so shortest-repr and
+    * exact-binary rounding coincide; both engines round half away
+    * from zero), unlike double→DECIMAL(p,2) casts, whose sub-cent
+    * rounding differs between engines and engine versions. BIGINT
+    * sums are exact and order/partitioning-independent. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** BIGINT back to a display double: identical integer in →
+    * identical IEEE division out on every engine. */
+  private def money(c: Column, scale: Double = 100.0): Column =
+    c.cast("double") / scale
 
   /** The analog input frame for the reference's healthcare columns,
     * derived deterministically from lineitem ⨝ orders: FACTURA ←
@@ -86,19 +102,22 @@ object SparkEntry {
 
   private def analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 13: TPC-H Q1 shape — partial aggregation (map-side combine) does
-    // the heavy lifting; one shuffle on the tiny group key.
+    // the heavy lifting; one shuffle on the tiny group key. Money goes
+    // through exact BIGINT cents (see `cents`): no decimal cast, no
+    // round() on a fractional double, anywhere in the hash path.
     "q1_agg" -> ((s, dir) => {
+      val qc = cents(col("l_quantity"))
+      val pc = cents(col("l_extendedprice"))
+      val dc100 = cents(col("l_discount")) // discount in hundredths
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-          dec(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2))
-            .as("sum_disc_price"),
+          money(sum(qc)).as("sum_qty"),
+          money(sum(pc)).as("sum_base_price"),
+          money(sum(pc * (lit(100L) - dc100)), 10000.0).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty",
-          round(col("sum_qty").cast("double") / col("count_order"), 2))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -133,7 +152,8 @@ object SparkEntry {
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(n("n_name"))
-        .agg(dec(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2))
+        .agg(money(sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))), 10000.0)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -146,7 +166,7 @@ object SparkEntry {
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           rank().over(w).as("rnk"),
-          dec(sum(dec(col("o_totalprice"))).over(wsum)).as("running_spend"))
+          money(sum(cents(col("o_totalprice"))).over(wsum)).as("running_spend"))
         .filter(col("rnk") <= 3)
         .orderBy("o_custkey", "rnk", "o_orderkey")
     }),
@@ -212,7 +232,7 @@ object SparkEntry {
           hour(date_trunc("hour", col("ts"))).as("hr"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          dec(sum(dec(col("value")))).as("sum_value"))
+          money(sum(cents(col("value")))).as("sum_value"))
         .orderBy("day", "hr", "event_type")
     }),
 
@@ -262,11 +282,12 @@ object SparkEntry {
     "q_corr_subquery" -> corrSubquerySql,
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
              count(*) AS count_order,
-             round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 2) AS avg_qty
+             (CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*) AS avg_qty
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
@@ -282,7 +303,8 @@ object SparkEntry {
       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q5_multijoin" -> """
       SELECT n_name,
-             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
       FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
                     JOIN supplier ON l_suppkey  = s_suppkey
                     JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
@@ -296,9 +318,9 @@ object SparkEntry {
       SELECT * FROM (
         SELECT o_orderkey, o_custkey,
                CAST(rank() OVER w AS INT) AS rnk,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DECIMAL(18,2)) AS running_spend
+                 AS DOUBLE) / 100.0 AS running_spend
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
       WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""",
@@ -338,7 +360,7 @@ object SparkEntry {
       SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
              CAST(hour(date_trunc('hour', ts)) AS INT) AS hr, event_type,
              count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       FROM events
       GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""",
     "q_sessionize" -> """
@@ -434,7 +456,9 @@ object SparkEntry {
         .coalesceLookup(lookup, Seq("l_partkey", "l_suppkey"),
           Seq("l_partkey"), "l_extendedprice", Seq(col("l_extendedprice")))
         .select(col("l_orderkey"), col("l_linenumber"),
-          dec(col("l_extendedprice")).as("lookup_price"))
+          // raw parquet double passthrough — both engines read the
+          // same bits; any decimal cast here reintroduces ambiguity
+          col("l_extendedprice").as("lookup_price"))
         .orderBy("l_orderkey", "l_linenumber", "lookup_price")
     }),
 
@@ -701,7 +725,7 @@ object SparkEntry {
       coarse AS (SELECT l_partkey, min(l_extendedprice) AS cv
                  FROM lk GROUP BY 1)
       SELECT f.l_orderkey, f.l_linenumber,
-             CAST(coalesce(fine.fv, coarse.cv) AS DECIMAL(18,2)) AS lookup_price
+             coalesce(fine.fv, coarse.cv) AS lookup_price
       FROM lineitem f
       LEFT JOIN fine   ON f.l_partkey = fine.l_partkey AND f.l_suppkey = fine.l_suppkey
       LEFT JOIN coarse ON f.l_partkey = coarse.l_partkey
@@ -1235,7 +1259,7 @@ object SparkEntry {
       SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
              CAST(hour(date_trunc('hour', ts)) AS INT) AS hr, event_type,
              count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       FROM events GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""")
   }
 }

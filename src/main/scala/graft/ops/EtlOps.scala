@@ -25,9 +25,18 @@ object EtlOps {
       * Scale: a shuffle hash anti-join on the row hash; no driver work.
       */
     def antiJoinAll(other: DataFrame): DataFrame = {
-      val o = other.select(df.columns.map(col).toIndexedSeq: _*)
-      val cond = df.columns.map(c => df(c) <=> o(c)).reduce(_ && _)
-      df.join(o, cond, "left_anti")
+      // Alias both sides so the per-column condition can never resolve
+      // both references to one attribute when `other` shares lineage
+      // with `df` (the dataframe-API self-join trap: df(c) <=> o(c)
+      // logs "trivially true equals predicate" and relies on Spark's
+      // disambiguation heuristic).
+      val l = df.alias("__aja_l")
+      val r = other.select(df.columns.map(col).toIndexedSeq: _*)
+        .alias("__aja_r")
+      val cond = df.columns
+        .map(c => col(s"__aja_l.`$c`") <=> col(s"__aja_r.`$c`"))
+        .reduce(_ && _)
+      l.join(r, cond, "left_anti")
     }
 
     /** Keep the first row per key, ordered by `tieBreak` — the engine's

@@ -22,8 +22,11 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
+      // money in exact BIGINT cents: the sum is order- and
+      // partitioning-independent, and the final IEEE division is
+      // engine-unambiguous (unlike double→decimal casts)
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
           .as("sum_value"))
       .select(col("window.start").as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
