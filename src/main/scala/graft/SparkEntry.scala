@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.EtlOps.RichDF
-import graft.ops.{AsofJoin, Dates, Names, Rules}
+import graft.ops.{AsofJoin, Dates, Names, Rules, Skew}
 import graft.text.{SimHash, TextFunctions => TF}
 import graft.dedup.Dedup
 import graft.sim.Similarity
@@ -265,6 +265,45 @@ object SparkEntry {
       s.sql(corrSubquerySql)
     }),
 
+    // 43: the Q17 shape again, but hand-fused DataFrame-native: ONE
+    // GROUP BY l_partkey computes count+sum together, joined once —
+    // two lineitem scans instead of the decorrelated SQL form's three.
+    // Threshold in exact cents: qty*5*n < sum(qty) ⇔ qc*5*n < sum(qc).
+    "q_corr_subquery_fused" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val stats = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("__n_li"),
+          sum(cents(col("l_quantity"))).as("__sum_qc"))
+      li.join(stats, "l_partkey")
+        .filter(cents(col("l_quantity")) * lit(5L) * col("__n_li") <
+          col("__sum_qc"))
+        .join(broadcast(t(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(money(sum(cents(col("l_extendedprice")))).as("sum_price"),
+          count(lit(1)).as("n_small"))
+        .orderBy("p_brand")
+    }),
+
+    // 44: deliberately skewed fact⨝dim join through Skew.saltedJoin —
+    // ~70% of fact rows share one hot key; the salt spreads that key
+    // over 8 sub-partitions so no single task owns 70% of the shuffle.
+    // Results are salt-invariant, so the oracle is the plain join.
+    "q_skew_join" -> ((s, dir) => {
+      val facts = t(s, dir, "lineitem")
+        .select(
+          when(col("l_orderkey") % 10 < 7, 0L)
+            .otherwise(col("l_suppkey") % 100).as("hot_key"),
+          cents(col("l_extendedprice")).as("pc"))
+      val dim = t(s, dir, "supplier")
+        .groupBy((col("s_suppkey") % 100).as("hot_key"))
+        .agg(min(col("s_name")).as("dim_name"))
+      Skew.saltedJoin(facts, dim, "hot_key", "pc", 8)
+        .groupBy(col("hot_key"), col("dim_name"))
+        .agg(count(lit(1)).as("n"), money(sum(col("pc"))).as("sum_price"))
+        .orderBy("hot_key")
+    }),
+
     // 24: as-of join — most recent order ≤ event day per user.
     "q_asof_join" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -280,6 +319,30 @@ object SparkEntry {
 
   private def analyticsOracle: Map[String, String] = Map(
     "q_corr_subquery" -> corrSubquerySql,
+    "q_corr_subquery_fused" -> """
+      WITH st AS (
+        SELECT l_partkey, count(*) AS n_li,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qc
+        FROM lineitem GROUP BY 1)
+      SELECT p_brand,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+             count(*) AS n_small
+      FROM lineitem l JOIN st USING (l_partkey)
+                      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE CAST(round(l_quantity * 100) AS BIGINT) * 5 * n_li < sum_qc
+      GROUP BY p_brand ORDER BY p_brand""",
+    "q_skew_join" -> """
+      WITH f AS (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                    ELSE l_suppkey % 100 END AS hot_key,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        FROM lineitem),
+      d AS (SELECT s_suppkey % 100 AS hot_key, min(s_name) AS dim_name
+            FROM supplier GROUP BY 1)
+      SELECT f.hot_key, d.dim_name, count(*) AS n,
+             CAST(sum(f.pc) AS DOUBLE) / 100.0 AS sum_price
+      FROM f JOIN d ON f.hot_key = d.hot_key
+      GROUP BY 1, 2 ORDER BY f.hot_key""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
@@ -580,6 +643,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // 42: case-insensitive regex-contains conditional assignment —
+    // the reference's np.where(NOM_SERVICIO.str.contains(
+    // 'PEDIATRIA|GINECOLOGIA', case=False), 1, 2)
+    // (capital_sendas.py:211-212). rlike with an inline (?i) flag; the
+    // filterless projection keeps the scan column-pruned to 2 columns.
+    "q_regex_flag" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          when(col("p_name").rlike("(?i)RED|GEAR"), 1).otherwise(2)
+            .cast("int").as("grupo"))
+        .orderBy("p_partkey")
+    }),
+
     // 39 (beyond-§2): the reference's FULL pipeline composed end-to-end
     // — base load analog → marker semi-join → per-subset mark operators
     // (capped Qx, dedup-first H/C1/Qx1, stateful C5 gap) joined back →
@@ -695,6 +771,11 @@ object SparkEntry {
       s"regexp_replace($acc, '(^| |#)(DE|DEL|LA|LOS) ', '\\1\\2#', 'g')"
     }
     Map(
+    "q_regex_flag" -> """
+      SELECT p_partkey, p_name,
+             CAST(CASE WHEN regexp_matches(p_name, 'RED|GEAR', 'i')
+                  THEN 1 ELSE 2 END AS INT) AS grupo
+      FROM part ORDER BY p_partkey""",
     "q_project_filter" -> """
       SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
       FROM orders
