@@ -41,21 +41,30 @@ object BatchLoad {
   /** Promote the first input row to column names and drop it.
     *
     * For sheets that arrive headerless (the reference's xlsx loads
-    * put the header in row 0). Row order is pinned with zipWithIndex
-    * (stable for a given input), the header row is read on the driver
-    * (a single row — not a collect of data), and the rest keep their
-    * distributed layout. All columns must be strings.
+    * put the header in row 0). The header is the first row of
+    * partition 0 — read with a single-partition `runJob`, NOT a
+    * zipWithIndex (which launches a per-partition count pass over the
+    * whole input) — and only partition 0 drops its first row; every
+    * other partition streams through untouched. One O(1) job total.
+    * All columns must be strings.
     */
   def promoteHeader(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val indexed = df.rdd.zipWithIndex()
-    val headerNames = indexed.filter(_._2 == 0L).map(_._1).collect() match {
-      case Array(row) => row.toSeq.map(v => if (v == null) "" else v.toString)
-      case _ => throw new IllegalArgumentException("promoteHeader: empty input")
-    }
     require(df.schema.fields.forall(_.dataType == StringType),
       "promoteHeader expects all-string columns (raw sheet load)")
-    val rows = indexed.filter(_._2 > 0L).map(_._1)
+    val rdd = df.rdd
+    require(rdd.getNumPartitions > 0, "promoteHeader: empty input")
+    val firstOfP0 = spark.sparkContext.runJob(
+      rdd, (it: Iterator[org.apache.spark.sql.Row]) => it.take(1).toSeq,
+      Seq(0)).head
+    val headerNames = firstOfP0 match {
+      case Seq(row) => row.toSeq.map(v => if (v == null) "" else v.toString)
+      case _ => throw new IllegalArgumentException(
+        "promoteHeader: partition 0 is empty (header must lead the first file)")
+    }
+    val rows = rdd.mapPartitionsWithIndex(
+      (i, it) => if (i == 0) it.drop(1) else it,
+      preservesPartitioning = true)
     spark.createDataFrame(rows, df.schema).toDF(headerNames: _*)
   }
 
@@ -71,8 +80,8 @@ object BatchLoad {
     }
 
   /** Load a latest-batch set of CSV files with header promotion off
-    * (header comes as data) or on. The reference's xlsx sheets map to
-    * csv here; the API shape is the point. */
+    * (header comes as data) or on. The reference's xlsx sheets also
+    * load natively — see [[loadLatestXlsx]]. */
   def loadLatestCsv(spark: SparkSession, paths: Seq[String],
       headerInData: Boolean): Option[DataFrame] =
     latestBatch(paths).map { b =>
@@ -82,6 +91,20 @@ object BatchLoad {
           .option("inferSchema", "false")
           .csv(f)
         val df = if (headerInData) promoteHeader(raw) else raw
+        Some(appendIncremental(acc, df))
+      }.get
+    }
+
+  /** Latest-batch xlsx load — the reference's actual input format
+    * (`read_excel` of `produccion_*.xlsx`, capital_sendas.py:46,
+    * :101-107): pick the newest yyyymm batch, parse each workbook
+    * distributed ([[Xlsx.read]]), promote the in-sheet header, and
+    * append with cross-batch dedup. */
+  def loadLatestXlsx(spark: SparkSession, paths: Seq[String]):
+      Option[DataFrame] =
+    latestBatch(paths).map { b =>
+      b.files.foldLeft(Option.empty[DataFrame]) { (acc, f) =>
+        val df = promoteHeader(Xlsx.read(spark, Seq(f)))
         Some(appendIncremental(acc, df))
       }.get
     }

@@ -26,6 +26,30 @@ class BatchLoadSpec extends SparkSpec {
       Set(("1", "x"), ("2", "y")))
   }
 
+  test("promoteHeader header read is one single-task job, not a full pass") {
+    // 8 partitions, header leading partition 0
+    val rows = ("COL_A", "COL_B") +: (1 to 10000).map(i => (i.toString, "v"))
+    val rdd = spark.sparkContext.parallelize(rows, 8)
+    val df = spark.createDataFrame(rdd).toDF("_c0", "_c1")
+    val tracker = spark.sparkContext.statusTracker
+    spark.sparkContext.setJobGroup("ph-probe", "promoteHeader header read")
+    val got = try BatchLoad.promoteHeader(df)
+      finally spark.sparkContext.clearJobGroup()
+    // status updates are async — poll for the probe group's jobs
+    def probeJobs() = tracker.getJobIdsForGroup("ph-probe")
+    val deadline = System.currentTimeMillis() + 10000
+    while (probeJobs().isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    Thread.sleep(200) // let any (unexpected) extra job surface
+    val jobs = probeJobs()
+    assert(jobs.length == 1, s"expected 1 header-read job, got ${jobs.length}")
+    val nTasks = jobs.flatMap(tracker.getJobInfo(_)).flatMap(_.stageIds())
+      .flatMap(tracker.getStageInfo(_)).map(_.numTasks()).sum
+    assert(nTasks == 1, s"header read ran $nTasks tasks (full pass?)")
+    assert(got.columns.toSeq == Seq("COL_A", "COL_B"))
+    assert(got.count() == 10000)
+  }
+
   test("loadLatestCsv end-to-end: header-in-data files, incremental dedup") {
     val dir = Files.createTempDirectory("batchload").toFile
     def write(name: String, lines: Seq[String]): String = {

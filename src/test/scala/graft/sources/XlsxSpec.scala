@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Reads the reference repo's real test workbooks (the xlsx files
+  * under /root/reference/test) through the dependency-free OOXML
+  * reader, and round-trips the writer. */
+class XlsxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val refDir = "/root/reference/test"
+
+  test("parseSheet reads the reference's bases_norte.xlsx exactly") {
+    val bytes = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$refDir/bases_norte.xlsx"))
+    val rows = Xlsx.parseSheet(bytes)
+    assert(rows == Vector(
+      Vector("documento", "ips"),
+      Vector("1", "X HOSPITAL SUBA ESE")))
+  }
+
+  test("distributed read + promoteHeader over the wide reference sheets") {
+    val tot = BatchLoad.promoteHeader(
+      Xlsx.read(spark, Seq(s"$refDir/facturacion_total.xlsx")))
+    assert(tot.columns.length == 43)
+    assert(tot.columns.take(4).toSeq ==
+      Seq("CENTRO", "FACTURA", "FECHA_FACT", "TIPO_FACTURA"))
+    val r = tot.select("CENTRO", "FACTURA", "FECHA_FACT").as[(String, String, String)]
+      .collect()
+    assert(r.length == 1)
+    assert(r(0)._1 == "HOSPITAL SUBA CENTRO DE SERVICIOS ESPECIALIZADO")
+    assert(r(0)._2 == "SN0000000001")
+    // date serial survives as numeric text; the serial→timestamp helper
+    // lands on the pandas-visible date (2024-09-20 ≈ serial 45555.36)
+    val d = tot.select(Xlsx.serialToTimestamp(col("FECHA_FACT"))
+      .cast("date").cast("string")).as[String].collect()
+    assert(d.head == "2024-09-20")
+
+    val rips = BatchLoad.promoteHeader(
+      Xlsx.read(spark, Seq(s"$refDir/facturacion_rips.xlsx")))
+    assert(rips.columns.length == 60)
+    assert(rips.columns.take(2).toSeq == Seq("TipoDocumento", "NumeroFactura"))
+    assert(rips.count() == 1)
+  }
+
+  test("loadLatestXlsx: latestBatch → promoteHeader → appendIncremental") {
+    val dir = Files.createTempDirectory("xlsxbatch")
+    // stage the real reference workbook under batch-dated names: two
+    // files in the newest batch (dup rows dedup), one stale file
+    def stage(name: String): String = {
+      val t = dir.resolve(name)
+      Files.copy(java.nio.file.Paths.get(s"$refDir/bases_norte.xlsx"), t)
+      t.toString
+    }
+    val paths = Seq(stage("produccion_20240901_a.xlsx"),
+      stage("produccion_20240901_b.xlsx"),
+      stage("produccion_20230101_old.xlsx"))
+    val got = BatchLoad.loadLatestXlsx(spark, paths).get
+    assert(got.columns.toSeq == Seq("documento", "ips"))
+    // identical rows across the two latest files dedup to one
+    assert(got.as[(String, String)].collect().toSeq ==
+      Seq(("1", "X HOSPITAL SUBA ESE")))
+  }
+
+  test("write → read round-trip preserves values, types as text, escapes") {
+    val df = Seq(
+      ("a & <b>", 1L, 1.5, "x\"quote\""),
+      ("ünïcode ñ", -2L, 0.25, "tab\tkeep")
+    ).toDF("s", "n", "d", "t")
+    val path = Files.createTempDirectory("xlsxw").resolve("out.xlsx").toString
+    Xlsx.write(df, path)
+    val back = BatchLoad.promoteHeader(Xlsx.read(spark, Seq(path)))
+    assert(back.columns.toSeq == Seq("s", "n", "d", "t"))
+    val rows = back.as[(String, String, String, String)].collect().toSet
+    assert(rows == Set(
+      ("a & <b>", "1", "1.5", "x\"quote\""),
+      ("ünïcode ñ", "-2", "0.25", "tab\tkeep")))
+  }
+}
