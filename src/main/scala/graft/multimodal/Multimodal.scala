@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns next to a typed metadata struct; decode /
   * feature-extraction runs batched per partition.
   *
-  * The decode itself is STUBBED (this container has no image/audio
-  * codecs): [[fakeDecode]] derives a deterministic feature vector from
-  * the bytes (length + md5-seeded values), so the Spark-side plumbing
-  * — schema, batching, partitioning, spill behavior — is real and
-  * testable while the codec is a drop-in replacement. In production
-  * the stub body is swapped for an actual decoder (e.g. via JNI or a
-  * `mapInPandas`-style Python worker); nothing else changes.
+  * Images decode for real: [[decodeImages]] runs `javax.imageio`
+  * (JDK-built-in PNG/JPEG/GIF/BMP codecs) per partition on the
+  * executors — dimensions, luminance histogram, mean luminance —
+  * with corrupt payloads degrading to a null row, never a task
+  * failure. Audio/video codecs aren't in the JVM, so [[fakeDecode]]
+  * remains the deterministic stand-in for those modalities (and the
+  * cross-engine oracle check, since DuckDB can reproduce it); a real
+  * codec plugs into the same mapPartitions shape as decodeImages.
   */
 object Multimodal {
 
@@ -53,6 +54,55 @@ object Multimodal {
     transform(sequence(lit(0), lit(dim - 1)), i =>
       conv(substring(md5(concat(hex(content), i.cast("string"))), 1, 8),
         16, 10).cast("double") / lit(4294967296.0))
+
+  /** Real image decode over the media schema: `javax.imageio` per
+    * partition on the executors (PNG/JPEG/GIF/BMP ship with the JDK —
+    * no native libs). Emits dimensions, an `histBins`-bin luminance
+    * histogram (fractions, Rec.601 luma), and mean luminance in
+    * [0,1]. Undecodable payloads yield (-1, -1, null, null) rather
+    * than failing the task — at 100 TB some images WILL be corrupt.
+    * One streaming iterator pass, one decoded image in memory at a
+    * time per task. */
+  def decodeImages(media: DataFrame, histBins: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null)
+            (id, -1, -1, null: Array[Double], null: java.lang.Double)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val hist = new Array[Long](histBins)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                hist(lum * histBins / 256) += 1
+                sum += lum
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            (id, w, h, hist.map(_.toDouble / n),
+              java.lang.Double.valueOf(sum / n / 255.0))
+          }
+        }
+      }.toDF("media_id", "width", "height", "lum_hist", "lum_mean")
+  }
 
   /** Batched per-partition feature extraction over the media schema —
     * the shape a real decoder plugs into: one iterator pass, bounded

@@ -29,6 +29,37 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L) == ((0L, 0.0)))
   }
 
+  test("decodeImages decodes real PNGs: dims, luminance, corrupt → null") {
+    import java.awt.image.BufferedImage
+    import java.awt.Color
+    def png(w: Int, h: Int, paint: (Int, Int) => Color): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, paint(x, y).getRGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val white = png(4, 2, (_, _) => Color.WHITE)
+    val black = png(3, 3, (_, _) => Color.BLACK)
+    val halfRed = png(2, 2, (x, _) => if (x == 0) Color.RED else Color.WHITE)
+    val corrupt = Array[Byte](1, 2, 3, 4)
+    val media = spark.createDataFrame(Seq(
+      (1L, white), (2L, black), (3L, halfRed), (4L, corrupt)))
+      .toDF("media_id", "content")
+      .repartition(3) // decode must run wherever the rows land
+    val got = Multimodal.decodeImages(media, histBins = 8)
+      .as[(Long, Int, Int, Array[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 4 && got(1L)._3 == 2)
+    assert(got(1L)._5.get == 1.0) // all-white: mean luminance 255/255
+    assert(got(1L)._4.last == 1.0) // every pixel in the top bin
+    assert(got(2L)._5.get == 0.0 && got(2L)._4.head == 1.0)
+    // half red: Rec.601 luma of pure red = 76 → bin 2 of 8; mean in (0,1)
+    assert(got(3L)._4(2) == 0.5 && got(3L)._4.last == 0.5)
+    assert(got(3L)._5.get > 0.5 && got(3L)._5.get < 1.0)
+    assert(got(4L)._2 == -1 && got(4L)._4 == null && got(4L)._5.isEmpty)
+  }
+
   test("fakeDecode is deterministic and bounded [0,1)") {
     val f = Seq("payload").toDF("t")
       .select(Multimodal.fakeDecode(col("t").cast("binary"), 4).as("f"))
