@@ -40,6 +40,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch.contains((ts("2024-01-01 00:00:00"), "click", 2L, 3.0)))
   }
 
+  test("q_stream_window e2e: MemoryStream over real events == batch oracle projection") {
+    // Exactly the driver row's window spec (1h tumble, 1h watermark)
+    // driven through a real streaming query on the sf0.001 events
+    // table, then the same final projection as q_stream_window. The
+    // cents-exact sum makes the doubles bit-comparable.
+    implicit val sq = spark.sqlContext
+    val rows = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect()
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows.toIndexedSeq: _*)
+    val q = StreamingOps.windowedTypeCounts(
+        stream.toDF().toDF("ts", "event_type", "value"), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("stream_window_e2e")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    def finalProj(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("win_start").cast("date").cast("string").as("day"),
+        hour(col("win_start")).as("hr"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .as[(String, Int, String, Long, Double)].collect().sortBy(r => (r._1, r._2, r._3))
+    val streamed = finalProj(spark.table("stream_window_e2e"))
+    val batch = finalProj(StreamingOps.windowedTypeCounts(
+      graft.Tables(spark, "/root/testdata/sf0.001", "events"), "1 hour", "1 hour"))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("sessionWindowCounts groups events within the gap") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long)]
