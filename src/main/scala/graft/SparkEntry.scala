@@ -1116,6 +1116,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // 45: IVF-assembled ANN — coarse cells (4 hyperplanes → ≤16
+    // inverted lists) + decimal-sum centroids + route to nprobe=4
+    // cells + probe only those via an equi-join. The full IVF query
+    // the centroid row (41) is the building block for.
+    "q_embed_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfTopK(e, q, "embedding", "vec_id", dim = 64,
+          cellPlanes = 4, nprobe = 4, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // 35: embedding near-dup pairs (cosine ≥ 0.3) within label blocks.
     "q_embed_neardup" -> ((s, dir) => {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "embedding",
@@ -1199,10 +1211,12 @@ object SparkEntry {
       s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
     def cosine(a: String, b: String) =
       s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-    val hpSig = "array_to_string(list_transform(range(0, 8), p -> " +
-      "CASE WHEN list_reduce(list_transform(range(1, 65), d -> " +
-      "CAST(v[d] AS DOUBLE) * ((('0x' || substr(md5('hp:' || p || ':' || (d - 1)), 1, 8))::BIGINT / 4294967296.0) - 0.5)" +
-      "), (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '')"
+    def hpSigN(planes: Int) =
+      s"array_to_string(list_transform(range(0, $planes), p -> " +
+        "CASE WHEN list_reduce(list_transform(range(1, 65), d -> " +
+        "CAST(v[d] AS DOUBLE) * ((('0x' || substr(md5('hp:' || p || ':' || (d - 1)), 1, 8))::BIGINT / 4294967296.0) - 0.5)" +
+        "), (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '')"
+    val hpSig = hpSigN(8)
     Map(
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_dups
@@ -1312,6 +1326,37 @@ object SparkEntry {
       s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
               ${cosine("q.qv", "c.v")} AS score
             FROM sg c, q WHERE c.sig = q.qsig AND q.qid <> c.vec_id),
+      r AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+            FROM s)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_embed_ivf" -> s"""
+      WITH sg AS (SELECT vec_id, embedding AS v, ${hpSigN(4)} AS cell
+                  FROM embeddings),
+      comp AS (SELECT cell, i.i AS pos,
+                 round(CAST(sum(CAST(v[i.i] AS DECIMAL(18,9))) AS DOUBLE)
+                   / count(*), 6) AS avg
+               FROM sg, (SELECT unnest(range(1, 65)) AS i) i
+               GROUP BY cell, i.i),
+      cent AS (SELECT cell, list(avg ORDER BY pos) AS centroid
+               FROM comp GROUP BY cell),
+      q AS (SELECT vec_id AS qid, v AS qv FROM sg WHERE vec_id % 50 = 0),
+      route AS (SELECT qid, cell FROM (
+                  SELECT q.qid, c.cell,
+                    row_number() OVER (PARTITION BY q.qid ORDER BY
+                      ${dot("q.qv", "c.centroid")} /
+                        (sqrt(${dot("q.qv", "q.qv")}) *
+                         sqrt(${dot("c.centroid", "c.centroid")})) DESC,
+                      c.cell) AS rr
+                  FROM q, cent c)
+                WHERE rr <= 4),
+      s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+              ${cosine("q.qv", "c.v")} AS score
+            FROM route r JOIN q ON q.qid = r.qid
+                         JOIN sg c ON c.cell = r.cell
+            WHERE q.qid <> c.vec_id),
       r AS (SELECT query_id, neighbor_id,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, neighbor_id) AS rank

@@ -160,6 +160,67 @@ object Similarity {
       .withColumn("avg", round(col("avg_raw"), 6))
       .drop("avg_raw")
 
+  /** IVF-assembled ANN: the centroid building block composed into the
+    * full route-and-probe query.
+    *
+    * Index side: the corpus coarse-partitions into cells (hyperplane
+    * signature with `cellPlanes` planes → ≤ 2^cellPlanes inverted
+    * lists), and each cell gets a decimal-sum centroid (row-order
+    * proof, so the index is reproducible across partitionings).
+    * Query side: each query scores the tiny centroid table (broadcast
+    * hash join on a constant key — |Q|×cells rows, never the corpus),
+    * keeps its `nprobe` nearest cells, and probes ONLY those cells via
+    * an equi-join on the cell id — the corpus shuffles once by cell
+    * and the scored candidate set is |Q|×(probed fraction of corpus).
+    * Same bounded-heap pre-reduction as [[bruteTopK]] before anything
+    * shuffles. Recall < 1.0 by construction (tune nprobe/cellPlanes).
+    * Returns (query_id, neighbor_id, rank).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, dim: Int, cellPlanes: Int, nprobe: Int,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cells = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"),
+      hyperplaneSig(col(vecCol), dim, cellPlanes).as("cell"))
+    // assemble per-cell centroid arrays from the long/thin component
+    // frame — ≤ 2^cellPlanes rows, broadcastable by construction
+    val cent = centroids(cells.select(col("cell"), col("cv")), "cv", "cell")
+      .groupBy(col("grp").as("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("avg")))).as("ps"))
+      .select(col("cell"),
+        transform(col("ps"), p => p.getField("avg")).as("centroid"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+    // route: every query against every centroid — an INTENDED nested
+    // loop over a broadcast table bounded at 2^cellPlanes rows (the
+    // one place IVF scans everything, and it's the tiny side)
+    val wRoute = Window.partitionBy(col("query_id"))
+      .orderBy(col("rscore").desc, col("cell"))
+    val routed = q.crossJoin(broadcast(cent))
+      .withColumn("rscore", dotFold(col("qv"), col("centroid")) /
+        (col("qn") * sqrt(dotFold(col("centroid"), col("centroid")))))
+      .withColumn("__rr", row_number().over(wRoute))
+      .filter(col("__rr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    // probe: equi-join on the cell id only
+    val scored = cells.join(routed,
+        cells("cell") === routed("cell") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .as[(Long, Long, Double)]
+    val reduced = scored.mapPartitions(partialTopK(_, k))
+      .toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    reduced.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Near-dup pairs by cosine ≥ threshold within a blocking column.
     * At 100 TB the block is an LSH signature ([[hyperplaneSig]]);
     * for verification any equi-block works. `maxBlock` fails the job

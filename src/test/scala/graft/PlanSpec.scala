@@ -14,9 +14,12 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
-  // brute-force ANN is intentionally a broadcast nested loop (non-equi
-  // join against a broadcast query set) — everything else must not be.
-  private val intendedNestedLoop = Set("q_embed_topk")
+  // Intended broadcast nested loops, nothing else may plan one:
+  // q_embed_topk is the labeled brute-force ANN baseline (non-equi join
+  // against a broadcast query set); q_embed_ivf routes each query over
+  // the broadcast centroid table, which is bounded at 2^cellPlanes
+  // rows — the probe join itself is an equi-join on the cell id.
+  private val intendedNestedLoop = Set("q_embed_topk", "q_embed_ivf")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
