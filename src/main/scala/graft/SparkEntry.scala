@@ -171,6 +171,84 @@ object SparkEntry {
         .orderBy("o_custkey", "rnk", "o_orderkey")
     }),
 
+    // 46: TPC-H Q18 shape — HAVING over a grouped sum, then the
+    // qualifying keys enrich via join. The having-aggregate runs
+    // before any join: only qualifying orderkeys (rare) join back.
+    "q18_having" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(money(sum(cents(col("l_quantity")))).as("sum_qty"))
+        .filter(col("sum_qty") > 150.0)
+      val o = t(s, dir, "orders")
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // 47: TPC-H Q16 shape — distinct-count aggregate (suppliers per
+    // brand/container over a filtered join). count(DISTINCT) expands
+    // to a two-phase partial-dedup aggregate; no extra shuffle beyond
+    // the group key.
+    "q16_distinct" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(!col("p_brand").isin("Brand#1"))
+      val l = t(s, dir, "lineitem")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+          count(lit(1)).as("n_li"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"),
+          col("p_type"))
+    }),
+
+    // 48: TPC-H Q14 shape — conditional-aggregate share (promo revenue
+    // %). Both sums come from exact BIGINT cents; the final percentage
+    // is one IEEE expression evaluated identically by both engines.
+    "q14_share" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+      val rc = cents(col("l_extendedprice")) *
+        (lit(100L) - cents(col("l_discount")))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(month(col("l_shipdate")).as("mo"))
+        .agg(
+          sum(when(col("p_name").startsWith("small"), rc).otherwise(0L))
+            .cast("double").as("__promo"),
+          sum(rc).cast("double").as("__total"))
+        .select(col("mo"),
+          (col("__promo") * lit(100.0) / col("__total")).as("promo_pct"))
+        .orderBy("mo")
+    }),
+
+    // 49: lead/lag + ntile windows — days to each customer's next
+    // order and spend-quartile within customer, one shuffle (both
+    // windows share the partitioning).
+    "q_window_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate"))
+            .as("days_to_next"),
+          ntile(4).over(w).as("seq_quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // 50: GROUP BY CUBE — all four grouping sets over status×priority
+    // in one pass (the expand operator multiplies rows map-side; the
+    // single shuffle carries the grouping-set id).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          money(sum(cents(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // 17: top-k per group via row_number.
     "q_topk_per_group" -> ((s, dir) => {
       val w = Window.partitionBy(col("p_brand"))
@@ -387,6 +465,49 @@ object SparkEntry {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
       WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""",
+    "q18_having" -> """
+      WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 150.0)
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, sum_qty
+      FROM big JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY sum_qty DESC, o_orderkey LIMIT 100""",
+    "q16_distinct" -> """
+      SELECT p_brand, p_type,
+             count(DISTINCT l_suppkey) AS supplier_cnt,
+             count(*) AS n_li
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand NOT IN ('Brand#1')
+      GROUP BY p_brand, p_type
+      ORDER BY supplier_cnt DESC, p_brand, p_type""",
+    "q14_share" -> """
+      SELECT CAST(month(l_shipdate) AS INT) AS mo,
+             CAST(sum(CASE WHEN p_name LIKE 'small%'
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS DOUBLE) * 100.0
+               / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+               AS promo_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1 ORDER BY mo""",
+    "q_window_lead" -> """
+      SELECT o_orderkey, o_custkey,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+               CAST(lead(o_orderdate, 1) OVER w AS DATE)) AS INT) AS days_to_next,
+             CAST(ntile(4) OVER w AS INT) AS seq_quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+    "q_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "q_topk_per_group" -> """
       SELECT p_brand, rn, p_partkey, p_name FROM (
         SELECT p_brand, p_partkey, p_name,
