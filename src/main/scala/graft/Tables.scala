@@ -15,21 +15,67 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // csv timestamps must round-trip micros exactly (the default format
+  // drops sub-millis)
+  private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** Resolve `name` under `dir`: parquet if present (the fast path —
+    * columnar, splittable, statistics), else csv/json staged by
+    * [[stage]] with a `.schema` DDL sidecar (schema-exact — never
+    * inference). Every driver query runs unchanged over any of the
+    * three. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The events table carries TIMESTAMP(NANOS) parquet, which Spark
-    // only reads as a nanos LONG (spark.sql.legacy.parquet.nanosAsLong
-    // — set by Verify/Bench/specs); normalize to a micros timestamp so
-    // downstream logic sees TimestampType (DuckDB truncates ns→us the
-    // same way).
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
+    val pq = s"$dir/$name.parquet"
+    if (new java.io.File(pq).exists()) {
+      val df = spark.read.parquet(pq)
+      // The events table carries TIMESTAMP(NANOS) parquet, which Spark
+      // only reads as a nanos LONG (spark.sql.legacy.parquet.nanosAsLong
+      // — set by Verify/Bench/specs); normalize to a micros timestamp so
+      // downstream logic sees TimestampType (DuckDB truncates ns→us the
+      // same way).
+      df.schema.fields.find(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType) match {
+        case Some(_) =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case None => df
+      }
+    } else {
+      val ddlFile = java.nio.file.Paths.get(s"$dir/$name.schema")
+      require(java.nio.file.Files.exists(ddlFile),
+        s"Tables: no $name.parquet and no $name.schema sidecar in $dir")
+      val ddl = java.nio.file.Files.readString(ddlFile)
+      val csv = s"$dir/$name.csv"
+      if (new java.io.File(csv).exists())
+        // multiLine: staged text columns may carry embedded newlines;
+        // a non-splittable read is acceptable for staged side inputs
+        spark.read.schema(ddl).option("header", "true")
+          .option("escape", "\"").option("multiLine", "true")
+          .option("timestampFormat", tsFmt).csv(csv)
+      else
+        spark.read.schema(ddl).option("timestampFormat", tsFmt)
+          .json(s"$dir/$name.json")
     }
+  }
+
+  /** Stage a table into `destDir` as csv or json with a schema DDL
+    * sidecar, so [[apply]] reads it back schema-exact. csv cannot
+    * carry array columns (embeddings) — use json for those. */
+  def stage(spark: SparkSession, srcDir: String, name: String,
+      destDir: String, format: String): Unit = {
+    val df = apply(spark, srcDir, name)
+    val w = df.write.mode("overwrite").option("timestampFormat", tsFmt)
+    format match {
+      case "csv" => w.option("header", "true").option("escape", "\"")
+        .csv(s"$destDir/$name.csv")
+      case "json" => w.json(s"$destDir/$name.json")
+      case other => throw new IllegalArgumentException(
+        s"Tables.stage: unsupported format $other")
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$destDir/$name.schema"), df.schema.toDDL)
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
