@@ -28,6 +28,11 @@ object Skew {
       pmod(hash(col(spread)), lit(saltBuckets)))
     val ds = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    fs.join(ds, Seq(key, "__salt"), joinType).drop("__salt")
+    // shuffle_hash hint: salting only matters when the build side
+    // must shuffle — if the dim fit in a broadcast, the caller should
+    // broadcast instead of salt. Without the hint, small test inputs
+    // get auto-broadcast and the salt exercises nothing.
+    fs.join(ds.hint("shuffle_hash"), Seq(key, "__salt"), joinType)
+      .drop("__salt")
   }
 }
