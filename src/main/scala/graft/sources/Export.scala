@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Export path: the reference's publish step (capital_sendas.py:571-603)
   * — format date columns as strings, select the publish column subset,
-  * and write csv/json. xlsx is out of scope for a cluster engine; the
-  * reference's xlsx consumers read the same rows from csv.
+  * and write csv/json/xlsx (the reference's own
+  * `COPY ... TO 'capital_sendas.xlsx'`, via [[Xlsx.write]]).
   */
 object Export {
 
@@ -35,4 +35,9 @@ object Export {
     val d = if (singleFile) df.coalesce(1) else df
     d.write.mode("overwrite").json(path)
   }
+
+  /** Single-workbook xlsx export — the reference's final publish
+    * format (capital_sendas.py:599-603). Report-sized outputs only:
+    * the rows stream through the driver ([[Xlsx.write]]). */
+  def xlsx(df: DataFrame, path: String): Unit = Xlsx.write(df, path)
 }
