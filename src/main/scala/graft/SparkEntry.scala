@@ -1219,6 +1219,43 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // 51: deterministic train/valid/test split — hash-bucket
+    // assignment (md5 of a salted id), reproducible across engines,
+    // runs, and partitionings; the standard leakage-free split for
+    // training-data pipelines.
+    "q_sample_split" -> ((s, dir) => {
+      val bucket = (conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // 52: the training-data prep pipeline COMPOSED end-to-end:
+    // exact dedup (keep min id per identical text) → simhash near-dup
+    // prune (greedy: drop the larger id of every pair) → language
+    // gate (predicted en) → quality/length gate. Every stage is
+    // individually oracle-checked by its own row; this row proves the
+    // composition — the engine's flagship LLM-corpus use-case.
+    "q_datapipe_e2e" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val kept = Dedup.exact(d, "text", "doc_id").select("doc_id")
+      val d1 = d.join(kept, "doc_id")
+      val dupIds = SimHash.simhashPairs(d1, "text", "doc_id", 3)
+        .select(col("id_b").as("doc_id")).distinct()
+      val d2 = d1.join(dupIds, Seq("doc_id"), "left_anti")
+      d2.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TF.langIdFromTokens(col("toks")).as("lang_pred"),
+          size(col("toks")).as("n_tokens"),
+          round(TF.qualityScoreFromTokens(col("toks")), 6).as("quality"))
+        .filter(col("lang_pred") === "en" && col("n_tokens") >= 5 &&
+          col("quality") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
     // 33: brute-force cosine top-k with per-partition heap
     // pre-reduction (the full scored product never shuffles).
     "q_embed_topk" -> ((s, dir) => {
@@ -1427,6 +1464,51 @@ object SparkEntry {
         AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sig, b.sig)) <= 3
       ORDER BY id_a, id_b""",
+    "q_sample_split" -> """
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+              ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+            FROM documents)
+      ORDER BY doc_id""",
+    "q_datapipe_e2e" -> s"""
+      WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      d0 AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+      d AS (SELECT doc_id, $toks AS t FROM d0),
+      tok AS (SELECT doc_id, unnest(t) AS tk FROM d),
+      th AS (SELECT doc_id, ${h60("tk")} AS h FROM tok),
+      votes AS (SELECT doc_id, i.i AS bit,
+                  sum(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM th, (SELECT unnest(range(0, 60)) AS i) i
+                GROUP BY doc_id, i.i),
+      sigs0 AS (SELECT doc_id,
+                  sum(CASE WHEN v >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS sig
+                FROM votes GROUP BY doc_id),
+      sigs AS (SELECT doc_id, coalesce(sig, 0)::BIGINT AS sig
+               FROM d LEFT JOIN sigs0 USING (doc_id)),
+      e AS (SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 15)) & 32767 AS bits
+            FROM sigs, (SELECT unnest(range(0, 4)) AS b) b),
+      dups AS (SELECT DISTINCT b.doc_id AS doc_id
+               FROM e a JOIN e b ON a.band = b.band AND a.bits = b.bits
+                 AND a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+      d2 AS (SELECT doc_id, t FROM d
+             WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+      sc AS (SELECT doc_id, t,
+        $scoreCols
+      FROM d2),
+      fin AS (SELECT doc_id,
+                CASE $langCase
+                  ELSE 'und' END AS lang_pred,
+                CAST(len(t) AS INT) AS n_tokens,
+                round(($sw) * 0.4 + ($uq) * 0.4 +
+                  (CASE WHEN ($ml) >= 3.0 AND ($ml) <= 8.0
+                        THEN 0.2 ELSE 0.0 END), 6) AS quality
+              FROM sc)
+      SELECT doc_id, lang_pred, n_tokens, quality FROM fin
+      WHERE lang_pred = 'en' AND n_tokens >= 5 AND quality >= 0.5
+      ORDER BY doc_id""",
     "q_embed_topk" -> s"""
       WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
                  WHERE vec_id % 50 = 0),
