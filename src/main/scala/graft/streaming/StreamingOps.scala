@@ -43,4 +43,35 @@ object StreamingOps {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup: keep the first event per `idCols` and
+    * drop replays — the streaming twin of the batch cross-batch
+    * anti-join ([[graft.ops.EtlOps.RichDF.antiJoinAll]] /
+    * capital_sendas.py:112-125). `dropDuplicatesWithinWatermark`
+    * bounds the dedup state by the watermark, so state size tracks
+    * the window, not the stream's lifetime — the 100 TB/continuous
+    * requirement. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Watermarked stream-stream inner join: each left event pairs with
+    * right events for the same key whose timestamp lies within
+    * [left.ts - before, left.ts + after]. Both sides carry watermarks
+    * so the join state is evictable — unbounded-state stream joins
+    * don't survive production. Column names must be disjoint except
+    * the key. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, before: String, after: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"))
+      .drop(r(key))
+  }
 }

@@ -69,6 +69,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("dedupStream drops replays across micro-batches, state bounded by watermark") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val events = stream.toDF().toDF("ts", "event_id", "v")
+    val q = StreamingOps.dedupStream(events, Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    stream.addData((ts("2024-01-01 00:00:00"), 1L, "a"),
+      (ts("2024-01-01 00:05:00"), 2L, "b"),
+      (ts("2024-01-01 00:05:00"), 1L, "dup-in-batch"))
+    q.processAllAvailable()
+    stream.addData((ts("2024-01-01 00:10:00"), 1L, "dup-next-batch"),
+      (ts("2024-01-01 00:15:00"), 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_stream")
+      .select("event_id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("streamStreamJoin pairs events within the time bound, evictable state") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.streamStreamJoin(
+        clicks.toDF().toDF("cts", "user_id", "click"),
+        views.toDF().toDF("vts", "user_id", "view"),
+        "user_id", "cts", "vts", "0 seconds", "30 minutes", "1 hour")
+      .select("user_id", "click", "view")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    clicks.addData((ts("2024-01-01 00:00:00"), 1L, "c1"),
+      (ts("2024-01-01 00:00:00"), 2L, "c2"))
+    views.addData(
+      (ts("2024-01-01 00:10:00"), 1L, "v-in-window"),
+      (ts("2024-01-01 00:50:00"), 1L, "v-too-late"),
+      (ts("2024-01-01 00:20:00"), 3L, "v-no-click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "c1", "v-in-window")))
+  }
+
   test("sessionWindowCounts groups events within the gap") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long)]
