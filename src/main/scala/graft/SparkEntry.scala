@@ -249,6 +249,19 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // 53: ordered-set aggregate — exact median over BIGINT cents
+    // (interpolation at 0.5 is (a+b)/2 on exact integer doubles, so
+    // both engines agree bit-for-bit; arbitrary percentiles would
+    // risk last-ulp skew between interpolation formulas).
+    "q_median" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg((median(cents(col("o_totalprice"))) / lit(100.0))
+            .as("median_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // 17: top-k per group via row_number.
     "q_topk_per_group" -> ((s, dir) => {
       val w = Window.partitionBy(col("p_brand"))
@@ -508,6 +521,12 @@ object SparkEntry {
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_median" -> """
+      SELECT o_orderpriority,
+             CAST(median(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS median_price,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_topk_per_group" -> """
       SELECT p_brand, rn, p_partkey, p_name FROM (
         SELECT p_brand, p_partkey, p_name,
