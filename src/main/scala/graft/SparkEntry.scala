@@ -796,6 +796,27 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // 54: MERGE/upsert — updates replace matched target rows, insert
+    // unmatched ones, untouched target rows persist. Full-outer join
+    // on the key + presence-marked column pick (EtlOps.upsert).
+    "q_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_cents"))
+      val updates = o.filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (cents(col("o_totalprice")) * 2).as("price_cents"))
+        .unionByName(
+          o.filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 5 === 0)
+            .select(col("o_orderkey"), lit("N").as("o_orderstatus"),
+              cents(col("o_totalprice")).as("price_cents")))
+      target.upsert(updates, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          money(col("price_cents")).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // 39 (beyond-§2): the reference's FULL pipeline composed end-to-end
     // — base load analog → marker semi-join → per-subset mark operators
     // (capped Qx, dedup-first H/C1/Qx1, stateful C5 gap) joined back →
@@ -911,6 +932,25 @@ object SparkEntry {
       s"regexp_replace($acc, '(^| |#)(DE|DEL|LA|LOS) ', '\\1\\2#', 'g')"
     }
     Map(
+    "q_upsert" -> """
+      WITH target AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderkey % 3 = 0),
+      updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS price_cents
+        FROM orders WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey, 'N', CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0)
+      SELECT coalesce(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+             CASE WHEN u.o_orderkey IS NOT NULL
+                  THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+             CAST(CASE WHEN u.o_orderkey IS NOT NULL
+                  THEN u.price_cents ELSE t.price_cents END AS DOUBLE) / 100.0 AS price
+      FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+      ORDER BY o_orderkey""",
     "q_regex_flag" -> """
       SELECT p_partkey, p_name,
              CAST(CASE WHEN regexp_matches(p_name, 'RED|GEAR', 'i')

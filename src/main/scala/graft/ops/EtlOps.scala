@@ -39,6 +39,33 @@ object EtlOps {
       l.join(r, cond, "left_anti")
     }
 
+    /** MERGE/upsert re-expressed on plain tables: rows of `updates`
+      * replace same-key rows of the target, unmatched update rows
+      * insert, unmatched target rows persist. One full-outer join on
+      * the key + per-column coalesce — the Delta/Iceberg MERGE INTO
+      * shape without a table format, for pipelines that rewrite
+      * partitions instead (the reference rewrites its whole monthly
+      * output, capital_sendas.py:571-603). `keys` must be unique on
+      * BOTH sides (enforce upstream with dedupFirst). */
+    def upsert(updates: DataFrame, keys: Seq[String]): DataFrame = {
+      val l = df.alias("__ups_t")
+      // explicit presence marker: "the update side matched" must not
+      // be inferred from key nullness (null keys are legal with <=>),
+      // and a null VALUE in a matched update row must still win
+      val r = updates.select(df.columns.map(col).toIndexedSeq: _*)
+        .withColumn("__u_present", lit(true)).alias("__ups_u")
+      val cond = keys.map(k => col(s"__ups_t.`$k`") <=> col(s"__ups_u.`$k`"))
+        .reduce(_ && _)
+      val merged = df.columns.map { c =>
+        if (keys.contains(c))
+          coalesce(col(s"__ups_t.`$c`"), col(s"__ups_u.`$c`")).as(c)
+        else
+          when(col("__ups_u.__u_present"), col(s"__ups_u.`$c`"))
+            .otherwise(col(s"__ups_t.`$c`")).as(c)
+      }
+      l.join(r, cond, "full_outer").select(merged.toIndexedSeq: _*)
+    }
+
     /** Keep the first row per key, ordered by `tieBreak` — the engine's
       * deterministic version of pandas `drop_duplicates(keep='first')`
       * (capital_sendas.py:159, 179, 191, 270). */

@@ -79,6 +79,26 @@ object BatchLoad {
         a.unionByName(batch.antiJoinAll(a))
     }
 
+  /** Drift-tolerant append: monthly sheets gain and lose columns over
+    * the years; align both sides on the union of columns (missing →
+    * null) before the same all-columns dedup append. Column ORDER
+    * follows the accumulated side, new columns append at the end. */
+  def appendWithDrift(acc: Option[DataFrame], batch: DataFrame): DataFrame =
+    acc match {
+      case None => batch
+      case Some(a) =>
+        import graft.ops.EtlOps.RichDF
+        import org.apache.spark.sql.functions.{col, lit}
+        val newCols = batch.columns.filterNot(a.columns.contains)
+        val aAll = newCols.foldLeft(a)((d, c) =>
+          d.withColumn(c, lit(null).cast(batch.schema(c).dataType)))
+        val bAll = aAll.columns.toIndexedSeq.map { c =>
+          if (batch.columns.contains(c)) col(c)
+          else lit(null).cast(a.schema(c).dataType).as(c)
+        }
+        aAll.unionByName(batch.select(bAll: _*).antiJoinAll(aAll))
+    }
+
   /** Load a latest-batch set of CSV files with header promotion off
     * (header comes as data) or on. The reference's xlsx sheets also
     * load natively — see [[loadLatestXlsx]]. */

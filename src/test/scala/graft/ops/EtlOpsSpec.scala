@@ -81,4 +81,28 @@ class EtlOpsSpec extends SparkSpec {
     assert(got == Map("e1" -> 1, "e2" -> 0, "e3" -> 0, "e4" -> 1,
       "e5" -> 1))
   }
+
+  test("upsert: updates win on match (even with null values), inserts land, " +
+      "rest persist") {
+    val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "s", "v")
+    val updates = Seq((2L, null.asInstanceOf[String], 99), (9L, "new", 90))
+      .toDF("k", "s", "v")
+    val got = target.upsert(updates, Seq("k"))
+      .as[(Long, Option[String], Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some("a"), 10),
+      (2L, None, 99), // matched: update's null s STILL wins
+      (3L, Some("c"), 30),
+      (9L, Some("new"), 90)))
+  }
+
+  test("upsert self-lineage: both sides derived from one frame stay disjoint") {
+    val base = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40)).toDF("k", "v")
+    val got = base.filter(col("k") % 2 === 0)
+      .upsert(base.filter(col("k") >= 3).select(col("k"),
+        (col("v") * 100).as("v")), Seq("k"))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 20), (3L, 3000), (4L, 4000)))
+  }
 }

@@ -50,6 +50,21 @@ class BatchLoadSpec extends SparkSpec {
     assert(got.count() == 10000)
   }
 
+  test("appendWithDrift aligns drifting schemas, dedups shared rows") {
+    val a = Seq(("1", "x"), ("2", "y")).toDF("ID", "VAL")
+    // batch gained NEW, lost VAL
+    val b = Seq(("2", "n2"), ("3", "n3")).toDF("ID", "NEW")
+    val got = BatchLoad.appendWithDrift(Some(a), b)
+    assert(got.columns.toSeq == Seq("ID", "VAL", "NEW"))
+    val rows = got.as[(String, Option[String], Option[String])]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("1", Some("x"), None),
+      ("2", Some("y"), None), // old row persists
+      ("2", None, Some("n2")), // drifted row is NOT the same row
+      ("3", None, Some("n3"))))
+  }
+
   test("loadLatestCsv end-to-end: header-in-data files, incremental dedup") {
     val dir = Files.createTempDirectory("batchload").toFile
     def write(name: String, lines: Seq[String]): String = {
