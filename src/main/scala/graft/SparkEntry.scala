@@ -249,6 +249,20 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // 55: RANGE window frame — trailing 7-day spend per customer.
+    // Frames by VALUE (epoch day), not row count: gaps in the date
+    // sequence shrink the frame, multiple same-day orders all join it.
+    "q_window_range" -> ((s, dir) => {
+      val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      t(s, dir, "orders")
+        .withColumn("day", day)
+        .select(col("o_orderkey"), col("o_custkey"),
+          money(sum(cents(col("o_totalprice"))).over(w)).as("spend_7d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // 53: ordered-set aggregate — exact median over BIGINT cents
     // (interpolation at 0.5 is (a+b)/2 on exact integer doubles, so
     // both engines agree bit-for-bit; arbitrary percentiles would
@@ -521,6 +535,14 @@ object SparkEntry {
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_window_range" -> """
+      SELECT o_orderkey, o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+               AS spend_7d
+      FROM orders ORDER BY o_custkey, o_orderkey""",
     "q_median" -> """
       SELECT o_orderpriority,
              CAST(median(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
