@@ -1300,6 +1300,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // 56: fuzzy duplicate pairs — blocked edit-distance matching
+    // (levenshtein ≤ 2 within a (size, first-word) block). Integer
+    // distances: no cross-engine float risk; blocking keeps the pair
+    // generation off the all-pairs cliff, same discipline as the
+    // sketch dedups.
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          substring_index(col("p_name"), " ", 1).as("blk"))
+      val a = p.toDF("id_a", "name_a", "size_a", "blk_a")
+      val b = p.toDF("id_b", "name_b", "size_b", "blk_b")
+      a.join(b, col("size_a") === col("size_b") &&
+          col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    }),
+
     // 51: deterministic train/valid/test split — hash-bucket
     // assignment (md5 of a salted id), reproducible across engines,
     // runs, and partitionings; the standard leakage-free split for
@@ -1544,6 +1563,16 @@ object SparkEntry {
       FROM e a JOIN e b ON a.band = b.band AND a.bits = b.bits
         AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      ORDER BY id_a, id_b""",
+    "q_fuzzy_pairs" -> """
+      WITH p AS (SELECT p_partkey, p_name, p_size,
+                        split_part(p_name, ' ', 1) AS blk
+                 FROM part)
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM p a JOIN p b ON a.p_size = b.p_size AND a.blk = b.blk
+        AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
       ORDER BY id_a, id_b""",
     "q_sample_split" -> """
       SELECT doc_id,
