@@ -854,8 +854,15 @@ object SparkEntry {
         .orderBy(col("servicio"), col("tipologia"), col("cant"),
           col("fec_servicio"), col("ambito"), col("cod_plan"))
       // persist before the marker semi-join: its distinct-keys subquery
-      // would otherwise re-derive the whole lineitem⨝orders base
-      val base0 = sendas(s, dir).withColumn("uid",
+      // would otherwise re-derive the whole lineitem⨝orders base.
+      // Repartition ONCE by factura first: hash(factura) satisfies the
+      // clustered-distribution requirement of EVERY window family
+      // whose keys start with factura (wdup, wSubQ, wScanQ, wFst), so
+      // those four run as in-partition sorts over one exchange instead
+      // of four separate shuffles; only wC1 (servicio-keyed) shuffles
+      // again.
+      val base0 = sendas(s, dir).repartition(col("factura"))
+        .withColumn("uid",
           concat_ws("_", col("factura"), col("linea"),
             row_number().over(wdup)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
