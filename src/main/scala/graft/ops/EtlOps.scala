@@ -143,7 +143,11 @@ object EtlOps {
       val wScan = Window.partitionBy(groupKeys.map(col).toIndexedSeq: _*)
         .orderBy(scanOrder.toIndexedSeq: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df.withColumn("__elig",
+      // one exchange feeds both windows: hash(groupKeys) satisfies the
+      // clustered distribution of (groupKeys :+ subKey) too, so wSub
+      // becomes an in-partition sort instead of a second shuffle
+      df.repartition(groupKeys.map(col).toIndexedSeq: _*)
+        .withColumn("__elig",
           when(row_number().over(wSub) <= maxPerSub, 1).otherwise(0))
         .withColumn("__cum", sum(col("__elig")).over(wScan))
         .withColumn(flag,
