@@ -113,6 +113,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "c1", "v-in-window")))
   }
 
+  test("UpsertSink: micro-batches merge into a keyed parquet table") {
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("upsink")
+    val target = dir.resolve("table").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val stream = MemoryStream[(Long, String, Int)]
+    val q = UpsertSink.start(
+      stream.toDF().toDF("k", "s", "v"), Seq("k"),
+      Seq(col("v").desc), target, ckpt)
+    stream.addData((1L, "a", 10), (2L, "b", 20))
+    q.processAllAvailable()
+    stream.addData((2L, "b2", 99), (3L, "c", 30),
+      (3L, "c-older", 29)) // same-key in-batch: highest v wins
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(target)
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 10), (2L, "b2", 99), (3L, "c", 30)))
+  }
+
   test("sessionWindowCounts groups events within the gap") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long)]
