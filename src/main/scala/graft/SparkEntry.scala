@@ -710,7 +710,8 @@ object SparkEntry {
     // 6: the chained CASE-mask validation column (C4/C7/C8/HD/ARI/C5/RM
     // rules) incl. the marker-invoice semi-join invalidation.
     "q_conditional_update" -> ((s, dir) => {
-      val base = Rules.semiMarker(sendas(s, dir), "factura",
+      // window-form marker: sendas (an unpersisted join) derives once
+      val base = Rules.semiMarkerWindow(sendas(s, dir), "factura",
         col("servicio") === "132", "has_marker")
       val ce = col("ambito") === "CONSULTA EXTERNA"
       val inval = Seq("285", "385", "384", "284", "502")

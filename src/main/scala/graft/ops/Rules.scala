@@ -74,4 +74,16 @@ object Rules {
       .withColumn(flag, col("__mk").isNotNull)
       .drop("__mk")
   }
+
+  /** [[semiMarker]] as a window: one shuffle on the group key, zero
+    * re-derivation of `df`. Prefer this when `df` is an expensive
+    * unpersisted subtree (the join form evaluates it twice — once for
+    * the rows, once for the distinct marker set); prefer the join
+    * form when the frame is persisted or the marker set must come
+    * from a DIFFERENT frame. Identical results. */
+  def semiMarkerWindow(df: DataFrame, groupCol: String,
+      markerPred: Column, flag: String): DataFrame =
+    df.withColumn(flag,
+      max(markerPred.cast("int"))
+        .over(Window.partitionBy(col(groupCol))) === 1)
 }

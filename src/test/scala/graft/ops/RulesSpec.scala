@@ -35,4 +35,15 @@ class RulesSpec extends SparkSpec {
       .select("g", "s", "has").as[(Int, String, Boolean)].collect().toSet
     assert(got == Set((1, "x", true), (1, "m", true), (2, "y", false)))
   }
+
+  test("semiMarkerWindow is result-identical to the join form") {
+    val df = Seq((1, "x"), (1, "m"), (2, "y"), (3, "m")).toDF("g", "s")
+    val joinForm = Rules.semiMarker(df, "g", col("s") === "m", "has")
+      .select("g", "s", "has").as[(Int, String, Boolean)].collect().toSet
+    val winForm = Rules.semiMarkerWindow(df, "g", col("s") === "m", "has")
+      .select("g", "s", "has").as[(Int, String, Boolean)].collect().toSet
+    assert(winForm == joinForm)
+    assert(winForm == Set((1, "x", true), (1, "m", true),
+      (2, "y", false), (3, "m", true)))
+  }
 }
