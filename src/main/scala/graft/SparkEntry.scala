@@ -321,6 +321,21 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // 57: unpivot (wide → long), the inverse of row 20's pivot —
+    // the per-type count columns melt back to (user_id, event_type,
+    // n) rows via stack(); zero-count cells are dropped like the
+    // original long form. Map-side only: no shuffle beyond the
+    // pivot's own aggregation.
+    "q_unpivot" -> ((s, dir) => {
+      val wide = queries("q_pivot")(s, dir)
+      wide.select(col("user_id"), expr(
+          """stack(5, 'click', n_click, 'view', n_view,
+             'purchase', n_purchase, 'signup', n_signup,
+             'error', n_error) AS (event_type, n)"""))
+        .filter(col("n") > 0)
+        .orderBy("user_id", "event_type")
+    }),
+
     // 21: JSON field extraction from event props.
     "q_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
@@ -577,6 +592,12 @@ object SparkEntry {
              sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS n_signup,
              sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS n_error
       FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_unpivot" -> """
+      SELECT user_id, event_type, count(*) AS n
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
     "q_json_extract" -> """
       SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
