@@ -104,6 +104,49 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("upsert matches a sequential map-merge on random batches") {
+    val target = (1 to 200).map(k => (k.toLong, s"t$k", rnd.nextInt(100)))
+      .filter(_ => rnd.nextBoolean())
+    val updates = (1 to 200).map(k => (k.toLong, s"u$k", rnd.nextInt(100)))
+      .filter(_ => rnd.nextInt(3) == 0)
+    val expected = {
+      val m = scala.collection.mutable.LinkedHashMap[Long, (String, Int)]()
+      target.foreach { case (k, s, v) => m(k) = (s, v) }
+      updates.foreach { case (k, s, v) => m(k) = (s, v) }
+      m.map { case (k, (s, v)) => (k, s, v) }.toSet
+    }
+    val got = target.toDF("k", "s", "v")
+      .upsert(updates.toDF("k", "s", "v"), Seq("k"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("coalesceLookup matches the reference's fine-else-coarse fillna merge") {
+    // reference: tipologia via (SERVICIO, CENTRO) else SERVICIO
+    // (capital_sendas.py:170-198) — sequential oracle over sorted maps
+    val facts = (1 to 300).map(i =>
+      (i, s"s${rnd.nextInt(20)}", s"c${rnd.nextInt(5)}"))
+    val lookup = (1 to 60).map { _ =>
+      (s"s${rnd.nextInt(20)}", s"c${rnd.nextInt(5)}", rnd.nextInt(1000))
+    }.distinct
+    val fineMap = lookup.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.map(_._3).min }
+    val coarseMap = lookup.groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(_._3).min }
+    val expected = facts.map { case (i, s, c) =>
+      i -> fineMap.get((s, c)).orElse(coarseMap.get(s))
+    }.toMap
+    val got = facts.toDF("i", "srv", "cen")
+      .coalesceLookup(
+        lookup.toDF("srv", "cen", "tip"),
+        Seq("srv", "cen"), Seq("srv"), "tip", Seq(col("tip")))
+      .select(col("i"), col("tip"))
+      .as[(Int, Option[Int])].collect().toMap
+    facts.foreach { case (i, _, _) =>
+      assert(got(i) == expected(i), s"fact $i")
+    }
+  }
+
   test("gapMark matches the validacion_C5 loop on random timestamps") {
     val baseMicros = 1704067200000000L // 2024-01-01 UTC
     val rows = (1 to 400).map { i =>
