@@ -263,6 +263,35 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // 58: statistical aggregates with deterministic results — Pearson
+    // correlation of quantity vs price per return flag, computed from
+    // EXACT integer sums (Σx, Σy, Σx², Σxy, Σy² as BIGINTs — the
+    // float-accumulator corr() is partition-order-dependent and can
+    // never hash-match). The final formula is one IEEE expression over
+    // identical integers; casts to double happen before any product
+    // that could overflow a long.
+    "q_stats_corr" -> ((s, dir) => {
+      val qc = cents(col("l_quantity"))
+      val pc = cents(col("l_extendedprice"))
+      val d = (c: Column) => c.cast("double")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        // square sums go through DECIMAL(38,0): a LONG sum of pc²
+        // overflows around sf1 (ANSI would error loudly). These are
+        // exact integers — the final integer→double conversion is
+        // engine-unambiguous, unlike fractional decimal casts.
+        .agg(count(lit(1)).as("n"), sum(qc).as("sx"), sum(pc).as("sy"),
+          sum((qc * qc).cast("decimal(38,0)")).as("sxx"),
+          sum((qc * pc).cast("decimal(38,0)")).as("sxy"),
+          sum((pc * pc).cast("decimal(38,0)")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+             sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // 53: ordered-set aggregate — exact median over BIGINT cents
     // (interpolation at 0.5 is (a+b)/2 on exact integer doubles, so
     // both engines agree bit-for-bit; arbitrary percentiles would
@@ -558,6 +587,23 @@ object SparkEntry {
                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
                AS spend_7d
       FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_stats_corr" -> """
+      WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(qc) AS sx, sum(pc) AS sy,
+               sum(qc * qc) AS sxx, sum(qc * pc) AS sxy,
+               sum(pc * pc) AS syy
+        FROM (SELECT l_returnflag,
+                     CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+              FROM lineitem)
+        GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS corr_qty_price
+      FROM s ORDER BY l_returnflag""",
     "q_median" -> """
       SELECT o_orderpriority,
              CAST(median(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
