@@ -134,6 +134,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "a", 10), (2L, "b2", 99), (3L, "c", 30)))
   }
 
+  test("file-source replay: parquet landing dir streams to the same result as batch") {
+    // the production ingest shape: files land in a directory, the
+    // stream tails it (maxFilesPerTrigger throttles); same transform,
+    // same result as the batch read
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("ts", "event_type", "value")
+    val dir = Files.createTempDirectory("landing")
+    src.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", "1") // several micro-batches
+      .parquet(dir.toString)
+    val q = StreamingOps.windowedTypeCounts(stream, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("file_replay")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("win_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val streamed = proj(spark.table("file_replay"))
+    val batch = proj(StreamingOps.windowedTypeCounts(src, "1 hour", "1 hour"))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("sessionWindowCounts groups events within the gap") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long)]
