@@ -102,10 +102,17 @@ object EtlOps {
     def coalesceLookup(lookup: DataFrame, fineKeys: Seq[String],
         coarseKeys: Seq[String], valueCol: String,
         tieBreak: Seq[Column]): DataFrame = {
-      val fine = new RichDF(lookup).dedupFirst(fineKeys, tieBreak)
+      val fineRows = new RichDF(lookup).dedupFirst(fineKeys, tieBreak)
+      val fine = fineRows
         .select((fineKeys :+ valueCol).map(col).toIndexedSeq: _*)
         .withColumnRenamed(valueCol, "__fine")
-      val coarse = new RichDF(lookup).dedupFirst(coarseKeys, tieBreak)
+      // With nested keys the coarse winner = winner-of-winners over
+      // the fine representatives (first-by-a-total-order is
+      // transitive), so the second dedup runs over |fine| rows
+      // instead of re-scanning the whole lookup.
+      val coarseSrc =
+        if (coarseKeys.forall(fineKeys.contains)) fineRows else lookup
+      val coarse = new RichDF(coarseSrc).dedupFirst(coarseKeys, tieBreak)
         .select((coarseKeys :+ valueCol).map(col).toIndexedSeq: _*)
         .withColumnRenamed(valueCol, "__coarse")
       df.join(broadcast(fine), fineKeys.toIndexedSeq, "left")
