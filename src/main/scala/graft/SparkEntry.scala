@@ -350,6 +350,23 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // 59: date spine — generated calendar dimension left-joined to
+    // facts so gap days surface as zeros (the reporting shape a
+    // plain GROUP BY can't produce). sequence() generates on the
+    // executors; no driver-side range loop.
+    "q_date_spine" -> ((s, dir) => {
+      val spine = s.range(1).select(explode(sequence(
+          lit(java.sql.Date.valueOf("1996-01-01")),
+          lit(java.sql.Date.valueOf("1996-03-31")),
+          expr("interval 1 day"))).as("d"))
+      val perDay = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(perDay, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("d")
+    }),
+
     // 57: unpivot (wide → long), the inverse of row 20's pivot —
     // the per-type count columns melt back to (user_id, event_type,
     // n) rows via stack(); zero-count cells are dropped like the
@@ -638,6 +655,17 @@ object SparkEntry {
              sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS n_signup,
              sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS n_error
       FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_date_spine" -> """
+      WITH spine AS (
+        SELECT CAST(g.d AS DATE) AS d
+        FROM generate_series(DATE '1996-01-01', DATE '1996-03-31',
+                             INTERVAL 1 DAY) g(d)),
+      per_day AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT spine.d AS d, coalesce(per_day.n, 0) AS n
+      FROM spine LEFT JOIN per_day ON spine.d = per_day.d
+      ORDER BY spine.d""",
     "q_unpivot" -> """
       SELECT user_id, event_type, count(*) AS n
       FROM events
