@@ -481,6 +481,22 @@ object SparkEntry {
           Seq("last_orderkey"))
         .select(col("event_id"), col("user_id"), col("last_orderkey"))
         .orderBy("event_id")
+    }),
+
+    // 60: the SAME as-of semantics through the custom Catalyst
+    // operator (AsofJoinNative: LogicalPlan node + Strategy +
+    // sort-merge SparkPlan with one buffered right row of state) —
+    // rung (c) of the custom-op ladder, under the same DuckDB ASOF
+    // oracle as row 24.
+    "q_asof_native" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      graft.plans.AsofJoinNative.asof(e, o, "user_id", "o_custkey", "d", "od")
+        .select(col("event_id"), col("user_id"), col("last_orderkey"))
+        .orderBy("event_id")
     }))
 
   private def analyticsOracle: Map[String, String] = Map(
@@ -699,6 +715,14 @@ object SparkEntry {
              count(*) AS n_events, min(event_id) AS first_event
       FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
     "q_asof_join" -> """
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events),
+           o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                        max(o_orderkey) AS last_orderkey
+                 FROM orders GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, o.last_orderkey
+      FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.d >= o.od
+      ORDER BY event_id""",
+    "q_asof_native" -> """
       WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events),
            o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
                         max(o_orderkey) AS last_orderkey
