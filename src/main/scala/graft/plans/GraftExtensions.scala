@@ -8,8 +8,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => AsofJoinNative.Strategy)
+  }
 }
 
 object GraftExtensions {
