@@ -43,6 +43,32 @@ object AsofJoinNative {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Optimizer rule: a custom logical node BLOCKS Catalyst's built-in
+    * filter pushdown (PushDownPredicates only knows core nodes), so a
+    * Filter above the as-of join would keep the parquet scan
+    * unfiltered. This rule splits the conjunction and pushes every
+    * deterministic, left-only predicate below the node — at 100 TB
+    * that is the difference between scanning the partition and
+    * scanning the table. Left side only: a right-side filter would
+    * change which rows are "most recent" (not semantics-preserving). */
+  object FilterPushdown
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+      with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    import org.apache.spark.sql.catalyst.expressions.And
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, a: AsofJoinNode) =>
+        val (push, keep) = splitConjunctivePredicates(cond)
+          .partition(p => p.deterministic &&
+            p.references.subsetOf(a.left.outputSet))
+        if (push.isEmpty) f
+        else {
+          val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+          keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        }
+    }
+  }
+
   /** Planner strategy — inject via `spark.experimental.extraStrategies`
     * or GraftExtensions. */
   object Strategy extends SparkStrategy {
@@ -135,6 +161,9 @@ object AsofJoinNative {
     if (!spark.experimental.extraStrategies.contains(Strategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ Strategy
+    if (!spark.experimental.extraOptimizations.contains(FilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FilterPushdown
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =

@@ -11,6 +11,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsofJoinNative.Strategy)
+    ext.injectOptimizerRule(_ => AsofJoinNative.FilterPushdown)
   }
 }
 

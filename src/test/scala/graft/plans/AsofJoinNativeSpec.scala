@@ -43,6 +43,28 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(native.nonEmpty && native == rewrite)
   }
 
+  test("FilterPushdown pushes left-only predicates through the custom node") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+    val o = graft.Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+    val joined = AsofJoinNative.asof(e, o, "user_id", "o_custkey", "d", "od")
+      .filter(col("event_id") < 100 && col("last_orderkey").isNotNull)
+    val plan = joined.queryExecution.executedPlan.toString
+    // the left-only predicate must reach the events parquet scan;
+    // the right-side predicate must stay above the join
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)]"),
+      plan)
+    val expected = e.filter(col("event_id") < 100).count()
+    assert(joined.count() <= expected)
+    assert(joined.count() ==
+      AsofJoinNative.asof(e.filter(col("event_id") < 100), o,
+        "user_id", "o_custkey", "d", "od")
+        .filter(col("last_orderkey").isNotNull).count())
+  }
+
   test("native exec plans cluster+sort on both sides, no cartesian") {
     val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lv")
     val right = Seq((1L, 8L, "r")).toDF("rk", "rts", "rv")
