@@ -1468,8 +1468,12 @@ object SparkEntry {
     // composition — the engine's flagship LLM-corpus use-case.
     "q_datapipe_e2e" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val kept = Dedup.exact(d, "text", "doc_id").select("doc_id")
-      val d1 = d.join(kept, "doc_id")
+      // exact dedup as a window (keep min doc_id per identical text):
+      // one shuffle on the text hash, no join-back — same set as
+      // Dedup.exact's agg+join (row 25 keeps that as the operator)
+      val wTxt = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val d1 = d.withColumn("__rn", row_number().over(wTxt))
+        .filter(col("__rn") === 1).drop("__rn")
       val dupIds = SimHash.simhashPairs(d1, "text", "doc_id", 3)
         .select(col("id_b").as("doc_id")).distinct()
       val d2 = d1.join(dupIds, Seq("doc_id"), "left_anti")
