@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
 object Export {
 
   /** Publish projection: date columns → `fmt` strings (nulls stay
-    * null), then the exact column subset in order. */
+    * null), then the exact column subset in order. Column names are
+    * taken LITERALLY — the reference publishes columns like
+    * `DX_PRINCIPAL.0` and `GRUPO QX` (capital_sendas.py:585-593),
+    * which a bare col() would mis-parse as struct access. */
   def publish(df: DataFrame, dateCols: Seq[String], fmt: String,
       columns: Seq[String]): DataFrame = {
+    def lit(name: String) = col(s"`$name`")
     val formatted = dateCols.foldLeft(df)((d, c) =>
-      d.withColumn(c, date_format(col(c), fmt)))
-    formatted.select(columns.map(col): _*)
+      d.withColumn(c, date_format(lit(c), fmt)))
+    formatted.select(columns.map(lit): _*)
   }
 
   /** Header'd CSV. `singleFile` coalesces to one part — only for

@@ -16,6 +16,23 @@ class ExportSpec extends SparkSpec {
     assert(got.as[(String, Int, String)].first() == (("2024/02/28", 1, "x")))
   }
 
+  test("publish takes dotted/spaced column names literally (reference's publish list)") {
+    val df = Seq((Date.valueOf("2024-01-05"), "dx0", "qx", 1L))
+      .toDF("FECHA_FACT", "DX_PRINCIPAL.0", "GRUPO QX", "validacion")
+    val got = Export.publish(df, Seq("FECHA_FACT"), "yyyy/MM/dd",
+      Seq("FECHA_FACT", "DX_PRINCIPAL.0", "GRUPO QX", "validacion"))
+    assert(got.columns.toSeq ==
+      Seq("FECHA_FACT", "DX_PRINCIPAL.0", "GRUPO QX", "validacion"))
+    assert(got.as[(String, String, String, Long)].first() ==
+      (("2024/01/05", "dx0", "qx", 1L)))
+    // and the reference's full xlsx publish works over such names
+    val path = Files.createTempDirectory("pub").resolve("out.xlsx").toString
+    Export.xlsx(got, path)
+    val back = BatchLoad.promoteHeader(Xlsx.read(spark, Seq(path)))
+    assert(back.columns.toSeq ==
+      Seq("FECHA_FACT", "DX_PRINCIPAL.0", "GRUPO QX", "validacion"))
+  }
+
   test("csv round-trips with header; singleFile yields one part") {
     val dir = Files.createTempDirectory("export").toString + "/out"
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
