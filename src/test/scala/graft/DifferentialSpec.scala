@@ -104,6 +104,37 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("priorityPick matches the asignar_tipologia loop on random data") {
+    // reference: first predicate (in order) any row satisfies wins;
+    // among its rows the first by the order columns is kept; groups
+    // with no matching row vanish (capital_sendas.py:217-257)
+    val rows = (1 to 300).map { i =>
+      (s"g${rnd.nextInt(30)}", Seq("ped", "gin", "neutral", "other")(rnd.nextInt(4)), i)
+    }
+    val predFns = Seq[((String, Int)) => Boolean](
+      { case (k, o) => k == "ped" && o % 2 == 0 },
+      { case (k, _) => k == "gin" },
+      { case (k, _) => k == "neutral" })
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val ranked = rs.flatMap { case (_, kind, ord) =>
+        val p = predFns.indexWhere(f => f((kind, ord)))
+        if (p < 0) None else Some(((kind, ord), p))
+      }
+      if (ranked.isEmpty) None
+      else Some(g -> ranked.minBy { case ((kind, ord), p) => (p, ord, kind) }._1)
+    }
+    val got = ops.Rules.priorityPick(rows.toDF("g", "kind", "ord"),
+        Seq("g"),
+        Seq(col("kind") === "ped" && col("ord") % 2 === 0,
+          col("kind") === "gin",
+          col("kind") === "neutral"),
+        Seq(col("ord"), col("kind")))
+      .select("g", "kind", "ord").as[(String, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (g, v) => assert(got(g) == v, s"group $g") }
+  }
+
   test("upsert matches a sequential map-merge on random batches") {
     val target = (1 to 200).map(k => (k.toLong, s"t$k", rnd.nextInt(100)))
       .filter(_ => rnd.nextBoolean())
