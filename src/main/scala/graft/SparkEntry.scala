@@ -1446,6 +1446,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // 61: regex group extraction — parse structured text into typed
+    // columns (the log/sheet-parsing ETL shape; the reference's
+    // pandas .str pipeline equivalent). Groups: "<adjective> <noun>".
+    "q_regex_extract" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 1).as("adj"),
+          regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 2).as("noun"))
+        .filter(col("noun") =!= "")
+        .orderBy("p_partkey")
+    }),
+
     // 51: deterministic train/valid/test split — hash-bucket
     // assignment (md5 of a salted id), reproducible across engines,
     // runs, and partitionings; the standard leakage-free split for
@@ -1695,6 +1707,13 @@ object SparkEntry {
         AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sig, b.sig)) <= 3
       ORDER BY id_a, id_b""",
+    "q_regex_extract" -> """
+      SELECT p_partkey,
+             coalesce(regexp_extract(p_name, '^(\w+) (\w+)$', 1), '') AS adj,
+             coalesce(regexp_extract(p_name, '^(\w+) (\w+)$', 2), '') AS noun
+      FROM part
+      WHERE coalesce(regexp_extract(p_name, '^(\w+) (\w+)$', 2), '') <> ''
+      ORDER BY p_partkey""",
     "q_fuzzy_pairs" -> """
       WITH p AS (SELECT p_partkey, p_name, p_size,
                         split_part(p_name, ' ', 1) AS blk
