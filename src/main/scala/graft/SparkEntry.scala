@@ -422,6 +422,21 @@ object SparkEntry {
         .orderBy("user_id", "sess_id")
     }),
 
+    // 62: Spark's native session_window operator (batch mode) under
+    // the same oracle math as the manual lag+cumsum sessionization
+    // (row 23) — proves the builtin and the rewrite agree. Sessions
+    // close after 30 idle minutes; window end = last event + gap.
+    "q_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // 40: correlated scalar subqueries through the SQL front door —
     // the ONE string below runs verbatim on both engines; Catalyst
     // decorrelates the two per-part subqueries into an aggregate+join.
@@ -699,6 +714,24 @@ object SparkEntry {
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       FROM events
       GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""",
+    "q_session_window" -> """
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                            > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM g)
+      SELECT user_id,
+             epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+             epoch_us(CAST(max(ts) AS TIMESTAMP)) + 1800 * 1000000 AS end_us,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sess_id
+      ORDER BY user_id, start_us""",
     "q_sessionize" -> """
       WITH g AS (
         SELECT user_id, event_id, ts,
