@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // allow joins to reuse a child partitioned on a PREFIX of the
+      // join keys (pre-3.3 behavior): a wide frame repartitioned by
+      // its primary key then joined on (key, subkey) keeps its
+      // partitioning instead of reshuffling the full width
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -24,7 +29,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Queries must not leak state into each other's measurements:
+      // drop any cached blocks a query materialized (cache debris
+      // accumulating in the shared local heap slowed the whole r3
+      // suite tail) and the temp views some queries register.
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

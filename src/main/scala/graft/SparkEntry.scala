@@ -1006,28 +1006,31 @@ object SparkEntry {
       val wdup = Window.partitionBy(col("factura"), col("linea"))
         .orderBy(col("servicio"), col("tipologia"), col("cant"),
           col("fec_servicio"), col("ambito"), col("cod_plan"))
-      // persist before the marker semi-join: its distinct-keys subquery
-      // would otherwise re-derive the whole lineitem⨝orders base.
-      // Repartition ONCE by factura first: hash(factura) satisfies the
+      // Repartition ONCE by factura: hash(factura) satisfies the
       // clustered-distribution requirement of EVERY window family
-      // whose keys start with factura (wdup, wSubQ, wScanQ, wFst), so
-      // those four run as in-partition sorts over one exchange instead
-      // of four separate shuffles; only wC1 (servicio-keyed) shuffles
-      // again.
+      // whose keys start with factura (wdup, the marker window, wSubQ,
+      // wScanQ, wFst) — all run as in-partition sorts over this one
+      // exchange. No persist: the marker semi-join is a window over
+      // the same partitioning (semiMarkerWindow — the join form's
+      // distinct-keys subquery is what forced r3's persist), and the
+      // two subset rules (C1, C5) are computed on ~9% slices whose
+      // plans re-use this exchange (ReuseExchange), then joined back
+      // on (factura, uid): hash(factura) satisfies the join's
+      // clustering, so only the narrow flag frames shuffle — the wide
+      // side never reshuffles. At 100 TB that replaces a full-input
+      // cache write + full-width wC1 shuffle with two ~9% flag joins.
       val base0 = sendas(s, dir).repartition(col("factura"))
         .withColumn("uid",
           concat_ws("_", col("factura"), col("linea"),
             row_number().over(wdup)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val base = Rules.semiMarker(base0,
+      val base = Rules.semiMarkerWindow(base0,
         "factura", col("servicio") === "132", "has_marker")
-      // Subset-scoped marks fold into conditional windows over base:
-      // rows outside a rule's subset contribute 0 to the running sums
-      // (or live in other partitions), so the values equal the
-      // filtered-subset computation — with zero join-backs. Every
-      // ordering ends in uid (total order; ties between rows that
-      // differ only in hidden columns must not pick per-engine
-      // winners). Only the stateful C5 gap needs a subset + join.
+      // Qx/H marks fold into conditional windows over base: rows
+      // outside a rule's subset contribute 0 to the running sums, so
+      // the values equal the filtered-subset computation — with zero
+      // join-backs. Every ordering ends in uid (total order; ties
+      // between rows that differ only in hidden columns must not pick
+      // per-engine winners).
       val inQx = col("tipologia").startsWith("Qx") && col("cant") > 0
       val wSubQ = Window
         .partitionBy(col("factura"), col("fec_servicio"), col("tipologia"))
@@ -1044,9 +1047,24 @@ object SparkEntry {
         .partitionBy(col("servicio"), col("fec_servicio"), col("tipologia"),
           col("cod_plan").startsWith("PGP"))
         .orderBy(col("factura"), col("linea"), col("uid"))
-      val c5 = base.filter(col("tipologia") === "C5")
-        .gapMark(Seq("servicio"), "fec_servicio", "uid", 3, "c5_gap")
-        .select(col("uid").as("__u_c5"), col("c5_gap"))
+      // C1 dedup-first runs on its own slice: a (servicio, fec,
+      // tipologia, pgp) window group is homogeneous in tipologia/pgp,
+      // so row_number over the filtered slice equals row_number over
+      // the full frame for every row the C1 rule can touch — and the
+      // full-frame form would shuffle 100% of rows on wC1's keys.
+      val c1 = base0
+        .filter(col("tipologia") === "C1" && col("cod_plan").startsWith("PGP"))
+        .withColumn("c1_mark",
+          when(row_number().over(wC1) === 1, 1).otherwise(0))
+        .select(col("factura").as("__f_c1"), col("uid").as("__u_c1"),
+          col("c1_mark"))
+      // Stateful C5 gap: narrow flag frame only (gapFlags), keyed back
+      // by (factura, uid) — factura recovered from the uid prefix.
+      val c5 = base0.filter(col("tipologia") === "C5")
+        .gapFlags(Seq("servicio"), "fec_servicio", "uid", 3, "c5_gap")
+        .select(substring_index(col("__gapid"), "_", 1).cast("long")
+            .as("__f_c5"),
+          col("__gapid").as("__u_c5"), col("c5_gap"))
       val joined = base
         .withColumn("__elig",
           inQx && sum(when(inQx, 1).otherwise(0)).over(wSubQ) <= 2)
@@ -1057,9 +1075,10 @@ object SparkEntry {
         .withColumn("h_mark",
           when(row_number().over(wFst) === 1, 1).otherwise(0))
         .withColumn("qx1_mark", col("h_mark"))
-        .withColumn("c1_mark",
-          when(row_number().over(wC1) === 1, 1).otherwise(0))
-        .join(c5, col("uid") === col("__u_c5"), "left")
+        .join(c1, col("factura") === col("__f_c1") &&
+          col("uid") === col("__u_c1"), "left")
+        .join(c5, col("factura") === col("__f_c5") &&
+          col("uid") === col("__u_c5"), "left")
       val out = Rules.chainUpdate(joined, "validacion", lit(0L), Seq(
         (col("tipologia").startsWith("Qx") && col("cant") > 0,
           coalesce(col("qx_mark"), lit(0)).cast("long")),

@@ -49,16 +49,18 @@ object Dedup {
       .select(col(idCol).as("id"),
         charShingleHashes(col(textCol)).as("hs"))
       .select(col("id"), minhashFromHashes(col("hs"), nPerm).as("sig"))
-    // Persist the (tiny: id + bands) signature table: both sides of
-    // the self-join read it, and without a materialization Spark
-    // re-derives the full shingle+hash pipeline per side. At warehouse
-    // scale this table would be written out as a artifact instead.
+    // Both sides of the self-join read this subtree; the join's two
+    // shuffle children are canonically identical, so ReuseExchange
+    // materializes the shingle+minhash pipeline ONCE and replays the
+    // shuffle files for the other side — no persist, no cache-manager
+    // lifetime to manage (an un-released persist here leaked into
+    // every later query of an r3 bench session). At warehouse scale
+    // the signature table would be a written artifact instead.
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(concat_ws("_", (0 until rows).map(r =>
           element_at(col("sig"), b * rows + r + 1)): _*)))))
       .toDF("id", "band", "bandhash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.toDF("id_a", "band_a", "h_a")
     val r = banded.toDF("id_b", "band_b", "h_b")
     l.join(r, col("band_a") === col("band_b") &&

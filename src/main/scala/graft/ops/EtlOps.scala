@@ -177,6 +177,18 @@ object EtlOps {
       * no driver collect — safe for arbitrarily many groups.
       */
     def gapMark(groupKeys: Seq[String], tsCol: String, idCol: String,
+        gapDays: Int, flag: String): DataFrame =
+      df.join(gapFlags(groupKeys, tsCol, idCol, gapDays, flag),
+          col(idCol).cast("string") === col("__gapid"), "left")
+        .drop("__gapid")
+
+    /** The narrow flag frame behind [[gapMark]]: just
+      * `(__gapid string, flag int)`, one row per input row. Callers
+      * that already hold a wide frame partitioned by some key can join
+      * this back themselves (e.g. on a composite key that reuses the
+      * existing partitioning) instead of paying [[gapMark]]'s built-in
+      * uid-keyed join. */
+    def gapFlags(groupKeys: Seq[String], tsCol: String, idCol: String,
         gapDays: Int, flag: String): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
@@ -197,7 +209,7 @@ object EtlOps {
         .as[(String, Long, String)]
         .repartition(col("k"))
         .sortWithinPartitions(col("k"), col("ts"), col("id"))
-      val flags = narrow.mapPartitions { it =>
+      narrow.mapPartitions { it =>
         var cur: String = null
         var last = Long.MinValue
         it.map { case (k, ts, id) =>
@@ -206,8 +218,6 @@ object EtlOps {
           (id, if (mark) 1 else 0)
         }
       }.toDF("__gapid", flag)
-      df.join(flags, col(idCol).cast("string") === col("__gapid"), "left")
-        .drop("__gapid")
     }
   }
 }

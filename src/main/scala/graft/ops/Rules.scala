@@ -84,6 +84,8 @@ object Rules {
   def semiMarkerWindow(df: DataFrame, groupCol: String,
       markerPred: Column, flag: String): DataFrame =
     df.withColumn(flag,
-      max(markerPred.cast("int"))
-        .over(Window.partitionBy(col(groupCol))) === 1)
+      // coalesce: a group whose every markerPred is null has a null
+      // max — the join form yields false there, so match it exactly
+      coalesce(max(markerPred.cast("int"))
+        .over(Window.partitionBy(col(groupCol))) === 1, lit(false)))
 }

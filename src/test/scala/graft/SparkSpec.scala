@@ -9,6 +9,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
+    // subset co-partitioning for join-backs (see Bench.scala)
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
