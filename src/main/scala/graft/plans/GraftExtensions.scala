@@ -39,7 +39,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_char_shingle_hashes"),
       new ExpressionInfo(classOf[CharShingleHashes].getCanonicalName,
         "graft_char_shingle_hashes"),
-      (c: Seq[Expression]) => CharShingleHashes(c(0), intLit(c(1)), intLit(c(2)))))
+      (c: Seq[Expression]) => CharShingleHashes(c(0), intLit(c(1)), intLit(c(2)))),
+    (FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getCanonicalName,
+        "graft_hyperplane_sig"),
+      (c: Seq[Expression]) => HyperplaneSig(c(0), intLit(c(1)), intLit(c(2)))))
 
   /** Idempotent runtime registration for an existing session. */
   def register(spark: SparkSession): Unit =

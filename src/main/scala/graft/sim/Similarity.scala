@@ -126,8 +126,19 @@ object Similarity {
   /** Random-hyperplane LSH bucket signature (SimHash-style) for the
     * scale path: vectors only compete within their bucket. Hyperplanes
     * are pseudo-random but deterministic (md5-seeded per (plane, dim)),
-    * so signatures are engine-portable. */
+    * so signatures are engine-portable. Native codegen'd expression
+    * ([[graft.plans.HyperplaneSig]]): the declarative twin below
+    * allocates `planes` weight-array literals + zipped arrays per ROW
+    * — measurable per-row cost on the LSH/IVF signing pass. */
   def hyperplaneSig(vec: Column, dim: Int, planes: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.HyperplaneSig(
+        org.apache.spark.sql.GraftBridge.expression(vec), dim, planes))
+
+  /** Declarative twin of [[hyperplaneSig]] — bit-identical by the
+    * differential spec; kept as the oracle-shaped reference form (the
+    * DuckDB oracle SQL mirrors this fold). */
+  def hyperplaneSigFold(vec: Column, dim: Int, planes: Int): Column =
     concat((0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec,
