@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.EtlOps.RichDF
 import graft.ops.{AsofJoin, Dates, Names, Rules, Skew}
+import graft.sources.Export
 import graft.text.{SimHash, TextFunctions => TF}
 import graft.dedup.Dedup
 import graft.sim.Similarity
@@ -946,6 +947,60 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // 63: the reference's SECOND output composed end-to-end — rows
+    // whose bases lookup misses (ips null after a first-match left
+    // join) → distinct (DOC, NOMBRE) → compound-particle name split →
+    // the comprobar publish projection, exactly the reference's
+    // comprobar.csv flow (capital_sendas.py:273-318, :602-603).
+    // Names derive from documents as in q_name_split; the bases
+    // lookup is orders keyed by customer (dedup-first before the
+    // join, like the reference's drop_duplicates(subset='documento')).
+    "q_comprobar" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      val k = (col("doc_id") % 4 + 2).cast("int")
+      val mapped = transform(slice(toks, lit(1), k), t =>
+        when(t === "the", "de").when(t === "a", "la")
+          .when(t === "of", "del").when(t === "to", "los").otherwise(t))
+      val name = upper(array_join(mapped, " "))
+      val capital = t(s, dir, "documents")
+        .select(col("doc_id").as("doc"), name.as("nombre_completo"))
+      // partial-coverage lookup (reference: dfBases covers only some
+      // patients) — without it every doc matches and comprobar is
+      // empty at every scale factor
+      val bases = t(s, dir, "orders")
+        .filter(col("o_custkey") % 5 < 3)
+        .select(col("o_custkey").as("doc"), col("o_orderkey").as("ips"))
+      val comprobar = capital
+        .firstMatchJoin(bases, Seq("doc"), Seq(col("ips")))
+        .filter(col("ips").isNull)
+        .select(col("doc"), col("nombre_completo")).distinct()
+        .withColumn("p", Names.splitFullName(col("nombre_completo")))
+        .select(col("doc"), col("p.nombre1").as("nombre1"),
+          col("p.nombre2").as("nombre2"),
+          col("p.apellido1").as("apellido1"),
+          col("p.apellido2").as("apellido2"))
+      Export.publish(comprobar, Nil, "yyyy/MM/dd",
+        Seq("doc", "nombre1", "nombre2", "apellido1", "apellido2"))
+        .orderBy("doc")
+    }),
+
+    // 64: format breadth as a driver-gated row — stage orders to csv
+    // (schema DDL sidecar, quoted escapes, micros timestamps), read it
+    // back through the same Tables front door, and aggregate; the
+    // oracle runs on the parquet original, so the row passes only if
+    // the csv path is value-exact, not merely parseable.
+    // FormatParitySpec covers more tables/queries in-tests.
+    "q_csv_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv_stage").toString
+      Tables.stage(s, dir, "orders", tmp, "csv")
+      t(s, tmp, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          money(sum(cents(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // 12: numeric cast with coerce→0 + date→string export format.
     "q_numeric_coerce" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k")
@@ -1308,6 +1363,48 @@ object SparkEntry {
                      WHEN len(parts) >= 4 THEN parts[len(parts)]
                      ELSE '' END, '#', ' ') AS apellido2
       FROM p ORDER BY doc_id""",
+    "q_comprobar" -> s"""
+      WITH miss AS (
+        SELECT doc_id, text FROM documents
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey % 5 < 3 AND o_custkey = doc_id)),
+      n AS (
+        SELECT DISTINCT doc_id AS doc, upper(array_to_string(list_transform(
+          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+            x -> x <> '')[1:CAST(doc_id % 4 + 2 AS INT)],
+          t -> CASE t WHEN 'the' THEN 'de' WHEN 'a' THEN 'la'
+                      WHEN 'of' THEN 'del' WHEN 'to' THEN 'los'
+                      ELSE t END), ' ')) AS nombre_completo
+        FROM miss),
+      m0 AS (SELECT doc, nombre_completo,
+               regexp_replace(nombre_completo, '( (DE|DEL|LA|LOS))+$$', '')
+                 AS s1 FROM n),
+      m1 AS (SELECT *, CASE WHEN regexp_matches(s1,
+               '^(DE|DEL|LA|LOS)( (DE|DEL|LA|LOS))*$$')
+               THEN '' ELSE s1 END AS s2 FROM m0),
+      g AS (SELECT doc, $nameGlue AS glued FROM m1),
+      p AS (SELECT doc,
+              list_filter(string_split(glued, ' '), x -> x <> '') AS parts
+            FROM g)
+      SELECT doc,
+        replace(CASE WHEN len(parts) >= 1 THEN parts[1] ELSE '' END, '#', ' ') AS nombre1,
+        replace(CASE WHEN len(parts) = 4 THEN parts[2]
+                     WHEN len(parts) > 4 THEN array_to_string(parts[2:len(parts)-2], ' ')
+                     ELSE '' END, '#', ' ') AS nombre2,
+        replace(CASE WHEN len(parts) IN (2, 3) THEN parts[2]
+                     WHEN len(parts) >= 4 THEN parts[len(parts)-1]
+                     ELSE '' END, '#', ' ') AS apellido1,
+        replace(CASE WHEN len(parts) = 3 THEN parts[3]
+                     WHEN len(parts) >= 4 THEN parts[len(parts)]
+                     ELSE '' END, '#', ' ') AS apellido2
+      FROM p ORDER BY doc""",
+    "q_csv_source" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+      ORDER BY o_orderstatus, o_orderpriority""",
     "q_numeric_coerce" -> """
       SELECT event_id,
              coalesce(TRY_CAST(

@@ -33,6 +33,46 @@ class ExportSpec extends SparkSpec {
       Seq("FECHA_FACT", "DX_PRINCIPAL.0", "GRUPO QX", "validacion"))
   }
 
+  test("comprobar composition publishes the exact csv bytes") {
+    // the reference's second output: lookup-miss rows → distinct →
+    // name split → publish subset → single-file header'd csv
+    // (capital_sendas.py:273-318, :602-603)
+    import graft.ops.EtlOps.RichDF
+    import graft.ops.Names
+    import org.apache.spark.sql.functions._
+    val capital = Seq(
+      (1L, "MARIA DE LA CRUZ PEREZ"),
+      (1L, "MARIA DE LA CRUZ PEREZ"), // duplicate row → one csv line
+      (2L, "JUAN GOMEZ"),
+      (3L, "ANA SOL RIOS"))
+      .toDF("doc", "nombre_completo")
+    val bases = Seq((2L, "ips-a"), (2L, "ips-b")).toDF("doc", "ips")
+    val comprobar = capital
+      .firstMatchJoin(bases, Seq("doc"), Seq(col("ips")))
+      .filter(col("ips").isNull)
+      .select(col("doc"), col("nombre_completo")).distinct()
+      .withColumn("p", Names.splitFullName(col("nombre_completo")))
+      .select(col("doc"), col("p.nombre1").as("nombre1"),
+        col("p.nombre2").as("nombre2"),
+        col("p.apellido1").as("apellido1"),
+        col("p.apellido2").as("apellido2"))
+    val published = Export.publish(comprobar, Nil, "yyyy/MM/dd",
+      Seq("doc", "nombre1", "nombre2", "apellido1", "apellido2"))
+      .orderBy("doc")
+    val dir = Files.createTempDirectory("comprobar").toString + "/out"
+    Export.csv(published.coalesce(1).sortWithinPartitions("doc"), dir,
+      singleFile = true)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val bytes = new String(Files.readAllBytes(part.toPath), "UTF-8")
+    // empty strings are written quoted ("") — distinct from null (,)
+    assert(bytes ==
+      """doc,nombre1,nombre2,apellido1,apellido2
+        |1,MARIA,"",DE LA CRUZ,PEREZ
+        |3,ANA,"",SOL,RIOS
+        |""".stripMargin)
+  }
+
   test("csv round-trips with header; singleFile yields one part") {
     val dir = Files.createTempDirectory("export").toString + "/out"
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
