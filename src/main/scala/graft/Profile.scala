@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query profiler: runs each named query `n` times in one session
+  * (noop-write action, cache cleared between runs) and prints every
+  * timing, so first-run vs steady-state and scan-floor splits are
+  * measurable instead of guessed. The pseudo-queries `__scan_<table>`
+  * time a bare full scan of a table — the floor any query touching
+  * that table pays.
+  *
+  * Run: `sbt "runMain graft.Profile <sfDir> <n> <query|__scan_table> ..."`
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val n = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // subset co-partitioning for join-backs (see Bench.scala)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    names.foreach { name =>
+      val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (name.startsWith("__scan_"))
+          (s, d) => Tables(s, d, name.stripPrefix("__scan_"))
+        else SparkEntry.queries(name)
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"[profile] $name%-24s " +
+        times.map(t => f"$t%.2f").mkString(" ") +
+        f"  min=${times.min}%.2f")
+    }
+    spark.stop()
+  }
+}

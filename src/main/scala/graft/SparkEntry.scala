@@ -447,22 +447,23 @@ object SparkEntry {
       s.sql(corrSubquerySql)
     }),
 
-    // 43: the Q17 shape again, but hand-fused DataFrame-native: ONE
-    // GROUP BY l_partkey computes count+sum together, joined once —
-    // two lineitem scans instead of the decorrelated SQL form's three.
+    // 43: the Q17 shape again, but hand-fused DataFrame-native: the
+    // per-part count+sum become WINDOW aggregates over one shuffle on
+    // l_partkey — ONE lineitem scan, zero self-joins, vs the
+    // decorrelated SQL form's three scans + aggregate⨝fact join.
     // Threshold in exact cents: qty*5*n < sum(qty) ⇔ qc*5*n < sum(qc).
     "q_corr_subquery_fused" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val stats = li.groupBy(col("l_partkey"))
-        .agg(count(lit(1)).as("__n_li"),
-          sum(cents(col("l_quantity"))).as("__sum_qc"))
-      li.join(stats, "l_partkey")
-        .filter(cents(col("l_quantity")) * lit(5L) * col("__n_li") <
-          col("__sum_qc"))
+      val wPart = Window.partitionBy(col("l_partkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), cents(col("l_quantity")).as("__qc"),
+          cents(col("l_extendedprice")).as("__pc"))
+        .withColumn("__n_li", count(lit(1)).over(wPart))
+        .withColumn("__sum_qc", sum(col("__qc")).over(wPart))
+        .filter(col("__qc") * lit(5L) * col("__n_li") < col("__sum_qc"))
         .join(broadcast(t(s, dir, "part")),
           col("p_partkey") === col("l_partkey"))
         .groupBy(col("p_brand"))
-        .agg(money(sum(cents(col("l_extendedprice")))).as("sum_price"),
+        .agg(money(sum(col("__pc"))).as("sum_price"),
           count(lit(1)).as("n_small"))
         .orderBy("p_brand")
     }),
