@@ -43,7 +43,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getCanonicalName,
         "graft_hyperplane_sig"),
-      (c: Seq[Expression]) => HyperplaneSig(c(0), intLit(c(1)), intLit(c(2)))))
+      (c: Seq[Expression]) => HyperplaneSig(c(0), intLit(c(1)), intLit(c(2)))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getCanonicalName,
+        "graft_minhash_sig"),
+      (c: Seq[Expression]) => MinHashSig(c(0), intLit(c(1)))))
 
   /** Idempotent runtime registration for an existing session. */
   def register(spark: SparkSession): Unit =

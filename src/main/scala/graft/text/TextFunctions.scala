@@ -63,8 +63,19 @@ object TextFunctions {
 
   /** MinHash signature from pre-hashed shingles: permutation i is the
     * universal hash (a_i * h + b_i) mod (2^31-1) — integer-exact in
-    * any engine, one multiply+mod per shingle instead of an md5. */
+    * any engine, one multiply+mod per shingle instead of an md5.
+    * Native one-pass expression ([[graft.plans.MinHashSig]]): the
+    * declarative twin below runs nPerm transform+array_min passes,
+    * each allocating an intermediate array as long as the shingle
+    * list, per row. */
   def minhashFromHashes(hashes: Column, nPerm: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.MinHashSig(
+        org.apache.spark.sql.GraftBridge.expression(hashes), nPerm))
+
+  /** Declarative twin of [[minhashFromHashes]] — bit-identical by the
+    * differential spec. */
+  def minhashFromHashesFold(hashes: Column, nPerm: Int): Column =
     array((0 until nPerm).map { i =>
       val (a, b) = minhashAB(i)
       array_min(transform(hashes, h => (lit(a) * h + lit(b)) % MinhashP))
