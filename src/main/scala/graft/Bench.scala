@@ -33,7 +33,7 @@ object Bench {
       // Queries must not leak state into each other's measurements:
       // drop any cached blocks a query materialized (cache debris
       // accumulating in the shared local heap slowed the whole r3
-      // suite tail) and the temp views some queries register.
+      // suite tail).
       spark.catalog.clearCache()
       name -> elapsed
     }

@@ -1523,6 +1523,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // 65: json-staged source path driver-gated (csv twin: q_csv_source)
+    // — stage documents to newline-delimited json + schema sidecar,
+    // read back through Tables, and aggregate token counts per lang;
+    // the oracle runs on the parquet original, so the row passes only
+    // if text (embedded newlines, quotes, unicode) survives the json
+    // round-trip byte-exactly.
+    "q_json_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_json_stage").toString
+      Tables.stage(s, dir, "documents", tmp, "json")
+      t(s, tmp, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+        .orderBy("lang")
+    }),
+
     // 27: text-quality scoring — ratios rounded to 6dp (both engines
     // evaluate the identical double expression tree).
     "q_text_quality" -> ((s, dir) => {
@@ -1583,9 +1601,18 @@ object SparkEntry {
     // generation off the all-pairs cliff, same discipline as the
     // sketch dedups.
     "q_fuzzy_pairs" -> ((s, dir) => {
+      // same loud block-size guard as the other pair generators: a
+      // skewed (size, first-word) block fails the job instead of
+      // silently going quadratic (levenshtein is O(block²) inside)
+      val wBlk = Window.partitionBy(col("p_size"), col("blk"))
       val p = t(s, dir, "part")
         .select(col("p_partkey"), col("p_name"), col("p_size"),
           substring_index(col("p_name"), " ", 1).as("blk"))
+        .withColumn("__bc", count(lit(1)).over(wBlk))
+        .filter(when(col("__bc") <= 10000, lit(true)).otherwise(
+          raise_error(concat(lit("fuzzy_pairs: block over 10000 rows: "),
+            col("blk"))).cast("boolean")))
+        .drop("__bc")
       val a = p.toDF("id_a", "name_a", "size_a", "blk_a")
       val b = p.toDF("id_b", "name_b", "size_b", "blk_b")
       a.join(b, col("size_a") === col("size_b") &&
@@ -1775,6 +1802,10 @@ object SparkEntry {
     "q_token_count" -> s"""
       SELECT doc_id, CAST(len($toks) AS INT) AS n_tokens
       FROM documents ORDER BY doc_id""",
+    "q_json_source" -> s"""
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+             sum(CAST(len($toks) AS BIGINT)) AS sum_tokens
+      FROM documents GROUP BY lang ORDER BY lang""",
     "q_text_quality" -> s"""
       WITH d AS (SELECT doc_id, $toks AS t FROM documents)
       SELECT doc_id,
