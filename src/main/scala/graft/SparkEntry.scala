@@ -1743,7 +1743,44 @@ object SparkEntry {
           hour(col("win_start")).as("hr"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("day", "hr", "event_type")
+    }),
+
+    // 66: the SAME windowed aggregation executed through the real
+    // streaming engine — parquet file-source readStream → watermarked
+    // window agg → memory sink (AvailableNow trigger, complete mode)
+    // — against the identical batch oracle. Makes streaming execution
+    // itself driver-gated, not only MemoryStream-spec-gated.
+    "q_stream_exec" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      // the file source monitors a DIRECTORY; point it at the sf dir
+      // and glob-filter to the events table's file(s)
+      val src0 = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      // events carries TIMESTAMP(NANOS) → long under nanosAsLong;
+      // normalize to a micros timestamp exactly like Tables does
+      val src = if (raw.schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src0
+      val agg = graft.streaming.StreamingOps
+        .windowedTypeCounts(src, "1 hour", "1 hour")
+      val sink = s"q_stream_exec_${streamExecSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("win_start").cast("date").as("day"),
+          hour(col("win_start")).as("hr"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("day", "hr", "event_type")
     }))
+
+  /** Unique memory-sink names: the row may run several times in one
+    * session (partition-invariance spec, repeated bench runs). */
+  private val streamExecSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def llmOracle: Map[String, String] = {
     // shared DuckDB fragments (token list / shingle set / hash60)
@@ -2026,6 +2063,12 @@ object SparkEntry {
       FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
       GROUP BY label, i.i ORDER BY grp, pos""",
     "q_stream_window" -> """
+      SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
+             CAST(hour(date_trunc('hour', ts)) AS INT) AS hr, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      FROM events GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""",
+    "q_stream_exec" -> """
       SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
              CAST(hour(date_trunc('hour', ts)) AS INT) AS hr, event_type,
              count(*) AS n_events,
