@@ -32,6 +32,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no query plans an InMemoryRelation (persist-leak guard)") {
+    // r3 lesson: a persist() inside a lazily-returned operator has no
+    // release path and its cached blocks taint the rest of the
+    // session. Identical self-join subtrees must ride ReuseExchange
+    // instead. A cache anywhere in a driver-contract plan is a bug.
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("InMemoryRelation") &&
+        !p.contains("InMemoryTableScan"),
+        s"$name plans a cached relation")
+    }
+  }
+
   test("projection filters reach the parquet scan") {
     val p = plan("q_project_filter")
     assert(p.contains("PushedFilters: [IsNotNull"),
