@@ -1333,6 +1333,27 @@ object SparkEntry {
         FROM base b JOIN r ON b.user_id = r.user_id
           AND b.event_type = r.event_type AND b.rn = r.rn + 1)
       SELECT event_id, validacion FROM r ORDER BY event_id""",
+    "q_stream_gap" -> """
+      WITH RECURSIVE base AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                          CAST(event_id AS VARCHAR)) AS rn
+        FROM events),
+      r AS (
+        SELECT user_id, event_type, event_id, tsu, rn,
+               1 AS validacion, tsu AS last_ts
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_type, b.event_id, b.tsu, b.rn,
+               CASE WHEN (b.tsu - r.last_ts) // 86400000000 > 3
+                    THEN 1 ELSE 0 END,
+               CASE WHEN (b.tsu - r.last_ts) // 86400000000 > 3
+                    THEN b.tsu ELSE r.last_ts END
+        FROM base b JOIN r ON b.user_id = r.user_id
+          AND b.event_type = r.event_type AND b.rn = r.rn + 1)
+      SELECT event_id, validacion FROM r ORDER BY event_id""",
     "q_name_split" -> s"""
       WITH n AS (
         SELECT doc_id, upper(array_to_string(list_transform(
@@ -1776,6 +1797,39 @@ object SparkEntry {
           hour(col("win_start")).as("hr"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("day", "hr", "event_type")
+    }),
+
+    // 67: STATEFUL streaming driver-gated — the gapMark twin executed
+    // through flatMapGroupsWithState on the real engine (file source →
+    // arbitrary state → memory sink, append mode), against the same
+    // recursive-CTE oracle as the batch row. events is a single file,
+    // so AvailableNow yields one micro-batch and the per-key state
+    // pass equals the batch operator exactly (the cross-batch
+    // carry-over is spec-gated separately in StatefulOpsSpec).
+    "q_stream_gap" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val src0 = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val src = if (raw.schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src0
+      // injective group key: user_id digits never contain '|'
+      val keyed = src.select(
+        concat_ws("|", col("user_id"), col("event_type")).as("k"),
+        col("ts"), col("event_id").as("id"))
+      val marked = graft.streaming.StatefulOps.gapMarkStream(keyed, 3)
+      val sink = s"q_stream_gap_${streamExecSeq.incrementAndGet()}"
+      val q = marked.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("id").cast("long").as("event_id"),
+          col("flag").as("validacion"))
+        .orderBy("event_id")
     }))
 
   /** Unique memory-sink names: the row may run several times in one

@@ -27,7 +27,6 @@ object StatefulOps {
   def gapMarkStream(events: DataFrame, gapDays: Int): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val micros = 86400000000L * gapDays
     events
       .select(col("k").cast("string").as("k"),
         unix_micros(col("ts").cast("timestamp")).as("tsMicros"),
@@ -39,7 +38,12 @@ object StatefulOps {
         (_: String, it: Iterator[GapEvent], state: GroupState[GapState]) =>
           var last = state.getOption.map(_.lastMarked)
           val out = it.toSeq.sortBy(e => (e.tsMicros, e.id)).map { e =>
-            val mark = last.forall(l => e.tsMicros - l > micros)
+            // SAME predicate as the batch operator (whole elapsed
+            // days via integer division, strictly more than gapDays)
+            // — a `ts - last > gapDays*day` form diverges on
+            // fractional-day gaps
+            val mark = last.forall(l =>
+              (e.tsMicros - l) / 86400000000L > gapDays)
             if (mark) last = Some(e.tsMicros)
             (e.id, if (mark) 1 else 0)
           }
