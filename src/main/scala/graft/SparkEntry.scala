@@ -1622,26 +1622,17 @@ object SparkEntry {
     // generation off the all-pairs cliff, same discipline as the
     // sketch dedups.
     "q_fuzzy_pairs" -> ((s, dir) => {
-      // same loud block-size guard as the other pair generators: a
-      // skewed (size, first-word) block fails the job instead of
-      // silently going quadratic (levenshtein is O(block²) inside)
-      val wBlk = Window.partitionBy(col("p_size"), col("blk"))
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"), col("p_size"),
-          substring_index(col("p_name"), " ", 1).as("blk"))
-        .withColumn("__bc", count(lit(1)).over(wBlk))
-        .filter(when(col("__bc") <= 10000, lit(true)).otherwise(
-          raise_error(concat(lit("fuzzy_pairs: block over 10000 rows: "),
-            col("blk"))).cast("boolean")))
-        .drop("__bc")
-      val a = p.toDF("id_a", "name_a", "size_a", "blk_a")
-      val b = p.toDF("id_b", "name_b", "size_b", "blk_b")
-      a.join(b, col("size_a") === col("size_b") &&
-          col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
-        .select("id_a", "id_b", "dist")
-        .orderBy("id_a", "id_b")
+      fuzzyPairs(s, dir).orderBy("id_a", "id_b")
+    }),
+
+    // 67b (row 68): near-dup pairs are not yet a dedup decision —
+    // A~B and B~C must collapse to ONE survivor even when A≁C.
+    // Connected components over the fuzzy pair graph via min-label
+    // propagation (Dedup.connectedComponents); output is each
+    // paired node with its component id (= min reachable id), the
+    // canonical-document assignment. Oracle: recursive CTE closure.
+    "q_dedup_cluster" -> ((s, dir) => {
+      Dedup.connectedComponents(fuzzyPairs(s, dir)).orderBy("id")
     }),
 
     // 61: regex group extraction — parse structured text into typed
@@ -1836,6 +1827,33 @@ object SparkEntry {
     * session (partition-invariance spec, repeated bench runs). */
   private val streamExecSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Parts with the fuzzy blocking key, guarded: a skewed
+    * (size, first-word) block fails the job loudly instead of
+    * silently going quadratic (levenshtein is O(block²) inside). */
+  private def fuzzyBlocked(s: SparkSession, dir: String): DataFrame = {
+    val wBlk = Window.partitionBy(col("p_size"), col("blk"))
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        substring_index(col("p_name"), " ", 1).as("blk"))
+      .withColumn("__bc", count(lit(1)).over(wBlk))
+      .filter(when(col("__bc") <= 10000, lit(true)).otherwise(
+        raise_error(concat(lit("fuzzy_pairs: block over 10000 rows: "),
+          col("blk"))).cast("boolean")))
+      .drop("__bc")
+  }
+
+  /** Blocked levenshtein ≤ 2 duplicate pairs over part names —
+    * shared by the pair row and the clustering row. */
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val a = fuzzyBlocked(s, dir).toDF("id_a", "name_a", "size_a", "blk_a")
+    val b = fuzzyBlocked(s, dir).toDF("id_b", "name_b", "size_b", "blk_b")
+    a.join(b, col("size_a") === col("size_b") &&
+        col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select("id_a", "id_b", "dist")
+  }
+
   private def llmOracle: Map[String, String] = {
     // shared DuckDB fragments (token list / shingle set / hash60)
     val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
@@ -1996,6 +2014,25 @@ object SparkEntry {
         AND a.p_partkey < b.p_partkey
       WHERE levenshtein(a.p_name, b.p_name) <= 2
       ORDER BY id_a, id_b""",
+    "q_dedup_cluster" -> """
+      WITH RECURSIVE p AS (SELECT p_partkey, p_name, p_size,
+                        split_part(p_name, ' ', 1) AS blk
+                 FROM part),
+      pairs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        FROM p a JOIN p b ON a.p_size = b.p_size AND a.blk = b.blk
+          AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS comp FROM edges
+        UNION
+        SELECT e.dst AS id, r.comp
+        FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""",
     "q_sample_split" -> """
       SELECT doc_id,
              CASE WHEN b < 80 THEN 'train'

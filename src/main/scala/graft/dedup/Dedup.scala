@@ -81,6 +81,54 @@ object Dedup {
       .otherwise(lit(0.0)))
   }
 
+  /** Connected components over a near-dup pair graph: the step that
+    * turns PAIRS into CLUSTERS, so one canonical document per
+    * component can be kept (pairs alone under-delete: A~B and B~C
+    * must collapse to one survivor even when A≁C directly).
+    *
+    * Min-label propagation: every node starts labeled with its own
+    * id; each round every node takes the min of its label and its
+    * neighbors' labels; fixpoint = component = min id reachable. Each
+    * round is one distributed join + aggregate over the (narrow)
+    * label frame; `localCheckpoint` truncates lineage so the plan
+    * doesn't grow with iterations (blocks are reclaimed by the
+    * context cleaner — no cache-manager persist). Rounds needed =
+    * graph diameter — fine for dup clusters (tiny diameters); a
+    * web-scale graph with long chains would switch to the
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce"), same API.
+    *
+    * Returns (id, comp) for every node that appears in `pairs`;
+    * singleton documents never enter the pair graph and need no row.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs
+        .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint() // edges are reused every round — materialize once
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), col("comp"))
+      val updated = labels.union(msgs)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("comp", "__old"), "id")
+        .filter(col("comp") =!= col("__old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
+
   /** Blocked n-gram-Jaccard near-dup: all pairs within a blocking key
     * (e.g. language + length bucket), kept when Jaccard ≥ num/den
     * (exact rational compare). Blocking bounds the pair blow-up; at

@@ -46,4 +46,21 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("block over"))
   }
+
+  test("connectedComponents closes chains transitively (min-id labels)") {
+    // 1-2, 2-3 chain (1≁3 directly); 5-6 island; 10-20 long chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 10L))
+  }
+
+  test("connectedComponents on an empty pair set returns no rows") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
 }
