@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.EtlOps.RichDF
-import graft.ops.{AsofJoin, Dates, Names, Rules, Skew}
+import graft.ops.{AsofJoin, Dates, Names, RangeJoin, Rules, Skew}
 import graft.sources.Export
 import graft.text.{SimHash, TextFunctions => TF}
 import graft.dedup.Dedup
@@ -1625,6 +1625,29 @@ object SparkEntry {
       fuzzyPairs(s, dir).orderBy("id_a", "id_b")
     }),
 
+    // 69: interval containment join WITHOUT an equi key — the second
+    // temporal join next to as-of. The naive non-equi form is a
+    // nested loop; RangeJoin.bucketedRangeJoin manufactures an equi
+    // key (time bucket), so the plan is a plain shuffled equi-join +
+    // exact BETWEEN filter (PlanSpec's no-nested-loop sweep holds for
+    // this row). Intervals sampled from events; points are all events.
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val iv = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("iv_id"),
+          unix_micros(col("ts")).as("iv_start"),
+          (unix_micros(col("ts")) +
+            (col("event_id") % 29 + 1) * lit(3600000000L)).as("iv_end"))
+      val pts = ev.select(unix_micros(col("ts")).as("pt"),
+        cents(col("value")).as("vc"))
+      RangeJoin.bucketedRangeJoin(pts, "pt", iv, "iv_start", "iv_end",
+          8L * 3600000000L)
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n_events"),
+          money(sum(col("vc"))).as("sum_value"))
+        .orderBy("iv_id")
+    }),
+
     // 67b (row 68): near-dup pairs are not yet a dedup decision —
     // A~B and B~C must collapse to ONE survivor even when A≁C.
     // Connected components over the fuzzy pair graph via min-label
@@ -2033,6 +2056,21 @@ object SparkEntry {
         SELECT e.dst AS id, r.comp
         FROM reach r JOIN edges e ON e.src = r.id)
       SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""",
+    "q_range_join" -> """
+      WITH iv AS (
+        SELECT event_id AS iv_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 + (event_id % 29 + 1) * 3600000000 AS e
+        FROM events WHERE event_id % 97 = 0),
+      p AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS pt,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events)
+      SELECT iv_id, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+      FROM iv JOIN p ON p.pt BETWEEN iv.s AND iv.e
+      GROUP BY iv_id ORDER BY iv_id""",
     "q_sample_split" -> """
       SELECT doc_id,
              CASE WHEN b < 80 THEN 'train'
