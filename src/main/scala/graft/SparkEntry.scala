@@ -1625,6 +1625,19 @@ object SparkEntry {
       fuzzyPairs(s, dir).orderBy("id_a", "id_b")
     }),
 
+    // 70: corpus-adaptive boilerplate discovery — tokens present in
+    // > 78% of documents are corpus stopwords (a fixed list misses
+    // domain boilerplate); output is the per-document before/after
+    // token accounting a curation pipeline gates on. DF agg + tiny
+    // broadcast anti-join: the full text never shuffles.
+    "q_corpus_stopwords" -> ((s, dir) => {
+      graft.text.Corpus
+        .stripCommonCounts(t(s, dir, "documents"), "text", "doc_id", 39, 50)
+        .select(col("doc_id"), col("n_before").cast("int").as("n_before"),
+          col("n_after"))
+        .orderBy("doc_id")
+    }),
+
     // 69: interval containment join WITHOUT an equi key — the second
     // temporal join next to as-of. The naive non-equi form is a
     // nested loop; RangeJoin.bucketedRangeJoin manufactures an equi
@@ -1938,6 +1951,18 @@ object SparkEntry {
       SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
              sum(CAST(len($toks) AS BIGINT)) AS sum_tokens
       FROM documents GROUP BY lang ORDER BY lang""",
+    "q_corpus_stopwords" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+      n AS (SELECT count(*) AS nd FROM documents),
+      tok AS (SELECT doc_id, unnest(list_distinct(t)) AS tk FROM d),
+      dfq AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk),
+      common AS (SELECT tk FROM dfq, n WHERE df * 50 > nd * 39),
+      tokall AS (SELECT doc_id, unnest(t) AS tk FROM d),
+      kept AS (SELECT doc_id, count(*) AS n_after FROM tokall
+               WHERE tk NOT IN (SELECT tk FROM common) GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(t) AS INT) AS n_before,
+             coalesce(n_after, 0) AS n_after
+      FROM d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""",
     "q_text_quality" -> s"""
       WITH d AS (SELECT doc_id, $toks AS t FROM documents)
       SELECT doc_id,

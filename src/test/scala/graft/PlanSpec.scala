@@ -18,8 +18,12 @@ class PlanSpec extends SparkSpec {
   // q_embed_topk is the labeled brute-force ANN baseline (non-equi join
   // against a broadcast query set); q_embed_ivf routes each query over
   // the broadcast centroid table, which is bounded at 2^cellPlanes
-  // rows — the probe join itself is an equi-join on the cell id.
-  private val intendedNestedLoop = Set("q_embed_topk", "q_embed_ivf")
+  // rows — the probe join itself is an equi-join on the cell id;
+  // q_corpus_stopwords threads the ONE-row corpus count into the
+  // vocabulary-sized DF frame (the scalar-aggregate cross join —
+  // bounded at 1 × |vocabulary| rows).
+  private val intendedNestedLoop =
+    Set("q_embed_topk", "q_embed_ivf", "q_corpus_stopwords")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
