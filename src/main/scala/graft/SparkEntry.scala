@@ -1625,6 +1625,36 @@ object SparkEntry {
       fuzzyPairs(s, dir).orderBy("id_a", "id_b")
     }),
 
+    // 71: context-window chunking — fixed-size token windows with
+    // overlap (50 tokens every 40), the step between a curated corpus
+    // and training sequences. Per-row explode, no shuffle; chunk
+    // content pinned by an md5 hash both engines compute.
+    "q_text_chunk" -> ((s, dir) => {
+      graft.text.Chunker
+        .chunkTokens(t(s, dir, "documents"), "text", "doc_id", 50, 40)
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("toks")).as("n_tokens"),
+          md5(array_join(col("toks"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // 72: token-budget packing — chunks accumulate into ≤512-token
+    // bins by running start offset, sharded (doc_id % 8) so the sort
+    // never goes global; the capacity-approximate one-window-pass
+    // form every distributed packer uses.
+    "q_token_pack" -> ((s, dir) => {
+      val chunks = graft.text.Chunker
+        .chunkTokens(t(s, dir, "documents"), "text", "doc_id", 50, 40)
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("toks")).as("n_tokens"))
+        .withColumn("shard", (col("doc_id") % 8).cast("int"))
+      graft.text.Chunker
+        .packBins(chunks, Seq(col("doc_id"), col("chunk_id")),
+          "n_tokens", 512L, Seq("shard"))
+        .select("shard", "doc_id", "chunk_id", "n_tokens", "bin")
+        .orderBy("shard", "doc_id", "chunk_id")
+    }),
+
     // 70: corpus-adaptive boilerplate discovery — tokens present in
     // > 78% of documents are corpus stopwords (a fixed list misses
     // domain boilerplate); output is the per-document before/after
@@ -1951,6 +1981,39 @@ object SparkEntry {
       SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
              sum(CAST(len($toks) AS BIGINT)) AS sum_tokens
       FROM documents GROUP BY lang ORDER BY lang""",
+    "q_text_chunk" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+      k AS (SELECT doc_id, t, len(t) AS n,
+              CAST((greatest(len(t) - 50, 0) + 39) // 40 AS INT) AS kmax
+            FROM d WHERE len(t) > 0),
+      c0 AS (SELECT doc_id, t, n,
+               unnest(range(0, kmax + 1)) AS cid FROM k),
+      c AS (SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+              t[(cid*40+1):least(cid*40+50, n)] AS ch
+            FROM c0)
+      SELECT doc_id, chunk_id, CAST(len(ch) AS INT) AS n_tokens,
+             md5(array_to_string(ch, ' ')) AS chunk_hash
+      FROM c ORDER BY doc_id, chunk_id""",
+    "q_token_pack" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+      k AS (SELECT doc_id, t, len(t) AS n,
+              CAST((greatest(len(t) - 50, 0) + 39) // 40 AS INT) AS kmax
+            FROM d WHERE len(t) > 0),
+      c0 AS (SELECT doc_id, t, n,
+               unnest(range(0, kmax + 1)) AS cid FROM k),
+      c AS (SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+              CAST(len(t[(cid*40+1):least(cid*40+50, n)]) AS INT)
+                AS n_tokens
+            FROM c0),
+      p AS (SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id, chunk_id,
+              n_tokens,
+              sum(n_tokens) OVER (PARTITION BY doc_id % 8
+                ORDER BY doc_id, chunk_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM c)
+      SELECT shard, doc_id, chunk_id, n_tokens,
+             CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+      FROM p ORDER BY shard, doc_id, chunk_id""",
     "q_corpus_stopwords" -> s"""
       WITH d AS (SELECT doc_id, $toks AS t FROM documents),
       n AS (SELECT count(*) AS nd FROM documents),
