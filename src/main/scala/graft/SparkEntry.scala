@@ -1625,6 +1625,25 @@ object SparkEntry {
       fuzzyPairs(s, dir).orderBy("id_a", "id_b")
     }),
 
+    // 73: deterministic stratified sampling — per-language keep rates
+    // (data mixing: downsample dominant languages, keep the rest),
+    // decided by an md5 bucket per row so the sample is reproducible
+    // on any engine/partitioning: the curation-pipeline "mixture
+    // weights" step. Pure filter — no shuffle at all.
+    "q_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", 500)
+        .when(col("lang") === "zh", 800)
+        .otherwise(1000) // keep smaller languages whole
+      val bucket = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("lang"))),
+        1, 8), 16, 10).cast("long") % 1000
+      t(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // 71: context-window chunking — fixed-size token windows with
     // overlap (50 tokens every 40), the step between a curated corpus
     // and training sequences. Per-row explode, no shuffle; chunk
@@ -1981,6 +2000,16 @@ object SparkEntry {
       SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
              sum(CAST(len($toks) AS BIGINT)) AS sum_tokens
       FROM documents GROUP BY lang ORDER BY lang""",
+    "q_stratified_sample" -> """
+      WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang),
+                 1, 8))::BIGINT % 1000 AS bucket,
+               CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 800
+                         ELSE 1000 END AS rate
+        FROM documents)
+      SELECT doc_id, lang, bucket FROM b
+      WHERE bucket < rate ORDER BY doc_id""",
     "q_text_chunk" -> s"""
       WITH d AS (SELECT doc_id, $toks AS t FROM documents),
       k AS (SELECT doc_id, t, len(t) AS n,
