@@ -61,4 +61,72 @@ class PropertiesSpec extends SparkSpec {
     }
     assert(check(params, prop).passed)
   }
+
+  test("chunking with stride == size partitions the token stream exactly") {
+    // non-overlapping chunks concatenated must reproduce the tokens
+    val texts: Gen[List[String]] = Gen.listOfN(6, for {
+      n <- Gen.choose(0, 23)
+      ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield ws.mkString(" "))
+    val prop = Prop.forAll(texts) { ts =>
+      val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = graft.text.Chunker
+        .chunkTokens(docs, "text", "doc_id", 7, 7)
+        .orderBy("doc_id", "chunk_id")
+        .select("doc_id", "toks")
+        .as[(Long, Seq[String])].collect()
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
+      ts.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split(" ").filter(_.nonEmpty).toSeq
+        chunks.getOrElse(i.toLong, Seq.empty) == toks
+      }
+    }
+    assert(check(params, prop).passed)
+  }
+
+  test("connectedComponents: every edge's endpoints share a component; labels are fixpoints") {
+    val edges: Gen[List[(Long, Long)]] = Gen.listOfN(10, for {
+      a <- Gen.choose(1L, 9L)
+      b <- Gen.choose(1L, 9L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    val prop = Prop.forAll(edges) { es =>
+      es.isEmpty || {
+        val pairs = es.toDF("id_a", "id_b")
+        val comp = graft.dedup.Dedup.connectedComponents(pairs)
+          .as[(Long, Long)].collect().toMap
+        val endpointsAgree = es.forall { case (a, b) => comp(a) == comp(b) }
+        // relabeling the components with themselves changes nothing
+        val again = graft.dedup.Dedup.connectedComponents(
+          comp.toSeq.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        endpointsAgree && comp.forall { case (id, c) =>
+          id == c || again(id) == comp(id)
+        }
+      }
+    }
+    assert(check(params, prop).passed)
+  }
+
+  test("packBins: bins are contiguous from 0 and overfill ≤ one row per bin") {
+    val weights: Gen[List[Long]] = Gen.listOfN(12, Gen.choose(1L, 400L))
+    val prop = Prop.forAll(weights) { ws =>
+      val rows = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w")
+      val packed = graft.text.Chunker
+        .packBins(rows, Seq(col("id")), "w", 500L)
+        .select("id", "w", "bin").as[(Long, Long, Long)].collect()
+        .sortBy(_._1)
+      val bins = packed.map(_._3)
+      val contiguous = bins.distinct.sorted.sameElements(
+        0L.to(bins.max))
+      val capacityOk = packed.groupBy(_._3).values.forall { rs =>
+        val total = rs.map(_._2).sum
+        // start-offset rule: at most ONE row's weight past the budget
+        total <= 500L + rs.map(_._2).max
+      }
+      ws.isEmpty || (contiguous && capacityOk)
+    }
+    assert(check(params, prop).passed)
+  }
 }
