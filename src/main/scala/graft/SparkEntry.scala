@@ -1848,20 +1848,8 @@ object SparkEntry {
     // — against the identical batch oracle. Makes streaming execution
     // itself driver-gated, not only MemoryStream-spec-gated.
     "q_stream_exec" -> ((s, dir) => {
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      // the file source monitors a DIRECTORY; point it at the sf dir
-      // and glob-filter to the events table's file(s)
-      val src0 = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-      // events carries TIMESTAMP(NANOS) → long under nanosAsLong;
-      // normalize to a micros timestamp exactly like Tables does
-      val src = if (raw.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else src0
       val agg = graft.streaming.StreamingOps
-        .windowedTypeCounts(src, "1 hour", "1 hour")
+        .windowedTypeCounts(eventsStream(s, dir), "1 hour", "1 hour")
       val sink = s"q_stream_exec_${streamExecSeq.incrementAndGet()}"
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete")
@@ -1883,16 +1871,8 @@ object SparkEntry {
     // pass equals the batch operator exactly (the cross-batch
     // carry-over is spec-gated separately in StatefulOpsSpec).
     "q_stream_gap" -> ((s, dir) => {
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val src0 = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-      val src = if (raw.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else src0
       // injective group key: user_id digits never contain '|'
-      val keyed = src.select(
+      val keyed = eventsStream(s, dir).select(
         concat_ws("|", col("user_id"), col("event_type")).as("k"),
         col("ts"), col("event_id").as("id"))
       val marked = graft.streaming.StatefulOps.gapMarkStream(keyed, 3)
@@ -1911,6 +1891,28 @@ object SparkEntry {
   /** Unique memory-sink names: the row may run several times in one
     * session (partition-invariance spec, repeated bench runs). */
   private val streamExecSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The events table as a file-source stream, robust to layout: a
+    * single-FILE table needs the parent dir + a filename glob (the
+    * source monitors directories), while a DIRECTORY table is
+    * streamed directly — a glob on the parent would silently match
+    * zero part files and stream nothing (caught by the 10× scale
+    * probe, whose staged tables are directories). Normalizes the
+    * nanos ts exactly like Tables. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val raw = s.read.parquet(path)
+    val src0 =
+      if (new java.io.File(path).isDirectory)
+        s.readStream.schema(raw.schema).parquet(path)
+      else
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (raw.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else src0
+  }
 
   /** Parts with the fuzzy blocking key, guarded: a skewed
     * (size, first-word) block fails the job loudly instead of
