@@ -1625,6 +1625,23 @@ object SparkEntry {
       fuzzyPairs(s, dir).orderBy("id_a", "id_b")
     }),
 
+    // 74: frame-sampling plumbing over the media schema — uniform
+    // sample of nSamples frame rows per media row (first/last always
+    // included). The frame payload is the declared byte-slice stub
+    // (no video codec in this JVM); the explode/schema/slicing
+    // plumbing is real and the oracle checks it byte-exactly (ascii
+    // text payloads ⇒ DuckDB's char slicing == Spark's byte slicing).
+    "q_frame_sample" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.asMedia(
+        t(s, dir, "documents"), "doc_id", "text",
+        "video_stub", "application/octet-stream")
+      graft.multimodal.Multimodal
+        .sampleFrames(media, expr("meta.n_bytes div 64"), 4, 64)
+        .select(col("media_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_hash"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // 73: deterministic stratified sampling — per-language keep rates
     // (data mixing: downsample dominant languages, keep the rest),
     // decided by an md5 bucket per row so the sample is reproducible
@@ -2002,6 +2019,18 @@ object SparkEntry {
       SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
              sum(CAST(len($toks) AS BIGINT)) AS sum_tokens
       FROM documents GROUP BY lang ORDER BY lang""",
+    "q_frame_sample" -> """
+      WITH m AS (SELECT doc_id AS media_id, text,
+                   greatest(length(text) // 64, 1) AS nf
+                 FROM documents),
+      s AS (SELECT media_id, text, nf, unnest(range(0, 4)) AS si FROM m),
+      f AS (SELECT DISTINCT media_id,
+              CAST((si * (nf - 1)) // 3 AS BIGINT) AS frame_idx,
+              text FROM s)
+      SELECT media_id, frame_idx,
+             md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64))
+               AS frame_hash
+      FROM f ORDER BY media_id, frame_idx""",
     "q_stratified_sample" -> """
       WITH b AS (
         SELECT doc_id, lang,

@@ -104,6 +104,70 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "lum_hist", "lum_mean")
   }
 
+  /** Real image resize over the media schema: decode with
+    * `javax.imageio`, scale onto a `targetW`×`targetH` canvas with
+    * bilinear interpolation (`java.awt.Graphics2D` — JDK built-in,
+    * no native libs), re-encode as PNG. Same per-partition streaming
+    * shape and corrupt-payload degradation (null bytes) as
+    * [[decodeImages]]; one image in memory at a time per task. */
+  def resizeImages(media: DataFrame, targetW: Int,
+      targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null) (id, null: Array[Byte])
+          else {
+            val out = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            (id, buf.toByteArray)
+          }
+        }
+      }.toDF("media_id", "resized")
+  }
+
+  /** Uniform frame sampling plumbing: emit `nSamples` frame rows per
+    * media row, frame i at index floor(i·(nFrames-1)/(nSamples-1))
+    * (first and last frames always included; a single sample takes
+    * frame 0). The frame PAYLOAD is the declared stub — a
+    * deterministic byte-slice of the container (video codecs aren't
+    * in this JVM); a real demuxer swaps into the slice expression.
+    * Everything else — the explode to frame rows, the schema, the
+    * per-row bounded cost — is the real 100 TB shape. Pure Column
+    * expressions, no shuffle. */
+  def sampleFrames(media: DataFrame, nFramesCol: org.apache.spark.sql.Column,
+      nSamples: Int, frameBytes: Int = 64): DataFrame = {
+    require(nSamples > 0)
+    val nf = greatest(nFramesCol.cast("long"), lit(1L))
+    val idx =
+      if (nSamples == 1) lit(0L)
+      else floor(col("__s") * (nf - 1) / (nSamples - 1)).cast("long")
+    media
+      .withColumn("__s", explode(sequence(lit(0), lit(nSamples - 1))))
+      .withColumn("frame_idx", idx)
+      // stub frame payload: a deterministic container slice
+      .withColumn("frame", substring(col("content"),
+        (col("frame_idx") * frameBytes + 1).cast("int"), lit(frameBytes)))
+      .drop("__s")
+      .dropDuplicates("media_id", "frame_idx")
+  }
+
   /** Batched per-partition feature extraction over the media schema —
     * the shape a real decoder plugs into: one iterator pass, bounded
     * memory, no driver involvement. Emits (media_id, n_bytes,

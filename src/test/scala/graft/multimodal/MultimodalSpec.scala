@@ -60,6 +60,51 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L)._2 == -1 && got(4L)._4 == null && got(4L)._5.isEmpty)
   }
 
+  test("resizeImages scales real pixels (bilinear) and degrades on corrupt") {
+    import java.awt.image.BufferedImage
+    import java.awt.Color
+    def png(w: Int, h: Int, c: Color): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c.getRGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = spark.createDataFrame(Seq(
+      (1L, png(8, 4, Color.WHITE)), (2L, Array[Byte](9, 9, 9))))
+      .toDF("media_id", "content")
+    val resized = Multimodal.resizeImages(media, 4, 2)
+    // decode the resized payloads back: dims must be the target,
+    // and a solid color survives interpolation exactly
+    val back = Multimodal.decodeImages(
+      resized.withColumnRenamed("resized", "content"))
+      .as[(Long, Int, Int, Array[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(back(1L)._2 == 4 && back(1L)._3 == 2 && back(1L)._5.get == 1.0)
+    assert(back(2L)._2 == -1) // corrupt in → null resized → null decode
+  }
+
+  test("sampleFrames: uniform indices incl. first/last, stub slice is the container slice") {
+    val media = Multimodal.asMedia(
+      // 300 bytes → 4 "frames" of 64 (nf = 300 div 64 = 4)
+      Seq((1L, "ab" * 150)).toDF("id", "p"), "id", "p",
+      "video_stub", "application/octet-stream")
+    val got = Multimodal
+      .sampleFrames(media, expr("meta.n_bytes div 64"), 4, 64)
+      .select(col("frame_idx"), length(col("frame")).as("len"))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    // nf=4 → sampled indices floor(s*3/3) for s=0..3 = 0,1,2,3
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // every slice fits: frame 3 covers bytes 193-256 of 300
+    assert(got.forall(_._2 == 64))
+    // fewer frames than samples → distinct indices only
+    val one = Multimodal.asMedia(
+      Seq((1L, "xy")).toDF("id", "p"), "id", "p", "video_stub", "b")
+    val g1 = Multimodal.sampleFrames(one, expr("meta.n_bytes div 64"), 4, 64)
+      .select("frame_idx").as[Long].collect()
+    assert(g1.toSeq == Seq(0L))
+  }
+
   test("fakeDecode is deterministic and bounded [0,1)") {
     val f = Seq("payload").toDF("t")
       .select(Multimodal.fakeDecode(col("t").cast("binary"), 4).as("f"))
