@@ -16,8 +16,21 @@ def norm(v):
     if v is None:
         return ("\x00",)  # nulls sort first, match only null
     if isinstance(v, float):
+        if math.isnan(v):
+            return ("\x00",)  # pandas renders null ints/dates as NaN
         return ("f", round(v, 9))
     return (type(v).__name__[0], str(v))
+
+def dtype_check(con, sql, files):
+    """The driver compares through pandas, where DuckDB result types
+    can silently widen/narrow (HUGEINT -> float64 bit us in r4:
+    values equal, dtypes differ, hash mismatched). Compare the pandas
+    dtype of every shared column."""
+    d_df = con.execute(sql).fetchdf()
+    s_df = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    return [f"dtype {c}: spark={s_df.dtypes[c]} duck={d_df.dtypes[c]}"
+            for c in d_df.columns
+            if c in s_df.columns and str(d_df.dtypes[c]) != str(s_df.dtypes[c])]
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -49,6 +62,10 @@ def main():
             n_fail += 1
             continue
         msgs = []
+        try:
+            msgs += dtype_check(con, sql, files)
+        except Exception as e:
+            msgs.append(f"dtype-check error: {e}")
         if sorted(s_cols) != sorted(d_cols):
             msgs.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):

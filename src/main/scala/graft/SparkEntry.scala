@@ -2015,9 +2015,13 @@ object SparkEntry {
     "q_token_count" -> s"""
       SELECT doc_id, CAST(len($toks) AS INT) AS n_tokens
       FROM documents ORDER BY doc_id""",
+    // sums carry an outer BIGINT cast: DuckDB sum(BIGINT) returns
+    // HUGEINT, which pandas narrows to float64 — the driver's hash
+    // then compares "19525.0" vs Spark's "19525" (the r4 red row).
     "q_json_source" -> s"""
-      SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-             sum(CAST(len($toks) AS BIGINT)) AS sum_tokens
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(CAST(len($toks) AS BIGINT)) AS BIGINT) AS sum_tokens
       FROM documents GROUP BY lang ORDER BY lang""",
     "q_frame_sample" -> """
       WITH m AS (SELECT doc_id AS media_id, text,
