@@ -1562,6 +1562,128 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // 75: top-3 TF-IDF salient terms per document. Rational idf
+    // (N+1)/(df+1) — see Relevance's determinism note (ln is not
+    // correctly-rounded in every runtime; ranks must not hang on a
+    // libm ulp). The 1-row corpus-count frame rides a broadcast
+    // cross join (fenced as an intended nested loop in PlanSpec).
+    "q_tfidf" -> ((s, dir) => {
+      graft.text.Relevance
+        .tfidfTopK(t(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // 76: BM25 document ranking for a fixed query-term bag. Top-20 via
+    // orderBy+limit (TakeOrdered: per-partition heaps — NOT a global
+    // single-partition window); the rank column is then numbered over
+    // the already-20-row result, where a 1-partition window is free.
+    "q_bm25" -> ((s, dir) => {
+      val top = graft.text.Relevance
+        .bm25(t(s, dir, "documents"), "text", "doc_id",
+          Seq("table", "join", "window"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank").cast("int").as("rank"),
+          round(col("score"), 6).as("score"))
+        .orderBy("rank")
+    }),
+
+    // 77: PII redaction (emails → <EMAIL>, then phones → <PHONE>)
+    // with per-class hit counts. The corpus is synthetic and carries
+    // no real PII, so deterministic PII is spliced into each document
+    // from its doc_id — the operator still does the real regex work
+    // over the full text.
+    "q_pii_redact" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          when(col("doc_id") % 3 === 0, lit(" alt a.b@mail.org"))
+            .otherwise(lit(""))).as("full_text"))
+      graft.text.Redact.report(aug, "full_text", "doc_id")
+        .select(col("doc_id"), col("n_0").as("n_email"),
+          col("n_1").as("n_phone"), md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // 78: Gopher-style repetition metrics — most-frequent-bigram share
+    // as exact integers (max_count·20 > total ⇔ share > 5%; no float
+    // threshold). Two shuffles: (doc, bigram) count, then per-doc.
+    "q_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(TF.bigramsFromTokens(col("t"))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max("cnt").as("max_count"),
+          when(max("cnt") * 20 > sum("cnt"), 1).otherwise(0).cast("int")
+            .as("rep_flag"))
+        .orderBy("doc_id")
+    }),
+
+    // 79: train/test decontamination — deterministic 10% test split by
+    // salted doc-id hash, word 5-gram hash overlap (5 chosen where the
+    // synthetic vocab gives a non-trivial hit mix; real corpora use
+    // 8-13). Long↔long equi-join on gram hashes, never on text.
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isTest = TF.hash32(
+        concat(lit("cont:"), col("doc_id").cast("string"))) % 10 === 0
+      graft.text.Contamination.report(
+          docs.filter(!isTest), docs.filter(isTest), "text", "doc_id", 5)
+        .orderBy("doc_id")
+    }),
+
+    // 80: inverted-index posting lists — df + ascending doc-id
+    // postings per token, md5-pinned (the full list is checked, not
+    // sampled).
+    "q_inverted_index" -> ((s, dir) => {
+      graft.text.Corpus.postings(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("token"), col("df"),
+          md5(col("postings")).as("postings_md5"))
+        .orderBy("token")
+    }),
+
+    // 81: exact discrete percentiles (p50/p90/p99) per order priority
+    // over BIGINT cents — integer rank thresholds (rn·den ≥ n·num),
+    // no float ranks, engine- and partitioning-exact.
+    "q_percentiles" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("pri"),
+        cents(col("o_totalprice")).as("cents"), col("o_orderkey"))
+      graft.ops.Stats.percentileDisc(o, Seq("pri"), "cents", "o_orderkey",
+          Seq(("p50c", 1, 2), ("p90c", 9, 10), ("p99c", 99, 100)))
+        .select(col("pri"), col("n"),
+          money(col("p50c")).as("p50"), money(col("p90c")).as("p90"),
+          money(col("p99c")).as("p99"))
+        .orderBy("pri")
+    }),
+
+    // 82: bigram-LM statistics — the most likely next token per token
+    // (count desc, word asc — total), with the per-token total for
+    // conditional probability downstream. Pure integer outputs.
+    "q_bigram_lm" -> ((s, dir) => {
+      val c = t(s, dir, "documents")
+        .select(TF.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(TF.bigramPairsFromTokens(col("t"))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      c.withColumn("total",
+          sum("cnt").over(Window.partitionBy(col("w1"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("w1"))
+            .orderBy(col("cnt").desc, col("w2"))))
+        .filter(col("rk") === 1)
+        .select("w1", "w2", "cnt", "total")
+        .orderBy("w1")
+    }),
+
     // 27: text-quality scoring — ratios rounded to 6dp (both engines
     // evaluate the identical double expression tree).
     "q_text_quality" -> ((s, dir) => {
@@ -2023,6 +2145,141 @@ object SparkEntry {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              CAST(sum(CAST(len($toks) AS BIGINT)) AS BIGINT) AS sum_tokens
       FROM documents GROUP BY lang ORDER BY lang""",
+    "q_tfidf" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT count(*) AS nd FROM documents),
+      s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+              CAST(tf.tf AS DOUBLE) * ((nd + 1.0) / (df.df + 1.0)) AS score
+            FROM tf JOIN df USING (token) CROSS JOIN n),
+      r AS (SELECT doc_id, token, tf, df,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token) AS rank
+            FROM s)
+      SELECT doc_id, CAST(rank AS INT) AS rank, token,
+             CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q_bm25" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+      stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                       count(*) AS nd FROM dl),
+      tf AS (SELECT doc_id, token, count(*) AS tf
+             FROM (SELECT doc_id, unnest(t) AS token FROM d)
+             GROUP BY 1, 2),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      term AS (SELECT tf.doc_id, tf.token,
+                 ((nd - df.df + 0.5) / (df.df + 0.5)) *
+                 ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                  (CAST(tf.tf AS DOUBLE) + 1.2 *
+                   ((1.0 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) / avgdl))))
+                   AS ts
+               FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+                    CROSS JOIN stats
+               WHERE tf.token IN ('table', 'join', 'window')),
+      sc AS (SELECT doc_id,
+               coalesce(max(CASE WHEN token = 'table'  THEN ts END), 0.0)
+             + coalesce(max(CASE WHEN token = 'join'   THEN ts END), 0.0)
+             + coalesce(max(CASE WHEN token = 'window' THEN ts END), 0.0)
+               AS score
+             FROM term GROUP BY doc_id),
+      r AS (SELECT doc_id, score,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM sc)
+      SELECT doc_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+      FROM r WHERE rank <= 20 ORDER BY rank""",
+    "q_pii_redact" -> s"""
+      WITH aug AS (SELECT doc_id,
+        text || ' contact u' || doc_id || '@ex.com or +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || CASE WHEN doc_id % 3 = 0 THEN ' alt a.b@mail.org'
+                     ELSE '' END AS full_text
+        FROM documents),
+      e AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(full_text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT)
+                AS n_email,
+              regexp_replace(full_text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g')
+                AS r1
+            FROM aug),
+      p AS (SELECT doc_id, n_email,
+              CAST(len(regexp_extract_all(r1, '\\+[0-9][0-9-]{7,}')) AS INT)
+                AS n_phone,
+              regexp_replace(r1, '\\+[0-9][0-9-]{7,}', '<PHONE>', 'g') AS r2
+            FROM e)
+      SELECT doc_id, n_email, n_phone, md5(r2) AS redacted_md5
+      FROM p ORDER BY doc_id""",
+    "q_repetition" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+      b AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1])) AS bg
+            FROM d WHERE len(t) >= 2),
+      c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(cnt) AS BIGINT) AS max_count,
+             CAST(CASE WHEN max(cnt) * 20 > sum(cnt) THEN 1 ELSE 0 END
+               AS INT) AS rep_flag
+      FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_contamination" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t,
+                   ('0x' || substr(md5('cont:' || doc_id), 1, 8))::BIGINT
+                     % 10 = 0 AS is_test
+                 FROM documents),
+      g AS (SELECT doc_id, is_test,
+              unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                i -> ('0x' || substr(md5(
+                  array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT))) AS gh
+            FROM d WHERE len(t) >= 5),
+      tr AS (SELECT DISTINCT gh FROM g WHERE NOT is_test),
+      te AS (SELECT doc_id, gh FROM g WHERE is_test)
+      SELECT te.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(tr.gh) AS BIGINT) AS n_hit,
+             CAST(CASE WHEN count(tr.gh) > 0 THEN 1 ELSE 0 END AS INT)
+               AS contaminated
+      FROM te LEFT JOIN tr ON te.gh = tr.gh
+      GROUP BY te.doc_id ORDER BY te.doc_id""",
+    "q_inverted_index" -> s"""
+      WITH tok AS (SELECT DISTINCT doc_id, unnest(list_distinct($toks))
+                     AS token FROM documents)
+      SELECT token, CAST(count(*) AS BIGINT) AS df,
+             md5(array_to_string(list(doc_id ORDER BY doc_id), '-'))
+               AS postings_md5
+      FROM tok GROUP BY token ORDER BY token""",
+    "q_percentiles" -> """
+      WITH c AS (SELECT o_orderpriority AS pri,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderkey
+                 FROM orders),
+      r AS (SELECT pri, cents,
+              row_number() OVER (PARTITION BY pri
+                ORDER BY cents, o_orderkey) AS rn,
+              count(*) OVER (PARTITION BY pri) AS n
+            FROM c)
+      SELECT pri, CAST(max(n) AS BIGINT) AS n,
+             CAST(min(CASE WHEN rn * 2 >= n THEN cents END) AS DOUBLE)
+               / 100.0 AS p50,
+             CAST(min(CASE WHEN rn * 10 >= n * 9 THEN cents END) AS DOUBLE)
+               / 100.0 AS p90,
+             CAST(min(CASE WHEN rn * 100 >= n * 99 THEN cents END) AS DOUBLE)
+               / 100.0 AS p99
+      FROM r GROUP BY pri ORDER BY pri""",
+    "q_bigram_lm" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+      b AS (SELECT unnest(list_transform(range(1, len(t)),
+              i -> [t[i], t[i + 1]])) AS bg
+            FROM d WHERE len(t) >= 2),
+      c AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS cnt
+            FROM b GROUP BY 1, 2),
+      r AS (SELECT w1, w2, cnt,
+              CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS total,
+              row_number() OVER (PARTITION BY w1
+                ORDER BY cnt DESC, w2) AS rk
+            FROM c)
+      SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, total
+      FROM r WHERE rk = 1 ORDER BY w1""",
     "q_frame_sample" -> """
       WITH m AS (SELECT doc_id AS media_id, text,
                    greatest(length(text) // 64, 1) AS nf

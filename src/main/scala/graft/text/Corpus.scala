@@ -36,6 +36,23 @@ object Corpus {
       .select("token")
   }
 
+  /** Inverted-index posting lists: per token, document frequency and
+    * the ascending doc-id posting list (joined with '-'; pin with md5
+    * for compact verification). At warehouse scale postings are a
+    * written artifact sharded by token — the shape here (explode →
+    * one groupBy(token)) IS the shard build; a df cap (`maxDf`)
+    * bounds the largest posting a single reducer materializes, the
+    * way real indexes stop-list their head terms. */
+  def postings(docs: DataFrame, textCol: String, idCol: String,
+      maxDf: Long = Long.MaxValue): DataFrame =
+    docs.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(sort_array(collect_list(col(idCol))),
+          d => d.cast("string")), "-").as("postings"))
+      .filter(col("df") <= maxDf)
+
   /** Per-document token counts before/after stripping the
     * corpus-common tokens: the boilerplate-removal accounting a
     * curation pipeline gates on. Documents reduced to nothing stay

@@ -86,6 +86,26 @@ object TextFunctions {
   def minhashSignature(shingleSet: Column, nPerm: Int): Column =
     minhashFromHashes(shingleHashes(shingleSet), nPerm)
 
+  /** Adjacent token bigrams ("w1 w2") from a materialized token
+    * array; empty when fewer than 2 tokens (NEVER call on unguarded
+    * size<2 input via sequence — a descending sequence(1,0) would
+    * fabricate grams). */
+  def bigramsFromTokens(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "),
+          element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Adjacent token pairs as structs (w1, w2) — for n-gram LM stats
+    * where the two words group separately. */
+  def bigramPairsFromTokens(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * robust to token order / duplication, cheap exact-near-dup key. */
   def fingerprint(text: Column): Column =

@@ -21,9 +21,12 @@ class PlanSpec extends SparkSpec {
   // rows — the probe join itself is an equi-join on the cell id;
   // q_corpus_stopwords threads the ONE-row corpus count into the
   // vocabulary-sized DF frame (the scalar-aggregate cross join —
-  // bounded at 1 × |vocabulary| rows).
+  // bounded at 1 × |vocabulary| rows); q_tfidf and q_bm25 thread the
+  // same 1-row corpus-stats frame (N / avgdl) into per-term frames
+  // the same way.
   private val intendedNestedLoop =
-    Set("q_embed_topk", "q_embed_ivf", "q_corpus_stopwords")
+    Set("q_embed_topk", "q_embed_ivf", "q_corpus_stopwords",
+      "q_tfidf", "q_bm25")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>

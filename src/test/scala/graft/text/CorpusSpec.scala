@@ -27,6 +27,18 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set("common"))
   }
 
+  test("postings are ascending, distinct per doc, df-capped") {
+    val got = Corpus.postings(docs, "text", "doc_id")
+      .select("token", "df", "postings")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("common") == ((4L, "1-2-3-4"))) // doc 1 repeat counted once
+    assert(got("alpha") == ((1L, "1")))
+    val capped = Corpus.postings(docs, "text", "doc_id", maxDf = 1)
+      .select("token").as[String].collect().toSet
+    assert(capped == Set("alpha", "beta", "gamma")) // 'common' stop-listed
+  }
+
   test("stripCommonCounts keeps emptied docs with n_after = 0") {
     val got = Corpus.stripCommonCounts(docs, "text", "doc_id", 3, 4)
       .select("doc_id", "n_before", "n_after")

@@ -21,6 +21,19 @@ class TextSpec extends SparkSpec {
     assert(m("aaaa") == Seq("aaa")) // distinct
   }
 
+  test("bigrams: adjacent pairs, empty under 2 tokens") {
+    val df = Seq("a b c", "solo", "").toDF("t")
+      .select(col("t"), bigramsFromTokens(tokens(col("t"))).as("b"),
+        bigramPairsFromTokens(tokens(col("t"))).as("p"))
+    val m = df.select("t", "b").as[(String, Seq[String])].collect().toMap
+    assert(m("a b c") == Seq("a b", "b c"))
+    assert(m("solo") == Seq() && m("") == Seq())
+    val pairs = df.filter(col("t") === "a b c")
+      .select(explode(col("p"))).select("col.w1", "col.w2")
+      .as[(String, String)].collect().toSeq
+    assert(pairs == Seq(("a", "b"), ("b", "c")))
+  }
+
   test("fingerprint is invariant to token order and duplication") {
     val fps = Seq("the cat sat", "sat the cat the").toDF("t")
       .select(fingerprint(col("t"))).as[String].collect()
