@@ -468,6 +468,34 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // 83: EXISTS / NOT EXISTS through the SQL front door — the one
+    // string below runs verbatim on both engines; Catalyst rewrites
+    // the correlated EXISTS into a left-semi join and the NOT EXISTS
+    // into a left-anti join (per-priority counts of orders with a
+    // discounted line / with no lines at all).
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(existsSubquerySql)
+    }),
+
+    // 84: explicit GROUPING SETS with grouping() markers — finer
+    // control than the rollup/cube rows (a hand-picked lattice), one
+    // shared SQL string, exact cents for the money sum.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(groupingSetsSql)
+    }),
+
+    // 85: distribution windows — percent_rank / cume_dist / ntile per
+    // group. Ranks and peer counts are integers, so the two ratios
+    // are exact integer divisions: identical doubles on any engine;
+    // ntile ordering made total with the unique key.
+    "q_window_cume" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(windowCumeSql)
+    }),
+
     // 44: deliberately skewed fact⨝dim join through Skew.saltedJoin —
     // ~70% of fact rows share one hot key; the salt spreads that key
     // over 8 sub-partitions so no single task owns 70% of the shuffle.
@@ -780,6 +808,59 @@ object SparkEntry {
         < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
            WHERE l2.l_partkey = l.l_partkey)
     GROUP BY p_brand ORDER BY p_brand"""
+
+  /** Shared verbatim: correlated EXISTS → semi join, NOT EXISTS →
+    * anti join, aggregated per priority. */
+  private val existsSubquerySql: String = """
+    WITH e AS (SELECT o_orderpriority, count(*) AS n_disc
+               FROM orders o
+               WHERE EXISTS (SELECT 1 FROM lineitem
+                             WHERE l_orderkey = o.o_orderkey
+                               AND l_discount > 0.05)
+               GROUP BY o_orderpriority),
+    ne AS (SELECT o_orderpriority, count(*) AS n_empty
+           FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                             WHERE l_orderkey = o.o_orderkey)
+           GROUP BY o_orderpriority),
+    p AS (SELECT DISTINCT o_orderpriority FROM orders)
+    SELECT p.o_orderpriority,
+           CAST(coalesce(e.n_disc, 0) AS BIGINT) AS n_disc,
+           CAST(coalesce(ne.n_empty, 0) AS BIGINT) AS n_empty
+    FROM p LEFT JOIN e USING (o_orderpriority)
+           LEFT JOIN ne USING (o_orderpriority)
+    ORDER BY o_orderpriority"""
+
+  /** Shared verbatim: hand-picked grouping lattice + grouping()
+    * markers; money through exact cents. */
+  private val groupingSetsSql: String = """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    ORDER BY g_rf, g_ls, rf, ls"""
+
+  /** Shared verbatim: percent_rank/cume_dist are ratios of integer
+    * ranks/peer counts — exact divisions, identical on any engine.
+    * round(·, 9) only normalizes display width (same input bits). */
+  private val windowCumeSql: String = """
+    WITH c AS (SELECT o_orderkey, o_orderpriority AS pri,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
+    SELECT o_orderkey, pri,
+           round(percent_rank() OVER (PARTITION BY pri ORDER BY cents), 9)
+             AS pr,
+           round(cume_dist() OVER (PARTITION BY pri ORDER BY cents), 9)
+             AS cd,
+           CAST(ntile(10) OVER (PARTITION BY pri
+             ORDER BY cents, o_orderkey) AS INT) AS decile
+    FROM c ORDER BY o_orderkey"""
 
   // ======================================================== ETL rows 1-12
 
@@ -1684,6 +1765,37 @@ object SparkEntry {
         .orderBy("w1")
     }),
 
+    // 86: composite curation gate — first-failing-rule reason codes
+    // (too_short → low_diversity → repetitive → keep), the filter
+    // shape every corpus pipeline ends with. Length/diversity are
+    // per-row Column work; the repetition input joins back doc-keyed
+    // (the only shuffle chain). kept derives from reason, so the two
+    // can never disagree.
+    "q_quality_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+      val m = d.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        TF.uniqueTokenRatioFromTokens(col("t")).as("__uniq"))
+      val rep = d.filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(TF.bigramsFromTokens(col("t"))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("__total"), max("cnt").as("__maxc"))
+      val isRep = coalesce(col("__maxc") * 20 > col("__total"), lit(false))
+      m.join(rep, Seq("doc_id"), "left")
+        .withColumn("reason",
+          when(col("n_tokens") < 30, "too_short")
+            .when(col("__uniq") < 0.35, "low_diversity")
+            .when(isRep, "repetitive")
+            .otherwise("keep"))
+        .select(col("doc_id"), col("n_tokens"), col("reason"),
+          when(col("reason") === "keep", 1).otherwise(0).cast("int")
+            .as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // 27: text-quality scoring — ratios rounded to 6dp (both engines
     // evaluate the identical double expression tree).
     "q_text_quality" -> ((s, dir) => {
@@ -2280,6 +2392,33 @@ object SparkEntry {
             FROM c)
       SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, total
       FROM r WHERE rk = 1 ORDER BY w1""",
+    "q_exists_subquery" -> existsSubquerySql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_window_cume" -> windowCumeSql,
+    "q_quality_gate" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+      m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+              CASE WHEN len(t) > 0 THEN
+                CAST(len(list_distinct(t)) AS DOUBLE) /
+                CAST(len(t) AS DOUBLE) ELSE 0.0 END AS uniq,
+              t FROM d),
+      b AS (SELECT doc_id, bg, count(*) AS cnt FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+              FROM d WHERE len(t) >= 2) GROUP BY 1, 2),
+      r AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
+              CAST(max(cnt) AS BIGINT) AS maxc FROM b GROUP BY doc_id),
+      g AS (SELECT m.doc_id, m.n_tokens,
+              CASE WHEN m.n_tokens < 30 THEN 'too_short'
+                   WHEN m.uniq < 0.35 THEN 'low_diversity'
+                   WHEN coalesce(r.maxc * 20 > r.total, false)
+                     THEN 'repetitive'
+                   ELSE 'keep' END AS reason
+            FROM m LEFT JOIN r ON m.doc_id = r.doc_id)
+      SELECT doc_id, n_tokens, reason,
+             CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS INT)
+               AS kept
+      FROM g ORDER BY doc_id""",
     "q_frame_sample" -> """
       WITH m AS (SELECT doc_id AS media_id, text,
                    greatest(length(text) // 64, 1) AS nf
