@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter pre-filtered equi-join — the 100 TB shuffle-avoidance
+  * pattern: when the probe side is huge and the build side is
+  * selective but too large to broadcast as a hash-join, a bloom
+  * filter over the build keys (a few MB regardless of row width)
+  * broadcasts to every probe task and drops rows that cannot match
+  * BEFORE the probe side shuffles. False positives are pruned by the
+  * exact join that follows, so the composed operator is semantically
+  * identical to the plain join — only cheaper.
+  *
+  * Built on Spark's own `BloomFilterAggregate` /
+  * `BloomFilterMightContain` (the expressions behind AQE's injected
+  * runtime filters), keyed through `xxhash64` on both sides, surfaced
+  * through [[GraftBridge]]. Reference analog: the lookup joins in
+  * /root/reference/capital_sendas.py:217-241 (pandas merges) — at
+  * scale the fact side must not shuffle rows the dimension filter
+  * already excludes.
+  */
+object Bloom {
+
+  /** Aggregate a key column into a serialized bloom filter (binary). */
+  def bloomAgg(key: Column, expectedItems: Long): Column =
+    GraftBridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(GraftBridge.expression(key))), expectedItems)
+        .toAggregateExpression())
+
+  /** Membership probe against a bloom built by [[bloomAgg]]. */
+  def mightContain(bloom: Column, key: Column): Column =
+    GraftBridge.column(
+      BloomFilterMightContain(
+        GraftBridge.expression(bloom),
+        new XxHash64(Seq(GraftBridge.expression(key)))))
+
+  /** `fact ⋈ dim` on `factKey = dimKey`, with the fact side
+    * pre-filtered through a bloom over the dim keys. The 1-row bloom
+    * frame joins in via a broadcast (an intended 1-row nested loop —
+    * the standard scalar-broadcast shape); the exact equi-join then
+    * removes bloom false positives, so the result is exactly the
+    * plain inner join's.
+    */
+  def prefilteredJoin(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    val bloom = dim.agg(bloomAgg(col(dimKey), expectedItems).as("__bloom"))
+    fact.crossJoin(broadcast(bloom))
+      .filter(mightContain(col("__bloom"), col(factKey)))
+      .drop("__bloom")
+      .join(dim, col(factKey) === col(dimKey))
+  }
+}
