@@ -12,12 +12,16 @@ sorts columns by name before hashing values).
 import sys, json, glob, math
 import duckdb
 
-def norm(v):
+def norm(v, float_col=False):
     if v is None:
         return ("\x00",)  # nulls sort first, match only null
     if isinstance(v, float):
         if math.isnan(v):
-            return ("\x00",)  # pandas renders null ints/dates as NaN
+            # Pandas renders null ints/dates as NaN -> fold to the null
+            # key ONLY for non-float columns. In a genuinely float
+            # column a NaN is a real value (0.0/0.0 divergence between
+            # engines must FAIL, not alias to null).
+            return ("f", "nan") if float_col else ("\x00",)
         return ("f", round(v, 9))
     return (type(v).__name__[0], str(v))
 
@@ -71,10 +75,20 @@ def main():
         if len(s_rows) != len(d_rows):
             msgs.append(f"rows: spark={len(s_rows)} duck={len(d_rows)}")
         if not msgs:
+            # per-column float-ness from the Spark parquet schema: NaN
+            # stays a distinct value in genuinely float columns (see
+            # norm); duckdb's DB-API description only says NUMBER, so
+            # read the relation's .types instead
+            sp_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            is_float = {c: str(t) in ("FLOAT", "DOUBLE")
+                        for c, t in zip(sp_rel.columns, sp_rel.types)}
             s_ix = [s_cols.index(c) for c in sorted(s_cols)]
             d_ix = [d_cols.index(c) for c in sorted(d_cols)]
-            s_sorted = sorted([tuple(norm(r[i]) for i in s_ix) for r in s_rows])
-            d_sorted = sorted([tuple(norm(r[i]) for i in d_ix) for r in d_rows])
+            fl = [is_float.get(c, False) for c in sorted(s_cols)]
+            s_sorted = sorted([tuple(norm(r[i], f) for i, f in zip(s_ix, fl))
+                               for r in s_rows])
+            d_sorted = sorted([tuple(norm(r[i], f) for i, f in zip(d_ix, fl))
+                               for r in d_rows])
             bad = [(a, b) for a, b in zip(s_sorted, d_sorted) if a != b]
             if bad:
                 msgs.append(f"values: {len(bad)} mismatched rows; first: "
@@ -84,8 +98,10 @@ def main():
                 # so each query's ORDER BY must be total up to
                 # identical rows
                 ooo = sum(1 for a, b in zip(
-                    [tuple(norm(r[i]) for i in s_ix) for r in s_rows],
-                    [tuple(norm(r[i]) for i in d_ix) for r in d_rows])
+                    [tuple(norm(r[i], f) for i, f in zip(s_ix, fl))
+                     for r in s_rows],
+                    [tuple(norm(r[i], f) for i, f in zip(d_ix, fl))
+                     for r in d_rows])
                     if a != b)
                 if ooo:
                     msgs.append(f"row-order: {ooo} rows out of order "

@@ -21,6 +21,24 @@ object Bench {
     // doesn't absorb session startup (~7s of JIT on a cold JVM).
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // SHAPE-warmup: run the ENTIRE suite once at the smallest SF
+    // before timing anything. The generated whole-stage code is
+    // identical across SFs (same schemas, same plans), so the timed
+    // loop below hits the codegen cache and an already-JITed JVM
+    // instead of paying one-time Janino compilation + C2 JIT of the
+    // biggest plans MID-suite — the mechanism behind the r4/r5
+    // contiguous ×2+ window centered on q_rollup → q_pipeline_e2e
+    // (profile-confirmed: those queries are at par isolated-steady).
+    // Costs seconds at sf0.001; makes the timed numbers steady-state.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+    }
     // noop-datasource write: forces full evaluation of every output column
     // (count() would let Catalyst prune the expression work away).
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -1748,6 +1748,11 @@ object SparkEntry {
     // 82: bigram-LM statistics — the most likely next token per token
     // (count desc, word asc — total), with the per-token total for
     // conditional probability downstream. Pure integer outputs.
+    // The argmax is TWO-PHASE AGGREGATION, not a window: at corpus
+    // scale "the" would make one reducer own the hottest w1 partition
+    // twice (sum-window + sort-window); min(struct(-cnt, w2)) is a
+    // partial-aggregable struct-min (lexicographic: largest cnt, then
+    // smallest w2 on ties) that spreads the hot token across mappers.
     "q_bigram_lm" -> ((s, dir) => {
       val c = t(s, dir, "documents")
         .select(TF.tokens(col("text")).as("t"))
@@ -1755,13 +1760,11 @@ object SparkEntry {
         .select(explode(TF.bigramPairsFromTokens(col("t"))).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      c.withColumn("total",
-          sum("cnt").over(Window.partitionBy(col("w1"))))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("w1"))
-            .orderBy(col("cnt").desc, col("w2"))))
-        .filter(col("rk") === 1)
-        .select("w1", "w2", "cnt", "total")
+      c.groupBy("w1")
+        .agg(sum("cnt").as("total"),
+          min(struct((-col("cnt")).as("nc"), col("w2").as("w"))).as("__m"))
+        .select(col("w1"), col("__m.w").as("w2"),
+          (-col("__m.nc")).as("cnt"), col("total"))
         .orderBy("w1")
     }),
 
@@ -2079,6 +2082,94 @@ object SparkEntry {
     "q_embed_centroid" -> ((s, dir) => {
       Similarity.centroids(t(s, dir, "embeddings"), "embedding", "label")
         .orderBy("grp", "pos")
+    }),
+
+    // 87: bloom-prefiltered fact⨝dim — the 100 TB shuffle-avoidance
+    // pattern for a dim that is selective but too large to broadcast
+    // as a hash join: a bloom over the dim keys (a few MB regardless
+    // of row width) broadcasts instead, and probe rows that cannot
+    // match drop BEFORE the join exchange. The exact equi-join prunes
+    // bloom false positives, so the oracle is the PLAIN join —
+    // semantically identical by construction (ops/Bloom.scala).
+    "q_bloom_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"),
+        cents(col("l_extendedprice")).as("price_c"))
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      graft.ops.Bloom.prefilteredJoin(fact, "l_orderkey", dim, "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          money(col("price_c")).as("price"), col("o_custkey"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "price")
+    }),
+
+    // 88: REAL image decode as a CHECKED row — a 64-image corpus of
+    // deterministic RGB patterns encoded as REAL PNGs on the
+    // executors (javax.imageio), decoded back through the production
+    // decodePixelHex path (ImageIO per partition, corrupt-tolerant),
+    // pinned by (width, height, md5 of the row-major rrggbb pixel
+    // transcript). PNG is lossless, so the decoded pixels equal the
+    // arithmetic pattern and the codec-less oracle reproduces the
+    // exact md5. The resize and frame-sample paths (spec-gated /
+    // q_frame_sample) plug into the same media schema; a real video
+    // demuxer swaps in where q_frame_sample's byte-slice stub sits.
+    "q_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy("doc_id").limit(64)
+      val media = ids.as[Long].repartition(8).mapPartitions { it =>
+        it.map(m => (m, graft.multimodal.Multimodal.patternPng(m)))
+      }.toDF("media_id", "content")
+      graft.multimodal.Multimodal.decodePixelHex(media)
+        .select(col("media_id"), col("width"), col("height"),
+          md5(col("pixel_hex")).as("pixel_md5"))
+        .orderBy("media_id")
+    }),
+
+    // 89: HLL approx-distinct vs its exact twin — the sketch a 100 TB
+    // user reaches for when count(DISTINCT)'s dedup shuffle is too
+    // expensive (HLL registers merge order-independently; no dedup
+    // pass). Checked output = the EXACT count (both engines) plus the
+    // bound check on Spark's running HLL++ estimate (rsd 2%, asserted
+    // within 10% or ±2): the approx path executes for real; the
+    // oracle pins the bound, the exact twin pins the truth.
+    "q_distinct_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("__approx"))
+        .select(col("l_returnflag"), col("supplier_cnt"),
+          (abs(col("__approx") - col("supplier_cnt")) <=
+            greatest(col("supplier_cnt") / lit(10L), lit(2L)))
+            .as("within_10pct"))
+        .orderBy("l_returnflag")
+    }),
+
+    // 90: approx percentiles vs the exact twin (q_percentiles) —
+    // percentile_approx (GK summary, accuracy 10000) per priority
+    // over BIGINT cents, checked against the exact integer-rank
+    // values within 5%. The exact columns come from the same
+    // Stats.percentileDisc path as q_percentiles, so the row also
+    // guards the twin-pair relationship itself.
+    "q_quantile_approx" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("pri"),
+        cents(col("o_totalprice")).as("cents"), col("o_orderkey"))
+      val ex = graft.ops.Stats.percentileDisc(o, Seq("pri"), "cents",
+        "o_orderkey", Seq(("p50c", 1, 2), ("p90c", 9, 10)))
+      val ap = o.groupBy("pri").agg(
+        percentile_approx(col("cents"), array(lit(0.5), lit(0.9)),
+          lit(10000)).as("__ap"))
+      ex.join(ap, "pri")
+        .select(col("pri"), col("n"),
+          money(col("p50c")).as("p50"), money(col("p90c")).as("p90"),
+          (abs(element_at(col("__ap"), 1) - col("p50c")) * 20 <=
+            col("p50c")).as("ok50"),
+          (abs(element_at(col("__ap"), 2) - col("p90c")) * 20 <=
+            col("p90c")).as("ok90"))
+        .orderBy("pri")
     }),
 
     // 37: the streaming pipeline's transformation, driven in batch
@@ -2750,6 +2841,58 @@ object SparkEntry {
              CAST(hour(date_trunc('hour', ts)) AS INT) AS hr, event_type,
              count(*) AS n_events,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-      FROM events GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""")
+      FROM events GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""",
+    "q_bloom_join" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+               / 100.0 AS price,
+             o_custkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0
+      ORDER BY l_orderkey, l_linenumber, l_partkey, price""",
+    // the decoded-pixel transcript reconstructed arithmetically (PNG
+    // decode is lossless, so the real imageio path must produce
+    // exactly this md5 per image)
+    "q_image_decode" -> """
+      WITH ids AS (SELECT doc_id AS m FROM documents
+                   ORDER BY doc_id LIMIT 64),
+      dims AS (SELECT m, CAST(16 + m % 17 AS INT) AS w,
+                      CAST(16 + m % 13 AS INT) AS h FROM ids),
+      px AS (SELECT m, w, h,
+               string_agg(printf('%02x%02x%02x',
+                 CAST((m*7 + x*3 + y*5) % 256 AS INT),
+                 CAST((m*11 + x + y*2) % 256 AS INT),
+                 CAST((m*13 + x*5 + y) % 256 AS INT)),
+                 '' ORDER BY y, x) AS hexs
+             FROM dims
+             CROSS JOIN range(0, 28) ry(y)
+             CROSS JOIN range(0, 32) rx(x)
+             WHERE y < h AND x < w
+             GROUP BY m, w, h)
+      SELECT m AS media_id, w AS width, h AS height,
+             md5(hexs) AS pixel_md5
+      FROM px ORDER BY media_id""",
+    "q_distinct_approx" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS supplier_cnt,
+             TRUE AS within_10pct
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q_quantile_approx" -> """
+      WITH c AS (SELECT o_orderpriority AS pri,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderkey
+                 FROM orders),
+      r AS (SELECT pri, cents,
+              row_number() OVER (PARTITION BY pri
+                ORDER BY cents, o_orderkey) AS rn,
+              count(*) OVER (PARTITION BY pri) AS n
+            FROM c)
+      SELECT pri, CAST(max(n) AS BIGINT) AS n,
+             CAST(min(CASE WHEN rn * 2 >= n THEN cents END) AS DOUBLE)
+               / 100.0 AS p50,
+             CAST(min(CASE WHEN rn * 10 >= n * 9 THEN cents END) AS DOUBLE)
+               / 100.0 AS p90,
+             TRUE AS ok50, TRUE AS ok90
+      FROM r GROUP BY pri ORDER BY pri""")
   }
 }

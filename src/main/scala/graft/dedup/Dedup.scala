@@ -116,13 +116,21 @@ object Dedup {
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
-        .select(edges("dst").as("id"), col("comp"))
-      val updated = labels.union(msgs)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .select(edges("dst").as("id"), col("comp"),
+          lit(null).cast("long").as("__old"))
+      // The previous label rides the SAME aggregate (each id appears
+      // exactly once in `labels`, so max ignoring the msgs' nulls
+      // recovers it) — convergence is then a cheap scan over the
+      // checkpointed blocks instead of a per-round shuffle join of
+      // new labels against old.
+      val updated = labels
+        .select(col("id"), col("comp"), col("comp").as("__old"))
+        .union(msgs)
+        .groupBy("id")
+        .agg(min(col("comp")).as("comp"), max(col("__old")).as("__old"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("comp", "__old"), "id")
-        .filter(col("comp") =!= col("__old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("comp") =!= col("__old")).isEmpty
+      labels = updated.select("id", "comp")
       iter += 1
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")

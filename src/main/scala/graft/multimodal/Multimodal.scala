@@ -142,6 +142,77 @@ object Multimodal {
       }.toDF("media_id", "resized")
   }
 
+  /** Deterministic RGB test pattern for image id `m`, encoded as a
+    * REAL PNG through `javax.imageio` — the checked-path corpus
+    * generator. Dimensions and every pixel are integer functions of
+    * (m, x, y), so an oracle that cannot run a codec can still
+    * reproduce the DECODED pixels exactly (PNG is lossless: encode →
+    * decode round-trips TYPE_INT_RGB bit-exactly). */
+  def patternPng(m: Long): Array[Byte] = {
+    val w = (16 + m % 17).toInt
+    val h = (16 + m % 13).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((m * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((m * 11 + x + y * 2) % 256).toInt
+        val b = ((m * 13 + x * 5 + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** Real image decode to a canonical pixel transcript: (media_id,
+    * width, height, pixel_hex) where pixel_hex is the row-major
+    * lowercase `rrggbb` hex of every decoded pixel — the form an
+    * engine without a codec can reconstruct and hash. Same
+    * per-partition streaming shape and corrupt-payload degradation
+    * ((-1, -1, null)) as [[decodeImages]]. */
+  def decodePixelHex(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null) (id, -1, -1, null: String)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val sb = new java.lang.StringBuilder(w * h * 6)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y) & 0xffffff
+                val s = Integer.toHexString(rgb)
+                var pad = 6 - s.length
+                while (pad > 0) { sb.append('0'); pad -= 1 }
+                sb.append(s)
+                x += 1
+              }
+              y += 1
+            }
+            (id, w, h, sb.toString)
+          }
+        }
+      }.toDF("media_id", "width", "height", "pixel_hex")
+  }
+
   /** Uniform frame sampling plumbing: emit `nSamples` frame rows per
     * media row, frame i at index floor(i·(nFrames-1)/(nSamples-1))
     * (first and last frames always included; a single sample takes

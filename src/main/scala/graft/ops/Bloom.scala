@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 
@@ -40,19 +40,26 @@ object Bloom {
         new XxHash64(Seq(GraftBridge.expression(key)))))
 
   /** `fact ⋈ dim` on `factKey = dimKey`, with the fact side
-    * pre-filtered through a bloom over the dim keys. The 1-row bloom
-    * frame joins in via a broadcast (an intended 1-row nested loop —
-    * the standard scalar-broadcast shape); the exact equi-join then
-    * removes bloom false positives, so the result is exactly the
-    * plain inner join's.
+    * pre-filtered through a bloom over the dim keys. The bloom rides
+    * a SCALAR SUBQUERY (the only shape `might_contain` accepts, and
+    * the same one AQE's injected runtime filters use): it evaluates
+    * once, broadcasts as a literal to every probe task, and the
+    * probe filter sits below the fact side's exchange. The exact
+    * equi-join then removes bloom false positives, so the result is
+    * exactly the plain inner join's.
     */
   def prefilteredJoin(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       expectedItems: Long = 1000000L): DataFrame = {
-    val bloom = dim.agg(bloomAgg(col(dimKey), expectedItems).as("__bloom"))
-    fact.crossJoin(broadcast(bloom))
-      .filter(mightContain(col("__bloom"), col(factKey)))
-      .drop("__bloom")
-      .join(dim, col(factKey) === col(dimKey))
+    val bloomDf = dim.agg(bloomAgg(col(dimKey), expectedItems).as("__bloom"))
+    val bloom = GraftBridge.column(
+      ScalarSubquery(bloomDf.queryExecution.analyzed))
+    // Alias both sides: with factKey == dimKey (the common equi-join
+    // shape) unqualified columns would resolve ambiguously after the
+    // join. An empty dim yields a null bloom -> mightContain is null
+    // -> all probe rows drop, matching the empty plain join.
+    fact.alias("__f")
+      .filter(mightContain(bloom, col(s"__f.$factKey")))
+      .join(dim.alias("__d"), col(s"__f.$factKey") === col(s"__d.$dimKey"))
   }
 }

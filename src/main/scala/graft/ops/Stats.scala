@@ -35,9 +35,13 @@ object Stats {
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
     val pcols: Seq[Column] = ps.map { case (label, num, den) =>
-      // rn >= ceil(n * num/den)  ⇔  rn * den >= n * num  (exact ints)
-      min(when(col("__rn") * den >= col("__n") * num, col(orderCol)))
-        .as(label)
+      // rn >= ceil(n * num/den)  ⇔  rn * den >= n * num  (exact ints).
+      // rn is IntegerType — widen to long BEFORE multiplying so groups
+      // past ~Int.MaxValue/den rows don't overflow (ANSI would throw);
+      // n from count() is already long, so n*num widens on its own,
+      // but keep num small (≤ den ≤ ~1000 by contract).
+      min(when(col("__rn").cast("long") * den >= col("__n") * num,
+        col(orderCol))).as(label)
     }
     ranked.groupBy(grp: _*)
       .agg(max(col("__n")).as("n"), pcols: _*)

@@ -34,8 +34,10 @@ object Relevance {
       .agg(count(lit(1)).as("tf"))
 
   /** (token, df): document frequency, derived from [[termFreq]]'s
-    * output so the corpus tokenizes once per pipeline. */
-  def docFreq(tf: DataFrame, idCol: String): DataFrame =
+    * output — one row per (doc, token) by construction, so a plain
+    * count per token IS the document count; the corpus tokenizes once
+    * per pipeline. */
+  def docFreq(tf: DataFrame): DataFrame =
     tf.groupBy("token").agg(count(lit(1)).as("df"))
 
   /** Classic smoothed log idf — for user pipelines (not oracle rows;
@@ -49,7 +51,7 @@ object Relevance {
   def tfidfTopK(docs: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     val tf = termFreq(docs, textCol, idCol)
-    val df = docFreq(tf, idCol)
+    val df = docFreq(tf)
     val n = docs.agg(count(lit(1)).as("__nd"))
     val scored = tf.join(df, "token").crossJoin(broadcast(n))
       .withColumn("__score", col("tf").cast("double") *
@@ -79,7 +81,7 @@ object Relevance {
       count(lit(1)).as("__nd"))
     val tf = termFreq(docs, textCol, idCol)
       .filter(col("token").isin(queryTerms.map(lit): _*))
-    val df = docFreq(tf, idCol)
+    val df = docFreq(tf)
     val term = tf.join(df, "token")
       .join(dl, idCol).crossJoin(broadcast(stats))
       .withColumn("__ts",

@@ -105,6 +105,32 @@ class MultimodalSpec extends SparkSpec {
     assert(g1.toSeq == Seq(0L))
   }
 
+  test("patternPng → real decode round-trips the pattern exactly (PNG lossless)") {
+    // the q_image_decode contract: encode the deterministic pattern as
+    // a REAL PNG, decode through the production path, and the pixel
+    // transcript equals the arithmetic pattern — per pixel, not hashed
+    val m = 5L
+    val media = spark.createDataFrame(Seq((m, Multimodal.patternPng(m))))
+      .toDF("media_id", "content")
+    val (id, w, h, hex) = Multimodal.decodePixelHex(media)
+      .as[(Long, Int, Int, String)].collect().head
+    assert(id == m && w == (16 + m % 17).toInt && h == (16 + m % 13).toInt)
+    val want = new StringBuilder
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ((m * 7 + x * 3 + y * 5) % 256).toInt
+      val g = ((m * 11 + x + y * 2) % 256).toInt
+      val b = ((m * 13 + x * 5 + y) % 256).toInt
+      want.append(f"$r%02x$g%02x$b%02x")
+    }
+    assert(hex == want.toString)
+    // corrupt payloads degrade, never fail the task
+    val bad = spark.createDataFrame(Seq((9L, Array[Byte](1, 2, 3))))
+      .toDF("media_id", "content")
+    val (_, bw, _, bhex) = Multimodal.decodePixelHex(bad)
+      .as[(Long, Int, Int, String)].collect().head
+    assert(bw == -1 && bhex == null)
+  }
+
   test("fakeDecode is deterministic and bounded [0,1)") {
     val f = Seq("payload").toDF("t")
       .select(Multimodal.fakeDecode(col("t").cast("binary"), 4).as("f"))

@@ -20,7 +20,7 @@ class RelevanceSpec extends SparkSpec {
       .map { case (d, t, n) => (d, t) -> n }.toMap
     assert(tf((1L, "apple")) == 2 && tf((3L, "banana")) == 3)
     val df = Relevance.docFreq(
-      Relevance.termFreq(docs, "text", "doc_id"), "doc_id")
+      Relevance.termFreq(docs, "text", "doc_id"))
       .as[(String, Long)].collect().toMap
     assert(df == Map("apple" -> 2, "banana" -> 2, "cherry" -> 2, "date" -> 1))
   }
