@@ -9,8 +9,31 @@ sf tables, and compares: column-name set, row count, and cell values
 after sorting columns by name and rows by the full tuple (the driver
 sorts columns by name before hashing values).
 """
-import sys, json, glob, math
+import os, re, sys, json, glob, math
 import duckdb
+
+
+def survey_sync_check(oracle):
+    """SURVEY §2's inventory table must list EXACTLY the shipped
+    contract (the r5 drift: 86 rows shipped, 82 documented). The
+    backticked `q_*` keys in SURVEY.md are the documented rows;
+    oracle_sql.json holds the shipped ones (Verify already asserts
+    queries.keySet == oracleSql.keySet via PlanSpec)."""
+    survey = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    try:
+        text = open(survey).read()
+    except OSError:
+        return []
+    documented = set(re.findall(r"^\|\s*\d+\s*\|\s*`(q_?\w+)`", text,
+                                re.MULTILINE))
+    shipped = set(oracle)
+    msgs = []
+    if documented - shipped:
+        msgs.append(f"SURVEY rows not shipped: {sorted(documented - shipped)}")
+    if shipped - documented:
+        msgs.append(f"shipped rows missing from SURVEY §2: "
+                    f"{sorted(shipped - documented)}")
+    return msgs
 
 def norm(v, float_col=False):
     if v is None:
@@ -45,6 +68,10 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    if not only:
+        for m in survey_sync_check(oracle):
+            print(f"FAIL survey-sync: {m}")
+            n_fail += 1
     for q, sql in sorted(oracle.items()):
         if only and q not in only:
             continue

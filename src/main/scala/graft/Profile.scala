@@ -29,7 +29,7 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    names.foreach { name =>
+    val results = names.map { name =>
       val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
         if (name.startsWith("__scan_"))
           (s, d) => Tables(s, d, name.stripPrefix("__scan_"))
@@ -44,6 +44,17 @@ object Profile {
       println(f"[profile] $name%-24s " +
         times.map(t => f"$t%.2f").mkString(" ") +
         f"  min=${times.min}%.2f")
+      name -> times
+    }
+    // optional committed artifact (isolated steady-state evidence for
+    // bench outliers): PROFILE_JSON=<path> writes one JSON object
+    sys.env.get("PROFILE_JSON").foreach { path =>
+      val body = results.map { case (name, ts) =>
+        s"""\"$name\":{"runs":[${ts.map(t => f"$t%.3f").mkString(",")}],""" +
+          f""""min":${ts.min}%.3f}"""
+      }.mkString("{", ",", s""","sf":"$sfDir","runs_per_query":$n}""")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+      println(s"[profile] wrote $path")
     }
     spark.stop()
   }

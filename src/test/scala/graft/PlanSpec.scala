@@ -72,4 +72,59 @@ class PlanSpec extends SparkSpec {
   test("every oracle query has a matching queries entry and vice versa") {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
+
+  // -------- r5/r6 row fences: the shapes their scale stories claim --------
+
+  test("q_bigram_lm aggregates the hot token key — no window, no sort") {
+    // the r5 form put TWO window functions over partitionBy(w1); at
+    // corpus scale the hottest token owns the largest partition twice.
+    // The r6 form is pure two-phase aggregation (partial combiners).
+    val p = plan("q_bigram_lm")
+    assert(!p.contains("Window"), s"q_bigram_lm still plans a window:\n$p")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("q_bloom_join: bloom probe filter present and below the join") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"), "bloom probe missing from plan")
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe filter not below the join:\n$p")
+  }
+
+  test("text rows prune the documents scan to the columns they use") {
+    // a scan reading all 6 documents columns for a text-only operator
+    // is wrong at 100 TB — the text suite must project at the source
+    val textOnly = Seq("q_bigram_lm")
+    val docAndText = Seq("q_tfidf", "q_repetition", "q_inverted_index",
+      "q_token_count", "q_fingerprint", "q_quality_gate")
+    textOnly.foreach { q =>
+      assert(plan(q).contains("ReadSchema: struct<text:string>"),
+        s"$q reads more than text")
+    }
+    docAndText.foreach { q =>
+      assert(plan(q).contains(
+        "ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q reads more than (doc_id, text)")
+    }
+  }
+
+  test("approx twin rows stay single-scan (sketches ride the same agg)") {
+    // q_distinct_approx: exact + HLL in ONE aggregate over ONE scan
+    val p = plan("q_distinct_approx")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"q_distinct_approx re-scans lineitem:\n$p")
+  }
+
+  test("q_pii_redact and q_contamination never shuffle raw text wide") {
+    // contamination joins on long gram hashes only: the join keys in
+    // any exchange must be hash columns, never the text column
+    val p = plan("q_contamination")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(text")),
+      "q_contamination shuffles on raw text")
+  }
 }
