@@ -542,9 +542,183 @@ object SparkEntry {
       graft.plans.AsofJoinNative.asof(e, o, "user_id", "o_custkey", "d", "od")
         .select(col("event_id"), col("user_id"), col("last_orderkey"))
         .orderBy("event_id")
+    }),
+
+    // 91: bounded window frames in both directions — a trailing 3-row
+    // moving average (sum/count computed separately over the SAME
+    // frame so the division happens once, on exact integers) and a
+    // CURRENT ROW → UNBOUNDED FOLLOWING remaining-spend sum. One
+    // shuffle: every frame shares the (custkey) partitioning.
+    "q_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wTrail = w.rowsBetween(-2, 0)
+      val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val pc = cents(col("o_totalprice"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (sum(pc).over(wTrail).cast("double") /
+            (count(lit(1)).over(wTrail) * lit(100.0))).as("ma_3"),
+          money(sum(pc).over(wFwd)).as("remaining_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // 92: ordered string aggregation — DuckDB's string_agg(x, ','
+    // ORDER BY x) re-expressed as array_sort(collect_list)+array_join
+    // (Spark's collect_list is partition-order-dependent; the sort
+    // makes it deterministic). The list is nation-bounded (≤ suppliers
+    // per nation), not corpus-bounded — safe at scale.
+    "q_string_agg" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_supp"),
+          array_join(array_sort(collect_list(col("s_name"))), ",")
+            .as("supp_csv"))
+        .orderBy("n_name")
+    }),
+
+    // 93: equi-width histogram — global min/max via a 1-row aggregate
+    // broadcast-cross-joined to the scan (two passes, no driver
+    // collect), bucket index in pure BIGINT arithmetic (`div` ≡
+    // DuckDB `//` for non-negative operands).
+    "q_histogram" -> ((s, dir) => {
+      val b = t(s, dir, "orders").select(cents(col("o_totalprice")).as("pc"))
+      val m = b.agg(min(col("pc")).as("lo"), max(col("pc")).as("hi"))
+      b.crossJoin(broadcast(m))
+        .withColumn("bucket",
+          expr("CAST((pc - lo) * 20 DIV (hi - lo + 1) AS INT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), money(sum(col("pc"))).as("sum_price"))
+        .orderBy("bucket")
+    }),
+
+    // 94: sequence funnel (view → click → purchase) — one shuffle on
+    // user_id builds per-user stage-entry times as conditional mins;
+    // the stage comparison is then a scalar expression, never a
+    // self-join. Epoch-micros on both engines (the events parquet is
+    // ns; Spark truncates to us, DuckDB compares at us via the cast).
+    "q_event_funnel" -> ((s, dir) => {
+      val us = unix_micros(col("ts"))
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", us)).as("tv"),
+          min(when(col("event_type") === "click", us)).as("tc"),
+          min(when(col("event_type") === "purchase", us)).as("tp"))
+        .agg(count(col("tv")).as("n_view"),
+          sum(when(col("tc") >= col("tv"), 1).otherwise(0)).cast("long")
+            .as("n_click_after_view"),
+          sum(when(col("tc") >= col("tv") && col("tp") >= col("tc"), 1)
+            .otherwise(0)).cast("long").as("n_full_funnel"))
+        .select(col("n_view"), col("n_click_after_view"),
+          col("n_full_funnel"),
+          (col("n_full_funnel").cast("double") * 100.0 /
+            col("n_view")).as("conv_pct"))
+    }),
+
+    // 95: cohort retention — users bucketed by first-activity week
+    // (Monday-truncated on both engines), counted distinct per
+    // (cohort, weeks-since) cell. The per-user cohort frame is
+    // user-sized (small); it joins back to the distinct activity
+    // weeks on the same user_id hash partitioning.
+    "q_retention" -> ((s, dir) => {
+      val wk = to_date(date_trunc("week", col("ts")))
+      val e = t(s, dir, "events")
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(wk).as("cohort_week"))
+      val active = e.select(col("user_id"), wk.as("wk")).distinct()
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / lit(7)).cast("int")
+            .as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    }),
+
+    // 96: IGNORE NULLS window — last purchase value carried forward
+    // over each user's event sequence (the classic "fill forward"
+    // shape). Exact cents; one shuffle on user_id.
+    "q_fill_forward" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          money(last(when(col("event_type") === "purchase",
+            cents(col("value"))), ignoreNulls = true).over(w))
+            .as("last_purchase"))
+        .orderBy("user_id", "event_id")
     }))
 
   private def analyticsOracle: Map[String, String] = Map(
+    "q_moving_avg" -> """
+      SELECT o_orderkey, o_custkey,
+             CAST(sum(pc) OVER wt AS DOUBLE)
+               / (count(*) OVER wt * 100.0) AS ma_3,
+             CAST(sum(pc) OVER wf AS DOUBLE) / 100.0 AS remaining_spend
+      FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+            FROM orders)
+      WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""",
+    "q_string_agg" -> """
+      SELECT n_name, count(*) AS n_supp,
+             string_agg(s_name, ',' ORDER BY s_name) AS supp_csv
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "q_histogram" -> """
+      WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                 FROM orders),
+           m AS (SELECT min(pc) AS lo, max(pc) AS hi FROM b)
+      SELECT CAST((pc - lo) * 20 // (hi - lo + 1) AS INT) AS bucket,
+             count(*) AS n,
+             CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_price
+      FROM b, m GROUP BY 1 ORDER BY bucket""",
+    "q_event_funnel" -> """
+      WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                   THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tv,
+               min(CASE WHEN event_type = 'click'
+                   THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tc,
+               min(CASE WHEN event_type = 'purchase'
+                   THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tp
+        FROM events GROUP BY user_id)
+      SELECT count(tv) AS n_view,
+             CAST(sum(CASE WHEN tc >= tv THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click_after_view,
+             CAST(sum(CASE WHEN tc >= tv AND tp >= tc THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_full_funnel,
+             CAST(sum(CASE WHEN tc >= tv AND tp >= tc THEN 1 ELSE 0 END)
+               AS DOUBLE) * 100.0 / count(tv) AS conv_pct
+      FROM u""",
+    "q_retention" -> """
+      WITH c AS (
+        SELECT user_id,
+               min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+        FROM events GROUP BY user_id),
+      a AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events)
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, wk) // 7 AS INT)
+               AS weeks_since,
+             count(DISTINCT a.user_id) AS n_users
+      FROM a JOIN c ON a.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""",
+    "q_fill_forward" -> """
+      SELECT event_id, user_id,
+             CAST(last_value(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 100.0 AS last_purchase
+      FROM events ORDER BY user_id, event_id""",
     "q_corr_subquery" -> corrSubquerySql,
     "q_corr_subquery_fused" -> """
       WITH st AS (
@@ -1611,6 +1785,26 @@ object SparkEntry {
   // ======================================================== LLM rows 25-35
 
   private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 97: data-mixing report — per-source corpus share (docs and
+    // chars) for training-mixture design. Two aggregates over one
+    // scan; the 1-row corpus total broadcasts onto the per-source
+    // frame (the same scalar-broadcast shape as the TF-IDF corpus
+    // constants — no driver collect, no second wide shuffle).
+    "q_domain_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val per = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val tot = d.agg(count(lit(1)).as("t_docs"),
+        sum(col("n_chars")).as("t_chars"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          (col("n_docs").cast("double") * 100.0 / col("t_docs"))
+            .as("doc_share_pct"),
+          (col("sum_chars").cast("double") * 100.0 / col("t_chars"))
+            .as("char_share_pct"))
+        .orderBy("source")
+    }),
+
     // 25: exact dedup — one shuffle on the text hash.
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -2334,6 +2528,17 @@ object SparkEntry {
         "), (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END), '')"
     val hpSig = hpSigN(8)
     Map(
+    "q_domain_mix" -> """
+      WITH p AS (SELECT source, count(*) AS n_docs,
+                        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 FROM documents GROUP BY source),
+           t AS (SELECT count(*) AS t_docs,
+                        CAST(sum(n_chars) AS BIGINT) AS t_chars
+                 FROM documents)
+      SELECT source, n_docs, sum_chars,
+             CAST(n_docs AS DOUBLE) * 100.0 / t_docs AS doc_share_pct,
+             CAST(sum_chars AS DOUBLE) * 100.0 / t_chars AS char_share_pct
+      FROM p, t ORDER BY source""",
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_dups
       FROM documents GROUP BY md5(text) ORDER BY doc_id""",

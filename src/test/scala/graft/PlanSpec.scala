@@ -24,9 +24,12 @@ class PlanSpec extends SparkSpec {
   // bounded at 1 × |vocabulary| rows); q_tfidf and q_bm25 thread the
   // same 1-row corpus-stats frame (N / avgdl) into per-term frames
   // the same way.
+  // q_histogram and q_domain_mix broadcast a ONE-row global
+  // min/max / corpus-total aggregate onto the per-row / per-source
+  // frame — the same bounded scalar-broadcast shape as q_tfidf.
   private val intendedNestedLoop =
     Set("q_embed_topk", "q_embed_ivf", "q_corpus_stopwords",
-      "q_tfidf", "q_bm25")
+      "q_tfidf", "q_bm25", "q_histogram", "q_domain_mix")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
@@ -117,6 +120,25 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_distinct_approx")
     assert("FileScan parquet".r.findAllIn(p).length == 1,
       s"q_distinct_approx re-scans lineitem:\n$p")
+  }
+
+  test("q_event_funnel builds stage times in one aggregate — no self-join") {
+    // the naive funnel is a per-stage self-join on user_id (3 scans,
+    // 3 shuffles); the conditional-min form is one scan, one shuffle
+    val p = plan("q_event_funnel")
+    assert(!p.contains("Join"), s"q_event_funnel plans a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"q_event_funnel should shuffle once, on user_id:\n$p")
+  }
+
+  test("q_moving_avg and q_fill_forward window frames share one exchange") {
+    // trailing and following frames over the same (partition, order)
+    // must not each pay a shuffle
+    Seq("q_moving_avg", "q_fill_forward").foreach { q =>
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"$q shuffles more than once for its window family:\n$p")
+    }
   }
 
   test("q_pii_redact and q_contamination never shuffle raw text wide") {
