@@ -41,6 +41,11 @@ object Tables {
               org.apache.spark.sql.functions.expr("ts div 1000")))
         case None => df
       }
+    } else if (new java.io.File(s"$dir/$name.orc").exists()) {
+      // ORC is self-describing and type-exact (arrays, timestamps at
+      // micros) — no sidecar needed. Staged FROM the normalized frame,
+      // so the events ts is already a micros TimestampType.
+      spark.read.orc(s"$dir/$name.orc")
     } else {
       val ddlFile = java.nio.file.Paths.get(s"$dir/$name.schema")
       require(java.nio.file.Files.exists(ddlFile),
@@ -70,6 +75,7 @@ object Tables {
       case "csv" => w.option("header", "true").option("escape", "\"")
         .csv(s"$destDir/$name.csv")
       case "json" => w.json(s"$destDir/$name.json")
+      case "orc" => w.orc(s"$destDir/$name.orc")
       case other => throw new IllegalArgumentException(
         s"Tables.stage: unsupported format $other")
     }

@@ -38,4 +38,16 @@ class FormatParitySpec extends SparkSpec {
       Map("embeddings" -> "json", "documents" -> "json"),
       Seq("q_embed_lsh", "q_fingerprint", "q_lang_id"))
   }
+
+  test("orc-staged tables reproduce parquet results exactly") {
+    // ORC is the one columnar alternative with native Spark support
+    // in this build (no spark-avro connector jar) — covers typed
+    // arrays (embeddings) and micros timestamps (events) without a
+    // schema sidecar.
+    parity(
+      Map("lineitem" -> "orc", "orders" -> "orc", "events" -> "orc",
+        "documents" -> "orc", "embeddings" -> "orc"),
+      Seq("q1_agg", "q_sessionize", "q_fingerprint", "q_embed_lsh",
+        "q_fill_forward"))
+  }
 }
