@@ -44,4 +44,36 @@ object Export {
     * format (capital_sendas.py:599-603). Report-sized outputs only:
     * the rows stream through the driver ([[Xlsx.write]]). */
   def xlsx(df: DataFrame, path: String): Unit = Xlsx.write(df, path)
+
+  /** Hive-layout partitioned parquet lake write. At 100 TB the
+    * partition column IS the coarse index: a day/source-partitioned
+    * layout turns date-ranged scans into directory listings
+    * (PartitionFilters prune before any IO). The repartition on the
+    * partition columns routes each partition's rows to one task —
+    * one file per partition per write instead of one per (task ×
+    * partition), which is the small-file problem at its source;
+    * `maxRecordsPerFile` re-splits only genuinely oversized
+    * partitions. */
+  def partitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    df.repartition(partitionCols.map(c => col(s"`$c`")): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Incremental lake refresh: overwrite ONLY the partitions present
+    * in `df` (dynamic partition overwrite), leaving all others
+    * untouched — the daily-load idiom. A static overwrite here would
+    * drop the whole table for a one-day refresh. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    df.repartition(partitionCols.map(c => col(s"`$c`")): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
 }
