@@ -636,6 +636,20 @@ object SparkEntry {
         .orderBy("cohort_week", "weeks_since")
     }),
 
+    // 98: multiset set-ops — INTERSECT ALL keeps min(multiplicity),
+    // EXCEPT ALL subtracts multiplicities (the distinct set-ops row
+    // 19 can't see repeat purchases). Spark plans these as
+    // count-aggregated joins — two shuffles, no row explosion.
+    "q_set_ops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val recent = o.filter(year(col("o_orderdate")) >= 1996)
+        .select(col("o_custkey"))
+      open.intersectAll(recent).withColumn("src", lit("common"))
+        .unionAll(open.exceptAll(recent).withColumn("src", lit("open_only")))
+        .orderBy("src", "o_custkey")
+    }),
+
     // 96: IGNORE NULLS window — last purchase value carried forward
     // over each user's event sequence (the classic "fill forward"
     // shape). Exact cents; one shuffle on user_id.
@@ -719,6 +733,16 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DOUBLE) / 100.0 AS last_purchase
       FROM events ORDER BY user_id, event_id""",
+    "q_set_ops_all" -> """
+      WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+           recent AS (SELECT o_custkey FROM orders
+                      WHERE year(o_orderdate) >= 1996)
+      SELECT o_custkey, 'common' AS src
+      FROM (SELECT * FROM open INTERSECT ALL SELECT * FROM recent)
+      UNION ALL
+      SELECT o_custkey, 'open_only' AS src
+      FROM (SELECT * FROM open EXCEPT ALL SELECT * FROM recent)
+      ORDER BY src, o_custkey""",
     "q_corr_subquery" -> corrSubquerySql,
     "q_corr_subquery_fused" -> """
       WITH st AS (
@@ -1805,6 +1829,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // 99: collection-function surface over the token array — distinct
+    // count, stopword-intersection size (both engines' intersect is
+    // SET-semantics so sizes agree), leading-trigram join. Pure
+    // per-row Column tree: no shuffle at all beyond the final sort.
+    "q_array_ops" -> ((s, dir) => {
+      val tk = TF.tokens(col("text"))
+      val stop = array(Seq("the", "a", "of", "to", "and", "in", "is",
+        "it", "on", "for").map(lit): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tk).as("n_tokens"),
+          size(array_distinct(tk)).as("n_distinct"),
+          size(array_intersect(tk, stop)).as("n_stop"),
+          array_join(slice(tk, 1, 3), " ").as("first3"))
+        .orderBy("doc_id")
+    }),
+
     // 25: exact dedup — one shuffle on the text hash.
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -2539,6 +2580,16 @@ object SparkEntry {
              CAST(n_docs AS DOUBLE) * 100.0 / t_docs AS doc_share_pct,
              CAST(sum_chars AS DOUBLE) * 100.0 / t_chars AS char_share_pct
       FROM p, t ORDER BY source""",
+    "q_array_ops" -> s"""
+      SELECT doc_id,
+             CAST(len(t) AS INT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+             CAST(len(list_intersect(t,
+               ['the','a','of','to','and','in','is','it','on','for']))
+               AS INT) AS n_stop,
+             array_to_string(t[1:3], ' ') AS first3
+      FROM (SELECT doc_id, $toks AS t FROM documents)
+      ORDER BY doc_id""",
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_dups
       FROM documents GROUP BY md5(text) ORDER BY doc_id""",

@@ -57,6 +57,22 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-static enrichment join: each streaming event picks up
+    * dimension attributes from a bounded table. The static side is
+    * explicitly broadcast — on a cluster every executor holds the dim
+    * once and the stream NEVER shuffles for the join (a shuffled
+    * stream-static join would re-exchange every micro-batch). The
+    * static frame is re-read per micro-batch by the engine, so slowly
+    * changing dims are picked up on file refresh. */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String,
+      dimCols: Seq[String]): DataFrame = {
+    val slim = broadcast(
+      dim.select((dimKey +: dimCols).map(c => col(c)): _*))
+    events.join(slim, col(eventKey) === col(dimKey), "left")
+      .drop(dimKey)
+  }
+
   /** Watermarked stream-stream inner join: each left event pairs with
     * right events for the same key whose timestamp lies within
     * [left.ts - before, left.ts + after]. Both sides carry watermarks

@@ -63,4 +63,30 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
+
+  test("connectedComponentsStar matches propagation on adversarial shapes") {
+    // long chain (the shape propagation is slowest on), star, two
+    // cliques bridged by one edge, island pair, reversed/duplicate
+    // edges — the contraction algorithm must produce identical
+    // (id, min-id) labels
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val star = (1L to 8L).map(i => (50L, 50L + i))
+    val cliqueA = for (a <- 200L to 204L; b <- (a + 1) to 204L) yield (a, b)
+    val cliqueB = for (a <- 300L to 304L; b <- (a + 1) to 304L) yield (b, a)
+    val bridge = Seq((204L, 300L))
+    val island = Seq((900L, 901L), (901L, 900L), (900L, 901L))
+    val pairs = (chain ++ star ++ cliqueA ++ cliqueB ++ bridge ++ island)
+      .toDF("id_a", "id_b")
+    val expected = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got(140L) == 100L && got(58L) == 50L && got(304L) == 200L)
+  }
+
+  test("connectedComponentsStar on an empty pair set returns no rows") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponentsStar(empty).count() == 0)
+  }
 }

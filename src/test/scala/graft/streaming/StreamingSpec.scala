@@ -161,6 +161,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("streamStaticEnrich joins the broadcast dim without shuffling the stream") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    stream.addData(
+      (ts("2024-01-01 00:00:00"), 1L, "click"),
+      (ts("2024-01-01 00:05:00"), 2L, "view"),
+      (ts("2024-01-01 00:10:00"), 99L, "click")) // no dim row → null
+    val events = stream.toDF().toDF("ts", "user_id", "event_type")
+    val dim = Seq((1L, "gold", "EU"), (2L, "basic", "US"))
+      .toDF("cust_id", "tier", "geo")
+    val enriched = StreamingOps.streamStaticEnrich(
+      events, dim, "user_id", "cust_id", Seq("tier", "geo"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched")
+      .select("user_id", "tier", "geo")
+      .as[(Long, Option[String], Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some("gold"), Some("EU")),
+      (2L, Some("basic"), Some("US")),
+      (99L, None, None)))
+    // the batch twin of the same plan must broadcast the dim side —
+    // the stream must never pay a per-micro-batch exchange
+    val batchPlan = StreamingOps.streamStaticEnrich(
+      Seq((ts("2024-01-01 00:00:00"), 1L, "click"))
+        .toDF("ts", "user_id", "event_type"),
+      dim, "user_id", "cust_id", Seq("tier", "geo"))
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"),
+      s"dim side not broadcast:\n$batchPlan")
+  }
+
   test("sessionWindowCounts groups events within the gap") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long)]
