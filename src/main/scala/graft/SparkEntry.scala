@@ -650,6 +650,24 @@ object SparkEntry {
         .orderBy("src", "o_custkey")
     }),
 
+    // 100: conditional/ordered aggregates — count_if, bool_and/or,
+    // max_by/min_by in one pass. The argmax key is (cents, orderkey)
+    // packed into ONE BIGINT (DuckDB's arg_max can't take a struct
+    // key): ties in price resolve on the unique orderkey, so both
+    // engines pick the same row deterministically.
+    "q_cond_aggs" -> ((s, dir) => {
+      val pc = cents(col("o_totalprice"))
+      val key = pc * lit(1000000000L) + col("o_orderkey")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count_if(col("o_orderstatus") === "O").as("n_open"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(pc > lit(30000000L)).as("any_big"),
+          max_by(col("o_orderkey"), key).as("best_order"),
+          min_by(col("o_orderkey"), key).as("worst_order"))
+        .orderBy("o_orderpriority")
+    }),
+
     // 96: IGNORE NULLS window — last purchase value carried forward
     // over each user's event sequence (the classic "fill forward"
     // shape). Exact cents; one shuffle on user_id.
@@ -733,6 +751,19 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DOUBLE) / 100.0 AS last_purchase
       FROM events ORDER BY user_id, event_id""",
+    "q_cond_aggs" -> """
+      SELECT o_orderpriority,
+             CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
+             bool_and(o_totalprice > 0) AS all_pos,
+             bool_or(CAST(round(o_totalprice * 100) AS BIGINT) > 30000000)
+               AS any_big,
+             arg_max(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
+                 + o_orderkey) AS best_order,
+             arg_min(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
+                 + o_orderkey) AS worst_order
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_set_ops_all" -> """
       WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
            recent AS (SELECT o_custkey FROM orders
