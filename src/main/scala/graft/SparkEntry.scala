@@ -650,6 +650,24 @@ object SparkEntry {
         .orderBy("src", "o_custkey")
     }),
 
+    // 101: top-k per group via the typed Aggregator (functions/
+    // TopKAgg) — the UDAF rung of the custom-function ladder and the
+    // scale-correct top-k: k-bounded buffers merge map-side
+    // (ObjectHashAggregate partial), so the exchange carries k rows
+    // per group per mapper instead of the whole table like the
+    // window form (row 17, which stays as the declarative twin and
+    // supplies the oracle semantics).
+    "q_topk_agg" -> ((s, dir) => {
+      val tk = graft.functions.TopKAgg.topK(5)
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(tk(cents(col("p_retailprice")), col("p_partkey")).as("top"))
+        .select(col("p_brand"), posexplode(col("top")))
+        .select(col("p_brand"), (col("pos") + 1).cast("int").as("rn"),
+          col("col._2").as("p_partkey"))
+        .orderBy("p_brand", "rn")
+    }),
+
     // 100: conditional/ordered aggregates — count_if, bool_and/or,
     // max_by/min_by in one pass. The argmax key is (cents, orderkey)
     // packed into ONE BIGINT (DuckDB's arg_max can't take a struct
@@ -751,6 +769,13 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DOUBLE) / 100.0 AS last_purchase
       FROM events ORDER BY user_id, event_id""",
+    "q_topk_agg" -> """
+      SELECT p_brand, rn, p_partkey FROM (
+        SELECT p_brand, p_partkey,
+               CAST(row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rn
+        FROM part)
+      WHERE rn <= 5 ORDER BY p_brand, rn""",
     "q_cond_aggs" -> """
       SELECT o_orderpriority,
              CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
