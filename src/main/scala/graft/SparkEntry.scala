@@ -2567,10 +2567,17 @@ object SparkEntry {
   private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
     val a = fuzzyBlocked(s, dir).toDF("id_a", "name_a", "size_a", "blk_a")
     val b = fuzzyBlocked(s, dir).toDF("id_b", "name_b", "size_b", "blk_b")
+    // |len(a)−len(b)| ≤ 2 is a necessary condition for lev ≤ 2 and
+    // costs a subtraction per candidate; the thresholded levenshtein
+    // runs the banded O(n·k) algorithm and bails at -1 past the bound
+    // instead of filling the full O(n·m) matrix — together they cut
+    // the block-quadratic kernel's constant, which IS this query's
+    // cost at scale.
     a.join(b, col("size_a") === col("size_b") &&
-        col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 2)
+        col("blk_a") === col("blk_b") && col("id_a") < col("id_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .filter(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
   }
 
