@@ -64,6 +64,36 @@ object Export {
       .parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory (or one
+    * partition of it) into ~`targetFileBytes` files. Streaming sinks
+    * and incremental appends accrete files; a scan over 10k tiny
+    * files pays 10k opens and a task per file, so periodic compaction
+    * is part of the lake contract. The file count comes from the
+    * CURRENT on-disk size (cheap driver-side listing, no data read),
+    * then one repartition rewrite. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dir = new java.io.File(path)
+    def sizeOf(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
+    val bytes = sizeOf(dir)
+    val nFiles = math.max(1, (bytes / targetFileBytes).toInt +
+      (if (bytes % targetFileBytes > 0) 1 else 0))
+    val df = spark.read.parquet(path)
+    val tmp = path + "__compact_tmp"
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap: rename old out, new in, then drop old
+    val old = new java.io.File(path + "__compact_old")
+    require(dir.renameTo(old), s"compact: cannot move $path aside")
+    require(new java.io.File(tmp).renameTo(dir),
+      s"compact: cannot move $tmp into place")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(old)
+  }
+
   /** Incremental lake refresh: overwrite ONLY the partitions present
     * in `df` (dynamic partition overwrite), leaving all others
     * untouched — the daily-load idiom. A static overwrite here would

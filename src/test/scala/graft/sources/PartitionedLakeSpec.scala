@@ -71,6 +71,22 @@ class PartitionedLakeSpec extends SparkSpec {
       "refreshed partition still carries pre-overwrite rows")
   }
 
+  test("compact rewrites a fragmented directory into few files, same rows") {
+    val path = freshPath()
+    val df = Tables(spark, dir, "events")
+    df.repartition(40).write.mode("overwrite").parquet(path)
+    val before = spark.read.parquet(path)
+    val rows = before.count()
+    assert(before.inputFiles.length >= 40)
+    Export.compact(spark, path) // default 128 MB target → 1 file here
+    val after = spark.read.parquet(path)
+    assert(after.inputFiles.length == 1,
+      s"expected 1 compacted file, got ${after.inputFiles.length}")
+    assert(after.count() == rows)
+    assert(new java.io.File(path + "__compact_tmp").exists() == false &&
+      new java.io.File(path + "__compact_old").exists() == false)
+  }
+
   test("partition routing writes one file per partition, re-split only when oversized") {
     val path = freshPath()
     Export.partitionedParquet(eventsByDay, path, Seq("day"))
