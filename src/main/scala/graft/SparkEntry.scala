@@ -650,6 +650,31 @@ object SparkEntry {
         .orderBy("src", "o_custkey")
     }),
 
+    // 102: merge overlapping intervals per key (coverage union) —
+    // each order covers [orderdate, orderdate+6d]; a new merged span
+    // starts where an interval's start clears the running max of all
+    // previous ends (the q_sessionize lag/cumsum shape generalized
+    // from point-gaps to interval overlap). One shuffle on the key;
+    // epoch-day integers so both engines compare exactly.
+    "q_interval_merge" -> ((s, dir) => {
+      val d0 = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("s"), col("e"), col("o_orderkey"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          d0.as("s"), (d0 + 6).as("e"))
+        .withColumn("new_span",
+          when(col("s") > max(col("e")).over(wPrev), 1)
+            .when(max(col("e")).over(wPrev).isNull, 1).otherwise(0))
+        .withColumn("span_id", sum(col("new_span")).over(wRun))
+        .groupBy(col("o_custkey"), col("span_id"))
+        .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey", "span_id")
+    }),
+
     // 101: top-k per group via the typed Aggregator (functions/
     // TopKAgg) — the UDAF rung of the custom-function ladder and the
     // scale-correct top-k: k-bounded buffers merge map-side
@@ -769,6 +794,30 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DOUBLE) / 100.0 AS last_purchase
       FROM events ORDER BY user_id, event_id""",
+    "q_interval_merge" -> """
+      WITH iv AS (
+        SELECT o_custkey, o_orderkey,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 6 AS e
+        FROM orders),
+      flagged AS (
+        SELECT o_custkey, o_orderkey, s, e,
+               CASE WHEN max(e) OVER wp IS NULL THEN 1
+                    WHEN s > max(e) OVER wp THEN 1 ELSE 0 END AS new_span
+        FROM iv
+        WINDOW wp AS (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      spans AS (
+        SELECT o_custkey, s, e,
+               sum(new_span) OVER (PARTITION BY o_custkey
+                 ORDER BY s, e, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM flagged)
+      SELECT o_custkey, CAST(span_id AS BIGINT) AS span_id,
+             CAST(min(s) AS INT) AS span_start, CAST(max(e) AS INT) AS span_end,
+             count(*) AS n_orders
+      FROM spans GROUP BY o_custkey, span_id
+      ORDER BY o_custkey, span_id""",
     "q_topk_agg" -> """
       SELECT p_brand, rn, p_partkey FROM (
         SELECT p_brand, p_partkey,

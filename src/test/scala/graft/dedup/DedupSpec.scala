@@ -89,4 +89,15 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponentsStar(empty).count() == 0)
   }
+
+  test("connectedComponentsStar closes a 400-hop chain within its round budget") {
+    // the discriminating case: propagation needs diameter rounds
+    // (400 > its maxIter=50), contraction needs ~log² and must
+    // finish inside the default 60 — this is WHY the variant exists
+    val chain = (0L until 400L).map(i => (1000L + i, 1000L + i + 1))
+    val got = Dedup.connectedComponentsStar(chain.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect()
+    assert(got.length == 401)
+    assert(got.forall(_._2 == 1000L))
+  }
 }
