@@ -84,6 +84,15 @@ object Tables {
       java.nio.file.Paths.get(s"$destDir/$name.schema"), df.schema.toDDL)
   }
 
+  /** Register every table under `dir` as a temp view, so the whole
+    * surface is reachable through `spark.sql(...)` — the SQL front
+    * door a reference user expects. Views are lazy: registration
+    * costs nothing until a query reads one. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach { name =>
+      apply(spark, dir, name).createOrReplaceTempView(name)
+    }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
