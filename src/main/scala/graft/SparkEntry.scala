@@ -2093,6 +2093,36 @@ object SparkEntry {
     // twice (sum-window + sort-window); min(struct(-cnt, w2)) is a
     // partial-aggregable struct-min (lexicographic: largest cnt, then
     // smallest w2 on ties) that spreads the hot token across mappers.
+    // 103: LM-coverage quality filter (CCNet-shaped): score each doc
+    // by the share of its bigram INSTANCES whose bigram occurs ≥2
+    // times corpus-wide — low coverage = text unlike the corpus.
+    // Bigrams ride md5-derived long hashes on both the doc frame and
+    // the vocabulary frame, so the join never shuffles raw text and
+    // the keys are long equality (the q_contamination discipline);
+    // the vocabulary side is corpus-vocabulary-sized, not corpus-
+    // sized. Counts are exact ints → the pct division is engine-
+    // identical.
+    "q_lm_coverage" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(TF.bigramsFromTokens(col("t"))).as("bg"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+      val known = bg.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("h").as("kh"))
+      bg.join(known, col("h") === col("kh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(col("kh")).as("n_known"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+          (col("n_known").cast("double") * 100.0 / col("n_bigrams"))
+            .as("coverage_pct"))
+        .orderBy("doc_id")
+    }),
+
     "q_bigram_lm" -> ((s, dir) => {
       val c = t(s, dir, "documents")
         .select(TF.tokens(col("text")).as("t"))
@@ -2837,6 +2867,18 @@ object SparkEntry {
              CAST(min(CASE WHEN rn * 100 >= n * 99 THEN cents END) AS DOUBLE)
                / 100.0 AS p99
       FROM r GROUP BY pri ORDER BY pri""",
+    "q_lm_coverage" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+      b AS (SELECT doc_id, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS bg
+                  FROM d WHERE len(t) >= 2)),
+      k AS (SELECT h FROM b GROUP BY h HAVING count(*) >= 2)
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             CAST(count(k.h) AS BIGINT) AS n_known,
+             CAST(count(k.h) AS DOUBLE) * 100.0 / count(*) AS coverage_pct
+      FROM b LEFT JOIN k ON b.h = k.h
+      GROUP BY b.doc_id ORDER BY b.doc_id""",
     "q_bigram_lm" -> s"""
       WITH d AS (SELECT doc_id, $toks AS t FROM documents),
       b AS (SELECT unnest(list_transform(range(1, len(t)),
