@@ -55,10 +55,23 @@ object Bench {
       spark.catalog.clearCache()
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query lines FIRST (complete evidence even if a capture window
+    // clips the head), then the single summary JSON line LAST and kept
+    // small: times rounded to 3 decimals so 103 entries fit the driver's
+    // capture window (the r6 tail truncated at full double precision).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    results.foreach { case (k, v) =>
+      println(s"""{"q":"$k","sec":${f3(v)}}""")
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Artifact-completeness gate (selfcheck pattern): every contract row
+    // must carry a timing — a silent miss here is how r6 shipped a
+    // 101-row bench against a 103-row contract.
+    require(results.size == SparkEntry.queries.size,
+      s"bench rows ${results.size} != queries ${SparkEntry.queries.size}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

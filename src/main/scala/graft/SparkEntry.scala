@@ -84,6 +84,30 @@ object SparkEntry {
            CAST(l_shipdate AS DATE) AS fec_servicio
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
 
+  /** Staging dir for q_lake_roundtrip's lake write — keyed by the SF
+    * dir so different scale factors never collide. */
+  private[graft] def lakeRoundtripPath(dir: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_lake_" +
+      Integer.toHexString(dir.hashCode) + "/events_by_type"
+
+  /** Persisted fingerprint-artifact dir for q_dedup_incremental —
+    * keyed by the SF dir like [[lakeRoundtripPath]]. */
+  private[graft] def dedupArtifactPath(dir: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_lake_" +
+      Integer.toHexString(dir.hashCode) + "/dedup_fingerprints"
+
+  /** The read side of q_lake_roundtrip, shared with LakeRoundtripSpec
+    * so the spec's executed-scan pruning fence measures EXACTLY the
+    * plan the driver row runs. */
+  private[graft] def lakeRoundtripRead(s: SparkSession, lake: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).parquet(lake)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        money(sum(cents(col("value")))).as("sum_value"))
+      .orderBy("day")
+
   // ---------------------------------------------------------------- entry
 
   /** Flagship smoke: TPC-H Q1 shape on sf0.001 (always ≥ 1 group at
@@ -479,6 +503,25 @@ object SparkEntry {
       s.sql(existsSubquerySql)
     }),
 
+    // 107: the SQL front door proper — Tables.registerAll registers
+    // EVERY table as a view and the query is spark.sql(...) verbatim
+    // (the string the oracle also runs). TPC-H Q2's correlated-min
+    // shape; pushdown survives the view layer (PlanSpec fences it
+    // like every other row).
+    "q_sql_q2" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ2)
+    }),
+
+    // 108: SQL front door, TPC-H Q21's multi-semi/anti self-join
+    // shape — the hardest correlated pattern a reference SQL user
+    // would bring; Catalyst plans both EXISTS branches as one
+    // l_orderkey-clustered join family.
+    "q_sql_q21" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ21)
+    }),
+
     // 84: explicit GROUPING SETS with grouping() markers — finer
     // control than the rollup/cube rows (a hand-picked lattice), one
     // shared SQL string, exact cents for the money sum.
@@ -694,13 +737,14 @@ object SparkEntry {
     }),
 
     // 100: conditional/ordered aggregates — count_if, bool_and/or,
-    // max_by/min_by in one pass. The argmax key is (cents, orderkey)
-    // packed into ONE BIGINT (DuckDB's arg_max can't take a struct
-    // key): ties in price resolve on the unique orderkey, so both
-    // engines pick the same row deterministically.
+    // max_by/min_by in one pass. The argmax key is a (cents, orderkey)
+    // STRUCT (lexicographic ordering): ties in price resolve on the
+    // unique orderkey with no packed-BIGINT range bound — the r6
+    // pc*1e9+key pack silently corrupted above orderkey 1e9, i.e.
+    // TPC-H SF ≈ 167. The oracle mirrors it with ordered FIRST.
     "q_cond_aggs" -> ((s, dir) => {
       val pc = cents(col("o_totalprice"))
-      val key = pc * lit(1000000000L) + col("o_orderkey")
+      val key = struct(pc.as("p"), col("o_orderkey").as("k"))
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(count_if(col("o_orderstatus") === "O").as("n_open"),
@@ -831,12 +875,12 @@ object SparkEntry {
              bool_and(o_totalprice > 0) AS all_pos,
              bool_or(CAST(round(o_totalprice * 100) AS BIGINT) > 30000000)
                AS any_big,
-             arg_max(o_orderkey,
-               CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
-                 + o_orderkey) AS best_order,
-             arg_min(o_orderkey,
-               CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
-                 + o_orderkey) AS worst_order
+             first(o_orderkey ORDER BY
+               CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+               o_orderkey DESC) AS best_order,
+             first(o_orderkey ORDER BY
+               CAST(round(o_totalprice * 100) AS BIGINT) ASC,
+               o_orderkey ASC) AS worst_order
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_set_ops_all" -> """
       WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
@@ -1111,6 +1155,44 @@ object SparkEntry {
         < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
            WHERE l2.l_partkey = l.l_partkey)
     GROUP BY p_brand ORDER BY p_brand"""
+
+  /** Shared verbatim — TPC-H Q2's correlated-scalar-min shape over
+    * this schema (lineitem stands in for partsupp): European suppliers
+    * offering a small part at its corpus-wide minimum price. The
+    * correlated min is an exact double SELECTION (no arithmetic), so
+    * both engines pick bit-identical values; Catalyst rewrites the
+    * subquery into an aggregate + join. */
+  private val sqlQ2: String = """
+    SELECT DISTINCT p_partkey, s_name, l_extendedprice AS min_price
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE' AND p_size <= 15
+      AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)
+    ORDER BY p_partkey, s_name"""
+
+  /** Shared verbatim — TPC-H Q21's multi-EXISTS self-join shape:
+    * suppliers who were the ONLY supplier with a returned line on a
+    * finished multi-supplier order. EXISTS → left-semi, NOT EXISTS →
+    * left-anti, both self-joins on l_orderkey. */
+  private val sqlQ21: String = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20"""
 
   /** Shared verbatim: correlated EXISTS → semi join, NOT EXISTS →
     * anti join, aggregated per priority. */
@@ -1432,6 +1514,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // 105: the lake layer under the oracle gate — partitionedParquet
+    // write (hive layout, one file per partition) → read BACK through
+    // the lake → partition-pruned filtered aggregate. The oracle runs
+    // the same aggregate off the SOURCE table, so the row proves the
+    // write→read round-trip loses nothing; LakeRoundtripSpec asserts
+    // on executed-scan metrics that the read scanned ONLY the
+    // purchase partition's file (pruning before IO — the point of the
+    // layout at 100 TB).
+    "q_lake_roundtrip" -> ((s, dir) => {
+      val lake = lakeRoundtripPath(dir)
+      val src = t(s, dir, "events").select("event_id", "ts", "user_id",
+        "event_type", "value")
+      Export.partitionedParquet(src, lake, Seq("event_type"))
+      // explicit schema: an EMPTY partitioned write leaves no parquet
+      // footer to infer from (only _SUCCESS), and a lake reader knows
+      // its table schema anyway
+      lakeRoundtripRead(s, lake, src.schema)
+    }),
+
     // 39 (beyond-§2): the reference's FULL pipeline composed end-to-end
     // — base load analog → marker semi-join → per-subset mark operators
     // (capped Qx, dedup-first H/C1/Qx1, stateful C5 gap) joined back →
@@ -1592,6 +1693,12 @@ object SparkEntry {
                   THEN u.price_cents ELSE t.price_cents END AS DOUBLE) / 100.0 AS price
       FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
       ORDER BY o_orderkey""",
+    "q_lake_roundtrip" -> """
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY day""",
     "q_regex_flag" -> """
       SELECT p_partkey, p_name,
              CAST(CASE WHEN regexp_matches(p_name, 'RED|GEAR', 'i')
@@ -1958,6 +2065,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // 106: INCREMENTAL corpus dedup — how a 100 TB corpus actually
+    // refreshes: the prior runs' fingerprints live in a PERSISTED
+    // artifact table (written here once per run, distinct-compacted);
+    // the NEW batch (doc_id % 5 == 0) is the only text signed or
+    // shuffled in the dedup job — first-seen-wins against the
+    // artifact (left_anti), then min-id within the batch. The old
+    // corpus is never re-read. Oracle = the same first-seen-wins
+    // dedup computed from scratch, restricted to the new batch.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val artPath = dedupArtifactPath(dir)
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .select(md5(col("text")).as("fp")).distinct()
+        .write.mode("overwrite").parquet(artPath)
+      val artifact = s.read.parquet(artPath)
+      docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(artifact, Seq("fp"), "left_anti")
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
     // 26: token counting (pure Column tree, codegen'd).
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2103,6 +2233,12 @@ object SparkEntry {
     // sized. Counts are exact ints → the pct division is engine-
     // identical.
     "q_lm_coverage" -> ((s, dir) => {
+      // Instances are pre-aggregated to (doc_id, h, cnt) BEFORE the
+      // vocabulary join: the join key's multiplicity drops from bigram
+      // INSTANCES to documents-containing, so a corpus-hot bigram
+      // ("of the") lands on a reducer as one row per document instead
+      // of millions of instance rows; AQE skew-split covers the
+      // residue and the per-doc rollup rides the doc_id grouping.
       val bg = t(s, dir, "documents")
         .select(col("doc_id"), TF.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
@@ -2111,12 +2247,14 @@ object SparkEntry {
         .select(col("doc_id"),
           conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long")
             .as("h"))
-      val known = bg.groupBy("h").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 2).select(col("h").as("kh"))
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+      val known = bg.groupBy("h").agg(sum(col("cnt")).as("tot"))
+        .filter(col("tot") >= 2).select(col("h").as("kh"))
       bg.join(known, col("h") === col("kh"), "left")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          count(col("kh")).as("n_known"))
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          sum(when(col("kh").isNotNull, col("cnt"))
+            .otherwise(lit(0L))).as("n_known"))
         .select(col("doc_id"), col("n_bigrams"), col("n_known"),
           (col("n_known").cast("double") * 100.0 / col("n_bigrams"))
             .as("coverage_pct"))
@@ -2498,6 +2636,27 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // 104: REAL multi-frame demux as a CHECKED row — a 48-container
+    // corpus of deterministic ANIMATED GIFs encoded on the executors
+    // (indexed-gray palette ⇒ lossless), demuxed back through the
+    // production demuxGifFrames path (ImageReader.getNumImages/read(i)
+    // per partition, corrupt-tolerant) into one row per real frame,
+    // pinned by (frame_idx, width, height, pixel-transcript md5). This
+    // is the demuxer q_frame_sample's byte-slice stub declared as its
+    // swap point: same media schema, real frames.
+    "q_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy("doc_id").limit(48)
+      val media = ids.as[Long].repartition(8).mapPartitions { it =>
+        it.map(m => (m, graft.multimodal.Multimodal.patternGif(m)))
+      }.toDF("media_id", "content")
+      graft.multimodal.Multimodal.demuxGifFrames(media)
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), md5(col("pixel_hex")).as("pixel_md5"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // 89: HLL approx-distinct vs its exact twin — the sketch a 100 TB
     // user reaches for when count(DISTINCT)'s dedup shuffle is too
     // expensive (HLL registers merge order-independently; no dedup
@@ -2735,6 +2894,15 @@ object SparkEntry {
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_dups
       FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    "q_dedup_incremental" -> """
+      WITH oldc AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                    WHERE doc_id % 5 <> 0),
+      batch AS (SELECT doc_id, md5(text) AS fp FROM documents
+                WHERE doc_id % 5 = 0),
+      fresh AS (SELECT b.doc_id, b.fp FROM batch b
+                LEFT JOIN oldc o ON b.fp = o.fp WHERE o.fp IS NULL)
+      SELECT min(doc_id) AS doc_id, fp FROM fresh
+      GROUP BY fp ORDER BY doc_id""",
     "q_token_count" -> s"""
       SELECT doc_id, CAST(len($toks) AS INT) AS n_tokens
       FROM documents ORDER BY doc_id""",
@@ -2894,6 +3062,8 @@ object SparkEntry {
       SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, total
       FROM r WHERE rk = 1 ORDER BY w1""",
     "q_exists_subquery" -> existsSubquerySql,
+    "q_sql_q2" -> sqlQ2,
+    "q_sql_q21" -> sqlQ21,
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_cume" -> windowCumeSql,
     "q_quality_gate" -> s"""
@@ -3282,6 +3452,26 @@ object SparkEntry {
       SELECT m AS media_id, w AS width, h AS height,
              md5(hexs) AS pixel_md5
       FROM px ORDER BY media_id""",
+    "q_gif_frames" -> """
+      WITH ids AS (SELECT doc_id AS m FROM documents
+                   ORDER BY doc_id LIMIT 48),
+      dims AS (SELECT m, CAST(10 + m % 7 AS INT) AS w,
+                      CAST(10 + m % 5 AS INT) AS h,
+                      2 + m % 4 AS nf FROM ids),
+      px AS (SELECT m, f, w, h,
+               string_agg(printf('%02x%02x%02x', g, g, g),
+                 '' ORDER BY y, x) AS hexs
+             FROM (SELECT m, f, w, h, x, y,
+                     CAST((m*7 + f*31 + x*3 + y*5) % 256 AS INT) AS g
+                   FROM dims
+                   CROSS JOIN range(0, 5) rf(f)
+                   CROSS JOIN range(0, 14) ry(y)
+                   CROSS JOIN range(0, 16) rx(x)
+                   WHERE f < nf AND y < h AND x < w)
+             GROUP BY m, f, w, h)
+      SELECT m AS media_id, f AS frame_idx, w AS width, h AS height,
+             md5(hexs) AS pixel_md5
+      FROM px ORDER BY media_id, frame_idx""",
     "q_distinct_approx" -> """
       SELECT l_returnflag,
              count(DISTINCT l_suppkey) AS supplier_cnt,

@@ -165,19 +165,25 @@ object Dedup {
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v")))
       .localCheckpoint()
 
-    def signature(e: DataFrame): (Long, String) = {
-      // hash-sum through DECIMAL(38,0): a LONG sum of xxhash64 values
+    def signature(e: DataFrame): (Long, String, String) = {
+      // hash-sums through DECIMAL(38,0): a LONG sum of xxhash64 values
       // overflows (ANSI would throw); decimal is exact and
-      // order-independent
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).head()
-      (r.getLong(0), r.getDecimal(1).toPlainString)
+      // order-independent. TWO independent multiset hashes (the args
+      // swapped give uncorrelated values) + the count make a collision
+      // between different edge sets ~2^-128 — strong enough to be the
+      // ONLY convergence check, so each round costs one driver job
+      // instead of signature + exceptAll-confirm.
+      def hsum(c: Column) = coalesce(sum(c.cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))
+      val r = e.agg(count(lit(1)), hsum(xxhash64(col("u"), col("v"))),
+        hsum(xxhash64(col("v"), col("u")))).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString,
+        r.getDecimal(2).toPlainString)
     }
 
     var iter = 0
     var converged = edges.isEmpty
-    var sig = if (converged) (0L, "0") else signature(edges)
+    var sig = if (converged) (0L, "0", "0") else signature(edges)
     while (!converged && iter < maxIter) {
       // large-star over the symmetric neighborhood: attach every
       // strictly-larger neighbor v of u to m = min(N(u) ∪ {u})
@@ -196,7 +202,7 @@ object Dedup {
         .union(mins2.select(col("u"), col("m").as("v"))))
         .localCheckpoint()
       val newSig = signature(ss)
-      converged = newSig == sig && ss.exceptAll(edges).isEmpty
+      converged = newSig == sig
       sig = newSig
       edges = ss
       iter += 1
@@ -204,10 +210,19 @@ object Dedup {
     require(converged || edges.isEmpty,
       s"connectedComponentsStar: no fixpoint after $maxIter rounds")
     // at the fixpoint every edge is (member, root); roots label themselves
-    edges.select(col("u").as("id"), col("v").as("comp"))
+    val out = edges.select(col("u").as("id"), col("v").as("comp"))
       .union(edges.select(col("v"), col("v")).distinct()
         .select(col("v").as("id"), col("v").as("comp")))
       .distinct()
+    // nodes appearing ONLY as self-loops (x, x) never survive orient();
+    // label them as their own singleton components so the output
+    // contract ("a row for every node in pairs") matches
+    // [[connectedComponents]] exactly
+    val selfOnly = pairs
+      .filter(col(idA).cast("long") === col(idB).cast("long"))
+      .select(col(idA).cast("long").as("id")).distinct()
+      .join(out.select("id"), Seq("id"), "left_anti")
+    out.union(selfOnly.select(col("id"), col("id").as("comp")))
   }
 
   /** Blocked n-gram-Jaccard near-dup: all pairs within a blocking key

@@ -213,6 +213,107 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "pixel_hex")
   }
 
+  /** Deterministic ANIMATED multi-frame GIF for media id `m`, encoded
+    * through `javax.imageio`'s sequence writer — the checked-path
+    * corpus generator for [[demuxGifFrames]]. Frames are
+    * TYPE_BYTE_INDEXED over a 256-gray identity palette, so the GIF
+    * encoder stores the index bytes verbatim (no quantization): every
+    * decoded pixel equals the arithmetic pattern
+    * gray = (m·7 + f·31 + x·3 + y·5) mod 256, and a codec-less oracle
+    * reproduces the transcript exactly. Frame count 2 + m mod 4. */
+  def patternGif(m: Long): Array[Byte] = {
+    val w = (10 + m % 7).toInt
+    val h = (10 + m % 5).toInt
+    val nFrames = (2 + m % 4).toInt
+    val gray = (0 until 256).map(_.toByte).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            ((m * 7 + f * 31 + x * 3 + y * 5) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    buf.toByteArray
+  }
+
+  /** REAL media demux: split a multi-frame container into one row per
+    * frame via `javax.imageio`'s `ImageReader` —
+    * `getNumImages(true)` / `read(i)` (GIF is the JDK-built-in
+    * multi-frame container; a video demuxer implements this same
+    * iterator against its own codec). Emits (media_id, frame_idx,
+    * width, height, pixel_hex) with the [[decodePixelHex]] transcript
+    * per frame; undecodable payloads degrade to one
+    * (-1, -1, -1, null) row, never a task failure. One container
+    * decoded at a time per task. */
+  def demuxGifFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val corrupt = (id: Long) => Iterator((id, -1L, -1, -1, null: String))
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null || bytes.isEmpty) corrupt(id)
+          else try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) { iis.close(); corrupt(id) }
+            else {
+              val reader = readers.next()
+              // seekForwardOnly=false: getNumImages(true) must scan
+              reader.setInput(iis, false)
+              val n = reader.getNumImages(true)
+              val rows = (0 until n).map { i =>
+                val img = reader.read(i)
+                val w = img.getWidth
+                val h = img.getHeight
+                val sb = new java.lang.StringBuilder(w * h * 6)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y) & 0xffffff
+                    val s = Integer.toHexString(rgb)
+                    var pad = 6 - s.length
+                    while (pad > 0) { sb.append('0'); pad -= 1 }
+                    sb.append(s)
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, i.toLong, w, h, sb.toString)
+              }
+              reader.dispose()
+              iis.close()
+              rows.iterator
+            }
+          } catch { case scala.util.control.NonFatal(_) => corrupt(id) }
+        }
+      }.toDF("media_id", "frame_idx", "width", "height", "pixel_hex")
+  }
+
   /** Uniform frame sampling plumbing: emit `nSamples` frame rows per
     * media row, frame i at index floor(i·(nFrames-1)/(nSamples-1))
     * (first and last frames always included; a single sample takes

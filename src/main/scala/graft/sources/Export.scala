@@ -73,25 +73,30 @@ object Export {
     * then one repartition rewrite. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    val dir = new java.io.File(path)
-    def sizeOf(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
-    val bytes = sizeOf(dir)
+    import org.apache.hadoop.fs.Path
+    // Resolve through the Hadoop FileSystem of the path's scheme —
+    // java.io.File would silently size a non-local path as 0 bytes
+    // (→ nFiles=1) and its renames would fail.
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(dir).getLength
     val nFiles = math.max(1, (bytes / targetFileBytes).toInt +
       (if (bytes % targetFileBytes > 0) 1 else 0))
     val df = spark.read.parquet(path)
-    val tmp = path + "__compact_tmp"
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap: rename old out, new in, then drop old
-    val old = new java.io.File(path + "__compact_old")
-    require(dir.renameTo(old), s"compact: cannot move $path aside")
-    require(new java.io.File(tmp).renameTo(dir),
-      s"compact: cannot move $tmp into place")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(old)
+    val tmp = new Path(path + "__compact_tmp")
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    // Swap by rename: the NEW data is fully written before the old is
+    // touched, so every byte exists on disk at all times. A crash
+    // between the two renames leaves the table readable at
+    // `path__compact_old` (recover by renaming it back) — directory
+    // renames aren't jointly atomic on HDFS/posix, so that one-step
+    // recovery window is the best a rename swap can do.
+    val old = new Path(path + "__compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(dir, old), s"compact: cannot move $path aside")
+    require(fs.rename(tmp, dir), s"compact: cannot move $tmp into place")
+    fs.delete(old, true)
+    ()
   }
 
   /** Incremental lake refresh: overwrite ONLY the partitions present

@@ -67,10 +67,15 @@ object StreamingOps {
   def streamStaticEnrich(events: DataFrame, dim: DataFrame,
       eventKey: String, dimKey: String,
       dimCols: Seq[String]): DataFrame = {
+    // The dim key rides under a unique internal alias so the join
+    // condition resolves even when eventKey and dimKey share a name
+    // (col(k) === col(k) is ambiguous, and drop(k) would then drop
+    // the event's key too).
+    val k = "__dim_" + dimKey
     val slim = broadcast(
-      dim.select((dimKey +: dimCols).map(c => col(c)): _*))
-    events.join(slim, col(eventKey) === col(dimKey), "left")
-      .drop(dimKey)
+      dim.select((col(dimKey).as(k) +: dimCols.map(c => col(c))): _*))
+    events.join(slim, col(eventKey) === col(k), "left")
+      .drop(k)
   }
 
   /** Watermarked stream-stream inner join: each left event pairs with

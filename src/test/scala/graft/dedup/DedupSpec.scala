@@ -75,14 +75,26 @@ class DedupSpec extends SparkSpec {
     val cliqueB = for (a <- 300L to 304L; b <- (a + 1) to 304L) yield (b, a)
     val bridge = Seq((204L, 300L))
     val island = Seq((900L, 901L), (901L, 900L), (900L, 901L))
-    val pairs = (chain ++ star ++ cliqueA ++ cliqueB ++ bridge ++ island)
+    // self-loops: 700 appears ONLY as (700,700) — must still get a
+    // singleton row (the orient() drop must not lose it); 50 also
+    // self-loops but already lives in the star component
+    val selfLoops = Seq((700L, 700L), (50L, 50L))
+    // high-degree hub FUSED to a long chain — the composite that
+    // stresses both star steps in one component
+    val hubChain = (1L to 100L).map(i => (5000L, 5000L + i)) ++
+      (0L until 80L).map(i => (5100L + i, 5100L + i + 1))
+    val pairs = (chain ++ star ++ cliqueA ++ cliqueB ++ bridge ++
+      island ++ selfLoops ++ hubChain)
       .toDF("id_a", "id_b")
-    val expected = Dedup.connectedComponents(pairs)
+    // the 80-hop chain exceeds propagation's default 50-round budget
+    // (rounds = diameter there; contraction stays at its default)
+    val expected = Dedup.connectedComponents(pairs, maxIter = 200)
       .as[(Long, Long)].collect().toMap
     val got = Dedup.connectedComponentsStar(pairs)
       .as[(Long, Long)].collect().toMap
     assert(got == expected)
     assert(got(140L) == 100L && got(58L) == 50L && got(304L) == 200L)
+    assert(got(700L) == 700L && got(5180L) == 5000L)
   }
 
   test("connectedComponentsStar on an empty pair set returns no rows") {

@@ -131,6 +131,41 @@ class MultimodalSpec extends SparkSpec {
     assert(bw == -1 && bhex == null)
   }
 
+  test("patternGif → demuxGifFrames round-trips every frame losslessly") {
+    val media = Seq(
+      (0L, Multimodal.patternGif(0)),
+      (5L, Multimodal.patternGif(5)),
+      (7L, Array.empty[Byte]),
+      (9L, "not a gif".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val got = Multimodal.demuxGifFrames(media)
+      .as[(Long, Long, Int, Int, String)].collect()
+      .groupBy(_._1)
+
+    def expectHex(m: Long, f: Long, w: Int, h: Int): String = {
+      val sb = new StringBuilder
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = ((m * 7 + f * 31 + x * 3 + y * 5) % 256).toInt
+        sb.append(f"$g%02x$g%02x$g%02x")
+      }
+      sb.toString
+    }
+    // id 0: w=10 h=10, 2 frames; id 5: w=15 h=10, 3 frames
+    assert(got(0L).length == 2 && got(5L).length == 3)
+    for ((m, w, h) <- Seq((0L, 10, 10), (5L, 15, 10));
+         row <- got(m)) {
+      val (_, f, gw, gh, hex) = row
+      assert(gw == w && gh == h, s"frame dims $gw x $gh for media $m")
+      assert(hex == expectHex(m, f, w, h),
+        s"frame $f of media $m decoded to different pixels")
+    }
+    // corrupt payloads degrade to one (-1, -1, null) row each
+    for (bad <- Seq(7L, 9L)) {
+      assert(got(bad).length == 1 && got(bad).head._3 == -1 &&
+        got(bad).head._5 == null)
+    }
+  }
+
   test("fakeDecode is deterministic and bounded [0,1)") {
     val f = Seq("payload").toDF("t")
       .select(Multimodal.fakeDecode(col("t").cast("binary"), 4).as("f"))

@@ -101,6 +101,6 @@ class PartitionedLakeSpec extends SparkSpec {
     val perDirTiny = spark.read.parquet(tiny).inputFiles
       .groupBy(f => f.substring(0, f.lastIndexOf('/')))
     assert(perDirTiny.values.exists(_.length > 1),
-      "maxRecordsPerFile=100 should split the larger day partitions")
+      "maxRecordsPerFile=10 should split the larger day partitions")
   }
 }
