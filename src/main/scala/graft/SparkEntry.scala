@@ -96,6 +96,11 @@ object SparkEntry {
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_lake_" +
       Integer.toHexString(dir.hashCode) + "/dedup_fingerprints"
 
+  /** Persisted banded-MinHash artifact dir for q_minhash_incremental. */
+  private[graft] def minhashArtifactPath(dir: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_lake_" +
+      Integer.toHexString(dir.hashCode) + "/minhash_bands"
+
   /** The read side of q_lake_roundtrip, shared with LakeRoundtripSpec
     * so the spec's executed-scan pruning fence measures EXACTLY the
     * plan the driver row runs. */
@@ -2088,6 +2093,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // 109: incremental NEAR-dup refresh — the MinHash twin of
+    // q_dedup_incremental: the old corpus's banded LSH signatures are
+    // a persisted artifact; only the new batch is shingled/minhashed,
+    // then band-joined against artifact ∪ new. Oracle = the full
+    // self-join LSH pair set restricted to pairs touching a new doc —
+    // proving incremental == from-scratch on the refresh slice.
+    "q_minhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val artPath = minhashArtifactPath(dir)
+      Dedup.bandedSignatures(docs.filter(col("doc_id") % 5 =!= 0),
+          "text", "doc_id", shingleK = 5, nPerm = 16, bands = 4)
+        .write.mode("overwrite").parquet(artPath)
+      val newBanded = Dedup.bandedSignatures(
+        docs.filter(col("doc_id") % 5 === 0), "text", "doc_id",
+        shingleK = 5, nPerm = 16, bands = 4)
+      Dedup.minhashLshIncrementalPairs(newBanded, s.read.parquet(artPath))
+        .orderBy("id_a", "id_b")
+    }),
+
     // 26: token counting (pure Column tree, codegen'd).
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -3217,6 +3241,28 @@ object SparkEntry {
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM e a JOIN e b ON a.band = b.band AND a.bh = b.bh
         AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b""",
+    "q_minhash_incremental" -> s"""
+      WITH d AS (SELECT doc_id, $sh5 AS sh FROM documents),
+      dh AS (SELECT doc_id,
+               list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)
+                 AS hs
+             FROM d),
+      mh AS (SELECT doc_id,
+        $minhashes
+      FROM dh),
+      bands AS (SELECT doc_id,
+        $bandExprs
+      FROM mh),
+      e AS (
+        SELECT doc_id, 0 AS band, b0 AS bh FROM bands UNION ALL
+        SELECT doc_id, 1, b1 FROM bands UNION ALL
+        SELECT doc_id, 2, b2 FROM bands UNION ALL
+        SELECT doc_id, 3, b3 FROM bands)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM e a JOIN e b ON a.band = b.band AND a.bh = b.bh
+        AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
       ORDER BY id_a, id_b""",
     "q_simhash" -> s"""
       WITH d AS (SELECT doc_id, $toks AS t FROM documents),

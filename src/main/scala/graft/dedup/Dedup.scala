@@ -33,7 +33,12 @@ object Dedup {
     * (band_idx, band_hash) — shuffle-partitioned, never all-pairs.
     * Verify with [[jaccardPairs]] or a threshold on the true measure.
     */
-  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+  /** Banded MinHash-LSH signatures: (id, band, bandhash) rows, the
+    * joinable form of a document's near-dup identity. Persist this
+    * frame as the corpus signature ARTIFACT — incremental refreshes
+    * ([[minhashLshIncrementalPairs]]) join new batches against it
+    * without ever re-reading or re-signing the old corpus text. */
+  def bandedSignatures(docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, nPerm: Int = 16, bands: Int = 4): DataFrame = {
     require(nPerm % bands == 0, "bands must divide nPerm")
     val rows = nPerm / bands
@@ -49,23 +54,47 @@ object Dedup {
       .select(col(idCol).as("id"),
         charShingleHashes(col(textCol)).as("hs"))
       .select(col("id"), minhashFromHashes(col("hs"), nPerm).as("sig"))
+    sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(concat_ws("_", (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*)))))
+      .toDF("id", "band", "bandhash")
+  }
+
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, nPerm: Int = 16, bands: Int = 4): DataFrame = {
     // Both sides of the self-join read this subtree; the join's two
     // shuffle children are canonically identical, so ReuseExchange
     // materializes the shingle+minhash pipeline ONCE and replays the
     // shuffle files for the other side — no persist, no cache-manager
     // lifetime to manage (an un-released persist here leaked into
     // every later query of an r3 bench session). At warehouse scale
-    // the signature table would be a written artifact instead.
-    val banded = sig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)), b =>
-        md5(concat_ws("_", (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1)): _*)))))
-      .toDF("id", "band", "bandhash")
+    // the signature table would be a written artifact instead
+    // ([[bandedSignatures]] + [[minhashLshIncrementalPairs]]).
+    val banded = bandedSignatures(docs, textCol, idCol, shingleK, nPerm, bands)
     val l = banded.toDF("id_a", "band_a", "h_a")
     val r = banded.toDF("id_b", "band_b", "h_b")
     l.join(r, col("band_a") === col("band_b") &&
         col("h_a") === col("h_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Incremental near-dup refresh: candidate pairs that TOUCH the new
+    * batch — new↔old (vs the persisted [[bandedSignatures]] artifact)
+    * and new↔new — without re-signing the old corpus. Equals the
+    * full-corpus [[minhashLshPairs]] restricted to pairs with at
+    * least one new id; old↔old pairs were already known to prior
+    * runs. The band equi-join shape (never all-pairs) is unchanged. */
+  def minhashLshIncrementalPairs(newBanded: DataFrame,
+      artifactBanded: DataFrame): DataFrame = {
+    val l = newBanded.toDF("id_a", "band_a", "h_a")
+    val r = artifactBanded.unionByName(newBanded)
+      .toDF("id_b", "band_b", "h_b")
+    l.join(r, col("band_a") === col("band_b") &&
+        col("h_a") === col("h_b") && col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
   }
 
   /** Exact shingle-Jaccard for candidate pairs: returns intersection /

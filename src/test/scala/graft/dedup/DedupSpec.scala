@@ -29,6 +29,19 @@ class DedupSpec extends SparkSpec {
       pairs.forall(p => p._1 < p._2))
   }
 
+  test("minhashLshIncrementalPairs == full LSH pairs touching the new batch") {
+    val full = Dedup.minhashLshPairs(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val newB = Dedup.bandedSignatures(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    val oldB = Dedup.bandedSignatures(
+      docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    val inc = Dedup.minhashLshIncrementalPairs(newB, oldB)
+      .as[(Long, Long)].collect().toSet
+    assert(inc == full.filter(p => p._1 % 2 == 0 || p._2 % 2 == 0))
+    assert(inc.contains((1L, 2L))) // identical docs split across batches
+  }
+
   test("ngramJaccardPairs respects the threshold inside blocks") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         Seq("blk"), 3, 1, 2)
