@@ -101,6 +101,11 @@ object SparkEntry {
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_lake_" +
       Integer.toHexString(dir.hashCode) + "/minhash_bands"
 
+  /** Staging dir for q_lake_refresh's dynamic-overwrite lake. */
+  private[graft] def lakeRefreshPath(dir: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_lake_" +
+      Integer.toHexString(dir.hashCode) + "/events_refresh"
+
   /** The read side of q_lake_roundtrip, shared with LakeRoundtripSpec
     * so the spec's executed-scan pruning fence measures EXACTLY the
     * plan the driver row runs. */
@@ -1538,6 +1543,29 @@ object SparkEntry {
       lakeRoundtripRead(s, lake, src.schema)
     }),
 
+    // 110: incremental lake REFRESH driver-gated — the daily-load
+    // idiom: full write, then dynamic partition overwrite replaces
+    // ONLY the purchase partition with re-priced rows (every other
+    // partition's files untouched), then a full read-back aggregate.
+    // The oracle applies the same re-pricing arithmetically to the
+    // source table, so the row proves dynamic overwrite replaced
+    // exactly the one partition and preserved the rest. (value*2 is
+    // an exact IEEE scale, so cents parity survives the round-trip.)
+    "q_lake_refresh" -> ((s, dir) => {
+      val lake = lakeRefreshPath(dir)
+      val src = t(s, dir, "events").select("event_id", "ts", "user_id",
+        "event_type", "value")
+      Export.partitionedParquet(src, lake, Seq("event_type"))
+      val patch = src.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+      Export.overwritePartitions(patch, lake, Seq("event_type"))
+      s.read.schema(src.schema).parquet(lake)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          money(sum(cents(col("value")))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // 39 (beyond-§2): the reference's FULL pipeline composed end-to-end
     // — base load analog → marker semi-join → per-subset mark operators
     // (capped Qx, dedup-first H/C1/Qx1, stateful C5 gap) joined back →
@@ -1704,6 +1732,13 @@ object SparkEntry {
                / 100.0 AS sum_value
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1 ORDER BY day""",
+    "q_lake_refresh" -> """
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(round(
+               CASE WHEN event_type = 'purchase' THEN value * 2
+                    ELSE value END * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value
+      FROM events GROUP BY 1 ORDER BY event_type""",
     "q_regex_flag" -> """
       SELECT p_partkey, p_name,
              CAST(CASE WHEN regexp_matches(p_name, 'RED|GEAR', 'i')
