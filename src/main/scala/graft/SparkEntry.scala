@@ -689,6 +689,26 @@ object SparkEntry {
         .orderBy("cohort_week", "weeks_since")
     }),
 
+    // 112: event transition matrix — the Markov "user journey" view:
+    // (event_type → next event_type) counts + per-source shares. One
+    // user_id shuffle feeds the lead window; the (src, dst) aggregate
+    // is 25 cells however big the stream, and the share divides
+    // exact BIGINTs. The complement of q_event_funnel (fixed path)
+    // and q_window_lead (row-level lead).
+    "q_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .withColumn("src_share",
+          col("n").cast("double") * 100.0 /
+            sum(col("n")).over(Window.partitionBy(col("src"))))
+        .orderBy("src", "dst")
+    }),
+
     // 98: multiset set-ops — INTERSECT ALL keeps min(multiplicity),
     // EXCEPT ALL subtracts multiplicities (the distinct set-ops row
     // 19 can't see repeat purchases). Spark plans these as
@@ -825,6 +845,17 @@ object SparkEntry {
              CAST(sum(CASE WHEN tc >= tv AND tp >= tc THEN 1 ELSE 0 END)
                AS DOUBLE) * 100.0 / count(tv) AS conv_pct
       FROM u""",
+    "q_transition_matrix" -> """
+      WITH t AS (SELECT user_id, event_type AS src,
+                   lead(event_type, 1) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS dst
+                 FROM events),
+      g AS (SELECT src, dst, count(*) AS n FROM t
+            WHERE dst IS NOT NULL GROUP BY 1, 2)
+      SELECT src, dst, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) * 100.0 / sum(n) OVER (PARTITION BY src)
+               AS src_share
+      FROM g ORDER BY src, dst""",
     "q_retention" -> """
       WITH c AS (
         SELECT user_id,
@@ -2651,6 +2682,23 @@ object SparkEntry {
         .orderBy("grp", "pos")
     }),
 
+    // 111: int8 vector quantization — the compression step a 100 TB
+    // embedding store runs before ANN serving (4× smaller, SIMD int
+    // dot products downstream). Per-vector absmax scaling: scale =
+    // 127/amax computed ONCE then applied (both engines multiply by
+    // the identical pre-divided double — a*(127/amax), never
+    // (a*127)/amax, so the IEEE op order matches), round-to-int is
+    // engine-unambiguous, and the quantized codes are pinned by an
+    // md5 of the int sequence. Pure per-row Column tree, no shuffle.
+    "q_embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding", "vec_id")
+        .select(col("id").as("vec_id"), col("amax"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("qsum"),
+          md5(array_join(transform(col("qvec"), _.cast("string")), ","))
+            .as("qhash"))
+        .orderBy("vec_id")
+    }),
+
     // 87: bloom-prefiltered fact⨝dim — the 100 TB shuffle-avoidance
     // pattern for a dim that is selective but too large to broadcast
     // as a hash join: a bloom over the dim keys (a few MB regardless
@@ -3491,6 +3539,19 @@ object SparkEntry {
                / count(*), 6) AS avg
       FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
       GROUP BY label, i.i ORDER BY grp, pos""",
+    "q_embed_quantize" -> """
+      WITH a AS (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS amax
+                 FROM embeddings),
+      q AS (SELECT vec_id, amax,
+              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
+                (CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END))
+                AS BIGINT)) AS qv
+            FROM a)
+      SELECT vec_id, amax, CAST(list_sum(qv) AS BIGINT) AS qsum,
+             md5(array_to_string(qv, ',')) AS qhash
+      FROM q ORDER BY vec_id""",
     "q_stream_window" -> """
       SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
              CAST(hour(date_trunc('hour', ts)) AS INT) AS hr, event_type,

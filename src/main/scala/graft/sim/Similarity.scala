@@ -236,6 +236,26 @@ object Similarity {
     * At 100 TB the block is an LSH signature ([[hyperplaneSig]]);
     * for verification any equi-block works. `maxBlock` fails the job
     * loudly if a block would go quadratic on a skewed key. */
+  /** Per-vector int8 absmax quantization — the compression step an
+    * embedding store runs before ANN serving (4× smaller vectors,
+    * integer dot products downstream). scale = 127/amax is computed
+    * ONCE and then applied per element (`x * (127/amax)`, never
+    * `(x*127)/amax`): with one fixed IEEE op order, any engine
+    * reproduces the codes bit-exactly. Zero vectors quantize to all
+    * zeros. Returns (id, amax, qvec: array<long> in [-127, 127]).
+    * Pure per-row Column tree — no shuffle, stays in codegen. */
+  def quantizeInt8(vectors: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    val amax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = when(col("amax") > 0, lit(127.0) / col("amax"))
+      .otherwise(lit(0.0))
+    vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+        amax.as("amax"))
+      .select(col("id"), col("amax"),
+        transform(col("v"), x => round(x.cast("double") * scale)
+          .cast("long")).as("qvec"))
+  }
+
   def nearDupPairs(vectors: DataFrame, vecCol: String, idCol: String,
       blockCol: String, threshold: Double, maxBlock: Int = 10000): DataFrame = {
     val v = vectors.select(col(blockCol).as("blk"),

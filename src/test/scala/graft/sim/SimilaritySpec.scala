@@ -22,6 +22,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((1L, 11L, 0.9), (1L, 12L, 0.9), (2L, 20L, 0.3)))
   }
 
+  test("quantizeInt8: absmax scaling, exact codes, zero-vector safe") {
+    val v = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 1.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(v, "embedding", "vec_id")
+      .as[(Long, Double, Seq[Long])].collect().sortBy(_._1)
+    // amax 1.0 → scale 127: 63.5 rounds half-up to 64
+    assert(got(0) == ((0L, 1.0, Seq(64L, -127L, 32L))))
+    // zero vector: amax 0, all codes 0 (no div-by-zero)
+    assert(got(1) == ((1L, 0.0, Seq(0L, 0L, 0L))))
+    // amax 2.0 → scale 63.5: codes 127, 64 (63.5 half-up), -32
+    assert(got(2) == ((2L, 2.0, Seq(127L, 64L, -32L))))
+    assert(got.forall(_._3.forall(c => c >= -127 && c <= 127)))
+  }
+
   test("bruteTopK ranks nearest vectors first") {
     val q = vecs.filter(col("vec_id") === 0)
     val got = Similarity.bruteTopK(vecs, q, "embedding", "vec_id", 2)
