@@ -340,6 +340,27 @@ object Multimodal {
       .dropDuplicates("media_id", "frame_idx")
   }
 
+  /** [[sampleFrames]]' uniform-index policy applied to REAL demuxed
+    * frames — the composition the byte-slice stub declared as its
+    * swap point: [[demuxGifFrames]] splits the container, then frame
+    * i of n survives when i ∈ {floor(s·(n-1)/(nSamples-1))} (first
+    * and last always kept; a single sample keeps frame 0). The frame
+    * count rides a media_id window over the already-demuxed rows —
+    * no second decode pass, no shuffle beyond the window's. */
+  def sampleRealFrames(media: DataFrame, nSamples: Int): DataFrame = {
+    require(nSamples > 0)
+    val frames = demuxGifFrames(media)
+    if (nSamples == 1) return frames.filter(col("frame_idx") === 0)
+    import org.apache.spark.sql.expressions.Window
+    val n = count(lit(1)).over(Window.partitionBy(col("media_id")))
+    frames.withColumn("__n", n)
+      .filter(array_contains(
+        transform(sequence(lit(0L), lit(nSamples - 1L)),
+          s => floor(s * (col("__n") - 1) / (nSamples - 1)).cast("long")),
+        col("frame_idx")))
+      .drop("__n")
+  }
+
   /** Batched per-partition feature extraction over the media schema —
     * the shape a real decoder plugs into: one iterator pass, bounded
     * memory, no driver involvement. Emits (media_id, n_bytes,

@@ -166,6 +166,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sampleRealFrames keeps uniformly spaced REAL frames, first/last included") {
+    // id 1 → 3 frames, id 3 → 5 frames (nFrames = 2 + m % 4)
+    val media = Seq(
+      (1L, Multimodal.patternGif(1)),
+      (3L, Multimodal.patternGif(3)))
+      .toDF("media_id", "content")
+    val got = Multimodal.sampleRealFrames(media, 3)
+      .select("media_id", "frame_idx")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // 3 of 3 frames → all; 3 of 5 → {0, 2, 4}
+    assert(got(1L) == Seq(0L, 1L, 2L))
+    assert(got(3L) == Seq(0L, 2L, 4L))
+    val one = Multimodal.sampleRealFrames(media, 1)
+      .select("frame_idx").as[Long].collect()
+    assert(one.toSeq == Seq(0L, 0L))
+  }
+
   test("fakeDecode is deterministic and bounded [0,1)") {
     val f = Seq("payload").toDF("t")
       .select(Multimodal.fakeDecode(col("t").cast("binary"), 4).as("f"))
