@@ -2764,6 +2764,25 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // 113: REAL audio decode as a CHECKED row — a 48-clip corpus of
+    // deterministic 16-bit PCM WAVs encoded on the executors
+    // (javax.sound.sampled — JDK built-in; PCM is lossless), decoded
+    // back through the production decodeWav path (real container
+    // parse: rate/frames/endianness, corrupt-tolerant), pinned by
+    // per-clip stats + an md5 over the int16 sample transcript the
+    // codec-less oracle reconstructs arithmetically. Completes the
+    // modality set: PNG (q_image_decode), GIF frames (q_gif_frames),
+    // WAV audio — all three decode for real under the oracle gate.
+    "q_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy("doc_id").limit(48)
+      val media = ids.as[Long].repartition(8).mapPartitions { it =>
+        it.map(m => (m, graft.multimodal.Multimodal.patternWav(m)))
+      }.toDF("media_id", "content")
+      graft.multimodal.Multimodal.decodeWav(media).orderBy("media_id")
+    }),
+
     // 89: HLL approx-distinct vs its exact twin — the sketch a 100 TB
     // user reaches for when count(DISTINCT)'s dedup shuffle is too
     // expensive (HLL registers merge order-independently; no dedup
@@ -3594,6 +3613,19 @@ object SparkEntry {
       SELECT m AS media_id, w AS width, h AS height,
              md5(hexs) AS pixel_md5
       FROM px ORDER BY media_id""",
+    "q_audio_decode" -> """
+      WITH ids AS (SELECT doc_id AS m FROM documents
+                   ORDER BY doc_id LIMIT 48),
+      s AS (SELECT m, i, CAST((m*31 + i*7) % 65536 - 32768 AS INT) AS v
+            FROM ids CROSS JOIN range(0, 500) r(i)
+            WHERE i < 400 + m % 100)
+      SELECT m AS media_id, CAST(8000 AS INT) AS sample_rate,
+             count(*) AS n_frames,
+             min(v) AS smin, max(v) AS smax,
+             CAST(sum(v) AS BIGINT) AS ssum,
+             md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i))
+               AS sample_md5
+      FROM s GROUP BY m ORDER BY media_id""",
     "q_gif_frames" -> """
       WITH ids AS (SELECT doc_id AS m FROM documents
                    ORDER BY doc_id LIMIT 48),

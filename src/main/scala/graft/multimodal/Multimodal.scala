@@ -340,6 +340,85 @@ object Multimodal {
       .dropDuplicates("media_id", "frame_idx")
   }
 
+  /** Deterministic 16-bit mono PCM WAV for media id `m`, encoded
+    * through `javax.sound.sampled` (the JDK's built-in audio stack) —
+    * the checked-path corpus generator for [[decodeWav]]. Every
+    * sample is an integer function of (m, i):
+    * s = (m·31 + i·7) mod 65536 − 32768, and PCM is lossless, so a
+    * codec-less oracle reproduces the decoded samples exactly.
+    * Frame count 400 + m mod 100 at 8 kHz. */
+  def patternWav(m: Long): Array[Byte] = {
+    val n = (400 + m % 100).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((m * 31 + i * 7) % 65536 - 32768).toInt
+      data(2 * i) = (s & 0xff).toByte // little-endian PCM
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  /** REAL audio decode over the media schema: `javax.sound.sampled`
+    * per partition on the executors (WAV/PCM ships with the JDK — no
+    * native libs). Parses the container format for real (sample
+    * rate, frame count, endianness), streams the PCM frames once,
+    * and emits per-clip stats plus an md5 over the comma-joined
+    * int16 sample transcript — the form an engine without a codec
+    * can reconstruct and hash. Undecodable payloads degrade to one
+    * (-1, -1, …, null) row, never a task failure; one clip in
+    * memory at a time per task. */
+  def decodeWav(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val corrupt = (id: Long) =>
+      (id, -1, -1L, 0, 0, 0L, null: String)
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          if (bytes == null || bytes.isEmpty) corrupt(id)
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val n = ais.getFrameLength.toInt
+            val raw = ais.readAllBytes()
+            ais.close()
+            val big = fmt.isBigEndian
+            val sb = new java.lang.StringBuilder(n * 7)
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            var sum = 0L
+            var i = 0
+            while (i < n) {
+              val lo = raw(2 * i) & 0xff
+              val hi = raw(2 * i + 1) & 0xff
+              val v = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+              if (i > 0) sb.append(',')
+              sb.append(v)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              sum += v
+              i += 1
+            }
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(sb.toString.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            (id, fmt.getSampleRate.toInt, n.toLong, mn, mx, sum, md)
+          } catch { case scala.util.control.NonFatal(_) => corrupt(id) }
+        }
+      }.toDF("media_id", "sample_rate", "n_frames", "smin", "smax",
+        "ssum", "sample_md5")
+  }
+
   /** [[sampleFrames]]' uniform-index policy applied to REAL demuxed
     * frames — the composition the byte-slice stub declared as its
     * swap point: [[demuxGifFrames]] splits the container, then frame

@@ -166,6 +166,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("patternWav → decodeWav round-trips PCM samples losslessly") {
+    val media = Seq(
+      (5L, Multimodal.patternWav(5)),
+      (9L, Array.empty[Byte]),
+      (11L, "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val got = Multimodal.decodeWav(media)
+      .as[(Long, Int, Long, Int, Int, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // id 5: 405 frames at 8 kHz, samples (5*31 + i*7) % 65536 - 32768
+    val samples = (0 until 405).map(i => ((5 * 31 + i * 7) % 65536 - 32768))
+    val (_, rate, n, mn, mx, sum, md) = got(5L)
+    assert(rate == 8000 && n == 405L)
+    assert(mn == samples.min && mx == samples.max)
+    assert(sum == samples.map(_.toLong).sum)
+    val expectMd = java.security.MessageDigest.getInstance("MD5")
+      .digest(samples.mkString(",").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(md == expectMd)
+    // corrupt payloads degrade to a (-1, …, null) row
+    for (bad <- Seq(9L, 11L))
+      assert(got(bad)._2 == -1 && got(bad)._7 == null)
+  }
+
   test("sampleRealFrames keeps uniformly spaced REAL frames, first/last included") {
     // id 1 → 3 frames, id 3 → 5 frames (nFrames = 2 + m % 4)
     val media = Seq(
