@@ -532,6 +532,18 @@ object SparkEntry {
       s.sql(sqlQ21)
     }),
 
+    // 118: SQL front door, TPC-H Q17's correlated-AVG shape
+    // (small-quantity lines vs 20% of the part's average) — the
+    // per-group-threshold pattern Catalyst de-correlates into an
+    // l_partkey aggregate joined back (one join family, no per-row
+    // re-scan). Money rides the cents bridge INSIDE the shared SQL;
+    // the quantity compare is exact (integer-valued doubles, exact
+    // double sums under 2^53).
+    "q_sql_q17" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ17)
+    }),
+
     // 84: explicit GROUPING SETS with grouping() markers — finer
     // control than the rollup/cube rows (a hand-picked lattice), one
     // shared SQL string, exact cents for the money sum.
@@ -644,6 +656,54 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), money(sum(col("pc"))).as("sum_price"))
         .orderBy("bucket")
+    }),
+
+    // 117: population-stability index (PSI) — the data-drift monitor
+    // every production pipeline ends with: value distribution of the
+    // FIRST time half (ref) vs the SECOND (cur) per event_type, over
+    // 10 equi-width cent bins from the same 1-row min/max broadcast
+    // as q_histogram. Counts are exact ints; empty bins ride Laplace
+    // smoothing p=(c+1)/(n+10) so ln never sees zero and both engines
+    // agree arithmetically (round 6 on the 10-term sum). The bin
+    // frame materializes via explode, not a join — no cartesian.
+    "q_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        unix_micros(col("ts")).as("tus"), cents(col("value")).as("v"))
+      val m = ev.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        (min(col("tus")) + max(col("tus"))).as("tmid2"))
+      // counts is |types|·2·10 rows however big the stream — checkpoint
+      // it so the four downstream consumers (frame/filled/tot/p) read
+      // the tiny frame instead of re-scanning events once each (the
+      // audit showed 8 fact scans without this; the minimum is 2:
+      // one for min/max, one for binning).
+      val counts = ev.crossJoin(broadcast(m))
+        .select(col("event_type"),
+          when(col("tus") * 2 <= col("tmid2"), lit("ref"))
+            .otherwise(lit("cur")).as("period"),
+          expr("CAST((v - vmin) * 10 DIV (vmax - vmin + 1) AS INT)")
+            .as("bin"))
+        .groupBy("event_type", "period", "bin").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val frame = counts.select("event_type").distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0), lit(9))).as("bin"))
+        .select(col("event_type"), col("bin"),
+          explode(array(lit("ref"), lit("cur"))).as("period"))
+      val full = frame.join(counts, Seq("event_type", "period", "bin"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val tot = full.groupBy("event_type", "period").agg(sum(col("c")).as("n"))
+      val p = full.join(tot, Seq("event_type", "period"))
+        .withColumn("p", (col("c") + 1).cast("double") / (col("n") + 10))
+      p.groupBy("event_type", "bin")
+        .agg(max(when(col("period") === "ref", col("p"))).as("pr"),
+          max(when(col("period") === "cur", col("p"))).as("pc"),
+          max(when(col("period") === "ref", col("n"))).as("nr"),
+          max(when(col("period") === "cur", col("n"))).as("nc"))
+        .groupBy("event_type")
+        .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+          round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 6)
+            .as("psi"))
+        .orderBy("event_type")
     }),
 
     // 94: sequence funnel (view → click → purchase) — one shuffle on
@@ -827,6 +887,43 @@ object SparkEntry {
              count(*) AS n,
              CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_price
       FROM b, m GROUP BY 1 ORDER BY bucket""",
+    "q_psi" -> """
+      WITH ev AS (SELECT event_type,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      m AS (SELECT min(v) AS vmin, max(v) AS vmax,
+                   min(tus) + max(tus) AS tmid2 FROM ev),
+      cnt AS (SELECT event_type,
+                CASE WHEN tus * 2 <= tmid2 THEN 'ref' ELSE 'cur' END
+                  AS period,
+                (v - vmin) * 10 // (vmax - vmin + 1) AS bin,
+                count(*) AS c
+              FROM ev, m GROUP BY 1, 2, 3),
+      frame AS (SELECT event_type, r.bin, p.period
+                FROM (SELECT DISTINCT event_type FROM ev)
+                CROSS JOIN range(0, 10) r(bin)
+                CROSS JOIN (VALUES ('ref'), ('cur')) p(period)),
+      filled AS (SELECT f.event_type, f.period, f.bin,
+                      coalesce(c.c, 0) AS c
+               FROM frame f LEFT JOIN cnt c
+                 ON f.event_type = c.event_type
+                AND f.period = c.period AND f.bin = c.bin),
+      tot AS (SELECT event_type, period, sum(c) AS n
+              FROM filled GROUP BY 1, 2),
+      p AS (SELECT f.event_type, f.bin, f.period,
+              CAST(f.c + 1 AS DOUBLE) / (t.n + 10) AS p, t.n
+            FROM filled f JOIN tot t
+              ON f.event_type = t.event_type AND f.period = t.period),
+      wide AS (SELECT event_type, bin,
+                 max(CASE WHEN period = 'ref' THEN p END) AS pr,
+                 max(CASE WHEN period = 'cur' THEN p END) AS pc,
+                 max(CASE WHEN period = 'ref' THEN n END) AS nr,
+                 max(CASE WHEN period = 'cur' THEN n END) AS nc
+               FROM p GROUP BY 1, 2)
+      SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
+             CAST(max(nc) AS BIGINT) AS n_cur,
+             round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+      FROM wide GROUP BY event_type ORDER BY event_type""",
     "q_event_funnel" -> """
       WITH u AS (
         SELECT user_id,
@@ -1213,6 +1310,23 @@ object SparkEntry {
                              FROM lineitem l2
                              WHERE l2.l_partkey = p_partkey)
     ORDER BY p_partkey, s_name"""
+
+  /** Shared verbatim — TPC-H Q17's correlated-average shape, per
+    * brand (the classic "small orders" revenue question). The inner
+    * avg de-correlates to a per-partkey aggregate; money goes through
+    * exact BIGINT cents on both engines. */
+  private val sqlQ17: String = """
+    SELECT p_brand, CAST(sum(c) AS BIGINT) AS sum_cents,
+           count(*) AS n_lines
+    FROM (
+      SELECT p_brand, CAST(round(l1.l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem l1, part
+      WHERE p_partkey = l1.l_partkey AND p_size <= 5
+        AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = l1.l_partkey)) t
+    GROUP BY p_brand
+    ORDER BY p_brand"""
 
   /** Shared verbatim — TPC-H Q21's multi-EXISTS self-join shape:
     * suppliers who were the ONLY supplier with a returned line on a
@@ -2426,6 +2540,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // 115: token-distribution Shannon entropy per doc (the
+    // Gopher-family quality signal: low entropy = repetitive/
+    // degenerate text). entropy = ln(n) − Σ c·ln(c) / n over EXACT
+    // integer type counts, so the only float work is the final
+    // ln/divide — the sum is over ≤ |types| terms and rides round(6)
+    // for cross-engine parity. Two partial-aggregable groupBys on
+    // doc-rooted keys; no joins, no window.
+    "q_entropy" -> ((s, dir) => {
+      val c = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      c.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+          sum(col("c").cast("double") * log(col("c").cast("double")))
+            .as("__clogc"))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_types"),
+          round(log(col("n").cast("double")) - col("__clogc") / col("n"), 6)
+            .as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // 30: blocked shingle-Jaccard near-dup pairs (≥ 0.5, exact
     // rational compare); blocking on (lang, source, length bucket)
     // bounds the pair blow-up.
@@ -2493,6 +2628,27 @@ object SparkEntry {
         .withColumn("bucket", bucket)
         .filter(col("bucket") < rate)
         .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    }),
+
+    // 119: class-balance cap — EXACTLY-k-per-class downsampling
+    // (each lang keeps its 80 hash-first docs), the corpus-balancing
+    // step stratified RATE sampling (row above) can't express: a rate
+    // bounds the fraction, a cap bounds the COUNT. Selection order is
+    // an md5 hash, so the kept set is a deterministic uniform draw on
+    // both engines. One per-class window shuffle; classes are few and
+    // the k-bounded winner set is tiny — at real scale a hash-
+    // threshold prefilter (keep ≈ 2k/|class| by bucket, then exact
+    // top-off) caps the window's input first.
+    "q_class_balance" -> ((s, dir) => {
+      val h = md5(concat(col("doc_id").cast("string"), lit("#bal")))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 80)
+        .select(col("doc_id"), col("lang"), col("rn"))
         .orderBy("doc_id")
     }),
 
@@ -2783,6 +2939,34 @@ object SparkEntry {
       graft.multimodal.Multimodal.decodeWav(media).orderBy("media_id")
     }),
 
+    // 116: Count-Min sketch heavy-hitter counts vs the exact twin —
+    // the OTHER workhorse sketch (HLL answers "how many distinct",
+    // CMS answers "how often is X"). Counters are the REAL
+    // distributed build: per-token partial counts explode to
+    // (depth, bucket) cells and sum — exactly a map-side-combined
+    // groupBy, the CMS merge property as a Spark plan (cells add;
+    // no dedup, bounded d×w state however big the stream). Estimate
+    // = min over depths of the cell sum; md5-derived bucket hashes
+    // so the oracle reconstructs every counter exactly. Output pins
+    // estimate AND exact per token — the overestimate structure is
+    // driver-checked, not asserted away.
+    "q_countmin" -> ((s, dir) => {
+      val W = 256L
+      val cnt = t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact"))
+      val cells = cnt.select(col("tok"), col("exact"),
+          explode(array((0 until 4).map(lit(_)): _*)).as("r"))
+        .withColumn("b",
+          conv(substring(md5(concat(col("r"), col("tok"))), 1, 15), 16, 10)
+            .cast("long") % W)
+      val counters = cells.groupBy("r", "b").agg(sum("exact").as("cnt"))
+      cells.join(counters, Seq("r", "b"))
+        .groupBy("tok")
+        .agg(max("exact").as("exact"), min("cnt").as("cms_est"))
+        .orderBy("tok")
+    }),
+
     // 89: HLL approx-distinct vs its exact twin — the sketch a 100 TB
     // user reaches for when count(DISTINCT)'s dedup shuffle is too
     // expensive (HLL registers merge order-independently; no dedup
@@ -2883,6 +3067,40 @@ object SparkEntry {
         .select(col("id").cast("long").as("event_id"),
           col("flag").as("validacion"))
         .orderBy("event_id")
+    }),
+
+    // 114: watermarked stream-stream interval join on the real
+    // engine — the attribution shape (each view pairs with the same
+    // user's purchases within the next 4 hours). Two file-source
+    // streams, both watermarked so the join state is EVICTABLE (an
+    // unwatermarked stream-stream join grows state forever — the
+    // 100 TB/continuous killer); interval bounds let the engine
+    // range-prune state per key. AvailableNow + append against the
+    // identical batch self-join oracle. gap rides exact epoch
+    // micros — both engines truncate the source nanos the same way.
+    "q_stream_join" -> ((s, dir) => {
+      val views = eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val joined = graft.streaming.StreamingOps.streamStreamJoin(
+        views, purchases, "user_id", "v_ts", "p_ts",
+        "0 seconds", "4 hours", "24 hours")
+      val sink = s"q_stream_join_${streamExecSeq.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("view_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+            .as("gap_usec"))
+        .orderBy("view_id", "purchase_id")
     }))
 
   /** Unique memory-sink names: the row may run several times in one
@@ -3032,6 +3250,14 @@ object SparkEntry {
     "q_token_count" -> s"""
       SELECT doc_id, CAST(len($toks) AS INT) AS n_tokens
       FROM documents ORDER BY doc_id""",
+    "q_entropy" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+      c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             round(ln(CAST(sum(c) AS DOUBLE)) -
+               sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+      FROM c GROUP BY doc_id ORDER BY doc_id""",
     // sums carry an outer BIGINT cast: DuckDB sum(BIGINT) returns
     // HUGEINT, which pandas narrows to float64 — the driver's hash
     // then compares "19525.0" vs Spark's "19525" (the r4 red row).
@@ -3190,6 +3416,7 @@ object SparkEntry {
     "q_exists_subquery" -> existsSubquerySql,
     "q_sql_q2" -> sqlQ2,
     "q_sql_q21" -> sqlQ21,
+    "q_sql_q17" -> sqlQ17,
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_cume" -> windowCumeSql,
     "q_quality_gate" -> s"""
@@ -3228,6 +3455,16 @@ object SparkEntry {
              md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64))
                AS frame_hash
       FROM f ORDER BY media_id, frame_idx""",
+    "q_class_balance" -> """
+      WITH h AS (SELECT doc_id, lang,
+                   md5(CAST(doc_id AS VARCHAR) || '#bal') AS h
+                 FROM documents),
+      r AS (SELECT doc_id, lang,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY h, doc_id) AS INT) AS rn
+            FROM h)
+      SELECT doc_id, lang, rn FROM r WHERE rn <= 80
+      ORDER BY doc_id""",
     "q_stratified_sample" -> """
       WITH b AS (
         SELECT doc_id, lang,
@@ -3583,6 +3820,14 @@ object SparkEntry {
              count(*) AS n_events,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       FROM events GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""",
+    "q_stream_join" -> """
+      SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(v.ts) AS gap_usec
+      FROM events v JOIN events p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+      WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      ORDER BY view_id, purchase_id""",
     "q_bloom_join" -> """
       SELECT l_orderkey, l_linenumber, l_partkey,
              CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
@@ -3651,6 +3896,19 @@ object SparkEntry {
              count(DISTINCT l_suppkey) AS supplier_cnt,
              TRUE AS within_10pct
       FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q_countmin" -> s"""
+      WITH tok AS (SELECT unnest($toks) AS tok FROM documents),
+      cnt AS (SELECT tok, count(*) AS exact FROM tok GROUP BY tok),
+      cells AS (SELECT tok, exact, r,
+                  ('0x' || substr(md5(CAST(r AS VARCHAR) || tok), 1, 15))
+                    ::BIGINT % 256 AS b
+                FROM cnt CROSS JOIN range(0, 4) t(r)),
+      counters AS (SELECT r, b, CAST(sum(exact) AS BIGINT) AS cnt
+                   FROM cells GROUP BY r, b)
+      SELECT tok, CAST(max(exact) AS BIGINT) AS exact,
+             CAST(min(cnt) AS BIGINT) AS cms_est
+      FROM cells JOIN counters USING (r, b)
+      GROUP BY tok ORDER BY tok""",
     "q_quantile_approx" -> """
       WITH c AS (SELECT o_orderpriority AS pri,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -24,12 +24,12 @@ class PlanSpec extends SparkSpec {
   // bounded at 1 × |vocabulary| rows); q_tfidf and q_bm25 thread the
   // same 1-row corpus-stats frame (N / avgdl) into per-term frames
   // the same way.
-  // q_histogram and q_domain_mix broadcast a ONE-row global
+  // q_histogram, q_domain_mix and q_psi broadcast a ONE-row global
   // min/max / corpus-total aggregate onto the per-row / per-source
   // frame — the same bounded scalar-broadcast shape as q_tfidf.
   private val intendedNestedLoop =
     Set("q_embed_topk", "q_embed_ivf", "q_corpus_stopwords",
-      "q_tfidf", "q_bm25", "q_histogram", "q_domain_mix")
+      "q_tfidf", "q_bm25", "q_histogram", "q_domain_mix", "q_psi")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
