@@ -440,6 +440,36 @@ object SparkEntry {
     // 23: gap-based sessionization — lag + cumulative sum of session
     // starts, then per-session aggregates. Two windows over the same
     // (user) partitioning → one shuffle.
+    // 121: SCD type-2 materialization — the warehouse dimension-
+    // history build: consecutive runs of equal state per user
+    // collapse into versioned validity intervals [valid_from,
+    // valid_to) with valid_to = next version's start (-1 = current).
+    // Gap-and-island via lag/cumsum (q_sessionize's shape applied to
+    // STATE CHANGES, not time gaps); one user_id shuffle end-to-end —
+    // the interval build, version numbering and horizon close all
+    // ride the same partitioning. Epoch-micros on both engines.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type").as("state"), unix_micros(col("ts")).as("tus"),
+        col("event_id"))
+      val runs = e.withColumn("chg",
+          when(lag(col("state"), 1).over(w).isNull ||
+            lag(col("state"), 1).over(w) =!= col("state"), 1).otherwise(0))
+        .withColumn("run_id", sum(col("chg")).over(wRun))
+      val iv = runs.groupBy("user_id", "run_id")
+        .agg(min(col("state")).as("state"),
+          min(col("tus")).as("valid_from"), count(lit(1)).as("n_events"))
+      val byVersion = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+      iv.withColumn("valid_to",
+          coalesce(lead(col("valid_from"), 1).over(byVersion), lit(-1L)))
+        .select(col("user_id"), col("run_id").cast("int").as("version"),
+          col("state"), col("valid_from"), col("valid_to"), col("n_events"))
+        .orderBy("user_id", "version")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -1247,6 +1277,26 @@ object SparkEntry {
              count(*) AS n_events
       FROM s GROUP BY user_id, sess_id
       ORDER BY user_id, start_us""",
+    "q_scd2" -> """
+      WITH e AS (SELECT user_id, event_type AS state,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id
+                 FROM events),
+      r AS (SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                             OR lag(state) OVER w <> state
+                           THEN 1 ELSE 0 END AS chg
+            FROM e WINDOW w AS (PARTITION BY user_id
+              ORDER BY tus, event_id)),
+      s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+              ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM r),
+      iv AS (SELECT user_id, run_id, min(state) AS state,
+               min(tus) AS valid_from, count(*) AS n_events
+             FROM s GROUP BY 1, 2)
+      SELECT user_id, CAST(run_id AS INT) AS version, state, valid_from,
+             coalesce(lead(valid_from) OVER (PARTITION BY user_id
+               ORDER BY run_id), -1) AS valid_to,
+             n_events
+      FROM iv ORDER BY user_id, version""",
     "q_sessionize" -> """
       WITH g AS (
         SELECT user_id, event_id, ts,
@@ -2728,6 +2778,47 @@ object SparkEntry {
       Dedup.connectedComponents(fuzzyPairs(s, dir)).orderBy("id")
     }),
 
+    // 120: PageRank, 3 damped iterations over the customer→supplier
+    // purchase graph (the OTHER canonical graph aggregate beside the
+    // CC rows — importance, not membership). Edges checkpoint once
+    // and every iteration is one groupBy(dst) shuffle of |E| rows —
+    // the textbook Spark PR loop, diameter-free by construction.
+    // Supplier ids offset into their own node range. N enters as a
+    // literal from one bounded count (node-table-sized, not
+    // fact-sized); no dangling-mass redistribution (suppliers are
+    // sinks; the leak is deterministic on both engines and the
+    // oracle unrolls the identical 3 steps). Output ×N, round 9 —
+    // float error after 3 iterations is ~1e-13 relative.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst"))).distinct().localCheckpoint()
+      val n = nodes.count()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var pr = nodes.withColumn("pr", lit(1.0 / n))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(deg, "src")
+          .join(pr, edges("src") === pr("id"))
+          .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+        pr = nodes
+          .join(contrib.groupBy("id").agg(sum(col("c")).as("s")),
+            Seq("id"), "left")
+          .select(col("id"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0)))
+              .as("pr"))
+      }
+      pr.select(col("id"), round(col("pr") * n, 9).as("pr_scaled"))
+        .orderBy("id")
+    }),
+
     // 61: regex group extraction — parse structured text into typed
     // columns (the log/sheet-parsing ETL shape; the reference's
     // pandas .str pipeline equivalent). Groups: "<adjective> <noun>".
@@ -2829,6 +2920,19 @@ object SparkEntry {
             graft.multimodal.Multimodal.fakeDecode(col("content")), 1), 6)
             .as("feat0"))
         .orderBy("media_id")
+    }),
+
+    // 122: one exact Lloyd (k-means) iteration — label-mean init →
+    // sequential-fold squared-L2 argmin (bit-stable: fixed dim order,
+    // decimal-rounded centroids) → decimal-mean update. The
+    // clustering primitive behind IVF cell refinement, as a checked
+    // row: the oracle replays the identical step, so assignment AND
+    // update must match float-for-float. Corpus scans twice (score,
+    // update); the k-row centroid table broadcasts.
+    "q_kmeans" -> ((s, dir) => {
+      Similarity.kmeansStep(t(s, dir, "embeddings"), "embedding",
+          "vec_id", "label")
+        .orderBy("cluster", "pos")
     }),
 
     // 41: per-label embedding centroids (IVF coarse-quantizer
@@ -3641,6 +3745,41 @@ object SparkEntry {
         AND a.p_partkey < b.p_partkey
       WHERE levenshtein(a.p_name, b.p_name) <= 2
       ORDER BY id_a, id_b""",
+    "q_pagerank" -> """
+      WITH e AS (SELECT DISTINCT o_custkey AS src,
+                   l_suppkey + 1000000 AS dst
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      p0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS pr
+             FROM nodes CROSS JOIN nn),
+      p1 AS (SELECT nodes.id, CAST(0.15 AS DOUBLE) / nn.n +
+               CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE))
+                 AS pr
+             FROM nodes CROSS JOIN nn
+             LEFT JOIN (SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+                        FROM e JOIN deg d USING (src)
+                        JOIN p0 p ON p.id = e.src
+                        GROUP BY e.dst) c ON nodes.id = c.id),
+      p2 AS (SELECT nodes.id, CAST(0.15 AS DOUBLE) / nn.n +
+               CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE))
+                 AS pr
+             FROM nodes CROSS JOIN nn
+             LEFT JOIN (SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+                        FROM e JOIN deg d USING (src)
+                        JOIN p1 p ON p.id = e.src
+                        GROUP BY e.dst) c ON nodes.id = c.id),
+      p3 AS (SELECT nodes.id, CAST(0.15 AS DOUBLE) / nn.n +
+               CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE))
+                 AS pr
+             FROM nodes CROSS JOIN nn
+             LEFT JOIN (SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+                        FROM e JOIN deg d USING (src)
+                        JOIN p2 p ON p.id = e.src
+                        GROUP BY e.dst) c ON nodes.id = c.id)
+      SELECT id, round(pr * nn.n, 9) AS pr_scaled
+      FROM p3 CROSS JOIN nn ORDER BY id""",
     "q_dedup_cluster" -> """
       WITH RECURSIVE p AS (SELECT p_partkey, p_name, p_size,
                         split_part(p_name, ' ', 1) AS blk
@@ -3795,6 +3934,39 @@ object SparkEntry {
                / count(*), 6) AS avg
       FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
       GROUP BY label, i.i ORDER BY grp, pos""",
+    "q_kmeans" -> """
+      WITH cent AS (
+        SELECT label AS grp, CAST(i.i AS INT) AS pos,
+               round(CAST(sum(CAST(embedding[i.i] AS DECIMAL(18,9)))
+                 AS DOUBLE) / count(*), 6) AS avg
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY label, i.i),
+      carr AS (SELECT grp, list(avg ORDER BY pos) AS cvec
+               FROM cent GROUP BY grp),
+      scored AS (
+        SELECT vec_id, grp,
+               list_sum(list_transform(range(1, 65),
+                 i -> (CAST(embedding[i] AS DOUBLE) - cvec[i]) *
+                      (CAST(embedding[i] AS DOUBLE) - cvec[i]))) AS d2
+        FROM embeddings CROSS JOIN carr),
+      assign AS (
+        SELECT vec_id, grp AS cluster FROM (
+          SELECT vec_id, grp, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, grp) AS rn FROM scored) r
+        WHERE rn = 1),
+      j AS (SELECT a.cluster, e.embedding
+            FROM embeddings e JOIN assign a USING (vec_id)),
+      n AS (SELECT cluster, count(*) AS n_vectors FROM j
+            GROUP BY cluster),
+      upd AS (
+        SELECT cluster, CAST(i.i AS INT) AS pos,
+               round(CAST(sum(CAST(embedding[i.i] AS DECIMAL(18,9)))
+                 AS DOUBLE) / count(*), 6) AS avg
+        FROM j, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY cluster, i.i)
+      SELECT u.cluster, u.pos, u.avg, n.n_vectors
+      FROM upd u JOIN n USING (cluster)
+      ORDER BY cluster, pos""",
     "q_embed_quantize" -> """
       WITH a AS (SELECT vec_id, embedding,
                    list_max(list_transform(embedding,

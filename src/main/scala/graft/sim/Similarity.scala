@@ -256,6 +256,46 @@ object Similarity {
           .cast("long")).as("qvec"))
   }
 
+  /** One EXACT Lloyd (k-means) iteration with reproducible floats —
+    * the clustering primitive an embedding store runs to refine IVF
+    * cells: init centroids = per-`initGroupCol` means (decimal sums,
+    * rounded 6 — so both the init and every downstream double are
+    * engine- and partitioning-identical); assignment = argmin of
+    * squared L2 computed as a SEQUENTIAL fold over the zipped dims
+    * (fixed evaluation order → bit-stable sums), ties on the smaller
+    * cluster id via one lexicographic struct-min aggregate; update =
+    * the same decimal-mean build over the new assignment. The
+    * centroid table rides a bounded broadcast (k rows); the corpus is
+    * scanned, never self-joined. Returns the updated centroids
+    * long/thin: (cluster, pos 1-based, avg, n_vectors). */
+  def kmeansStep(vectors: DataFrame, vecCol: String, idCol: String,
+      initGroupCol: String): DataFrame = {
+    val cent = centroids(vectors.select(col(initGroupCol), col(vecCol)),
+      vecCol, initGroupCol)
+    val carr = cent.groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("avg")))),
+        s => s.getField("avg")).as("cvec"))
+    val scored = vectors
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .crossJoin(broadcast(carr))
+      .select(col("vid"), col("grp"),
+        aggregate(zip_with(col("v"), col("cvec"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+    val assign = scored.groupBy("vid")
+      .agg(min(struct(col("d2"), col("grp"))).as("m"))
+      .select(col("vid"), col("m.grp").as("cluster"))
+    val joined = vectors
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .join(assign, "vid")
+    val n = joined.groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+    centroids(joined.select(col("cluster"), col("v")), "v", "cluster")
+      .join(n, col("grp") === col("cluster"))
+      .select(col("grp").as("cluster"), col("pos"), col("avg"),
+        col("n_vectors"))
+  }
+
   def nearDupPairs(vectors: DataFrame, vecCol: String, idCol: String,
       blockCol: String, threshold: Double, maxBlock: Int = 10000): DataFrame = {
     val v = vectors.select(col(blockCol).as("blk"),

@@ -29,7 +29,10 @@ class PlanSpec extends SparkSpec {
   // frame — the same bounded scalar-broadcast shape as q_tfidf.
   private val intendedNestedLoop =
     Set("q_embed_topk", "q_embed_ivf", "q_corpus_stopwords",
-      "q_tfidf", "q_bm25", "q_histogram", "q_domain_mix", "q_psi")
+      "q_tfidf", "q_bm25", "q_histogram", "q_domain_mix", "q_psi",
+      // q_kmeans scores the corpus against the k-row broadcast
+      // centroid table — bounded like q_embed_topk's query set
+      "q_kmeans")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>

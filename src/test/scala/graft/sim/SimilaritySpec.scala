@@ -55,6 +55,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("query_id") == 0L))
   }
 
+  test("kmeansStep reassigns a mislabeled vector and recomputes means") {
+    // two tight groups on the x / y axes; vector 9 sits on the y axis
+    // but starts mislabeled into group 0 → Lloyd moves it to group 1
+    // and the updated centroids are the clean per-axis means
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.0f, 0.9f), 1),
+      (9L, Array(0.0f, 0.95f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.kmeansStep(df, "embedding", "vec_id", "label")
+      .as[(Int, Int, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // cluster 0 keeps {0, 1}: mean x = 0.95; cluster 1 gains 9:
+    // mean y = (1.0 + 0.9 + 0.95) / 3 = 0.95
+    assert(got((0, 1)) == (0.95, 2L) && got((0, 2)) == (0.0, 2L))
+    assert(got((1, 1)) == (0.0, 3L) && got((1, 2)) == (0.95, 3L))
+  }
+
   test("nearDupPairs honors threshold and block boundaries") {
     val blocked = vecs.withColumn("blk",
       when(col("vec_id") <= 1, "a").otherwise("b"))
