@@ -736,6 +736,58 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 127: Gini coefficient of customer revenue per order priority —
+    // the inequality/concentration metric (how top-heavy is the
+    // revenue base). G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over
+    // rank-sorted EXACT cent totals: Σ i·x rides DECIMAL(38,0), so
+    // everything up to the final division is integer-exact and
+    // order-proof. One orders shuffle + one per-priority rank window
+    // over the customer-grained frame.
+    "q_gini" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"), col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      val w = Window.partitionBy(col("pri"))
+        .orderBy(col("x"), col("o_custkey"))
+      rev.withColumn("i", row_number().over(w))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("i").cast("decimal(38,0)") * col("x")).as("six"))
+        .select(col("pri"), col("n"),
+          money(col("sx").cast("long")).as("total"),
+          round((lit(2.0) * col("six").cast("double") -
+            (col("n") + 1).cast("double") * col("sx").cast("double")) /
+            (col("n").cast("double") * col("sx").cast("double")), 6)
+            .as("gini"))
+        .orderBy("pri")
+    }),
+
+    // 123: z-score anomaly flags — the monitoring twin of q_psi
+    // (per-ROW outliers, not distribution drift). Mean/std come from
+    // EXACT integer moments (n, Σv, Σv² over cents as DECIMAL(38,0)
+    // — overflow-proof at any scale, order-independent), so the only
+    // float work is the final sqrt/divide: engine-identical. The
+    // 5-row moment table broadcast-joins back; one scan + one tiny
+    // shuffle.
+    "q_zscore" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), cents(col("value")).as("v"))
+      val dec = col("v").cast("decimal(38,0)")
+      val m = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(dec).as("s1"), sum(dec * dec).as("s2"))
+      ev.join(broadcast(m), "event_type")
+        .withColumn("mu", col("s1").cast("double") / col("n"))
+        .withColumn("sigma",
+          sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / col("n")))
+        .select(col("event_id"), col("event_type"), col("v"),
+          round((col("v") - col("mu")) / col("sigma"), 6).as("z"),
+          (abs((col("v") - col("mu")) / col("sigma")) > 3).as("outlier"))
+        .orderBy("event_id")
+    }),
+
     // 94: sequence funnel (view → click → purchase) — one shuffle on
     // user_id builds per-user stage-entry times as conditional mins;
     // the stage comparison is then a scalar expression, never a
@@ -758,6 +810,35 @@ object SparkEntry {
           col("n_full_funnel"),
           (col("n_full_funnel").cast("double") * 100.0 /
             col("n_view")).as("conv_pct"))
+    }),
+
+    // 125: RFM segmentation — the classic customer-value grid
+    // (recency / frequency / monetary quintiles → a 3-digit segment
+    // code). Aggregates are customer-grained (one orders shuffle);
+    // the quintile windows run over the CUSTOMER table (already
+    // 1000× smaller than the fact), totally ordered by (metric, key)
+    // so ties are deterministic. At real scale the global ntile sort
+    // becomes 5 percentile breakpoints broadcast-joined instead —
+    // same contract, no total order.
+    "q_rfm" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val gmax = o.agg(max(to_date(col("o_orderdate"))).as("gd"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("frequency"),
+          sum(cents(col("o_totalprice"))).as("mc"))
+      val scored = per.crossJoin(broadcast(gmax))
+        .withColumn("recency", datediff(col("gd"), col("last_d")))
+      val r = ntile(5).over(Window.orderBy(col("recency"), col("o_custkey")))
+      val f = ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("o_custkey")))
+      val m = ntile(5).over(Window.orderBy(col("mc").desc, col("o_custkey")))
+      scored.select(col("o_custkey"), col("recency"), col("frequency"),
+          money(col("mc")).as("monetary"),
+          r.as("r_score"), f.as("f_score"), m.as("m_score"))
+        .withColumn("segment", concat(col("r_score"), col("f_score"),
+          col("m_score")))
+        .orderBy("o_custkey")
     }),
 
     // 95: cohort retention — users bucketed by first-activity week
@@ -917,6 +998,39 @@ object SparkEntry {
              count(*) AS n,
              CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_price
       FROM b, m GROUP BY 1 ORDER BY bucket""",
+    "q_gini" -> """
+      WITH rev AS (SELECT o_orderpriority AS pri, o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS x
+                   FROM orders GROUP BY 1, 2),
+      r AS (SELECT pri, x, row_number() OVER (PARTITION BY pri
+              ORDER BY x, o_custkey) AS i FROM rev),
+      a AS (SELECT pri, count(*) AS n,
+              CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+              CAST(sum(CAST(i AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                AS six
+            FROM r GROUP BY pri)
+      SELECT pri, n, CAST(sx AS DOUBLE) / 100.0 AS total,
+             round((CAST(2 AS DOUBLE) * CAST(six AS DOUBLE) -
+               CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+      FROM a ORDER BY pri""",
+    "q_zscore" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      m AS (SELECT event_type, count(*) AS n,
+              CAST(sum(v) AS DECIMAL(38,0)) AS s1,
+              CAST(sum(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0))
+                AS s2
+            FROM ev GROUP BY event_type),
+      z AS (SELECT event_id, ev.event_type, v,
+              (v - CAST(s1 AS DOUBLE) / n) /
+                sqrt((CAST(s2 AS DOUBLE) -
+                  CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n) AS z
+            FROM ev JOIN m USING (event_type))
+      SELECT event_id, event_type, v, round(z, 6) AS z,
+             abs(z) > 3 AS outlier
+      FROM z ORDER BY event_id""",
     "q_psi" -> """
       WITH ev AS (SELECT event_type,
                     epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
@@ -954,6 +1068,28 @@ object SparkEntry {
              CAST(max(nc) AS BIGINT) AS n_cur,
              round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
       FROM wide GROUP BY event_type ORDER BY event_type""",
+    "q_rfm" -> """
+      WITH g AS (SELECT max(CAST(o_orderdate AS DATE)) AS gd FROM orders),
+      per AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+                count(*) AS frequency,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS mc
+              FROM orders GROUP BY o_custkey),
+      sc AS (SELECT o_custkey,
+               date_diff('day', last_d, gd) AS recency, frequency, mc,
+               CAST(ntile(5) OVER (ORDER BY date_diff('day', last_d, gd),
+                 o_custkey) AS INT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                 AS INT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY mc DESC, o_custkey) AS INT)
+                 AS m_score
+             FROM per CROSS JOIN g)
+      SELECT o_custkey, CAST(recency AS INT) AS recency, frequency,
+             CAST(mc AS DOUBLE) / 100.0 AS monetary,
+             r_score, f_score, m_score,
+             CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+               CAST(m_score AS VARCHAR) AS segment
+      FROM sc ORDER BY o_custkey""",
     "q_event_funnel" -> """
       WITH u AS (
         SELECT user_id,
@@ -2530,6 +2666,38 @@ object SparkEntry {
         .orderBy("w1")
     }),
 
+    // 126: document perplexity under the corpus bigram LM (add-one
+    // smoothed) — the KenLM-shaped quality score: high perplexity =
+    // text the corpus model finds surprising. All probabilities come
+    // from EXACT integer counts ((c12+1)/(c1+V)); the per-doc nll is
+    // the only float sum (≤ distinct-bigrams terms, round 6). Doc
+    // bigrams pre-aggregate to (doc, w1, w2, cnt) BEFORE the prob
+    // join (the q_lm_coverage de-skew discipline), and the prob table
+    // is bigram-vocabulary-sized, never corpus-sized.
+    "q_perplexity" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(TF.bigramPairsFromTokens(col("t"))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      val corpus = bg.groupBy("w1", "w2").agg(sum(col("cnt")).as("c12"))
+      val left = corpus.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val vocab = corpus.agg(countDistinct(col("w2")).as("v"))
+      val probs = corpus.join(left, "w1").crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          ((col("c12") + 1).cast("double") / (col("c1") + col("v")))
+            .as("p"))
+      bg.join(probs, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          sum(col("cnt").cast("double") * log(col("p"))).as("__nll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(exp(-col("__nll") / col("n_bigrams")), 6).as("perplexity"))
+        .orderBy("doc_id")
+    }),
+
     // 86: composite curation gate — first-failing-rule reason codes
     // (too_short → low_diversity → repetitive → keep), the filter
     // shape every corpus pipeline ends with. Length/diversity are
@@ -2679,6 +2847,37 @@ object SparkEntry {
         .filter(col("bucket") < rate)
         .select("doc_id", "lang", "bucket")
         .orderBy("doc_id")
+    }),
+
+    // 124: token co-occurrence PMI — the association score behind
+    // phrase mining and embedding-free relatedness: for token pairs
+    // sharing a document, pmi = ln(n·c_xy / (c_x·c_y)) over EXACT
+    // document frequencies (only the final ln is float). Pair
+    // generation is per-row (distinct tokens explode twice, w1 < w2
+    // fence) — no self-join of the corpus; the c_x side is
+    // vocabulary-sized and broadcasts. Support floor c_xy ≥ 25 keeps
+    // the output the interesting tail, not the cross product.
+    "q_pmi" -> ((s, dir) => {
+      val dt = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(TF.tokens(col("text"))).as("ts"))
+      val pairs = dt
+        .select(col("doc_id"), explode(col("ts")).as("w1"), col("ts"))
+        .select(col("doc_id"), col("w1"), explode(col("ts")).as("w2"))
+        .filter(col("w1") < col("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 25)
+      val df1 = dt.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nDocs = dt.agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(df1.select(col("w").as("w1"), col("c").as("c_x"))), "w1")
+        .join(broadcast(df1.select(col("w").as("w2"), col("c").as("c_y"))), "w2")
+        .crossJoin(broadcast(nDocs))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          round(log(col("n").cast("double") * col("c_xy") /
+            (col("c_x") * col("c_y"))), 6).as("pmi"))
+        .orderBy("w1", "w2")
     }),
 
     // 119: class-balance cap — EXACTLY-k-per-class downsampling
@@ -3517,6 +3716,25 @@ object SparkEntry {
             FROM c)
       SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, total
       FROM r WHERE rk = 1 ORDER BY w1""",
+    "q_perplexity" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+      bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+               i -> [t[i], t[i + 1]])) AS bg
+             FROM d WHERE len(t) >= 2),
+      bg AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2, count(*) AS cnt
+             FROM bi GROUP BY 1, 2, 3),
+      corpus AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+                 FROM bg GROUP BY 1, 2),
+      lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+              FROM corpus GROUP BY 1),
+      vocab AS (SELECT count(DISTINCT w2) AS v FROM corpus),
+      probs AS (SELECT w1, w2,
+                  CAST(c12 + 1 AS DOUBLE) / (c1 + v) AS p
+                FROM corpus JOIN lft USING (w1) CROSS JOIN vocab)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             round(exp(-sum(cnt * ln(p)) / sum(cnt)), 6) AS perplexity
+      FROM bg JOIN probs USING (w1, w2)
+      GROUP BY doc_id ORDER BY doc_id""",
     "q_exists_subquery" -> existsSubquerySql,
     "q_sql_q2" -> sqlQ2,
     "q_sql_q21" -> sqlQ21,
@@ -3559,6 +3777,22 @@ object SparkEntry {
              md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64))
                AS frame_hash
       FROM f ORDER BY media_id, frame_idx""",
+    "q_pmi" -> s"""
+      WITH dt AS (SELECT doc_id, list_distinct($toks) AS ts
+                  FROM documents),
+      tok AS (SELECT doc_id, unnest(ts) AS w FROM dt),
+      pairs AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c_xy
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND a.w < b.w
+                GROUP BY 1, 2 HAVING count(*) >= 25),
+      df AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      nn AS (SELECT count(*) AS n FROM dt)
+      SELECT w1, w2, c_xy,
+             round(ln(CAST(n AS DOUBLE) * c_xy / (x.c * y.c)), 6) AS pmi
+      FROM pairs JOIN df x ON x.w = pairs.w1
+                 JOIN df y ON y.w = pairs.w2
+                 CROSS JOIN nn
+      ORDER BY w1, w2""",
     "q_class_balance" -> """
       WITH h AS (SELECT doc_id, lang,
                    md5(CAST(doc_id AS VARCHAR) || '#bal') AS h

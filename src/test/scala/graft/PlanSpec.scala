@@ -31,8 +31,13 @@ class PlanSpec extends SparkSpec {
     Set("q_embed_topk", "q_embed_ivf", "q_corpus_stopwords",
       "q_tfidf", "q_bm25", "q_histogram", "q_domain_mix", "q_psi",
       // q_kmeans scores the corpus against the k-row broadcast
-      // centroid table — bounded like q_embed_topk's query set
-      "q_kmeans")
+      // centroid table — bounded like q_embed_topk's query set;
+      // q_pmi / q_rfm thread a 1-row scalar (corpus size / global
+      // max date) like q_histogram
+      "q_kmeans", "q_pmi", "q_rfm",
+      // q_perplexity threads the 1-row vocabulary count onto the
+      // bigram-vocabulary frame (bounded, never corpus-sized)
+      "q_perplexity")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
