@@ -841,6 +841,89 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // 128: A/B test read-out — deterministic hash split of users into
+    // two variants, conversion = any purchase, two-proportion pooled
+    // z-statistic. Counts are exact ints (one user_id shuffle + one
+    // global agg); the z formula is the only float work, mirrored
+    // op-for-op in the oracle. The shape every experimentation
+    // platform computes per metric per day.
+    "q_abtest" -> ((s, dir) => {
+      // metric: heavy purchaser (≥ 14 purchase events) — every user
+      // buys at least once here, so has-any-purchase would make the
+      // pooled rate 1 and the z denominator 0 (guarded below anyway)
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1)
+          .otherwise(0)) >= 14, 1).otherwise(0).as("cv"))
+        .withColumn("variant",
+          (conv(substring(md5(concat(col("user_id").cast("string"),
+            lit("#ab"))), 1, 15), 16, 10).cast("long") % 2).cast("int"))
+      val a = u.agg(
+        sum(when(col("variant") === 0, 1).otherwise(0)).cast("long")
+          .as("n_a"),
+        sum(when(col("variant") === 1, 1).otherwise(0)).cast("long")
+          .as("n_b"),
+        sum(when(col("variant") === 0, col("cv")).otherwise(0)).cast("long")
+          .as("conv_a"),
+        sum(when(col("variant") === 1, col("cv")).otherwise(0)).cast("long")
+          .as("conv_b"))
+      val pa = col("conv_a").cast("double") / col("n_a")
+      val pb = col("conv_b").cast("double") / col("n_b")
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      a.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+        when(pp > 0 && pp < 1,
+          round((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+          .otherwise(lit(null).cast("double")).as("z"))
+    }),
+
+    // 129: Kaplan–Meier survival estimator — time from signup to
+    // first purchase, censored at the global horizon (the
+    // time-to-conversion curve product teams read). Risk sets and
+    // event counts are exact ints from one user-grained aggregate;
+    // the survival product rides exp(running-sum of ln terms) over
+    // the day-ordered window — a SEQUENTIAL accumulation both engines
+    // evaluate in the same order. Day cardinality bounds the window
+    // input however big the stream.
+    "q_survival" -> ((s, dir) => {
+      val gmax = t(s, dir, "events").agg(max(to_date(col("ts"))).as("gd"))
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", to_date(col("ts"))))
+          .as("d0"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("dp"))
+        .filter(col("d0").isNotNull)
+      val u2 = u.crossJoin(broadcast(gmax))
+        .select(
+          when(col("dp").isNotNull && col("dp") >= col("d0"), 1)
+            .otherwise(0).as("event"),
+          when(col("dp").isNotNull && col("dp") >= col("d0"),
+            datediff(col("dp"), col("d0")))
+            .otherwise(datediff(col("gd"), col("d0"))).as("dur"))
+      val tot = u2.agg(count(lit(1)).as("tot"))
+      val grp = u2.groupBy(col("dur"))
+        .agg(sum(col("event")).cast("long").as("d"),
+          count(lit(1)).as("m"))
+      val wPrev = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grp.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("tot") - coalesce(sum(col("m")).over(wPrev), lit(0L)))
+        .withColumn("lnterm",
+          when(col("d") > 0 && col("d") < col("n_risk"),
+            log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+            .otherwise(lit(0.0)))
+        .withColumn("surv", exp(sum(col("lnterm")).over(wRun)))
+        .filter(col("d") > 0)
+        .select(col("dur"), col("n_risk"), col("d"),
+          round(col("surv"), 6).as("survival"))
+        .orderBy("dur")
+    }),
+
     // 95: cohort retention — users bucketed by first-activity week
     // (Monday-truncated on both engines), counted distinct per
     // (cohort, weeks-since) cell. The per-user cohort frame is
@@ -998,6 +1081,72 @@ object SparkEntry {
              count(*) AS n,
              CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_price
       FROM b, m GROUP BY 1 ORDER BY bucket""",
+    "q_abtest" -> """
+      WITH u AS (SELECT user_id,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS cv
+                 FROM events GROUP BY user_id),
+      v AS (SELECT cv,
+              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#ab'),
+                1, 15))::BIGINT % 2 AS INT) AS variant
+            FROM u),
+      a AS (SELECT
+              CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN variant = 0 THEN cv ELSE 0 END)
+                AS BIGINT) AS conv_a,
+              CAST(sum(CASE WHEN variant = 1 THEN cv ELSE 0 END)
+                AS BIGINT) AS conv_b
+            FROM v)
+      SELECT n_a, n_b, conv_a, conv_b,
+             round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+             round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+             CASE WHEN conv_a + conv_b > 0
+                   AND conv_a + conv_b < n_a + n_b THEN
+               round((CAST(conv_a AS DOUBLE) / n_a -
+                      CAST(conv_b AS DOUBLE) / n_b) /
+                 sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+                   (CAST(1 AS DOUBLE) -
+                    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+                   (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)),
+                 6)
+             END AS z
+      FROM a""",
+    "q_survival" -> """
+      WITH g AS (SELECT max(CAST(ts AS DATE)) AS gd FROM events),
+      u AS (SELECT user_id,
+              min(CASE WHEN event_type = 'signup'
+                  THEN CAST(ts AS DATE) END) AS d0,
+              min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ts AS DATE) END) AS dp
+            FROM events GROUP BY user_id),
+      u2 AS (SELECT CASE WHEN dp IS NOT NULL AND dp >= d0
+                    THEN 1 ELSE 0 END AS event,
+                    CASE WHEN dp IS NOT NULL AND dp >= d0
+                    THEN date_diff('day', d0, dp)
+                    ELSE date_diff('day', d0, gd) END AS dur
+             FROM u CROSS JOIN g WHERE d0 IS NOT NULL),
+      t AS (SELECT count(*) AS tot FROM u2),
+      grp AS (SELECT CAST(dur AS INT) AS dur,
+                CAST(sum(event) AS BIGINT) AS d, count(*) AS m
+              FROM u2 GROUP BY 1),
+      r AS (SELECT dur, d,
+              CAST(tot - coalesce(sum(m) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_risk
+            FROM grp CROSS JOIN t),
+      s AS (SELECT dur, d, n_risk,
+              exp(sum(CASE WHEN d > 0 AND d < n_risk
+                    THEN ln(CAST(1 AS DOUBLE) -
+                            CAST(d AS DOUBLE) / n_risk)
+                    ELSE CAST(0 AS DOUBLE) END)
+                  OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)) AS surv
+            FROM r)
+      SELECT dur, n_risk, d, round(surv, 6) AS survival
+      FROM s WHERE d > 0 ORDER BY dur""",
     "q_gini" -> """
       WITH rev AS (SELECT o_orderpriority AS pri, o_custkey,
                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

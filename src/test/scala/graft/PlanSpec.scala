@@ -36,8 +36,10 @@ class PlanSpec extends SparkSpec {
       // max date) like q_histogram
       "q_kmeans", "q_pmi", "q_rfm",
       // q_perplexity threads the 1-row vocabulary count onto the
-      // bigram-vocabulary frame (bounded, never corpus-sized)
-      "q_perplexity")
+      // bigram-vocabulary frame (bounded, never corpus-sized);
+      // q_survival threads the 1-row horizon/total onto user- and
+      // day-grained frames
+      "q_perplexity", "q_survival")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
