@@ -574,6 +574,34 @@ object SparkEntry {
       s.sql(sqlQ17)
     }),
 
+    // 131: SQL front door, TPC-H Q13's distribution-of-counts shape —
+    // the LEFT join keeps zero-order customers, the second aggregate
+    // runs over the tiny count domain. The one outer-join TPC-H
+    // pattern the contract lacked.
+    "q_sql_q13" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ13)
+    }),
+
+    // 132: SQL front door, TPC-H Q19's disjunctive-predicate shape —
+    // the OR-of-conjunctions pattern that stresses predicate pushdown
+    // (both engines must derive the brand IN-list prefilter for the
+    // part side instead of scanning everything through the join).
+    "q_sql_q19" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ19)
+    }),
+
+    // 133: SQL front door, TPC-H Q22's global-scalar + anti-join
+    // shape — dormant high-balance customers per nation. The 1-row
+    // threshold broadcasts (intended nested-loop, PlanSpec-fenced);
+    // the dormancy NOT EXISTS plans as a left-anti on o_custkey; the
+    // above-average compare is integer-exact (cents·count > sum).
+    "q_sql_q22" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ22)
+    }),
+
     // 84: explicit GROUPING SETS with grouping() markers — finer
     // control than the rollup/cube rows (a hand-picked lattice), one
     // shared SQL string, exact cents for the money sum.
@@ -786,6 +814,114 @@ object SparkEntry {
           round((col("v") - col("mu")) / col("sigma"), 6).as("z"),
           (abs((col("v") - col("mu")) / col("sigma")) > 3).as("outlier"))
         .orderBy("event_id")
+    }),
+
+    // 134: per-group OLS regression (price-on-quantity per return
+    // flag) from exact integer moments — the map-side-combinable
+    // regression every feature pipeline runs. One shuffle carries
+    // five BIGINT moments per group (n, Σx, Σy, Σxy, Σx²), all
+    // < 2^53 at probe scale so their doubles are exact; slope and
+    // intercept are then one mirrored IEEE formula each. At 100 TB
+    // the moments route through decimal(38,0) — the shape is
+    // unchanged (sums stay map-side partial).
+    "q_linreg" -> ((s, dir) => {
+      val m = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("x"),
+          cents(col("l_extendedprice")).as("y"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val (nD, sxD, syD, sxyD, sxxD) = (col("n").cast("double"),
+        col("sx").cast("double"), col("sy").cast("double"),
+        col("sxy").cast("double"), col("sxx").cast("double"))
+      val slope = (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
+      m.select(col("flag"), col("n"), col("sx"), col("sy"),
+          round(slope, 6).as("slope"),
+          round((syD - slope * sxD) / nD, 6).as("intercept"))
+        .orderBy("flag")
+    }),
+
+    // 135: one-pass column profiler — null count, exact distinct
+    // count, lexicographic min/max repr per column of orders (the
+    // data-quality report every ingest job emits first). A single
+    // multi-countDistinct aggregate (Catalyst plans one Expand — one
+    // pass over the fact, partial aggregation intact); the per-column
+    // fold to rows happens on the 1-row result, not the fact.
+    // Unstable-format doubles ride cents; dates ride ISO strings.
+    "q_data_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).cast("string").as("o_date"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_date", "o_price_c")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1).otherwise(0)).cast("long")
+            .as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c).cast("string")).as(s"${c}__mn"),
+          max(col(c).cast("string")).as(s"${c}__mx"))
+      }
+      // the per-column fold below selects from this 1-row result six
+      // times — checkpoint so the fact aggregates once, not per branch
+      val one = o.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      cols.map { c =>
+        one.select(lit(c).as("col_name"), col(s"${c}__nn").as("n_null"),
+          col(s"${c}__nd").as("n_distinct"), col(s"${c}__mn").as("min_repr"),
+          col(s"${c}__mx").as("max_repr"))
+      }.reduce(_.unionAll(_)).orderBy("col_name")
+    }),
+
+    // 136: triangle counting over the supplier co-occurrence graph
+    // (suppliers sharing ≥ 6 distinct orders) — the third canonical
+    // graph aggregate beside the CC and PageRank rows (cohesion, not
+    // membership/importance). Scale shape: edges orient low→high by
+    // (degree, id) — out-degrees are bounded by √(2|E|) regardless of
+    // hubs, so the wedge join is Σ C(d⁺,2)-sized, never hot-key
+    // quadratic; the closing edge check is an equi-join against the
+    // distinct edge set. The min-support threshold keeps |E| sparse
+    // at any SF. Orientation-invariant, so the oracle counts a<b<c
+    // directly.
+    "q_triangle" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val pairs = li.join(li.toDF("ok2", "s2"),
+          col("l_orderkey") === col("ok2") && col("l_suppkey") < col("s2"))
+        .select(col("l_suppkey").as("a"), col("s2").as("b"),
+          col("l_orderkey").as("ok"))
+      val edges = pairs.groupBy("a", "b")
+        .agg(countDistinct(col("ok")).as("m"))
+        .filter(col("m") >= 6).select("a", "b")
+        .localCheckpoint() // reused 4×: degrees, orient, close, count
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      // total order (degree, id) packed into one BIGINT so the wedge
+      // inequality is a single long compare (d < 2^29 ⇒ no overflow)
+      val ordOf = (d: Column, id: Column) => d * lit(1L << 34) + id
+      val oriented = edges
+        .join(deg.toDF("va", "da"), col("a") === col("va"))
+        .join(deg.toDF("vb", "db"), col("b") === col("vb"))
+        .select(
+          when(ordOf(col("da"), col("a")) < ordOf(col("db"), col("b")),
+            struct(col("a").as("src"), col("b").as("dst"),
+              ordOf(col("db"), col("b")).as("dord")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+              ordOf(col("da"), col("a")).as("dord"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.dord").as("dord"))
+      val w = oriented.toDF("src", "c1", "o1")
+        .join(oriented.toDF("src", "c2", "o2").withColumnRenamed("src", "s2"),
+          col("src") === col("s2") && col("o1") < col("o2"))
+        .select(col("c1"), col("c2"))
+      val tri = w.join(oriented.select(col("src").as("c1"),
+          col("dst").as("c2")), Seq("c1", "c2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      nNodes.crossJoin(nEdges).crossJoin(tri)
     }),
 
     // 94: sequence funnel (view → click → purchase) — one shuffle on
@@ -1689,6 +1825,60 @@ object SparkEntry {
                         AND l3.l_returnflag = 'R')
     GROUP BY s_name
     ORDER BY numwait DESC, s_name LIMIT 20"""
+
+  /** Shared verbatim — TPC-H Q13's distribution-of-counts shape: LEFT
+    * join so zero-order customers keep a row, aggregate per customer,
+    * then aggregate the aggregate (the two-level groupBy Catalyst
+    * plans as two exchanges, the second over the tiny count domain).
+    * All-integer output. */
+  private val sqlQ13: String = """
+    SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+  /** Shared verbatim — TPC-H Q19's disjunctive-predicate shape: three
+    * (brand, size, quantity) branches OR-ed across the join. The
+    * per-branch p_brand equalities let both engines derive an IN
+    * prefilter for the part scan; revenue rides exact per-row cents
+    * (round of one IEEE product chain — identical op order on both
+    * engines). */
+  private val sqlQ19: String = """
+    SELECT p_brand, count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    ORDER BY p_brand"""
+
+  /** Shared verbatim — TPC-H Q22's global-scalar + anti-join shape,
+    * adapted to this schema (every synthetic customer has orders, so
+    * "no orders at all" is the empty set; dormancy = no order since
+    * 2000-01-01 keeps the anti-join selective). The above-average
+    * test is integer-exact: cents·count > sum-of-cents avoids the
+    * engine-ordered double average entirely. */
+  private val sqlQ22: String = """
+    WITH pos AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bc,
+                        c_custkey, c_nationkey
+                 FROM customer),
+         thr AS (SELECT sum(bc) AS s, count(*) AS n FROM pos WHERE bc > 0)
+    SELECT n_name, count(*) AS numcust,
+           CAST(sum(bc) AS BIGINT) AS bal_cents
+    FROM pos CROSS JOIN thr JOIN nation ON n_nationkey = c_nationkey
+    WHERE bc * thr.n > thr.s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+    GROUP BY n_name
+    ORDER BY n_name"""
 
   /** Shared verbatim: correlated EXISTS → semi join, NOT EXISTS →
     * anti join, aggregated per priority. */
@@ -3605,6 +3795,32 @@ object SparkEntry {
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
             .as("gap_usec"))
         .orderBy("view_id", "purchase_id")
+    }),
+
+    // 137: streaming exactly-once dedup on the real engine —
+    // dropDuplicatesWithinWatermark over a deliberately doubled
+    // stream (the at-least-once delivery every ingest pipeline sees:
+    // two file-source streams of the same events unioned). Watermark
+    // bounds the dedup state (the unbounded-state killer for
+    // continuous 100 TB ingest: keys older than the watermark are
+    // evicted, so state is window-sized, not stream-sized). Oracle =
+    // the original table, because dedup of an exact double must
+    // reproduce it.
+    "q_stream_dedup" -> ((s, dir) => {
+      val doubled = eventsStream(s, dir).unionAll(eventsStream(s, dir))
+      val dd = doubled
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+      val sink = s"q_stream_dedup_${streamExecSeq.incrementAndGet()}"
+      val q = dd.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_usec"))
+        .orderBy("event_id")
     }))
 
   /** Unique memory-sink names: the row may run several times in one
@@ -3947,6 +4163,95 @@ object SparkEntry {
     "q_sql_q2" -> sqlQ2,
     "q_sql_q21" -> sqlQ21,
     "q_sql_q17" -> sqlQ17,
+    "q_sql_q13" -> sqlQ13,
+    "q_sql_q19" -> sqlQ19,
+    "q_sql_q22" -> sqlQ22,
+    "q_linreg" -> """
+      WITH m AS (SELECT l_returnflag AS flag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS sy,
+          CAST(sum(CAST(l_quantity AS BIGINT) *
+            CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
+          CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS sxx
+        FROM lineitem GROUP BY 1)
+      SELECT flag, n, sx, sy,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        round((CAST(sy AS DOUBLE)
+               - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE), 6) AS intercept
+      FROM m ORDER BY flag""",
+    "q_data_profile" -> """
+      WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                        o_orderpriority,
+                        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS o_price_c
+                 FROM orders)
+      SELECT col_name, n_null, n_distinct, min_repr, max_repr FROM (
+        SELECT 'o_orderkey' AS col_name,
+          CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+          min(CAST(o_orderkey AS VARCHAR)) AS min_repr,
+          max(CAST(o_orderkey AS VARCHAR)) AS max_repr FROM o
+        UNION ALL
+        SELECT 'o_custkey',
+          CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(count(DISTINCT o_custkey) AS BIGINT),
+          min(CAST(o_custkey AS VARCHAR)), max(CAST(o_custkey AS VARCHAR))
+        FROM o
+        UNION ALL
+        SELECT 'o_orderstatus',
+          CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+          CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+          min(o_orderstatus), max(o_orderstatus) FROM o
+        UNION ALL
+        SELECT 'o_orderpriority',
+          CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+          CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+          min(o_orderpriority), max(o_orderpriority) FROM o
+        UNION ALL
+        SELECT 'o_date',
+          CAST(sum(CASE WHEN o_date IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(count(DISTINCT o_date) AS BIGINT),
+          min(o_date), max(o_date) FROM o
+        UNION ALL
+        SELECT 'o_price_c',
+          CAST(sum(CASE WHEN o_price_c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(count(DISTINCT o_price_c) AS BIGINT),
+          min(CAST(o_price_c AS VARCHAR)), max(CAST(o_price_c AS VARCHAR))
+        FROM o) t
+      ORDER BY col_name""",
+    "q_triangle" -> """
+      WITH pairs AS (SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
+                            l1.l_orderkey AS ok
+                     FROM lineitem l1 JOIN lineitem l2
+                       ON l1.l_orderkey = l2.l_orderkey
+                      AND l1.l_suppkey < l2.l_suppkey),
+      e AS (SELECT a, b FROM pairs GROUP BY a, b
+            HAVING count(DISTINCT ok) >= 6),
+      n AS (SELECT count(DISTINCT v) AS n_nodes FROM
+              (SELECT a AS v FROM e UNION ALL SELECT b FROM e) u),
+      m AS (SELECT count(*) AS n_edges FROM e),
+      tri AS (SELECT count(*) AS n_triangles
+              FROM e e1 JOIN e e2 ON e2.a = e1.b
+                        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT n_nodes, n_edges, n_triangles
+      FROM n CROSS JOIN m CROSS JOIN tri""",
+    "q_stream_dedup" -> """
+      SELECT event_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_usec
+      FROM events ORDER BY event_id""",
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_cume" -> windowCumeSql,
     "q_quality_gate" -> s"""

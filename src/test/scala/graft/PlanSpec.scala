@@ -39,7 +39,11 @@ class PlanSpec extends SparkSpec {
       // bigram-vocabulary frame (bounded, never corpus-sized);
       // q_survival threads the 1-row horizon/total onto user- and
       // day-grained frames
-      "q_perplexity", "q_survival")
+      "q_perplexity", "q_survival",
+      // q_sql_q22 broadcasts the 1-row balance threshold across the
+      // customer table; q_triangle cross-joins three 1-row aggregates
+      // into its single output row
+      "q_sql_q22", "q_triangle")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
