@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.EtlOps.RichDF
-import graft.ops.{AsofJoin, Dates, Names, RangeJoin, Rules, Skew}
+import graft.ops.{AsofJoin, Dates, Names, RangeJoin, Ranking, Rules, Skew}
 import graft.sources.Export
 import graft.text.{SimHash, TextFunctions => TF}
 import graft.dedup.Dedup
@@ -769,15 +769,16 @@ object SparkEntry {
     // revenue base). G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over
     // rank-sorted EXACT cent totals: Σ i·x rides DECIMAL(38,0), so
     // everything up to the final division is integer-exact and
-    // order-proof. One orders shuffle + one per-priority rank window
-    // over the customer-grained frame.
+    // order-proof. The rank comes from Ranking.withRank (range-
+    // partitioned slices + broadcast offsets) — with ~5 priorities a
+    // per-priority window would funnel 1/5 of all customers through
+    // one task at scale; here every task ranks only its range slice.
     "q_gini" -> ((s, dir) => {
       val rev = t(s, dir, "orders")
         .groupBy(col("o_orderpriority").as("pri"), col("o_custkey"))
         .agg(sum(cents(col("o_totalprice"))).as("x"))
-      val w = Window.partitionBy(col("pri"))
-        .orderBy(col("x"), col("o_custkey"))
-      rev.withColumn("i", row_number().over(w))
+      Ranking.withRank(rev, Seq("pri"),
+          Seq(col("x"), col("o_custkey")), "i")
         .groupBy("pri")
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast("decimal(38,0)")).as("sx"),
@@ -951,11 +952,14 @@ object SparkEntry {
     // 125: RFM segmentation — the classic customer-value grid
     // (recency / frequency / monetary quintiles → a 3-digit segment
     // code). Aggregates are customer-grained (one orders shuffle);
-    // the quintile windows run over the CUSTOMER table (already
-    // 1000× smaller than the fact), totally ordered by (metric, key)
-    // so ties are deterministic. At real scale the global ntile sort
-    // becomes 5 percentile breakpoints broadcast-joined instead —
-    // same contract, no total order.
+    // each quintile is ntile(5) over a (metric, key) total order,
+    // computed WITHOUT a global sort window: Ranking.withRank
+    // range-partitions the customer frame, ranks each slice in
+    // parallel, and offsets by broadcast slice counts; the exact
+    // ntile bucket then falls out of (rank, n) arithmetic
+    // (Ranking.ntileFromRank). Every task touches only its slice —
+    // the plan that survives 100×, with the same oracle (DuckDB
+    // ntile over the identical total order).
     "q_rfm" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val gmax = o.agg(max(to_date(col("o_orderdate"))).as("gd"))
@@ -965,13 +969,20 @@ object SparkEntry {
           sum(cents(col("o_totalprice"))).as("mc"))
       val scored = per.crossJoin(broadcast(gmax))
         .withColumn("recency", datediff(col("gd"), col("last_d")))
-      val r = ntile(5).over(Window.orderBy(col("recency"), col("o_custkey")))
-      val f = ntile(5).over(
-        Window.orderBy(col("frequency").desc, col("o_custkey")))
-      val m = ntile(5).over(Window.orderBy(col("mc").desc, col("o_custkey")))
-      scored.select(col("o_custkey"), col("recency"), col("frequency"),
+      val ranked = Seq[(String, Seq[Column])](
+        "r_rk" -> Seq(col("recency"), col("o_custkey")),
+        "f_rk" -> Seq(col("frequency").desc, col("o_custkey")),
+        "m_rk" -> Seq(col("mc").desc, col("o_custkey"))
+      ).foldLeft(scored) { case (df, (name, ord)) =>
+        Ranking.withRank(df, Nil, ord, name,
+          if (name == "r_rk") "n_cust" else "")
+      }
+      def tile(rk: String): Column =
+        Ranking.ntileFromRank(col(rk), col("n_cust"), 5)
+      ranked.select(col("o_custkey"), col("recency"), col("frequency"),
           money(col("mc")).as("monetary"),
-          r.as("r_score"), f.as("f_score"), m.as("m_score"))
+          tile("r_rk").as("r_score"), tile("f_rk").as("f_score"),
+          tile("m_rk").as("m_score"))
         .withColumn("segment", concat(col("r_score"), col("f_score"),
           col("m_score")))
         .orderBy("o_custkey")
@@ -3276,18 +3287,38 @@ object SparkEntry {
     // step stratified RATE sampling (row above) can't express: a rate
     // bounds the fraction, a cap bounds the COUNT. Selection order is
     // an md5 hash, so the kept set is a deterministic uniform draw on
-    // both engines. One per-class window shuffle; classes are few and
-    // the k-bounded winner set is tiny — at real scale a hash-
-    // threshold prefilter (keep ≈ 2k/|class| by bucket, then exact
-    // top-off) caps the window's input first.
+    // both engines. Scale path: a hash-threshold PREFILTER bounds the
+    // per-class window input to ~4k expected rows (hash prefix below
+    // 4k/|class| of the 32-bit space) BEFORE the window — md5 hex
+    // sorts identically to its numeric value, so the survivors are a
+    // strict prefix of each class's (h, doc_id) order. Exactness is
+    // by construction, not by luck: a per-class survivor count gates
+    // the filter, and any class whose prefix came up short (never,
+    // statistically, at mean 4k — but proven, not assumed) falls back
+    // to its full row set for the window.
     "q_class_balance" -> ((s, dir) => {
+      val k = 80
       val h = md5(concat(col("doc_id").cast("string"), lit("#bal")))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("hv", conv(substring(col("h"), 1, 8), 16, 10)
+          .cast("long"))
+      val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val pre = docs.join(broadcast(cnt), Seq("lang"))
+        .withColumn("keep", col("hv").cast("double") < lit(4294967296.0) *
+          least(lit(1.0), lit(4.0 * k) / col("n_lang")))
+      val gate = cnt.join(
+          pre.filter(col("keep")).groupBy("lang")
+            .agg(count(lit(1)).as("n_surv")),
+          Seq("lang"), "left")
+        .select(col("lang"), (coalesce(col("n_surv"), lit(0L)) >=
+          least(lit(k.toLong), col("n_lang"))).as("pre_ok"))
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("h"), col("doc_id"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), h.as("h"))
+      pre.join(broadcast(gate), Seq("lang"))
+        .filter(col("keep") || !col("pre_ok"))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 80)
+        .filter(col("rn") <= k)
         .select(col("doc_id"), col("lang"), col("rn"))
         .orderBy("doc_id")
     }),

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact rank — the scale-safe replacement for
+  * `row_number().over(Window.orderBy(...))` (a single-task global
+  * sort) and its per-group cousin when groups are huge.
+  *
+  * Shape: range-repartition on (group, order) so partition i holds a
+  * contiguous slice of the total order → row_number WITHIN each
+  * (partition, group) slice (parallel, each task sorts only its
+  * slice) → per-slice counts (one tiny frame: #partitions × #groups
+  * rows) → cumulative offsets over that tiny frame → broadcast the
+  * offsets back. Global rank = slice offset + local row_number.
+  * No row ever passes through a single task; the only unpartitioned
+  * work is the offsets window over the #partitions-row count frame.
+  *
+  * Contract: `order` must be a TOTAL order within each group
+  * (include a unique tiebreaker column) — range partitioning puts
+  * equal keys in one partition, but a total order is what makes the
+  * rank deterministic and the range slices well-defined.
+  */
+object Ranking {
+
+  /** Adds a 1-based exact rank column (`rankName`, LONG) ordered by
+    * `order` within `groupCols` (empty = global rank), plus the
+    * group's total row count as `nName` when non-empty. All other
+    * columns pass through. */
+  def withRank(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+      rankName: String, nName: String = ""): DataFrame = {
+    val pid = "_rk_pid"
+    val grp = groupCols.map(col)
+    val parts = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions, 2)
+    val ranged = df.repartitionByRange(parts, grp ++ order: _*)
+      .withColumn(pid, spark_partition_id())
+    val local = ranged.withColumn("_rk_loc", row_number()
+      .over(Window.partitionBy(col(pid) +: grp: _*).orderBy(order: _*)))
+    // tiny frame: #partitions × #groups rows; its unpartitioned-per-
+    // group window is the point (bounded by parallelism, not by data)
+    val counts = ranged.groupBy(col(pid) +: grp: _*)
+      .agg(count(lit(1)).as("_rk_cnt"))
+    val wg = Window.partitionBy(grp: _*).orderBy(col(pid))
+    val offs = counts
+      .withColumn("_rk_off", coalesce(sum("_rk_cnt").over(
+        wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_rk_n", sum("_rk_cnt").over(wg.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("_rk_cnt")
+    val joined = local
+      .join(broadcast(offs), pid +: groupCols)
+      .withColumn(rankName, col("_rk_off") + col("_rk_loc"))
+    val out = if (nName.nonEmpty) joined.withColumn(nName, col("_rk_n"))
+              else joined
+    out.drop(pid, "_rk_loc", "_rk_off", "_rk_n")
+  }
+
+  /** Exact `ntile(k)` bucket (INT) from a 1-based rank and the group
+    * size — the SQL-standard fill (first n%k buckets get one extra
+    * row), identical to Spark's and DuckDB's NTILE over the same
+    * total order. Lets ntile ride [[withRank]] instead of a global
+    * sort window. Integer-exact: q/r via pmod, divisions operate on
+    * multiples of their divisor (when rank > cut, q ≥ 1 — the q = 0
+    * branch never evaluates its division; CaseWhen is lazy). */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    // `/` on longs is double division in Spark; every quotient here
+    // divides an exact multiple of its divisor (pmod subtracted
+    // first) with all values far below 2^53, so the double result is
+    // the exact integer — cast back to long immediately.
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val kL = lit(k.toLong)
+    val q = idiv(n, kL)
+    val r = pmod(n, kL)
+    val cut = r * (q + lit(1L))
+    val inHead = idiv(rank - 1L, q + lit(1L)) + 1L
+    val inTail = r + idiv(rank - cut - 1L, q) + 1L
+    when(rank <= cut, inHead).otherwise(inTail).cast("int")
+  }
+}

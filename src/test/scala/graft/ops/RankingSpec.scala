@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("global withRank equals the single-sort row_number") {
+    val df = (1 to 500).map { i =>
+      (i.toLong, (i * 37 % 91).toLong) // dup-heavy order values
+    }.toDF("k", "v").repartition(7)
+    val want = df.withColumn("rk",
+        row_number().over(Window.orderBy(col("v"), col("k"))).cast("long"))
+      .select("k", "rk").as[(Long, Long)].collect().toMap
+    val got = Ranking.withRank(df, Nil, Seq(col("v"), col("k")), "rk", "n")
+      .select("k", "rk").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("grouped withRank equals the per-group row_number, n is group size") {
+    val df = (1 to 300).map { i =>
+      ("g" + (i % 3), i.toLong, (i * 17 % 23).toLong)
+    }.toDF("g", "k", "v").repartition(5)
+    val want = df.withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(col("v"), col("k"))).cast("long"))
+      .select("g", "k", "rk").as[(String, Long, Long)].collect().toSet
+    val out = Ranking.withRank(df, Seq("g"), Seq(col("v"), col("k")),
+      "rk", "n")
+    assert(out.select("g", "k", "rk").as[(String, Long, Long)]
+      .collect().toSet == want)
+    assert(out.groupBy("g").agg(max("n")).as[(String, Long)]
+      .collect().toMap == Map("g0" -> 100L, "g1" -> 100L, "g2" -> 100L))
+  }
+
+  test("desc order and repartitioning do not change ranks") {
+    val df = (1 to 200).map(i => (i.toLong, (i * 7 % 31).toLong))
+      .toDF("k", "v")
+    val want = df.withColumn("rk", row_number().over(
+        Window.orderBy(col("v").desc, col("k"))).cast("long"))
+      .select("k", "rk").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 3, 11)) {
+      val got = Ranking.withRank(df.repartition(parts), Nil,
+          Seq(col("v").desc, col("k")), "rk")
+        .select("k", "rk").as[(Long, Long)].collect().toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("ntileFromRank reproduces ntile(k) for every n in 1..23") {
+    for (n <- 1 to 23) {
+      val df = (1 to n).map(i => (i.toLong, (i * 13 % 7).toLong))
+        .toDF("k", "v")
+      val want = df.withColumn("t",
+          ntile(5).over(Window.orderBy(col("v"), col("k"))))
+        .select("k", "t").as[(Long, Int)].collect().toMap
+      val got = Ranking.withRank(df, Nil, Seq(col("v"), col("k")), "rk", "n")
+        .withColumn("t", Ranking.ntileFromRank(col("rk"), col("n"), 5))
+        .select("k", "t").as[(Long, Int)].collect().toMap
+      assert(got == want, s"n=$n")
+    }
+  }
+}
