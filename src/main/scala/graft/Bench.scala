@@ -41,20 +41,26 @@ object Bench {
     }
     // noop-datasource write: forces full evaluation of every output column
     // (count() would let Catalyst prune the expression work away).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val outcomes = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Queries must not leak state into each other's measurements:
       // drop any cached blocks a query materialized (cache debris
       // accumulating in the shared local heap slowed the whole r3
       // suite tail).
       spark.catalog.clearCache()
-      name -> elapsed
+      (name, elapsed, ok)
     }
+    val results = outcomes.map { case (name, sec, _) => name -> sec }.toSeq
+    val failed = outcomes.collect { case (name, _, false) => name }.toSeq
     // Per-query lines FIRST (complete evidence even if a capture window
     // clips the head), then the single summary JSON line LAST and kept
     // small: times rounded to 3 decimals so 103 entries fit the driver's
@@ -65,13 +71,26 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Artifact-completeness gate (selfcheck pattern): every contract row
-    // must carry a timing — a silent miss here is how r6 shipped a
-    // 101-row bench against a 103-row contract.
-    require(results.size == SparkEntry.queries.size,
-      s"bench rows ${results.size} != queries ${SparkEntry.queries.size}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"nfail":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
+    println(summary)
+    // The artifact must survive a truncated stdout capture: write the
+    // COMPLETE per-query timings + summary to a repo file too (the
+    // r6/r7 driver tails clipped to ~89 of 137 per-query lines).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      summary + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
+    // Artifact-completeness gate, AFTER the artifact is printed and
+    // written so a failure is loud (rc != 0) but never destroys the
+    // evidence. A failed query still records a timing, so a pure
+    // size-equality require could not catch an r6-style missing row;
+    // zero-failures is the real invariant.
+    require(failed.isEmpty,
+      s"bench had ${failed.size} failing queries: ${failed.mkString(", ")}")
   }
 }

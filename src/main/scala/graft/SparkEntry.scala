@@ -84,27 +84,47 @@ object SparkEntry {
            CAST(l_shipdate AS DATE) AS fec_servicio
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
 
-  /** Staging dir for q_lake_roundtrip's lake write — keyed by the SF
-    * dir so different scale factors never collide. */
-  private[graft] def lakeRoundtripPath(dir: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_lake_" +
-      Integer.toHexString(dir.hashCode) + "/events_by_type"
+  /** Per-process staging root for lake/dedup/JSON artifacts: keyed by
+    * a FULL md5 of the SF dir (a 32-bit hashCode can collide across
+    * dirs) plus the JVM pid (two processes on the same dir — Bench
+    * and Verify concurrently — must never overwrite each other's
+    * artifacts mid-read). Stable WITHIN a process, which is what the
+    * incremental rows rely on (warmup builds the artifact, the timed
+    * run refreshes against it); removed on JVM exit so per-pid roots
+    * don't accumulate in the tmpdir. */
+  private val stagedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
+  private[graft] def stagingRoot(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val root = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft_lake_${digest}_${ProcessHandle.current().pid()}"
+    if (stagedRoots.add(root) && stagedRoots.size == 1)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        stagedRoots.forEach(r => deleteRec(new java.io.File(r)))))
+    root
+  }
 
-  /** Persisted fingerprint-artifact dir for q_dedup_incremental —
-    * keyed by the SF dir like [[lakeRoundtripPath]]. */
+  /** Staging dir for q_lake_roundtrip's lake write. */
+  private[graft] def lakeRoundtripPath(dir: String): String =
+    stagingRoot(dir) + "/events_by_type"
+
+  /** Persisted fingerprint-artifact dir for q_dedup_incremental. */
   private[graft] def dedupArtifactPath(dir: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_lake_" +
-      Integer.toHexString(dir.hashCode) + "/dedup_fingerprints"
+    stagingRoot(dir) + "/dedup_fingerprints"
 
   /** Persisted banded-MinHash artifact dir for q_minhash_incremental. */
   private[graft] def minhashArtifactPath(dir: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_lake_" +
-      Integer.toHexString(dir.hashCode) + "/minhash_bands"
+    stagingRoot(dir) + "/minhash_bands"
 
   /** Staging dir for q_lake_refresh's dynamic-overwrite lake. */
   private[graft] def lakeRefreshPath(dir: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_lake_" +
-      Integer.toHexString(dir.hashCode) + "/events_refresh"
+    stagingRoot(dir) + "/events_refresh"
 
   /** The read side of q_lake_roundtrip, shared with LakeRoundtripSpec
     * so the spec's executed-scan pruning fence measures EXACTLY the
@@ -2869,8 +2889,10 @@ object SparkEntry {
     // bounds the collect_list; everything else is one join + one
     // aggregate.
     "q_json_nested" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_jsonnest_stage").toString
+      // dir-keyed stable staging (overwritten per run, reaped on JVM
+      // exit) — a fresh createTempDirectory per invocation leaked a
+      // staged JSON copy of lineitem⋈orders on every bench/verify run
+      val tmp = stagingRoot(dir) + "/jsonnest_stage"
       t(s, dir, "lineitem")
         .select(col("l_orderkey"),
           struct(col("l_linenumber").as("ln"),

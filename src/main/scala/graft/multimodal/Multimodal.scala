@@ -275,41 +275,53 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           if (bytes == null || bytes.isEmpty) corrupt(id)
-          else try {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) { iis.close(); corrupt(id) }
-            else {
-              val reader = readers.next()
-              // seekForwardOnly=false: getNumImages(true) must scan
-              reader.setInput(iis, false)
-              val n = reader.getNumImages(true)
-              val rows = (0 until n).map { i =>
-                val img = reader.read(i)
-                val w = img.getWidth
-                val h = img.getHeight
-                val sb = new java.lang.StringBuilder(w * h * 6)
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val rgb = img.getRGB(x, y) & 0xffffff
-                    val s = Integer.toHexString(rgb)
-                    var pad = 6 - s.length
-                    while (pad > 0) { sb.append('0'); pad -= 1 }
-                    sb.append(s)
-                    x += 1
+          else {
+            // close/dispose in finally: a read(i) throwing mid-container
+            // must not leak the input stream or the reader's buffers
+            var iis: javax.imageio.stream.ImageInputStream = null
+            var reader: javax.imageio.ImageReader = null
+            try {
+              iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) corrupt(id)
+              else {
+                reader = readers.next()
+                // seekForwardOnly=false: getNumImages(true) must scan
+                reader.setInput(iis, false)
+                val n = reader.getNumImages(true)
+                // materialized (not lazy) so finally's dispose is safe
+                val rows = (0 until n).map { i =>
+                  val img = reader.read(i)
+                  val w = img.getWidth
+                  val h = img.getHeight
+                  val sb = new java.lang.StringBuilder(w * h * 6)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y) & 0xffffff
+                      val s = Integer.toHexString(rgb)
+                      var pad = 6 - s.length
+                      while (pad > 0) { sb.append('0'); pad -= 1 }
+                      sb.append(s)
+                      x += 1
+                    }
+                    y += 1
                   }
-                  y += 1
+                  (id, i.toLong, w, h, sb.toString)
                 }
-                (id, i.toLong, w, h, sb.toString)
+                rows.iterator
               }
-              reader.dispose()
-              iis.close()
-              rows.iterator
+            } catch {
+              case scala.util.control.NonFatal(_) => corrupt(id)
+            } finally {
+              if (reader != null) reader.dispose()
+              if (iis != null)
+                try iis.close()
+                catch { case scala.util.control.NonFatal(_) => () }
             }
-          } catch { case scala.util.control.NonFatal(_) => corrupt(id) }
+          }
         }
       }.toDF("media_id", "frame_idx", "width", "height", "pixel_hex")
   }
@@ -389,6 +401,16 @@ object Multimodal {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             val fmt = ais.getFormat
+            // the 2-bytes-per-frame decode below is mono 16-bit signed
+            // PCM ONLY — a stereo or 8-bit WAV is a VALID container this
+            // loop would silently mis-decode (read half the PCM bytes as
+            // if mono), so anything else degrades to the corrupt row
+            if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16 ||
+                fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+              ais.close()
+              corrupt(id)
+            } else {
             val n = ais.getFrameLength.toInt
             val raw = ais.readAllBytes()
             ais.close()
@@ -413,6 +435,7 @@ object Multimodal {
               .digest(sb.toString.getBytes("UTF-8"))
               .map(b => f"$b%02x").mkString
             (id, fmt.getSampleRate.toInt, n.toLong, mn, mx, sum, md)
+            }
           } catch { case scala.util.control.NonFatal(_) => corrupt(id) }
         }
       }.toDF("media_id", "sample_rate", "n_frames", "smin", "smax",

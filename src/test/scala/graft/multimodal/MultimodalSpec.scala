@@ -190,6 +190,36 @@ class MultimodalSpec extends SparkSpec {
       assert(got(bad)._2 == -1 && got(bad)._7 == null)
   }
 
+  test("decodeWav routes valid-but-unsupported formats to the corrupt row") {
+    // a VALID stereo 16-bit WAV (frameSize=4) — the mono decode loop
+    // would silently read only half its PCM bytes; the format guard
+    // must degrade it instead of mis-decoding
+    def wav(channels: Int, bits: Int): Array[Byte] = {
+      val n = 64
+      val bytesPerFrame = channels * bits / 8
+      val data = Array.tabulate[Byte](n * bytesPerFrame)(i => (i * 3).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, bits, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      (1L, wav(2, 16)), // stereo 16-bit
+      (2L, wav(1, 8)),  // mono 8-bit
+      (3L, Multimodal.patternWav(3))) // supported control
+      .toDF("media_id", "content")
+    val got = Multimodal.decodeWav(media)
+      .as[(Long, Int, Long, Int, Int, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == -1 && got(1L)._7 == null)
+    assert(got(2L)._2 == -1 && got(2L)._7 == null)
+    assert(got(3L)._2 == 8000 && got(3L)._7 != null)
+  }
+
   test("sampleRealFrames keeps uniformly spaced REAL frames, first/last included") {
     // id 1 → 3 frames, id 3 → 5 frames (nFrames = 2 + m % 4)
     val media = Seq(
