@@ -622,6 +622,30 @@ object SparkEntry {
       s.sql(sqlQ22)
     }),
 
+    // 138: SQL front door, TPC-H Q4's EXISTS-date shape — the late-
+    // line order count per priority; the correlated EXISTS carries
+    // date predicates on BOTH sides of the correlation.
+    "q_sql_q4" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ4)
+    }),
+
+    // 139: SQL front door, TPC-H Q15's view-max shape — the revenue
+    // "view" is aggregated once and consulted twice (rows + its own
+    // max); the 1-row max broadcasts.
+    "q_sql_q15" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ15)
+    }),
+
+    // 140: SQL front door, TPC-H Q20's nested-IN shape — IN over an
+    // aggregate-with-HAVING whose filter nests another IN over part;
+    // both engines plan the whole chain as semi-join families.
+    "q_sql_q20" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ20)
+    }),
+
     // 84: explicit GROUPING SETS with grouping() markers — finer
     // control than the rollup/cube rows (a hand-picked lattice), one
     // shared SQL string, exact cents for the money sum.
@@ -1910,6 +1934,65 @@ object SparkEntry {
                         AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
     GROUP BY n_name
     ORDER BY n_name"""
+
+  /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
+    * orders of one quarter counted per priority when ANY of their
+    * lines shipped late (this schema has no commit/receipt dates, so
+    * "late" = shipped more than 60 days after the order date — same
+    * correlated-EXISTS-with-date-predicates plan shape). Both
+    * engines plan the EXISTS as a left-semi on o_orderkey. */
+  private val sqlQ4: String = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND CAST(l_shipdate AS DATE) >
+                        CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  /** Shared verbatim — TPC-H Q15's view-max shape: per-supplier
+    * revenue over one quarter, keep the supplier(s) hitting the
+    * global maximum. The revenue CTE is the inlined "view"; the max
+    * is a 1-row scalar subquery both engines broadcast. Revenue rides
+    * exact per-row cents so the max compare is integer-exact. */
+  private val sqlQ15: String = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS total_rev
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey"""
+
+  /** Shared verbatim — TPC-H Q20's nested-IN shape (no partsupp table
+    * in this schema, so availability becomes shipped share): suppliers
+    * who, for some large part (the inner IN), shipped more than 10% of
+    * that part's total quantity. The share compare is integer-exact
+    * (×10 of integer-valued quantity sums) — no 0.1 double literal
+    * to disagree on. */
+  private val sqlQ20: String = """
+    WITH tot AS (SELECT l_partkey, sum(l_quantity) AS tq
+                 FROM lineitem
+                 WHERE l_partkey IN (SELECT p_partkey FROM part
+                                     WHERE p_size >= 45)
+                 GROUP BY l_partkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN tot ON l.l_partkey = tot.l_partkey
+      GROUP BY l.l_suppkey, l.l_partkey, tot.tq
+      HAVING sum(l.l_quantity) * 10 > tq)
+    ORDER BY s_suppkey"""
 
   /** Shared verbatim: correlated EXISTS → semi join, NOT EXISTS →
     * anti join, aggregated per priority. */
@@ -4219,6 +4302,9 @@ object SparkEntry {
     "q_sql_q13" -> sqlQ13,
     "q_sql_q19" -> sqlQ19,
     "q_sql_q22" -> sqlQ22,
+    "q_sql_q4" -> sqlQ4,
+    "q_sql_q15" -> sqlQ15,
+    "q_sql_q20" -> sqlQ20,
     "q_linreg" -> """
       WITH m AS (SELECT l_returnflag AS flag, count(*) AS n,
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
