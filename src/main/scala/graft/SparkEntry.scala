@@ -3750,6 +3750,28 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // 141: REAL video demux under the oracle gate — the q_gif_frames
+    // pattern applied to the last open modality: a dependency-free
+    // uncompressed-AVI (RIFF/BI_RGB) container is ENCODED on the
+    // executors per media id, then graft.multimodal.Avi parses the
+    // container for real (headers, movi chunk walk, bottom-up padded
+    // DIB rows) and emits one row per frame; the oracle reconstructs
+    // each frame's pixel transcript arithmetically (lossless raw
+    // frames) and md5s it. Corrupt payloads degrade to (-1, …, null)
+    // rows, never task failures.
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy("doc_id").limit(48)
+      val media = ids.as[Long].repartition(8).mapPartitions { it =>
+        it.map(m => (m, graft.multimodal.Avi.patternAvi(m)))
+      }.toDF("media_id", "content")
+      graft.multimodal.Avi.demuxAviFrames(media)
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), md5(col("pixel_hex")).as("pixel_md5"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // 113: REAL audio decode as a CHECKED row — a 48-clip corpus of
     // deterministic 16-bit PCM WAVs encoded on the executors
     // (javax.sound.sampled — JDK built-in; PCM is lossless), decoded
@@ -4940,6 +4962,26 @@ object SparkEntry {
                  '' ORDER BY y, x) AS hexs
              FROM (SELECT m, f, w, h, x, y,
                      CAST((m*7 + f*31 + x*3 + y*5) % 256 AS INT) AS g
+                   FROM dims
+                   CROSS JOIN range(0, 5) rf(f)
+                   CROSS JOIN range(0, 14) ry(y)
+                   CROSS JOIN range(0, 16) rx(x)
+                   WHERE f < nf AND y < h AND x < w)
+             GROUP BY m, f, w, h)
+      SELECT m AS media_id, f AS frame_idx, w AS width, h AS height,
+             md5(hexs) AS pixel_md5
+      FROM px ORDER BY media_id, frame_idx""",
+    "q_video_frames" -> """
+      WITH ids AS (SELECT doc_id AS m FROM documents
+                   ORDER BY doc_id LIMIT 48),
+      dims AS (SELECT m, CAST(10 + m % 7 AS INT) AS w,
+                      CAST(10 + m % 5 AS INT) AS h,
+                      2 + m % 4 AS nf FROM ids),
+      px AS (SELECT m, f, w, h,
+               string_agg(printf('%02x%02x%02x', g, g, g),
+                 '' ORDER BY y, x) AS hexs
+             FROM (SELECT m, f, w, h, x, y,
+                     CAST((m*11 + f*29 + x*3 + y*5) % 256 AS INT) AS g
                    FROM dims
                    CROSS JOIN range(0, 5) rf(f)
                    CROSS JOIN range(0, 14) ry(y)
