@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.EtlOps.RichDF
 import graft.ops.{AsofJoin, Dates, Names, RangeJoin, Ranking, Rules, Skew}
+import graft.ops.Staging.StagedDF
 import graft.sources.Export
 import graft.text.{SimHash, TextFunctions => TF}
 import graft.dedup.Dedup
@@ -785,7 +786,7 @@ object SparkEntry {
           expr("CAST((v - vmin) * 10 DIV (vmax - vmin + 1) AS INT)")
             .as("bin"))
         .groupBy("event_type", "period", "bin").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .staged
       val frame = counts.select("event_type").distinct()
         .select(col("event_type"),
           explode(sequence(lit(0), lit(9))).as("bin"))
@@ -911,7 +912,7 @@ object SparkEntry {
       }
       // the per-column fold below selects from this 1-row result six
       // times — checkpoint so the fact aggregates once, not per branch
-      val one = o.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      val one = o.agg(aggs.head, aggs.tail: _*).staged
       cols.map { c =>
         one.select(lit(c).as("col_name"), col(s"${c}__nn").as("n_null"),
           col(s"${c}__nd").as("n_distinct"), col(s"${c}__mn").as("min_repr"),
@@ -939,34 +940,9 @@ object SparkEntry {
       val edges = pairs.groupBy("a", "b")
         .agg(countDistinct(col("ok")).as("m"))
         .filter(col("m") >= 6).select("a", "b")
-        .localCheckpoint() // reused 4×: degrees, orient, close, count
-      val deg = edges.select(col("a").as("v"))
-        .unionAll(edges.select(col("b")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
-      // total order (degree, id) packed into one BIGINT so the wedge
-      // inequality is a single long compare (d < 2^29 ⇒ no overflow)
-      val ordOf = (d: Column, id: Column) => d * lit(1L << 34) + id
-      val oriented = edges
-        .join(deg.toDF("va", "da"), col("a") === col("va"))
-        .join(deg.toDF("vb", "db"), col("b") === col("vb"))
-        .select(
-          when(ordOf(col("da"), col("a")) < ordOf(col("db"), col("b")),
-            struct(col("a").as("src"), col("b").as("dst"),
-              ordOf(col("db"), col("b")).as("dord")))
-            .otherwise(struct(col("b").as("src"), col("a").as("dst"),
-              ordOf(col("da"), col("a")).as("dord"))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"),
-          col("e.dord").as("dord"))
-      val w = oriented.toDF("src", "c1", "o1")
-        .join(oriented.toDF("src", "c2", "o2").withColumnRenamed("src", "s2"),
-          col("src") === col("s2") && col("o1") < col("o2"))
-        .select(col("c1"), col("c2"))
-      val tri = w.join(oriented.select(col("src").as("c1"),
-          col("dst").as("c2")), Seq("c1", "c2"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-      nNodes.crossJoin(nEdges).crossJoin(tri)
+      // degree-oriented wedge-join core shared with the skew spec
+      // (ops/Graphs.scala): wedges bounded by Σ C(d⁺,2), hub-proof
+      graft.ops.Graphs.triangleCount(edges)
     }),
 
     // 94: sequence funnel (view → click → purchase) — one shuffle on
@@ -1098,7 +1074,7 @@ object SparkEntry {
           when(col("dp").isNotNull && col("dp") >= col("d0"),
             datediff(col("dp"), col("d0")))
             .otherwise(datediff(col("gd"), col("d0"))).as("dur"))
-        .localCheckpoint()
+        .staged
       val tot = u2.agg(count(lit(1)).as("tot"))
       val grp = u2.groupBy(col("dur"))
         .agg(sum(col("event")).cast("long").as("d"),
@@ -3524,9 +3500,9 @@ object SparkEntry {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + 1000000L).as("dst"))
         .distinct()
-        .localCheckpoint()
+        .staged
       val nodes = edges.select(col("src").as("id"))
-        .union(edges.select(col("dst"))).distinct().localCheckpoint()
+        .union(edges.select(col("dst"))).distinct().staged
       val n = nodes.count()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       var pr = nodes.withColumn("pr", lit(1.0 / n))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions._
+import graft.ops.Staging.StagedDF
 
 /** Deduplication pipelines for training-data curation.
   *
@@ -119,7 +120,9 @@ object Dedup {
     * id; each round every node takes the min of its label and its
     * neighbors' labels; fixpoint = component = min id reachable. Each
     * round is one distributed join + aggregate over the (narrow)
-    * label frame; `localCheckpoint` truncates lineage so the plan
+    * label frame; `staged` (Staging.scala: reliable checkpoint when a
+    * checkpoint dir is set, localCheckpoint otherwise) truncates
+    * lineage so the plan
     * doesn't grow with iterations (blocks are reclaimed by the
     * context cleaner — no cache-manager persist). Rounds needed =
     * graph diameter — fine for dup clusters (tiny diameters); a
@@ -137,10 +140,10 @@ object Dedup {
       .union(pairs
         .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
       .distinct()
-      .localCheckpoint() // edges are reused every round — materialize once
+      .staged // edges are reused every round — materialize once
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .staged
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
@@ -157,7 +160,7 @@ object Dedup {
         .union(msgs)
         .groupBy("id")
         .agg(min(col("comp")).as("comp"), max(col("__old")).as("__old"))
-        .localCheckpoint()
+        .staged
       converged = updated.filter(col("comp") =!= col("__old")).isEmpty
       labels = updated.select("id", "comp")
       iter += 1
@@ -192,7 +195,7 @@ object Dedup {
 
     var edges = orient(pairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v")))
-      .localCheckpoint()
+      .staged
 
     def signature(e: DataFrame): (Long, String, String) = {
       // hash-sums through DECIMAL(38,0): a LONG sum of xxhash64 values
@@ -222,14 +225,14 @@ object Dedup {
         .select(col("u"), least(col("u"), col("mv")).as("m"))
       val ls = orient(sym.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
-        .localCheckpoint()
+        .staged
       // small-star on the (u > v)-oriented edges: fold u and its
       // smaller neighbors onto the neighborhood min
       val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
       val ss = orient(ls.join(mins2, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v"))))
-        .localCheckpoint()
+        .staged
       val newSig = signature(ss)
       converged = newSig == sig
       sig = newSig

@@ -105,4 +105,59 @@ class AqeSkewSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("hot hub in the triangle wedge join: the degree-orientation " +
+      "bound holds (no AQE needed)") {
+    // q_triangle's protection is STRUCTURAL, not adaptive: a hub of
+    // degree 5000 under naive id-orientation would seed C(5000,2) ≈
+    // 12.5M wedges through one key; degree orientation points every
+    // spoke→hub edge AT the hub (spokes outrank nothing), so the hub
+    // has out-degree ~0 and contributes ~no wedges. Run the SHIPPED
+    // core (graft.ops.Graphs) on an adversarial star + a known
+    // triangle set and assert both the count and the wedge bound.
+    val n = 5000L
+    val star = spark.range(1, n + 1)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    // disjoint triangle block on ids ≥ 10^6: (base, base+1, base+2)
+    val triIds = spark.range(0, 40).select((col("id") * 3 + 1000000L).as("x"))
+    val triEdges = triIds.select(col("x").as("a"), (col("x") + 1).as("b"))
+      .unionAll(triIds.select((col("x") + 1).as("a"), (col("x") + 2).as("b")))
+      .unionAll(triIds.select(col("x").as("a"), (col("x") + 2).as("b")))
+    val edges = star.unionAll(triEdges)
+    val row = graft.ops.Graphs.triangleCount(edges).head()
+    assert(row.getLong(row.fieldIndex("n_triangles")) == 40L)
+    assert(row.getLong(row.fieldIndex("n_nodes")) == n + 1 + 120L)
+    // the bound itself: the star contributes ZERO wedges (every spoke
+    // has out-degree 1, the hub outranks nothing), each triangle ≤ 3
+    val nWedges = graft.ops.Graphs
+      .wedges(graft.ops.Graphs.orient(edges.select("a", "b"))).count()
+    assert(nWedges <= 3 * 40L,
+      s"wedge bound violated: $nWedges wedges from a hub graph")
+  }
+
+  test("hot dst in the PageRank contribution aggregate: map-side " +
+      "partial aggregation pre-reduces the hot key") {
+    // q_pagerank's per-iteration groupBy(dst).sum is skew-safe by
+    // PARTIAL aggregation, not AQE: every map partition combines its
+    // share of the hot dst before the exchange, so the hot reducer
+    // receives ≤ #maps rows however many edges point at one node.
+    // Star-in graph: ALL 50k edges point at node 0.
+    val edges = spark.range(1, 50001)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val pr = edges.select(col("src").as("id")).distinct()
+      .unionAll(spark.range(0, 1).select(col("id")))
+      .withColumn("pr", lit(1.0 / 50001))
+    val contrib = edges.join(deg, "src")
+      .join(pr, edges("src") === pr("id"))
+      .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+      .groupBy("id").agg(sum(col("c")).as("s"))
+    val rows = contrib.collect()
+    assert(rows.length == 1 && math.abs(rows.head.getDouble(1) -
+      50000.0 / 50001) < 1e-9)
+    // the plan fence: a partial_sum HashAggregate BEFORE the exchange
+    val plan = contrib.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"no map-side partial aggregate in the contribution plan:\n$plan")
+  }
 }
