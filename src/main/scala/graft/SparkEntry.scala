@@ -989,20 +989,29 @@ object SparkEntry {
           sum(cents(col("o_totalprice"))).as("mc"))
       val scored = per.crossJoin(broadcast(gmax))
         .withColumn("recency", datediff(col("gd"), col("last_d")))
-      val ranked = Seq[(String, Seq[Column])](
-        "r_rk" -> Seq(col("recency"), col("o_custkey")),
-        "f_rk" -> Seq(col("frequency").desc, col("o_custkey")),
-        "m_rk" -> Seq(col("mc").desc, col("o_custkey"))
-      ).foldLeft(scored) { case (df, (name, ord)) =>
-        Ranking.withRank(df, Nil, ord, name,
-          if (name == "r_rk") "n_cust" else "")
-      }
-      def tile(rk: String): Column =
-        Ranking.ntileFromRank(col(rk), col("n_cust"), 5)
-      ranked.select(col("o_custkey"), col("recency"), col("frequency"),
+      // all three metrics ride ONE grouped rank pass: explode to
+      // (metric, v) rows — descending metrics negate v so every
+      // group sorts (v asc, key asc) — rank within metric, ntile
+      // from (rank, group size), pivot back. One range exchange for
+      // the whole grid instead of three chained passes.
+      val longFmt = scored.select(col("o_custkey"), explode(array(
+          struct(lit("r").as("metric"), col("recency").cast("long").as("v")),
+          struct(lit("f").as("metric"), (-col("frequency")).as("v")),
+          struct(lit("m").as("metric"), (-col("mc")).as("v")))).as("mv"))
+        .select(col("o_custkey"), col("mv.metric").as("metric"),
+          col("mv.v").as("v"))
+      val tiles = Ranking
+        .withRank(longFmt, Seq("metric"),
+          Seq(col("v"), col("o_custkey")), "rk", "n")
+        .withColumn("tile", Ranking.ntileFromRank(col("rk"), col("n"), 5))
+        .groupBy("o_custkey")
+        .agg(max(when(col("metric") === "r", col("tile"))).as("r_score"),
+          max(when(col("metric") === "f", col("tile"))).as("f_score"),
+          max(when(col("metric") === "m", col("tile"))).as("m_score"))
+      scored.join(tiles, "o_custkey")
+        .select(col("o_custkey"), col("recency"), col("frequency"),
           money(col("mc")).as("monetary"),
-          tile("r_rk").as("r_score"), tile("f_rk").as("f_score"),
-          tile("m_rk").as("m_score"))
+          col("r_score"), col("f_score"), col("m_score"))
         .withColumn("segment", concat(col("r_score"), col("f_score"),
           col("m_score")))
         .orderBy("o_custkey")

@@ -155,6 +155,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r8 fence: rank/cap rows run no global-sort window over data-" +
+      "sized frames") {
+    // q_rfm / q_gini previously planned row_number()/ntile() over an
+    // unpartitioned (or ~5-partition) Window — a single-task sort of
+    // every customer at scale. The Ranking.withRank form keeps every
+    // window either PARTITIONED (range slices / classes) or over the
+    // tiny offsets frame (≤ #partitions × #groups rows). Assert it on
+    // the EXECUTED plan's measured rows, not the plan text.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // (query, max rows allowed through an UNPARTITIONED window,
+    //  max rows allowed into ANY window)
+    val fences = Seq(
+      ("q_rfm", 200L, Long.MaxValue),
+      ("q_gini", 200L, Long.MaxValue),
+      // prefilter bound: ≈4·k per class + offset frames, sf0.001-sized
+      ("q_class_balance", 200L, 4000L))
+    fences.foreach { case (q, globalBound, anyBound) =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val nodes = PlanAudit.allNodes(df.queryExecution.executedPlan)
+      val windows = nodes.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q expected window operators")
+      windows.foreach { w =>
+        val inRows = PlanAudit.allNodes(w).collectFirst {
+          case s: ShuffleExchangeLike =>
+            s.metrics.get("shuffleRecordsWritten").map(_.value)
+              .getOrElse(-1L)
+        }.getOrElse(-1L)
+        val bound = if (w.partitionSpec.isEmpty) globalBound else anyBound
+        assert(inRows <= bound,
+          s"$q window (partitionSpec=${w.partitionSpec.size} cols) " +
+            s"consumed $inRows rows > bound $bound")
+      }
+    }
+  }
+
   test("q_pii_redact and q_contamination never shuffle raw text wide") {
     // contamination joins on long gram hashes only: the join keys in
     // any exchange must be hash columns, never the text column
