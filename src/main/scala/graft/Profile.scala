@@ -15,7 +15,13 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val n = args(1).toInt
-    val names = args.drop(2).toSeq
+    // `__all__` profiles the complete contract (sorted for stable
+    // artifact diffs) — the per-round steady-state evidence must
+    // carry every row, not just the hand-picked suspects
+    val names =
+      if (args.drop(2).toSeq == Seq("__all__"))
+        SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -2341,6 +2341,38 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 142: versioned table + TIME TRAVEL — the ACID-manifest layer
+    // (sources/Versioned.scala: immutable data dirs, numbered
+    // manifests, atomic create-exclusive commit, snapshot reads).
+    // Three commits build three versions of an events table (base
+    // history → append purchases → overwrite with clicks); the row
+    // reads ALL THREE snapshots back and summarizes each, so the
+    // oracle checks that every historical version stays exactly
+    // reconstructable — the property that distinguishes a versioned
+    // lake from a directory of parquet.
+    "q_time_travel" -> ((s, dir) => {
+      val table = stagingRoot(dir) + "/versioned_events"
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), cents(col("value")).as("vc"))
+      if (graft.sources.Versioned.latestVersion(table) < 0) {
+        graft.sources.Versioned.commit(
+          ev.filter(col("event_type") =!= "purchase"), table,
+          overwrite = false)
+        graft.sources.Versioned.commit(
+          ev.filter(col("event_type") === "purchase"), table,
+          overwrite = false)
+        graft.sources.Versioned.commit(
+          ev.filter(col("event_type") === "click"), table,
+          overwrite = true)
+      }
+      Seq(0, 1, 2).map { v =>
+        graft.sources.Versioned.read(s, table, Some(v))
+          .agg(count(lit(1)).as("n_events"),
+            money(sum(col("vc"))).as("sum_value"))
+          .select(lit(v).as("version"), col("n_events"), col("sum_value"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // 39 (beyond-§2): the reference's FULL pipeline composed end-to-end
     // — base load analog → marker semi-join → per-subset mark operators
     // (capped Qx, dedup-first H/C1/Qx1, stateful C5 gap) joined back →
@@ -2514,6 +2546,19 @@ object SparkEntry {
                     ELSE value END * 100) AS BIGINT)) AS DOUBLE)
                / 100.0 AS sum_value
       FROM events GROUP BY 1 ORDER BY event_type""",
+    "q_time_travel" -> """
+      WITH ev AS (SELECT event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      s0 AS (SELECT 0 AS version, count(*) AS n_events,
+               CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+             FROM ev WHERE event_type <> 'purchase'),
+      s1 AS (SELECT 1 AS version, count(*) AS n_events,
+               CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value FROM ev),
+      s2 AS (SELECT 2 AS version, count(*) AS n_events,
+               CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+             FROM ev WHERE event_type = 'click')
+      SELECT * FROM s0 UNION ALL SELECT * FROM s1
+      UNION ALL SELECT * FROM s2 ORDER BY version""",
     "q_regex_flag" -> """
       SELECT p_partkey, p_name,
              CAST(CASE WHEN regexp_matches(p_name, 'RED|GEAR', 'i')

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned (snapshot-isolated) parquet table: the
+  * manifest-log pattern every modern table format builds on — data
+  * files are immutable, a numbered manifest names the file set of
+  * each version, and COMMITTING a version is one atomic
+  * rename-without-overwrite of its manifest. Readers resolve a
+  * manifest first and then read exactly its file list, so they see a
+  * consistent snapshot however many writers are appending, and any
+  * historical version stays readable (time travel) until vacuumed.
+  *
+  * Layout: `<table>/_versions/v{N}.json` (JSON: version, parent,
+  * mode, data dirs) + `<table>/data/<uuid>/part-*.parquet`.
+  *
+  * Concurrency contract: data dirs are written FIRST (invisible to
+  * readers until referenced), then the manifest move publishes.
+  * Two racing writers both stage data, then race the rename of
+  * `v{N+1}.json`; the loser gets FileAlreadyExists, re-reads the
+  * winner's manifest, and retries against the new head (appends
+  * compose; a lost overwrite retries as an overwrite of the newer
+  * head). The create-exclusive primitive is link(2) locally;
+  * HDFS rename-no-overwrite / object-store conditional put supply
+  * the identical contract on clusters.
+  *
+  * Scale notes: manifests hold DIRECTORY names, not file lists, so
+  * manifest size grows with commits, not data; reads prune normally
+  * (partition/filter pushdown applies per listed dir); `vacuum`
+  * drops data dirs unreachable from any retained manifest.
+  */
+object Versioned {
+
+  private def versionsDir(path: String) = Paths.get(path, "_versions")
+
+  private final case class Manifest(version: Int, mode: String,
+      dataDirs: Seq[String])
+
+  private def manifestPath(path: String, v: Int) =
+    versionsDir(path).resolve(s"v$v.json")
+
+  // minimal JSON (manifests are builder-owned: fixed shape, no
+  // nesting, dirs are uuids — no escaping needed)
+  private def render(m: Manifest): String =
+    s"""{"version":${m.version},"mode":"${m.mode}","dataDirs":[""" +
+      m.dataDirs.map("\"" + _ + "\"").mkString(",") + "]}"
+
+  private def parse(s: String): Manifest = {
+    def field(name: String): String =
+      s.split("\"" + name + "\":", 2)(1)
+    val v = field("version").takeWhile(_.isDigit).toInt
+    val mode = field("mode").drop(1).takeWhile(_ != '"')
+    val dirs = field("dataDirs").drop(1).takeWhile(_ != ']')
+    val dataDirs =
+      if (dirs.trim.isEmpty) Seq.empty
+      else dirs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    Manifest(v, mode, dataDirs)
+  }
+
+  /** Latest committed version number, or -1 for an empty table. */
+  def latestVersion(path: String): Int = {
+    val dir = versionsDir(path)
+    if (!Files.isDirectory(dir)) return -1
+    val vs = Files.list(dir).iterator()
+    var best = -1
+    while (vs.hasNext) {
+      val name = vs.next().getFileName.toString
+      if (name.startsWith("v") && name.endsWith(".json"))
+        best = math.max(best, name.stripPrefix("v").stripSuffix(".json").toInt)
+    }
+    best
+  }
+
+  private def readManifest(path: String, v: Int): Manifest =
+    parse(new String(Files.readAllBytes(manifestPath(path, v)), "UTF-8"))
+
+  /** Commit `df` as the next version. `overwrite` replaces the
+    * table's content; append composes with the current head. Returns
+    * the committed version number. Safe under concurrent committers
+    * (rename-race retry, see class doc). */
+  def commit(df: DataFrame, path: String, overwrite: Boolean): Int = {
+    val dataId = java.util.UUID.randomUUID().toString
+    df.write.mode("errorifexists").parquet(s"$path/data/$dataId")
+    Files.createDirectories(versionsDir(path))
+    var attempt = 0
+    while (true) {
+      require(attempt < 50, s"versioned commit: 50 lost races at $path")
+      attempt += 1
+      val head = latestVersion(path)
+      val parentDirs =
+        if (overwrite || head < 0) Seq.empty
+        else readManifest(path, head).dataDirs
+      val m = Manifest(head + 1,
+        if (overwrite) "overwrite" else "append", parentDirs :+ dataId)
+      val tmp = versionsDir(path)
+        .resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, render(m).getBytes("UTF-8"))
+      try {
+        // atomic create-exclusive publish: link(2) fails with EEXIST
+        // if the version is already taken (rename(2) would REPLACE
+        // silently — the wrong primitive for a commit race); the
+        // loser retries against the new head. HDFS/object-store
+        // deployments swap this one call for rename-no-overwrite /
+        // conditional put, which have the same fail-if-exists
+        // contract there.
+        Files.createLink(manifestPath(path, m.version), tmp)
+        Files.deleteIfExists(tmp)
+        return m.version
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp): Unit
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Snapshot read: the table as of `version` (default: latest).
+    * The manifest is resolved BEFORE any data is opened — commits
+    * racing this read don't tear the snapshot. */
+  def read(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(path))
+    require(v >= 0, s"versioned read: no committed version at $path" +
+      version.map(w => s" (asked for v$w)").getOrElse(""))
+    val m = readManifest(path, v)
+    require(version.forall(_ == m.version))
+    val dirs = m.dataDirs.map(d => s"$path/data/$d")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Drop data dirs unreferenced by any manifest ≥ `retainFrom`
+    * and the manifests below it — the storage-reclaim half of the
+    * contract (time travel works back to `retainFrom` afterwards). */
+  def vacuum(path: String, retainFrom: Int): Unit = {
+    val head = latestVersion(path)
+    require(retainFrom <= head, s"retainFrom $retainFrom > head $head")
+    val retained = (retainFrom to head)
+      .map(readManifest(path, _).dataDirs.toSet)
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val dataRoot = Paths.get(path, "data")
+    if (Files.isDirectory(dataRoot)) {
+      Files.list(dataRoot).iterator().forEachRemaining { p =>
+        if (!retained(p.getFileName.toString)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.deleteIfExists(f): Unit })
+        }
+      }
+    }
+    (0 until retainFrom).foreach(v =>
+      Files.deleteIfExists(manifestPath(path, v)): Unit)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String = java.nio.file.Files
+    .createTempDirectory("graft_versioned").toString
+
+  test("append/overwrite commits version in order; reads are snapshots with time travel") {
+    val path = tmpTable()
+    assert(Versioned.latestVersion(path) == -1)
+    val v0 = Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      path, overwrite = false)
+    val v1 = Versioned.commit(Seq((3L, "c")).toDF("k", "v"),
+      path, overwrite = false)
+    val v2 = Versioned.commit(Seq((9L, "z")).toDF("k", "v"),
+      path, overwrite = true)
+    assert((v0, v1, v2) == ((0, 1, 2)))
+    assert(Versioned.latestVersion(path) == 2)
+    // latest = the overwrite snapshot
+    assert(Versioned.read(spark, path).as[(Long, String)].collect()
+      .toSet == Set((9L, "z")))
+    // time travel: v1 composes v0 + append, v0 is the original
+    assert(Versioned.read(spark, path, Some(1)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Versioned.read(spark, path, Some(0)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("a commit racing a taken version retries against the new head") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path, overwrite = false)
+    // simulate a concurrent winner: v1 appears between this commit's
+    // head read and its publish — pre-creating it forces the loser
+    // path (manifest content = an empty append so retries compose)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_versions", "v1.json"),
+      """{"version":1,"mode":"append","dataDirs":[]}""".getBytes("UTF-8"))
+    val got = Versioned.commit(Seq((2L, "b")).toDF("k", "v"),
+      path, overwrite = false)
+    assert(got == 2, s"loser should land at v2, landed at v$got")
+    // the retried append composed against the winner's (empty) head,
+    // which itself chains to nothing — so v2 = winner dirs + new data
+    assert(Versioned.read(spark, path, Some(2)).as[(Long, String)]
+      .collect().toSet == Set((2L, "b")))
+    // v0 still time-travels
+    assert(Versioned.read(spark, path, Some(0)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+  }
+
+  test("snapshot reads resolve the manifest first: a later overwrite does not tear them") {
+    val path = tmpTable()
+    Versioned.commit(spark.range(0, 100).select(col("id").as("k"),
+      lit("x").as("v")), path, overwrite = false)
+    val snap = Versioned.read(spark, path) // resolved at v0
+    Versioned.commit(Seq((-1L, "y")).toDF("k", "v"), path, overwrite = true)
+    // the already-resolved snapshot still reads v0's files
+    assert(snap.count() == 100)
+    assert(Versioned.read(spark, path).count() == 1)
+  }
+
+  test("vacuum reclaims unreachable data dirs but keeps retained history readable") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path, overwrite = false)
+    Versioned.commit(Seq((2L, "b")).toDF("k", "v"), path, overwrite = true)
+    Versioned.commit(Seq((3L, "c")).toDF("k", "v"), path, overwrite = false)
+    Versioned.vacuum(path, retainFrom = 1)
+    // v0's data dir (only referenced below the retain floor) is gone
+    val dataDirs = java.nio.file.Files
+      .list(java.nio.file.Paths.get(path, "data")).count()
+    assert(dataDirs == 2, s"expected 2 retained data dirs, got $dataDirs")
+    assert(Versioned.read(spark, path, Some(2)).as[(Long, String)]
+      .collect().toSet == Set((2L, "b"), (3L, "c")))
+    assert(Versioned.read(spark, path, Some(1)).as[(Long, String)]
+      .collect().toSet == Set((2L, "b")))
+    intercept[Exception] { Versioned.read(spark, path, Some(0)).collect() }
+  }
+}
