@@ -889,13 +889,18 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
-    // 135: one-pass column profiler — null count, exact distinct
-    // count, lexicographic min/max repr per column of orders (the
-    // data-quality report every ingest job emits first). A single
-    // multi-countDistinct aggregate (Catalyst plans one Expand — one
-    // pass over the fact, partial aggregation intact); the per-column
-    // fold to rows happens on the 1-row result, not the fact.
-    // Unstable-format doubles ride cents; dates ride ISO strings.
+    // 135: column profiler — null count, exact distinct count,
+    // lexicographic min/max repr per column of orders (the
+    // data-quality report every ingest job emits first). TWO
+    // aggregates over the pruned scan, crossJoined as 1-row frames:
+    // fusing the multi-countDistinct with the plain aggs is 3×
+    // SLOWER than running them apart (measured r8: 3.7s fused vs
+    // 0.5s + 0.75s split at sf0.1) — the Expand pass Catalyst plans
+    // for multi-distinct drags every regular agg through the
+    // 7×-row expanded stream; split, the plain aggs stream once and
+    // the distinct Expand carries nothing extra. The per-column fold
+    // to rows happens on the 1-row result, not the fact. Unstable-
+    // format doubles ride cents; dates ride ISO strings.
     "q_data_profile" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"),
         col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
@@ -903,16 +908,18 @@ object SparkEntry {
         cents(col("o_totalprice")).as("o_price_c"))
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderpriority", "o_date", "o_price_c")
-      val aggs = cols.flatMap { c =>
+      val plain = cols.flatMap { c =>
         Seq(sum(when(col(c).isNull, 1).otherwise(0)).cast("long")
             .as(s"${c}__nn"),
-          countDistinct(col(c)).as(s"${c}__nd"),
           min(col(c).cast("string")).as(s"${c}__mn"),
           max(col(c).cast("string")).as(s"${c}__mx"))
       }
+      val dist = cols.map(c => countDistinct(col(c)).as(s"${c}__nd"))
       // the per-column fold below selects from this 1-row result six
       // times — checkpoint so the fact aggregates once, not per branch
-      val one = o.agg(aggs.head, aggs.tail: _*).staged
+      val one = o.agg(plain.head, plain.tail: _*)
+        .crossJoin(o.agg(dist.head, dist.tail: _*))
+        .staged
       cols.map { c =>
         one.select(lit(c).as("col_name"), col(s"${c}__nn").as("n_null"),
           col(s"${c}__nd").as("n_distinct"), col(s"${c}__mn").as("min_repr"),

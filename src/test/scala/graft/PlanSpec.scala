@@ -43,7 +43,11 @@ class PlanSpec extends SparkSpec {
       // q_sql_q22 broadcasts the 1-row balance threshold across the
       // customer table; q_triangle cross-joins three 1-row aggregates
       // into its single output row
-      "q_sql_q22", "q_triangle")
+      "q_sql_q22", "q_triangle",
+      // q_data_profile crossJoins its two 1-row aggregate halves
+      // (plain stats × multi-distinct — fused they drag each other
+      // through the Expand; see the query's comment)
+      "q_data_profile")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
