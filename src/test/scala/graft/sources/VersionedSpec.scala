@@ -51,6 +51,42 @@ class VersionedSpec extends SparkSpec {
       .collect().toSet == Set((1L, "a")))
   }
 
+  test("real concurrent committers: every append lands exactly once under a live race") {
+    val path = tmpTable()
+    Versioned.commit(Seq((0L, "base")).toDF("k", "v"), path, overwrite = false)
+    val writers = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val futures = (1 to writers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            gate.await() // release all writers into the race at once
+            Versioned.commit(Seq((i.toLong, s"w$i")).toDF("k", "v"),
+              path, overwrite = false)
+          }
+        })
+      }
+      gate.countDown()
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // every writer won SOME version, all distinct, exactly 1..writers
+      assert(versions.toSet == (1 to writers).toSet,
+        s"expected versions 1..$writers, got $versions")
+    } finally pool.shutdownNow()
+    assert(Versioned.latestVersion(path) == writers)
+    // head composes base + every writer's rows exactly once — no lost
+    // update, no double-apply from a retried loser
+    val head = Versioned.read(spark, path).as[(Long, String)].collect()
+    assert(head.length == writers + 1, s"row dup/loss: ${head.toSeq}")
+    assert(head.toSet ==
+      (Set((0L, "base")) ++ (1 to writers).map(i => (i.toLong, s"w$i"))))
+    // and every intermediate version is still a consistent snapshot:
+    // v_k holds exactly k writer rows + base (append-only chain)
+    for (k <- 0 to writers)
+      assert(Versioned.read(spark, path, Some(k)).count() == k + 1,
+        s"v$k snapshot size")
+  }
+
   test("snapshot reads resolve the manifest first: a later overwrite does not tear them") {
     val path = tmpTable()
     Versioned.commit(spark.range(0, 100).select(col("id").as("k"),
