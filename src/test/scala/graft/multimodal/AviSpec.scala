@@ -34,6 +34,56 @@ class AviSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: mutated/truncated/garbage containers never fail a task") {
+    // the 100 TB contract for a binary parser on untrusted bytes:
+    // ANY input yields frames or the one corrupt row — no exception
+    // escapes to kill the task. Deterministic seed so failures replay.
+    val rnd = new scala.util.Random(4242L)
+    val cases = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    var id = 0L
+    // single-byte mutations of valid containers (headers, sizes,
+    // dims, payload — wherever the dart lands)
+    for (_ <- 1 to 120) {
+      val b = Avi.patternAvi(1L + rnd.nextInt(20)).clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      cases += ((id, b)); id += 1
+    }
+    // multi-byte mutations (4 darts: whole size/dim fields flip)
+    for (_ <- 1 to 60) {
+      val b = Avi.patternAvi(1L + rnd.nextInt(20)).clone()
+      for (_ <- 1 to 4) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      cases += ((id, b)); id += 1
+    }
+    // random truncations (incl. mid-header and mid-frame)
+    for (_ <- 1 to 40) {
+      val b = Avi.patternAvi(1L + rnd.nextInt(20))
+      cases += ((id, b.take(rnd.nextInt(b.length)))); id += 1
+    }
+    // pure garbage and degenerate payloads
+    for (n <- Seq(0, 1, 7, 11, 12, 13, 64, 4096)) {
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      cases += ((id, b)); id += 1
+    }
+    val media = cases.toSeq.toDF("media_id", "content")
+    // would throw (failing the test) if any payload escaped the
+    // degrade contract
+    val rows = Avi.demuxAviFrames(media)
+      .as[(Long, Long, Int, Int, String)].collect()
+    val byId = rows.groupBy(_._1)
+    assert(byId.keySet == cases.map(_._1).toSet, "every payload yields rows")
+    byId.foreach { case (m, rs) =>
+      val corrupt = rs.exists(_._3 == -1)
+      if (corrupt)
+        assert(rs.length == 1 && rs.head._5 == null, s"media $m mixed corrupt")
+      else rs.foreach { r =>
+        // surviving mutants must still be self-consistent: positive
+        // dims and a transcript of exactly w*h pixels
+        assert(r._3 > 0 && r._4 > 0 && r._5.length == r._3 * r._4 * 6,
+          s"media $m inconsistent frame $r")
+      }
+    }
+  }
+
   test("malformed, truncated and compressed containers degrade to the corrupt row") {
     val good = Avi.patternAvi(4L)
     // flip the compression field to something ≠ BI_RGB: find strf and
