@@ -289,7 +289,12 @@ object Multimodal {
                 reader = readers.next()
                 // seekForwardOnly=false: getNumImages(true) must scan
                 reader.setInput(iis, false)
+                // a recognized-but-gutted container can scan to ZERO
+                // complete images — that must be the corrupt row, not
+                // zero output rows (silent row loss downstream)
                 val n = reader.getNumImages(true)
+                if (n <= 0) corrupt(id)
+                else {
                 // materialized (not lazy) so finally's dispose is safe
                 val rows = (0 until n).map { i =>
                   val img = reader.read(i)
@@ -312,6 +317,7 @@ object Multimodal {
                   (id, i.toLong, w, h, sb.toString)
                 }
                 rows.iterator
+                }
               }
             } catch {
               case scala.util.control.NonFatal(_) => corrupt(id)
