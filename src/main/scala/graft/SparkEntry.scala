@@ -647,6 +647,42 @@ object SparkEntry {
       s.sql(sqlQ20)
     }),
 
+    // 143: SQL front door, TPC-H Q7's volume-shipping shape — the
+    // symmetric nation-pair disjunction over a 4-table join family,
+    // revenue per (supp_nation, cust_nation, year). The OR of nation
+    // pairs prunes both nation dims before the big join; money rides
+    // exact per-row cents.
+    "q_sql_q7" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ7)
+    }),
+
+    // 144: SQL front door, TPC-H Q8's market-share shape — one
+    // region-scoped revenue stream split by a CASE on the supplier
+    // nation (share numerator vs denominator in a single pass);
+    // integer-exact: both cents sums returned instead of the ratio.
+    "q_sql_q8" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ8)
+    }),
+
+    // 145: SQL front door, TPC-H Q10's returned-item ranking — top
+    // 20 customers by returned-line revenue in one quarter; the
+    // LIMIT is deterministic (custkey tiebreak), revenue exact cents.
+    "q_sql_q10" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ10)
+    }),
+
+    // 146: SQL front door, TPC-H Q12's CASE-counting shape (adapted:
+    // no shipmode/commitdate in this schema, so the group is
+    // l_linestatus and "late" = shipped >30 days after the order
+    // date) — the two priority-bucket counts in one pass.
+    "q_sql_q12" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ12)
+    }),
+
     // 84: explicit GROUPING SETS with grouping() markers — finer
     // control than the rollup/cube rows (a hand-picked lattice), one
     // shared SQL string, exact cents for the money sum.
@@ -1985,6 +2021,89 @@ object SparkEntry {
       GROUP BY l.l_suppkey, l.l_partkey, tot.tq
       HAVING sum(l.l_quantity) * 10 > tq)
     ORDER BY s_suppkey"""
+
+  /** Shared verbatim — TPC-H Q7's volume-shipping shape: revenue
+    * between one nation pair (both directions) per ship year. The
+    * symmetric OR over (n1, n2) is the classic two-branch disjunction
+    * both engines push into the nation dims; revenue rides exact
+    * per-row cents so the sums are integer-identical. */
+  private val sqlQ7: String = """
+    SELECT supp_nation, cust_nation, yr, count(*) AS n_lines,
+           CAST(sum(vol) AS BIGINT) AS rev_cents
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT) AS vol
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                                             AND DATE '1997-12-31') shipping
+    GROUP BY supp_nation, cust_nation, yr
+    ORDER BY supp_nation, cust_nation, yr"""
+
+  /** Shared verbatim — TPC-H Q8's market-share shape: one nation's
+    * share of PROMO-part revenue sold into one region, per order
+    * year. The share is returned as (numerator, denominator) cents
+    * sums — a CASE split in one aggregation pass — instead of the
+    * engine-ordered double division. */
+  private val sqlQ8: String = """
+    SELECT yr,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                         ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(sum(vol) AS BIGINT) AS total_cents
+    FROM (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT) AS vol,
+                 n2.n_name AS supp_nation
+          FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey
+            AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+            AND p_type = 'PROMO') allrev
+    GROUP BY yr ORDER BY yr"""
+
+  /** Shared verbatim — TPC-H Q10's returned-item ranking: top 20
+    * customers by revenue of returned lines ordered in one quarter.
+    * The LIMIT is deterministic (rev DESC, then the unique custkey);
+    * revenue rides exact per-row cents. */
+  private val sqlQ10: String = """
+    SELECT c_custkey, c_name, n_name, count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY rev_cents DESC, c_custkey
+    LIMIT 20"""
+
+  /** Shared verbatim — TPC-H Q12's CASE-counting shape, adapted to
+    * this schema (no shipmode/commitdate): per line status, count
+    * late-shipped lines (>30 days after the order date) of one ship
+    * year split into high/low order-priority buckets. All-integer
+    * output. */
+  private val sqlQ12: String = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS DATE) >
+          CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+      AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus"""
 
   /** Shared verbatim: correlated EXISTS → semi join, NOT EXISTS →
     * anti join, aggregated per priority. */
@@ -4364,6 +4483,10 @@ object SparkEntry {
     "q_sql_q4" -> sqlQ4,
     "q_sql_q15" -> sqlQ15,
     "q_sql_q20" -> sqlQ20,
+    "q_sql_q7" -> sqlQ7,
+    "q_sql_q8" -> sqlQ8,
+    "q_sql_q10" -> sqlQ10,
+    "q_sql_q12" -> sqlQ12,
     "q_linreg" -> """
       WITH m AS (SELECT l_returnflag AS flag, count(*) AS n,
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
