@@ -3051,6 +3051,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // 147: chunk-level exact dedup (Dedup.chunkDedup) — duplicated
+    // 10-token passages across docs that are NOT whole-doc dups
+    // (boilerplate/licence blocks; the non-overlapping cousin of
+    // exact-substring dedup). One shuffle keyed by the chunk hash;
+    // ownership is a struct-min aggregate, so a hot boilerplate
+    // chunk pre-reduces map-side instead of hammering one reducer.
+    "q_chunk_dedup" -> ((s, dir) => {
+      Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id", 10)
+        .orderBy("doc_id")
+    }),
+
     // 106: INCREMENTAL corpus dedup — how a 100 TB corpus actually
     // refreshes: the prior runs' fingerprints live in a PERSISTED
     // artifact table (written here once per run, distinct-compacted);
@@ -3791,6 +3802,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // 148: SemDeDup-shaped semantic dedup (Similarity.semanticDedup,
+    // Abbas et al. 2023) — the bit-stable kmeans argmin assigns each
+    // vector a cell, then inside each cell a vector is dropped iff a
+    // lower-id vector matches at cosine ≥ 0.3 (first-seen-wins).
+    // Pairwise work is cell-bounded, never corpus-quadratic; the
+    // verdict row carries keep/dup_of so the kept set is auditable.
+    "q_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "embedding",
+          "vec_id", "label", 0.3)
+        .orderBy("vec_id")
+    }),
+
     // 36: multimodal plumbing — binary payload + typed metadata +
     // stubbed decode (deterministic md5 features).
     "q_multimodal" -> ((s, dir) => {
@@ -4272,6 +4295,22 @@ object SparkEntry {
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_dups
       FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    "q_chunk_dedup" -> s"""
+      WITH tok AS (SELECT doc_id, $toks AS ts FROM documents),
+      ch0 AS (SELECT doc_id, ts,
+                     unnest(range(0, CAST(ceil(len(ts) / 10.0) AS BIGINT))) AS ci
+              FROM tok WHERE len(ts) > 0),
+      ch AS (SELECT doc_id, ci AS chunk_idx,
+                    md5(array_to_string(ts[ci*10+1 : ci*10+10], ' ')) AS h
+             FROM ch0),
+      rn AS (SELECT doc_id, chunk_idx,
+                    row_number() OVER (PARTITION BY h
+                      ORDER BY doc_id, chunk_idx) AS rn
+             FROM ch)
+      SELECT doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks
+      FROM rn GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_incremental" -> """
       WITH oldc AS (SELECT DISTINCT md5(text) AS fp FROM documents
                     WHERE doc_id % 5 <> 0),
@@ -4984,6 +5023,39 @@ object SparkEntry {
             FROM s)
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_semantic_dedup" -> s"""
+      WITH cent AS (
+        SELECT label AS grp, CAST(i.i AS INT) AS pos,
+               round(CAST(sum(CAST(embedding[i.i] AS DECIMAL(18,9)))
+                 AS DOUBLE) / count(*), 6) AS avg
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY label, i.i),
+      carr AS (SELECT grp, list(avg ORDER BY pos) AS cvec
+               FROM cent GROUP BY grp),
+      scored AS (
+        SELECT vec_id, grp,
+               list_sum(list_transform(range(1, 65),
+                 i -> (CAST(embedding[i] AS DOUBLE) - cvec[i]) *
+                      (CAST(embedding[i] AS DOUBLE) - cvec[i]))) AS d2
+        FROM embeddings CROSS JOIN carr),
+      assign AS (
+        SELECT vec_id, grp AS cluster FROM (
+          SELECT vec_id, grp, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, grp) AS rn FROM scored) r
+        WHERE rn = 1),
+      e AS (SELECT e0.vec_id, cluster, embedding AS v
+            FROM embeddings e0 JOIN assign USING (vec_id)),
+      dom AS (SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+              FROM e a JOIN e b ON a.cluster = b.cluster
+                               AND a.vec_id < b.vec_id
+              WHERE ${cosine("a.v", "b.v")} >= 0.3
+              GROUP BY b.vec_id)
+      SELECT e.vec_id, e.cluster,
+             CAST(CASE WHEN dom.vid IS NULL THEN 1 ELSE 0 END AS INT)
+               AS keep,
+             CAST(coalesce(dom.dup_of, -1) AS BIGINT) AS dup_of
+      FROM e LEFT JOIN dom ON e.vec_id = dom.vid
+      ORDER BY e.vec_id""",
     "q_embed_neardup" -> s"""
       WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b

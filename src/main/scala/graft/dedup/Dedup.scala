@@ -26,6 +26,45 @@ object Dedup {
       .drop("__rn", "__h")
   }
 
+  /** Chunk-level exact dedup — the duplicated-passage detector a
+    * training pipeline runs INSIDE documents that are not themselves
+    * duplicates (boilerplate headers, licence blocks, quoted
+    * reposts; the non-overlapping cousin of Lee et al. 2022's
+    * exact-substring dedup). Tokens group into fixed `width`-token
+    * windows, each window hashes, and the global first occurrence of
+    * every hash — lowest (doc, chunk_idx) — owns it; every other
+    * occurrence counts as duplicated. Returns one row per doc:
+    * (doc_id, n_chunks, n_dup_chunks).
+    *
+    * 100 TB shape: the only shuffle is the groupBy on the chunk
+    * hash (corpus_tokens / width rows); ownership is a struct-min
+    * aggregate, so a boilerplate chunk repeated a billion times
+    * pre-reduces map-side instead of hammering one reducer the way
+    * a per-hash window would. Never pairwise. The overlapping-
+    * shingle variant is the same plan with a ×width denser key
+    * stream. */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      width: Int): DataFrame = {
+    require(width > 0, s"chunkDedup: width must be positive, got $width")
+    val chunks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ((size(col("__ts")) - 1) / lit(width)).cast("int")),
+        i => md5(array_join(
+          slice(col("__ts"), i * width + 1, lit(width)), " ")))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("__h"))
+    val owner = chunks.groupBy("__h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__o"))
+    chunks.join(owner, "__h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__o.doc_id") =!= col("doc_id") ||
+            col("__o.chunk_idx") =!= col("chunk_idx"), 1L).otherwise(0L))
+          .as("n_dup_chunks"))
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding.
     *
     * doc → distinct char-k-shingles → nPerm minhash values → `bands`

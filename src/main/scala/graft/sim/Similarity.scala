@@ -268,8 +268,14 @@ object Similarity {
     * centroid table rides a bounded broadcast (k rows); the corpus is
     * scanned, never self-joined. Returns the updated centroids
     * long/thin: (cluster, pos 1-based, avg, n_vectors). */
-  def kmeansStep(vectors: DataFrame, vecCol: String, idCol: String,
-      initGroupCol: String): DataFrame = {
+  /** Bit-stable nearest-centroid assignment against the decimal
+    * group-mean centroids: sequential-fold squared-L2 per (vector,
+    * centroid) over a broadcast k-row centroid table, then a
+    * struct-min argmin (ties break on the lower group id). The
+    * shared first half of [[kmeansStep]] and [[semanticDedup]].
+    * Returns (vid, cluster). */
+  def assignToCentroids(vectors: DataFrame, vecCol: String,
+      idCol: String, initGroupCol: String): DataFrame = {
     val cent = centroids(vectors.select(col(initGroupCol), col(vecCol)),
       vecCol, initGroupCol)
     val carr = cent.groupBy(col("grp"))
@@ -283,9 +289,14 @@ object Similarity {
         aggregate(zip_with(col("v"), col("cvec"),
           (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
           lit(0.0), (acc, x) => acc + x).as("d2"))
-    val assign = scored.groupBy("vid")
+    scored.groupBy("vid")
       .agg(min(struct(col("d2"), col("grp"))).as("m"))
       .select(col("vid"), col("m.grp").as("cluster"))
+  }
+
+  def kmeansStep(vectors: DataFrame, vecCol: String, idCol: String,
+      initGroupCol: String): DataFrame = {
+    val assign = assignToCentroids(vectors, vecCol, idCol, initGroupCol)
     val joined = vectors
       .select(col(idCol).as("vid"), col(vecCol).as("v"))
       .join(assign, "vid")
@@ -312,5 +323,31 @@ object Similarity {
         dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b")
+  }
+
+  /** Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse clusters bound the candidate set, and
+    * inside each cluster a vector is DROPPED iff some lower-id
+    * vector matches it at cosine ≥ threshold (first-seen-wins, the
+    * deterministic stand-in for the paper's keep-one-per-group).
+    * Assignment is the bit-stable [[assignToCentroids]] argmin;
+    * candidate pairs come from [[nearDupPairs]] blocked on the
+    * assigned cluster — pairwise work is bounded per cell, never
+    * corpus-quadratic (at 100 TB the init groups are themselves a
+    * k-means product, cells sized to the maxBlock guard).
+    * Returns one row per vector: (vec_id, cluster, keep 1/0,
+    * dup_of = lowest dominating id or -1). */
+  def semanticDedup(vectors: DataFrame, vecCol: String, idCol: String,
+      initGroupCol: String, threshold: Double): DataFrame = {
+    val assign = assignToCentroids(vectors, vecCol, idCol, initGroupCol)
+    val av = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .join(assign, "vid")
+    val dom = nearDupPairs(av, "v", "vid", "cluster", threshold)
+      .groupBy(col("id_b").as("vid"))
+      .agg(min(col("id_a")).as("__dup"))
+    av.select("vid", "cluster").join(dom, Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cluster"),
+        when(col("__dup").isNull, 1).otherwise(0).as("keep"),
+        coalesce(col("__dup"), lit(-1L)).as("dup_of"))
   }
 }

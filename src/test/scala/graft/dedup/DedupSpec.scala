@@ -125,4 +125,29 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 401)
     assert(got.forall(_._2 == 1000L))
   }
+
+  test("chunkDedup: first occurrence owns, later chunks count as dups") {
+    // width=3: doc 1 = chunks [a b c][d e f]; doc 2 repeats [a b c]
+    // then diverges; doc 3 repeats doc 1's SECOND chunk as its first
+    // (ownership is by (doc, idx) order, not position); doc 4 shares
+    // nothing. A trailing partial chunk ("tail") is its own window.
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "d e f q r s tail"),
+      (4L, "u v w"))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(d, "text", "doc_id", 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> (2L, 0L), 2L -> (2L, 1L),
+      3L -> (3L, 1L), 4L -> (1L, 0L)))
+  }
+
+  test("chunkDedup: intra-doc repetition dedups against the doc itself") {
+    val d = Seq((7L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(d, "text", "doc_id", 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((7L, 3L, 2L))) // chunks 1,2 dup chunk 0
+  }
 }

@@ -83,4 +83,44 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((0L, 1L), (2L, 3L))) // 4 is anti-aligned; cross-block never paired
   }
+
+  test("semanticDedup drops lower-id-dominated vectors inside their cell") {
+    // x-axis cell {0, 1, 9}, y-axis cell {2, 3}: 1 and 9 are near-dups
+    // of 0 (cos ≈ 1 ≥ 0.9) so both carry dup_of = 0; 9 starts
+    // mislabeled but the argmin reassigns it to the x cell first. 2
+    // and 3 are mutual near-dups → 3 drops, 2 keeps (first seen).
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.0f, 0.9f), 1),
+      (9L, Array(0.95f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(df, "embedding", "vec_id",
+        "label", 0.9)
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(0L) == (0, 1, -1L) && got(1L) == (0, 0, 0L) &&
+      got(9L) == (0, 0, 0L))
+    assert(got(2L) == (1, 1, -1L) && got(3L) == (1, 0, 2L))
+  }
+
+  test("semanticDedup: kept set has no internal near-dup pair per cell") {
+    // property on a deterministic pseudo-random corpus: after dedup,
+    // re-running pair generation restricted to kept vectors inside
+    // each cell at the same threshold finds nothing
+    val rnd = new scala.util.Random(42)
+    val df = (0L until 60L).map { i =>
+      val base = Array.fill(4)(rnd.nextFloat() - 0.5f)
+      (i, base, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val verdict = Similarity.semanticDedup(df, "embedding", "vec_id",
+      "label", 0.95)
+    val kept = df.join(verdict.filter(col("keep") === 1)
+        .select(col("vec_id")), "vec_id")
+      .join(verdict.select(col("vec_id"), col("cluster")), "vec_id")
+    val residual = Similarity.nearDupPairs(kept, "embedding", "vec_id",
+      "cluster", 0.95)
+    assert(residual.count() == 0)
+  }
 }
