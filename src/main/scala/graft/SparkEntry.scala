@@ -767,6 +767,28 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // 150: year-over-year growth — monthly revenue vs the same month
+    // one year back. The lag runs per-month AFTER aggregation (the
+    // window input is the tiny (yr, mo) frame, shuffled by month —
+    // never a global sort over facts); months without a prior year
+    // drop, so every output cell is a real YoY pair. All-integer
+    // cents. The oracle states the same thing as a self-join.
+    "q_yoy_growth" -> ((s, dir) => {
+      val agg = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val w = Window.partitionBy(col("mo")).orderBy(col("yr"))
+      agg
+        .withColumn("__py", lag(col("yr"), 1).over(w))
+        .withColumn("__pc", lag(col("rev_cents"), 1).over(w))
+        .filter(col("__py") === col("yr") - 1)
+        .select(col("yr"), col("mo"), col("rev_cents"),
+          col("__pc").as("prev_cents"),
+          (col("rev_cents") - col("__pc")).as("diff_cents"))
+        .orderBy("yr", "mo")
+    }),
+
     // 92: ordered string aggregation — DuckDB's string_agg(x, ','
     // ORDER BY x) re-expressed as array_sort(collect_list)+array_join
     // (Spark's collect_list is partition-order-dependent; the sort
@@ -2499,6 +2521,34 @@ object SparkEntry {
       }.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // 149: snapshot CDC (Versioned.changes) — the change feed between
+    // two commits of the versioned table, every key classified as
+    // insert / delete / update / unchanged. The staged commit pair
+    // exercises all four classes (clicks deleted, purchases revalued,
+    // shifted-id views inserted, the rest untouched); a consumer
+    // reads THIS instead of re-scanning snapshots. One full-outer
+    // key join, both snapshots shuffle once.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val table = stagingRoot(dir) + "/versioned_cdc"
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), cents(col("value")).as("vc"))
+      if (graft.sources.Versioned.latestVersion(table) < 0) {
+        graft.sources.Versioned.commit(ev, table, overwrite = false)
+        val survivors = ev.filter(col("event_type") =!= "click")
+          .withColumn("vc", when(col("event_type") === "purchase",
+            col("vc") * 2).otherwise(col("vc")))
+        val inserts = ev.filter(col("event_type") === "view")
+          .select((col("event_id") + lit(1000000000L)).as("event_id"),
+            col("event_type"), col("vc"))
+        graft.sources.Versioned.commit(survivors.unionByName(inserts),
+          table, overwrite = true)
+      }
+      graft.sources.Versioned.changes(s, table, 0, 1, Seq("event_id"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("change_type")
+    }),
+
     // 39 (beyond-§2): the reference's FULL pipeline composed end-to-end
     // — base load analog → marker semi-join → per-subset mark operators
     // (capped Qx, dedup-first H/C1/Qx1, stateful C5 gap) joined back →
@@ -2685,6 +2735,34 @@ object SparkEntry {
              FROM ev WHERE event_type = 'click')
       SELECT * FROM s0 UNION ALL SELECT * FROM s1
       UNION ALL SELECT * FROM s2 ORDER BY version""",
+    "q_snapshot_diff" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      b AS (SELECT event_id, event_type,
+                   CASE WHEN event_type = 'purchase' THEN vc * 2
+                        ELSE vc END AS vc
+            FROM ev WHERE event_type <> 'click'
+            UNION ALL
+            SELECT event_id + 1000000000, event_type, vc
+            FROM ev WHERE event_type = 'view'),
+      j AS (SELECT CASE WHEN a.event_id IS NULL THEN 'insert'
+                        WHEN b.event_id IS NULL THEN 'delete'
+                        WHEN a.event_type <> b.event_type
+                             OR a.vc <> b.vc THEN 'update'
+                        ELSE 'unchanged' END AS change_type
+            FROM ev a FULL OUTER JOIN b ON a.event_id = b.event_id)
+      SELECT change_type, count(*) AS n_rows
+      FROM j GROUP BY change_type ORDER BY change_type""",
+    "q_yoy_growth" -> """
+      WITH m AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+                        CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mo,
+                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS rc
+                 FROM orders GROUP BY 1, 2)
+      SELECT cur.yr, cur.mo, cur.rc AS rev_cents, prev.rc AS prev_cents,
+             cur.rc - prev.rc AS diff_cents
+      FROM m cur JOIN m prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+      ORDER BY cur.yr, cur.mo""",
     "q_regex_flag" -> """
       SELECT p_partkey, p_name,
              CAST(CASE WHEN regexp_matches(p_name, 'RED|GEAR', 'i')

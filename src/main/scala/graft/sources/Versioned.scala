@@ -151,4 +151,32 @@ object Versioned {
     (0 until retainFrom).foreach(v =>
       Files.deleteIfExists(manifestPath(path, v)): Unit)
   }
+
+  /** Snapshot CDC: classify every key between two versions of the
+    * table as insert / delete / update / unchanged — the change feed
+    * an incremental consumer reads instead of re-scanning snapshots.
+    * Non-key columns compare through a null-safe canonical row hash
+    * (md5 of the JSON struct; engine-internal — it never crosses to
+    * another engine). One full-outer equi-join on the key: both
+    * snapshots shuffle once, no broadcast assumption, AQE picks the
+    * physical join. Returns the key columns + `change_type`. */
+  def changes(spark: SparkSession, path: String, vFrom: Int, vTo: Int,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, path, Some(vFrom))
+    val b = read(spark, path, Some(vTo))
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"changes: schema drift between v$vFrom and v$vTo at $path")
+    val nonKey = a.columns.filterNot(keys.contains).sorted.toIndexedSeq
+    def sig(df: DataFrame, tag: String) = df.select(
+      (keys.map(col) :+
+        md5(to_json(struct(nonKey.map(col): _*))).as(s"__h_$tag")): _*)
+    sig(a, "a").join(sig(b, "b"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__h_a").isNull, "insert")
+          .when(col("__h_b").isNull, "delete")
+          .when(col("__h_a") =!= col("__h_b"), "update")
+          .otherwise("unchanged"))
+      .drop("__h_a", "__h_b")
+  }
 }

@@ -114,4 +114,28 @@ class VersionedSpec extends SparkSpec {
       .collect().toSet == Set((2L, "b")))
     intercept[Exception] { Versioned.read(spark, path, Some(0)).collect() }
   }
+
+  test("changes classifies insert/delete/update/unchanged between versions") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "v", "n"), path, overwrite = false)
+    // v1: 1 unchanged, 2 revalued, 3 dropped, 4 new
+    Versioned.commit(Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40))
+      .toDF("k", "v", "n"), path, overwrite = true)
+    val got = Versioned.changes(spark, path, 0, 1, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "update",
+      3L -> "delete", 4L -> "insert"))
+  }
+
+  test("changes treats null vs value as an update, null vs null as unchanged") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "v"), path, overwrite = false)
+    Versioned.commit(Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "v"), path, overwrite = true)
+    val got = Versioned.changes(spark, path, 0, 1, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "update"))
+  }
 }
