@@ -119,6 +119,10 @@ object SparkEntry {
   private[graft] def dedupArtifactPath(dir: String): String =
     stagingRoot(dir) + "/dedup_fingerprints"
 
+  /** Persisted partial-aggregate artifact dir for q_incremental_agg. */
+  private[graft] def aggArtifactPath(dir: String): String =
+    stagingRoot(dir) + "/agg_partials"
+
   /** Persisted banded-MinHash artifact dir for q_minhash_incremental. */
   private[graft] def minhashArtifactPath(dir: String): String =
     stagingRoot(dir) + "/minhash_bands"
@@ -3182,6 +3186,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // 151: incremental AGGREGATE refresh — the materialized-view
+    // idiom: the old corpus's PARTIAL per-lang aggregate (docs,
+    // chars, tokens) is a persisted artifact; a refresh tokenizes
+    // ONLY the new batch (doc_id % 5 == 0) and combines partials
+    // (sums of sums — every measure here is decomposable), so the
+    // old text is never re-read. Oracle = the full recompute over
+    // everything: combine(partial_old, partial_new) == from-scratch.
+    "q_incremental_agg" -> ((s, dir) => {
+      def partial(df: DataFrame): DataFrame = df.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+      val docs = t(s, dir, "documents")
+      partial(docs.filter(col("doc_id") % 5 =!= 0))
+        .write.mode("overwrite").parquet(aggArtifactPath(dir))
+      s.read.parquet(aggArtifactPath(dir))
+        .unionByName(partial(docs.filter(col("doc_id") % 5 === 0)))
+        .groupBy("lang")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_chars")).as("sum_chars"),
+          sum(col("sum_tokens")).as("sum_tokens"))
+        .orderBy("lang")
+    }),
+
     // 26: token counting (pure Column tree, codegen'd).
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -4401,6 +4429,11 @@ object SparkEntry {
     "q_token_count" -> s"""
       SELECT doc_id, CAST(len($toks) AS INT) AS n_tokens
       FROM documents ORDER BY doc_id""",
+    "q_incremental_agg" -> s"""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(len($toks)) AS BIGINT) AS sum_tokens
+      FROM documents GROUP BY lang ORDER BY lang""",
     "q_entropy" -> s"""
       WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
       c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
