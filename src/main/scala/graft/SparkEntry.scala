@@ -2064,8 +2064,8 @@ object SparkEntry {
           WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
             AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
             AND c_nationkey = n2.n_nationkey
-            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+              OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
             AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
                                              AND DATE '1997-12-31') shipping
     GROUP BY supp_nation, cust_nation, yr

@@ -47,7 +47,11 @@ class PlanSpec extends SparkSpec {
       // q_data_profile crossJoins its two 1-row aggregate halves
       // (plain stats × multi-distinct — fused they drag each other
       // through the Expand; see the query's comment)
-      "q_data_profile")
+      "q_data_profile",
+      // q_semantic_dedup's cell assignment scores the corpus against
+      // the k-row broadcast centroid table — the same bounded
+      // nested loop as q_kmeans (assignToCentroids is shared)
+      "q_semantic_dedup")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
