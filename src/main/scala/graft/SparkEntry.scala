@@ -687,6 +687,35 @@ object SparkEntry {
       s.sql(sqlQ12)
     }),
 
+    // 152: SQL front door, TPC-H Q6's forecast-revenue shape — the
+    // pure scan-filter-aggregate (no join at all): one year, a
+    // discount band, small quantities. The simplest TPC-H shape and
+    // the purest pushdown test (every predicate must reach the scan).
+    "q_sql_q6" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ6)
+    }),
+
+    // 153: SQL front door, TPC-H Q9's product-profit shape (adapted:
+    // no partsupp, so supply cost = 60% of retail price): profit per
+    // supplier nation per order year over a part-name LIKE filter —
+    // the 5-table star with a computed measure. Profit is exact
+    // integer cents end-to-end.
+    "q_sql_q9" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ9)
+    }),
+
+    // 154: SQL front door, TPC-H Q11's important-stock shape
+    // (adapted: no partsupp, so part value = lineitem revenue):
+    // parts whose total value exceeds 1.25× the mean part value —
+    // HAVING over TWO scalar subqueries, integer-exact compare
+    // (value·n_parts·4 > 5·total), scale-free by construction.
+    "q_sql_q11" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlQ11)
+    }),
+
     // 84: explicit GROUPING SETS with grouping() markers — finer
     // control than the rollup/cube rows (a hand-picked lattice), one
     // shared SQL string, exact cents for the money sum.
@@ -2130,6 +2159,56 @@ object SparkEntry {
       AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
     GROUP BY l_linestatus
     ORDER BY l_linestatus"""
+
+  /** Shared verbatim — TPC-H Q6's forecast-revenue shape: the pure
+    * scan-filter-aggregate. Revenue = price × discount per line, in
+    * exact cents (one rounded IEEE product chain per row). */
+  private val sqlQ6: String = """
+    SELECT count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24"""
+
+  /** Shared verbatim — TPC-H Q9's product-profit shape, adapted to
+    * this schema (no partsupp: supply cost = 60% of p_retailprice).
+    * Profit per supplier nation per order year over a p_name LIKE
+    * filter. Quantity rides round-then-cast (DuckDB rounds on
+    * double→BIGINT where Spark truncates; the explicit round makes
+    * the value integer-exact before either engine casts). */
+  private val sqlQ9: String = """
+    SELECT n_name, yr, CAST(sum(profit) AS BIGINT) AS profit_cents
+    FROM (SELECT n_name,
+                 CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT)
+                 - CAST(round(p_retailprice * 60) AS BIGINT)
+                   * CAST(round(l_quantity) AS BIGINT) AS profit
+          FROM lineitem, part, orders, supplier, nation
+          WHERE p_partkey = l_partkey AND o_orderkey = l_orderkey
+            AND s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%widget%') profit
+    GROUP BY n_name, yr
+    ORDER BY n_name, yr"""
+
+  /** Shared verbatim — TPC-H Q11's important-stock shape, adapted
+    * (no partsupp: part value = lineitem revenue). HAVING over two
+    * scalar subqueries; the 1.25×-mean threshold is the
+    * integer-exact cross-multiplication value·n·4 > 5·total and is
+    * scale-free (relative to the mean, not an absolute fraction —
+    * the original's 0.0001·total only works at one corpus size). */
+  private val sqlQ11: String = """
+    WITH t AS (SELECT l_partkey,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS vc
+               FROM lineitem)
+    SELECT l_partkey, CAST(sum(vc) AS BIGINT) AS value_cents
+    FROM t GROUP BY l_partkey
+    HAVING sum(vc) * (SELECT count(DISTINCT l_partkey) FROM t) * 4
+           > 5 * (SELECT sum(vc) FROM t)
+    ORDER BY value_cents DESC, l_partkey"""
 
   /** Shared verbatim: correlated EXISTS → semi join, NOT EXISTS →
     * anti join, aggregated per priority. */
@@ -4637,6 +4716,9 @@ object SparkEntry {
     "q_sql_q8" -> sqlQ8,
     "q_sql_q10" -> sqlQ10,
     "q_sql_q12" -> sqlQ12,
+    "q_sql_q6" -> sqlQ6,
+    "q_sql_q9" -> sqlQ9,
+    "q_sql_q11" -> sqlQ11,
     "q_linreg" -> """
       WITH m AS (SELECT l_returnflag AS flag, count(*) AS n,
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
