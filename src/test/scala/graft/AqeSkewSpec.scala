@@ -160,4 +160,28 @@ class AqeSkewSpec extends SparkSpec {
     assert(plan.contains("partial_sum"),
       s"no map-side partial aggregate in the contribution plan:\n$plan")
   }
+
+  test("hot boilerplate chunk in chunkDedup: the ownership aggregate " +
+      "pre-reduces map-side, the hot reducer never sees every copy") {
+    // Every one of 20k docs opens with the SAME 3-token licence
+    // header and closes with a unique tail — the worst case for a
+    // per-hash window (20k rows through one task), handled here by
+    // the struct-min PARTIAL aggregate: each map partition emits one
+    // candidate owner for the hot hash before the exchange.
+    import spark.implicits._
+    val docs = spark.range(0, 20000)
+      .select(col("id").as("doc_id"),
+        concat(lit("licensed under public terms "),
+          lit("tail "), col("id").cast("string")).as("text"))
+    val got = graft.dedup.Dedup.chunkDedup(docs, "text", "doc_id", 3)
+    // doc 0 owns the header chunk; every other doc counts 1 dup
+    // (its own copy) out of 2 chunks ("licensed under public" +
+    // "terms tail <id>")
+    val agg = got.agg(sum(col("n_dup_chunks")).cast("long"),
+      sum(col("n_chunks")).cast("long")).as[(Long, Long)].head()
+    assert(agg == ((19999L, 40000L)), s"unexpected dup totals: $agg")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"no map-side partial min in the ownership plan:\n$plan")
+  }
 }
