@@ -195,4 +195,59 @@ class DifferentialSpec extends SparkSpec {
       assert(got(id) == v, s"event $id")
     }
   }
+
+  test("chunkDedup matches a sequential first-seen scan on random corpora") {
+    // reference semantics: walk docs in (doc_id, chunk_idx) order,
+    // first occurrence of every chunk text owns it, count the rest
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0L until 80L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val width = 2
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val chunks = toks.grouped(width).map(_.mkString(" ")).toSeq
+      val dups = chunks.count { c =>
+        val dup = seen(c); seen += c; dup
+      }
+      id -> ((chunks.length.toLong, dups.toLong))
+    }.toMap
+    val got = graft.dedup.Dedup.chunkDedup(
+        docs.toDF("doc_id", "text"), "text", "doc_id", width)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+  }
+
+  test("Versioned.changes matches a sequential key-map diff on random commits") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_diff").toString
+    val v0 = (0L until 120L).map(k => (k, rnd.nextInt(5)))
+    // v1: drop ~1/4, mutate ~1/4, keep ~1/2, insert 30 fresh keys
+    val v1 = v0.flatMap { case (k, v) =>
+      rnd.nextInt(4) match {
+        case 0 => None
+        case 1 => Some((k, v + 100))
+        case _ => Some((k, v))
+      }
+    } ++ (1000L until 1030L).map(k => (k, rnd.nextInt(5)))
+    graft.sources.Versioned.commit(v0.toDF("k", "v"), path, overwrite = false)
+    graft.sources.Versioned.commit(v1.toDF("k", "v"), path, overwrite = true)
+    val m0 = v0.toMap
+    val m1 = v1.toMap
+    val expected = (m0.keySet ++ m1.keySet).map { k =>
+      k -> ((m0.get(k), m1.get(k)) match {
+        case (None, Some(_)) => "insert"
+        case (Some(_), None) => "delete"
+        case (Some(a), Some(b)) if a != b => "update"
+        case _ => "unchanged"
+      })
+    }.toMap
+    val got = graft.sources.Versioned.changes(spark, path, 0, 1, Seq("k"))
+      .select(col("k"), col("change_type"))
+      .as[(Long, String)].collect().toMap
+    assert(got == expected)
+  }
 }
