@@ -128,6 +128,23 @@ class VersionedSpec extends SparkSpec {
       3L -> "delete", 4L -> "insert"))
   }
 
+  test("a corrupt manifest fails loudly and does not poison other versions") {
+    // fail-stop contract for the commit log: a torn/garbage manifest
+    // must throw on ITS version only — every other version has its
+    // own manifest file and stays readable (including the latest,
+    // whose resolution scans file NAMES, not contents)
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path, overwrite = false)
+    Versioned.commit(Seq((2L, "b")).toDF("k", "v"), path, overwrite = false)
+    Versioned.commit(Seq((3L, "c")).toDF("k", "v"), path, overwrite = false)
+    val v1 = java.nio.file.Paths.get(path, "_versions", "v1.json")
+    java.nio.file.Files.writeString(v1, "{\"garbage\": tru")
+    intercept[Exception] { Versioned.read(spark, path, Some(1)).collect() }
+    assert(Versioned.read(spark, path, Some(0)).count() == 1)
+    assert(Versioned.read(spark, path, Some(2)).count() == 3)
+    assert(Versioned.read(spark, path).count() == 3) // latest = v2
+  }
+
   test("changes treats null vs value as an update, null vs null as unchanged") {
     val path = tmpTable()
     Versioned.commit(Seq((1L, Option.empty[String]), (2L, Some("x")))
