@@ -64,6 +64,32 @@ class XlsxSpec extends SparkSpec {
       Seq(("1", "X HOSPITAL SUBA ESE")))
   }
 
+  test("corrupt workbooks fail loudly, never as silently-empty frames") {
+    // ingestion fail-stop contract: a torn download or half-written
+    // batch file must throw at read, not feed zero rows downstream
+    // (an empty frame would ripple through latest-batch selection
+    // as "no data this month" — silent data loss). Mutations cover
+    // garbage, truncation, and a valid ZIP missing the sheet.
+    val good = Files.readAllBytes(java.nio.file.Paths.get(
+      refDir, "bases_norte.xlsx"))
+    val rnd = new scala.util.Random(7)
+    val garbage = new Array[Byte](4096); rnd.nextBytes(garbage)
+    val truncated = good.take(good.length / 3)
+    val zipNoSheet = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("unrelated.txt"))
+      z.write("not a workbook".getBytes("UTF-8")); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    Seq("garbage" -> garbage, "truncated" -> truncated,
+        "zip-no-sheet" -> zipNoSheet).foreach { case (label, bytes) =>
+      val thrown = try { Xlsx.parseSheet(bytes); false }
+      catch { case _: Throwable => true }
+      assert(thrown, s"$label: corrupt workbook parsed without error")
+    }
+  }
+
   test("write → read round-trip preserves values, types as text, escapes") {
     val df = Seq(
       ("a & <b>", 1L, 1.5, "x\"quote\""),
