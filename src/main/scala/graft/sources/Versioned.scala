@@ -159,7 +159,13 @@ object Versioned {
     * (md5 of the JSON struct; engine-internal — it never crosses to
     * another engine). One full-outer equi-join on the key: both
     * snapshots shuffle once, no broadcast assumption, AQE picks the
-    * physical join. Returns the key columns + `change_type`. */
+    * physical join. Returns the key columns + `change_type`.
+    *
+    * PRECONDITION: `keys` must be unique within each snapshot (the
+    * normal CDC contract for a keyed table) — duplicate keys would
+    * fan out through the full-outer join, one verdict row per
+    * cross-pair. Deduplicate upstream (e.g. [[graft.dedup.Dedup]])
+    * before committing if the source can repeat keys. */
   def changes(spark: SparkSession, path: String, vFrom: Int, vTo: Int,
       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
