@@ -131,6 +131,28 @@ object SparkEntry {
   private[graft] def lakeRefreshPath(dir: String): String =
     stagingRoot(dir) + "/events_refresh"
 
+  /** The versioned CDC demo table (v0 = all events; v1 = clicks
+    * deleted, purchases revalued ×2, shifted-id views inserted),
+    * shared by q_snapshot_diff and q_stream_cdc; staged once per
+    * process. Returns the table path. */
+  private[graft] def ensureCdcTable(s: SparkSession, dir: String): String = {
+    val table = stagingRoot(dir) + "/versioned_cdc"
+    if (graft.sources.Versioned.latestVersion(table) < 0) {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), cents(col("value")).as("vc"))
+      graft.sources.Versioned.commit(ev, table, overwrite = false)
+      val survivors = ev.filter(col("event_type") =!= "click")
+        .withColumn("vc", when(col("event_type") === "purchase",
+          col("vc") * 2).otherwise(col("vc")))
+      val inserts = ev.filter(col("event_type") === "view")
+        .select((col("event_id") + lit(1000000000L)).as("event_id"),
+          col("event_type"), col("vc"))
+      graft.sources.Versioned.commit(survivors.unionByName(inserts),
+        table, overwrite = true)
+    }
+    table
+  }
+
   /** The read side of q_lake_roundtrip, shared with LakeRoundtripSpec
     * so the spec's executed-scan pruning fence measures EXACTLY the
     * plan the driver row runs. */
@@ -2612,24 +2634,44 @@ object SparkEntry {
     // reads THIS instead of re-scanning snapshots. One full-outer
     // key join, both snapshots shuffle once.
     "q_snapshot_diff" -> ((s, dir) => {
-      val table = stagingRoot(dir) + "/versioned_cdc"
-      val ev = t(s, dir, "events").select(col("event_id"),
-        col("event_type"), cents(col("value")).as("vc"))
-      if (graft.sources.Versioned.latestVersion(table) < 0) {
-        graft.sources.Versioned.commit(ev, table, overwrite = false)
-        val survivors = ev.filter(col("event_type") =!= "click")
-          .withColumn("vc", when(col("event_type") === "purchase",
-            col("vc") * 2).otherwise(col("vc")))
-        val inserts = ev.filter(col("event_type") === "view")
-          .select((col("event_id") + lit(1000000000L)).as("event_id"),
-            col("event_type"), col("vc"))
-        graft.sources.Versioned.commit(survivors.unionByName(inserts),
-          table, overwrite = true)
-      }
-      graft.sources.Versioned.changes(s, table, 0, 1, Seq("event_id"))
+      graft.sources.Versioned.changes(s, ensureCdcTable(s, dir), 0, 1,
+          Seq("event_id"))
         .groupBy("change_type")
         .agg(count(lit(1)).as("n_rows"))
         .orderBy("change_type")
+    }),
+
+    // 156: STREAMING CDC — readStream over the versioned table's
+    // APPLYABLE change feed (Versioned.changeFeed: keys + new values
+    // + change_type), foreachBatch-MERGEd by CdcSink into a parquet
+    // mirror seeded from v0. After the stream drains the mirror must
+    // BE v1 — the oracle recomputes v1's per-type aggregate from the
+    // base table, so the whole chain (feed derivation → stream →
+    // idempotent MERGE apply) is value-gated, not just rows>0. The
+    // feed stages once per process (a change feed IS a log dir);
+    // mirror + checkpoint are per-invocation so every run proves
+    // convergence from scratch. Replay safety = apply idempotence.
+    "q_stream_cdc" -> ((s, dir) => {
+      val table = ensureCdcTable(s, dir)
+      val feedDir = stagingRoot(dir) + "/cdc_feed"
+      if (!new java.io.File(feedDir).exists())
+        graft.sources.Versioned.changeFeed(s, table, 0, 1, Seq("event_id"))
+          .write.mode("overwrite").parquet(feedDir)
+      val n = streamExecSeq.incrementAndGet()
+      val mirror = stagingRoot(dir) + s"/cdc_mirror_$n"
+      val ckpt = stagingRoot(dir) + s"/cdc_ckpt_$n"
+      graft.sources.Versioned.read(s, table, Some(0))
+        .write.mode("overwrite").parquet(mirror)
+      val feedSchema = s.read.parquet(feedDir).schema
+      val q = graft.streaming.CdcSink.start(
+        s.readStream.schema(feedSchema).parquet(feedDir),
+        Seq("event_id"), mirror, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(mirror)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          money(sum(col("vc"))).as("sum_value"))
+        .orderBy("event_type")
     }),
 
     // 39 (beyond-§2): the reference's FULL pipeline composed end-to-end
@@ -2836,6 +2878,19 @@ object SparkEntry {
             FROM ev a FULL OUTER JOIN b ON a.event_id = b.event_id)
       SELECT change_type, count(*) AS n_rows
       FROM j GROUP BY change_type ORDER BY change_type""",
+    "q_stream_cdc" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      b AS (SELECT event_id, event_type,
+                   CASE WHEN event_type = 'purchase' THEN vc * 2
+                        ELSE vc END AS vc
+            FROM ev WHERE event_type <> 'click'
+            UNION ALL
+            SELECT event_id + 1000000000, event_type, vc
+            FROM ev WHERE event_type = 'view')
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+      FROM b GROUP BY event_type ORDER BY event_type""",
     "q_yoy_growth" -> """
       WITH m AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
                         CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mo,
@@ -3220,6 +3275,17 @@ object SparkEntry {
     // chunk pre-reduces map-side instead of hammering one reducer.
     "q_chunk_dedup" -> ((s, dir) => {
       Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id", 10)
+        .orderBy("doc_id")
+    }),
+
+    // 155: overlapping-shingle exact-substring dedup — the stride-1
+    // variant of q_chunk_dedup (every 10-token window hashes, so a
+    // duplicated passage is caught at ANY alignment). Same single
+    // hash-groupBy shuffle, ×width denser key stream — the declared
+    // cost of alignment-free detection; ownership still pre-reduces
+    // map-side via the struct-min aggregate.
+    "q_shingle_dedup" -> ((s, dir) => {
+      Dedup.shingleDedup(t(s, dir, "documents"), "text", "doc_id", 10)
         .orderBy("doc_id")
     }),
 
@@ -4495,6 +4561,22 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_chunks,
              CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dup_chunks
+      FROM rn GROUP BY doc_id ORDER BY doc_id""",
+    "q_shingle_dedup" -> s"""
+      WITH tok AS (SELECT doc_id, $toks AS ts FROM documents),
+      sh0 AS (SELECT doc_id, ts,
+                     unnest(range(0, len(ts) - 10 + 1)) AS si
+              FROM tok WHERE len(ts) >= 10),
+      sh AS (SELECT doc_id, si AS sh_idx,
+                    md5(array_to_string(ts[si+1 : si+10], ' ')) AS h
+             FROM sh0),
+      rn AS (SELECT doc_id, sh_idx,
+                    row_number() OVER (PARTITION BY h
+                      ORDER BY doc_id, sh_idx) AS rn
+             FROM sh)
+      SELECT doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles
       FROM rn GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_incremental" -> """
       WITH oldc AS (SELECT DISTINCT md5(text) AS fp FROM documents

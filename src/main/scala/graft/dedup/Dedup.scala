@@ -65,6 +65,48 @@ object Dedup {
           .as("n_dup_chunks"))
   }
 
+  /** Overlapping-shingle exact-substring dedup — the ×width denser
+    * key-stream variant of [[chunkDedup]] and the closest
+    * declarative analog of Lee et al. 2022's suffix-array
+    * exact-substring dedup: EVERY `width`-token window (stride 1,
+    * not stride `width`) hashes, so a duplicated passage is caught
+    * at any alignment, not only when it starts on a chunk boundary.
+    * Ownership and accounting are identical to chunkDedup: the
+    * global first occurrence — lowest (doc_id, pos) — owns each
+    * shingle hash; a doc's `n_dup_shingles` counts windows whose
+    * content appears earlier anywhere in the corpus. Docs shorter
+    * than `width` tokens emit no shingles (no partial windows — a
+    * partial window would alias a full one's prefix).
+    *
+    * 100 TB shape: same single shuffle as chunkDedup (groupBy on
+    * the shingle hash) with a corpus_tokens-sized key stream
+    * instead of corpus_tokens/width — the struct-min ownership
+    * still pre-reduces a billion-fold repeated boilerplate window
+    * map-side. The cost multiplier vs chunkDedup is exactly ×width
+    * more keys; that is the price of alignment-free detection and
+    * the reason pipelines run THIS on suspect slices and the
+    * chunk form corpus-wide. */
+  def shingleDedup(docs: DataFrame, textCol: String, idCol: String,
+      width: Int): DataFrame = {
+    require(width > 0, s"shingleDedup: width must be positive, got $width")
+    val shingles = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= width)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (size(col("__ts")) - width).cast("int")),
+        i => md5(array_join(slice(col("__ts"), i + 1, lit(width)), " ")))))
+      .select(col("doc_id"), col("pos").as("sh_idx"), col("col").as("__h"))
+    val owner = shingles.groupBy("__h")
+      .agg(min(struct(col("doc_id"), col("sh_idx"))).as("__o"))
+    shingles.join(owner, "__h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__o.doc_id") =!= col("doc_id") ||
+            col("__o.sh_idx") =!= col("sh_idx"), 1L).otherwise(0L))
+          .as("n_dup_shingles"))
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding.
     *
     * doc → distinct char-k-shingles → nPerm minhash values → `bands`

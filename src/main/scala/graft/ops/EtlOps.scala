@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object EtlOps {
 
+  /** Broadcast `lookup` only when Catalyst's size estimate fits the
+    * session's autoBroadcastJoinThreshold. A forced `broadcast()`
+    * hint overrides the threshold unconditionally — correct for a
+    * true dimension, an executor/driver OOM when the "lookup" is
+    * fact-sized (the reference joins lineitem-derived lookups, which
+    * grow with the fact table). Without the hint the planner still
+    * auto-broadcasts anything genuinely small, so dropping it never
+    * costs the broadcast — it only stops lying about size. */
+  private def adaptiveBroadcast(lookup: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val thresh = GraftBridge.broadcastThreshold(lookup.sparkSession)
+    if (thresh > 0 && GraftBridge.sizeEstimate(lookup) <= thresh)
+      broadcast(lookup)
+    else lookup
+  }
+
   implicit class RichDF(val df: DataFrame) {
 
     /** Anti-join on ALL shared columns with null-safe equality.
@@ -115,8 +131,10 @@ object EtlOps {
       val coarse = new RichDF(coarseSrc).dedupFirst(coarseKeys, tieBreak)
         .select((coarseKeys :+ valueCol).map(col).toIndexedSeq: _*)
         .withColumnRenamed(valueCol, "__coarse")
-      df.join(broadcast(fine), fineKeys.toIndexedSeq, "left")
-        .join(broadcast(coarse), coarseKeys.toIndexedSeq, "left")
+      // adaptive, not forced: the reference's lookups are sometimes
+      // lineitem-derived (fact-sized) — hint only what fits
+      df.join(adaptiveBroadcast(fine), fineKeys.toIndexedSeq, "left")
+        .join(adaptiveBroadcast(coarse), coarseKeys.toIndexedSeq, "left")
         .withColumn(valueCol, coalesce(col("__fine"), col("__coarse")))
         .drop("__fine", "__coarse")
     }

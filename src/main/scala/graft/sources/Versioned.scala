@@ -185,4 +185,36 @@ object Versioned {
           .otherwise("unchanged"))
       .drop("__h_a", "__h_b")
   }
+
+  /** APPLYABLE change feed: like [[changes]] but each insert/update
+    * row carries the NEW (vTo-side) non-key values — what a
+    * downstream MERGE actually consumes — and `unchanged` rows are
+    * omitted (a feed that re-ships the whole table defeats CDC).
+    * Delete rows carry null non-key values; the key plus
+    * `change_type` is all a delete needs. Same single full-outer
+    * key join as [[changes]]; the vTo values ride the join, so the
+    * new snapshot is still read exactly once. Same key-uniqueness
+    * precondition as [[changes]]. */
+  def changeFeed(spark: SparkSession, path: String, vFrom: Int, vTo: Int,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, path, Some(vFrom))
+    val b = read(spark, path, Some(vTo))
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"changeFeed: schema drift between v$vFrom and v$vTo at $path")
+    val nonKey = a.columns.filterNot(keys.contains).sorted.toIndexedSeq
+    def rowHash(cols: Seq[String]): org.apache.spark.sql.Column =
+      md5(to_json(struct(cols.map(col): _*)))
+    val sa = a.select((keys.map(col) :+ rowHash(nonKey).as("__h_a")): _*)
+    val sb = b.select((keys.map(col) ++ nonKey.map(col) :+
+      rowHash(nonKey).as("__h_b")): _*)
+    sa.join(sb, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__h_a").isNull, "insert")
+          .when(col("__h_b").isNull, "delete")
+          .when(col("__h_a") =!= col("__h_b"), "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select((keys.map(col) ++ nonKey.map(col) :+ col("change_type")): _*)
+  }
 }

@@ -47,11 +47,19 @@ object UpsertSink {
       if (Files.exists(target))
         new RichDF(spark.read.parquet(targetDir)).upsert(deduped, keys)
       else deduped
-    val tmp = Paths.get(targetDir + ".__staging")
-    rm(tmp)
-    merged.write.mode("overwrite").parquet(tmp.toString)
     // atomic swap: readers see the old table or the new one, never a
     // half-written directory (a table format does this via metadata)
+    swapInto(merged, targetDir)
+  }
+
+  /** Atomic directory swap shared with [[CdcSink]]: write `df` to a
+    * staging dir, then rename over `targetDir` — readers see the old
+    * table or the new one, never a half-written directory. */
+  private[streaming] def swapInto(df: DataFrame, targetDir: String): Unit = {
+    val target = Paths.get(targetDir)
+    val tmp = Paths.get(targetDir + ".__staging")
+    rm(tmp)
+    df.write.mode("overwrite").parquet(tmp.toString)
     val old = Paths.get(targetDir + ".__old")
     rm(old)
     if (Files.exists(target)) Files.move(target, old)
@@ -59,7 +67,7 @@ object UpsertSink {
     rm(old)
   }
 
-  private def rm(p: Path): Unit =
+  private[streaming] def rm(p: Path): Unit =
     if (Files.exists(p)) {
       def loop(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(loop)); f.delete(); ()

@@ -221,6 +221,51 @@ class DifferentialSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("shingleDedup matches a sequential first-seen scan on random corpora") {
+    // stride-1 semantics: EVERY width-token window in (doc_id, pos)
+    // order; first occurrence of a window's text owns it. Short docs
+    // (< width tokens) emit no shingles and no output row.
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0L until 80L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val width = 3
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val windows = toks.sliding(width, 1).filter(_.length == width)
+        .map(_.mkString(" ")).toSeq
+      val dups = windows.count { w =>
+        val dup = seen(w); seen += w; dup
+      }
+      if (windows.isEmpty) None
+      else Some(id -> ((windows.length.toLong, dups.toLong)))
+    }.toMap
+    val got = graft.dedup.Dedup.shingleDedup(
+        docs.toDF("doc_id", "text"), "text", "doc_id", width)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+  }
+
+  test("shingleDedup catches a shifted duplicate passage chunkDedup misses") {
+    // the same 4-token passage embedded at offsets 0 and 1: chunk
+    // boundaries (width 4) only align for the first doc, so the
+    // chunk form sees no duplicate — the shingle form must.
+    val passage = "alpha beta gamma delta"
+    val docs = Seq(
+      (0L, passage + " eps omega theta iota"),
+      (1L, "kappa " + passage + " eps omega theta")).toDF("doc_id", "text")
+    val chunk = graft.dedup.Dedup.chunkDedup(docs, "text", "doc_id", 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val shingle = graft.dedup.Dedup.shingleDedup(docs, "text", "doc_id", 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(chunk(1L) == 0L, "chunk form is alignment-blind by design")
+    assert(shingle(1L) >= 1L, "shingle form must catch the shifted passage")
+    assert(shingle(0L) == 0L)
+  }
+
   test("Versioned.changes matches a sequential key-map diff on random commits") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_diff").toString

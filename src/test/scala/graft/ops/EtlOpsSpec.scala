@@ -41,6 +41,31 @@ class EtlOpsSpec extends SparkSpec {
     assert(got == Set((1, 10, "fine_v"), (1, 11, "coarse_v"), (2, 10, null)))
   }
 
+  test("coalesceLookup broadcast is adaptive: hinted when small, dropped when over threshold") {
+    def bhjCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("BroadcastHashJoin"))
+    val facts = (1 to 2000).map(i => (i % 50, i % 7)).toDF("k1", "k2")
+    val lookup = (1 to 2000).map(i => (i % 50, i % 7, s"v$i"))
+      .toDF("k1", "k2", "v")
+    val q = facts.coalesceLookup(lookup, Seq("k1", "k2"), Seq("k1"), "v",
+      Seq(col("v")))
+    // default threshold (10MB): both lookup sides broadcast
+    assert(bhjCount(q) == 2, "small lookups must still broadcast")
+    // 1-byte threshold: estimate exceeds it → hint dropped, NO
+    // broadcast anywhere (a forced hint would ignore the threshold)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val q2 = facts.coalesceLookup(lookup, Seq("k1", "k2"), Seq("k1"), "v",
+        Seq(col("v")))
+      assert(bhjCount(q2) == 0,
+        "fact-sized lookup must not carry a forced broadcast hint")
+      val got = q2.select("k1", "k2", "v").distinct().count()
+      assert(got > 0) // same results through the shuffle plan
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("dedupMarkFirst flags only the first row per key") {
     val df = Seq((1, 1), (1, 2), (2, 1)).toDF("k", "o")
     val got = df.dedupMarkFirst(Seq("k"), Seq(col("o")), "f")

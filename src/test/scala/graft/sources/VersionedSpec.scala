@@ -145,6 +145,21 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, path).count() == 3) // latest = v2
   }
 
+  test("changeFeed carries new values for insert/update, nulls for delete, omits unchanged") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "v", "n"), path, overwrite = false)
+    Versioned.commit(Seq((1L, "a", 10), (2L, "B", 99), (4L, "d", 40))
+      .toDF("k", "v", "n"), path, overwrite = true)
+    val got = Versioned.changeFeed(spark, path, 0, 1, Seq("k"))
+      .select(col("k"), col("v"), col("n"), col("change_type"))
+      .as[(Long, Option[String], Option[Int], String)].collect().toSet
+    assert(got == Set(
+      (2L, Some("B"), Some(99), "update"),   // NEW values, not v0's
+      (3L, None, None, "delete"),            // key only
+      (4L, Some("d"), Some(40), "insert")))  // 1L unchanged → absent
+  }
+
   test("changes treats null vs value as an update, null vs null as unchanged") {
     val path = tmpTable()
     Versioned.commit(Seq((1L, Option.empty[String]), (2L, Some("x")))
