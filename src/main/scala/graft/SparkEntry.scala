@@ -975,6 +975,65 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // 157: two-sample Kolmogorov–Smirnov — the nonparametric drift
+    // test beside q_psi (binned, parametric-ish) and q_zscore
+    // (pointwise): compares the FULL order-price distribution of two
+    // market segments as max|F₀−F₁| over the empirical CDFs. Counts
+    // aggregate per distinct cent value FIRST (the cumulated frame is
+    // bounded by the price domain, not the row count), then both
+    // cumulative counts ride Ranking.withPrefixSums — range slices
+    // cumsum in parallel, broadcast per-slice offsets; no global-sort
+    // window ever sees a data-sized frame. Cum counts are exact longs
+    // (< 2^53 ⇒ exact doubles), so both engines emit identical IEEE
+    // quotients and the same max.
+    "q_ks_test" -> ((s, dir) => {
+      val sm = t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(cents(col("o_totalprice")).as("v"),
+          when(col("c_mktsegment") === "BUILDING", 0).otherwise(1).as("g"))
+      val c = sm.groupBy("v").agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"))
+      val cum = Ranking.withPrefixSums(c, Nil, Seq(col("v")),
+        Seq("c0", "c1"))
+      val n = c.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+      cum.crossJoin(broadcast(n))
+        .select(col("n0"), col("n1"),
+          abs(col("c0_cum").cast("double") / col("n0").cast("double") -
+            col("c1_cum").cast("double") / col("n1").cast("double"))
+            .as("d"))
+        .groupBy("n0", "n1")
+        .agg(round(max(col("d")), 6).as("ks"))
+    }),
+
+    // 158: median-absolute-deviation outliers — the robust twin of
+    // q_zscore: one hot event can drag the mean AND the sigma it is
+    // judged against; median/MAD shrug it off. Two broadcast passes:
+    // per-type exact median over BIGINT cents (|types|-row frame,
+    // broadcast back), then the median of the absolute deviations the
+    // same way. Spark's exact `median` buffers value→count per group
+    // — bounded by the distinct cent domain, not the row count
+    // (q_median's documented tradeoff); both engines interpolate
+    // (a+b)/2 on exact integer(±.5) doubles, and the final /100.0 is
+    // one mirrored IEEE division.
+    "q_anomaly_mad" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v"))
+      val m1 = ev.groupBy("event_type").agg(median(col("v")).as("med"))
+      val dev = ev.join(broadcast(m1), "event_type")
+        .withColumn("d", abs(col("v").cast("double") - col("med")))
+      val m2 = dev.groupBy("event_type").agg(median(col("d")).as("mad"))
+      dev.join(broadcast(m2), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (max(col("med")) / lit(100.0)).as("median_value"),
+          (max(col("mad")) / lit(100.0)).as("mad_value"),
+          sum(when(col("d") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // 134: per-group OLS regression (price-on-quantity per return
     // flag) from exact integer moments — the map-side-combinable
     // regression every feature pipeline runs. One shuffle carries
@@ -1482,6 +1541,45 @@ object SparkEntry {
       SELECT event_id, event_type, v, round(z, 6) AS z,
              abs(z) > 3 AS outlier
       FROM z ORDER BY event_id""",
+    "q_ks_test" -> """
+      WITH s AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                        CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1
+                          END AS g
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      c AS (SELECT v,
+                   CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c0,
+                   CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c1
+            FROM s GROUP BY v),
+      cum AS (SELECT v, sum(c0) OVER (ORDER BY v) AS f0,
+                        sum(c1) OVER (ORDER BY v) AS f1 FROM c),
+      n AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1 FROM c)
+      SELECT n0, n1,
+             round(max(abs(CAST(f0 AS DOUBLE) / CAST(n0 AS DOUBLE) -
+                           CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE))), 6)
+               AS ks
+      FROM cum, n GROUP BY n0, n1""",
+    "q_anomaly_mad" -> """
+      WITH ev AS (SELECT event_type,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+      m1 AS (SELECT event_type, CAST(median(v) AS DOUBLE) AS med
+             FROM ev GROUP BY event_type),
+      dev AS (SELECT ev.event_type, med,
+                     abs(CAST(v AS DOUBLE) - med) AS d
+              FROM ev JOIN m1 USING (event_type)),
+      m2 AS (SELECT event_type, CAST(median(d) AS DOUBLE) AS mad
+             FROM dev GROUP BY event_type)
+      SELECT dev.event_type, count(*) AS n,
+             max(med) / 100.0 AS median_value,
+             max(mad) / 100.0 AS mad_value,
+             CAST(sum(CASE WHEN d > mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM dev JOIN m2 USING (event_type)
+      GROUP BY dev.event_type ORDER BY dev.event_type""",
     "q_psi" -> """
       WITH ev AS (SELECT event_type,
                     epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
@@ -4431,10 +4529,15 @@ object SparkEntry {
       else
         s.readStream.schema(raw.schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (raw.schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
-      src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else src0
+    raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // un-adjusted parquet micros infer NTZ; watermarks need
+        // TimestampType — session TZ is UTC, the instant is unchanged
+        src0.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => src0
+    }
   }
 
   /** Parts with the fuzzy blocking key, guarded: a skewed

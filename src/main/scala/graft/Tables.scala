@@ -28,18 +28,25 @@ object Tables {
     val pq = s"$dir/$name.parquet"
     if (new java.io.File(pq).exists()) {
       val df = spark.read.parquet(pq)
-      // The events table carries TIMESTAMP(NANOS) parquet, which Spark
-      // only reads as a nanos LONG (spark.sql.legacy.parquet.nanosAsLong
-      // — set by Verify/Bench/specs); normalize to a micros timestamp so
-      // downstream logic sees TimestampType (DuckDB truncates ns→us the
-      // same way).
-      df.schema.fields.find(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType) match {
-        case Some(_) =>
+      // The events ts column has shipped as TIMESTAMP(NANOS) (read as a
+      // nanos LONG under spark.sql.legacy.parquet.nanosAsLong — set by
+      // Verify/Bench/specs) and as un-adjusted TIMESTAMP(MICROS) (read
+      // as TIMESTAMP_NTZ since Spark infers NTZ when isAdjustedToUTC is
+      // false). Normalize BOTH to a micros TimestampType here, the one
+      // choke point every query loads through: downstream logic
+      // (unix_micros, watermarks, windows) requires TimestampType. The
+      // session TZ is pinned UTC, so the NTZ cast re-interprets the
+      // wall-clock fields at the same instant DuckDB reads them.
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) =>
           df.withColumn("ts",
             org.apache.spark.sql.functions.timestamp_micros(
               org.apache.spark.sql.functions.expr("ts div 1000")))
-        case None => df
+        case Some(TimestampNTZType) =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
       }
     } else if (new java.io.File(s"$dir/$name.orc").exists()) {
       // ORC is self-describing and type-exact (arrays, timestamps at

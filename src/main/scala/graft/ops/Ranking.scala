@@ -57,6 +57,44 @@ object Ranking {
     out.drop(pid, "_rk_loc", "_rk_off", "_rk_n")
   }
 
+  /** Adds exact running (cumulative, inclusive) long sums of
+    * `sumCols` ordered by `order` within `groupCols` (empty = global)
+    * as `<name>_cum` — the prefix-sum sibling of [[withRank]], same
+    * shape: each range slice cumsums locally in parallel; the only
+    * unpartitioned window runs over the per-slice totals frame
+    * (#partitions × #groups rows), whose offsets broadcast back.
+    * Deterministic row-level prefixes need `order` to be a total
+    * order within each group (aggregate to distinct keys first —
+    * then equal-key ambiguity cannot arise). */
+  def withPrefixSums(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], sumCols: Seq[String]): DataFrame = {
+    val pid = "_ps_pid"
+    val grp = groupCols.map(col)
+    val parts = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions, 2)
+    val ranged = df.repartitionByRange(parts, grp ++ order: _*)
+      .withColumn(pid, spark_partition_id())
+    val wLoc = Window.partitionBy(col(pid) +: grp: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = sumCols.foldLeft(ranged) { (d, c) =>
+      d.withColumn(s"_ps_loc_$c", sum(col(c)).over(wLoc))
+    }
+    val aggs = sumCols.map(c => sum(col(c)).as(s"_ps_tot_$c"))
+    val totals = ranged.groupBy(col(pid) +: grp: _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val wg = Window.partitionBy(grp: _*).orderBy(col(pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sumCols.foldLeft(totals) { (d, c) =>
+      d.withColumn(s"_ps_off_$c",
+        coalesce(sum(col(s"_ps_tot_$c")).over(wg), lit(0L)))
+    }.drop(sumCols.map(c => s"_ps_tot_$c"): _*)
+    val joined = local.join(broadcast(offs), pid +: groupCols)
+    sumCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${c}_cum", col(s"_ps_off_$c") + col(s"_ps_loc_$c"))
+    }.drop(pid +: sumCols.flatMap(c =>
+      Seq(s"_ps_loc_$c", s"_ps_off_$c")): _*)
+  }
+
   /** Exact `ntile(k)` bucket (INT) from a 1-based rank and the group
     * size — the SQL-standard fill (first n%k buckets get one extra
     * row), identical to Spark's and DuckDB's NTILE over the same

@@ -51,7 +51,11 @@ class PlanSpec extends SparkSpec {
       // q_semantic_dedup's cell assignment scores the corpus against
       // the k-row broadcast centroid table — the same bounded
       // nested loop as q_kmeans (assignToCentroids is shared)
-      "q_semantic_dedup")
+      "q_semantic_dedup",
+      // q_ks_test crossJoins the 1-row (n0, n1) sample-size frame
+      // onto the distinct-value ECDF frame — a scalar carrier like
+      // q_histogram
+      "q_ks_test")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
@@ -179,7 +183,11 @@ class PlanSpec extends SparkSpec {
       ("q_rfm", 200L, Long.MaxValue),
       ("q_gini", 200L, Long.MaxValue),
       // prefilter bound: ≈4·k per class + offset frames, sf0.001-sized
-      ("q_class_balance", 200L, 4000L))
+      ("q_class_balance", 200L, 4000L),
+      // withPrefixSums: only the per-slice totals frame (≤ #parts
+      // rows) may cross an unpartitioned window; the data-sized
+      // cumsum windows are pid-partitioned
+      ("q_ks_test", 200L, Long.MaxValue))
     fences.foreach { case (q, globalBound, anyBound) =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.queryExecution.toRdd.foreach(_ => ())

@@ -48,6 +48,42 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("global withPrefixSums equals the single-sort running sums") {
+    // Distinct order keys (the documented precondition: aggregate to
+    // distinct keys first), two sum columns at once.
+    val df = (1 to 400).map { i =>
+      (i.toLong, (i * 37 % 91).toLong, (i * 13 % 17).toLong)
+    }.toDF("v", "a", "b").repartition(9)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("a_cum", sum(col("a")).over(w))
+      .withColumn("b_cum", sum(col("b")).over(w))
+      .select("v", "a_cum", "b_cum").as[(Long, Long, Long)]
+      .collect().toSet
+    val got = Ranking.withPrefixSums(df, Nil, Seq(col("v")), Seq("a", "b"))
+      .select("v", "a_cum", "b_cum").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == want)
+  }
+
+  test("grouped withPrefixSums equals per-group running sums, any parts") {
+    val df = (1 to 300).map { i =>
+      ("g" + (i % 3), i.toLong, (i * 17 % 23).toLong)
+    }.toDF("g", "v", "a")
+    val w = Window.partitionBy("g").orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("a_cum", sum(col("a")).over(w))
+      .select("g", "v", "a_cum").as[(String, Long, Long)].collect().toSet
+    for (parts <- Seq(1, 4, 13)) {
+      val got = Ranking.withPrefixSums(df.repartition(parts), Seq("g"),
+          Seq(col("v")), Seq("a"))
+        .select("g", "v", "a_cum").as[(String, Long, Long)]
+        .collect().toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("ntileFromRank reproduces ntile(k) for every n in 1..23") {
     for (n <- 1 to 23) {
       val df = (1 to n).map(i => (i.toLong, (i * 13 % 7).toLong))
