@@ -1034,6 +1034,103 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 159: last-touch attribution — every purchase's value credited
+    // to the user's most recent PRECEDING non-purchase event type
+    // (the classic marketing-attribution pass every event pipeline
+    // runs). One window, PARTITIONED BY USER (no global sort ever):
+    // last(non-purchase type, ignoreNulls) over rows [-∞, -1] with a
+    // (ts, event_id) total order; purchases with no prior touch
+    // credit "direct". The aggregate after it is a tiny
+    // |channels|-row frame. Exact BIGINT cents; one mirrored /100.0.
+    "q_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), cents(col("value")).as("v"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("ch",
+          last(when(col("event_type") =!= "purchase",
+            col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("ch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          (sum(col("v")).cast("double") / lit(100.0)).as("revenue"))
+        .orderBy("channel")
+    }),
+
+    // 160: exact 10-term EWMA (α = 1/2) of daily revenue per event
+    // type — the monitoring smoother beside q_moving_avg's flat
+    // window. Aggregate to the (type, day) frame FIRST (the window
+    // input is |types|·|days|, bounded by the calendar, never the
+    // event count), then one per-type window. The α = 1/2 choice
+    // makes every term x_j·2^(rn_j) EXACT in ieee754 (integer cents
+    // ≤ 2^40 times a power of two; a 10-term frame spans 9 bits of
+    // exponent, so the sliding sums stay inside 53 mantissa bits) —
+    // num and den are exact across ANY summation order and the final
+    // quotient is one mirrored IEEE division on identical inputs.
+    "q_ewma" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+      val wRn = Window.partitionBy("event_type").orderBy("day")
+      val frame = wRn.rowsBetween(-9, 0)
+      daily.withColumn("rn", row_number().over(wRn))
+        .withColumn("num",
+          sum(col("x").cast("double") * pow(lit(2.0), col("rn")))
+            .over(frame))
+        .withColumn("den",
+          sum(pow(lit(2.0), col("rn"))).over(frame))
+        .select(col("event_type"), col("day"),
+          (col("x").cast("double") / lit(100.0)).as("revenue"),
+          (col("num") / col("den") / lit(100.0)).as("ewma"))
+        .orderBy("event_type", "day")
+    }),
+
+    // 161: cohort retention matrix — users bucketed by first-activity
+    // WEEK (the events table spans weeks, not years), then distinct
+    // actives per (cohort, weeks-since) cell: the retention triangle
+    // every growth report draws. Shape: distinct (user, week) first
+    // (one shuffle, map-side combine), per-user min week (same key —
+    // AQE reuses the hash side), join back on user_id, tiny
+    // (cohort × offset) aggregate. No windows, no sort; every frame
+    // after the distinct is user- or calendar-bounded. Week starts
+    // are ISO Mondays in both engines; the day delta is an exact
+    // multiple of 7, so the integer division is unambiguous.
+    "q_cohort_matrix" -> ((s, dir) => {
+      val act = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val firstWk = act.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      act.join(firstWk, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / lit(7)).cast("long")
+            .as("k"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "k")
+    }),
+
+    // 162: exact DAU / WAU — the rolling-window DISTINCT count that a
+    // window function cannot express (count(distinct) over a frame is
+    // unsupported in both engines, and buffering per-day user SETS in
+    // a window is the memory bomb). The distributed idiom instead:
+    // distinct (user, day) once, then EXPLODE each activity onto the
+    // 7 trailing-window days it contributes to (7× a bounded frame,
+    // linear) and count distinct per day. DAU rides the same distinct
+    // frame; inner join restricts WAU to observed days.
+    "q_active_users" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6)))
+            .as("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      val dau = ud.groupBy("day")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      dau.join(wau, "day").orderBy("day")
+    }),
+
     // 134: per-group OLS regression (price-on-quantity per return
     // flag) from exact integer moments — the map-side-combinable
     // regression every feature pipeline runs. One shuffle carries
@@ -1580,6 +1677,59 @@ object SparkEntry {
                AS n_outliers
       FROM dev JOIN m2 USING (event_type)
       GROUP BY dev.event_type ORDER BY dev.event_type""",
+    "q_attribution" -> """
+      WITH ev AS (SELECT user_id, ts, event_id, event_type,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+      att AS (SELECT event_type, v,
+                last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS ch
+              FROM ev)
+      SELECT coalesce(ch, 'direct') AS channel,
+             count(*) AS n_purchases,
+             CAST(sum(v) AS DOUBLE) / 100.0 AS revenue
+      FROM att WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1""",
+    "q_ewma" -> """
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                         AS BIGINT) AS x
+                     FROM events GROUP BY 1, 2),
+      rn AS (SELECT *, row_number()
+               OVER (PARTITION BY event_type ORDER BY day) AS rn
+             FROM daily),
+      sm AS (SELECT event_type, day, x,
+               sum(CAST(x AS DOUBLE) * pow(2.0, rn)) OVER w AS num,
+               sum(pow(2.0, rn)) OVER w AS den
+             FROM rn WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      SELECT event_type, day, CAST(x AS DOUBLE) / 100.0 AS revenue,
+             num / den / 100.0 AS ewma
+      FROM sm ORDER BY event_type, day""",
+    "q_cohort_matrix" -> """
+      WITH act AS (SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS wk
+                   FROM events),
+      f AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY 1)
+      SELECT cohort,
+             CAST(datediff('day', cohort, wk) // 7 AS BIGINT) AS k,
+             count(DISTINCT user_id) AS n_users
+      FROM act JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_active_users" -> """
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                  FROM events),
+      contrib AS (SELECT user_id, day + CAST(t.i AS INTEGER) AS day2
+                  FROM ud CROSS JOIN range(0, 7) AS t(i)),
+      wau AS (SELECT day2 AS day, count(DISTINCT user_id) AS wau
+              FROM contrib GROUP BY 1),
+      dau AS (SELECT day, count(DISTINCT user_id) AS dau
+              FROM ud GROUP BY 1)
+      SELECT day, dau, wau FROM dau JOIN wau USING (day)
+      ORDER BY day""",
     "q_psi" -> """
       WITH ev AS (SELECT event_type,
                     epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
