@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteredSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two independent uniform dimensions: a linear sort on x gives
+  // files that each span the FULL y domain (no y-skipping possible);
+  // the z-order write must bound both
+  private def grid() = (0 until 20000).map { i =>
+    val x = (i * 7919L) % 10000 // co-prime stride: uniform, unordered
+    val y = (i * 104729L) % 10000
+    (i.toLong, x, y)
+  }.toDF("id", "x", "y").repartition(8)
+
+  test("z-clustered files skip on BOTH dimensions; results stay exact") {
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val zpath = s"$base/z"
+    Clustered.writeClustered(grid(), zpath, "x", "y", files = 16)
+
+    // narrow range on x
+    val (dfx, keptX, totX) = Clustered.readRange(spark, zpath, "x", 100, 600)
+    assert(totX == 16)
+    assert(keptX < totX, s"x-range read $keptX of $totX files — no skipping")
+    // narrow range on y — the dimension a linear sort cannot bound
+    val (dfy, keptY, totY) = Clustered.readRange(spark, zpath, "y", 100, 600)
+    assert(keptY < totY, s"y-range read $keptY of $totY files — no skipping")
+
+    // row-level exactness vs a full-scan oracle
+    val wantX = grid().filter(col("x").between(100, 600))
+      .select("id").as[Long].collect().toSet
+    assert(dfx.select("id").as[Long].collect().toSet == wantX)
+    val wantY = grid().filter(col("y").between(100, 600))
+      .select("id").as[Long].collect().toSet
+    assert(dfy.select("id").as[Long].collect().toSet == wantY)
+  }
+
+  test("linear layout cannot skip the second dimension — z-order can") {
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val lin = s"$base/linear"
+    // the comparison layout: same file count, sorted by x only
+    grid().repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(lin)
+    Clustered.writeStats(spark, lin, Seq("x", "y"))
+    val (_, keptLin, totLin) = Clustered.readRange(spark, lin, "y", 100, 600)
+    val (_, keptZ, totZ) =
+      Clustered.readRange(spark, s"$base/linear", "x", 100, 600)
+    // x-sorted files skip on x...
+    assert(keptZ < totZ)
+    // ...but every x-sorted file spans the full y domain: zero skipped
+    assert(keptLin == totLin,
+      s"linear layout unexpectedly skipped y files ($keptLin/$totLin)")
+  }
+
+  test("empty keep-set and null-safe read still return exact rows") {
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val zpath = s"$base/z"
+    Clustered.writeClustered(grid(), zpath, "x", "y", files = 4)
+    val (df, kept, tot) =
+      Clustered.readRange(spark, zpath, "x", 20000, 30000)
+    assert(kept == 0 && tot == 4)
+    assert(df.count() == 0)
+  }
+}
