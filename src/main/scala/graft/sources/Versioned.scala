@@ -36,16 +36,18 @@ object Versioned {
   private def versionsDir(path: String) = Paths.get(path, "_versions")
 
   private final case class Manifest(version: Int, mode: String,
-      dataDirs: Seq[String])
+      dataDirs: Seq[String], txn: Option[String] = None)
 
   private def manifestPath(path: String, v: Int) =
     versionsDir(path).resolve(s"v$v.json")
 
   // minimal JSON (manifests are builder-owned: fixed shape, no
-  // nesting, dirs are uuids — no escaping needed)
+  // nesting, dirs are uuids, txn ids are caller-supplied tokens
+  // documented as [A-Za-z0-9:_-] — no escaping needed)
   private def render(m: Manifest): String =
     s"""{"version":${m.version},"mode":"${m.mode}","dataDirs":[""" +
-      m.dataDirs.map("\"" + _ + "\"").mkString(",") + "]}"
+      m.dataDirs.map("\"" + _ + "\"").mkString(",") + "]" +
+      m.txn.map(t => s""","txn":"$t"""").getOrElse("") + "}"
 
   private def parse(s: String): Manifest = {
     def field(name: String): String =
@@ -56,7 +58,10 @@ object Versioned {
     val dataDirs =
       if (dirs.trim.isEmpty) Seq.empty
       else dirs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    Manifest(v, mode, dataDirs)
+    val txn =
+      if (s.contains("\"txn\":")) Some(field("txn").drop(1).takeWhile(_ != '"'))
+      else None
+    Manifest(v, mode, dataDirs, txn)
   }
 
   /** Latest committed version number, or -1 for an empty table. */
@@ -76,11 +81,46 @@ object Versioned {
   private def readManifest(path: String, v: Int): Manifest =
     parse(new String(Files.readAllBytes(manifestPath(path, v)), "UTF-8"))
 
+  /** Version that committed `txn`, if any. Scans head→0 (retried
+    * micro-batches are near the head; vacuum trims the tail). Missing
+    * manifests below `retainFrom` after a vacuum read as not-found —
+    * a replay older than the retention window cannot be deduplicated,
+    * the same contract every txn-ledger table format documents. */
+  private def findTxn(path: String, txn: String): Option[Int] = {
+    val head = latestVersion(path)
+    var v = head
+    while (v >= 0) {
+      if (Files.exists(manifestPath(path, v))) {
+        if (readManifest(path, v).txn.contains(txn)) return Some(v)
+      }
+      v -= 1
+    }
+    None
+  }
+
   /** Commit `df` as the next version. `overwrite` replaces the
     * table's content; append composes with the current head. Returns
     * the committed version number. Safe under concurrent committers
     * (rename-race retry, see class doc). */
-  def commit(df: DataFrame, path: String, overwrite: Boolean): Int = {
+  def commit(df: DataFrame, path: String, overwrite: Boolean): Int =
+    commitTxn(df, path, overwrite, txn = None)
+
+  /** [[commit]] with an idempotence token: if any existing manifest
+    * already carries `txn`, the commit is a no-op returning that
+    * version — the exactly-once contract a streaming sink needs under
+    * engine retries (Structured Streaming re-runs a micro-batch after
+    * a crash; the re-run must not double-append). The token is
+    * checked again on every lost-race retry, so a concurrent
+    * committer landing the same txn is also deduplicated. Retried
+    * batches leave at most one orphaned staged data dir (invisible —
+    * no manifest references it; reclaimed by [[vacuum]]'s
+    * unreachable-dir sweep). */
+  def commitTxn(df: DataFrame, path: String, overwrite: Boolean,
+      txn: Option[String]): Int = {
+    txn.flatMap(findTxn(path, _)) match {
+      case Some(v) => return v
+      case None => ()
+    }
     val dataId = java.util.UUID.randomUUID().toString
     df.write.mode("errorifexists").parquet(s"$path/data/$dataId")
     Files.createDirectories(versionsDir(path))
@@ -88,12 +128,16 @@ object Versioned {
     while (true) {
       require(attempt < 50, s"versioned commit: 50 lost races at $path")
       attempt += 1
+      txn.flatMap(findTxn(path, _)) match {
+        case Some(v) => return v // a racer landed our txn first
+        case None => ()
+      }
       val head = latestVersion(path)
       val parentDirs =
         if (overwrite || head < 0) Seq.empty
         else readManifest(path, head).dataDirs
       val m = Manifest(head + 1,
-        if (overwrite) "overwrite" else "append", parentDirs :+ dataId)
+        if (overwrite) "overwrite" else "append", parentDirs :+ dataId, txn)
       val tmp = versionsDir(path)
         .resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, render(m).getBytes("UTF-8"))
