@@ -13,8 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * consistent snapshot however many writers are appending, and any
   * historical version stays readable (time travel) until vacuumed.
   *
-  * Layout: `<table>/_versions/v{N}.json` (JSON: version, parent,
-  * mode, data dirs) + `<table>/data/<uuid>/part-*.parquet`.
+  * Layout: `<table>/_versions/v{N}.json` (JSON: version, mode, data
+  * dirs, optional txn token and base64 schema DDL) +
+  * `<table>/data/<uuid>/part-*.parquet`. The manifest-carried schema
+  * makes column ADDS first-class: older files null-fill new columns
+  * under the explicit read schema (no mergeSchema footer scan), and
+  * same-name type drift fails the commit loudly.
   *
   * Concurrency contract: data dirs are written FIRST (invisible to
   * readers until referenced), then the manifest move publishes.
@@ -36,18 +40,23 @@ object Versioned {
   private def versionsDir(path: String) = Paths.get(path, "_versions")
 
   private final case class Manifest(version: Int, mode: String,
-      dataDirs: Seq[String], txn: Option[String] = None)
+      dataDirs: Seq[String], txn: Option[String] = None,
+      schemaDdl: Option[String] = None)
 
   private def manifestPath(path: String, v: Int) =
     versionsDir(path).resolve(s"v$v.json")
 
   // minimal JSON (manifests are builder-owned: fixed shape, no
   // nesting, dirs are uuids, txn ids are caller-supplied tokens
-  // documented as [A-Za-z0-9:_-] — no escaping needed)
+  // documented as [A-Za-z0-9:_-], and the schema DDL — arbitrary
+  // text — rides base64 so no JSON escaping is ever needed)
   private def render(m: Manifest): String =
     s"""{"version":${m.version},"mode":"${m.mode}","dataDirs":[""" +
       m.dataDirs.map("\"" + _ + "\"").mkString(",") + "]" +
-      m.txn.map(t => s""","txn":"$t"""").getOrElse("") + "}"
+      m.txn.map(t => s""","txn":"$t"""").getOrElse("") +
+      m.schemaDdl.map(d => s""","schemaB64":"${
+        java.util.Base64.getEncoder.encodeToString(d.getBytes("UTF-8"))
+      }"""").getOrElse("") + "}"
 
   private def parse(s: String): Manifest = {
     def field(name: String): String =
@@ -61,7 +70,12 @@ object Versioned {
     val txn =
       if (s.contains("\"txn\":")) Some(field("txn").drop(1).takeWhile(_ != '"'))
       else None
-    Manifest(v, mode, dataDirs, txn)
+    val ddl =
+      if (s.contains("\"schemaB64\":"))
+        Some(new String(java.util.Base64.getDecoder.decode(
+          field("schemaB64").drop(1).takeWhile(_ != '"')), "UTF-8"))
+      else None
+    Manifest(v, mode, dataDirs, txn, ddl)
   }
 
   /** Latest committed version number, or -1 for an empty table. */
@@ -133,11 +147,29 @@ object Versioned {
         case None => ()
       }
       val head = latestVersion(path)
-      val parentDirs =
-        if (overwrite || head < 0) Seq.empty
-        else readManifest(path, head).dataDirs
+      val parent =
+        if (overwrite || head < 0) None
+        else Some(readManifest(path, head))
+      val parentDirs = parent.map(_.dataDirs).getOrElse(Seq.empty)
+      // schema evolution: an append may ADD columns (they null-fill
+      // for older files at read time); a same-name column must keep
+      // its type — silent type drift is the bug every format rejects
+      val ddl = parent.flatMap(_.schemaDdl) match {
+        case Some(pd) =>
+          val ps = org.apache.spark.sql.types.StructType.fromDDL(pd)
+          val byName = ps.fields.map(f => f.name -> f.dataType).toMap
+          df.schema.fields.foreach { f =>
+            byName.get(f.name).foreach(t => require(t == f.dataType,
+              s"versioned commit: column ${f.name} type drift " +
+                s"($t -> ${f.dataType}) at $path"))
+          }
+          val added = df.schema.fields.filterNot(f => byName.contains(f.name))
+          org.apache.spark.sql.types.StructType(ps.fields ++ added).toDDL
+        case None => df.schema.toDDL
+      }
       val m = Manifest(head + 1,
-        if (overwrite) "overwrite" else "append", parentDirs :+ dataId, txn)
+        if (overwrite) "overwrite" else "append", parentDirs :+ dataId,
+        txn, Some(ddl))
       val tmp = versionsDir(path)
         .resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, render(m).getBytes("UTF-8"))
@@ -171,7 +203,16 @@ object Versioned {
     val m = readManifest(path, v)
     require(version.forall(_ == m.version))
     val dirs = m.dataDirs.map(d => s"$path/data/$d")
-    spark.read.parquet(dirs: _*)
+    // the manifest's schema is authoritative: files written before a
+    // column was added null-fill it under the explicit read schema —
+    // no mergeSchema footer scan, the ledger already knows. Manifests
+    // from before schema tracking fall back to parquet inference.
+    m.schemaDdl match {
+      case Some(ddl) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
   }
 
   /** Drop data dirs unreferenced by any manifest ≥ `retainFrom`

@@ -160,6 +160,39 @@ class VersionedSpec extends SparkSpec {
       (4L, Some("d"), Some(40), "insert")))  // 1L unchanged → absent
   }
 
+  test("schema evolution: appended columns null-fill older files; type drift fails loudly") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path, overwrite = false)
+    // append ADDS column n: the head schema evolves, v0's file
+    // null-fills n under the manifest-carried read schema
+    Versioned.commit(Seq((2L, "b", 20)).toDF("k", "v", "n"),
+      path, overwrite = false)
+    val head = Versioned.read(spark, path)
+    assert(head.columns.toSeq == Seq("k", "v", "n"))
+    assert(head.as[(Long, String, Option[Int])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(20))))
+    // time travel to v0 shows the ORIGINAL two-column schema
+    assert(Versioned.read(spark, path, Some(0)).columns.toSeq ==
+      Seq("k", "v"))
+    // an append DROPPING a column keeps the table schema (the file
+    // simply null-fills what it does not carry)
+    Versioned.commit(Seq((3L, "c")).toDF("k", "v"), path, overwrite = false)
+    val h2 = Versioned.read(spark, path)
+    assert(h2.columns.toSeq == Seq("k", "v", "n"))
+    assert(h2.filter(col("k") === 3L).select("n").as[Option[Int]]
+      .collect().toSeq == Seq(None))
+    // same-name type drift is rejected, not silently coerced
+    val err = intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((4L, 99L)).toDF("k", "n"), path,
+        overwrite = false)
+    }
+    assert(err.getMessage.contains("type drift"))
+    // an OVERWRITE resets the schema baseline
+    Versioned.commit(Seq((5L, 1.5)).toDF("k", "score"), path,
+      overwrite = true)
+    assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "score"))
+  }
+
   test("changes treats null vs value as an update, null vs null as unchanged") {
     val path = tmpTable()
     Versioned.commit(Seq((1L, Option.empty[String]), (2L, Some("x")))
