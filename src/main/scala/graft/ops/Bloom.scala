@@ -32,6 +32,15 @@ object Bloom {
         new XxHash64(Seq(GraftBridge.expression(key))), expectedItems)
         .toAggregateExpression())
 
+  /** Driver-side xxhash64 of a literal value — EXACTLY the hash
+    * [[bloomAgg]] inserted (same Catalyst expression, same seed), so
+    * a deserialized filter can be probed off-cluster (file-index
+    * pruning) with zero false negatives. */
+  def hash64(value: Any): Long =
+    new XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(value)))
+      .eval(null).asInstanceOf[Long]
+
   /** Membership probe against a bloom built by [[bloomAgg]]. */
   def mightContain(bloom: Column, key: Column): Column =
     GraftBridge.column(

@@ -104,6 +104,60 @@ object Clustered {
       s"""{"cols":[${cols.map("\"" + _ + "\"").mkString(",")}],"files":$json}""")
   }
 
+  /** Per-file BLOOM index for equality skipping — the complement of
+    * the min/max index: a point lookup on a high-cardinality key
+    * (doc id, user id) rarely prunes on ranges (every file's [lo, hi]
+    * spans it) but a per-file bloom answers "definitely not here" in
+    * a few KB per file. Built with Spark's own BloomFilterAggregate
+    * over `input_file_name()` (one column-pruned scan, map-side
+    * partials), probed driver-side with the IDENTICAL xxhash64.
+    * False positives only cost an extra file read; false negatives
+    * cannot happen. */
+  def writeBloomIndex(spark: SparkSession, path: String, c: String,
+      expectedPerFile: Long = 100000L): Unit = {
+    val rows = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(graft.ops.Bloom.bloomAgg(col(c), expectedPerFile).as("bloom"))
+      .collect() // one row per FILE
+    val json = rows.map { r =>
+      val b = r.getAs[Array[Byte]]("bloom")
+      val b64 =
+        if (b == null) "" else java.util.Base64.getEncoder.encodeToString(b)
+      s"""{"file":"${r.getAs[String]("file")}","bloom":"$b64"}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(path, s"_graft_bloom_$c.json"),
+      s"""{"col":"$c","files":$json}""")
+  }
+
+  /** Equality-skipping read: drop every file whose bloom proves the
+    * key absent, read the rest, re-apply the exact predicate. A file
+    * with an empty/missing bloom (all-null column chunk) is KEPT —
+    * unknown can never justify a skip. Returns (frame, filesRead,
+    * filesTotal) so callers can assert real pruning. */
+  def readEquality(spark: SparkSession, path: String, c: String,
+      value: Any): (DataFrame, Int, Int) = {
+    val raw = Files.readString(Paths.get(path, s"_graft_bloom_$c.json"))
+    val entries = raw.split("""\{"file":""").drop(1).toSeq
+    val h = graft.ops.Bloom.hash64(value)
+    val files = entries.map { e =>
+      val f = e.drop(1).takeWhile(_ != '"')
+      val b64 = e.split("\"bloom\":\"", 2)(1).takeWhile(_ != '"')
+      (f, b64)
+    }
+    val keep = files.collect {
+      case (f, b64) if b64.isEmpty ||
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b64)))
+          .mightContainLong(h) => f
+    }
+    val df =
+      if (keep.isEmpty)
+        spark.read.parquet(path).filter(col(c) === lit(value)).limit(0)
+      else spark.read.parquet(keep: _*).filter(col(c) === lit(value))
+    (df, keep.size, files.size)
+  }
+
   /** File-skipping read: keep only files whose [lo, hi] range for
     * `c` overlaps [lo, hi] (interval-overlap test on the sidecar —
     * a driver-side file-list filter, exactly how format readers prune

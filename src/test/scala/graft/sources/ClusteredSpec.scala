@@ -54,6 +54,31 @@ class ClusteredSpec extends SparkSpec {
       s"linear layout unexpectedly skipped y files ($keptLin/$totLin)")
   }
 
+  test("bloom file index: point lookups skip files ranges cannot") {
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val path = s"$base/t"
+    // ids UNIFORM across files (hash layout): every file's [min, max]
+    // id range spans nearly the full domain — min/max skipping is
+    // useless here, which is exactly the bloom index's case
+    (0 until 20000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+      .repartition(16, col("id")).write.mode("overwrite").parquet(path)
+    Clustered.writeStats(spark, path, Seq("id"))
+    Clustered.writeBloomIndex(spark, path, "id", expectedPerFile = 2000)
+
+    val (_, keptRange, totRange) =
+      Clustered.readRange(spark, path, "id", 7777, 7777)
+    assert(keptRange == totRange,
+      "hash layout should defeat range skipping (the control)")
+    val (df, keptB, totB) = Clustered.readEquality(spark, path, "id", 7777L)
+    assert(totB == 16)
+    assert(keptB < totB, s"bloom kept $keptB of $totB files — no skipping")
+    assert(df.select("payload").as[String].collect().toSeq == Seq("p7777"))
+    // absent key: bloom may keep a few false-positive files but the
+    // residual filter returns zero rows
+    val (dfAbs, _, _) = Clustered.readEquality(spark, path, "id", 999999L)
+    assert(dfAbs.count() == 0)
+  }
+
   test("empty keep-set and null-safe read still return exact rows") {
     val base = java.nio.file.Files.createTempDirectory("zorder").toString
     val zpath = s"$base/z"
