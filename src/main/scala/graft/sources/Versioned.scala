@@ -95,6 +95,11 @@ object Versioned {
   private def readManifest(path: String, v: Int): Manifest =
     parse(new String(Files.readAllBytes(manifestPath(path, v)), "UTF-8"))
 
+  /** Data-dir count of a version's manifest (test/observability
+    * hook — the ledger-bloat metric [[compact]] exists to reset). */
+  def readManifestDirCount(path: String, v: Int): Int =
+    readManifest(path, v).dataDirs.size
+
   /** Version that committed `txn`, if any. Scans head→0 (retried
     * micro-batches are near the head; vacuum trims the tail). Missing
     * manifests below `retainFrom` after a vacuum read as not-found —
@@ -214,6 +219,17 @@ object Versioned {
       case None => spark.read.parquet(dirs: _*)
     }
   }
+
+  /** Compaction: rewrite the head snapshot as ONE overwrite commit of
+    * `targetFiles` files — an append-heavy table accumulates one data
+    * dir per commit (the small-file problem in ledger form), and a
+    * long dataDirs list slows every snapshot read. History is
+    * untouched: pre-compaction versions still time-travel until
+    * [[vacuum]] reclaims them; concurrent committers race the
+    * compacted commit exactly like any other (loser retries). Returns
+    * the compacted version. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Int =
+    commit(read(spark, path).coalesce(targetFiles), path, overwrite = true)
 
   /** Drop data dirs unreferenced by any manifest ≥ `retainFrom`
     * and the manifests below it — the storage-reclaim half of the

@@ -193,6 +193,23 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "score"))
   }
 
+  test("compact rewrites the head as one commit; history and rows survive") {
+    val path = tmpTable()
+    (1 to 8).foreach(i => Versioned.commit(
+      Seq((i.toLong, s"r$i")).toDF("k", "v"), path, overwrite = false))
+    val headBefore = Versioned.latestVersion(path)
+    assert(Versioned.readManifestDirCount(path, headBefore) == 8)
+    val vc = Versioned.compact(spark, path, targetFiles = 1)
+    assert(vc == headBefore + 1)
+    // one data dir at the head, same rows
+    assert(Versioned.readManifestDirCount(path, vc) == 1)
+    assert(Versioned.read(spark, path).as[(Long, String)].collect().toSet ==
+      (1 to 8).map(i => (i.toLong, s"r$i")).toSet)
+    // pre-compaction history still time-travels
+    assert(Versioned.read(spark, path, Some(headBefore)).count() == 8)
+    assert(Versioned.read(spark, path, Some(2)).count() == 3)
+  }
+
   test("changes treats null vs value as an update, null vs null as unchanged") {
     val path = tmpTable()
     Versioned.commit(Seq((1L, Option.empty[String]), (2L, Some("x")))
