@@ -47,6 +47,11 @@ object Clustered {
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
   }
 
+  /** Test hook: the interleave as a Column, for property checks
+    * against an independent bit-by-bit construction. */
+  private[sources] def mortonForTest(a: Column, b: Column): Column =
+    morton16(a, b)
+
   /** Write `df` as parquet z-clustered on two numeric columns:
     * min/max-normalize each to 16 bits (one broadcast 1-row
     * aggregate), interleave into a Morton value, range-partition into

@@ -79,6 +79,42 @@ class ClusteredSpec extends SparkSpec {
     assert(dfAbs.count() == 0)
   }
 
+  test("morton interleave matches a bit-by-bit reference for random pairs") {
+    // the Column cascade in writeClustered must BE the textbook
+    // interleave — verify against an independent per-bit construction
+    def ref(a: Int, b: Int): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      }
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq((0, 0), (65535, 65535), (65535, 0), (0, 65535)) ++
+      Seq.fill(200)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    val df = pairs.toDF("a", "b")
+      .withColumn("z", graft.sources.Clustered.mortonForTest(
+        col("a").cast("long"), col("b").cast("long")))
+    val got = df.select("a", "b", "z").as[(Int, Int, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == ref(a, b), s"morton($a, $b)")
+    }
+  }
+
+  test("null clustering keys write safely and range reads stay exact") {
+    val withNulls = (0 until 5000).map { i =>
+      val x: java.lang.Long = if (i % 17 == 0) null else (i * 7919L) % 10000
+      (i.toLong, x, (i * 104729L) % 10000)
+    }.toDF("id", "x", "y")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val zpath = s"$base/z"
+    Clustered.writeClustered(withNulls, zpath, "x", "y", files = 8)
+    // row count survives the clustered rewrite (nulls included)
+    assert(spark.read.parquet(zpath).count() == 5000)
+    val (df, kept, tot) = Clustered.readRange(spark, zpath, "x", 100, 600)
+    assert(kept <= tot)
+    val want = withNulls.filter(col("x").between(100, 600))
+      .select("id").as[Long].collect().toSet
+    assert(df.select("id").as[Long].collect().toSet == want)
+  }
+
   test("empty keep-set and null-safe read still return exact rows") {
     val base = java.nio.file.Files.createTempDirectory("zorder").toString
     val zpath = s"$base/z"

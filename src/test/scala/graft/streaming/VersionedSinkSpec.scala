@@ -61,6 +61,32 @@ class VersionedSinkSpec extends SparkSpec {
     assert(Versioned.read(spark, path).count() == 3)
   }
 
+  test("concurrent committers of the SAME txn collapse to one version") {
+    // a zombie executor re-running a batch concurrently with its
+    // replacement is the nastiest replay: both race the same token
+    val path = java.nio.file.Files.createTempDirectory("vsink").toString
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val futures = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            gate.await()
+            VersionedSink.commitBatch(batch, path, "app", batchId = 0)
+          }
+        })
+      }
+      gate.countDown()
+      val versions = futures
+        .map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // all four racers report the SAME committed version
+      assert(versions.toSet.size == 1, s"split-brain txn: $versions")
+    } finally pool.shutdownNow()
+    assert(Versioned.latestVersion(path) == 0)
+    assert(Versioned.read(spark, path).count() == 2)
+  }
+
   test("txn manifests round-trip through vacuum and plain commits") {
     val path = java.nio.file.Files.createTempDirectory("vsink").toString
     VersionedSink.commitBatch(Seq((1L, "a")).toDF("id", "v"), path, "app", 0)
