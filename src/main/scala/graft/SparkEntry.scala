@@ -1062,24 +1062,32 @@ object SparkEntry {
     // type — the monitoring smoother beside q_moving_avg's flat
     // window. Aggregate to the (type, day) frame FIRST (the window
     // input is |types|·|days|, bounded by the calendar, never the
-    // event count), then one per-type window. The α = 1/2 choice
-    // makes every term x_j·2^(rn_j) EXACT in ieee754 (integer cents
-    // ≤ 2^40 times a power of two; a 10-term frame spans 9 bits of
-    // exponent, so the sliding sums stay inside 53 mantissa bits) —
-    // num and den are exact across ANY summation order and the final
-    // quotient is one mirrored IEEE division on identical inputs.
+    // event count), then one per-type window expressed as 10 lag
+    // terms with weights 2^(9-k) — the SAME α = 1/2 quotient as the
+    // earlier pow(2, row_number) form (the common factor 2^(rn-9)
+    // cancels in num/den) but with the exponent REBASED inside the
+    // frame, so every term is ≤ cents·2^9 < 2^53 for ANY series
+    // length; the unrebased weight overflowed num/den to Infinity
+    // past ~1013 rows per partition (ADVICE r8). Terms and partial
+    // sums are exact integers scaled by powers of two, so parity
+    // holds across any summation order; the quotient is one mirrored
+    // IEEE division on identical inputs.
     "q_ewma" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(cents(col("value"))).as("x"))
-      val wRn = Window.partitionBy("event_type").orderBy("day")
-      val frame = wRn.rowsBetween(-9, 0)
-      daily.withColumn("rn", row_number().over(wRn))
-        .withColumn("num",
-          sum(col("x").cast("double") * pow(lit(2.0), col("rn")))
-            .over(frame))
-        .withColumn("den",
-          sum(pow(lit(2.0), col("rn"))).over(frame))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      def term(k: Int): Column =
+        if (k == 0) col("x") else lag(col("x"), k).over(w)
+      val num = (0 to 9).map(k =>
+        coalesce(term(k).cast("double") * lit(math.pow(2.0, 9 - k)),
+          lit(0.0))).reduce(_ + _)
+      val den = (0 to 9).map(k =>
+        when(term(k).isNotNull, lit(math.pow(2.0, 9 - k)))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      daily
+        .withColumn("num", num)
+        .withColumn("den", den)
         .select(col("event_type"), col("day"),
           (col("x").cast("double") / lit(100.0)).as("revenue"),
           (col("num") / col("den") / lit(100.0)).as("ewma"))
@@ -1698,14 +1706,30 @@ object SparkEntry {
                        CAST(sum(CAST(round(value * 100) AS BIGINT))
                          AS BIGINT) AS x
                      FROM events GROUP BY 1, 2),
-      rn AS (SELECT *, row_number()
-               OVER (PARTITION BY event_type ORDER BY day) AS rn
-             FROM daily),
       sm AS (SELECT event_type, day, x,
-               sum(CAST(x AS DOUBLE) * pow(2.0, rn)) OVER w AS num,
-               sum(pow(2.0, rn)) OVER w AS den
-             FROM rn WINDOW w AS (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+               CAST(x AS DOUBLE) * 512
+                 + COALESCE(CAST(lag(x, 1) OVER w AS DOUBLE) * 256, 0)
+                 + COALESCE(CAST(lag(x, 2) OVER w AS DOUBLE) * 128, 0)
+                 + COALESCE(CAST(lag(x, 3) OVER w AS DOUBLE) * 64, 0)
+                 + COALESCE(CAST(lag(x, 4) OVER w AS DOUBLE) * 32, 0)
+                 + COALESCE(CAST(lag(x, 5) OVER w AS DOUBLE) * 16, 0)
+                 + COALESCE(CAST(lag(x, 6) OVER w AS DOUBLE) * 8, 0)
+                 + COALESCE(CAST(lag(x, 7) OVER w AS DOUBLE) * 4, 0)
+                 + COALESCE(CAST(lag(x, 8) OVER w AS DOUBLE) * 2, 0)
+                 + COALESCE(CAST(lag(x, 9) OVER w AS DOUBLE) * 1, 0)
+                 AS num,
+               512.0
+                 + (CASE WHEN lag(x, 1) OVER w IS NOT NULL THEN 256.0 ELSE 0 END)
+                 + (CASE WHEN lag(x, 2) OVER w IS NOT NULL THEN 128.0 ELSE 0 END)
+                 + (CASE WHEN lag(x, 3) OVER w IS NOT NULL THEN 64.0 ELSE 0 END)
+                 + (CASE WHEN lag(x, 4) OVER w IS NOT NULL THEN 32.0 ELSE 0 END)
+                 + (CASE WHEN lag(x, 5) OVER w IS NOT NULL THEN 16.0 ELSE 0 END)
+                 + (CASE WHEN lag(x, 6) OVER w IS NOT NULL THEN 8.0 ELSE 0 END)
+                 + (CASE WHEN lag(x, 7) OVER w IS NOT NULL THEN 4.0 ELSE 0 END)
+                 + (CASE WHEN lag(x, 8) OVER w IS NOT NULL THEN 2.0 ELSE 0 END)
+                 + (CASE WHEN lag(x, 9) OVER w IS NOT NULL THEN 1.0 ELSE 0 END)
+                 AS den
+             FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
       SELECT event_type, day, CAST(x AS DOUBLE) / 100.0 AS revenue,
              num / den / 100.0 AS ewma
       FROM sm ORDER BY event_type, day""",

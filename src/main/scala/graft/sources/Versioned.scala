@@ -100,13 +100,16 @@ object Versioned {
   def readManifestDirCount(path: String, v: Int): Int =
     readManifest(path, v).dataDirs.size
 
-  /** Version that committed `txn`, if any. Scans head→0 (retried
-    * micro-batches are near the head; vacuum trims the tail). Missing
-    * manifests below `retainFrom` after a vacuum read as not-found —
-    * a replay older than the retention window cannot be deduplicated,
-    * the same contract every txn-ledger table format documents. */
-  private def findTxn(path: String, txn: String): Option[Int] = {
-    val head = latestVersion(path)
+  /** Version ≤ `head` that committed `txn`, if any. Scans head→0
+    * (retried micro-batches are near the head; vacuum trims the
+    * tail). Missing manifests below `retainFrom` after a vacuum read
+    * as not-found — a replay older than the retention window cannot
+    * be deduplicated, the same contract every txn-ledger table format
+    * documents. Takes `head` EXPLICITLY so [[commitTxn]] can order
+    * its reads race-free: head first, then the scan over 0..head —
+    * any manifest published after the scan necessarily occupies
+    * ≥ head+1, where the create-exclusive publish collides with it. */
+  private def findTxn(path: String, txn: String, head: Int): Option[Int] = {
     var v = head
     while (v >= 0) {
       if (Files.exists(manifestPath(path, v))) {
@@ -136,8 +139,15 @@ object Versioned {
     * unreachable-dir sweep). */
   def commitTxn(df: DataFrame, path: String, overwrite: Boolean,
       txn: Option[String]): Int = {
-    txn.flatMap(findTxn(path, _)) match {
-      case Some(v) => return v
+    // token charset gate BEFORE any work: render() interpolates the
+    // token into manifest JSON unescaped (documented builder-owned
+    // charset); an appId-derived token carrying a quote or backslash
+    // would corrupt the ledger for every future reader.
+    txn.foreach(t => require(t.nonEmpty && t.forall(ch =>
+      ch.isLetterOrDigit && ch < 128 || ch == ':' || ch == '_' || ch == '-'),
+      s"versioned commitTxn: txn token must match [A-Za-z0-9:_-]+, got '$t'"))
+    txn.flatMap(findTxn(path, _, latestVersion(path))) match {
+      case Some(v) => return v // cheap pre-stage dedup (advisory only)
       case None => ()
     }
     val dataId = java.util.UUID.randomUUID().toString
@@ -147,11 +157,19 @@ object Versioned {
     while (true) {
       require(attempt < 50, s"versioned commit: 50 lost races at $path")
       attempt += 1
-      txn.flatMap(findTxn(path, _)) match {
+      // Order matters (TOCTOU): read head FIRST, then scan 0..head for
+      // our txn, then attempt head+1. A same-txn racer publishing
+      // after the scan lands at ≥ head+1 (commits only ever target
+      // latest+1), so our createLink at head+1 fails and the retry
+      // re-scans — it can never be silently double-appended. The
+      // reverse order (scan, then read head) had a window where the
+      // racer's manifest raised the head between the two reads and
+      // the late committer published to an uncontended version.
+      val head = latestVersion(path)
+      txn.flatMap(findTxn(path, _, head)) match {
         case Some(v) => return v // a racer landed our txn first
         case None => ()
       }
-      val head = latestVersion(path)
       val parent =
         if (overwrite || head < 0) None
         else Some(readManifest(path, head))

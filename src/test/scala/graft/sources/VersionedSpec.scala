@@ -210,6 +210,22 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, path, Some(2)).count() == 3)
   }
 
+  test("commitTxn rejects tokens outside the manifest-safe charset") {
+    val path = tmpTable()
+    // a quote or backslash in the token would be interpolated raw
+    // into the manifest JSON and corrupt the ledger for every reader
+    for (bad <- Seq("app\"x:1", "app\\x:1", "", "app x:1", "tokén:1")) {
+      val err = intercept[IllegalArgumentException] {
+        Versioned.commitTxn(Seq((1L, "a")).toDF("k", "v"), path,
+          overwrite = false, txn = Some(bad))
+      }
+      assert(err.getMessage.contains("txn token"), bad)
+    }
+    // the documented charset commits fine
+    assert(Versioned.commitTxn(Seq((1L, "a")).toDF("k", "v"), path,
+      overwrite = false, txn = Some("app_1:batch-7")) == 0)
+  }
+
   test("changes treats null vs value as an update, null vs null as unchanged") {
     val path = tmpTable()
     Versioned.commit(Seq((1L, Option.empty[String]), (2L, Some("x")))
