@@ -41,46 +41,81 @@ object Bench {
     }
     // noop-datasource write: forces full evaluation of every output column
     // (count() would let Catalyst prune the expression work away).
-    val outcomes = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // Queries must not leak state into each other's measurements:
-      // drop any cached blocks a query materialized (cache debris
-      // accumulating in the shared local heap slowed the whole r3
-      // suite tail).
-      spark.catalog.clearCache()
-      (name, elapsed, ok)
+    def timedPass(): Seq[(String, Double, Boolean)] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Queries must not leak state into each other's measurements:
+        // drop any cached blocks a query materialized (cache debris
+        // accumulating in the shared local heap slowed the whole r3
+        // suite tail).
+        spark.catalog.clearCache()
+        (name, elapsed, ok)
+      }
+    // TWO timed passes; the graded number per query is the MIN of the
+    // two. One pass cannot distinguish a position burst (GC pause,
+    // compaction of a neighbor's shuffle files, JIT deopt) from a
+    // real regression — three rounds of the single-pass channel
+    // produced ~20 false ×2 flags per round while the identical-code
+    // local run and the randomized-order experiment stayed flat. The
+    // min over independent passes is the standard noise-robust
+    // estimator for a deterministic workload: bursts inflate a pass,
+    // nothing ever deflates one.
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val p2 = pass2.map { case (n, s, ok) => n -> (s, ok) }.toMap
+    val outcomes = pass1.map { case (name, s1, ok1) =>
+      val (s2, ok2) = p2(name)
+      val sec = (ok1, ok2) match {
+        case (true, false) => s1
+        case (false, true) => s2
+        case _ => math.min(s1, s2)
+      }
+      (name, sec, s1, s2, ok1 && ok2)
     }
-    val results = outcomes.map { case (name, sec, _) => name -> sec }.toSeq
-    val failed = outcomes.collect { case (name, _, false) => name }.toSeq
+    val results = outcomes.map { case (n, sec, _, _, _) => n -> sec }
+    val failed = outcomes.collect { case (n, _, _, _, false) => n }
     // Per-query lines FIRST (complete evidence even if a capture window
-    // clips the head), then the single summary JSON line LAST and kept
-    // small: times rounded to 3 decimals so 103 entries fit the driver's
-    // capture window (the r6 tail truncated at full double precision).
+    // clips the head) — min beside both pass times — then the single
+    // summary JSON line LAST and kept small: times rounded to 3
+    // decimals so 162 entries fit the driver's capture window (the r6
+    // tail truncated at full double precision).
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    results.foreach { case (k, v) =>
-      println(s"""{"q":"$k","sec":${f3(v)}}""")
+    outcomes.foreach { case (k, sec, s1, s2, _) =>
+      println(s"""{"q":"$k","sec":${f3(sec)},"p1":${f3(s1)},"p2":${f3(s2)}}""")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def qmap(vs: Seq[(String, Double)]): String =
+      vs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"nfail":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
+    val t1 = pass1.map(_._2).sum
+    val t2 = pass2.map(_._2).sum
+    // "queries" carries the min-of-2 (the graded per-query number);
+    // the pass totals sit beside it so the burst magnitude each round
+    // is itself visible in the artifact.
+    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":2,"value_p1":${f3(t1)},"value_p2":${f3(t2)},"nq":${results.size},"nfail":${failed.size},"queries":${qmap(results)},"sf":"$sfDir"}"""
     println(summary)
     // The artifact must survive a truncated stdout capture: write the
     // COMPLETE per-query timings + summary to a repo file too (the
     // r6/r7 driver tails clipped to ~89 of 137 per-query lines).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_full.json")
+    // The file artifact has no capture-window budget: carry the full
+    // per-pass maps beside the graded min map so any future "did it
+    // regress or burst" question is answerable from one round's file.
+    val fileSummary = summary.stripSuffix("}") +
+      s""","queries_p1":${qmap(pass1.map(o => o._1 -> o._2))}""" +
+      s""","queries_p2":${qmap(pass2.map(o => o._1 -> o._2))}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      summary + "\n")
+      fileSummary + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
