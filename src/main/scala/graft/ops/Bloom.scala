@@ -32,14 +32,29 @@ object Bloom {
         new XxHash64(Seq(GraftBridge.expression(key))), expectedItems)
         .toAggregateExpression())
 
-  /** Driver-side xxhash64 of a literal value — EXACTLY the hash
-    * [[bloomAgg]] inserted (same Catalyst expression, same seed), so
-    * a deserialized filter can be probed off-cluster (file-index
-    * pruning) with zero false negatives. */
-  def hash64(value: Any): Long =
-    new XxHash64(Seq(
-      org.apache.spark.sql.catalyst.expressions.Literal(value)))
-      .eval(null).asInstanceOf[Long]
+  /** Driver-side xxhash64 of a literal value AS the indexed column's
+    * type `dt` — EXACTLY the hash [[bloomAgg]] inserted (same Catalyst
+    * expression, same seed, same input type), so a deserialized filter
+    * can be probed off-cluster (file-index pruning) with zero false
+    * negatives. The type matters: XxHash64 hashes IntegerType and
+    * LongType (and Float/Double) DIFFERENTLY, so probing an INT-column
+    * bloom with a Long literal without the cast silently misses —
+    * files containing the key would be skipped (ADVICE r8). */
+  def hash64(value: Any, dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    val l = Literal(value)
+    require(Cast.canCast(l.dataType, dt),
+      s"bloom probe: cannot cast ${l.dataType} value to indexed type $dt")
+    // TRY-mode cast: an unconvertible value nulls (instead of throwing
+    // under ANSI) and the require below turns it into a loud, typed
+    // error — never a silent all-files-skipped probe
+    val key =
+      if (l.dataType == dt) l
+      else Cast(l, dt, Some("UTC"), EvalMode.TRY)
+    require(value == null || key.eval(null) != null,
+      s"bloom probe: value '$value' does not convert to indexed type $dt")
+    new XxHash64(Seq(key)).eval(null).asInstanceOf[Long]
+  }
 
   /** Membership probe against a bloom built by [[bloomAgg]]. */
   def mightContain(bloom: Column, key: Column): Column =

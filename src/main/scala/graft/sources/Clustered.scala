@@ -1,15 +1,15 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
-/** Z-order clustered writes + file-level min/max statistics + a
-  * skipping read path — the data-skipping triad every large-scale
-  * table format (Delta OPTIMIZE ZORDER, Iceberg sort orders, Hudi
-  * clustering) builds on, here as plain parquet + a JSON sidecar so
-  * the mechanism is inspectable.
+/** Z-order clustered writes + file-level min/max statistics + bloom
+  * file indexes + skipping read paths — the data-skipping triad every
+  * large-scale table format (Delta OPTIMIZE ZORDER, Iceberg sort
+  * orders, Hudi clustering) builds on, here as plain parquet + a
+  * PARQUET sidecar table per index so the mechanism is inspectable
+  * AND the index itself scales like data.
   *
   * WHY at 100 TB: partition pruning only cuts the dimension you
   * partitioned by. Queries that filter on a SECOND (or third) column
@@ -23,12 +23,15 @@ import org.apache.spark.sql.functions._
   * layout. This composes with [[Export.partitionedParquet]]: partition
   * by the coarse dimension, z-cluster inside each partition.
   *
-  * Scale shape: the only extra cost over a plain write is one 1-row
-  * min/max aggregate (broadcast), one range shuffle on the z-value
-  * (replacing the write's existing shuffle, not adding one), a
-  * per-partition sort (spillable), and one post-write stats scan that
-  * reads ONLY the clustered columns (column-pruned). Stats are one
-  * JSON row per FILE — index size grows with file count, not rows.
+  * Index scale shape: sidecars are parquet TABLES (one row per FILE)
+  * under `_`-prefixed dirs the main read ignores. They are built by a
+  * distributed aggregate and written directly — no driver collect —
+  * and pruned by a distributed filter whose driver-side result is the
+  * SURVIVOR list only (the 10⁶-file table with a selective predicate
+  * collects the handful of matching files, never the full index; the
+  * r8 JSON sidecar collected one row per file both ways). Typed
+  * parquet values also remove the JSON-rendering escape problem a
+  * string clustering key posed.
   */
 object Clustered {
 
@@ -52,6 +55,11 @@ object Clustered {
   private[sources] def mortonForTest(a: Column, b: Column): Column =
     morton16(a, b)
 
+  /** Sidecar locations — `_`-prefixed so `spark.read.parquet(path)`
+    * of the data ignores them (hidden-path convention). */
+  def statsPath(path: String): String = s"$path/_graft_stats"
+  def bloomPath(path: String, c: String): String = s"$path/_graft_bloom_$c"
+
   /** Write `df` as parquet z-clustered on two numeric columns:
     * min/max-normalize each to 16 bits (one broadcast 1-row
     * aggregate), interleave into a Morton value, range-partition into
@@ -59,9 +67,15 @@ object Clustered {
     * (c1, c2) bounding box. Then stage the per-file min/max stats
     * sidecar via [[writeStats]]. Degenerate domains (min == max)
     * normalize to 0 — clustering on a constant is a no-op, not an
-    * error. */
+    * error. Clustering keys must be numeric: the 16-bit normalization
+    * is an arithmetic map (a non-numeric key would silently normalize
+    * through null casts and cluster nothing). */
   def writeClustered(df: DataFrame, path: String, c1: String, c2: String,
       files: Int): Unit = {
+    Seq(c1, c2).foreach(c => require(
+      df.schema(c).dataType.isInstanceOf[NumericType],
+      s"writeClustered: clustering key $c must be numeric, " +
+        s"got ${df.schema(c).dataType}"))
     val spark = df.sparkSession
     val mm = df.agg(
       min(col(c1)).as("lo1"), max(col(c1)).as("hi1"),
@@ -84,29 +98,23 @@ object Clustered {
     writeStats(spark, path, Seq(c1, c2))
   }
 
-  /** Compute and stage the per-file min/max index for `cols`: one
-    * column-pruned scan of the written files grouped by
-    * `input_file_name` → `<path>/_graft_stats.json` (a driver-side
-    * file-count-sized artifact, the same scale class as the format's
-    * own footer list). */
+  /** Build the per-file min/max index for `cols`: one column-pruned
+    * scan of the written files grouped by `input_file_name`, written
+    * DIRECTLY as a parquet sidecar table (`file`, `lo_<c>`, `hi_<c>`
+    * with the columns' NATIVE types) — a fully distributed
+    * build-side: no driver collect, no value rendering, index size
+    * grows with file count, not rows. */
   def writeStats(spark: SparkSession, path: String,
       cols: Seq[String]): Unit = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
-    val rows = spark.read.parquet(path)
+    spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect() // one row per FILE — bounded by the file count
-    val json = rows.map { r =>
-      val f = r.getAs[String]("file")
-      val kv = cols.flatMap { c =>
-        Seq(s""""lo_$c":${r.get(r.fieldIndex(s"lo_$c"))}""",
-          s""""hi_$c":${r.get(r.fieldIndex(s"hi_$c"))}""")
-      }.mkString(",")
-      s"""{"file":"$f",$kv}"""
-    }.mkString("[", ",", "]")
-    Files.writeString(Paths.get(path, "_graft_stats.json"),
-      s"""{"cols":[${cols.map("\"" + _ + "\"").mkString(",")}],"files":$json}""")
+      // one row per FILE — a single sidecar file keeps the index
+      // read a one-file scan even when the data has 10⁶ files
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath(path))
   }
 
   /** Per-file BLOOM index for equality skipping — the complement of
@@ -115,84 +123,96 @@ object Clustered {
     * spans it) but a per-file bloom answers "definitely not here" in
     * a few KB per file. Built with Spark's own BloomFilterAggregate
     * over `input_file_name()` (one column-pruned scan, map-side
-    * partials), probed driver-side with the IDENTICAL xxhash64.
-    * False positives only cost an extra file read; false negatives
-    * cannot happen. */
+    * partials) and written directly as a parquet sidecar — no driver
+    * collect. False positives only cost an extra file read; false
+    * negatives cannot happen (the probe hashes with the column's own
+    * type — see [[graft.ops.Bloom.hash64]]). */
   def writeBloomIndex(spark: SparkSession, path: String, c: String,
-      expectedPerFile: Long = 100000L): Unit = {
-    val rows = spark.read.parquet(path)
+      expectedPerFile: Long = 100000L): Unit =
+    spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(graft.ops.Bloom.bloomAgg(col(c), expectedPerFile).as("bloom"))
-      .collect() // one row per FILE
-    val json = rows.map { r =>
-      val b = r.getAs[Array[Byte]]("bloom")
-      val b64 =
-        if (b == null) "" else java.util.Base64.getEncoder.encodeToString(b)
-      s"""{"file":"${r.getAs[String]("file")}","bloom":"$b64"}"""
-    }.mkString("[", ",", "]")
-    Files.writeString(Paths.get(path, s"_graft_bloom_$c.json"),
-      s"""{"col":"$c","files":$json}""")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomPath(path, c))
+
+  /** Range prune against the stats sidecar: a DISTRIBUTED filter over
+    * the index table; only the SURVIVING file names come back to the
+    * driver (at 10⁶ files a selective predicate collects a handful of
+    * rows — the full index never materializes driver-side). A file
+    * with null bounds (all-null column chunk) is KEPT — unknown can
+    * never justify a skip; so is one whose bounds don't cast to
+    * double (non-numeric stat column). Returns (survivors, total). */
+  def pruneRange(spark: SparkSession, path: String, c: String,
+      lo: Double, hi: Double): (Seq[String], Int) = {
+    val st = spark.read.parquet(statsPath(path))
+    // TRY-mode cast: non-numeric stat columns null out (instead of
+    // throwing under ANSI) and the null branch KEEPS the file
+    def tryDouble(cl: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.GraftBridge.expression(cl),
+          org.apache.spark.sql.types.DoubleType, None,
+          org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+    val loC = tryDouble(col(s"lo_$c"))
+    val hiC = tryDouble(col(s"hi_$c"))
+    val keep = st
+      .filter(loC.isNull || hiC.isNull || (hiC >= lo && loC <= hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+    (keep, st.count().toInt)
+  }
+
+  /** Equality prune against the bloom sidecar: the probe hash is
+    * computed ONCE driver-side with the data column's own type (read
+    * from the table schema — one footer, not a listing), then every
+    * file's bloom is deserialized and probed DISTRIBUTED on the index
+    * table; only surviving file names return. Empty/null blooms KEEP
+    * their file. Returns (survivors, total). */
+  def pruneEquality(spark: SparkSession, path: String, c: String,
+      value: Any): (Seq[String], Int) = {
+    val dt = spark.read.parquet(path).schema(c).dataType
+    val h = graft.ops.Bloom.hash64(value, dt)
+    val bl = spark.read.parquet(bloomPath(path, c))
+    import spark.implicits._
+    val keep = bl.select(col("file"), col("bloom"))
+      .as[(String, Array[Byte])]
+      .filter { fb =>
+        fb._2 == null || fb._2.isEmpty ||
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(fb._2)).mightContainLong(h)
+      }
+      .map(_._1).collect().toSeq
+    (keep, bl.count().toInt)
   }
 
   /** Equality-skipping read: drop every file whose bloom proves the
-    * key absent, read the rest, re-apply the exact predicate. A file
-    * with an empty/missing bloom (all-null column chunk) is KEPT —
-    * unknown can never justify a skip. Returns (frame, filesRead,
-    * filesTotal) so callers can assert real pruning. */
+    * key absent ([[pruneEquality]]), read the rest, re-apply the
+    * exact predicate. Returns (frame, filesRead, filesTotal) so
+    * callers can assert real pruning. */
   def readEquality(spark: SparkSession, path: String, c: String,
       value: Any): (DataFrame, Int, Int) = {
-    val raw = Files.readString(Paths.get(path, s"_graft_bloom_$c.json"))
-    val entries = raw.split("""\{"file":""").drop(1).toSeq
-    val h = graft.ops.Bloom.hash64(value)
-    val files = entries.map { e =>
-      val f = e.drop(1).takeWhile(_ != '"')
-      val b64 = e.split("\"bloom\":\"", 2)(1).takeWhile(_ != '"')
-      (f, b64)
-    }
-    val keep = files.collect {
-      case (f, b64) if b64.isEmpty ||
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(
-            java.util.Base64.getDecoder.decode(b64)))
-          .mightContainLong(h) => f
-    }
+    val (keep, total) = pruneEquality(spark, path, c, value)
     val df =
       if (keep.isEmpty)
         spark.read.parquet(path).filter(col(c) === lit(value)).limit(0)
       else spark.read.parquet(keep: _*).filter(col(c) === lit(value))
-    (df, keep.size, files.size)
+    (df, keep.size, total)
   }
 
-  /** File-skipping read: keep only files whose [lo, hi] range for
-    * `c` overlaps [lo, hi] (interval-overlap test on the sidecar —
-    * a driver-side file-list filter, exactly how format readers prune
-    * on footer stats), read just those, and re-apply the predicate
-    * for row-level exactness. Returns (frame, filesRead, filesTotal)
-    * so callers — and the spec — can assert real skipping. */
+  /** File-skipping read: keep only files whose [lo, hi] range for `c`
+    * overlaps [lo, hi] ([[pruneRange]] — interval-overlap on the
+    * sidecar, exactly how format readers prune on footer stats), read
+    * just those, and re-apply the predicate for row-level exactness.
+    * Returns (frame, filesRead, filesTotal) so callers — and the
+    * spec — can assert real skipping. */
   def readRange(spark: SparkSession, path: String, c: String,
       lo: Double, hi: Double): (DataFrame, Int, Int) = {
-    val raw = Files.readString(Paths.get(path, "_graft_stats.json"))
-    // sidecar is self-authored (writeStats): flat fields, no nesting
-    val entries = raw.split("""\{"file":""").drop(1).toSeq
-    // `null` stats (an all-null column chunk) parse to NaN → the file
-    // is KEPT: unknown bounds can never justify a skip
-    def num(s: String, k: String): Double = {
-      val v = s.split(s""""$k":""", 2)(1).takeWhile(ch =>
-        ch.isDigit || ch == '.' || ch == '-' || ch == 'E' || ch == 'e')
-      if (v.isEmpty) Double.NaN else v.toDouble
-    }
-    val files = entries.map { e =>
-      val f = e.drop(1).takeWhile(_ != '"')
-      (f, num(e, s"lo_$c"), num(e, s"hi_$c"))
-    }
-    val keep = files.collect { case (f, flo, fhi)
-      if flo.isNaN || fhi.isNaN || (fhi >= lo && flo <= hi) => f }
+    val (keep, total) = pruneRange(spark, path, c, lo, hi)
     val df =
       if (keep.isEmpty)
         spark.read.parquet(path).filter(col(c) >= lo && col(c) <= hi)
           .limit(0)
       else spark.read.parquet(keep: _*)
         .filter(col(c) >= lo && col(c) <= hi)
-    (df, keep.size, files.size)
+    (df, keep.size, total)
   }
 }

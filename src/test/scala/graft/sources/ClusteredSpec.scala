@@ -79,6 +79,82 @@ class ClusteredSpec extends SparkSpec {
     assert(dfAbs.count() == 0)
   }
 
+  test("bloom probe hashes with the column's own type (int column, long probe)") {
+    // XxHash64 hashes IntegerType and LongType differently; the probe
+    // must cast the literal to the INDEXED column's type or every
+    // lookup with a wider literal false-negatives (ADVICE r8)
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val path = s"$base/t"
+    (0 until 5000).map(i => (i, s"p$i")).toDF("id", "payload") // id: INT
+      .repartition(8, col("id")).write.mode("overwrite").parquet(path)
+    Clustered.writeBloomIndex(spark, path, "id", expectedPerFile = 1000)
+    val (df, kept, tot) = Clustered.readEquality(spark, path, "id", 4321L)
+    assert(kept >= 1 && kept <= tot)
+    assert(df.select("payload").as[String].collect().toSeq == Seq("p4321"))
+    // incompatible probe type fails loudly instead of silently skipping
+    val err = intercept[IllegalArgumentException] {
+      Clustered.readEquality(spark, path, "id", "not-a-number")
+    }
+    assert(err.getMessage.contains("does not convert"))
+  }
+
+  test("prune is distributed: 8k-file synthetic index, survivors-only collect") {
+    // the index tables are data, not driver state: synthesize a stats
+    // sidecar the size of a 10⁴-file table and prune it — the driver
+    // sees only the surviving file names, never the full index
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val path = s"$base/t"
+    // tiny real data dir supplies the authoritative column schema
+    Seq((0L, "seed")).toDF("v", "payload")
+      .write.mode("overwrite").parquet(path)
+    (0 until 8000).map(i => (s"f$i", i * 10L, i * 10L + 9L))
+      .toDF("file", "lo_v", "hi_v")
+      .write.mode("overwrite").parquet(Clustered.statsPath(path))
+    val (keep, total) = Clustered.pruneRange(spark, path, "v", 100, 119)
+    assert(total == 8000)
+    assert(keep.toSet == Set("f10", "f11"))
+
+    // bloom index at the same scale: 8000 one-key blooms, point probe
+    (0 until 8000).map(i => (s"f$i", i.toLong)).toDF("file", "k")
+      .groupBy("file")
+      .agg(graft.ops.Bloom.bloomAgg(col("k"), 10L).as("bloom"))
+      .write.mode("overwrite").parquet(Clustered.bloomPath(path, "v"))
+    val (keepB, totalB) = Clustered.pruneEquality(spark, path, "v", 4321L)
+    assert(totalB == 8000)
+    assert(keepB.contains("f4321"))
+    assert(keepB.size < 400, // ~1/8000 true + fp rate, far under 5%
+      s"bloom pruned nothing: ${keepB.size} of $totalB survived")
+  }
+
+  test("non-numeric clustering keys are rejected loudly") {
+    val df = Seq((1L, "a", 2L)).toDF("id", "name", "v")
+    val err = intercept[IllegalArgumentException] {
+      Clustered.writeClustered(df,
+        java.nio.file.Files.createTempDirectory("zorder").toString + "/z",
+        "name", "v", files = 2)
+    }
+    assert(err.getMessage.contains("must be numeric"))
+  }
+
+  test("string stat values (quotes included) survive the sidecar round-trip") {
+    // the r8 JSON sidecar interpolated raw values — a quote-bearing
+    // string key corrupted it; the parquet sidecar stores native
+    // typed values, and a range prune on a non-numeric column keeps
+    // every file (cast-null → keep: unknown never justifies a skip)
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val path = s"$base/t"
+    Seq((1L, "say \"hi\"", 10L), (2L, "plain", 20L))
+      .toDF("id", "tag", "v").repartition(2)
+      .write.mode("overwrite").parquet(path)
+    Clustered.writeStats(spark, path, Seq("tag", "v"))
+    val side = spark.read.parquet(Clustered.statsPath(path))
+    assert(side.count() >= 1)
+    val tags = side.select("lo_tag").as[String].collect().toSet
+    assert(tags.contains("say \"hi\"") || tags.contains("plain"))
+    val (keep, total) = Clustered.pruneRange(spark, path, "tag", 0, 1)
+    assert(keep.size == total, "non-numeric bounds must never skip")
+  }
+
   test("morton interleave matches a bit-by-bit reference for random pairs") {
     // the Column cascade in writeClustered must BE the textbook
     // interleave — verify against an independent per-bit construction
