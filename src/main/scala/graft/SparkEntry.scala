@@ -2946,6 +2946,141 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 163: Z-ORDER SKIPPING driver-gated — events staged z-clustered
+    // on (user_id, vc) into 16 files with the parquet min/max sidecar
+    // (sources/Clustered): readRange prunes files on the vc dimension
+    // BEFORE any data IO, then re-applies the exact predicate. The
+    // checked output carries the filtered aggregate AND a `skipped`
+    // flag (filesRead < filesTotal), so the driver row gates both the
+    // values and that real file skipping happened; the oracle is the
+    // full-scan filter + TRUE. The [0,500]-cent slice is ~1% of the
+    // vc domain at every SF — thin on the second clustered dimension,
+    // exactly what a linear layout cannot prune.
+    "q_zorder_skip" -> ((s, dir) => {
+      val path = stagingRoot(dir) + "/zorder_events"
+      if (!new java.io.File(
+          graft.sources.Clustered.statsPath(path)).exists()) {
+        val src = t(s, dir, "events").select(col("event_id"),
+          col("user_id"), cents(col("value")).as("vc"))
+        graft.sources.Clustered.writeClustered(src, path,
+          "user_id", "vc", files = 16)
+      }
+      val (df, kept, tot) =
+        graft.sources.Clustered.readRange(s, path, "vc", 0, 500)
+      df.agg(count(lit(1)).as("n_rows"),
+          money(sum(col("vc"))).as("sum_value"))
+        .select(col("n_rows"), col("sum_value"),
+          lit(kept < tot).as("skipped"))
+    }),
+
+    // 164: BLOOM SKIPPING driver-gated — documents staged
+    // hash-partitioned on doc_id (the layout that DEFEATS min/max
+    // range pruning: every file's id range spans the domain) with a
+    // per-file bloom sidecar; readEquality proves most files "cannot
+    // contain doc 42" before IO and the exact predicate removes
+    // bloom false positives. Same skipped-flag gate as q_zorder_skip;
+    // oracle = the point lookup off the source table + TRUE.
+    "q_bloom_skip" -> ((s, dir) => {
+      val path = stagingRoot(dir) + "/bloom_docs"
+      if (!new java.io.File(
+          graft.sources.Clustered.bloomPath(path, "doc_id")).exists()) {
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+          .repartition(16, col("doc_id"))
+          .write.mode("overwrite").parquet(path)
+        graft.sources.Clustered.writeBloomIndex(s, path, "doc_id",
+          expectedPerFile = 2000L)
+      }
+      val (df, kept, tot) =
+        graft.sources.Clustered.readEquality(s, path, "doc_id", 42L)
+      df.select(col("doc_id"), col("n_chars"),
+        lit(kept < tot).as("skipped"))
+    }),
+
+    // 165: VERSIONED SCHEMA EVOLUTION driver-gated — v0 commits
+    // orders WITHOUT o_orderstatus, v1 appends rows WITH it; the
+    // manifest-carried merged schema null-fills the new column for
+    // v0's files at read time (no mergeSchema footer scan — the
+    // ledger knows). The oracle reconstructs the same null-fill
+    // arithmetically from the source table, so the row gates that
+    // old files read correctly under the evolved schema.
+    "q_schema_evolution" -> ((s, dir) => {
+      val table = stagingRoot(dir) + "/versioned_schema"
+      if (graft.sources.Versioned.latestVersion(table) < 0) {
+        val o = t(s, dir, "orders")
+        graft.sources.Versioned.commit(
+          o.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"),
+              cents(col("o_totalprice")).as("price_cents")),
+          table, overwrite = false)
+        graft.sources.Versioned.commit(
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"),
+              cents(col("o_totalprice")).as("price_cents"),
+              col("o_orderstatus")),
+          table, overwrite = false)
+      }
+      graft.sources.Versioned.read(s, table)
+        .groupBy(coalesce(col("o_orderstatus"), lit("<none>"))
+          .as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(col("price_cents"))).as("sum_price"))
+        .orderBy("status")
+    }),
+
+    // 166: EXACTLY-ONCE VERSIONED SINK driver-gated — the real
+    // streaming engine (file-source readStream, AvailableNow) commits
+    // each micro-batch into the versioned table through VersionedSink
+    // (manifest txn token `appId:batchId` dedupes foreachBatch
+    // replays); after the drain the table's head snapshot must equal
+    // the batch computation over the same source — streamed commits
+    // == batch content, value-gated. Sink + checkpoint are
+    // per-invocation so every run proves convergence from scratch;
+    // the crash-replay matrix is spec-gated (VersionedSinkSpec).
+    "q_versioned_sink" -> ((s, dir) => {
+      val n = streamExecSeq.incrementAndGet()
+      val table = stagingRoot(dir) + s"/versioned_sink_$n"
+      val ckpt = stagingRoot(dir) + s"/versioned_sink_ckpt_$n"
+      val src = eventsStream(s, dir).select(col("event_id"),
+        col("event_type"), cents(col("value")).as("vc"))
+      val q = graft.streaming.VersionedSink.versionedAppend(
+        src, table, appId = s"vsink_$n", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      graft.sources.Versioned.read(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          money(sum(col("vc"))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // 167: VERSIONED COMPACTION driver-gated — four appends build a
+    // 4-data-dir ledger, compact() rewrites the head as ONE overwrite
+    // commit; the row reads BOTH the pre-compaction version and the
+    // compacted head and carries each manifest's data-dir count, so
+    // the oracle gates (a) rows identical pre/post, (b) history
+    // intact, and (c) the ledger actually shrank 4 → 1.
+    "q_compact_roundtrip" -> ((s, dir) => {
+      val table = stagingRoot(dir) + "/versioned_compact"
+      if (graft.sources.Versioned.latestVersion(table) < 0) {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+        (0 until 4).foreach(k => graft.sources.Versioned.commit(
+          o.filter(col("o_orderkey") % 4 === k), table,
+          overwrite = false): Unit)
+        graft.sources.Versioned.compact(s, table, targetFiles = 1): Unit
+      }
+      val head = graft.sources.Versioned.latestVersion(table)
+      def summarize(v: Int, phase: String) =
+        graft.sources.Versioned.read(s, table, Some(v))
+          .agg(count(lit(1)).as("n_orders"),
+            money(sum(col("price_cents"))).as("sum_price"))
+          .select(lit(phase).as("phase"),
+            lit(graft.sources.Versioned.readManifestDirCount(table, v))
+              .as("n_dirs"),
+            col("n_orders"), col("sum_price"))
+      summarize(head, "post").unionAll(summarize(head - 1, "pre"))
+        .orderBy("phase")
+    }),
+
     // 39 (beyond-§2): the reference's FULL pipeline composed end-to-end
     // — base load analog → marker semi-join → per-subset mark operators
     // (capped Qx, dedup-first H/C1/Qx1, stateful C5 gap) joined back →
@@ -3112,6 +3247,39 @@ object SparkEntry {
                / 100.0 AS sum_value
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1 ORDER BY day""",
+    "q_zorder_skip" -> """
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value,
+             TRUE AS skipped
+      FROM events
+      WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 0 AND 500""",
+    "q_bloom_skip" -> """
+      SELECT doc_id, n_chars, TRUE AS skipped
+      FROM documents WHERE doc_id = 42""",
+    "q_schema_evolution" -> """
+      SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                  ELSE '<none>' END AS status,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+      FROM orders GROUP BY 1 ORDER BY status""",
+    "q_versioned_sink" -> """
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value
+      FROM events GROUP BY 1 ORDER BY event_type""",
+    "q_compact_roundtrip" -> """
+      SELECT 'post' AS phase, 1 AS n_dirs, count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+      FROM orders
+      UNION ALL
+      SELECT 'pre', 4, count(*),
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0
+      FROM orders
+      ORDER BY phase""",
     "q_lake_refresh" -> """
       SELECT event_type, count(*) AS n_events,
              CAST(sum(CAST(round(
