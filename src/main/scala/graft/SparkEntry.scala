@@ -2915,14 +2915,19 @@ object SparkEntry {
 
     // 156: STREAMING CDC — readStream over the versioned table's
     // APPLYABLE change feed (Versioned.changeFeed: keys + new values
-    // + change_type), foreachBatch-MERGEd by CdcSink into a parquet
-    // mirror seeded from v0. After the stream drains the mirror must
-    // BE v1 — the oracle recomputes v1's per-type aggregate from the
-    // base table, so the whole chain (feed derivation → stream →
-    // idempotent MERGE apply) is value-gated, not just rows>0. The
-    // feed stages once per process (a change feed IS a log dir);
-    // mirror + checkpoint are per-invocation so every run proves
-    // convergence from scratch. Replay safety = apply idempotence.
+    // + change_type), each micro-batch MERGEd by CdcSink.startVersioned
+    // as ONE atomic Versioned.merge overwrite commit into a VERSIONED
+    // mirror seeded from v0 — the mirror IS a versioned table (the
+    // lakehouse shape: the transaction ledger is the sink's log, the
+    // `appId:batchId` txn token dedupes foreachBatch replays
+    // exactly-once, and time travel across applied batches is free).
+    // After the stream drains the mirror's head must BE v1 — the
+    // oracle recomputes v1's per-type aggregate from the base table,
+    // so the whole chain (feed derivation → stream → exactly-once
+    // MERGE commit) is value-gated, not just rows>0. The feed stages
+    // once per process (a change feed IS a log dir); mirror +
+    // checkpoint are per-invocation so every run proves convergence
+    // from scratch.
     "q_stream_cdc" -> ((s, dir) => {
       val table = ensureCdcTable(s, dir)
       val feedDir = stagingRoot(dir) + "/cdc_feed"
@@ -2930,16 +2935,17 @@ object SparkEntry {
         graft.sources.Versioned.changeFeed(s, table, 0, 1, Seq("event_id"))
           .write.mode("overwrite").parquet(feedDir)
       val n = streamExecSeq.incrementAndGet()
-      val mirror = stagingRoot(dir) + s"/cdc_mirror_$n"
+      val mirror = stagingRoot(dir) + s"/cdc_vmirror_$n"
       val ckpt = stagingRoot(dir) + s"/cdc_ckpt_$n"
-      graft.sources.Versioned.read(s, table, Some(0))
-        .write.mode("overwrite").parquet(mirror)
+      graft.sources.Versioned.commit(
+        graft.sources.Versioned.read(s, table, Some(0)), mirror,
+        overwrite = false): Unit
       val feedSchema = s.read.parquet(feedDir).schema
-      val q = graft.streaming.CdcSink.start(
+      val q = graft.streaming.CdcSink.startVersioned(
         s.readStream.schema(feedSchema).parquet(feedDir),
-        Seq("event_id"), mirror, ckpt)
+        Seq("event_id"), mirror, appId = s"cdcv_$n", ckpt)
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(mirror)
+      graft.sources.Versioned.read(s, mirror)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           money(sum(col("vc"))).as("sum_value"))

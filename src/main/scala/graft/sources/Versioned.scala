@@ -138,7 +138,22 @@ object Versioned {
     * no manifest references it; reclaimed by [[vacuum]]'s
     * unreachable-dir sweep). */
   def commitTxn(df: DataFrame, path: String, overwrite: Boolean,
-      txn: Option[String]): Int = {
+      txn: Option[String]): Int =
+    commitCore(df, path, overwrite, txn, expectedBase = None).get
+
+  /** [[commitTxn]] with an optimistic-concurrency precondition: the
+    * commit only publishes if the table head is still `base` (the
+    * version the caller derived `df` FROM). Returns None — with the
+    * staged data dir left orphaned for [[vacuum]] — when any other
+    * commit landed first, so a read-modify-write caller ([[merge]])
+    * re-derives from the new head instead of silently overwriting a
+    * concurrent append with stale data (write skew). */
+  private[graft] def commitIfBase(df: DataFrame, path: String,
+      overwrite: Boolean, txn: Option[String], base: Int): Option[Int] =
+    commitCore(df, path, overwrite, txn, expectedBase = Some(base))
+
+  private def commitCore(df: DataFrame, path: String, overwrite: Boolean,
+      txn: Option[String], expectedBase: Option[Int]): Option[Int] = {
     // token charset gate BEFORE any work: render() interpolates the
     // token into manifest JSON unescaped (documented builder-owned
     // charset); an appId-derived token carrying a quote or backslash
@@ -147,7 +162,7 @@ object Versioned {
       ch.isLetterOrDigit && ch < 128 || ch == ':' || ch == '_' || ch == '-'),
       s"versioned commitTxn: txn token must match [A-Za-z0-9:_-]+, got '$t'"))
     txn.flatMap(findTxn(path, _, latestVersion(path))) match {
-      case Some(v) => return v // cheap pre-stage dedup (advisory only)
+      case Some(v) => return Some(v) // cheap pre-stage dedup (advisory)
       case None => ()
     }
     val dataId = java.util.UUID.randomUUID().toString
@@ -167,9 +182,11 @@ object Versioned {
       // the late committer published to an uncontended version.
       val head = latestVersion(path)
       txn.flatMap(findTxn(path, _, head)) match {
-        case Some(v) => return v // a racer landed our txn first
+        case Some(v) => return Some(v) // a racer landed our txn first
         case None => ()
       }
+      if (expectedBase.exists(_ != head))
+        return None // head moved under a read-modify-write: recompute
       val parent =
         if (overwrite || head < 0) None
         else Some(readManifest(path, head))
@@ -206,13 +223,13 @@ object Versioned {
         // contract there.
         Files.createLink(manifestPath(path, m.version), tmp)
         Files.deleteIfExists(tmp)
-        return m.version
+        return Some(m.version)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp): Unit
       }
     }
-    -1 // unreachable
+    None // unreachable
   }
 
   /** Snapshot read: the table as of `version` (default: latest).
@@ -314,6 +331,68 @@ object Versioned {
     * key join as [[changes]]; the vTo values ride the join, so the
     * new snapshot is still read exactly once. Same key-uniqueness
     * precondition as [[changes]]. */
+  /** MERGE INTO the versioned table: rows of the head snapshot whose
+    * key appears in `updates` are replaced, unmatched update rows are
+    * inserted, untouched rows persist — published as ONE overwrite
+    * commit, so readers flip atomically from the pre-merge snapshot
+    * to the post-merge one and history still time-travels. `txn`
+    * makes the merge idempotent under replay (a streaming CDC apply
+    * rides this — the manifest ledger is the sink's transaction log).
+    *
+    * Concurrency: a merge is a read-modify-write, so it runs under
+    * optimistic concurrency ([[commitIfBase]]): derive from head,
+    * attempt to publish at head+1, and if ANY other commit landed
+    * meanwhile, re-derive from the new head and try again — a
+    * concurrent append can never be silently overwritten by stale
+    * derived data. Same key-uniqueness precondition as [[changes]].
+    * `deleteWhen` (evaluated against `updates`) marks rows whose key
+    * is REMOVED instead of upserted — what a CDC delete needs; the
+    * non-key values of such rows are ignored. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], txn: Option[String] = None,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    while (true) {
+      require(attempt < 50, s"versioned merge: 50 lost races at $path")
+      attempt += 1
+      val base = latestVersion(path)
+      require(base >= 0, s"versioned merge: no committed version at $path")
+      val target = read(spark, path, Some(base))
+      // every key in the batch leaves the target (delete), then the
+      // surviving batch rows come back with their new values — MERGE
+      // WHEN MATCHED UPDATE/DELETE WHEN NOT MATCHED INSERT as one
+      // left-anti join plus a union; both sides shuffle once on the
+      // key, AQE picks the physical join
+      val touched = updates.select(keys.map(col): _*).distinct()
+      val upserts = deleteWhen
+        .map(d => updates.filter(!d))
+        .getOrElse(updates)
+        .select(target.columns.map(col).toIndexedSeq: _*)
+      val merged = target.join(touched, keys.toIndexedSeq, "left_anti")
+        .unionByName(upserts)
+      commitIfBase(merged, path, overwrite = true, txn, base) match {
+        case Some(v) => return v
+        case None => () // a commit landed first — re-derive and retry
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Apply one batch of an APPLYABLE change feed ([[changeFeed]]
+    * rows: keys + new non-key values + `change_type`) as one
+    * [[merge]] commit — insert/update rows upsert, delete rows
+    * remove their key. With a txn token this is the exactly-once
+    * streaming CDC apply: the mirror IS a versioned table, every
+    * micro-batch one atomic snapshot, replays deduplicated by the
+    * manifest ledger. */
+  def applyChangeFeed(spark: SparkSession, path: String, feed: DataFrame,
+      keys: Seq[String], txn: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    merge(spark, path, feed, keys, txn,
+      deleteWhen = Some(col("change_type") === "delete"))
+  }
+
   def changeFeed(spark: SparkSession, path: String, vFrom: Int, vTo: Int,
       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -38,6 +38,28 @@ object CdcSink {
       .outputMode("append")
       .start()
 
+  /** Start the apply stream against a VERSIONED mirror: every
+    * micro-batch of the change feed becomes one atomic
+    * [[Versioned.merge]] overwrite commit carrying the idempotence
+    * token `<appId>:<batchId>` — so the mirror is a real versioned
+    * table (time travel across applied batches comes free), replays
+    * are deduplicated by the manifest ledger (exactly-once, not just
+    * idempotent-converging), and a concurrent committer on the mirror
+    * is handled by merge's optimistic re-derive instead of the
+    * rewrite-and-swap race window. This is how a lakehouse CDC
+    * pipeline actually lands; [[start]]'s plain-parquet mirror
+    * remains the format-less seam. */
+  def startVersioned(feed: DataFrame, keys: Seq[String], tablePath: String,
+      appId: String, checkpointDir: String): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Versioned.applyChangeFeed(batch.sparkSession,
+          tablePath, batch, keys, txn = Some(s"$appId:$batchId")): Unit
+      }
+      .outputMode("append")
+      .start()
+
   /** One micro-batch MERGE — also directly usable for batch CDC
     * catch-up so stream and backfill share one code path. */
   def applyBatch(batch: DataFrame, keys: Seq[String],

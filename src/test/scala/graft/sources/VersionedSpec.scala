@@ -210,6 +210,65 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, path, Some(2)).count() == 3)
   }
 
+  test("merge upserts matched keys, inserts new ones, keeps the rest; one overwrite commit") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      path, overwrite = false)
+    val v = Versioned.merge(spark, path,
+      Seq((2L, "B"), (9L, "Z")).toDF("k", "v"), Seq("k"))
+    assert(v == 1)
+    assert(Versioned.read(spark, path).as[(Long, String)].collect()
+      .toSet == Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "Z")))
+    // pre-merge snapshot still time-travels
+    assert(Versioned.read(spark, path, Some(0)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("applyChangeFeed converges a versioned mirror to the source head") {
+    // source: v0 -> v1 with an update, a delete, and an insert
+    val src = tmpTable()
+    Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      src, overwrite = false)
+    Versioned.commit(Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("k", "v"),
+      src, overwrite = true)
+    // mirror seeded from v0, then the applyable feed MERGEs as one
+    // versioned commit with a txn token
+    val mirror = tmpTable()
+    Versioned.commit(Versioned.read(spark, src, Some(0)), mirror,
+      overwrite = false)
+    val feed = Versioned.changeFeed(spark, src, 0, 1, Seq("k"))
+    val v = Versioned.applyChangeFeed(spark, mirror, feed, Seq("k"),
+      txn = Some("app:0"))
+    assert(v == 1)
+    assert(Versioned.read(spark, mirror).as[(Long, String)].collect()
+      .toSet == Versioned.read(spark, src, Some(1))
+        .as[(Long, String)].collect().toSet)
+    // replaying the same batch (same txn) is a no-op returning the
+    // committed version — exactly-once, not merely convergent
+    assert(Versioned.applyChangeFeed(spark, mirror, feed, Seq("k"),
+      txn = Some("app:0")) == 1)
+    assert(Versioned.latestVersion(mirror) == 1)
+  }
+
+  test("merge never drops a concurrent append: stale base aborts, retry re-derives") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path, overwrite = false)
+    val base = Versioned.latestVersion(path)
+    // a racer lands an append AFTER the merge-side caller read base
+    Versioned.commit(Seq((5L, "racer")).toDF("k", "v"), path,
+      overwrite = false)
+    // the stale read-modify-write must be REJECTED, not published
+    val stale = Versioned.read(spark, path, Some(base))
+      .unionByName(Seq((2L, "m")).toDF("k", "v"))
+    assert(Versioned.commitIfBase(stale, path, overwrite = true,
+      txn = None, base = base).isEmpty)
+    // the public merge re-derives internally: both the racer's row
+    // and the merge effect survive
+    Versioned.merge(spark, path, Seq((2L, "m")).toDF("k", "v"), Seq("k"))
+    assert(Versioned.read(spark, path).as[(Long, String)].collect()
+      .toSet == Set((1L, "a"), (5L, "racer"), (2L, "m")))
+  }
+
   test("commitTxn rejects tokens outside the manifest-safe charset") {
     val path = tmpTable()
     // a quote or backslash in the token would be interpolated raw
