@@ -46,36 +46,31 @@ object Versioned {
   private def manifestPath(path: String, v: Int) =
     versionsDir(path).resolve(s"v$v.json")
 
-  // minimal JSON (manifests are builder-owned: fixed shape, no
-  // nesting, dirs are uuids, txn ids are caller-supplied tokens
-  // documented as [A-Za-z0-9:_-], and the schema DDL — arbitrary
-  // text — rides base64 so no JSON escaping is ever needed)
+  // Manifest JSON: rendered with full string escaping and read back
+  // by a real (still dependency-free) recursive-descent parser
+  // ([[ManifestJson]]) — field order, whitespace, escapes, and
+  // unknown future fields are all handled, so a manifest written by
+  // a newer builder stays readable (the r8 split-on-substring parser
+  // was byte-layout-coupled and one quote away from corruption).
   private def render(m: Manifest): String =
-    s"""{"version":${m.version},"mode":"${m.mode}","dataDirs":[""" +
-      m.dataDirs.map("\"" + _ + "\"").mkString(",") + "]" +
-      m.txn.map(t => s""","txn":"$t"""").getOrElse("") +
+    s"""{"version":${m.version},"mode":${ManifestJson.quote(m.mode)},""" +
+      s""""dataDirs":[${m.dataDirs.map(ManifestJson.quote).mkString(",")}]""" +
+      m.txn.map(t => s""","txn":${ManifestJson.quote(t)}""").getOrElse("") +
       m.schemaDdl.map(d => s""","schemaB64":"${
         java.util.Base64.getEncoder.encodeToString(d.getBytes("UTF-8"))
       }"""").getOrElse("") + "}"
 
   private def parse(s: String): Manifest = {
-    def field(name: String): String =
-      s.split("\"" + name + "\":", 2)(1)
-    val v = field("version").takeWhile(_.isDigit).toInt
-    val mode = field("mode").drop(1).takeWhile(_ != '"')
-    val dirs = field("dataDirs").drop(1).takeWhile(_ != ']')
-    val dataDirs =
-      if (dirs.trim.isEmpty) Seq.empty
-      else dirs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    val txn =
-      if (s.contains("\"txn\":")) Some(field("txn").drop(1).takeWhile(_ != '"'))
-      else None
-    val ddl =
-      if (s.contains("\"schemaB64\":"))
-        Some(new String(java.util.Base64.getDecoder.decode(
-          field("schemaB64").drop(1).takeWhile(_ != '"')), "UTF-8"))
-      else None
-    Manifest(v, mode, dataDirs, txn, ddl)
+    val m = ManifestJson.parseObject(s)
+    Manifest(
+      version = m("version").asInstanceOf[Long].toInt,
+      mode = m("mode").asInstanceOf[String],
+      dataDirs = m.getOrElse("dataDirs", List.empty[Any])
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
+      txn = m.get("txn").map(_.asInstanceOf[String]),
+      schemaDdl = m.get("schemaB64").map(b =>
+        new String(java.util.Base64.getDecoder.decode(
+          b.asInstanceOf[String]), "UTF-8")))
   }
 
   /** Latest committed version number, or -1 for an empty table. */
