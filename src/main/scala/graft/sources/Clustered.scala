@@ -72,11 +72,23 @@ object Clustered {
     * through null casts and cluster nothing). */
   def writeClustered(df: DataFrame, path: String, c1: String, c2: String,
       files: Int): Unit = {
+    clusteredFrame(df, c1, c2, files)
+      .write.mode("overwrite").parquet(path)
+    writeStats(df.sparkSession, path, Seq(c1, c2))
+  }
+
+  /** The z-ordered re-arrangement itself (the plan [[writeClustered]]
+    * writes): normalize → interleave → range-partition → sort-within.
+    * Exposed so other writers — e.g. a [[Versioned]] clustered
+    * commit — can stage the identical layout into their own
+    * destination. Output columns equal the input's (the z value and
+    * the broadcast bounds are internal). */
+  def clusteredFrame(df: DataFrame, c1: String, c2: String,
+      files: Int): DataFrame = {
     Seq(c1, c2).foreach(c => require(
       df.schema(c).dataType.isInstanceOf[NumericType],
       s"writeClustered: clustering key $c must be numeric, " +
         s"got ${df.schema(c).dataType}"))
-    val spark = df.sparkSession
     val mm = df.agg(
       min(col(c1)).as("lo1"), max(col(c1)).as("hi1"),
       min(col(c2)).as("lo2"), max(col(c2)).as("hi2"))
@@ -94,8 +106,6 @@ object Clustered {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
-    writeStats(spark, path, Seq(c1, c2))
   }
 
   /** Build the per-file min/max index for `cols`: one column-pruned

@@ -147,8 +147,26 @@ object Versioned {
       overwrite: Boolean, txn: Option[String], base: Int): Option[Int] =
     commitCore(df, path, overwrite, txn, expectedBase = Some(base))
 
+  /** Commit `df` Z-CLUSTERED on two numeric columns as the next
+    * version: the staged data dir is written in
+    * [[Clustered.clusteredFrame]] layout with its min/max stats
+    * sidecar INSIDE the dir, so clustered layout + skipping index
+    * ride the manifest — every version keeps its own index, and
+    * [[readRangeClustered]] time-travels WITH file skipping. Commit
+    * mechanics (atomicity, races, txn dedup, schema ledger) are
+    * exactly [[commitTxn]]'s. */
+  def commitClustered(df: DataFrame, path: String, c1: String, c2: String,
+      files: Int, overwrite: Boolean, txn: Option[String] = None): Int =
+    commitCore(df, path, overwrite, txn, expectedBase = None,
+      stage = dataDir => {
+        Clustered.clusteredFrame(df, c1, c2, files)
+          .write.mode("errorifexists").parquet(dataDir)
+        Clustered.writeStats(df.sparkSession, dataDir, Seq(c1, c2))
+      }).get
+
   private def commitCore(df: DataFrame, path: String, overwrite: Boolean,
-      txn: Option[String], expectedBase: Option[Int]): Option[Int] = {
+      txn: Option[String], expectedBase: Option[Int],
+      stage: String => Unit = null): Option[Int] = {
     // token charset gate BEFORE any work: render() interpolates the
     // token into manifest JSON unescaped (documented builder-owned
     // charset); an appId-derived token carrying a quote or backslash
@@ -161,7 +179,12 @@ object Versioned {
       case None => ()
     }
     val dataId = java.util.UUID.randomUUID().toString
-    df.write.mode("errorifexists").parquet(s"$path/data/$dataId")
+    val dataDir = s"$path/data/$dataId"
+    // default staging is a plain distributed parquet write; a commit
+    // MODE (e.g. [[commitClustered]]) swaps in its own layout writer
+    // — the ledger mechanics below are identical either way
+    if (stage == null) df.write.mode("errorifexists").parquet(dataDir)
+    else stage(dataDir)
     Files.createDirectories(versionsDir(path))
     var attempt = 0
     while (true) {
@@ -248,6 +271,56 @@ object Versioned {
         .parquet(dirs: _*)
       case None => spark.read.parquet(dirs: _*)
     }
+  }
+
+  /** Snapshot read WITH file skipping: resolve the manifest of
+    * `version` (default head), then per data dir prune on its own
+    * min/max sidecar when one exists ([[Clustered.pruneRange]] —
+    * distributed filter, survivors-only collect) and keep every file
+    * of un-indexed dirs (plain appends after a clustered commit stay
+    * readable — unknown never justifies a skip). The exact predicate
+    * re-applies for row-level exactness, and the manifest's schema
+    * still governs the read, so skipping composes with schema
+    * evolution AND time travel — each version prunes on the index it
+    * was committed with. Returns (frame, filesRead, filesTotal). */
+  def readRangeClustered(spark: SparkSession, path: String, c: String,
+      lo: Double, hi: Double,
+      version: Option[Int] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val v = version.getOrElse(latestVersion(path))
+    require(v >= 0, s"versioned read: no committed version at $path")
+    val m = readManifest(path, v)
+    val dirs = m.dataDirs.map(d => s"$path/data/$d")
+    var kept = Vector.empty[String]
+    var total = 0
+    dirs.foreach { dir =>
+      if (Files.isDirectory(Paths.get(Clustered.statsPath(dir)))) {
+        val (k, t) = Clustered.pruneRange(spark, dir, c, lo, hi)
+        kept ++= k; total += t
+      } else {
+        // un-indexed dir: all of its data files stay in the read set
+        // (local listing here; an HDFS/object-store deployment swaps
+        // this for FileSystem.listStatus — same contract)
+        val fs = Files.list(Paths.get(dir)).iterator()
+        while (fs.hasNext) {
+          val f = fs.next().getFileName.toString
+          if (f.endsWith(".parquet") && !f.startsWith("_") &&
+              !f.startsWith(".")) {
+            kept :+= s"$dir/$f"; total += 1
+          }
+        }
+      }
+    }
+    val reader = m.schemaDdl match {
+      case Some(ddl) => spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case None => spark.read
+    }
+    val pred = col(c) >= lo && col(c) <= hi
+    val df =
+      if (kept.isEmpty) reader.parquet(dirs: _*).filter(pred).limit(0)
+      else reader.parquet(kept: _*).filter(pred)
+    (df, kept.size, total)
   }
 
   /** Compaction: rewrite the head snapshot as ONE overwrite commit of

@@ -269,6 +269,49 @@ class VersionedSpec extends SparkSpec {
       .toSet == Set((1L, "a"), (5L, "racer"), (2L, "m")))
   }
 
+  test("clustered commits carry their index: time travel with file skipping") {
+    val path = tmpTable()
+    def grid(n: Int) = (0 until n).map { i =>
+      (i.toLong, (i * 7919L) % 10000, (i * 104729L) % 10000)
+    }.toDF("id", "x", "y").repartition(4)
+    // v0: a clustered commit — data dir in z-layout, stats inside it
+    assert(Versioned.commitClustered(grid(8000), path, "x", "y",
+      files = 8, overwrite = false) == 0)
+    val (d0, k0, t0) =
+      Versioned.readRangeClustered(spark, path, "y", 100, 600)
+    assert(t0 == 8 && k0 < t0,
+      s"v0 read $k0 of $t0 files — no skipping")
+    val want0 = grid(8000).filter(col("y").between(100, 600)).count()
+    assert(d0.count() == want0)
+
+    // v1: a PLAIN append — mixed dirs: the indexed dir still prunes,
+    // the un-indexed dir keeps all of its files (never skipped blind)
+    val plain = (0 until 1000).map(i =>
+      (100000L + i, (i * 13L) % 10000, 300L)).toDF("id", "x", "y")
+      .repartition(4)
+    Versioned.commit(plain, path, overwrite = false)
+    val (d1, k1, t1) =
+      Versioned.readRangeClustered(spark, path, "y", 100, 600)
+    assert(t1 == t0 + 4, s"plain dir files uncounted: $t1")
+    assert(k1 < t1 && k1 >= k0 + 4,
+      s"v1 kept $k1 of $t1 — plain dir must be fully kept")
+    assert(d1.count() == want0 + 1000) // appended y=300 rows all match
+
+    // v2: clustered OVERWRITE re-clusters everything — index reset
+    assert(Versioned.commitClustered(Versioned.read(spark, path), path,
+      "x", "y", files = 8, overwrite = true) == 2)
+    val (d2, k2, t2) =
+      Versioned.readRangeClustered(spark, path, "y", 100, 600)
+    assert(t2 == 8 && k2 < t2)
+    assert(d2.count() == want0 + 1000)
+
+    // time travel: v0 prunes with ITS OWN index, rows as of v0
+    val (d0b, k0b, t0b) =
+      Versioned.readRangeClustered(spark, path, "y", 100, 600, Some(0))
+    assert(t0b == 8 && k0b == k0)
+    assert(d0b.count() == want0)
+  }
+
   test("commitTxn rejects tokens outside the manifest-safe charset") {
     val path = tmpTable()
     // a quote or backslash in the token would be interpolated raw
