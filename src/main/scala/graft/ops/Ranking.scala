@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * work is the offsets window over the #partitions-row count frame.
   *
   * Contract: `order` must be a TOTAL order within each group
-  * (include a unique tiebreaker column) — range partitioning puts
-  * equal keys in one partition, but a total order is what makes the
-  * rank deterministic and the range slices well-defined.
+  * (include a unique tiebreaker column) — the tiebreaker both makes
+  * the rank deterministic AND keeps a pathologically hot order value
+  * splittable: since the tiebreaker participates in the RANGE key,
+  * slice boundaries can fall inside an equal-value run, so a
+  * dominant (group, v) key spreads across slices instead of
+  * serializing into one task (RankingSpec's hot-key test pins this).
   */
 object Ranking {
 
