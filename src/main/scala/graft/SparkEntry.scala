@@ -649,6 +649,26 @@ object SparkEntry {
       s.sql(sqlQ22)
     }),
 
+    // 168: SQL front door, TPC-DS Q22's hierarchy-ROLLUP report —
+    // the multi-level subtotal report (every level of the item
+    // hierarchy in one pass). Catalyst plans the rollup as ONE
+    // Expand + aggregate (no per-level re-scan); partial aggregation
+    // combines map-side before the group shuffle.
+    "q_sql_ds_rollup" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsRollup)
+    }),
+
+    // 169: SQL front door, TPC-DS Q67's rollup-then-rank shape — the
+    // top-revenue-rows-per-level report. The rank window runs over
+    // the AGGREGATE's calendar-bounded frame (|nations|·|priorities|
+    // rows), never the fact table — the scale discipline every
+    // windowed report here follows.
+    "q_sql_ds_toprank" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsTopRank)
+    }),
+
     // 138: SQL front door, TPC-H Q4's EXISTS-date shape — the late-
     // line order count per priority; the correlated EXISTS carries
     // date predicates on BOTH sides of the correlation.
@@ -2311,6 +2331,47 @@ object SparkEntry {
                         AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
     GROUP BY n_name
     ORDER BY n_name"""
+
+  /** Shared verbatim — TPC-DS Q22's hierarchy-ROLLUP report shape
+    * (avg quantity at every level of the item hierarchy), adapted to
+    * this schema's (brand, type) hierarchy over a two-year ship
+    * window. Subtotal rows carry SQL-standard nulls in the rolled-up
+    * columns in both engines; the average is one mirrored IEEE
+    * division of exact BIGINT sum/count. */
+  private val sqlDsRollup: String = """
+    SELECT p_brand, p_type, count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)
+             AS avg_qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY ROLLUP(p_brand, p_type)
+    ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST"""
+
+  /** Shared verbatim — TPC-DS Q67's rollup-then-rank report shape:
+    * revenue rolled up over (nation, priority), then the top
+    * revenue rows RANKED WITHIN each nation partition (the window
+    * runs over the aggregate's |nations|·|priorities| frame — never
+    * the fact table). The null-partition row (grand total) ranks in
+    * its own partition, same in both engines. */
+  private val sqlDsTopRank: String = """
+    WITH agg AS (
+      SELECT n_name, o_orderpriority,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev_cents
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY ROLLUP(n_name, o_orderpriority)),
+    rk AS (
+      SELECT n_name, o_orderpriority, rev_cents,
+             CAST(rank() OVER (PARTITION BY n_name
+               ORDER BY rev_cents DESC) AS BIGINT) AS rnk
+      FROM agg)
+    SELECT n_name, o_orderpriority, rev_cents, rnk
+    FROM rk WHERE rnk <= 3
+    ORDER BY n_name NULLS FIRST, rnk, o_orderpriority NULLS FIRST"""
 
   /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
     * orders of one quarter counted per priority when ANY of their
@@ -5252,6 +5313,8 @@ object SparkEntry {
     "q_sql_q6" -> sqlQ6,
     "q_sql_q9" -> sqlQ9,
     "q_sql_q11" -> sqlQ11,
+    "q_sql_ds_rollup" -> sqlDsRollup,
+    "q_sql_ds_toprank" -> sqlDsTopRank,
     "q_linreg" -> """
       WITH m AS (SELECT l_returnflag AS flag, count(*) AS n,
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
