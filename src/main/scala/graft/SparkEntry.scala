@@ -669,6 +669,15 @@ object SparkEntry {
       s.sql(sqlDsTopRank)
     }),
 
+    // 170: SQL front door, TPC-DS Q5/Q77's channel-union report —
+    // independent channel slices UNION ALL'd then rolled up per
+    // (channel, year). Catalyst pushes each branch's predicate into
+    // its own scan and the union feeds ONE Expand + aggregate.
+    "q_sql_ds_channel" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsChannel)
+    }),
+
     // 138: SQL front door, TPC-H Q4's EXISTS-date shape — the late-
     // line order count per priority; the correlated EXISTS carries
     // date predicates on BOTH sides of the correlation.
@@ -2372,6 +2381,29 @@ object SparkEntry {
     SELECT n_name, o_orderpriority, rev_cents, rnk
     FROM rk WHERE rnk <= 3
     ORDER BY n_name NULLS FIRST, rnk, o_orderpriority NULLS FIRST"""
+
+  /** Shared verbatim — TPC-DS Q5/Q77's channel-union report shape:
+    * per-"channel" slices aggregated independently, UNION ALL'd into
+    * one frame, then totaled per (channel, year) WITH ROLLUP — the
+    * cross-channel summary every DS-style report suite runs. Exact
+    * cents throughout; EXTRACT(YEAR) cast to BIGINT on both engines. */
+  private val sqlDsChannel: String = """
+    WITH ch AS (
+      SELECT 'express' AS channel,
+             CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS yr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      UNION ALL
+      SELECT 'standard',
+             CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT),
+             CAST(round(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+    SELECT channel, yr, count(*) AS n_orders,
+           CAST(sum(pc) AS DOUBLE) / 100.0 AS revenue
+    FROM ch
+    GROUP BY ROLLUP(channel, yr)
+    ORDER BY channel NULLS FIRST, yr NULLS FIRST"""
 
   /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
     * orders of one quarter counted per priority when ANY of their
@@ -5315,6 +5347,7 @@ object SparkEntry {
     "q_sql_q11" -> sqlQ11,
     "q_sql_ds_rollup" -> sqlDsRollup,
     "q_sql_ds_toprank" -> sqlDsTopRank,
+    "q_sql_ds_channel" -> sqlDsChannel,
     "q_linreg" -> """
       WITH m AS (SELECT l_returnflag AS flag, count(*) AS n,
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
