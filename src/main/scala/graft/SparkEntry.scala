@@ -134,21 +134,28 @@ object SparkEntry {
   /** The versioned CDC demo table (v0 = all events; v1 = clicks
     * deleted, purchases revalued ×2, shifted-id views inserted),
     * shared by q_snapshot_diff and q_stream_cdc; staged once per
-    * process. Returns the table path. */
+    * process. v1 lands as a MERGE commit (updates + inserts +
+    * deleteWhen) rather than a whole-table overwrite — same snapshot
+    * content, but the commit publishes a STORED change-data feed
+    * (`_changes/cv=1`) that q_stream_cdc's streaming reader consumes
+    * directly. Returns the table path. */
   private[graft] def ensureCdcTable(s: SparkSession, dir: String): String = {
     val table = stagingRoot(dir) + "/versioned_cdc"
     if (graft.sources.Versioned.latestVersion(table) < 0) {
       val ev = t(s, dir, "events").select(col("event_id"),
         col("event_type"), cents(col("value")).as("vc"))
       graft.sources.Versioned.commit(ev, table, overwrite = false)
-      val survivors = ev.filter(col("event_type") =!= "click")
-        .withColumn("vc", when(col("event_type") === "purchase",
-          col("vc") * 2).otherwise(col("vc")))
-      val inserts = ev.filter(col("event_type") === "view")
-        .select((col("event_id") + lit(1000000000L)).as("event_id"),
-          col("event_type"), col("vc"))
-      graft.sources.Versioned.commit(survivors.unionByName(inserts),
-        table, overwrite = true)
+      val batch = ev.filter(col("event_type") === "purchase")
+        .withColumn("vc", col("vc") * 2)
+        .withColumn("change_type", lit("update"))
+        .unionByName(ev.filter(col("event_type") === "view")
+          .select((col("event_id") + lit(1000000000L)).as("event_id"),
+            col("event_type"), col("vc"))
+          .withColumn("change_type", lit("insert")))
+        .unionByName(ev.filter(col("event_type") === "click")
+          .withColumn("change_type", lit("delete")))
+      graft.sources.Versioned.applyChangeFeed(s, table, batch,
+        Seq("event_id")): Unit
     }
     table
   }
@@ -3006,43 +3013,83 @@ object SparkEntry {
         .orderBy("change_type")
     }),
 
-    // 156: STREAMING CDC — readStream over the versioned table's
-    // APPLYABLE change feed (Versioned.changeFeed: keys + new values
-    // + change_type), each micro-batch MERGEd by CdcSink.startVersioned
-    // as ONE atomic Versioned.merge overwrite commit into a VERSIONED
-    // mirror seeded from v0 — the mirror IS a versioned table (the
-    // lakehouse shape: the transaction ledger is the sink's log, the
-    // `appId:batchId` txn token dedupes foreachBatch replays
-    // exactly-once, and time travel across applied batches is free).
-    // After the stream drains the mirror's head must BE v1 — the
-    // oracle recomputes v1's per-type aggregate from the base table,
-    // so the whole chain (feed derivation → stream → exactly-once
-    // MERGE commit) is value-gated, not just rows>0. The feed stages
-    // once per process (a change feed IS a log dir); mirror +
-    // checkpoint are per-invocation so every run proves convergence
-    // from scratch.
+    // 156: STREAMING CDC end-to-end on the STORED change-data feed —
+    // Versioned.readChangeStream (the built-in file-stream source
+    // over the feed the v1 MERGE commit published; exactly-once per
+    // feed file) emits keys + post-image values + _change_type; each
+    // micro-batch is MERGEd by CdcSink.startVersioned as ONE atomic
+    // Versioned.merge overwrite commit into a VERSIONED mirror seeded
+    // from v0 — the mirror IS a versioned table (the lakehouse shape:
+    // the transaction ledger is the sink's log, the `appId:batchId`
+    // txn token dedupes foreachBatch replays exactly-once, and time
+    // travel across applied batches is free). After the stream drains
+    // the mirror's head must BE v1 — the oracle recomputes v1's
+    // per-type aggregate from the base table, so the whole chain
+    // (stored feed publish → stream → exactly-once MERGE commit) is
+    // value-gated, not just rows>0. Mirror + checkpoint are
+    // per-invocation so every run proves convergence from scratch.
     "q_stream_cdc" -> ((s, dir) => {
       val table = ensureCdcTable(s, dir)
-      val feedDir = stagingRoot(dir) + "/cdc_feed"
-      if (!new java.io.File(feedDir).exists())
-        graft.sources.Versioned.changeFeed(s, table, 0, 1, Seq("event_id"))
-          .write.mode("overwrite").parquet(feedDir)
       val n = streamExecSeq.incrementAndGet()
       val mirror = stagingRoot(dir) + s"/cdc_vmirror_$n"
       val ckpt = stagingRoot(dir) + s"/cdc_ckpt_$n"
       graft.sources.Versioned.commit(
         graft.sources.Versioned.read(s, table, Some(0)), mirror,
         overwrite = false): Unit
-      val feedSchema = s.read.parquet(feedDir).schema
+      val feed = graft.sources.Versioned.readChangeStream(s, table)
+        .filter(col("_commit_version") === 1)
+        .drop("_commit_version")
+        .withColumnRenamed("_change_type", "change_type")
       val q = graft.streaming.CdcSink.startVersioned(
-        s.readStream.schema(feedSchema).parquet(feedDir),
-        Seq("event_id"), mirror, appId = s"cdcv_$n", ckpt)
+        feed, Seq("event_id"), mirror, appId = s"cdcv_$n", ckpt)
       try q.processAllAvailable() finally q.stop()
       graft.sources.Versioned.read(s, mirror)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           money(sum(col("vc"))).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // 171: STORED CHANGE-DATA FEED batch reader — a three-version
+    // table (two appends + one merge with inserts/updates/deletes)
+    // publishes its per-commit change rows under _changes at COMMIT
+    // time (appends as zero-copy hardlinks, the merge batch-sized);
+    // Versioned.readChanges returns them with directory-derived
+    // _commit_version/_change_type partition columns, partition-
+    // pruned to the asked range. The checked output aggregates every
+    // (version, type) cell — insert counts per append, the merge's
+    // classified insert/update/delete split with post-image sums and
+    // the delete cell's NULL sum — so the classification, the
+    // post-image values, AND the per-version attribution are all
+    // value-gated against a from-scratch reconstruction. An
+    // incremental consumer reads THIS instead of diffing snapshots:
+    // the feed is written once at commit, never recomputed.
+    "q_changefeed" -> ((s, dir) => {
+      val table = stagingRoot(dir) + "/versioned_feed"
+      if (graft.sources.Versioned.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        graft.sources.Versioned.commit(
+          ev.filter(col("event_id") % 3 === 0), table, overwrite = false)
+        graft.sources.Versioned.commit(
+          ev.filter(col("event_id") % 3 === 1), table, overwrite = false)
+        val batch = ev.filter(col("event_id") % 3 === 2)
+          .withColumn("change_type", lit("insert"))
+          .unionByName(ev.filter(col("event_id") % 6 === 0)
+            .withColumn("vc", col("vc") * 3)
+            .withColumn("change_type", lit("update")))
+          .unionByName(ev.filter(col("event_id") % 3 === 1 &&
+              col("event_type") === "click")
+            .withColumn("change_type", lit("delete")))
+        graft.sources.Versioned.applyChangeFeed(s, table, batch,
+          Seq("event_id")): Unit
+      }
+      graft.sources.Versioned.readChanges(s, table, 0, 2)
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          money(sum(col("vc"))).as("sum_value"))
+        .orderBy("commit_version", "change_type")
     }),
 
     // 163: Z-ORDER SKIPPING driver-gated — events staged z-clustered
@@ -3430,6 +3477,20 @@ object SparkEntry {
       SELECT event_type, count(*) AS n_events,
              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
       FROM b GROUP BY event_type ORDER BY event_type""",
+    "q_changefeed" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      f AS (
+        SELECT 0 AS commit_version, 'insert' AS change_type, vc
+        FROM ev WHERE event_id % 3 = 0
+        UNION ALL SELECT 1, 'insert', vc FROM ev WHERE event_id % 3 = 1
+        UNION ALL SELECT 2, 'insert', vc FROM ev WHERE event_id % 3 = 2
+        UNION ALL SELECT 2, 'update', vc * 3 FROM ev WHERE event_id % 6 = 0
+        UNION ALL SELECT 2, 'delete', CAST(NULL AS BIGINT)
+        FROM ev WHERE event_id % 3 = 1 AND event_type = 'click')
+      SELECT CAST(commit_version AS INT) AS commit_version, change_type,
+             count(*) AS n_rows, CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_yoy_growth" -> """
       WITH m AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
                         CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mo,
