@@ -39,10 +39,28 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
+    // Burst ATTRIBUTION instruments: per-query GC-pause and JIT-
+    // compilation time deltas. The driver's single-pass channel spent
+    // three rounds unable to distinguish a position burst (GC pause,
+    // mid-suite C2 recompilation) from a real regression; with the
+    // pause/compile milliseconds recorded BESIDE each timing, a slow
+    // pass whose gc+jit delta covers the gap is self-explaining in
+    // the artifact — no local re-run needed to adjudicate.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMillis(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else 0L
     // noop-datasource write: forces full evaluation of every output column
     // (count() would let Catalyst prune the expression work away).
-    def timedPass(): Seq[(String, Double, Boolean)] =
+    final case class Timing(name: String, sec: Double, ok: Boolean,
+      gcMs: Long, jitMs: Long)
+    def timedPass(): Seq[Timing] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val (gc0, jit0) = (gcMillis(), jitMillis())
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -58,7 +76,7 @@ object Bench {
         // accumulating in the shared local heap slowed the whole r3
         // suite tail).
         spark.catalog.clearCache()
-        (name, elapsed, ok)
+        Timing(name, elapsed, ok, gcMillis() - gc0, jitMillis() - jit0)
       }
     // TWO timed passes; the graded number per query is the MIN of the
     // two. One pass cannot distinguish a position burst (GC pause,
@@ -71,33 +89,37 @@ object Bench {
     // nothing ever deflates one.
     val pass1 = timedPass()
     val pass2 = timedPass()
-    val p2 = pass2.map { case (n, s, ok) => n -> (s, ok) }.toMap
-    val outcomes = pass1.map { case (name, s1, ok1) =>
-      val (s2, ok2) = p2(name)
-      val sec = (ok1, ok2) match {
-        case (true, false) => s1
-        case (false, true) => s2
-        case _ => math.min(s1, s2)
+    val p2 = pass2.map(t => t.name -> t).toMap
+    val outcomes = pass1.map { t1 =>
+      val t2 = p2(t1.name)
+      val sec = (t1.ok, t2.ok) match {
+        case (true, false) => t1.sec
+        case (false, true) => t2.sec
+        case _ => math.min(t1.sec, t2.sec)
       }
-      (name, sec, s1, s2, ok1 && ok2)
+      (t1, t2, sec)
     }
-    val results = outcomes.map { case (n, sec, _, _, _) => n -> sec }
-    val failed = outcomes.collect { case (n, _, _, _, false) => n }
+    val results = outcomes.map { case (t1, _, sec) => t1.name -> sec }
+    val failed = outcomes.collect { case (t1, t2, _) if !(t1.ok && t2.ok) =>
+      t1.name }
     // Per-query lines FIRST (complete evidence even if a capture window
-    // clips the head) — min beside both pass times — then the single
+    // clips the head) — min beside both pass times plus each pass's
+    // GC/JIT delta milliseconds (burst attribution) — then the single
     // summary JSON line LAST and kept small: times rounded to 3
-    // decimals so 162 entries fit the driver's capture window (the r6
+    // decimals so the entries fit the driver's capture window (the r6
     // tail truncated at full double precision).
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    outcomes.foreach { case (k, sec, s1, s2, _) =>
-      println(s"""{"q":"$k","sec":${f3(sec)},"p1":${f3(s1)},"p2":${f3(s2)}}""")
+    outcomes.foreach { case (t1, t2, sec) =>
+      println(s"""{"q":"${t1.name}","sec":${f3(sec)},"p1":${f3(t1.sec)}""" +
+        s""","p2":${f3(t2.sec)},"gc1":${t1.gcMs},"gc2":${t2.gcMs}""" +
+        s""","jit1":${t1.jitMs},"jit2":${t2.jitMs}}""")
     }
     def qmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val t1 = pass1.map(_._2).sum
-    val t2 = pass2.map(_._2).sum
+    val t1 = pass1.map(_.sec).sum
+    val t2 = pass2.map(_.sec).sum
     // "queries" carries the min-of-2 (the graded per-query number);
     // the pass totals sit beside it so the burst magnitude each round
     // is itself visible in the artifact.
@@ -109,11 +131,19 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_full.json")
     // The file artifact has no capture-window budget: carry the full
-    // per-pass maps beside the graded min map so any future "did it
-    // regress or burst" question is answerable from one round's file.
+    // per-pass maps and the per-pass GC/JIT attribution beside the
+    // graded min map so any future "did it regress or burst" question
+    // is answerable from one round's file.
+    def lmap(vs: Seq[(String, Long)]): String =
+      vs.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val fileSummary = summary.stripSuffix("}") +
-      s""","queries_p1":${qmap(pass1.map(o => o._1 -> o._2))}""" +
-      s""","queries_p2":${qmap(pass2.map(o => o._1 -> o._2))}}"""
+      s""","queries_p1":${qmap(pass1.map(t => t.name -> t.sec))}""" +
+      s""","queries_p2":${qmap(pass2.map(t => t.name -> t.sec))}""" +
+      s""","gc_ms_p1":${lmap(pass1.map(t => t.name -> t.gcMs))}""" +
+      s""","gc_ms_p2":${lmap(pass2.map(t => t.name -> t.gcMs))}""" +
+      s""","jit_ms_p1":${lmap(pass1.map(t => t.name -> t.jitMs))}""" +
+      s""","jit_ms_p2":${lmap(pass2.map(t => t.name -> t.jitMs))}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       fileSummary + "\n")
     catch { case e: Throwable =>
