@@ -685,6 +685,31 @@ object SparkEntry {
       s.sql(sqlDsChannel)
     }),
 
+    // 172: SQL front door, TPC-DS Q51's cumulative-comparison shape —
+    // per-channel running totals on a full-outer month spine, compared
+    // row by row. Both windows run over the months-cardinality
+    // aggregate, never the fact table.
+    "q_sql_ds_cumulative" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsCumulative)
+    }),
+
+    // 173: SQL front door, TPC-DS Q88's multi-band count report,
+    // written scan-fused: eight COUNT(*) FILTER cells in ONE pass of
+    // the fact table instead of the classic eight scalar-subquery
+    // scans — the rewrite that matters at 100 TB.
+    "q_sql_ds_bands" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsBands)
+    }),
+
+    // 174: SQL front door, TPC-DS Q34/Q73's frequent-buyer shape —
+    // HAVING-banded per-customer counts joined back to the dimension.
+    "q_sql_ds_frequent" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsFrequent)
+    }),
+
     // 138: SQL front door, TPC-H Q4's EXISTS-date shape — the late-
     // line order count per priority; the correlated EXISTS carries
     // date predicates on BOTH sides of the correlation.
@@ -2411,6 +2436,90 @@ object SparkEntry {
     FROM ch
     GROUP BY ROLLUP(channel, yr)
     ORDER BY channel NULLS FIRST, yr NULLS FIRST"""
+
+  /** Shared verbatim — TPC-DS Q51's cumulative-channel-comparison
+    * shape: two channel slices aggregated per month, FULL OUTER
+    * joined on the month spine, then running totals over each side
+    * compared row by row. The windows run over the |months| frame
+    * (the aggregate), never the fact table; absent months coalesce
+    * to zero so the cumulative stays exact. The lead flag is an
+    * integer-exact cents compare (3·express vs 2·standard — the
+    * channels' steady-state ratio, so the flag flips with the mix). */
+  private val sqlDsCumulative: String = """
+    WITH m AS (
+      SELECT CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 100 +
+                  EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS yr_mo,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS express,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      FROM orders),
+    e AS (SELECT yr_mo, CAST(sum(pc) AS BIGINT) AS rev
+          FROM m WHERE express GROUP BY yr_mo),
+    s AS (SELECT yr_mo, CAST(sum(pc) AS BIGINT) AS rev
+          FROM m WHERE NOT express GROUP BY yr_mo),
+    j AS (SELECT COALESCE(e.yr_mo, s.yr_mo) AS yr_mo,
+                 COALESCE(e.rev, 0) AS e_rev, COALESCE(s.rev, 0) AS s_rev
+          FROM e FULL OUTER JOIN s ON e.yr_mo = s.yr_mo),
+    c AS (SELECT yr_mo,
+                 CAST(sum(e_rev) OVER (ORDER BY yr_mo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_express,
+                 CAST(sum(s_rev) OVER (ORDER BY yr_mo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_standard
+          FROM j)
+    SELECT yr_mo, CAST(cum_express AS DOUBLE) / 100.0 AS cum_express,
+           CAST(cum_standard AS DOUBLE) / 100.0 AS cum_standard,
+           CAST(CASE WHEN cum_express * 3 > cum_standard * 2
+                THEN 1 ELSE 0 END AS INT) AS express_leading
+    FROM c ORDER BY yr_mo"""
+
+  /** Shared verbatim — TPC-DS Q88's multi-band count report, written
+    * SCAN-FUSED: the classic form runs eight scalar COUNT subqueries
+    * (eight scans of the fact table); `COUNT(*) FILTER (WHERE ...)`
+    * expresses the identical report as ONE scan with conditional
+    * aggregation — the rewrite every Spark user applies to Q88 at
+    * scale, and both engines evaluate the FILTER clauses identically.
+    * One row out; map-side partials reduce 32 ways before the single
+    * exchange. */
+  private val sqlDsBands: String = """
+    SELECT count(*) FILTER (WHERE o_totalprice < 50000
+             AND o_orderpriority = '1-URGENT') AS b1,
+           count(*) FILTER (WHERE o_totalprice < 50000
+             AND o_orderpriority <> '1-URGENT') AS b2,
+           count(*) FILTER (WHERE o_totalprice >= 50000
+             AND o_totalprice < 100000
+             AND o_orderpriority = '1-URGENT') AS b3,
+           count(*) FILTER (WHERE o_totalprice >= 50000
+             AND o_totalprice < 100000
+             AND o_orderpriority <> '1-URGENT') AS b4,
+           count(*) FILTER (WHERE o_totalprice >= 100000
+             AND o_totalprice < 200000
+             AND o_orderpriority = '1-URGENT') AS b5,
+           count(*) FILTER (WHERE o_totalprice >= 100000
+             AND o_totalprice < 200000
+             AND o_orderpriority <> '1-URGENT') AS b6,
+           count(*) FILTER (WHERE o_totalprice >= 200000
+             AND o_orderpriority = '1-URGENT') AS b7,
+           count(*) FILTER (WHERE o_totalprice >= 200000
+             AND o_orderpriority <> '1-URGENT') AS b8
+    FROM orders"""
+
+  /** Shared verbatim — TPC-DS Q34/Q73's frequent-buyer shape: the
+    * per-customer order count banded by HAVING, then joined back to
+    * the dimension for details. The band filter runs on the
+    * AGGREGATE (|customers| rows), the join back is key-equi on the
+    * dimension; both engines plan aggregate-then-join with the fact
+    * table scanned once. */
+  private val sqlDsFrequent: String = """
+    WITH cnt AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(*) BETWEEN 15 AND 20)
+    SELECT c_custkey, c_name, n_orders
+    FROM customer JOIN cnt ON o_custkey = c_custkey
+    ORDER BY n_orders DESC, c_custkey"""
 
   /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
     * orders of one quarter counted per priority when ANY of their
@@ -5409,6 +5518,9 @@ object SparkEntry {
     "q_sql_ds_rollup" -> sqlDsRollup,
     "q_sql_ds_toprank" -> sqlDsTopRank,
     "q_sql_ds_channel" -> sqlDsChannel,
+    "q_sql_ds_cumulative" -> sqlDsCumulative,
+    "q_sql_ds_bands" -> sqlDsBands,
+    "q_sql_ds_frequent" -> sqlDsFrequent,
     "q_linreg" -> """
       WITH m AS (SELECT l_returnflag AS flag, count(*) AS n,
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,

@@ -89,6 +89,15 @@ class PlanSpec extends SparkSpec {
       "contains-filter not pushed")
   }
 
+  test("the fused Q88 band report scans the fact table exactly once") {
+    // the classic Q88 form is eight scalar-subquery scans; the
+    // FILTER-clause form must stay ONE scan of orders — if a rewrite
+    // ever splits it back into per-band scans, this fence trips
+    val p = plan("q_sql_ds_bands")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"q_sql_ds_bands plans $scans scans, expected 1")
+  }
+
   test("star-join dims are broadcast, fact scans are column-pruned") {
     val p = plan("q5_multijoin")
     assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
