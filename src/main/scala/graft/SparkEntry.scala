@@ -4977,6 +4977,44 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // 175: HLL SKETCH artifact + merge — the incremental
+    // distinct-count idiom at 100 TB: per-batch HyperLogLog sketches
+    // (Datasketches HllSketch via functions.hll_sketch_agg) are
+    // PERSISTED once (the history batch — event_id%4<3 — is sketched
+    // and written as a tiny binary-column artifact), and the query
+    // answers "distinct users per type" by sketching ONLY the new
+    // batch and hll_union_agg-merging it with the stored sketches —
+    // the history is never rescanned, and the artifact is
+    // kilobyte-sized regardless of history row count (the property
+    // countDistinct partials lack: they're as big as the key set).
+    // Oracle gate = the exact twin over the full data with a 10%
+    // tolerance flag (lgConfigK=12 ⇒ ~1.6% rse), the
+    // q_distinct_approx pattern.
+    "q_hll_incremental" -> ((s, dir) => {
+      val art = stagingRoot(dir) + "/hll_sketches"
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("user_id"))
+      if (!new java.io.File(art).exists())
+        ev.filter(col("event_id") % 4 < 3)
+          .groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .write.mode("overwrite").parquet(art)
+      val fresh = ev.filter(col("event_id") % 4 === 3)
+        .groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = s.read.parquet(art).unionByName(fresh)
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("distinct_users"))
+      exact.join(merged, "event_type")
+        .select(col("event_type"), col("distinct_users"),
+          (abs(col("__est") - col("distinct_users")) <=
+            greatest(col("distinct_users") / lit(10L), lit(2L)))
+            .as("within_10pct"))
+        .orderBy("event_type")
+    }),
+
     // 90: approx percentiles vs the exact twin (q_percentiles) —
     // percentile_approx (GK summary, accuracy 10000) per priority
     // over BIGINT cents, checked against the exact integer-rank
@@ -6223,6 +6261,11 @@ object SparkEntry {
              count(DISTINCT l_suppkey) AS supplier_cnt,
              TRUE AS within_10pct
       FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q_hll_incremental" -> """
+      SELECT event_type,
+             count(DISTINCT user_id) AS distinct_users,
+             TRUE AS within_10pct
+      FROM events GROUP BY 1 ORDER BY event_type""",
     "q_countmin" -> s"""
       WITH tok AS (SELECT unnest($toks) AS tok FROM documents),
       cnt AS (SELECT tok, count(*) AS exact FROM tok GROUP BY tok),
