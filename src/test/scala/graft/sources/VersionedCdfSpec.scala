@@ -131,6 +131,50 @@ class VersionedCdfSpec extends SparkSpec {
     assert(Versioned.repairChangeFeed(spark, path, Seq("k")).isEmpty)
   }
 
+  test("merge feeds stay exact under live concurrent appends (lost races re-derive)") {
+    val path = tmpTable()
+    Versioned.commit((0L to 9L).map(i => (i, s"n$i", i * 10))
+      .toDF("k", "name", "amt"), path, overwrite = false)
+    // thread B appends disjoint keys while thread A runs merges that
+    // update+insert+delete; merges that lose the publish race must
+    // re-derive from the new head, and the feed each merge publishes
+    // is derived from the SAME base its commit won with — so for
+    // every merge version v, the stored feed must equal the
+    // recomputed snapshot diff v-1 → v exactly
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val appender = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = (0 until 3).foreach { i =>
+        Versioned.commit(Seq((100L + i, s"app$i", 7L))
+          .toDF("k", "name", "amt"), path, overwrite = false): Unit
+      }
+    })
+    val mergeVersions = (0 until 3).map { i =>
+      val batch = Seq(
+        (i.toLong, s"upd$i", 1000L + i, "update"),
+        (50L + i, s"ins$i", 2000L + i, "insert"),
+        (9L - i, s"x", 0L, "delete"))
+        .toDF("k", "name", "amt", "change_type")
+      Versioned.applyChangeFeed(spark, path, batch, Seq("k"))
+    }
+    appender.get(); pool.shutdown()
+    mergeVersions.foreach { v =>
+      val stored = feedRows(path, v, v)
+        .map { case (k, name, amt, _, ct) => (k, name, amt, ct) }
+      val recomputed = Versioned.changeFeed(spark, path, v - 1, v, Seq("k"))
+        .select("k", "name", "amt", "change_type")
+        .as[(Long, String, Option[Long], String)].collect().toSet
+      assert(stored == recomputed,
+        s"v$v stored feed diverges from the snapshot diff:\n" +
+          s"stored=$stored\nrecomputed=$recomputed")
+    }
+    // and the appends' feeds are their own rows
+    val head = Versioned.latestVersion(path)
+    val appendFeeds = (1 to head).filterNot(mergeVersions.contains)
+      .flatMap(v => feedRows(path, v, v))
+    assert(appendFeeds.forall(_._5 == "insert"))
+    assert(appendFeeds.map(_._1).toSet == Set(100L, 101L, 102L))
+  }
+
   test("cv/ct are reserved; vacuum trims the feed with the history") {
     val err = intercept[IllegalArgumentException](
       Versioned.commit(Seq((1L, 2L)).toDF("k", "cv"), tmpTable(),
