@@ -4514,6 +4514,43 @@ object SparkEntry {
         .orderBy("w1", "w2")
     }),
 
+    // 176: MARKET-BASKET association rules — support/confidence/lift
+    // for item pairs co-ordered in one order (items = partkey%100
+    // pseudo-SKUs). The pair join is a SELF-EQUI-JOIN ON THE ORDER
+    // KEY: quadratic only WITHIN an order (≤7 lines ⇒ ≤21 pairs),
+    // linear across orders — the shape that survives 100 TB, unlike
+    // an item-item cross join. ReuseExchange feeds both sides from
+    // one shuffle; the 100-row item-count table broadcasts twice; the
+    // 1-row basket total rides the fenced scalar carrier. Confidence
+    // and lift are IEEE divisions of exact BIGINTs (engine-identical),
+    // top-20 by lift under a full deterministic tiebreak.
+    "q_basket_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("oid"),
+          (col("l_partkey") % 100).as("item"))
+        .distinct()
+      val cnts = li.groupBy("item").agg(count(lit(1)).as("cnt"))
+      val nOrders = li.agg(countDistinct(col("oid")).as("n_orders"))
+      val a = li.select(col("oid"), col("item").as("item_a"))
+      val b = li.select(col("oid"), col("item").as("item_b"))
+      val pairs = a.join(b, Seq("oid"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 5)
+      pairs
+        .join(broadcast(cnts.select(col("item").as("item_a"),
+          col("cnt").as("c_a"))), "item_a")
+        .join(broadcast(cnts.select(col("item").as("item_b"),
+          col("cnt").as("c_b"))), "item_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("item_a"), col("item_b"), col("pair_cnt"),
+          (col("pair_cnt").cast("double") / col("c_a")).as("confidence"),
+          ((col("pair_cnt") * col("n_orders")).cast("double") /
+            (col("c_a") * col("c_b"))).as("lift"))
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
+
     // 119: class-balance cap — EXACTLY-k-per-class downsampling
     // (each lang keeps its 80 hash-first docs), the corpus-balancing
     // step stratified RATE sampling (row above) can't express: a rate
@@ -5699,6 +5736,24 @@ object SparkEntry {
                  JOIN df y ON y.w = pairs.w2
                  CROSS JOIN nn
       ORDER BY w1, w2""",
+    "q_basket_rules" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS oid, l_partkey % 100 AS item
+                  FROM lineitem),
+      cnts AS (SELECT item, count(*) AS cnt FROM li GROUP BY 1),
+      nn AS (SELECT count(DISTINCT oid) AS n_orders FROM li),
+      pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+                       count(*) AS pair_cnt
+                FROM li a JOIN li b
+                  ON a.oid = b.oid AND a.item < b.item
+                GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT p.item_a, p.item_b, p.pair_cnt,
+             CAST(p.pair_cnt AS DOUBLE) / ca.cnt AS confidence,
+             CAST(p.pair_cnt * nn.n_orders AS DOUBLE)
+               / (ca.cnt * cb.cnt) AS lift
+      FROM pairs p JOIN cnts ca ON ca.item = p.item_a
+                   JOIN cnts cb ON cb.item = p.item_b
+                   CROSS JOIN nn
+      ORDER BY lift DESC, item_a, item_b LIMIT 20""",
     "q_class_balance" -> """
       WITH h AS (SELECT doc_id, lang,
                    md5(CAST(doc_id AS VARCHAR) || '#bal') AS h

@@ -55,7 +55,10 @@ class PlanSpec extends SparkSpec {
       // q_ks_test crossJoins the 1-row (n0, n1) sample-size frame
       // onto the distinct-value ECDF frame — a scalar carrier like
       // q_histogram
-      "q_ks_test")
+      "q_ks_test",
+      // q_basket_rules threads the 1-row basket total onto the
+      // ≤ C(100,2)-row pair frame — the q_pmi scalar-carrier shape
+      "q_basket_rules")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
