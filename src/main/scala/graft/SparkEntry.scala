@@ -3159,6 +3159,52 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 177: MEDALLION PIPELINE end-to-end — the lakehouse architecture
+    // as ONE checked row, composing three engine layers with nothing
+    // hand-waved between them: (bronze) a file-stream ingest spool
+    // lands in a versioned table via VersionedSink, one commit per
+    // micro-batch (maxFilesPerTrigger=1 forces several), each commit
+    // exactly-once under its `appId:batchId` txn token AND publishing
+    // its stored change feed; (silver) readChangeStream consumes that
+    // feed — not the bronze snapshots — cleanses it (clicks dropped),
+    // and CdcSink.startVersioned MERGEs each micro-batch into a
+    // silver versioned table seeded empty; (gold) the serving
+    // aggregate reads the silver head snapshot. The oracle recomputes
+    // gold from the raw events, so every hop (spool → bronze commits
+    // → feed publish → stream → merge → snapshot) is value-gated.
+    // Fresh staging per invocation: every run proves convergence from
+    // scratch. Scale shape: bronze appends are hardlink-fed (zero
+    // copy), silver merges shuffle only batch-sized feeds.
+    "q_medallion_e2e" -> ((s, dir) => {
+      val n = streamExecSeq.incrementAndGet()
+      val root = stagingRoot(dir) + s"/medallion_$n"
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), cents(col("value")).as("vc"))
+      (0 until 3).foreach(i => ev.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(s"$root/spool"))
+      val bronze = s"$root/bronze"
+      val q1 = graft.streaming.VersionedSink.versionedAppend(
+        s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/spool"),
+        bronze, appId = s"med_$n", s"$root/ckpt_bronze").start()
+      try q1.processAllAvailable() finally q1.stop()
+      val silver = s"$root/silver"
+      graft.sources.Versioned.commit(ev.limit(0), silver,
+        overwrite = false): Unit
+      val feed = graft.sources.Versioned.readChangeStream(s, bronze)
+        .filter(col("event_type") =!= "click")
+        .drop("_commit_version")
+        .withColumnRenamed("_change_type", "change_type")
+      val q2 = graft.streaming.CdcSink.startVersioned(feed,
+        Seq("event_id"), silver, appId = s"meds_$n", s"$root/ckpt_silver")
+      try q2.processAllAvailable() finally q2.stop()
+      graft.sources.Versioned.read(s, silver)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          money(sum(col("vc"))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // 171: STORED CHANGE-DATA FEED batch reader — a three-version
     // table (two appends + one merge with inserts/updates/deletes)
     // publishes its per-commit change rows under _changes at COMMIT
@@ -6321,6 +6367,13 @@ object SparkEntry {
              count(DISTINCT user_id) AS distinct_users,
              TRUE AS within_10pct
       FROM events GROUP BY 1 ORDER BY event_type""",
+    "q_medallion_e2e" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+      FROM ev WHERE event_type <> 'click'
+      GROUP BY event_type ORDER BY event_type""",
     "q_countmin" -> s"""
       WITH tok AS (SELECT unnest($toks) AS tok FROM documents),
       cnt AS (SELECT tok, count(*) AS exact FROM tok GROUP BY tok),
