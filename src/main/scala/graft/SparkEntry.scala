@@ -1579,6 +1579,55 @@ object SparkEntry {
             cents(col("value"))), ignoreNulls = true).over(w))
             .as("last_purchase"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // 178: LINEAR GAP INTERPOLATION — the time-series repair step
+    // beyond forward fill (row 96): each user's sparse daily purchase
+    // series is projected onto the corpus day spine and missing days
+    // interpolate linearly between the bracketing known points;
+    // leading/trailing gaps stay null (`edge`). Both IGNORE-NULLS
+    // walls (last-known-before, first-known-after) run in ONE window
+    // pass each over per-user calendar-bounded frames — never the
+    // event table; the ~|days|-row spine broadcasts (fenced carrier).
+    // The interpolation is IEEE-exact cross-engine: integer cents and
+    // integer day distances combined in the SAME operation order on
+    // both sides. A deterministic 1-in-50 user slice keeps the
+    // checked output bounded at every SF.
+    "q_interpolate" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") % 50 === 7)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), cents(col("value")).as("vc"))
+      val days = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day")).distinct()
+      val known = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "day").agg(sum(col("vc")).as("kc"))
+      val spine = ev.select("user_id").distinct()
+        .crossJoin(broadcast(days))
+      val j = spine.join(known, Seq("user_id", "day"), "left")
+      val wp = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      j.select(col("user_id"), col("day"), col("kc"),
+          last(col("kc"), ignoreNulls = true).over(wp).as("pv"),
+          last(when(col("kc").isNotNull, col("day")),
+            ignoreNulls = true).over(wp).as("dp"),
+          first(col("kc"), ignoreNulls = true).over(wn).as("nv"),
+          first(when(col("kc").isNotNull, col("day")),
+            ignoreNulls = true).over(wn).as("dn"))
+        .select(col("user_id"), col("day"),
+          when(col("kc").isNotNull, col("kc").cast("double") / 100.0)
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              (col("pv").cast("double") +
+                (col("nv") - col("pv")).cast("double") *
+                (datediff(col("day"), col("dp")).cast("double") /
+                  datediff(col("dn"), col("dp")).cast("double"))) / 100.0)
+            .as("filled"),
+          when(col("kc").isNotNull, lit("actual"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              lit("interp"))
+            .otherwise(lit("edge")).as("src"))
+        .orderBy("user_id", "day")
     }))
 
   private def analyticsOracle: Map[String, String] = Map(
@@ -1926,6 +1975,42 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DOUBLE) / 100.0 AS last_purchase
       FROM events ORDER BY user_id, event_id""",
+    "q_interpolate" -> """
+      WITH alldays AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc
+             FROM events WHERE user_id % 50 = 7),
+      known AS (SELECT user_id, day, CAST(sum(vc) AS BIGINT) AS kc
+                FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+      spine AS (SELECT u.user_id, d.day
+                FROM (SELECT DISTINCT user_id FROM ev) u
+                CROSS JOIN alldays d),
+      j AS (SELECT s.user_id, s.day, k.kc
+            FROM spine s LEFT JOIN known k
+              ON s.user_id = k.user_id AND s.day = k.day),
+      w AS (SELECT user_id, day, kc,
+              last_value(kc IGNORE NULLS) OVER wp AS pv,
+              last_value(CASE WHEN kc IS NOT NULL THEN day END
+                IGNORE NULLS) OVER wp AS dp,
+              first_value(kc IGNORE NULLS) OVER wn AS nv,
+              first_value(CASE WHEN kc IS NOT NULL THEN day END
+                IGNORE NULLS) OVER wn AS dn
+            FROM j
+            WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, day,
+             CASE WHEN kc IS NOT NULL THEN CAST(kc AS DOUBLE) / 100.0
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    (CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+                     (CAST(date_diff('day', dp, day) AS DOUBLE) /
+                      CAST(date_diff('day', dp, dn) AS DOUBLE))) / 100.0
+                  END AS filled,
+             CASE WHEN kc IS NOT NULL THEN 'actual'
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                  ELSE 'edge' END AS src
+      FROM w ORDER BY user_id, day""",
     "q_interval_merge" -> """
       WITH iv AS (
         SELECT o_custkey, o_orderkey,

@@ -58,7 +58,10 @@ class PlanSpec extends SparkSpec {
       "q_ks_test",
       // q_basket_rules threads the 1-row basket total onto the
       // ≤ C(100,2)-row pair frame — the q_pmi scalar-carrier shape
-      "q_basket_rules")
+      "q_basket_rules",
+      // q_interpolate broadcasts the ~|days|-row calendar spine onto
+      // the per-user frame — a bounded spine carrier, not a data join
+      "q_interpolate")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
