@@ -1470,6 +1470,41 @@ object SparkEntry {
         .orderBy("cohort_week", "weeks_since")
     }),
 
+    // 179: GROWTH ACCOUNTING — the product-analytics decomposition of
+    // daily actives: every (user, day) classified as new (first-ever
+    // day), retained (also active the previous day) or resurrected
+    // (active before, but not yesterday), plus churned = yesterday's
+    // actives who are absent today (counted on the day they went
+    // missing, last day excluded — churn there is right-censored,
+    // q_survival's discipline). ONE lag window per user over the
+    // distinct (user, day) frame — never the raw event table — then a
+    // days-cardinality aggregate; complements q_retention (cohort
+    // view) and q_active_users (volume view) with the FLOW view.
+    "q_growth_accounting" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val classed = ud.select(col("user_id"), col("day"),
+        lag(col("day"), 1).over(w).as("prev_day"),
+        lead(col("day"), 1).over(w).as("next_day"))
+      val flows = classed.select(col("day"),
+        when(col("prev_day").isNull, lit("new"))
+          .when(datediff(col("day"), col("prev_day")) === 1,
+            lit("retained"))
+          .otherwise(lit("resurrected")).as("flow"))
+      val lastDay = ud.agg(max(col("day")).as("last_day"))
+      val churned = classed
+        .filter(col("next_day").isNull ||
+          datediff(col("next_day"), col("day")) > 1)
+        .crossJoin(broadcast(lastDay))
+        .filter(col("day") < col("last_day"))
+        .select(date_add(col("day"), 1).as("day"),
+          lit("churned").as("flow"))
+      flows.unionByName(churned)
+        .groupBy("day", "flow").agg(count(lit(1)).as("n_users"))
+        .orderBy("day", "flow")
+    }),
+
     // 112: event transition matrix — the Markov "user journey" view:
     // (event_type → next event_type) counts + per-source shares. One
     // user_id shuffle feeds the lead window; the (src, dst) aggregate
@@ -1975,6 +2010,29 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DOUBLE) / 100.0 AS last_purchase
       FROM events ORDER BY user_id, event_id""",
+    "q_growth_accounting" -> """
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                  FROM events),
+      c AS (SELECT user_id, day,
+              lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                AS prev_day,
+              lead(day) OVER (PARTITION BY user_id ORDER BY day)
+                AS next_day
+            FROM ud),
+      last_d AS (SELECT max(day) AS last_day FROM ud),
+      flows AS (
+        SELECT day, CASE WHEN prev_day IS NULL THEN 'new'
+                         WHEN date_diff('day', prev_day, day) = 1
+                           THEN 'retained'
+                         ELSE 'resurrected' END AS flow
+        FROM c
+        UNION ALL
+        SELECT day + 1, 'churned'
+        FROM c CROSS JOIN last_d
+        WHERE (next_day IS NULL OR date_diff('day', day, next_day) > 1)
+          AND day < last_day)
+      SELECT day, flow, count(*) AS n_users
+      FROM flows GROUP BY 1, 2 ORDER BY day, flow""",
     "q_interpolate" -> """
       WITH alldays AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
       ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,

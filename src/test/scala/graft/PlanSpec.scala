@@ -61,7 +61,10 @@ class PlanSpec extends SparkSpec {
       "q_basket_rules",
       // q_interpolate broadcasts the ~|days|-row calendar spine onto
       // the per-user frame — a bounded spine carrier, not a data join
-      "q_interpolate")
+      "q_interpolate",
+      // q_growth_accounting threads the 1-row last-day scalar onto
+      // the per-user gap frame (right-censoring the final day)
+      "q_growth_accounting")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
