@@ -1470,6 +1470,30 @@ object SparkEntry {
         .orderBy("cohort_week", "weeks_since")
     }),
 
+    // 180: DAY-OF-WEEK SEASONALITY — the weekly traffic/revenue
+    // profile: per (event_type, dow) cell, the index of observed
+    // share against a flat week (×7 ⇒ 1.0 = no seasonality). Two
+    // map-side-combined aggregates (35 + 5 cells), the per-type
+    // totals broadcast onto the cells, indexes are IEEE divisions of
+    // exact BIGINTs. Sunday-based 0-6 on both engines (Spark's
+    // dayofweek is 1-based, DuckDB's 0-based — normalized here).
+    "q_seasonality" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        (dayofweek(to_date(col("ts"))) - 1).as("dow"),
+        cents(col("value")).as("vc"))
+      val cell = ev.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sc"))
+      val tot = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("tn"), sum(col("vc")).as("tc"))
+      cell.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"), col("n_events"),
+          ((col("n_events") * lit(7)).cast("double") / col("tn"))
+            .as("traffic_index"),
+          ((col("sc") * lit(7)).cast("double") / col("tc"))
+            .as("revenue_index"))
+        .orderBy("event_type", "dow")
+    }),
+
     // 179: GROWTH ACCOUNTING — the product-analytics decomposition of
     // daily actives: every (user, day) classified as new (first-ever
     // day), retained (also active the previous day) or resurrected
@@ -2010,6 +2034,21 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DOUBLE) / 100.0 AS last_purchase
       FROM events ORDER BY user_id, event_id""",
+    "q_seasonality" -> """
+      WITH ev AS (SELECT event_type,
+                    dayofweek(CAST(ts AS DATE)) AS dow,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      cell AS (SELECT event_type, dow, count(*) AS n_events,
+                      CAST(sum(vc) AS BIGINT) AS sc
+               FROM ev GROUP BY 1, 2),
+      tot AS (SELECT event_type, count(*) AS tn,
+                     CAST(sum(vc) AS BIGINT) AS tc
+              FROM ev GROUP BY 1)
+      SELECT c.event_type, CAST(c.dow AS INT) AS dow, c.n_events,
+             CAST(c.n_events * 7 AS DOUBLE) / t.tn AS traffic_index,
+             CAST(c.sc * 7 AS DOUBLE) / t.tc AS revenue_index
+      FROM cell c JOIN tot t ON c.event_type = t.event_type
+      ORDER BY 1, 2""",
     "q_growth_accounting" -> """
       WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
                   FROM events),
