@@ -45,7 +45,8 @@ object Versioned {
 
   private final case class Manifest(version: Int, mode: String,
       dataDirs: Seq[String], txn: Option[String] = None,
-      schemaDdl: Option[String] = None)
+      schemaDdl: Option[String] = None, ts: Option[Long] = None,
+      constraints: Seq[String] = Seq.empty)
 
   private def manifestPath(path: String, v: Int) =
     versionsDir(path).resolve(s"v$v.json")
@@ -62,7 +63,11 @@ object Versioned {
       m.txn.map(t => s""","txn":${ManifestJson.quote(t)}""").getOrElse("") +
       m.schemaDdl.map(d => s""","schemaB64":"${
         java.util.Base64.getEncoder.encodeToString(d.getBytes("UTF-8"))
-      }"""").getOrElse("") + "}"
+      }"""").getOrElse("") +
+      m.ts.map(t => s""","ts":$t""").getOrElse("") +
+      (if (m.constraints.isEmpty) ""
+       else s""","constraints":[${
+         m.constraints.map(ManifestJson.quote).mkString(",")}]""") + "}"
 
   private def parse(s: String): Manifest = {
     val m = ManifestJson.parseObject(s)
@@ -74,7 +79,10 @@ object Versioned {
       txn = m.get("txn").map(_.asInstanceOf[String]),
       schemaDdl = m.get("schemaB64").map(b =>
         new String(java.util.Base64.getDecoder.decode(
-          b.asInstanceOf[String]), "UTF-8")))
+          b.asInstanceOf[String]), "UTF-8")),
+      ts = m.get("ts").map(_.asInstanceOf[Long]),
+      constraints = m.getOrElse("constraints", List.empty[Any])
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
   }
 
   /** Latest committed version number, or -1 for an empty table. */
@@ -216,10 +224,28 @@ object Versioned {
       }
       if (expectedBase.exists(_ != head))
         return None // head moved under a read-modify-write: recompute
-      val parent =
-        if (overwrite || head < 0) None
-        else Some(readManifest(path, head))
+      // metadata (constraints) survives overwrites — only the data-dir
+      // chain and the schema baseline reset; a MERGE (an overwrite
+      // commit) must not silently drop the table's quality gates
+      val parentMeta = if (head < 0) None else Some(readManifest(path, head))
+      val parent = if (overwrite) None else parentMeta
       val parentDirs = parent.map(_.dataDirs).getOrElse(Seq.empty)
+      // CHECK-constraint enforcement (SQL semantics: NULL passes):
+      // one batch job finds any violating row BEFORE the publish; the
+      // staged dir stays orphaned on failure (vacuum reclaims). For
+      // overwrite commits this scans the full new content — which is
+      // exactly what "the table always satisfies its constraints"
+      // costs on a rewrite.
+      val cons = parentMeta.map(_.constraints).getOrElse(Seq.empty)
+      if (cons.nonEmpty) {
+        import org.apache.spark.sql.functions.{expr, not}
+        val pred = cons.map(expr).reduce(_ && _)
+        val viol = df.filter(not(pred)).limit(1)
+          .collect().headOption
+        require(viol.isEmpty, s"versioned commit at $path violates " +
+          s"constraint(s) [${cons.mkString("; ")}]; example row: " +
+          viol.map(_.toString).getOrElse(""))
+      }
       // schema evolution: an append may ADD columns (they null-fill
       // for older files at read time); a same-name column must keep
       // its type — silent type drift is the bug every format rejects
@@ -238,7 +264,8 @@ object Versioned {
       }
       val m = Manifest(head + 1,
         modeOverride.getOrElse(if (overwrite) "overwrite" else "append"),
-        parentDirs :+ dataId, txn, Some(ddl))
+        parentDirs :+ dataId, txn, Some(ddl),
+        ts = Some(System.currentTimeMillis()), constraints = cons)
       val tmp = versionsDir(path)
         .resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, render(m).getBytes("UTF-8"))
@@ -552,7 +579,7 @@ object Versioned {
         m.mode match {
           case "append" =>
             publishInsertFeed(path, v, s"$path/data/${m.dataDirs.last}")
-          case "compact" =>
+          case "compact" | "meta" =>
             Files.createDirectories(changeDirPath(path, v)): Unit
           case _ if v == 0 =>
             publishInsertFeed(path, 0, s"$path/data/${m.dataDirs.last}")
@@ -566,6 +593,83 @@ object Versioned {
         v
       }
   }
+
+  // ------------------------------------- metadata commits & time travel
+
+  /** Commit timestamp (epoch millis) of `v`'s manifest; None for
+    * manifests written before timestamps existed. */
+  def commitTimestamp(path: String, v: Int): Option[Long] =
+    readManifest(path, v).ts
+
+  /** Time travel BY TIMESTAMP: the snapshot a reader at wall-clock
+    * `tsMillis` would have seen — the highest version whose commit
+    * timestamp is ≤ `tsMillis`. Versions predating timestamp
+    * tracking are skipped (their position in time is unknowable);
+    * asking for a time before the first stamped commit fails loudly.
+    * Driver-side O(versions) manifest scan, like every ledger walk
+    * here. */
+  def readAsOf(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame = {
+    val head = latestVersion(path)
+    require(head >= 0, s"versioned readAsOf: no committed version at $path")
+    val v = (0 to head).flatMap { w =>
+      if (!Files.exists(manifestPath(path, w))) None // vacuumed tail
+      else readManifest(path, w).ts.filter(_ <= tsMillis).map(_ => w)
+    }.lastOption.getOrElse(sys.error(
+      s"versioned readAsOf: no commit at or before ts=$tsMillis at $path"))
+    read(spark, path, Some(v))
+  }
+
+  /** Add a CHECK constraint (Spark SQL boolean expression over the
+    * table's columns; SQL semantics — NULL passes) as a METADATA
+    * commit: the current head snapshot is validated first (a
+    * constraint the existing data violates must not land), then a
+    * manifest with the same data dirs and the extended constraint
+    * list publishes under the usual create-exclusive race loop —
+    * losers revalidate against the new head. Every later commit
+    * (append, merge, compact) enforces the ledger's constraints on
+    * its content before publishing and carries them forward,
+    * including across overwrites. Returns the metadata version. */
+  def addConstraint(spark: SparkSession, path: String,
+      constraintSql: String): Int = {
+    import org.apache.spark.sql.functions.{expr, not}
+    var attempt = 0
+    while (true) {
+      require(attempt < 50, s"versioned addConstraint: 50 lost races at $path")
+      attempt += 1
+      val head = latestVersion(path)
+      require(head >= 0,
+        s"versioned addConstraint: no committed version at $path")
+      val bad = read(spark, path, Some(head))
+        .filter(not(expr(constraintSql))).limit(1).collect().headOption
+      require(bad.isEmpty, s"versioned addConstraint: existing data at " +
+        s"$path v$head violates '$constraintSql'; example row: " +
+        bad.map(_.toString).getOrElse(""))
+      val parent = readManifest(path, head)
+      val m = parent.copy(version = head + 1, mode = "meta",
+        txn = None, ts = Some(System.currentTimeMillis()),
+        constraints = parent.constraints :+ constraintSql)
+      val tmp = versionsDir(path)
+        .resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, render(m).getBytes("UTF-8"))
+      try {
+        Files.createLink(manifestPath(path, m.version), tmp)
+        Files.deleteIfExists(tmp)
+        // a metadata commit changes no logical rows: empty feed dir
+        Files.createDirectories(changeDirPath(path, m.version))
+        return m.version
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp): Unit // lost the race — revalidate
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** The constraint ledger at the head (or `version`). */
+  def constraints(path: String, version: Option[Int] = None): Seq[String] =
+    readManifest(path,
+      version.getOrElse(latestVersion(path))).constraints
 
   /** Snapshot CDC: classify every key between two versions of the
     * table as insert / delete / update / unchanged — the change feed
