@@ -710,6 +710,15 @@ object SparkEntry {
       s.sql(sqlDsFrequent)
     }),
 
+    // 184: SQL front door, TPC-DS Q89's deviation-from-average report
+    // — months whose revenue strays >10% from their (priority, year)
+    // monthly average; windows over the grouped frame, exact integer
+    // cross-multiplied deviation test.
+    "q_sql_ds_deviation" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsDeviation)
+    }),
+
     // 138: SQL front door, TPC-H Q4's EXISTS-date shape — the late-
     // line order count per priority; the correlated EXISTS carries
     // date predicates on BOTH sides of the correlation.
@@ -2687,6 +2696,34 @@ object SparkEntry {
              AND o_orderpriority <> '1-URGENT') AS b8
     FROM orders"""
 
+  /** Shared verbatim — TPC-DS Q89's deviation-from-average report
+    * shape: monthly revenue per priority, flagged when it deviates
+    * more than 10% from that (priority, year)'s monthly average. The
+    * window aggregates run over the |priorities|·|months| frame (the
+    * grouped aggregate), never the fact table; the deviation filter
+    * is an exact integer cross-multiplication (rc·nmo·10 vs yrc·11 /
+    * yrc·9 — no float compare), and the reported ratio is one
+    * mirrored IEEE division of exact BIGINTs. */
+  private val sqlDsDeviation: String = """
+    WITH m AS (
+      SELECT o_orderpriority AS pri,
+             CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT)
+               AS yr,
+             CAST(EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS INT)
+               AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rc
+      FROM orders GROUP BY 1, 2, 3),
+    w AS (SELECT pri, yr, mo, rc,
+            CAST(sum(rc) OVER (PARTITION BY pri, yr) AS BIGINT) AS yrc,
+            CAST(count(*) OVER (PARTITION BY pri, yr) AS BIGINT) AS nmo
+          FROM m)
+    SELECT pri, yr, mo, CAST(rc AS DOUBLE) / 100.0 AS revenue,
+           CAST(rc * nmo AS DOUBLE) / yrc AS ratio_to_avg
+    FROM w
+    WHERE rc * nmo * 10 > yrc * 11 OR rc * nmo * 10 < yrc * 9
+    ORDER BY pri, yr, mo"""
+
   /** Shared verbatim — TPC-DS Q34/Q73's frequent-buyer shape: the
     * per-customer order count banded by HAVING, then joined back to
     * the dimension for details. The band filter runs on the
@@ -3384,6 +3421,129 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           money(sum(col("vc"))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // 181: TIMESTAMP TIME TRAVEL driver-gated — the manifest stamps
+    // each commit's wall-clock; readAsOf(t) resolves the snapshot a
+    // reader at time t saw. The row captures v0's own commit stamp,
+    // commits v1, then reads AS OF that stamp: the checked aggregate
+    // must equal v0's content (the %3==0 slice), proving the stamp →
+    // version resolution end-to-end against a reconstruction oracle.
+    "q_asof_time" -> ((s, dir) => {
+      val table = stagingRoot(dir) + "/versioned_asof"
+      if (graft.sources.Versioned.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        graft.sources.Versioned.commit(
+          ev.filter(col("event_id") % 3 === 0), table, overwrite = false)
+        // a same-millisecond v1 would tie v0's stamp and win the
+        // as-of resolution; 5ms keeps the stamps strictly ordered
+        Thread.sleep(5)
+        graft.sources.Versioned.commit(
+          ev.filter(col("event_id") % 3 =!= 0), table, overwrite = false)
+      }
+      val t0 = graft.sources.Versioned.commitTimestamp(table, 0).get
+      graft.sources.Versioned.readAsOf(s, table, t0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          money(sum(col("vc"))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // 182: CHECK-CONSTRAINT GATE driver-gated — the lakehouse quality
+    // gate: a constraint lands as a metadata commit, a violating
+    // append is REJECTED with the head unmoved, a clean append
+    // passes. The checked output carries the surviving row count, the
+    // ledger size, and a gate_held flag derived from the actual
+    // rejection + head version — the oracle reconstructs the clean
+    // content and asserts TRUE, so the row fails if enforcement ever
+    // silently lapses OR blocks clean data.
+    "q_constraint_gate" -> ((s, dir) => {
+      val table = stagingRoot(dir) + "/versioned_gate"
+      if (graft.sources.Versioned.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        graft.sources.Versioned.commit(
+          ev.filter(col("event_id") % 2 === 0), table, overwrite = false)
+        graft.sources.Versioned.addConstraint(s, table, "vc >= 0")
+        val rejected =
+          try {
+            graft.sources.Versioned.commit(
+              ev.filter(col("event_id") % 2 === 1)
+                .withColumn("vc", col("vc") - lit(100000000000L)),
+              table, overwrite = false)
+            false
+          } catch { case _: IllegalArgumentException => true }
+        val held = rejected &&
+          graft.sources.Versioned.latestVersion(table) == 1
+        graft.sources.Versioned.commit(
+          ev.filter(col("event_id") % 2 === 1), table, overwrite = false)
+        // persist the observed gate outcome beside the data so the
+        // checked output reflects what actually happened at staging
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(table, "_gate_held"), held.toString)
+      }
+      val held = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(table, "_gate_held")).toBoolean
+      graft.sources.Versioned.read(s, table)
+        .agg(count(lit(1)).as("n_rows"),
+          money(sum(col("vc"))).as("sum_value"))
+        .select(col("n_rows"), col("sum_value"),
+          lit(graft.sources.Versioned.constraints(table).size)
+            .as("n_constraints"),
+          lit(held).as("gate_held"))
+    }),
+
+    // 183: CDF-FED MATERIALIZED VIEW driver-gated — MaterializedAgg's
+    // partial-recompute maintenance run in batch catch-up mode over
+    // the stored feed of a 2-commit source (insert batch, then a
+    // merge with updates+inserts+deletes): after applying both feed
+    // versions, the AGGREGATE TABLE itself is the checked output and
+    // must equal the oracle's from-scratch group-by over the final
+    // logical content — including the max (non-invertible) column
+    // and the ABSENCE of any group the merge emptied.
+    "q_mv_refresh" -> ((s, dir) => {
+      val root = stagingRoot(dir) + "/mv_refresh"
+      val source = s"$root/source"
+      val mirror = s"$root/mirror"
+      val aggT = s"$root/agg"
+      if (graft.sources.Versioned.latestVersion(aggT) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        graft.sources.Versioned.commit(
+          ev.filter(col("event_id") % 3 =!= 2), source, overwrite = false)
+        // inserts and updates avoid 'error'; deletes remove EVERY
+        // error key — the merge EMPTIES the error group, so its
+        // absence from the aggregate is part of what the oracle gates
+        val batch = ev.filter(col("event_id") % 3 === 2 &&
+            col("event_type") =!= "error")
+          .withColumn("change_type", lit("insert"))
+          .unionByName(ev.filter(col("event_id") % 6 === 0 &&
+              col("event_type") =!= "error")
+            .withColumn("vc", col("vc") * 2)
+            .withColumn("change_type", lit("update")))
+          .unionByName(ev.filter(col("event_type") === "error")
+            .withColumn("change_type", lit("delete")))
+        graft.sources.Versioned.applyChangeFeed(s, source, batch,
+          Seq("event_id")): Unit
+        graft.sources.Versioned.commit(
+          graft.sources.Versioned.read(s, source, Some(0)).limit(0),
+          mirror, overwrite = false): Unit
+        (0 to 1).foreach { v =>
+          val feed = graft.sources.Versioned.readChanges(s, source, v, v)
+            .drop("_commit_version")
+            .withColumnRenamed("_change_type", "change_type")
+          graft.streaming.MaterializedAgg.applyBatch(feed,
+            Seq("event_id"), Seq("event_type"),
+            Seq(("sum_vc", sum(col("vc"))), ("max_vc", max(col("vc")))),
+            mirror, aggT, appId = "mvq", batchId = v.toLong)
+        }
+      }
+      graft.sources.Versioned.read(s, aggT)
+        .select(col("event_type"), col("n_rows"),
+          money(col("sum_vc")).as("sum_value"),
+          money(col("max_vc")).as("max_value"))
         .orderBy("event_type")
     }),
 
@@ -5824,6 +5984,7 @@ object SparkEntry {
     "q_sql_ds_cumulative" -> sqlDsCumulative,
     "q_sql_ds_bands" -> sqlDsBands,
     "q_sql_ds_frequent" -> sqlDsFrequent,
+    "q_sql_ds_deviation" -> sqlDsDeviation,
     "q_linreg" -> """
       WITH m AS (SELECT l_returnflag AS flag, count(*) AS n,
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
@@ -6549,6 +6710,34 @@ object SparkEntry {
              count(DISTINCT user_id) AS distinct_users,
              TRUE AS within_10pct
       FROM events GROUP BY 1 ORDER BY event_type""",
+    "q_asof_time" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+      FROM ev WHERE event_id % 3 = 0
+      GROUP BY event_type ORDER BY event_type""",
+    "q_constraint_gate" -> """
+      WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events)
+      SELECT count(*) AS n_rows,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             CAST(1 AS INT) AS n_constraints, TRUE AS gate_held
+      FROM ev""",
+    "q_mv_refresh" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      final AS (
+        SELECT event_type,
+               CASE WHEN event_id % 6 = 0 THEN vc * 2 ELSE vc END AS vc
+        FROM ev WHERE event_type <> 'error' AND event_id % 3 <> 2
+        UNION ALL
+        SELECT event_type, vc FROM ev
+        WHERE event_type <> 'error' AND event_id % 3 = 2)
+      SELECT event_type, count(*) AS n_rows,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             CAST(max(vc) AS DOUBLE) / 100.0 AS max_value
+      FROM final GROUP BY event_type ORDER BY event_type""",
     "q_medallion_e2e" -> """
       WITH ev AS (SELECT event_id, event_type,
                     CAST(round(value * 100) AS BIGINT) AS vc FROM events)
