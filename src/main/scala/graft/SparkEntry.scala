@@ -5067,6 +5067,41 @@ object SparkEntry {
     // sinks; the leak is deterministic on both engines and the
     // oracle unrolls the identical 3 steps). Output ×N, round 9 —
     // float error after 3 iterations is ~1e-13 relative.
+    // 185: BFS LEVELS — the third graph family (traversal) beside
+    // ranking (q_pagerank) and counting (q_triangle): hop distance
+    // from a seed set (nation-0 customers) over the undirected
+    // customer↔supplier bipartite graph, 3 frontier expansions. Each
+    // round is ONE equi-join + anti-join against the visited set —
+    // per-round cost ∝ frontier edges, the textbook distributed BFS;
+    // edges stage once (reliable checkpoint when a dir is set).
+    "q_bfs_levels" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val e = e0.union(e0.select(col("dst").as("src"),
+        col("src").as("dst"))).staged
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select(col("c_custkey").as("id")).distinct()
+      var visited = seeds.withColumn("level", lit(0)).staged
+      var frontier = seeds
+      for (k <- 1 to 3) {
+        val next = e.join(frontier, e("src") === frontier("id"))
+          .select(e("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+        visited = visited.unionByName(
+          next.withColumn("level", lit(k))).staged
+        frontier = next
+      }
+      visited.groupBy("level").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("level")
+    }),
+
     "q_pagerank" -> ((s, dir) => {
       val edges = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
@@ -5121,6 +5156,31 @@ object SparkEntry {
           when(bucket < 80, "train").when(bucket < 90, "valid")
             .otherwise("test").as("split"))
         .orderBy("doc_id")
+    }),
+
+    // 186: WEIGHTED (importance) sampling — the data-mixing step
+    // rate/cap sampling can't express: each doc keeps with
+    // probability ∝ its weight (n_chars here — longer docs
+    // oversampled, the length-balanced-token draw). Deterministic on
+    // both engines: keep iff md5-uniform(doc_id)/2^60 < weight/maxw,
+    // both sides the SAME IEEE divisions of exact BIGINTs (no RNG, no
+    // seed drift); the 1-row max weight broadcasts (fenced carrier).
+    // Checked output: per-lang kept counts + mean kept length, which
+    // rises above the corpus mean — the oversampling itself is gated.
+    "q_weighted_sample" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(lit("ws:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val maxw = docs.agg(max(col("n_chars")).as("maxw"))
+      docs.crossJoin(broadcast(maxw))
+        .filter((h.cast("double") / lit(1152921504606846976.0)) <
+          (col("n_chars").cast("double") / col("maxw")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("mean_len"))
+        .orderBy("lang")
     }),
 
     // 52: the training-data prep pipeline COMPOSED end-to-end:
@@ -6406,6 +6466,38 @@ object SparkEntry {
               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
             FROM documents)
       ORDER BY doc_id""",
+    "q_weighted_sample" -> """
+      WITH m AS (SELECT max(n_chars) AS maxw FROM documents),
+      k AS (SELECT lang, n_chars FROM documents CROSS JOIN m
+            WHERE CAST(('0x' || substr(md5('ws:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+                  / 1152921504606846976.0
+                < CAST(n_chars AS DOUBLE) / maxw)
+      SELECT lang, count(*) AS n_kept,
+             CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_len
+      FROM k GROUP BY lang ORDER BY lang""",
+    "q_bfs_levels" -> """
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                         l_suppkey + 1000000 AS dst
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      l0 AS (SELECT DISTINCT c_custkey AS id FROM customer
+             WHERE c_nationkey = 0),
+      f1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN l0 ON e.src = l0.id),
+      l1 AS (SELECT id FROM f1 WHERE id NOT IN (SELECT id FROM l0)),
+      f2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN l1 ON e.src = l1.id),
+      l2 AS (SELECT id FROM f2 WHERE id NOT IN
+             (SELECT id FROM l0 UNION ALL SELECT id FROM l1)),
+      f3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN l2 ON e.src = l2.id),
+      l3 AS (SELECT id FROM f3 WHERE id NOT IN
+             (SELECT id FROM l0 UNION ALL SELECT id FROM l1
+              UNION ALL SELECT id FROM l2))
+      SELECT CAST(0 AS INT) AS level, count(*) AS n_nodes FROM l0
+        HAVING count(*) > 0
+      UNION ALL SELECT 1, count(*) FROM l1 HAVING count(*) > 0
+      UNION ALL SELECT 2, count(*) FROM l2 HAVING count(*) > 0
+      UNION ALL SELECT 3, count(*) FROM l3 HAVING count(*) > 0
+      ORDER BY level""",
     "q_datapipe_e2e" -> s"""
       WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
       d0 AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),

@@ -64,7 +64,10 @@ class PlanSpec extends SparkSpec {
       "q_interpolate",
       // q_growth_accounting threads the 1-row last-day scalar onto
       // the per-user gap frame (right-censoring the final day)
-      "q_growth_accounting")
+      "q_growth_accounting",
+      // q_weighted_sample threads the 1-row max-weight scalar onto
+      // the per-doc frame — the q_histogram normalization shape
+      "q_weighted_sample")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>
