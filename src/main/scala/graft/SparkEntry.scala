@@ -1538,6 +1538,26 @@ object SparkEntry {
         .orderBy("day", "flow")
     }),
 
+    // 187: PATH MINING — the top common 3-step event sequences (the
+    // funnel-DISCOVERY complement of q_event_funnel's fixed path and
+    // q_transition_matrix's 2-step Markov view): two lead windows
+    // over each user's ordered stream produce every consecutive
+    // trigram, then a 125-cell aggregate ranks the paths. One
+    // user_id shuffle feeds both leads; top-10 under a full
+    // deterministic tiebreak.
+    "q_user_path" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("s1"),
+          lead(col("event_type"), 1).over(w).as("s2"),
+          lead(col("event_type"), 2).over(w).as("s3"))
+        .filter(col("s2").isNotNull && col("s3").isNotNull)
+        .groupBy("s1", "s2", "s3").agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("s1"), col("s2"), col("s3"))
+        .limit(10)
+    }),
+
     // 112: event transition matrix — the Markov "user journey" view:
     // (event_type → next event_type) counts + per-source shares. One
     // user_id shuffle feeds the lead window; the (src, dst) aggregate
@@ -2043,6 +2063,17 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DOUBLE) / 100.0 AS last_purchase
       FROM events ORDER BY user_id, event_id""",
+    "q_user_path" -> """
+      WITH p AS (
+        SELECT event_type AS s1,
+               lead(event_type, 1) OVER w AS s2,
+               lead(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT s1, s2, s3, count(*) AS n_paths
+      FROM p WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n_paths DESC, s1, s2, s3 LIMIT 10""",
     "q_seasonality" -> """
       WITH ev AS (SELECT event_type,
                     dayofweek(CAST(ts AS DATE)) AS dow,
