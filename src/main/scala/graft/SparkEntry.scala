@@ -719,6 +719,15 @@ object SparkEntry {
       s.sql(sqlDsDeviation)
     }),
 
+    // 192: SQL front door, TPC-DS Q1's above-group-average outlier
+    // shape — customers whose returned revenue beats 1.2× their
+    // nation's average; aggregate→compare-to-own-group plan, exact
+    // integer cross-multiplied threshold.
+    "q_sql_ds_returns" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsReturns)
+    }),
+
     // 138: SQL front door, TPC-H Q4's EXISTS-date shape — the late-
     // line order count per priority; the correlated EXISTS carries
     // date predicates on BOTH sides of the correlation.
@@ -1716,6 +1725,135 @@ object SparkEntry {
               lit("interp"))
             .otherwise(lit("edge")).as("src"))
         .orderBy("user_id", "day")
+    }),
+
+    // 188: BENFORD FIRST-DIGIT AUDIT — the classic fraud /
+    // data-quality screen: the distribution of leading significant
+    // digits of order totals vs Benford's law. The digit is read off
+    // the exact cent-integer's decimal string (no float log games);
+    // expected shares are literal doubles written identically on
+    // both engines (libm log10 is NOT guaranteed bit-identical
+    // across engines — a lookup table is); the 1-row total rides the
+    // fenced scalar carrier onto the 9-digit frame. One map-side-
+    // combined aggregate over the fact table, everything after runs
+    // on ≤ 9 rows.
+    "q_benford" -> ((s, dir) => {
+      val benford = Seq(0.301029995663981, 0.176091259055681,
+        0.124938736608300, 0.096910013008056, 0.079181246047625,
+        0.066946789630613, 0.057991946977687, 0.051152522447381,
+        0.045757490560675)
+      val d = t(s, dir, "orders")
+        .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val counts = d.groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      val tot = d.agg(count(lit(1)).as("n_total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_orders"),
+          (col("n_orders").cast("double") / col("n_total"))
+            .as("obs_share"),
+          element_at(array(benford.map(lit): _*), col("digit"))
+            .as("exp_share"))
+        .withColumn("excess", col("obs_share") - col("exp_share"))
+        .orderBy("digit")
+    }),
+
+    // 189: CHI-SQUARE CONTINGENCY CELLS — the independence screen
+    // between market segment and order priority: observed cell
+    // counts vs independence-expected counts and each cell's chi²
+    // contribution (the total is the consumer's one-line sum; per
+    // cell keeps the output engine-deterministic — a cross-engine
+    // float SUM of 25 contributions would depend on addition order).
+    // The fact join aggregates FIRST; row/col/grand totals are
+    // windows over the tiny |segments|·|priorities| cell frame —
+    // bounded by the dimensions' cardinality, never the fact table.
+    "q_crosstab" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderpriority")
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val cell = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"))
+      cell.select(col("seg"), col("pri"), col("n"),
+          sum(col("n")).over(Window.partitionBy(col("seg"))).as("seg_tot"),
+          sum(col("n")).over(Window.partitionBy(col("pri"))).as("pri_tot"),
+          sum(col("n")).over(Window.partitionBy()).as("tot"))
+        .select(col("seg"), col("pri"), col("n"),
+          ((col("seg_tot") * col("pri_tot")).cast("double") / col("tot"))
+            .as("expected"))
+        .withColumn("contrib",
+          (col("n").cast("double") - col("expected")) *
+            (col("n").cast("double") - col("expected")) / col("expected"))
+        .orderBy("seg", "pri")
+    }),
+
+    // 190: CUSUM CHANGEPOINT SCAN — where did the daily order level
+    // shift? stat_k = |n·S_k − k·S_n| compares each day's cumulative
+    // count against the global trend line by exact BIGINT cross-
+    // multiplication (the CUSUM statistic scaled by n — argmax is
+    // the max-likelihood single changepoint for a mean shift).
+    // Aggregates to the calendar-bounded day frame FIRST (q_ewma's
+    // discipline); the rank and cumulative ride Ranking.withRank /
+    // withPrefixSums — range slices work in parallel, no data-sized
+    // global-sort window; the 1-row grand total is the fenced scalar
+    // carrier.
+    "q_changepoint" -> ((s, dir) => {
+      val day = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_day"))
+      val ranked = Ranking.withRank(day, Nil, Seq(col("day")), "k",
+        "n_days")
+      val cum = Ranking.withPrefixSums(ranked, Nil, Seq(col("day")),
+        Seq("n_day"))
+      val tot = day.agg(sum(col("n_day")).as("s_n"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("day"), col("n_day_cum").as("s_k"),
+          abs(col("n_days") * col("n_day_cum") - col("k") * col("s_n"))
+            .as("stat"),
+          (abs(col("n_days") * col("n_day_cum") - col("k") * col("s_n"))
+            .cast("double") / (col("n_days") * col("s_n")))
+            .as("stat_norm"))
+        .orderBy(col("stat").desc, col("day"))
+        .limit(5)
+    }),
+
+    // 191: AUTOCORRELATION — lag-1 and lag-7 Pearson r of the daily
+    // revenue series (trend persistence and weekly seasonality in
+    // one report; the signal q_seasonality profiles and
+    // q_changepoint localizes). Aggregates to the day frame FIRST;
+    // lag pairs come from a calendar self-equi-join on the tiny day
+    // frame (only days present on both ends pair up). Moments are
+    // exact BIGINT sums — the series is daily revenue in hundred-
+    // dollar units (cents DIV 10000), which keeps Σx² within long
+    // range with headroom at the 10× probe — combined in
+    // DECIMAL(18,0) products (exact to 10^38) and finished by ONE
+    // mirrored IEEE sqrt/divide chain, so r matches bit-for-bit.
+    "q_autocorr" -> ((s, dir) => {
+      val day = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 10000")
+          .as("rd"))
+      def d18(c: Column): Column = c.cast("decimal(18,0)")
+      val per = Seq(1, 7).map { lag =>
+        val x = day.select(col("day"), col("rd").as("x"))
+        val y = day.select(date_sub(col("day"), lag).as("day"),
+          col("rd").as("y"))
+        x.join(y, "day")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(lit(lag).as("lag"), col("n_pairs"),
+            (d18(col("n_pairs")) * d18(col("sxy")) -
+              d18(col("sx")) * d18(col("sy"))).cast("double")
+              .divide(
+                sqrt((d18(col("n_pairs")) * d18(col("sxx")) -
+                  d18(col("sx")) * d18(col("sx"))).cast("double")) *
+                sqrt((d18(col("n_pairs")) * d18(col("syy")) -
+                  d18(col("sy")) * d18(col("sy"))).cast("double")))
+              .as("r"))
+      }
+      per.reduce(_.unionByName(_)).orderBy("lag")
     }))
 
   private def analyticsOracle: Map[String, String] = Map(
@@ -2148,6 +2286,85 @@ object SparkEntry {
                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
                   ELSE 'edge' END AS src
       FROM w ORDER BY user_id, day""",
+    "q_benford" -> """
+      WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+                 FROM orders),
+      c AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY digit),
+      t AS (SELECT count(*) AS n_total FROM d)
+      SELECT digit, n_orders,
+             CAST(n_orders AS DOUBLE) / n_total AS obs_share,
+             CAST(([0.301029995663981, 0.176091259055681, 0.124938736608300,
+               0.096910013008056, 0.079181246047625, 0.066946789630613,
+               0.057991946977687, 0.051152522447381,
+               0.045757490560675])[digit] AS DOUBLE) AS exp_share,
+             CAST(n_orders AS DOUBLE) / n_total -
+               CAST(([0.301029995663981, 0.176091259055681,
+                 0.124938736608300, 0.096910013008056, 0.079181246047625,
+                 0.066946789630613, 0.057991946977687, 0.051152522447381,
+                 0.045757490560675])[digit] AS DOUBLE) AS excess
+      FROM c, t ORDER BY digit""",
+    "q_crosstab" -> """
+      WITH cell AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      w AS (SELECT seg, pri, n,
+              CAST(sum(n) OVER (PARTITION BY seg) AS BIGINT) AS seg_tot,
+              CAST(sum(n) OVER (PARTITION BY pri) AS BIGINT) AS pri_tot,
+              CAST(sum(n) OVER () AS BIGINT) AS tot
+            FROM cell)
+      SELECT seg, pri, n,
+             CAST(seg_tot * pri_tot AS DOUBLE) / tot AS expected,
+             (CAST(n AS DOUBLE) - CAST(seg_tot * pri_tot AS DOUBLE) / tot) *
+             (CAST(n AS DOUBLE) - CAST(seg_tot * pri_tot AS DOUBLE) / tot) /
+             (CAST(seg_tot * pri_tot AS DOUBLE) / tot) AS contrib
+      FROM w ORDER BY seg, pri""",
+    "q_changepoint" -> """
+      WITH day AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          count(*) AS n_day
+                   FROM orders GROUP BY 1),
+      c AS (SELECT day,
+              CAST(sum(n_day) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS s_k,
+              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+              CAST(sum(n_day) OVER () AS BIGINT) AS s_n,
+              CAST(count(*) OVER () AS BIGINT) AS n_days
+            FROM day)
+      SELECT day, s_k, abs(n_days * s_k - k * s_n) AS stat,
+             CAST(abs(n_days * s_k - k * s_n) AS DOUBLE)
+               / (n_days * s_n) AS stat_norm
+      FROM c ORDER BY stat DESC, day LIMIT 5""",
+    "q_autocorr" -> """
+      WITH day AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) // 10000 AS rd
+            FROM orders GROUP BY 1),
+      p AS (SELECT 1 AS lag, x.rd AS x, y.rd AS y
+            FROM day x JOIN day y ON y.day = x.day + 1
+            UNION ALL
+            SELECT 7, x.rd, y.rd
+            FROM day x JOIN day y ON y.day = x.day + 7),
+      m AS (SELECT lag, count(*) AS n_pairs,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy,
+              CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM p GROUP BY lag)
+      SELECT CAST(lag AS INT) AS lag, n_pairs,
+             CAST(CAST(n_pairs AS DECIMAL(18,0)) * CAST(sxy AS DECIMAL(18,0))
+                  - CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0))
+                  AS DOUBLE) /
+             (sqrt(CAST(CAST(n_pairs AS DECIMAL(18,0))
+                        * CAST(sxx AS DECIMAL(18,0))
+                        - CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0))
+                        AS DOUBLE)) *
+              sqrt(CAST(CAST(n_pairs AS DECIMAL(18,0))
+                        * CAST(syy AS DECIMAL(18,0))
+                        - CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0))
+                        AS DOUBLE))) AS r
+      FROM m ORDER BY lag""",
     "q_interval_merge" -> """
       WITH iv AS (
         SELECT o_custkey, o_orderkey,
@@ -2770,6 +2987,37 @@ object SparkEntry {
     SELECT c_custkey, c_name, n_orders
     FROM customer JOIN cnt ON o_custkey = c_custkey
     ORDER BY n_orders DESC, c_custkey"""
+
+  /** Shared verbatim — TPC-DS Q1's above-group-average outlier
+    * shape: per-customer returned revenue compared against 1.2× the
+    * customer's own nation's average. The per-customer aggregate
+    * runs once over the fact table; the nation average runs over the
+    * |customers| aggregate frame; the threshold compare is an exact
+    * BIGINT cross-multiplication (5·ret·cnt > 6·sum — no float
+    * compare), and the reported ratio is one mirrored IEEE division.
+    * Deterministic top-20 (returned DESC, custkey tiebreak). */
+  private val sqlDsReturns: String = """
+    WITH ret AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS ret_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey),
+    nat AS (
+      SELECT c_custkey, c_name, n_name, ret_cents
+      FROM ret JOIN customer ON c_custkey = o_custkey
+               JOIN nation ON n_nationkey = c_nationkey),
+    st AS (
+      SELECT n_name AS st_nation, CAST(sum(ret_cents) AS BIGINT) AS nat_sum,
+             count(*) AS nat_cnt
+      FROM nat GROUP BY n_name)
+    SELECT c_custkey, c_name, n_name,
+           CAST(ret_cents AS DOUBLE) / 100.0 AS returned,
+           CAST(ret_cents * nat_cnt AS DOUBLE) / nat_sum AS ratio_to_avg
+    FROM nat JOIN st ON n_name = st_nation
+    WHERE ret_cents * nat_cnt * 5 > nat_sum * 6
+    ORDER BY returned DESC, c_custkey LIMIT 20"""
 
   /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
     * orders of one quarter counted per priority when ANY of their
@@ -3755,6 +4003,74 @@ object SparkEntry {
         .orderBy("phase")
     }),
 
+    // 193: VERSIONED RESTORE driver-gated — v0 = all orders, v1
+    // appends a corrupted batch (shifted keys, doubled prices),
+    // restore(0) rolls the head back as a NEW commit v2 that
+    // re-references v0's data dirs: zero bytes rewritten (the O(1)
+    // metadata rollback a 100 TB table needs). The row reads ALL
+    // THREE versions, so the oracle gates (a) head == v0's content,
+    // (b) the bad v1 stays time-travel-readable — history is never
+    // rewritten, and (c) the ledger grew to head 2.
+    "q_restore" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/versioned_restore"
+      if (V.latestVersion(table) < 0) {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+        V.commit(o, table, overwrite = false): Unit
+        V.commit(o.select(
+            (col("o_orderkey") + lit(3000000000L)).as("o_orderkey"),
+            (col("price_cents") * 2).as("price_cents")),
+          table, overwrite = false): Unit
+        V.restore(table, 0): Unit
+      }
+      val head = V.latestVersion(table)
+      def snap(v: Int) = V.read(s, table, Some(v))
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(col("price_cents"))).as("sum_price"))
+        .select(lit(v).as("version"), lit(head).as("head"),
+          col("n_orders"), col("sum_price"))
+      snap(0).unionAll(snap(1)).unionAll(snap(head))
+        .orderBy("version")
+    }),
+
+    // 194: VERSIONED VACUUM driver-gated — three appends build a
+    // 3-dir ledger, compact() rewrites the head, vacuum(head) drops
+    // every pre-head manifest and every data dir only they
+    // referenced. The row carries the surviving head aggregate PLUS
+    // the on-disk survivor counts (manifests and data dirs — both
+    // must be exactly the compacted 1), so the oracle gates that the
+    // reclaim actually deleted bytes and the trimmed table still
+    // reads back complete.
+    "q_vacuum" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/versioned_vacuum"
+      if (V.latestVersion(table) < 0) {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+        (0 until 3).foreach(k => V.commit(
+          o.filter(col("o_orderkey") % 3 === k), table,
+          overwrite = false): Unit)
+        V.compact(s, table, targetFiles = 1): Unit
+        V.vacuum(table, retainFrom = V.latestVersion(table))
+      }
+      val head = V.latestVersion(table)
+      def count0(p: java.nio.file.Path, pat: String): Int = {
+        val st = java.nio.file.Files.list(p)
+        try st.filter(_.getFileName.toString.matches(pat)).count().toInt
+        finally st.close()
+      }
+      val nManifests = count0(
+        java.nio.file.Paths.get(table, "_versions"), "v\\d+\\.json")
+      val nDataDirs = count0(java.nio.file.Paths.get(table, "data"), ".*")
+      V.read(s, table)
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(col("price_cents"))).as("sum_price"))
+        .select(lit(head).as("head"), lit(nManifests).as("n_manifests"),
+          lit(nDataDirs).as("n_data_dirs"), col("n_orders"),
+          col("sum_price"))
+    }),
+
     // 39 (beyond-§2): the reference's FULL pipeline composed end-to-end
     // — base load analog → marker semi-join → per-subset mark operators
     // (capped Qx, dedup-first H/C1/Qx1, stateful C5 gap) joined back →
@@ -3954,6 +4270,22 @@ object SparkEntry {
                / 100.0
       FROM orders
       ORDER BY phase""",
+    "q_restore" -> """
+      WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                 FROM orders)
+      SELECT 0 AS version, 2 AS head, count(*) AS n_orders,
+             CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_price FROM o
+      UNION ALL
+      SELECT 1, 2, 2 * count(*), CAST(sum(pc) * 3 AS DOUBLE) / 100.0 FROM o
+      UNION ALL
+      SELECT 2, 2, count(*), CAST(sum(pc) AS DOUBLE) / 100.0 FROM o
+      ORDER BY version""",
+    "q_vacuum" -> """
+      SELECT 3 AS head, 1 AS n_manifests, 1 AS n_data_dirs,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+      FROM orders""",
     "q_lake_refresh" -> """
       SELECT event_type, count(*) AS n_events,
              CAST(sum(CAST(round(
@@ -5290,6 +5622,36 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // 195: kNN CLASSIFICATION — the label-propagation consumer of
+    // the ANN stack: each query vector takes the majority label of
+    // its 5 nearest cosine neighbors (bruteTopK's bounded per-
+    // partition heaps — the k=5 ranking is a prefix of the k=10 row
+    // the oracle already pins), vote ties broken on the smaller
+    // label; the row carries the true label and a correct flag, so
+    // the oracle gates the full predict-vs-truth table. Votes and
+    // the argmax run on the |queries|·|labels| frame, never the
+    // corpus.
+    "q_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val nn = Similarity.bruteTopK(e, q, "embedding", "vec_id", 5)
+      val votes = nn
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(count(lit(1)).as("votes"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("n_label"))
+      votes.withColumn("rr", row_number().over(wv))
+        .filter(col("rr") === 1)
+        .join(e.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .select(col("query_id"), col("true_label"),
+          col("n_label").as("pred_label"), col("votes"),
+          (col("n_label") === col("true_label")).as("correct"))
+        .orderBy("query_id")
+    }),
+
     // 36: multimodal plumbing — binary payload + typed metadata +
     // stubbed decode (deterministic md5 features).
     "q_multimodal" -> ((s, dir) => {
@@ -6076,6 +6438,7 @@ object SparkEntry {
     "q_sql_ds_bands" -> sqlDsBands,
     "q_sql_ds_frequent" -> sqlDsFrequent,
     "q_sql_ds_deviation" -> sqlDsDeviation,
+    "q_sql_ds_returns" -> sqlDsReturns,
     "q_linreg" -> """
       WITH m AS (SELECT l_returnflag AS flag, count(*) AS n,
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
@@ -6578,6 +6941,27 @@ object SparkEntry {
             FROM s)
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_knn_classify" -> s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                 WHERE vec_id % 50 = 0),
+      s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+              ${cosine("q.qv", "c.embedding")} AS score
+            FROM embeddings c, q WHERE q.qid <> c.vec_id),
+      r AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+            FROM s),
+      v AS (SELECT r.query_id, e.label AS n_label, count(*) AS votes
+            FROM r JOIN embeddings e ON e.vec_id = r.neighbor_id
+            WHERE r.rank <= 5 GROUP BY 1, 2),
+      p AS (SELECT query_id, n_label, votes,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY votes DESC, n_label) AS rr
+            FROM v)
+      SELECT p.query_id, e.label AS true_label, p.n_label AS pred_label,
+             p.votes, p.n_label = e.label AS correct
+      FROM p JOIN embeddings e ON e.vec_id = p.query_id
+      WHERE p.rr = 1 ORDER BY p.query_id""",
     "q_embed_lsh" -> s"""
       WITH sg AS (SELECT vec_id, embedding AS v, $hpSig AS sig
                   FROM embeddings),

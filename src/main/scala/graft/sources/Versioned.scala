@@ -388,6 +388,52 @@ object Versioned {
       overwrite = true, txn = None, expectedBase = None,
       modeOverride = Some("compact")).get
 
+  /** RESTORE — rollback-as-a-commit (Delta RESTORE semantics): the
+    * head becomes version `v`'s content again by publishing a NEW
+    * manifest that re-references `v`'s data dirs. Zero bytes moved
+    * or rewritten — O(1) metadata regardless of table size (the only
+    * rollback that works at 100 TB) — and the rolled-back commits
+    * stay readable for audit/time-travel: history is never
+    * rewritten, so a restore of a restore, or a diff across the bad
+    * commits, all keep working. The restored manifest re-carries
+    * `v`'s schema baseline and the CURRENT head's constraints
+    * (quality gates survive rollbacks the way they survive
+    * overwrites), and [[vacuum]] composes: a retained restore
+    * manifest keeps the old data dirs it references alive. Like a
+    * plain overwrite, a restore is not representable as a row-change
+    * feed — feed readers crossing it fail loudly; land surgical
+    * corrections through [[merge]] instead. Concurrency: the same
+    * create-exclusive manifest race as every commit — a racer
+    * landing head+1 first wins and the restore retries against the
+    * new head (restoring to `v` is idempotent against racers: the
+    * re-read manifest of `v` is immutable). Returns the new head. */
+  def restore(path: String, v: Int): Int = {
+    val src = readManifest(path, v) // immutable once published
+    var attempt = 0
+    while (true) {
+      require(attempt < 50, s"versioned restore: 50 lost races at $path")
+      attempt += 1
+      val head = latestVersion(path)
+      require(head >= 0, s"versioned restore: no table at $path")
+      val cons = readManifest(path, head).constraints
+      val m = Manifest(head + 1, "restore", src.dataDirs, txn = None,
+        schemaDdl = src.schemaDdl,
+        ts = Some(System.currentTimeMillis()), constraints = cons)
+      val tmp = versionsDir(path)
+        .resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, render(m).getBytes("UTF-8"))
+      try {
+        Files.createLink(manifestPath(path, m.version), tmp)
+        Files.deleteIfExists(tmp): Unit
+        return m.version
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp): Unit
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Drop data dirs unreferenced by any manifest ≥ `retainFrom`
     * and the manifests below it — the storage-reclaim half of the
     * contract (time travel works back to `retainFrom` afterwards). */
@@ -526,8 +572,8 @@ object Versioned {
     (vFrom to vTo).foreach { v =>
       if (!Files.isDirectory(changeDirPath(path, v))) {
         val mode = readManifest(path, v).mode
-        if (mode == "overwrite") sys.error(
-          s"readChanges: v$v at $path is a plain overwrite commit — " +
+        if (mode == "overwrite" || mode == "restore") sys.error(
+          s"readChanges: v$v at $path is a $mode commit — " +
             "no stored row changes; land replacements via merge() " +
             "(or compact() for rewrites), or backfill a key-diff " +
             "feed with repairChangeFeed(keys)")

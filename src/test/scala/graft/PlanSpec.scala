@@ -67,7 +67,15 @@ class PlanSpec extends SparkSpec {
       "q_growth_accounting",
       // q_weighted_sample threads the 1-row max-weight scalar onto
       // the per-doc frame — the q_histogram normalization shape
-      "q_weighted_sample")
+      "q_weighted_sample",
+      // q_benford threads the 1-row order total onto the 9-digit
+      // frame; q_changepoint threads the 1-row grand event total
+      // onto the day frame — both the q_histogram scalar-carrier
+      // shape
+      "q_benford", "q_changepoint",
+      // q_knn_classify rides bruteTopK — the same labeled brute-force
+      // ANN baseline join as q_embed_topk
+      "q_knn_classify")
 
   test("no query plans a cartesian product or unintended nested loop") {
     SparkEntry.queries.keys.foreach { name =>

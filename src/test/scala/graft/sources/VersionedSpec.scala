@@ -210,6 +210,42 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, path, Some(2)).count() == 3)
   }
 
+  test("restore republishes an old version's dirs: metadata-only, history intact, vacuum-safe") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      path, overwrite = false)
+    Versioned.commit(Seq((3L, "BAD")).toDF("k", "v"),
+      path, overwrite = false)
+    val dirsBefore = java.nio.file.Files
+      .list(java.nio.file.Paths.get(path, "data")).count()
+    val v2 = Versioned.restore(path, 0)
+    assert(v2 == 2)
+    // metadata-only: no new data dir was written
+    assert(java.nio.file.Files
+      .list(java.nio.file.Paths.get(path, "data")).count() == dirsBefore)
+    // head == v0's content; the bad v1 still time-travels
+    assert(Versioned.read(spark, path).as[(Long, String)].collect()
+      .toSet == Set((1L, "a"), (2L, "b")))
+    assert(Versioned.read(spark, path, Some(1)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "BAD")))
+    // schema baseline and appendability survive the rollback
+    Versioned.commit(Seq((4L, "d")).toDF("k", "v"), path,
+      overwrite = false)
+    assert(Versioned.read(spark, path).as[(Long, String)].collect()
+      .toSet == Set((1L, "a"), (2L, "b"), (4L, "d")))
+    // vacuum composes: the restore manifest keeps v0's dirs alive
+    // even when retention trims everything below the restore commit
+    Versioned.vacuum(path, retainFrom = 2)
+    assert(Versioned.read(spark, path).as[(Long, String)].collect()
+      .toSet == Set((1L, "a"), (2L, "b"), (4L, "d")))
+    intercept[Exception] { Versioned.read(spark, path, Some(1)).collect() }
+    // a restore commit is not representable as a row-change feed
+    val err = intercept[Exception] {
+      Versioned.readChanges(spark, path, 2, 2).collect()
+    }
+    assert(err.getMessage.contains("restore"))
+  }
+
   test("merge upserts matched keys, inserts new ones, keeps the rest; one overwrite commit") {
     val path = tmpTable()
     Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
