@@ -728,6 +728,16 @@ object SparkEntry {
       s.sql(sqlDsReturns)
     }),
 
+    // 198: SQL front door, TPC-DS Q36's margin-rank-per-level shape —
+    // gross-margin ratio over the (type, brand) ROLLUP hierarchy,
+    // then RANK within each grouping level (GROUPING() materialized
+    // as a column, leaf ranks scoped to their parent — Q36's
+    // lochierarchy trick); best-3 rows per level scope.
+    "q_sql_ds_margin" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsMargin)
+    }),
+
     // 138: SQL front door, TPC-H Q4's EXISTS-date shape — the late-
     // line order count per priority; the correlated EXISTS carries
     // date predicates on BOTH sides of the correlation.
@@ -1854,6 +1864,69 @@ object SparkEntry {
               .as("r"))
       }
       per.reduce(_.unionByName(_)).orderBy("lag")
+    }),
+
+    // 196: SEASONAL-TREND DECOMPOSITION — daily revenue split into
+    // trend (centered 28-day moving average), weekly seasonal index
+    // (per-dow mean of the detrended series) and residual: the
+    // classical additive decomposition behind every seasonality-
+    // aware forecast/anomaly pipeline (the descriptive complement of
+    // q_seasonality's indexes and q_changepoint's shift scan).
+    // Aggregates to the calendar-bounded day frame FIRST; the one
+    // unpartitioned window runs over ~|days| rows (q_survival's
+    // documented bounded class), the 7-row dow frame broadcasts.
+    // Exactness: detrended is kept SCALED as 28·rc − Σ₂₈rc (pure
+    // BIGINT — no float MA subtraction), the per-dow seasonal sum is
+    // a BIGINT sum of those, and every output is one mirrored IEEE
+    // division of exact longs — bit parity by construction.
+    "q_seasonal_trend" -> ((s, dir) => {
+      val day = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rc"))
+      val wMa = Window.orderBy(col("day")).rowsBetween(-13, 14)
+      val tr = day.select(col("day"), col("rc"),
+          sum(col("rc")).over(wMa).as("tnum"),
+          count(lit(1)).over(wMa).as("tn"),
+          (dayofweek(col("day")) - 1).as("dow"))
+        .filter(col("tn") === 28) // full windows only: edges have no MA
+        .withColumn("det", col("rc") * 28 - col("tnum"))
+      val seas = tr.groupBy("dow")
+        .agg(sum(col("det")).as("snum"), count(lit(1)).as("sn"))
+      tr.join(broadcast(seas), "dow")
+        .select(col("day"), money(col("rc")).as("revenue"),
+          (col("tnum").cast("double") / 2800.0).as("trend"),
+          (col("snum").cast("double") / (col("sn") * 2800.0))
+            .as("seasonal"),
+          ((col("det").cast("double") / 2800.0) -
+            col("snum").cast("double") / (col("sn") * 2800.0))
+            .as("residual"))
+        .orderBy("day")
+    }),
+
+    // 197: ITEM-ITEM JACCARD — collaborative-filtering similarity
+    // over the co-order graph: for each part pair, |orders with
+    // both| / |orders with either| (the degree-normalized refinement
+    // of q_basket_rules' lift). Pair generation is the same order-
+    // key self-equi-join (quadratic only within an order's ≤7 lines,
+    // never item×item); degrees join back per side on the part key;
+    // top-20 under a full deterministic tiebreak.
+    "q_item_jaccard" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = op.select(col("ok"), col("pk").as("pa"))
+        .join(op.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("co"))
+      val deg = op.groupBy(col("pk")).agg(count(lit(1)).as("deg"))
+      pairs
+        .join(deg.select(col("pk").as("pa"), col("deg").as("da")), "pa")
+        .join(deg.select(col("pk").as("pb"), col("deg").as("db")), "pb")
+        .select(col("pa"), col("pb"), col("co"), col("da"), col("db"),
+          (col("co").cast("double") / (col("da") + col("db") - col("co")))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("pa"), col("pb"))
+        .limit(20)
     }))
 
   private def analyticsOracle: Map[String, String] = Map(
@@ -2365,6 +2438,41 @@ object SparkEntry {
                         - CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0))
                         AS DOUBLE))) AS r
       FROM m ORDER BY lag""",
+    "q_seasonal_trend" -> """
+      WITH day AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS rc
+            FROM orders GROUP BY 1),
+      tr0 AS (SELECT day, rc,
+                CAST(sum(rc) OVER w AS BIGINT) AS tnum,
+                CAST(count(*) OVER w AS BIGINT) AS tn,
+                CAST(dayofweek(day) AS INT) AS dow
+              FROM day
+              WINDOW w AS (ORDER BY day
+                ROWS BETWEEN 13 PRECEDING AND 14 FOLLOWING)),
+      tr AS (SELECT day, rc, tnum, dow, rc * 28 - tnum AS det
+             FROM tr0 WHERE tn = 28),
+      seas AS (SELECT dow, CAST(sum(det) AS BIGINT) AS snum,
+                      count(*) AS sn
+               FROM tr GROUP BY dow)
+      SELECT t.day, CAST(t.rc AS DOUBLE) / 100.0 AS revenue,
+             CAST(t.tnum AS DOUBLE) / 2800.0 AS trend,
+             CAST(s.snum AS DOUBLE) / (s.sn * 2800.0) AS seasonal,
+             CAST(t.det AS DOUBLE) / 2800.0 -
+               CAST(s.snum AS DOUBLE) / (s.sn * 2800.0) AS residual
+      FROM tr t JOIN seas s ON t.dow = s.dow
+      ORDER BY t.day""",
+    "q_item_jaccard" -> """
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+      pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS co
+                FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2),
+      deg AS (SELECT pk, count(*) AS deg FROM op GROUP BY pk)
+      SELECT pa, pb, co, da.deg AS da, db.deg AS db,
+             CAST(co AS DOUBLE) / (da.deg + db.deg - co) AS jaccard
+      FROM pairs JOIN deg da ON da.pk = pa JOIN deg db ON db.pk = pb
+      ORDER BY jaccard DESC, pa, pb LIMIT 20""",
     "q_interval_merge" -> """
       WITH iv AS (
         SELECT o_custkey, o_orderkey,
@@ -3018,6 +3126,41 @@ object SparkEntry {
     FROM nat JOIN st ON n_name = st_nation
     WHERE ret_cents * nat_cnt * 5 > nat_sum * 6
     ORDER BY returned DESC, c_custkey LIMIT 20"""
+
+  /** Shared verbatim — TPC-DS Q36's margin-rank-per-level report:
+    * gross-margin ratio (margin = revenue − 60%-of-retail supply
+    * cost, Q9's convention) over the (type, brand) ROLLUP hierarchy,
+    * ranked WITHIN each grouping level, leaf rows scoped to their
+    * parent type (the lochierarchy window partition that makes Q36
+    * interesting). GROUPING() is materialized as an INT column in
+    * the aggregate CTE so the window partitions on a plain column on
+    * both engines; the rank's ORDER BY carries a full tiebreak so
+    * equal ratios stay deterministic; margin/revenue are exact
+    * per-row cents, the ratio one mirrored IEEE division. */
+  private val sqlDsMargin: String = """
+    WITH agg AS (
+      SELECT p_type, p_brand,
+             CAST(GROUPING(p_type) * 2 + GROUPING(p_brand) AS INT) AS lvl,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)
+               - CAST(round(l_extendedprice * 0.6 * 100) AS BIGINT))
+               AS BIGINT) AS margin_cents,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY ROLLUP(p_type, p_brand)),
+    r AS (
+      SELECT p_type, p_brand, lvl,
+             CAST(margin_cents AS DOUBLE) / rev_cents AS margin_ratio,
+             CAST(rank() OVER (
+               PARTITION BY lvl, CASE WHEN lvl = 0 THEN p_type END
+               ORDER BY CAST(margin_cents AS DOUBLE) / rev_cents,
+                        p_type NULLS FIRST, p_brand NULLS FIRST)
+               AS BIGINT) AS rk
+      FROM agg)
+    SELECT p_type, p_brand, lvl, margin_ratio, rk
+    FROM r WHERE rk <= 3
+    ORDER BY lvl, p_type NULLS FIRST, rk, p_brand NULLS FIRST"""
 
   /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
     * orders of one quarter counted per priority when ANY of their
@@ -6439,6 +6582,7 @@ object SparkEntry {
     "q_sql_ds_frequent" -> sqlDsFrequent,
     "q_sql_ds_deviation" -> sqlDsDeviation,
     "q_sql_ds_returns" -> sqlDsReturns,
+    "q_sql_ds_margin" -> sqlDsMargin,
     "q_linreg" -> """
       WITH m AS (SELECT l_returnflag AS flag, count(*) AS n,
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
