@@ -4214,6 +4214,95 @@ object SparkEntry {
           col("sum_price"))
     }),
 
+    // 199: DELETE WHERE driver-gated — dir-granular copy-on-write
+    // row deletion: two appends split orders by key parity, then
+    // deleteWhere(odd AND status 'F'); ONLY the odd dir is rewritten
+    // and the even dir carries into v2 BY REFERENCE (n_carried_dirs,
+    // computed from the manifests' dir-id intersection, gates the
+    // zero-rewrite claim — deleting one slice of a 100 TB table must
+    // not rewrite the rest). The deleted rows' PRE-IMAGE feed
+    // (`_changes/cv=2/ct=delete`) is read back as a distributed agg
+    // beside the post-delete snapshot, so the oracle gates the
+    // snapshot, the feed, and the ledger accounting in one row.
+    "q_delete_where" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/versioned_delete"
+      if (V.latestVersion(table) < 0) {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+        V.commit(o.filter(col("o_orderkey") % 2 === 0), table,
+          overwrite = false): Unit
+        V.commit(o.filter(col("o_orderkey") % 2 === 1), table,
+          overwrite = false): Unit
+        V.deleteWhere(s, table,
+          col("o_orderkey") % 2 === 1 && col("o_orderstatus") === "F"): Unit
+      }
+      val head = V.latestVersion(table)
+      val carried = V.dataDirIds(table, head).toSet
+        .intersect(V.dataDirIds(table, head - 1).toSet).size
+      val feed = V.readChanges(s, table, head, head)
+        .filter(col("_change_type") === "delete")
+        .agg(count(lit(1)).as("n_deleted"),
+          money(sum(col("price_cents"))).as("sum_deleted"))
+      V.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(col("price_cents"))).as("sum_price"))
+        .crossJoin(broadcast(feed)) // intended: 1-row feed-agg carrier
+        .select(col("o_orderstatus"), col("n_orders"), col("sum_price"),
+          col("n_deleted"), col("sum_deleted"),
+          lit(head).as("head"), lit(carried).as("n_carried_dirs"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // 200: SHALLOW CLONE driver-gated — zero-copy table fork: events
+    // commit in two appends, cloneTable hardlinks every data file
+    // into an independent fork (O(files) metadata, zero bytes), then
+    // the FORK deletes its clicks while the SOURCE keeps them. The
+    // row left-joins per-type aggregates of both tables (click row:
+    // null fork columns — divergence without interference) and
+    // carries a zero_copy flag checked against a real inode link
+    // count (nlink ≥ 2 on a cloned file), so the oracle gates
+    // content, independence, AND that no bytes were copied.
+    "q_clone" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val src = stagingRoot(dir) + "/versioned_clone_src"
+      val cln = stagingRoot(dir) + "/versioned_clone_fork"
+      if (V.latestVersion(src) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        V.commit(ev.filter(col("event_id") % 2 === 0), src,
+          overwrite = false): Unit
+        V.commit(ev.filter(col("event_id") % 2 === 1), src,
+          overwrite = false): Unit
+      }
+      if (V.latestVersion(cln) < 0) {
+        V.cloneTable(src, cln): Unit
+        V.deleteWhere(s, cln, col("event_type") === "click"): Unit
+      }
+      val linked = java.nio.file.Paths.get(
+        cln, "data", V.dataDirIds(cln, 0).head)
+      val aFile = {
+        val st = java.nio.file.Files.list(linked)
+        try st.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally st.close()
+      }
+      val zeroCopy = java.nio.file.Files
+        .getAttribute(aFile, "unix:nlink")
+        .asInstanceOf[Number].intValue() >= 2
+      val srcAgg = V.read(s, src).groupBy("event_type")
+        .agg(count(lit(1)).as("n_source"),
+          money(sum(col("vc"))).as("sum_source"))
+      val clnAgg = V.read(s, cln).groupBy("event_type")
+        .agg(count(lit(1)).as("n_fork"),
+          money(sum(col("vc"))).as("sum_fork"))
+      srcAgg.join(clnAgg, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_source"), col("sum_source"),
+          col("n_fork"), col("sum_fork"), lit(zeroCopy).as("zero_copy"))
+        .orderBy("event_type")
+    }),
+
     // 39 (beyond-§2): the reference's FULL pipeline composed end-to-end
     // — base load analog → marker semi-join → per-subset mark operators
     // (capped Qx, dedup-first H/C1/Qx1, stateful C5 gap) joined back →
@@ -4429,6 +4518,31 @@ object SparkEntry {
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                / 100.0 AS sum_price
       FROM orders""",
+    "q_delete_where" -> """
+      WITH o AS (SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                 FROM orders),
+      del AS (SELECT count(*) AS n_deleted,
+                CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_deleted
+              FROM o WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'F')
+      SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_price,
+             n_deleted, sum_deleted, 2 AS head, 1 AS n_carried_dirs
+      FROM o CROSS JOIN del
+      WHERE NOT (o_orderkey % 2 = 1 AND o_orderstatus = 'F')
+      GROUP BY o_orderstatus, n_deleted, sum_deleted
+      ORDER BY o_orderstatus""",
+    "q_clone" -> """
+      WITH ev AS (SELECT event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+      SELECT event_type, count(*) AS n_source,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_source,
+             CASE WHEN event_type = 'click' THEN NULL
+                  ELSE count(*) END AS n_fork,
+             CASE WHEN event_type = 'click' THEN NULL
+                  ELSE CAST(sum(vc) AS DOUBLE) / 100.0 END AS sum_fork,
+             TRUE AS zero_copy
+      FROM ev GROUP BY event_type ORDER BY event_type""",
     "q_lake_refresh" -> """
       SELECT event_type, count(*) AS n_events,
              CAST(sum(CAST(round(

@@ -627,6 +627,11 @@ object Versioned {
             publishInsertFeed(path, v, s"$path/data/${m.dataDirs.last}")
           case "compact" | "meta" =>
             Files.createDirectories(changeDirPath(path, v)): Unit
+          case "clone" =>
+            // a clone's v0 is a whole-table insert across ALL its
+            // dirs (the birth feed [[cloneTable]] writes; this is the
+            // crash-window backfill)
+            publishWholeTableFeed(path, v, m.dataDirs)
           case _ if v == 0 =>
             publishInsertFeed(path, 0, s"$path/data/${m.dataDirs.last}")
           case _ =>
@@ -837,6 +842,200 @@ object Versioned {
       }
     }
     -1 // unreachable
+  }
+
+  /** Result of a [[deleteWhere]]: the committed version plus the
+    * dir-granular copy-on-write accounting (how many data dirs were
+    * rewritten vs carried by reference) — the evidence that a
+    * selective delete did NOT rewrite the table. */
+  final case class DeleteResult(version: Int, rewrittenDirs: Int,
+      carriedDirs: Int, deletedRows: Long)
+
+  /** Row-level DELETE WHERE as one versioned commit, copy-on-write at
+    * DATA-DIR granularity: one distributed probe job finds the dirs
+    * that contain any matching row (filter + distinct over the file
+    * path's dir segment — survivors-only collect, bounded by the dir
+    * count, never the data), ONLY those dirs are rewritten without
+    * their matching rows, and every untouched dir is carried into the
+    * new manifest BY REFERENCE — zero bytes moved for data the
+    * predicate never touches. That asymmetry is the whole point at
+    * 100 TB: deleting one tenant's rows from one region's dirs must
+    * not rewrite the other 99 regions. ([[merge]] with `deleteWhen`
+    * remains the keyed path; this is the predicate path — no key
+    * needed.)
+    *
+    * SQL DELETE semantics: rows where the predicate is NULL are KEPT
+    * (only TRUE deletes), mirroring every engine's DELETE WHERE.
+    *
+    * Concurrency: read-modify-write under the same optimistic loop as
+    * [[merge]] — derive from head, publish at head+1 via the
+    * create-exclusive link; any commit landing first fails the link
+    * and the delete re-probes against the new head (new appends may
+    * contain matching rows; they must not survive). `txn` dedupes
+    * replays through the manifest ledger like every commit here.
+    *
+    * Change feed: the deleted rows publish as `ct=delete` with their
+    * full PRE-IMAGE values (batch-sized write — proportional to what
+    * was deleted). This is richer than [[merge]]'s keyed deletes
+    * (null non-keys): a predicate delete has no key to carry, so the
+    * pre-image IS the identity of what left the table. */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      txn: Option[String] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name,
+      lit, not, regexp_extract}
+    var attempt = 0
+    while (true) {
+      require(attempt < 50, s"versioned deleteWhere: 50 lost races at $path")
+      attempt += 1
+      val base = latestVersion(path)
+      require(base >= 0, s"versioned deleteWhere: no committed version at $path")
+      txn.flatMap(findTxn(path, _, base)) match {
+        case Some(v) =>
+          return DeleteResult(v, -1, -1, -1L) // replay: work already done
+        case None => ()
+      }
+      val m = readManifest(path, base)
+      val snap = read(spark, path, Some(base))
+      val hit = coalesce(predicate, lit(false)) // NULL keeps the row
+      // probe: which dirs contain matching rows — one distributed
+      // filter, distinct BEFORE the collect, result ≤ |dataDirs|
+      val touched = snap.filter(hit)
+        .select(regexp_extract(input_file_name(),
+          "/data/([^/]+)/[^/]*$", 1).as("d"))
+        .distinct().collect().map(_.getString(0)).toSet
+      if (touched.isEmpty)
+        return DeleteResult(base, 0, m.dataDirs.size, 0L)
+      val carried = m.dataDirs.filterNot(touched)
+      // rewrite ONLY the touched dirs, without their matching rows;
+      // read under the manifest schema so older files null-fill
+      // evolved columns exactly like a snapshot read
+      val reader = m.schemaDdl match {
+        case Some(ddl) => spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        case None => spark.read
+      }
+      val touchedDf = reader.parquet(
+        touched.toSeq.sorted.map(d => s"$path/data/$d"): _*)
+      val deletedRows = touchedDf.filter(hit).count()
+      val dataId = java.util.UUID.randomUUID().toString
+      touchedDf.filter(not(hit))
+        .write.mode("errorifexists").parquet(s"$path/data/$dataId")
+      val next = Manifest(base + 1, "delete", carried :+ dataId, txn,
+        m.schemaDdl, ts = Some(System.currentTimeMillis()),
+        constraints = m.constraints)
+      val tmp = versionsDir(path)
+        .resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, render(next).getBytes("UTF-8"))
+      try {
+        Files.createLink(manifestPath(path, next.version), tmp)
+        Files.deleteIfExists(tmp)
+        // stored feed: pre-image delete rows, derived from the
+        // immutable base snapshot AFTER the publish (a lost race
+        // never writes a stale feed)
+        val cols = snap.columns.toIndexedSeq
+        publishWrittenFeed(
+          touchedDf.filter(hit).withColumn("ct", lit("delete"))
+            .select((cols.map(col) :+ col("ct")): _*),
+          path, next.version)
+        return DeleteResult(next.version, 1, carried.size, deletedRows)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // a commit landed at base+1 first — the staged rewrite is
+          // orphaned (vacuum reclaims) and the delete re-derives
+          Files.deleteIfExists(tmp): Unit
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Data-dir ids referenced by `v`'s manifest (observability /
+    * spec hook — lets a caller PROVE a commit carried dirs by
+    * reference instead of rewriting them). */
+  def dataDirIds(path: String, v: Int): Seq[String] =
+    readManifest(path, v).dataDirs
+
+  /** SHALLOW CLONE (zero-copy table fork): materialize `srcPath`'s
+    * head snapshot as a brand-new independent table at `dstPath` —
+    * every data file arrives as a HARDLINK (O(files) metadata ops,
+    * zero copied bytes; stats/bloom sidecars ride along so skipping
+    * reads keep working on the clone), and the clone's v0 manifest
+    * re-carries the source's schema baseline and constraint ledger.
+    * From then on the tables evolve independently: commits to either
+    * never touch the other, and because links pin inodes, vacuuming
+    * the SOURCE can never corrupt the clone (the classic shallow-
+    * clone hazard on path-referencing formats is structurally absent
+    * here). The clone's v0 publishes a whole-table `ct=insert` feed
+    * — also links, file names prefixed by their dir id so same-named
+    * part files from different dirs can't collide in the flat feed
+    * dir — so change-feed consumers can start from birth. On
+    * HDFS/object stores the link becomes a server-side copy or a
+    * manifest-entry copy; the layout contract is unchanged.
+    *
+    * The dominant use at scale: fork a 100 TB table for an
+    * experiment/backfill in milliseconds-per-thousand-files, mutate
+    * the fork, throw it away — no copy, no risk to production. */
+  def cloneTable(srcPath: String, dstPath: String): Int = {
+    val head = latestVersion(srcPath)
+    require(head >= 0, s"versioned clone: no committed version at $srcPath")
+    require(latestVersion(dstPath) < 0,
+      s"versioned clone: $dstPath already has commits")
+    val m = readManifest(srcPath, head)
+    m.dataDirs.foreach { d =>
+      val src = Paths.get(srcPath, "data", d)
+      val dst = Paths.get(dstPath, "data", d)
+      Files.createDirectories(dst)
+      // link every regular file, recursively (parquet parts AND any
+      // _graft_stats/_graft_bloom sidecar tables inside the dir)
+      Files.walk(src).filter(Files.isRegularFile(_)).forEach { p =>
+        val rel = src.relativize(p)
+        val out = dst.resolve(rel)
+        Files.createDirectories(out.getParent)
+        try Files.createLink(out, p)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
+    Files.createDirectories(versionsDir(dstPath))
+    val v0 = Manifest(0, "clone", m.dataDirs, txn = None,
+      schemaDdl = m.schemaDdl, ts = Some(System.currentTimeMillis()),
+      constraints = m.constraints)
+    val tmp = versionsDir(dstPath)
+      .resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, render(v0).getBytes("UTF-8"))
+    Files.createLink(manifestPath(dstPath, 0), tmp)
+    Files.deleteIfExists(tmp)
+    // birth feed: the clone's v0 IS a whole-table insert
+    publishWholeTableFeed(dstPath, 0, m.dataDirs)
+    0
+  }
+
+  /** Whole-table `ct=insert` feed for version `v`: hardlink every
+    * data file of `dirIds` into one flat feed dir, names prefixed by
+    * their dir id so same-named part files from different dirs can't
+    * collide. Idempotent ([[cloneTable]] birth feed + its
+    * [[repairChangeFeed]] backfill). */
+  private def publishWholeTableFeed(path: String, v: Int,
+      dirIds: Seq[String]): Unit = {
+    val dst = changeDirPath(path, v)
+    if (Files.exists(dst)) return
+    val stage = changesRoot(path)
+      .resolve(s".stage-${java.util.UUID.randomUUID()}")
+    val ins = stage.resolve("ct=insert")
+    Files.createDirectories(ins)
+    dirIds.foreach { d =>
+      val dd = Paths.get(path, "data", d)
+      Files.list(dd).iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith("."))
+          Files.createLink(ins.resolve(s"$d-$n"), p): Unit
+      }
+    }
+    try { Files.move(stage, dst): Unit }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f): Unit })
+    }
   }
 
   /** Apply one batch of an APPLYABLE change feed ([[changeFeed]]
