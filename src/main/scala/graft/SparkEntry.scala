@@ -728,6 +728,15 @@ object SparkEntry {
       s.sql(sqlDsReturns)
     }),
 
+    // 205: SQL front door, TPC-DS Q65's under-performer shape — per
+    // (supplier, part) revenue at or below half the supplier's own
+    // average pair revenue; stacked aggregations with an exact
+    // integer cross-multiplied threshold.
+    "q_sql_ds_minavg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsMinavg)
+    }),
+
     // 198: SQL front door, TPC-DS Q36's margin-rank-per-level shape —
     // gross-margin ratio over the (type, brand) ROLLUP hierarchy,
     // then RANK within each grouping level (GROUPING() materialized
@@ -1094,6 +1103,85 @@ object SparkEntry {
             .as("d"))
         .groupBy("n0", "n1")
         .agg(round(max(col("d")), 6).as("ks"))
+    }),
+
+    // 202: CHI-SQUARE test of independence (event_type × day-of-week)
+    // — the categorical drift/dependence screen beside the numeric
+    // ones (q_psi on distributions, q_ks_test on CDFs): observed cell
+    // counts vs the independence expectation E = row·col/N, χ² =
+    // Σ (O·N − R·C)²/(R·C·N). The contingency table is ONE groupBy of
+    // the facts (map-side partials), everything after runs on the
+    // |types|×|dows| ≤ ~35-cell frame — marginals broadcast back,
+    // zero further fact-table passes; the shape is identical at
+    // 100 TB because the post-aggregate frame never grows with data.
+    // Each term is exact-BIGINT arithmetic cast to DOUBLE only for
+    // the final division; round(,6) absorbs the ~30-term sum order.
+    "q_chi2" -> ((s, dir) => {
+      val cells = t(s, dir, "events")
+        .select(col("event_type"),
+          (dayofweek(to_date(col("ts"))) - 1).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+        .staged // ≤35 rows reused by marginals + terms
+      val rowT = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+      val colT = cells.groupBy("dow").agg(sum(col("o")).as("ct"))
+      val tot = cells.agg(sum(col("o")).as("n"))
+      val d = col("o") * col("n") - col("rt") * col("ct")
+      cells.join(broadcast(rowT), "event_type")
+        .join(broadcast(colT), "dow")
+        .crossJoin(broadcast(tot)) // intended: 1-row N carrier
+        .select(col("event_type"), col("dow"), col("n"),
+          (d.cast("double") * d.cast("double") /
+            (col("rt").cast("double") * col("ct") * col("n"))).as("term"))
+        .agg(round(sum(col("term")) / first(col("n")), 6).as("chi2"),
+          ((countDistinct(col("event_type")) - 1) *
+            (countDistinct(col("dow")) - 1)).as("dof"),
+          first(col("n")).as("n_events"))
+    }),
+
+    // 203: TWO-PHASE exact distinct count — the de-skew idiom for
+    // COUNT(DISTINCT) at scale, made explicit: phase 1 pre-deduplicates
+    // on the FULL (type, user) key (the shuffle spreads over both key
+    // columns, so one hot event type fans across every partition
+    // instead of serializing into one reducer's distinct-set), phase 2
+    // counts the now-unique pairs with plain map-side-combinable
+    // counts. Spark's single-phase distinct aggregate plans an Expand
+    // over the same two steps; writing them explicitly pins the shape
+    // and lets the n_events count ride phase 1 for free. Oracle:
+    // COUNT(DISTINCT) — the semantics must be identical.
+    "q_distinct_twophase" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n_in_pair")) // phase 1: dedup shuffle
+        .groupBy("event_type") // phase 2: unique-pair counts
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_in_pair")).as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    // 204: WEEK-OVER-WEEK revenue comparison (TPC-DS Q59's shape as a
+    // DataFrame row — the dow bridge isn't SQL-portable): revenue per
+    // day-of-week for two adjacent months self-joined on dow, the
+    // month-over-month ratio per weekday. One groupBy of orders to a
+    // (month, dow)-sized frame, the self-join runs on ≤7 rows a side;
+    // ratio is one mirrored IEEE division of exact cents.
+    "q_wow_revenue" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("d"),
+          cents(col("o_totalprice")).as("pc"))
+        .filter(year(col("d")) === 1996 && month(col("d")).isin(1, 2))
+        .groupBy(month(col("d")).as("m"),
+          (dayofweek(col("d")) - 1).as("dow"))
+        .agg(sum(col("pc")).as("rc"), count(lit(1)).as("n_orders"))
+        .staged // ≤14 rows, both join sides
+      rev.filter(col("m") === 1).select(col("dow"),
+          col("rc").as("rc1"), col("n_orders").as("n_orders_m1"))
+        .join(rev.filter(col("m") === 2).select(col("dow"),
+          col("rc").as("rc2"), col("n_orders").as("n_orders_m2")), "dow")
+        .select(col("dow"), money(col("rc1")).as("rev_m1"),
+          money(col("rc2")).as("rev_m2"),
+          round(col("rc2").cast("double") / col("rc1"), 6).as("wow_ratio"),
+          col("n_orders_m1"), col("n_orders_m2"))
+        .orderBy("dow")
     }),
 
     // 158: median-absolute-deviation outliers — the robust twin of
@@ -3161,6 +3249,32 @@ object SparkEntry {
     SELECT p_type, p_brand, lvl, margin_ratio, rk
     FROM r WHERE rk <= 3
     ORDER BY lvl, p_type NULLS FIRST, rk, p_brand NULLS FIRST"""
+
+  /** Shared verbatim — TPC-DS Q65's under-performer shape: per
+    * (supplier, part) revenue compared against the supplier's OWN
+    * average pair revenue; keep pairs at or below half the average.
+    * Two stacked aggregations (pair revenue, then supplier marginals
+    * over the pair frame — the second agg runs on the already-reduced
+    * frame, never the facts) and the threshold is an exact integer
+    * cross-multiplication (pc · n_pairs · 2 ≤ total), so no float
+    * enters until the display division; deterministic LIMIT via the
+    * full (revenue, s_name, p_name) tiebreak. */
+  private val sqlDsMinavg: String = """
+    WITH pr AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS pc
+      FROM lineitem GROUP BY l_suppkey, l_partkey),
+    sa AS (
+      SELECT l_suppkey, CAST(sum(pc) AS BIGINT) AS total_pc,
+             count(*) AS n_pairs
+      FROM pr GROUP BY l_suppkey)
+    SELECT s_name, p_name, CAST(pc AS DOUBLE) / 100.0 AS revenue
+    FROM pr JOIN sa USING (l_suppkey)
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN part ON p_partkey = l_partkey
+    WHERE pc * n_pairs * 2 <= total_pc
+    ORDER BY revenue, s_name, p_name LIMIT 20"""
 
   /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
     * orders of one quarter counted per priority when ANY of their
@@ -5752,6 +5866,47 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // 201: LABEL PROPAGATION — the fourth graph family (community
+    // membership by iteration) beside traversal (q_bfs_levels),
+    // ranking (q_pagerank), counting (q_triangle), and contraction-CC
+    // (q_dedup_cluster): two SYNCHRONOUS min-label rounds over a
+    // sparse customer↔supplier graph (cheap-order/low-quantity edges
+    // fragment it into ~80 communities at sf0.01 — a dense graph
+    // degenerates to one label and gates nothing). Each round is ONE
+    // groupBy(dst-side) shuffle of |E| rows + a label join — the same
+    // per-iteration scale shape as PageRank, skew-safe because min is
+    // associative (map-side partials absorb hot vertices). min-label
+    // with a fixed round count is deterministic on any engine —
+    // classic async LPA is not, which is why the sync variant is the
+    // one a distributed engine ships.
+    "q_label_prop" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders")
+        .filter(col("o_totalprice") < 60000.0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") <= 8)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val e = e0.union(e0.select(col("dst").as("src"),
+        col("src").as("dst"))).staged
+      var lbl = e.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      for (_ <- 1 to 2) {
+        val nl = e.join(lbl.select(col("id").as("nid"), col("lbl")),
+            col("dst") === col("nid"))
+          .groupBy("src").agg(min(col("lbl")).as("nl"))
+        lbl = lbl.join(nl, lbl("id") === nl("src"), "left")
+          .select(lbl("id"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          .staged
+      }
+      lbl.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("community")
+    }),
+
     // 61: regex group extraction — parse structured text into typed
     // columns (the log/sheet-parsing ETL shape; the reference's
     // pandas .str pipeline equivalent). Groups: "<adjective> <noun>".
@@ -7150,6 +7305,66 @@ object SparkEntry {
       UNION ALL SELECT 2, count(*) FROM l2 HAVING count(*) > 0
       UNION ALL SELECT 3, count(*) FROM l3 HAVING count(*) > 0
       ORDER BY level""",
+    "q_label_prop" -> """
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                         l_suppkey + 1000000 AS dst
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                  WHERE o_totalprice < 60000 AND l_quantity <= 8),
+      e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      n AS (SELECT DISTINCT src AS id FROM e),
+      l0 AS (SELECT id, id AS lbl FROM n),
+      p1 AS (SELECT e.src AS id, min(l0.lbl) AS nl
+             FROM e JOIN l0 ON l0.id = e.dst GROUP BY e.src),
+      l1 AS (SELECT l0.id, least(l0.lbl, coalesce(p1.nl, l0.lbl)) AS lbl
+             FROM l0 LEFT JOIN p1 ON l0.id = p1.id),
+      p2 AS (SELECT e.src AS id, min(l1.lbl) AS nl
+             FROM e JOIN l1 ON l1.id = e.dst GROUP BY e.src),
+      l2 AS (SELECT l1.id, least(l1.lbl, coalesce(p2.nl, l1.lbl)) AS lbl
+             FROM l1 LEFT JOIN p2 ON l1.id = p2.id)
+      SELECT lbl AS community, count(*) AS n_members
+      FROM l2 GROUP BY lbl ORDER BY community""",
+    "q_chi2" -> """
+      WITH c AS (SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+                        count(*) AS o FROM events GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+      r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+            FROM c GROUP BY 1),
+      k AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+      cells AS (SELECT event_type, dow, n,
+                       CAST(o * n - rt * ct AS DOUBLE)
+                         * CAST(o * n - rt * ct AS DOUBLE)
+                         / (CAST(rt AS DOUBLE) * ct * n) AS term
+                FROM c JOIN r USING (event_type) JOIN k USING (dow)
+                     CROSS JOIN tot)
+      SELECT round(sum(term) / any_value(n), 6) AS chi2,
+             CAST((count(DISTINCT event_type) - 1)
+               * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+             CAST(any_value(n) AS BIGINT) AS n_events
+      FROM cells""",
+    "q_distinct_twophase" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users,
+             count(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_wow_revenue" -> """
+      WITH rev AS (
+        SELECT month(CAST(o_orderdate AS DATE)) AS m,
+               dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS rc,
+               count(*) AS n_orders
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1996
+          AND month(CAST(o_orderdate AS DATE)) IN (1, 2)
+        GROUP BY 1, 2)
+      SELECT CAST(a.dow AS INT) AS dow,
+             CAST(a.rc AS DOUBLE) / 100.0 AS rev_m1,
+             CAST(b.rc AS DOUBLE) / 100.0 AS rev_m2,
+             round(CAST(b.rc AS DOUBLE) / a.rc, 6) AS wow_ratio,
+             a.n_orders AS n_orders_m1, b.n_orders AS n_orders_m2
+      FROM rev a JOIN rev b ON a.dow = b.dow
+      WHERE a.m = 1 AND b.m = 2
+      ORDER BY dow""",
+    "q_sql_ds_minavg" -> sqlDsMinavg,
     "q_datapipe_e2e" -> s"""
       WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
       d0 AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
