@@ -35,6 +35,30 @@ def survey_sync_check(oracle):
                     f"{sorted(shipped - documented)}")
     return msgs
 
+def planaudit_sync_check(oracle):
+    """PLANAUDIT.md must carry one row per shipped contract query —
+    the r9 drift: 25 contract rows landed after the artifact freeze
+    and the measured-plan record silently trailed the contract.
+    PlanAudit itself always iterates SparkEntry.queries, so the only
+    failure mode is a STALE checked-in artifact; this makes it loud."""
+    pa = os.path.join(os.path.dirname(__file__), "..", "PLANAUDIT.md")
+    try:
+        text = open(pa).read()
+    except OSError:
+        return []
+    audited = set(re.findall(r"^\|\s*(q(?:_\w+|\d+\w*))\s*\|", text,
+                             re.MULTILINE))
+    shipped = set(oracle)
+    msgs = []
+    if shipped - audited:
+        msgs.append(f"shipped rows missing from PLANAUDIT.md (stale "
+                    f"artifact — rerun graft.PlanAudit): "
+                    f"{sorted(shipped - audited)}")
+    if audited - shipped:
+        msgs.append(f"PLANAUDIT.md rows not shipped: "
+                    f"{sorted(audited - shipped)}")
+    return msgs
+
 def norm(v, float_col=False):
     if v is None:
         return ("\x00",)  # nulls sort first, match only null
@@ -71,6 +95,9 @@ def main():
     if not only:
         for m in survey_sync_check(oracle):
             print(f"FAIL survey-sync: {m}")
+            n_fail += 1
+        for m in planaudit_sync_check(oracle):
+            print(f"FAIL planaudit-sync: {m}")
             n_fail += 1
     for q, sql in sorted(oracle.items()):
         if only and q not in only:

@@ -747,6 +747,24 @@ object SparkEntry {
       s.sql(sqlDsMargin)
     }),
 
+    // 207: SQL front door, TPC-DS Q14's cross-channel INTERSECT
+    // shape — items sold in all three "channels", report over the
+    // common set only; channels reduce to DISTINCT lists before the
+    // INTERSECT semi-joins.
+    "q_sql_ds_intersect" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsIntersect)
+    }),
+
+    // 208: SQL front door, TPC-DS Q23's best-customers ×
+    // frequent-items shape — returned revenue of above-half-max
+    // customers on ≥4-order items, per priority; both qualifying
+    // sets aggregate-first, scalar MAX broadcast.
+    "q_sql_ds_bestfreq" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsBestfreq)
+    }),
+
     // 138: SQL front door, TPC-H Q4's EXISTS-date shape — the late-
     // line order count per priority; the correlated EXISTS carries
     // date predicates on BOTH sides of the correlation.
@@ -1132,7 +1150,7 @@ object SparkEntry {
         .select(col("event_type"), col("dow"), col("n"),
           (d.cast("double") * d.cast("double") /
             (col("rt").cast("double") * col("ct") * col("n"))).as("term"))
-        .agg(round(sum(col("term")) / first(col("n")), 6).as("chi2"),
+        .agg(round(sum(col("term")), 6).as("chi2"),
           ((countDistinct(col("event_type")) - 1) *
             (countDistinct(col("dow")) - 1)).as("dof"),
           first(col("n")).as("n_events"))
@@ -1158,30 +1176,34 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // 204: WEEK-OVER-WEEK revenue comparison (TPC-DS Q59's shape as a
-    // DataFrame row — the dow bridge isn't SQL-portable): revenue per
-    // day-of-week for two adjacent months self-joined on dow, the
-    // month-over-month ratio per weekday. One groupBy of orders to a
-    // (month, dow)-sized frame, the self-join runs on ≤7 rows a side;
-    // ratio is one mirrored IEEE division of exact cents.
+    // 204: WEEK-OVER-WEEK revenue (TPC-DS Q59's adjacent-week
+    // comparison as a DataFrame row): revenue per ISO week of 1996,
+    // each week's ratio vs the PREVIOUS week via one lag over the
+    // ≤52-row week frame — robust at every SF (a fixed two-week pick
+    // goes empty at sf0.001). The unpartitioned window is calendar-
+    // bounded (the q_seasonal_trend discipline); weeks 2..52 keep the
+    // ISO year-boundary buckets (a late-December day belongs to ISO
+    // week 1 of 1997 — both engines bucket identically, but the edge
+    // weeks' mixed membership isn't worth reporting). Ratio is one
+    // mirrored IEEE division of exact cents.
     "q_wow_revenue" -> ((s, dir) => {
-      val rev = t(s, dir, "orders")
+      val wk = org.apache.spark.sql.expressions.Window
+        .orderBy("w") // ≤52-row calendar frame — bounded by design
+      t(s, dir, "orders")
         .select(to_date(col("o_orderdate")).as("d"),
           cents(col("o_totalprice")).as("pc"))
-        .filter(year(col("d")) === 1996 && month(col("d")).isin(1, 2))
-        .groupBy(month(col("d")).as("m"),
-          (dayofweek(col("d")) - 1).as("dow"))
+        .filter(year(col("d")) === 1996)
+        .groupBy(weekofyear(col("d")).as("w"))
         .agg(sum(col("pc")).as("rc"), count(lit(1)).as("n_orders"))
-        .staged // ≤14 rows, both join sides
-      rev.filter(col("m") === 1).select(col("dow"),
-          col("rc").as("rc1"), col("n_orders").as("n_orders_m1"))
-        .join(rev.filter(col("m") === 2).select(col("dow"),
-          col("rc").as("rc2"), col("n_orders").as("n_orders_m2")), "dow")
-        .select(col("dow"), money(col("rc1")).as("rev_m1"),
-          money(col("rc2")).as("rev_m2"),
-          round(col("rc2").cast("double") / col("rc1"), 6).as("wow_ratio"),
-          col("n_orders_m1"), col("n_orders_m2"))
-        .orderBy("dow")
+        .select(col("w"), col("rc"), col("n_orders"),
+          lag(col("rc"), 1).over(wk).as("prev_rc"))
+        .filter(col("w").between(2, 52) && col("prev_rc").isNotNull)
+        .select(col("w"), money(col("rc")).as("revenue"),
+          money(col("prev_rc")).as("prev_revenue"),
+          round(col("rc").cast("double") / col("prev_rc"), 6)
+            .as("wow_ratio"),
+          col("n_orders"))
+        .orderBy("w")
     }),
 
     // 158: median-absolute-deviation outliers — the robust twin of
@@ -3276,6 +3298,68 @@ object SparkEntry {
     WHERE pc * n_pairs * 2 <= total_pc
     ORDER BY revenue, s_name, p_name LIMIT 20"""
 
+  /** Shared verbatim — TPC-DS Q14's cross-channel INTERSECT shape:
+    * the item set sold in ALL THREE "channels" (1996 orders, 1997
+    * orders, urgent-priority orders stand in for store/catalog/web),
+    * then the revenue report runs ONLY over the intersected set. Each
+    * channel reduces to a DISTINCT item list FIRST (hash aggregate,
+    * map-side combinable), the INTERSECTs plan as semi-joins over
+    * those already-reduced lists (never fact×fact), and the final
+    * report joins the ≤|parts| common set back to the facts once —
+    * the same three-phase plan the real Q14 wants at scale. */
+  private val sqlDsIntersect: String = """
+    WITH y96 AS (SELECT DISTINCT l_partkey AS pk
+                 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                 WHERE year(CAST(o_orderdate AS DATE)) = 1996),
+    y97 AS (SELECT DISTINCT l_partkey AS pk
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE year(CAST(o_orderdate AS DATE)) = 1997),
+    urgent AS (SELECT DISTINCT l_partkey AS pk
+               FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+               WHERE o_orderpriority = '1-URGENT'),
+    common AS (SELECT pk FROM y96
+               INTERSECT SELECT pk FROM y97
+               INTERSECT SELECT pk FROM urgent)
+    SELECT p_brand, count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem JOIN common ON l_partkey = pk
+         JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand"""
+
+  /** Shared verbatim — TPC-DS Q23's best-customers × frequent-items
+    * shape (with the returns angle riding l_returnflag): customers
+    * whose lifetime spend clears HALF the best customer's total
+    * (exact integer cross-multiply against a 1-row MAX scalar — both
+    * engines broadcast it), items appearing in ≥ 4 distinct orders,
+    * then the RETURNED revenue of those customers on those items per
+    * priority. Both qualifying sets are aggregate-first (customer
+    * totals over |customers|, item frequencies over |parts|) and come
+    * back as semi-join-shaped equi-joins — the fact table is scanned
+    * twice total (once per qualifying aggregate family), never
+    * squared. */
+  private val sqlDsBestfreq: String = """
+    WITH ct AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS tc
+                FROM orders GROUP BY o_custkey),
+    best AS (SELECT o_custkey FROM ct
+             WHERE tc * 2 > (SELECT max(tc) FROM ct)),
+    freq AS (SELECT l_partkey FROM lineitem
+             GROUP BY l_partkey
+             HAVING count(DISTINCT l_orderkey) >= 4)
+    SELECT o_orderpriority, count(*) AS n_lines,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS DOUBLE) / 100.0 AS returned_revenue
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN best USING (o_custkey)
+         JOIN freq USING (l_partkey)
+    WHERE l_returnflag = 'R'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
     * orders of one quarter counted per priority when ANY of their
     * lines shipped late (this schema has no commit/receipt dates, so
@@ -4369,6 +4453,58 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // 206: DELETE WHERE as MERGE-ON-READ deletion vectors,
+    // driver-gated: the same two-append orders table as
+    // q_delete_where, but the delete writes a (file, row-index) mask
+    // sidecar instead of rewriting dirs — the accounting gate extends
+    // n_carried_dirs with n_rewritten_files == 0: the head manifest's
+    // data-dir set must EQUAL the parent's (both dirs carried BY
+    // REFERENCE), and any dir new in head contributes its on-disk
+    // parquet count (0 by construction — a 1-row delete on a 100 TB
+    // table must move zero data bytes). Snapshot aggregates run over
+    // the mask-applied read, the pre-image feed agg rides the fenced
+    // 1-row carrier, so the oracle gates the masked snapshot, the
+    // feed, AND the zero-rewrite ledger claim in one row.
+    "q_delete_dv" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/versioned_delete_dv"
+      if (V.latestVersion(table) < 0) {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+        V.commit(o.filter(col("o_orderkey") % 2 === 0), table,
+          overwrite = false): Unit
+        V.commit(o.filter(col("o_orderkey") % 2 === 1), table,
+          overwrite = false): Unit
+        V.deleteWhereDV(s, table,
+          col("o_orderkey") % 2 === 1 && col("o_orderstatus") === "F"): Unit
+      }
+      val head = V.latestVersion(table)
+      val prevDirs = V.dataDirIds(table, head - 1).toSet
+      val headDirs = V.dataDirIds(table, head).toSet
+      val carried = headDirs.intersect(prevDirs).size
+      val rewrittenFiles = headDirs.diff(prevDirs).toSeq.map { d =>
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(table, "data", d))
+        try st.filter(_.getFileName.toString.endsWith(".parquet"))
+          .count().toInt
+        finally st.close()
+      }.sum
+      val feed = V.readChanges(s, table, head, head)
+        .filter(col("_change_type") === "delete")
+        .agg(count(lit(1)).as("n_deleted"),
+          money(sum(col("price_cents"))).as("sum_deleted"))
+      V.read(s, table)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(col("price_cents"))).as("sum_price"))
+        .crossJoin(broadcast(feed)) // intended: 1-row feed-agg carrier
+        .select(col("o_orderstatus"), col("n_orders"), col("sum_price"),
+          col("n_deleted"), col("sum_deleted"),
+          lit(head).as("head"), lit(carried).as("n_carried_dirs"),
+          lit(rewrittenFiles).as("n_rewritten_files"))
+        .orderBy("o_orderstatus")
+    }),
+
     // 200: SHALLOW CLONE driver-gated — zero-copy table fork: events
     // commit in two appends, cloneTable hardlinks every data file
     // into an independent fork (O(files) metadata, zero bytes), then
@@ -4642,6 +4778,21 @@ object SparkEntry {
       SELECT o_orderstatus, count(*) AS n_orders,
              CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_price,
              n_deleted, sum_deleted, 2 AS head, 1 AS n_carried_dirs
+      FROM o CROSS JOIN del
+      WHERE NOT (o_orderkey % 2 = 1 AND o_orderstatus = 'F')
+      GROUP BY o_orderstatus, n_deleted, sum_deleted
+      ORDER BY o_orderstatus""",
+    "q_delete_dv" -> """
+      WITH o AS (SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                 FROM orders),
+      del AS (SELECT count(*) AS n_deleted,
+                CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_deleted
+              FROM o WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'F')
+      SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_price,
+             n_deleted, sum_deleted, 2 AS head, 2 AS n_carried_dirs,
+             0 AS n_rewritten_files
       FROM o CROSS JOIN del
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderstatus = 'F')
       GROUP BY o_orderstatus, n_deleted, sum_deleted
@@ -7336,7 +7487,7 @@ object SparkEntry {
                          / (CAST(rt AS DOUBLE) * ct * n) AS term
                 FROM c JOIN r USING (event_type) JOIN k USING (dow)
                      CROSS JOIN tot)
-      SELECT round(sum(term) / any_value(n), 6) AS chi2,
+      SELECT round(sum(term), 6) AS chi2,
              CAST((count(DISTINCT event_type) - 1)
                * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
              CAST(any_value(n) AS BIGINT) AS n_events
@@ -7347,24 +7498,27 @@ object SparkEntry {
       FROM events GROUP BY event_type ORDER BY event_type""",
     "q_wow_revenue" -> """
       WITH rev AS (
-        SELECT month(CAST(o_orderdate AS DATE)) AS m,
-               dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+        SELECT weekofyear(CAST(o_orderdate AS DATE)) AS w,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                  AS BIGINT) AS rc,
                count(*) AS n_orders
         FROM orders
         WHERE year(CAST(o_orderdate AS DATE)) = 1996
-          AND month(CAST(o_orderdate AS DATE)) IN (1, 2)
-        GROUP BY 1, 2)
-      SELECT CAST(a.dow AS INT) AS dow,
-             CAST(a.rc AS DOUBLE) / 100.0 AS rev_m1,
-             CAST(b.rc AS DOUBLE) / 100.0 AS rev_m2,
-             round(CAST(b.rc AS DOUBLE) / a.rc, 6) AS wow_ratio,
-             a.n_orders AS n_orders_m1, b.n_orders AS n_orders_m2
-      FROM rev a JOIN rev b ON a.dow = b.dow
-      WHERE a.m = 1 AND b.m = 2
-      ORDER BY dow""",
+        GROUP BY 1),
+      lagged AS (
+        SELECT w, rc, n_orders, lag(rc, 1) OVER (ORDER BY w) AS prev_rc
+        FROM rev)
+      SELECT CAST(w AS INT) AS w,
+             CAST(rc AS DOUBLE) / 100.0 AS revenue,
+             CAST(prev_rc AS DOUBLE) / 100.0 AS prev_revenue,
+             round(CAST(rc AS DOUBLE) / prev_rc, 6) AS wow_ratio,
+             n_orders
+      FROM lagged
+      WHERE w BETWEEN 2 AND 52 AND prev_rc IS NOT NULL
+      ORDER BY w""",
     "q_sql_ds_minavg" -> sqlDsMinavg,
+    "q_sql_ds_intersect" -> sqlDsIntersect,
+    "q_sql_ds_bestfreq" -> sqlDsBestfreq,
     "q_datapipe_e2e" -> s"""
       WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
       d0 AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),

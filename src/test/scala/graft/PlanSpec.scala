@@ -24,12 +24,15 @@ class PlanSpec extends SparkSpec {
   // bounded at 1 × |vocabulary| rows); q_tfidf and q_bm25 thread the
   // same 1-row corpus-stats frame (N / avgdl) into per-term frames
   // the same way.
-  // q_histogram, q_domain_mix and q_psi broadcast a ONE-row global
+  // q_histogram and q_domain_mix broadcast a ONE-row global
   // min/max / corpus-total aggregate onto the per-row / per-source
   // frame — the same bounded scalar-broadcast shape as q_tfidf.
+  // (q_psi and q_data_profile once carried the same fenced shape;
+  // Catalyst now plans their 1-row carriers as hash joins / fused
+  // aggregates, and the rot-guard test below evicts stale fences.)
   private val intendedNestedLoop =
     Set("q_embed_topk", "q_embed_ivf", "q_corpus_stopwords",
-      "q_tfidf", "q_bm25", "q_histogram", "q_domain_mix", "q_psi",
+      "q_tfidf", "q_bm25", "q_histogram", "q_domain_mix",
       // q_kmeans scores the corpus against the k-row broadcast
       // centroid table — bounded like q_embed_topk's query set;
       // q_pmi / q_rfm thread a 1-row scalar (corpus size / global
@@ -44,10 +47,9 @@ class PlanSpec extends SparkSpec {
       // customer table; q_triangle cross-joins three 1-row aggregates
       // into its single output row
       "q_sql_q22", "q_triangle",
-      // q_data_profile crossJoins its two 1-row aggregate halves
-      // (plain stats × multi-distinct — fused they drag each other
-      // through the Expand; see the query's comment)
-      "q_data_profile",
+      // q_chi2 crossJoins the 1-row grand-total N onto the ≤35-cell
+      // contingency frame — the q_histogram scalar-carrier shape
+      "q_chi2",
       // q_semantic_dedup's cell assignment scores the corpus against
       // the k-row broadcast centroid table — the same bounded
       // nested loop as q_kmeans (assignToCentroids is shared)
@@ -75,17 +77,36 @@ class PlanSpec extends SparkSpec {
       "q_benford", "q_changepoint",
       // q_knn_classify rides bruteTopK — the same labeled brute-force
       // ANN baseline join as q_embed_topk
-      "q_knn_classify")
+      "q_knn_classify",
+      // q_delete_where threads the 1-row deleted-stats aggregate of
+      // the change feed onto the 3-row summary via
+      // crossJoin(broadcast(feed)) — the standard fenced 1-row
+      // scalar-carrier (IdentityBroadcastMode over one row);
+      // q_delete_dv is its merge-on-read twin with the same carrier
+      "q_delete_where", "q_delete_dv")
+
+  test("every intendedNestedLoop key exists and still plans one") {
+    // keeps the allowlist from rotting: a key that stops planning a
+    // BroadcastNestedLoopJoin (or leaves the contract) must be removed
+    val gone = intendedNestedLoop.filterNot(SparkEntry.queries.contains)
+    assert(gone.isEmpty, s"fenced but not in the contract: $gone")
+    val stale = intendedNestedLoop.filterNot(n =>
+      plan(n).contains("BroadcastNestedLoopJoin"))
+    assert(stale.isEmpty,
+      s"fenced but no longer plan a BroadcastNestedLoopJoin: $stale")
+  }
 
   test("no query plans a cartesian product or unintended nested loop") {
+    val cart = collection.mutable.Buffer.empty[String]
+    val loops = collection.mutable.Buffer.empty[String]
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
-      assert(!p.contains("CartesianProduct"),
-        s"$name plans a CartesianProduct")
-      if (!intendedNestedLoop(name))
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a BroadcastNestedLoopJoin")
+      if (p.contains("CartesianProduct")) cart += name
+      if (!intendedNestedLoop(name) &&
+          p.contains("BroadcastNestedLoopJoin")) loops += name
     }
+    assert(cart.isEmpty, s"CartesianProduct planned by: $cart")
+    assert(loops.isEmpty, s"unfenced BroadcastNestedLoopJoin in: $loops")
   }
 
   test("no query plans an InMemoryRelation (persist-leak guard)") {

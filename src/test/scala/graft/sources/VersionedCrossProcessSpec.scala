@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CROSS-PROCESS commit race on the versioned table: a second JVM
+  * ([[RaceCommitMain]], launched with this fork's own classpath and
+  * JDK-17 module opens) races appends against this process on the
+  * same table path, overlap forced by a file handshake. The
+  * in-process thread specs (VersionedSpec) prove the optimistic
+  * loop's LOGIC; this proves the PRIMITIVE — link(2)'s fail-if-exists
+  * contract holds between processes, the exact property an
+  * HDFS rename-no-overwrite / object-store conditional-put deployment
+  * substitutes in. Claims gated: no lost commits (every append from
+  * both sides lands exactly once), a contiguous manifest ledger, and
+  * cross-process txn dedup (the shared token commits ONCE whichever
+  * process wins). */
+class VersionedCrossProcessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two JVMs race appends: no lost commits, contiguous ledger, txn dedup across processes") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_xproc").toString
+    val sync = java.nio.file.Files
+      .createTempDirectory("graft_xproc_sync").toString
+    val out = java.nio.file.Paths.get(sync, "child.out").toFile
+    Versioned.commit(Seq(("seed", 0)).toDF("who", "i"), path,
+      overwrite = false)
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val n = 5
+    val cmd = (Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
+      "graft.sources.RaceCommitMain",
+      path, sync, "child", n.toString, "race:shared"))
+    val pb = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(out)
+    pb.environment().put("SPARK_LOCAL_IP", "127.0.0.1")
+    val proc = pb.start()
+    try {
+      // handshake: wait for the child's session, then fire both sides
+      val ready = java.nio.file.Paths.get(sync, "ready")
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (!java.nio.file.Files.exists(ready)) {
+        require(System.nanoTime() < deadline,
+          s"child never became ready; output:\n${slurp(out)}")
+        Thread.sleep(50)
+      }
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(sync, "go"))
+      (1 to n).foreach { i =>
+        Versioned.commit(Seq(("parent", i)).toDF("who", "i"), path,
+          overwrite = false): Unit
+      }
+      Versioned.commitTxn(Seq(("parent:txn", 0)).toDF("who", "i"),
+        path, overwrite = false, txn = Some("race:shared")): Unit
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        s"child timed out; output:\n${slurp(out)}")
+      assert(proc.exitValue() == 0,
+        s"child failed rc=${proc.exitValue()}; output:\n${slurp(out)}")
+    } finally { proc.destroyForcibly(): Unit }
+
+    // ledger: seed + 5 parent + 5 child + ONE shared-txn commit —
+    // contiguous versions 0..11, nothing lost, nothing doubled
+    val head = Versioned.latestVersion(path)
+    assert(head == 11, s"expected head 11, got $head")
+    (0 to head).foreach { v =>
+      assert(Versioned.dataDirIds(path, v).nonEmpty,
+        s"manifest v$v unreadable")
+      assert(Versioned.dataDirIds(path, v).size == v + 1,
+        s"v$v carries ${Versioned.dataDirIds(path, v).size} dirs — " +
+          "an append lost its parent chain")
+    }
+    val rows = Versioned.read(spark, path)
+      .as[(String, Int)].collect().toSeq
+    assert(rows.size == 12, s"expected 12 rows, got ${rows.size}")
+    assert(rows.count(_._1 == "parent") == n)
+    assert(rows.count(_._1 == "child") == n)
+    assert(rows.filter(_._1 == "parent").map(_._2).sorted == (1 to n))
+    assert(rows.filter(_._1 == "child").map(_._2).sorted == (1 to n))
+    // cross-process exactly-once: the shared txn landed exactly one
+    // commit — exactly ONE of the two ":txn" rows exists
+    val txnRows = rows.filter(_._1.endsWith(":txn"))
+    assert(txnRows.size == 1,
+      s"shared txn landed ${txnRows.size} commits: $txnRows")
+  }
+
+  private def slurp(f: java.io.File): String =
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .takeRight(4000)
+    else "(no output)"
+}

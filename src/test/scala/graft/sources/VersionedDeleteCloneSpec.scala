@@ -106,6 +106,36 @@ class VersionedDeleteCloneSpec extends SparkSpec {
       .collect().toSet == Set(1L))
   }
 
+  test("deleteWhere hits FileAlreadyExists on publish and the retry loop re-derives") {
+    // the test above seeds the racing manifest BEFORE deleteWhere
+    // starts, so it derives from the new head on its FIRST attempt —
+    // this one injects the racer INSIDE the probe→publish window via
+    // the test hook, so the create-exclusive link actually fails and
+    // the lost-race retry path runs
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "x"), (2L, "y")).toDF("k", "v"),
+      path, overwrite = false)
+    var fired = false
+    Versioned.prePublishHook = () => {
+      if (!fired) {
+        fired = true
+        Versioned.commit(Seq((9L, "y")).toDF("k", "v"), path,
+          overwrite = false): Unit
+      }
+    }
+    try {
+      val r = Versioned.deleteWhere(spark, path, col("v") === "y")
+      assert(fired, "race hook never fired")
+      // the retry re-probed against the new head: the racer's (9,"y")
+      // died too, and the ledger shows racer commit + delete commit
+      assert(r.deletedRows == 2L, s"retry did not re-derive: $r")
+      // ledger: v0 seed commit, v1 racer append, v2 the delete
+      assert(r.version == 2)
+      assert(Versioned.read(spark, path).select("k").as[Long]
+        .collect().toSet == Set(1L))
+    } finally Versioned.prePublishHook = () => ()
+  }
+
   test("cloneTable forks zero-copy (nlink ≥ 2), diverges independently, survives source vacuum") {
     val src = tmpTable()
     val dst = tmpTable() + "/clone"
