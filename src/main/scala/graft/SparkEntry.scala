@@ -4505,6 +4505,58 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // 209: MERGE-ON-READ MERGE driver-gated (mergeDV): the classic
+    // merge rewrites the whole table per batch; this one MASKS the
+    // matched rows via a deletion-vector sidecar and appends the
+    // batch as ONE new dir — write amplification ∝ batch, never ∝
+    // table. The batch derives deterministically from the table
+    // itself (keys %97 price-bumped, %89 deleted, %101 re-inserted
+    // under a fresh key as status 'N'), and the accounting columns
+    // gate the cost model: both pre-merge dirs carried BY REFERENCE
+    // (n_carried_dirs=2, n_dropped_dirs=0 — nothing rewritten away)
+    // plus exactly one mask dir. The snapshot aggregate runs over the
+    // mask-applied read, so update/delete/insert semantics are all
+    // oracle-gated in one row.
+    "q_merge_dv" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/versioned_merge_dv"
+      if (V.latestVersion(table) < 0) {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+        V.commit(o.filter(col("o_orderkey") % 2 === 0), table,
+          overwrite = false): Unit
+        V.commit(o.filter(col("o_orderkey") % 2 === 1), table,
+          overwrite = false): Unit
+        val base = V.read(s, table)
+        val upd = base.filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("price_cents") + 1000L).as("price_cents"),
+            lit(false).as("is_del"))
+        val del = base.filter(col("o_orderkey") % 89 === 0 &&
+            col("o_orderkey") % 97 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("price_cents"), lit(true).as("is_del"))
+        val ins = base.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("price_cents"),
+            lit(false).as("is_del"))
+        V.mergeDV(s, table, upd.unionByName(del).unionByName(ins),
+          Seq("o_orderkey"), deleteWhen = Some(col("is_del"))): Unit
+      }
+      val head = V.latestVersion(table)
+      val prev = V.dataDirIds(table, head - 1).toSet
+      val now = V.dataDirIds(table, head).toSet
+      V.read(s, table).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(col("price_cents"))).as("sum_price"))
+        .select(col("o_orderstatus"), col("n_orders"), col("sum_price"),
+          lit(head).as("head"),
+          lit(prev.intersect(now).size).as("n_carried_dirs"),
+          lit(prev.diff(now).size).as("n_dropped_dirs"),
+          lit(V.dvDirIds(table, head).size).as("n_mask_dirs"))
+        .orderBy("o_orderstatus")
+    }),
+
     // 200: SHALLOW CLONE driver-gated — zero-copy table fork: events
     // commit in two appends, cloneTable hardlinks every data file
     // into an independent fork (O(files) metadata, zero bytes), then
@@ -4796,6 +4848,25 @@ object SparkEntry {
       FROM o CROSS JOIN del
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderstatus = 'F')
       GROUP BY o_orderstatus, n_deleted, sum_deleted
+      ORDER BY o_orderstatus""",
+    "q_merge_dv" -> """
+      WITH o AS (SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                 FROM orders),
+      survivors AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 0 THEN pc + 1000
+                    ELSE pc END AS pc
+        FROM o WHERE NOT (o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0)
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', pc
+        FROM o WHERE o_orderkey % 101 = 0)
+      SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_price,
+             2 AS head, 2 AS n_carried_dirs, 0 AS n_dropped_dirs,
+             1 AS n_mask_dirs
+      FROM survivors
+      GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
     "q_clone" -> """
       WITH ev AS (SELECT event_type,

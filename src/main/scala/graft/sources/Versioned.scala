@@ -979,34 +979,159 @@ object Versioned {
           // removed). Derived and written AFTER the publish from the
           // immutable base snapshot, so a lost race never writes a
           // stale feed; batch-sized, one key-join.
-          if (v > base) { // v == base ⇒ txn replay hit: feed exists
-            import org.apache.spark.sql.functions.{coalesce, lit, when}
-            val cols = target.columns.toIndexedSeq
-            val nonKey = cols.filterNot(keys.contains)
-            val existed = coalesce(col("__existed"), lit(false))
-            val isDel = deleteWhen.map(d => coalesce(d, lit(false)))
-              .getOrElse(lit(false))
-            val classified = updates.join(
-              target.select(keys.map(col): _*)
-                .withColumn("__existed", lit(true)),
-              keys.toIndexedSeq, "left")
-            val delRows = classified.filter(isDel && existed)
-              .select((keys.map(col) ++ nonKey.map(c =>
-                lit(null).cast(target.schema(c).dataType).as(c)) :+
-                lit("delete").as("ct")): _*)
-              .select((cols.map(col) :+ col("ct")): _*)
-            val upRows = classified.filter(!isDel)
-              .withColumn("ct",
-                when(existed, lit("update")).otherwise(lit("insert")))
-              .select((cols.map(col) :+ col("ct")): _*)
-            publishWrittenFeed(upRows.unionByName(delRows), path, v)
-          }
+          if (v > base) // v == base ⇒ txn replay hit: feed exists
+            publishMergeFeed(path, v, target, updates, keys, deleteWhen)
           return v
         case None => () // a commit landed first — re-derive and retry
       }
     }
     -1 // unreachable
   }
+
+  /** The classified merge change feed, shared by [[merge]] and
+    * [[mergeDV]]: each batch row against the base snapshot's KEYS —
+    * existing key → update (post-image), new key → insert, deleteWhen
+    * + existing → delete (null non-keys), deleteWhen + absent →
+    * no-op. Batch-sized, one key-join, derived from the immutable
+    * base snapshot AFTER the publish (a lost race never writes a
+    * stale feed). */
+  private def publishMergeFeed(path: String, v: Int, target: DataFrame,
+      updates: DataFrame, keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val cols = target.columns.toIndexedSeq
+    val nonKey = cols.filterNot(keys.contains)
+    val existed = coalesce(col("__existed"), lit(false))
+    val isDel = deleteWhen.map(d => coalesce(d, lit(false)))
+      .getOrElse(lit(false))
+    val classified = updates.join(
+      target.select(keys.map(col): _*)
+        .withColumn("__existed", lit(true)),
+      keys.toIndexedSeq, "left")
+    val delRows = classified.filter(isDel && existed)
+      .select((keys.map(col) ++ nonKey.map(c =>
+        lit(null).cast(target.schema(c).dataType).as(c)) :+
+        lit("delete").as("ct")): _*)
+      .select((cols.map(col) :+ col("ct")): _*)
+    val upRows = classified.filter(!isDel)
+      .withColumn("ct",
+        when(existed, lit("update")).otherwise(lit("insert")))
+      .select((cols.map(col) :+ col("ct")): _*)
+    publishWrittenFeed(upRows.unionByName(delRows), path, v)
+  }
+
+  /** MERGE INTO with BATCH-PROPORTIONAL write amplification — the
+    * merge-on-read twin of [[merge]]: matched target rows are MASKED
+    * via a deletion-vector sidecar and the surviving batch rows
+    * APPEND as one new data dir, published together in ONE atomic
+    * manifest (mode `merge-dv`). Bytes WRITTEN ∝ |batch| + |matched
+    * row ids| — a 1000-row CDC batch into a 100 TB table stages
+    * kilobytes of mask plus the batch itself, where [[merge]]'s
+    * overwrite commit rewrites the full table. (The read side still
+    * scans the table once to FIND the matched positions — the
+    * unavoidable cost every merge pays — and later reads pay the
+    * usual mask anti-join until [[compact]] materializes it away.)
+    *
+    * Semantics are [[merge]]'s exactly: matched keys replaced,
+    * `deleteWhen`'d keys removed, unmatched upserts inserted, batch
+    * key-uniqueness required. CHECK constraints enforce on the
+    * INCOMING rows only — carried rows proved themselves at their own
+    * commit, the same argument plain appends rely on. The batch's
+    * columns must match the table schema (column ADDS go through
+    * append commits). Same optimistic-concurrency loop, txn dedup,
+    * and classified change feed as [[merge]]; [[feedEpoch]] does not
+    * bump (the feed fully represents the change). */
+  def mergeDV(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], txn: Option[String] = None,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Int = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    txn.foreach(t => require(t.nonEmpty && t.forall(ch =>
+      ch.isLetterOrDigit && ch < 128 || ch == ':' || ch == '_' || ch == '-'),
+      s"versioned mergeDV: txn token must match [A-Za-z0-9:_-]+, got '$t'"))
+    def dropDir(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.deleteIfExists(f): Unit })
+    var attempt = 0
+    while (true) {
+      require(attempt < 50, s"versioned mergeDV: 50 lost races at $path")
+      attempt += 1
+      val base = latestVersion(path)
+      require(base >= 0, s"versioned mergeDV: no committed version at $path")
+      txn.flatMap(findTxn(path, _, base)) match {
+        case Some(v) => return v // replay: work already done
+        case None => ()
+      }
+      val m = readManifest(path, base)
+      val target = read(spark, path, Some(base))
+      // same NULL-predicate edge as [[merge]]: a NULL deleteWhen row
+      // is dropped from the upserts (its key still deletes via the
+      // touched set) — the two merge paths must be interchangeable
+      val upserts = deleteWhen
+        .map(d => updates.filter(!d))
+        .getOrElse(updates)
+        .select(target.columns.map(col).toIndexedSeq: _*)
+      // type-drift gate (commitCore's ledger check, inlined): the
+      // staged parquet must carry the table's exact column types
+      m.schemaDdl.foreach { ddl =>
+        val ts = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        upserts.schema.fields.foreach { f =>
+          val want = ts.fields.find(_.name == f.name).map(_.dataType)
+          require(want.forall(_ == f.dataType),
+            s"versioned mergeDV: column ${f.name} type drift " +
+              s"(${want.get} -> ${f.dataType}) at $path")
+        }
+      }
+      // constraint gate on the incoming rows BEFORE any staging
+      if (m.constraints.nonEmpty) {
+        import org.apache.spark.sql.functions.expr
+        val pred = m.constraints.map(expr).reduce(_ && _)
+        val viol = upserts.filter(not(pred)).limit(1).collect().headOption
+        require(viol.isEmpty, s"versioned mergeDV at $path violates " +
+          s"constraint(s) [${m.constraints.mkString("; ")}]; example " +
+          s"row: ${viol.map(_.toString).getOrElse("")}")
+      }
+      // mask every LIVE target row whose key appears in the batch —
+      // ONE semi-join against the (small) distinct key set, reduced
+      // to (rel, pos) physical ids; the mask write is batch-matched-
+      // sized, never table-sized
+      val touched = updates.select(keys.map(col): _*).distinct()
+      val live = maskByPos(spark, path, m.dvDirs,
+        withRowId(rawRead(spark, path, m)))
+      val dvId = java.util.UUID.randomUUID().toString
+      live.join(touched, keys.toIndexedSeq, "left_semi")
+        .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
+        .write.mode("errorifexists").parquet(s"$path/dv/$dvId")
+      val masked = spark.read.parquet(s"$path/dv/$dvId").count()
+      val dataId = java.util.UUID.randomUUID().toString
+      upserts.write.mode("errorifexists").parquet(s"$path/data/$dataId")
+      val next = Manifest(base + 1, "merge-dv", m.dataDirs :+ dataId,
+        txn, m.schemaDdl, ts = Some(System.currentTimeMillis()),
+        constraints = m.constraints,
+        dvDirs = if (masked == 0L) m.dvDirs else m.dvDirs :+ dvId)
+      val tmp = versionsDir(path)
+        .resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, render(next).getBytes("UTF-8"))
+      try {
+        prePublishHook()
+        Files.createLink(manifestPath(path, next.version), tmp)
+        Files.deleteIfExists(tmp)
+        if (masked == 0L) dropDir(Paths.get(path, "dv", dvId))
+        publishMergeFeed(path, next.version, target, updates, keys,
+          deleteWhen)
+        return next.version
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // a commit landed at base+1 first — drop BOTH staged dirs
+          // (derived against a stale head) and re-derive
+          Files.deleteIfExists(tmp)
+          dropDir(Paths.get(path, "dv", dvId))
+          dropDir(Paths.get(path, "data", dataId))
+      }
+    }
+    -1 // unreachable
+  }
+
 
   /** Result of a [[deleteWhere]]: the committed version plus the
     * dir-granular copy-on-write accounting (how many data dirs were
