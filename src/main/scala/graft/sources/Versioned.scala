@@ -1465,6 +1465,21 @@ object Versioned {
       deleteWhen = Some(col("change_type") === "delete"))
   }
 
+  /** [[applyChangeFeed]] with [[mergeDV]]'s cost model: each batch
+    * lands as one mask-plus-batch-dir commit instead of a full-table
+    * rewrite — THE apply path for frequent micro-batches into a large
+    * mirror (a thousand 1k-row batches into a 100 TB mirror write
+    * megabytes, not 100 PB); [[compact]] the mirror periodically to
+    * fold the accumulated masks and dirs. Exactly-once under replay
+    * via the same txn ledger. */
+  def applyChangeFeedDV(spark: SparkSession, path: String,
+      feed: DataFrame, keys: Seq[String],
+      txn: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    mergeDV(spark, path, feed, keys, txn,
+      deleteWhen = Some(col("change_type") === "delete"))
+  }
+
   def changeFeed(spark: SparkSession, path: String, vFrom: Int, vTo: Int,
       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._

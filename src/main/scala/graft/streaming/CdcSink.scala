@@ -50,12 +50,22 @@ object CdcSink {
     * pipeline actually lands; [[start]]'s plain-parquet mirror
     * remains the format-less seam. */
   def startVersioned(feed: DataFrame, keys: Seq[String], tablePath: String,
-      appId: String, checkpointDir: String): StreamingQuery =
+      appId: String, checkpointDir: String,
+      mergeOnRead: Boolean = false): StreamingQuery =
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.Versioned.applyChangeFeed(batch.sparkSession,
-          tablePath, batch, keys, txn = Some(s"$appId:$batchId")): Unit
+        // mergeOnRead flips the per-batch cost model: classic merge
+        // rewrites the whole mirror each micro-batch (fine small,
+        // fatal at 100 TB); the DV apply stages only the batch + a
+        // row mask (Versioned.applyChangeFeedDV) — compact() the
+        // mirror on a cadence to fold masks and dirs back down
+        if (mergeOnRead)
+          graft.sources.Versioned.applyChangeFeedDV(batch.sparkSession,
+            tablePath, batch, keys, txn = Some(s"$appId:$batchId")): Unit
+        else
+          graft.sources.Versioned.applyChangeFeed(batch.sparkSession,
+            tablePath, batch, keys, txn = Some(s"$appId:$batchId")): Unit
       }
       .outputMode("append")
       .start()

@@ -159,6 +159,27 @@ class VersionedDvSpec extends SparkSpec {
     assert(Versioned.read(spark, path).count() == 9)
   }
 
+  test("DV mask composes with clustered range reads (file skipping + pushed filters)") {
+    // row identities must be ABSOLUTE file positions: a range read
+    // applies a pushed predicate and prunes files, and the mask —
+    // built from an unfiltered scan — must still line up
+    val path = tmpTable()
+    val df = spark.range(0, 1000).selectExpr("id AS k",
+      "CAST(id % 100 AS DOUBLE) AS x", "CAST(id / 10 AS DOUBLE) AS y")
+    Versioned.commitClustered(df, path, "x", "y", files = 4,
+      overwrite = false)
+    Versioned.deleteWhereDV(spark, path,
+      col("x") >= 20.0 && col("x") < 30.0 && col("k") % 2 === 0)
+    val (got, filesRead, filesTotal) =
+      Versioned.readRangeClustered(spark, path, "x", 10.0, 40.0)
+    assert(filesRead < filesTotal, "range read should skip files")
+    val want = (0L until 1000L)
+      .filter(k => k % 100 >= 10 && k % 100 <= 40)
+      .filterNot(k => k % 100 >= 20 && k % 100 < 30 && k % 2 == 0)
+      .toSet
+    assert(got.select("k").as[Long].collect().toSet == want)
+  }
+
   test("txn replay of a DV delete is deduplicated by the ledger") {
     val path = tmpTable()
     Versioned.commit(Seq((1L, 0L), (2L, 1L)).toDF("k", "m"),
