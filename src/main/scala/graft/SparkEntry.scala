@@ -765,6 +765,14 @@ object SparkEntry {
       s.sql(sqlDsBestfreq)
     }),
 
+    // 212: SQL front door, TPC-DS Q74's year-over-year customer
+    // growth — two-year self-join on the |customers| aggregate
+    // frame, integer-exact >1.5× growth filter, ratio-ranked top-20.
+    "q_sql_ds_growth" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsGrowth)
+    }),
+
     // 138: SQL front door, TPC-H Q4's EXISTS-date shape — the late-
     // line order count per priority; the correlated EXISTS carries
     // date predicates on BOTH sides of the correlation.
@@ -1336,6 +1344,71 @@ object SparkEntry {
       val dau = ud.groupBy("day")
         .agg(countDistinct(col("user_id")).as("dau"))
       dau.join(wau, "day").orderBy("day")
+    }),
+
+    // 210: time-bound sequential conversion (view → purchase within
+    // ONE HOUR) — the windowed refinement of q_event_funnel's
+    // whole-history stage mins: the pair search is ONE user-keyed
+    // equi-join (a user's views × the same user's purchases, time
+    // bound applied on the joined row), so cost rides per-user event
+    // counts — never a global sort, never an event-grain window, and
+    // a hot user is one join key AQE can split. Day grain = the
+    // view's day; per day: distinct viewing users, distinct
+    // converting users, qualifying pairs. Epoch-micros on both
+    // engines (the funnel's ts bridge).
+    "q_ab_within" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), to_date(col("ts")).as("day"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("tv"), col("day"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("tp"))
+      val conv = views.join(buys, "user_id")
+        .filter(col("tp") >= col("tv") &&
+          col("tp") - col("tv") <= 3600000000L)
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("n_conv_users"),
+          count(lit(1)).as("n_pairs"))
+      views.groupBy("day")
+        .agg(countDistinct(col("user_id")).as("n_view_users"))
+        .join(conv, Seq("day"), "left")
+        .select(col("day"), col("n_view_users"),
+          coalesce(col("n_conv_users"), lit(0L)).as("n_conv_users"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .orderBy("day")
+    }),
+
+    // 211: decile lift / gains table — the model-evaluation report
+    // every targeting pipeline prints: customers ranked by lifetime
+    // spend through Ranking.withRank (range-sliced parallel rank —
+    // no data-sized global-sort window), decile via the explicit
+    // floor((rank−1)·10/n)+1 formula (exact: the integer products
+    // stay < 2^53, so the IEEE quotient of exact doubles floors
+    // correctly; ntile's remainder placement never enters). Per
+    // decile: customers, revenue, cumulative capture share — the
+    // running sum rides the 10-row decile frame.
+    "q_decile_lift" -> ((s, dir) => {
+      val w10 = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("tc"))
+      graft.ops.Ranking.withRank(spend, Seq.empty,
+          Seq(col("tc").desc, col("o_custkey").asc), "rk", "n")
+        .select(col("tc"),
+          (floor((col("rk") - 1) * lit(10.0) / col("n")) + 1)
+            .cast("int").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("tc")).as("rev"))
+        .select(col("decile"), col("n_customers"),
+          money(col("rev")).as("revenue"),
+          round(sum(col("rev")).over(
+              w10.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double") /
+            sum(col("rev")).over(w10.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)), 6)
+            .as("cum_share"))
+        .orderBy("decile")
     }),
 
     // 134: per-group OLS regression (price-on-quantity per return
@@ -3359,6 +3432,30 @@ object SparkEntry {
     WHERE l_returnflag = 'R'
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""
+
+  /** Shared verbatim — TPC-DS Q74's year-over-year customer-growth
+    * shape: per-customer totals for two adjacent years self-joined on
+    * the customer, keep customers whose spend grew > 1.5× (exact
+    * integer cross-multiply — no float enters the filter), rank by
+    * the growth ratio (one mirrored IEEE division of exact cents;
+    * unique c_name completes the total order). Both year frames come
+    * from ONE aggregate of orders — the self-join runs on the
+    * |customers|-sized frame, never the facts. */
+  private val sqlDsGrowth: String = """
+    WITH y AS (SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS tc
+               FROM orders
+               WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+               GROUP BY 1, 2)
+    SELECT c_name,
+           CAST(a.tc AS DOUBLE) / 100.0 AS spend_1996,
+           CAST(b.tc AS DOUBLE) / 100.0 AS spend_1997,
+           round(CAST(b.tc AS DOUBLE) / a.tc, 6) AS growth
+    FROM y a JOIN y b ON a.o_custkey = b.o_custkey
+         JOIN customer ON c_custkey = a.o_custkey
+    WHERE a.yr = 1996 AND b.yr = 1997 AND b.tc * 2 > a.tc * 3
+    ORDER BY growth DESC, c_name LIMIT 20"""
 
   /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
     * orders of one quarter counted per priority when ANY of their
@@ -7590,6 +7687,44 @@ object SparkEntry {
     "q_sql_ds_minavg" -> sqlDsMinavg,
     "q_sql_ds_intersect" -> sqlDsIntersect,
     "q_sql_ds_bestfreq" -> sqlDsBestfreq,
+    "q_sql_ds_growth" -> sqlDsGrowth,
+    "q_ab_within" -> """
+      WITH ev AS (SELECT user_id, event_type,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                    CAST(ts AS DATE) AS day FROM events),
+      v AS (SELECT user_id, us AS tv, day FROM ev
+            WHERE event_type = 'view'),
+      p AS (SELECT user_id, us AS tp FROM ev
+            WHERE event_type = 'purchase'),
+      pr AS (SELECT v.user_id, v.day FROM v JOIN p USING (user_id)
+             WHERE tp >= tv AND tp - tv <= 3600000000),
+      conv AS (SELECT day, count(DISTINCT user_id) AS n_conv_users,
+                      count(*) AS n_pairs FROM pr GROUP BY day),
+      vv AS (SELECT day, count(DISTINCT user_id) AS n_view_users
+             FROM v GROUP BY day)
+      SELECT day, n_view_users,
+             coalesce(n_conv_users, 0) AS n_conv_users,
+             coalesce(n_pairs, 0) AS n_pairs
+      FROM vv LEFT JOIN conv USING (day)
+      ORDER BY day""",
+    "q_decile_lift" -> """
+      WITH spend AS (SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS tc
+                     FROM orders GROUP BY 1),
+      r AS (SELECT tc,
+              row_number() OVER (ORDER BY tc DESC, o_custkey) AS rk,
+              count(*) OVER () AS n
+            FROM spend),
+      d AS (SELECT CAST(floor((rk - 1) * 10.0 / n) AS INT) + 1
+              AS decile, tc FROM r),
+      g AS (SELECT decile, count(*) AS n_customers,
+              CAST(sum(tc) AS BIGINT) AS rev FROM d GROUP BY 1)
+      SELECT decile, n_customers,
+             CAST(rev AS DOUBLE) / 100.0 AS revenue,
+             round(CAST(sum(rev) OVER (ORDER BY decile) AS DOUBLE) /
+                   sum(rev) OVER (), 6) AS cum_share
+      FROM g ORDER BY decile""",
     "q_datapipe_e2e" -> s"""
       WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
       d0 AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
