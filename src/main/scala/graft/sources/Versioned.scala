@@ -93,6 +93,36 @@ object Versioned {
         .asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
   }
 
+  /** THE commit-coordination primitive — the single seam a cluster
+    * deployment swaps: atomically publish manifest `m` for `path`
+    * IF AND ONLY IF its version slot is free, returning whether the
+    * publish WON. Locally the rendered JSON stages to a temp file
+    * and `link(2)`s into place (create-exclusive — EEXIST loses);
+    * HDFS substitutes rename-no-overwrite, an object store a
+    * conditional put (`If-None-Match: *`) — the identical
+    * fail-if-exists contract, so every optimistic retry loop above
+    * this seam is deployment-agnostic and
+    * [[VersionedCrossProcessSpec]]'s cross-process exactly-once
+    * proof carries over to whatever implements it. Invokes the
+    * test-only [[prePublishHook]] race-injection point before the
+    * attempt; the temp file is cleaned on both outcomes. */
+  private def publishManifest(path: String, m: Manifest): Boolean = {
+    Files.createDirectories(versionsDir(path))
+    val tmp = versionsDir(path)
+      .resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, render(m).getBytes("UTF-8"))
+    try {
+      prePublishHook()
+      Files.createLink(manifestPath(path, m.version), tmp)
+      Files.deleteIfExists(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        false
+    }
+  }
+
   /** Latest committed version number, or -1 for an empty table. */
   def latestVersion(path: String): Int = {
     val dir = versionsDir(path)
@@ -280,19 +310,11 @@ object Versioned {
         parentDirs :+ dataId, txn, Some(ddl),
         ts = Some(System.currentTimeMillis()), constraints = cons,
         dvDirs = parent.map(_.dvDirs).getOrElse(Seq.empty))
-      val tmp = versionsDir(path)
-        .resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, render(m).getBytes("UTF-8"))
-      try {
-        // atomic create-exclusive publish: link(2) fails with EEXIST
-        // if the version is already taken (rename(2) would REPLACE
-        // silently — the wrong primitive for a commit race); the
-        // loser retries against the new head. HDFS/object-store
-        // deployments swap this one call for rename-no-overwrite /
-        // conditional put, which have the same fail-if-exists
-        // contract there.
-        Files.createLink(manifestPath(path, m.version), tmp)
-        Files.deleteIfExists(tmp)
+      // atomic create-exclusive publish via [[publishManifest]] (the
+      // one deployment seam — rename(2) would REPLACE silently, the
+      // wrong primitive for a commit race); the loser retries against
+      // the new head.
+      if (publishManifest(path, m)) {
         // stored change-data feed (Delta-CDF shape): an APPEND's
         // change rows ARE its new data files — publish them as
         // hardlinks (zero-copy; see [[publishInsertFeed]]). A
@@ -308,9 +330,6 @@ object Versioned {
           case _ => ()
         }
         return Some(m.version)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp): Unit
       }
     }
     None // unreachable
@@ -490,17 +509,7 @@ object Versioned {
         schemaDdl = src.schemaDdl,
         ts = Some(System.currentTimeMillis()), constraints = cons,
         dvDirs = src.dvDirs)
-      val tmp = versionsDir(path)
-        .resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, render(m).getBytes("UTF-8"))
-      try {
-        Files.createLink(manifestPath(path, m.version), tmp)
-        Files.deleteIfExists(tmp): Unit
-        return m.version
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp): Unit
-      }
+      if (publishManifest(path, m)) return m.version
     }
     -1 // unreachable
   }
@@ -864,19 +873,11 @@ object Versioned {
       val m = parent.copy(version = head + 1, mode = "meta",
         txn = None, ts = Some(System.currentTimeMillis()),
         constraints = parent.constraints :+ constraintSql)
-      val tmp = versionsDir(path)
-        .resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, render(m).getBytes("UTF-8"))
-      try {
-        Files.createLink(manifestPath(path, m.version), tmp)
-        Files.deleteIfExists(tmp)
+      if (publishManifest(path, m)) {
         // a metadata commit changes no logical rows: empty feed dir
         Files.createDirectories(changeDirPath(path, m.version))
         return m.version
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp): Unit // lost the race — revalidate
-      }
+      } // else: lost the race — revalidate against the new head
     }
     -1 // unreachable
   }
@@ -1109,24 +1110,16 @@ object Versioned {
         txn, m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints,
         dvDirs = if (masked == 0L) m.dvDirs else m.dvDirs :+ dvId)
-      val tmp = versionsDir(path)
-        .resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, render(next).getBytes("UTF-8"))
-      try {
-        prePublishHook()
-        Files.createLink(manifestPath(path, next.version), tmp)
-        Files.deleteIfExists(tmp)
+      if (publishManifest(path, next)) {
         if (masked == 0L) dropDir(Paths.get(path, "dv", dvId))
         publishMergeFeed(path, next.version, target, updates, keys,
           deleteWhen)
         return next.version
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // a commit landed at base+1 first — drop BOTH staged dirs
-          // (derived against a stale head) and re-derive
-          Files.deleteIfExists(tmp)
-          dropDir(Paths.get(path, "dv", dvId))
-          dropDir(Paths.get(path, "data", dataId))
+      } else {
+        // a commit landed at base+1 first — drop BOTH staged dirs
+        // (derived against a stale head) and re-derive
+        dropDir(Paths.get(path, "dv", dvId))
+        dropDir(Paths.get(path, "data", dataId))
       }
     }
     -1 // unreachable
@@ -1224,13 +1217,7 @@ object Versioned {
       val next = Manifest(base + 1, "delete", carried :+ dataId, txn,
         m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints, dvDirs = m.dvDirs)
-      val tmp = versionsDir(path)
-        .resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, render(next).getBytes("UTF-8"))
-      try {
-        prePublishHook()
-        Files.createLink(manifestPath(path, next.version), tmp)
-        Files.deleteIfExists(tmp)
+      if (publishManifest(path, next)) {
         // stored feed: pre-image delete rows, derived from the
         // immutable base snapshot AFTER the publish (a lost race
         // never writes a stale feed)
@@ -1244,21 +1231,20 @@ object Versioned {
         // dirs' bytes moved, not how many dirs were produced)
         return DeleteResult(next.version, touched.size, carried.size,
           deletedRows)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // a commit landed at base+1 first — the staged rewrite is
-          // orphaned (vacuum reclaims) and the delete re-derives
-          Files.deleteIfExists(tmp): Unit
       }
+      // else: a commit landed at base+1 first — the staged rewrite is
+      // orphaned (vacuum reclaims) and the delete re-derives
     }
     sys.error("unreachable")
   }
 
-  /** TEST-ONLY race-injection point: invoked immediately before a
-    * [[deleteWhere]]/[[deleteWhereDV]] publish attempt, so a spec can
-    * deterministically land a competing manifest inside the
-    * probe→publish window and prove the lost-race retry loop
-    * re-derives from the new head. No-op in production. */
+  /** TEST-ONLY race-injection point: invoked by [[publishManifest]]
+    * immediately before EVERY publish attempt, so a spec can
+    * deterministically land a competing manifest inside any
+    * derive→publish window and prove the lost-race retry loop
+    * re-derives from the new head. A hook that itself commits must
+    * self-disarm on first fire (the racer's own publish re-enters
+    * it). No-op in production. */
   private[graft] var prePublishHook: () => Unit = () => ()
 
   /** Row-level DELETE WHERE as MERGE-ON-READ deletion vectors: the
@@ -1324,13 +1310,7 @@ object Versioned {
       val next = Manifest(base + 1, "delete-dv", m.dataDirs, txn,
         m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints, dvDirs = m.dvDirs :+ dvId)
-      val tmp = versionsDir(path)
-        .resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, render(next).getBytes("UTF-8"))
-      try {
-        prePublishHook()
-        Files.createLink(manifestPath(path, next.version), tmp)
-        Files.deleteIfExists(tmp)
+      if (publishManifest(path, next)) {
         // stored feed: pre-image delete rows from the immutable base
         // snapshot, published AFTER the manifest (lost races never
         // write a stale feed); batch-sized like the deleted set
@@ -1341,13 +1321,10 @@ object Versioned {
           path, next.version)
         return DeleteResult(next.version, 0, m.dataDirs.size,
           deletedRows)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // a commit landed at base+1 first — drop the staged mask
-          // (it was derived against a stale head) and re-derive
-          Files.deleteIfExists(tmp)
-          dropDir(Paths.get(path, "dv", dvId))
       }
+      // else: a commit landed at base+1 first — drop the staged mask
+      // (it was derived against a stale head) and re-derive
+      dropDir(Paths.get(path, "dv", dvId))
     }
     sys.error("unreachable")
   }
@@ -1407,11 +1384,8 @@ object Versioned {
     val v0 = Manifest(0, "clone", m.dataDirs, txn = None,
       schemaDdl = m.schemaDdl, ts = Some(System.currentTimeMillis()),
       constraints = m.constraints, dvDirs = m.dvDirs)
-    val tmp = versionsDir(dstPath)
-      .resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, render(v0).getBytes("UTF-8"))
-    Files.createLink(manifestPath(dstPath, 0), tmp)
-    Files.deleteIfExists(tmp)
+    require(publishManifest(dstPath, v0),
+      s"versioned clone: $dstPath v0 already exists (racing clone?)")
     // birth feed: the clone's v0 IS a whole-table insert. With an
     // active deletion-vector mask the raw files contain rows that are
     // logically deleted, so the zero-copy link feed would lie — leave

@@ -95,6 +95,35 @@ class VersionedCrossProcessSpec extends SparkSpec {
       s"shared txn landed ${txnRows.size} commits: $txnRows")
   }
 
+  test("publishManifest seam: an APPEND losing an injected race retries; nothing lost") {
+    // the deterministic in-process twin of the cross-process race:
+    // the hook (now inside publishManifest, the one deployment seam)
+    // lands a competing append inside THIS append's derive→publish
+    // window; the create-exclusive loss must re-derive and stack on
+    // the racer's head — both rows land exactly once
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_seam").toString
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path,
+      overwrite = false)
+    var fired = false
+    Versioned.prePublishHook = () => {
+      if (!fired) {
+        fired = true
+        Versioned.commit(Seq((9L, "racer")).toDF("k", "v"), path,
+          overwrite = false): Unit
+      }
+    }
+    try {
+      val v = Versioned.commit(Seq((2L, "b")).toDF("k", "v"), path,
+        overwrite = false)
+      assert(fired)
+      assert(v == 2) // v0 seed, v1 racer, v2 this append's retry
+      assert(Versioned.read(spark, path).as[(Long, String)]
+        .collect().toSet ==
+        Set((1L, "a"), (9L, "racer"), (2L, "b")))
+    } finally Versioned.prePublishHook = () => ()
+  }
+
   private def slurp(f: java.io.File): String =
     if (f.exists())
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
