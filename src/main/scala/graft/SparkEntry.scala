@@ -4633,8 +4633,12 @@ object SparkEntry {
             col("o_orderkey") % 97 =!= 0)
           .select(col("o_orderkey"), col("o_orderstatus"),
             col("price_cents"), lit(true).as("is_del"))
+        // fresh-key offset 1e9: TPC-H order keys reach 6e6·SF, so
+        // 1e7 collided with real keys from SF≈1.7 — 1e9 is clear of
+        // every probe scale (collision would both break the batch's
+        // key-uniqueness precondition and diverge from the oracle)
         val ins = base.filter(col("o_orderkey") % 101 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
             lit("N").as("o_orderstatus"), col("price_cents"),
             lit(false).as("is_del"))
         V.mergeDV(s, table, upd.unionByName(del).unionByName(ins),
@@ -4956,7 +4960,7 @@ object SparkEntry {
                     ELSE pc END AS pc
         FROM o WHERE NOT (o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0)
         UNION ALL
-        SELECT o_orderkey + 10000000, 'N', pc
+        SELECT o_orderkey + 1000000000, 'N', pc
         FROM o WHERE o_orderkey % 101 = 0)
       SELECT o_orderstatus, count(*) AS n_orders,
              CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_price,

@@ -51,6 +51,14 @@ object Versioned {
 
   private def dvRoot(path: String) = Paths.get(path, "dv")
 
+  /** Recursive delete of a directory tree if it exists (staged-dir
+    * cleanup / vacuum reclaim — the walk-in-reverse-order idiom,
+    * defined once). */
+  private def dropDirRec(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f): Unit })
+
   private def manifestPath(path: String, v: Int) =
     versionsDir(path).resolve(s"v$v.json")
 
@@ -226,11 +234,14 @@ object Versioned {
       ch.isLetterOrDigit && ch < 128 || ch == ':' || ch == '_' || ch == '-'),
       s"versioned commitTxn: txn token must match [A-Za-z0-9:_-]+, got '$t'"))
     // `cv`/`ct` are the change-feed's directory-derived partition
-    // columns; a table column of the same name would be shadowed at
-    // feed-read time — reserve them up front
-    Seq("cv", "ct").foreach(r => require(!df.columns.contains(r),
-      s"versioned commit: column name '$r' is reserved for the " +
-        "change-data feed's partition columns"))
+    // columns (shadowed at feed-read time); `__dv_rel`/`__dv_pos`
+    // are the deletion-vector row-identity columns (a same-named
+    // table column makes every masked read ambiguous AFTER a mask
+    // already committed) — reserve all four up front
+    Seq("cv", "ct", "__dv_rel", "__dv_pos").foreach(r =>
+      require(!df.columns.contains(r),
+        s"versioned commit: column name '$r' is reserved (change-" +
+          "feed partition / deletion-vector row-identity columns)"))
     txn.flatMap(findTxn(path, _, latestVersion(path))) match {
       case Some(v) => return Some(v) // cheap pre-stage dedup (advisory)
       case None => ()
@@ -526,10 +537,7 @@ object Versioned {
     val dataRoot = Paths.get(path, "data")
     if (Files.isDirectory(dataRoot)) {
       Files.list(dataRoot).iterator().forEachRemaining { p =>
-        if (!retained(p.getFileName.toString)) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { Files.deleteIfExists(f): Unit })
-        }
+        if (!retained(p.getFileName.toString)) dropDirRec(p)
       }
     }
     // deletion-vector sidecars follow the same liveness rule as data
@@ -541,10 +549,7 @@ object Versioned {
       .foldLeft(Set.empty[String])(_ ++ _)
     if (Files.isDirectory(dvRoot(path))) {
       Files.list(dvRoot(path)).iterator().forEachRemaining { p =>
-        if (!retainedDv(p.getFileName.toString)) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { Files.deleteIfExists(f): Unit })
-        }
+        if (!retainedDv(p.getFileName.toString)) dropDirRec(p)
       }
     }
     (0 until retainFrom).foreach(v =>
@@ -558,8 +563,7 @@ object Versioned {
         val n = p.getFileName.toString
         val drop = n.startsWith(".stage-") ||
           (n.startsWith("cv=") && n.stripPrefix("cv=").toInt < retainFrom)
-        if (drop) Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { Files.deleteIfExists(f): Unit })
+        if (drop) dropDirRec(p)
       }
     }
   }
@@ -615,8 +619,7 @@ object Versioned {
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       // a concurrent repair published the same feed first — ours is
       // byte-identical (links to the same immutable files); drop it
-      Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Files.deleteIfExists(f): Unit })
+      dropDirRec(stage)
     }
   }
 
@@ -633,8 +636,7 @@ object Versioned {
       .parquet(stage.toString)
     try { Files.move(stage, dst): Unit }
     catch { case _: java.nio.file.FileAlreadyExistsException =>
-      Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Files.deleteIfExists(f): Unit })
+      dropDirRec(stage)
     }
   }
 
@@ -764,13 +766,19 @@ object Versioned {
     * whose consumed range crosses a bump cannot apply a row diff and
     * must reseed. */
   def feedEpoch(path: String, v: Int): Int =
-    (0 to v).count { w =>
-      Files.exists(manifestPath(path, w)) && {
-        val mode = readManifest(path, w).mode
-        (mode == "restore" || mode == "overwrite") &&
-          !Files.isDirectory(changeDirPath(path, w))
-      }
-    }
+    (0 to v).count(w => epochBump(path, w))
+
+  /** A version is an epoch bump iff its manifest exists and it has
+    * NO published feed dir — mode-independent on purpose: restores
+    * and plain overwrites never publish one (permanent bumps, unless
+    * an operator backfills a key-diff feed via [[repairChangeFeed]],
+    * which legitimately un-bumps them), while a commit of ANY mode
+    * that crashed in its manifest→feed window is a bump exactly
+    * until repaired — so [[readChangesOrReseed]] reseeds (correct,
+    * merely heavier than a repair) instead of throwing. */
+  private def epochBump(path: String, w: Int): Boolean =
+    Files.exists(manifestPath(path, w)) &&
+      !Files.isDirectory(changeDirPath(path, w))
 
   /** One epoch-aware change batch: `reseeded=false` means `df` is the
     * usual incremental row-change feed; `reseeded=true` means the
@@ -802,9 +810,19 @@ object Versioned {
     import org.apache.spark.sql.functions.{col, lit}
     require(vFrom >= 0 && vFrom <= vTo,
       s"readChangesOrReseed: bad range $vFrom..$vTo")
-    val before = if (vFrom == 0) 0 else feedEpoch(path, vFrom - 1)
-    val after = feedEpoch(path, vTo)
-    if (before == after)
+    // ONE ledger walk: the bump test only needs (a) whether any bump
+    // sits inside [vFrom, vTo] and (b) the epoch at vTo for the
+    // consumer's checkpoint — counting 0..vTo once gives both
+    // (feedEpoch(vFrom-1) == feedEpoch(vTo) ⇔ zero bumps in range)
+    var after = 0
+    var bumpsInRange = 0
+    (0 to vTo).foreach { w =>
+      if (epochBump(path, w)) {
+        after += 1
+        if (w >= vFrom) bumpsInRange += 1
+      }
+    }
+    if (bumpsInRange == 0)
       ChangeBatch(readChanges(spark, path, vFrom, vTo),
         reseeded = false, epoch = after)
     else {
@@ -1003,7 +1021,13 @@ object Versioned {
     val cols = target.columns.toIndexedSeq
     val nonKey = cols.filterNot(keys.contains)
     val existed = coalesce(col("__existed"), lit(false))
-    val isDel = deleteWhen.map(d => coalesce(d, lit(false)))
+    // classification MUST mirror the data path exactly: upserts keep
+    // rows where `!deleteWhen` is TRUE, so a NULL predicate row is
+    // NOT upserted (its key still leaves via the touched set) — it
+    // is a delete. coalesce(d, true), not coalesce(d, false):
+    // the false default silently published ct=update for a row the
+    // merge just removed, and a mirror applying the feed diverged.
+    val isDel = deleteWhen.map(d => coalesce(d, lit(true)))
       .getOrElse(lit(false))
     val classified = updates.join(
       target.select(keys.map(col): _*)
@@ -1049,10 +1073,6 @@ object Versioned {
     txn.foreach(t => require(t.nonEmpty && t.forall(ch =>
       ch.isLetterOrDigit && ch < 128 || ch == ':' || ch == '_' || ch == '-'),
       s"versioned mergeDV: txn token must match [A-Za-z0-9:_-]+, got '$t'"))
-    def dropDir(p: java.nio.file.Path): Unit =
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { Files.deleteIfExists(f): Unit })
     var attempt = 0
     while (true) {
       require(attempt < 50, s"versioned mergeDV: 50 lost races at $path")
@@ -1111,15 +1131,15 @@ object Versioned {
         constraints = m.constraints,
         dvDirs = if (masked == 0L) m.dvDirs else m.dvDirs :+ dvId)
       if (publishManifest(path, next)) {
-        if (masked == 0L) dropDir(Paths.get(path, "dv", dvId))
+        if (masked == 0L) dropDirRec(Paths.get(path, "dv", dvId))
         publishMergeFeed(path, next.version, target, updates, keys,
           deleteWhen)
         return next.version
       } else {
         // a commit landed at base+1 first — drop BOTH staged dirs
         // (derived against a stale head) and re-derive
-        dropDir(Paths.get(path, "dv", dvId))
-        dropDir(Paths.get(path, "data", dataId))
+        dropDirRec(Paths.get(path, "dv", dvId))
+        dropDirRec(Paths.get(path, "data", dataId))
       }
     }
     -1 // unreachable
@@ -1271,10 +1291,6 @@ object Versioned {
       predicate: org.apache.spark.sql.Column,
       txn: Option[String] = None): DeleteResult = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    def dropDir(p: java.nio.file.Path): Unit =
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { Files.deleteIfExists(f): Unit })
     var attempt = 0
     while (true) {
       require(attempt < 50,
@@ -1304,19 +1320,37 @@ object Versioned {
       val deletedRows =
         spark.read.parquet(s"$path/dv/$dvId").count()
       if (deletedRows == 0L) {
-        dropDir(Paths.get(path, "dv", dvId)) // pure no-op: no commit
+        dropDirRec(Paths.get(path, "dv", dvId)) // pure no-op: no commit
         return DeleteResult(base, 0, m.dataDirs.size, 0L)
       }
       val next = Manifest(base + 1, "delete-dv", m.dataDirs, txn,
         m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints, dvDirs = m.dvDirs :+ dvId)
       if (publishManifest(path, next)) {
-        // stored feed: pre-image delete rows from the immutable base
-        // snapshot, published AFTER the manifest (lost races never
-        // write a stale feed); batch-sized like the deleted set
-        val cols = rawRead(spark, path, m).columns.toIndexedSeq
+        // stored feed: pre-image delete rows derived from the STAGED
+        // MASK, not a re-run of the predicate — (a) one bounded read
+        // of only the files the mask touches instead of a second
+        // whole-table scan, and (b) the feed provably matches the
+        // committed mask even under a nondeterministic predicate.
+        // Published AFTER the manifest (lost races never write a
+        // stale feed); batch-sized like the deleted set.
+        val staged = spark.read.parquet(s"$path/dv/$dvId")
+        val touchedFiles = staged.select("rel").distinct()
+          .collect().map(_.getString(0)) // ≤ files-with-deletes
+        val reader = m.schemaDdl match {
+          case Some(ddl) => spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          case None => spark.read
+        }
+        val frame = withRowId(reader.parquet(
+          touchedFiles.sorted.map(f => s"$path/data/$f").toIndexedSeq: _*))
+        val cols = frame.columns.toIndexedSeq
+          .filterNot(Set("__dv_rel", "__dv_pos"))
+        val pre = frame.join(staged,
+          frame("__dv_rel") === staged("rel") &&
+            frame("__dv_pos") === staged("pos"), "left_semi")
         publishWrittenFeed(
-          live.filter(hit).withColumn("ct", lit("delete"))
+          pre.withColumn("ct", lit("delete"))
             .select((cols.map(col) :+ col("ct")): _*),
           path, next.version)
         return DeleteResult(next.version, 0, m.dataDirs.size,
@@ -1324,7 +1358,7 @@ object Versioned {
       }
       // else: a commit landed at base+1 first — drop the staged mask
       // (it was derived against a stale head) and re-derive
-      dropDir(Paths.get(path, "dv", dvId))
+      dropDirRec(Paths.get(path, "dv", dvId))
     }
     sys.error("unreachable")
   }
@@ -1420,8 +1454,7 @@ object Versioned {
     }
     try { Files.move(stage, dst): Unit }
     catch { case _: java.nio.file.FileAlreadyExistsException =>
-      Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Files.deleteIfExists(f): Unit })
+      dropDirRec(stage)
     }
   }
 

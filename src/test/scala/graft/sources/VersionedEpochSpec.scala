@@ -48,6 +48,39 @@ class VersionedEpochSpec extends SparkSpec {
     assert(Versioned.feedEpoch(path, 4) == 2)
   }
 
+  test("a crashed manifest-to-feed window reseeds mechanically; repair un-bumps it") {
+    // crash simulation: a mergeDV commit whose feed dir vanishes
+    // (the process died between publishManifest and publishMergeFeed)
+    // — raw readChanges throws, but the epoch-aware reader treats
+    // ANY feed-less manifest as a bump and reseeds; repairChangeFeed
+    // backfills the feed and the version stops being a bump
+    val path = tmpTable()
+    val mirror = collection.mutable.Map.empty[Long, String]
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
+      overwrite = false)
+    applyBatch(mirror, Versioned.readChangesOrReseed(spark, path, 0, 0))
+    val v1 = Versioned.mergeDV(spark, path,
+      Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    // simulate the crash window: drop v1's published feed dir
+    val feedDir = java.nio.file.Paths.get(path, "_changes", s"cv=$v1")
+    java.nio.file.Files.walk(feedDir)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { java.nio.file.Files.deleteIfExists(f): Unit })
+    intercept[RuntimeException] {
+      Versioned.readChanges(spark, path, v1, v1).collect()
+    }
+    val b = Versioned.readChangesOrReseed(spark, path, v1, v1)
+    assert(b.reseeded, "feed-less merge-dv window must reseed")
+    applyBatch(mirror, b)
+    assert(mirror.toMap == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // repair backfills the merge feed (snapshot key-diff) — the
+    // version is no longer a bump and incremental reading resumes
+    assert(Versioned.repairChangeFeed(spark, path, Seq("k")) == Seq(v1))
+    val b2 = Versioned.readChangesOrReseed(spark, path, v1, v1)
+    assert(!b2.reseeded)
+    assert(b2.df.count() == 2) // update k=2 + insert k=3
+  }
+
   test("subscriber converges across a restore without manual intervention") {
     val path = tmpTable()
     val mirror = collection.mutable.Map.empty[Long, String]

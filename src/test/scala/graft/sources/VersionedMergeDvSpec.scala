@@ -88,6 +88,34 @@ class VersionedMergeDvSpec extends SparkSpec {
     assert(Versioned.feedEpoch(path, v) == 0)
   }
 
+  test("NULL deleteWhen rows: feed classification matches the data path (delete, not update)") {
+    // the data path drops a NULL-predicate row from the upserts while
+    // its key still leaves via the touched set — the row is DELETED;
+    // the feed must say so (a ct=update here silently diverged any
+    // mirror applying the feed). Absent-key NULL rows are no-ops.
+    def check(path: String,
+        doMerge: (String, org.apache.spark.sql.DataFrame) => Int): Unit = {
+      Versioned.commit(Seq((1L, Option("a")), (2L, Option("b")))
+        .toDF("k", "v"), path, overwrite = false)
+      // del flag: NULL for existing k=2 and absent k=9; true for k=1
+      val batch = Seq((1L, Option("x"), Option(true)),
+        (2L, Option("y"), Option.empty[Boolean]),
+        (9L, Option("z"), Option.empty[Boolean]))
+        .toDF("k", "v", "del")
+      val v = doMerge(path, batch)
+      // table: both existing keys deleted, nothing inserted
+      assert(Versioned.read(spark, path).count() == 0)
+      val feed = Versioned.readChanges(spark, path, v, v)
+        .select("k", "_change_type").as[(Long, String)].collect().toSet
+      assert(feed == Set((1L, "delete"), (2L, "delete")),
+        s"feed must match the data path, got $feed")
+    }
+    check(tmpTable(), (p, b) => Versioned.merge(spark, p, b, Seq("k"),
+      deleteWhen = Some(col("del"))))
+    check(tmpTable(), (p, b) => Versioned.mergeDV(spark, p, b, Seq("k"),
+      deleteWhen = Some(col("del"))))
+  }
+
   test("mergeDV chains with DV deletes, compact materializes everything away") {
     val path = tmpTable()
     seed(path)
