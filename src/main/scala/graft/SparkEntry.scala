@@ -773,6 +773,34 @@ object SparkEntry {
       s.sql(sqlDsGrowth)
     }),
 
+    // 217: SQL front door, TPC-DS Q99's fulfilment-lag band report —
+    // ship-delay buckets per priority, scan-fused as FILTER cells in
+    // ONE fact pass (the Q88/q_sql_ds_bands discipline applied to
+    // date-lag banding); the bands compare dates against
+    // order-date + INTERVAL directly, so the predicate stays
+    // codegen'd integer date math on both engines.
+    "q_sql_ds_shipdelay" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsShipdelay)
+    }),
+
+    // 218: SQL front door, TPC-DS Q90's am/pm traffic-ratio shape —
+    // exact conditional counts per type in one scan, ratio as the
+    // single mirrored IEEE division of the two integer cells.
+    "q_sql_ds_ampm" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsAmpm)
+    }),
+
+    // 219: SQL front door, TPC-DS Q93's returns-adjusted spend —
+    // per-customer gross minus returned revenue from ONE fact pass
+    // (conditional sum, no second scan or self-join), net-ranked
+    // top-20 under integer-exact ordering.
+    "q_sql_ds_netloss" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsNetloss)
+    }),
+
     // 138: SQL front door, TPC-H Q4's EXISTS-date shape — the late-
     // line order count per priority; the correlated EXISTS carries
     // date predicates on BOTH sides of the correlation.
@@ -2110,6 +2138,122 @@ object SparkEntry {
             .as("jaccard"))
         .orderBy(col("jaccard").desc, col("pa"), col("pb"))
         .limit(20)
+    }),
+
+    // 213: THEIL–SEN ROBUST SLOPE — the median of all pairwise
+    // slopes of the daily-revenue series (1996 H1): the
+    // breakdown-resistant trend estimate behind robust forecasting
+    // (a single outlier day shifts OLS, not the pairwise median —
+    // the trend-side sibling of q_anomaly_mad's dispersion side).
+    // Aggregates to the calendar-bounded day frame FIRST; the
+    // pairwise self-join runs on the ≤181-row frame (≤16k pairs —
+    // a fenced bounded nested loop, never the fact table), each
+    // slope is ONE IEEE division of exact BIGINT cent/day deltas,
+    // and both engines take the same interpolated median over the
+    // identical slope multiset.
+    "q_theilsen" -> ((s, dir) => {
+      val day = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996 &&
+          month(col("o_orderdate")) <= 6)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rc"))
+        .select(datediff(col("day"), lit("1996-01-01").cast("date"))
+          .as("x"), col("rc"))
+      val a = day.select(col("x").as("xa"), col("rc").as("ra"))
+      val b = day.select(col("x").as("xb"), col("rc").as("rb"))
+      // intended: calendar-bounded ≤181-row frame self-join
+      a.crossJoin(b).filter(col("xa") < col("xb"))
+        .select(((col("rb") - col("ra")).cast("double") /
+          (col("xb") - col("xa"))).as("slope"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(median(col("slope")) / 100.0, 6).as("ts_slope"))
+    }),
+
+    // 214: WINSORIZED MEANS — per-type mean before/after clipping at
+    // the exact p05/p95 (robust location under heavy tails: the
+    // remedy q_zscore's outliers call for). Thresholds come from
+    // Stats.percentileDisc — DISCRETE rank-based percentiles, so lo/
+    // hi are exact BIGINT cents and every comparison, count, and sum
+    // below is pure integer arithmetic (no interpolation, no float
+    // accumulation order anywhere); the |types|-row threshold frame
+    // broadcasts back onto the facts, and the only float ops are the
+    // two mirrored IEEE mean divisions at the end.
+    "q_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v"),
+          col("event_id"))
+      val th = graft.ops.Stats.percentileDisc(ev, Seq("event_type"),
+          "v", "event_id", Seq(("lo", 1, 20), ("hi", 19, 20)))
+        .select(col("event_type"), col("lo"), col("hi"))
+      ev.join(broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sraw"),
+          sum(when(col("v") < col("lo"), col("lo"))
+            .when(col("v") > col("hi"), col("hi"))
+            .otherwise(col("v"))).as("swin"),
+          sum((col("v") < col("lo")).cast("long")
+            + (col("v") > col("hi")).cast("long")).as("n_clipped"),
+          max(col("lo")).as("loc"), max(col("hi")).as("hic"))
+        .select(col("event_type"), col("n"), col("n_clipped"),
+          money(col("loc")).as("p05"), money(col("hic")).as("p95"),
+          round(col("sraw").cast("double") / (col("n") * 100.0), 6)
+            .as("raw_mean"),
+          round(col("swin").cast("double") / (col("n") * 100.0), 6)
+            .as("win_mean"))
+        .orderBy("event_type")
+    }),
+
+    // 215: LEAVE-ONE-OUT TARGET ENCODING — the standard
+    // leakage-free categorical encoder for model features: each
+    // customer's segment is encoded as the mean spend of the OTHER
+    // customers in that segment ((S − own)/(n − 1) — own row held
+    // out so the feature never memorizes its own target). One
+    // aggregate to the |customers| spend frame, one to the
+    // |segments| frame (broadcast back); exact BIGINT cents
+    // throughout, one mirrored IEEE division per row.
+    "q_target_encode" -> ((s, dir) => {
+      val cs = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val sp = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("sc"))
+      val cust = cs.join(sp, cs("c_custkey") === sp("o_custkey"), "left")
+        .select(col("c_custkey"), col("segment"),
+          coalesce(col("sc"), lit(0L)).as("sc"))
+      val seg = cust.groupBy("segment")
+        .agg(sum(col("sc")).as("ssum"), count(lit(1)).as("sn"))
+        .filter(col("sn") > 1)
+      cust.join(broadcast(seg), "segment")
+        .select(col("c_custkey"), col("segment"),
+          money(col("sc")).as("spend"),
+          round((col("ssum") - col("sc")).cast("double") /
+            ((col("sn") - 1) * 100.0), 6).as("loo_enc"))
+        .orderBy("c_custkey")
+    }),
+
+    // 216: PARETO SKYLINE per brand — the dominance frontier
+    // (cheapest price for every size level: minimize price, maximize
+    // size; a point survives iff no other point is ≤ price AND
+    // ≥ size with one strict). The classic quadratic dominance test
+    // collapses to ONE partitioned window: sorted by (price asc,
+    // size desc), a point is on the frontier iff its size beats the
+    // running max of everything strictly before it — per-brand
+    // partitions keep the window distributed, prices are exact
+    // BIGINT cents, and the frame is rows-bounded (no data-sized
+    // global sort anywhere).
+    "q_skyline" -> ((s, dir) => {
+      val pts = t(s, dir, "part")
+        .select(col("p_brand"), cents(col("p_retailprice"))
+          .as("price_c"), col("p_size"))
+        .distinct()
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("price_c"), col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("rm", max(col("p_size")).over(w))
+        .filter(col("rm").isNull || col("p_size") > col("rm"))
+        .select(col("p_brand"), money(col("price_c")).as("price"),
+          col("p_size"))
+        .orderBy("p_brand", "price_c")
     }))
 
   private def analyticsOracle: Map[String, String] = Map(
@@ -2970,6 +3114,74 @@ object SparkEntry {
       SELECT e.event_id, e.user_id, o.last_orderkey
       FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.d >= o.od
       ORDER BY event_id""",
+    "q_theilsen" -> """
+      WITH day AS (
+        SELECT date_diff('day', DATE '1996-01-01',
+                 CAST(o_orderdate AS DATE)) AS x,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1996
+          AND month(CAST(o_orderdate AS DATE)) <= 6
+        GROUP BY 1),
+      p AS (SELECT CAST(b.rc - a.rc AS DOUBLE) / (b.x - a.x) AS slope
+            FROM day a JOIN day b ON a.x < b.x)
+      SELECT count(*) AS n_pairs,
+             round(median(slope) / 100.0, 6) AS ts_slope
+      FROM p""",
+    "q_winsorize" -> """
+      WITH c AS (SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS v, event_id
+                 FROM events),
+      r AS (SELECT event_type, v,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY v, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM c),
+      th AS (SELECT event_type,
+               min(CASE WHEN rn * 20 >= n THEN v END) AS lo,
+               min(CASE WHEN rn * 20 >= n * 19 THEN v END) AS hi
+             FROM r GROUP BY event_type)
+      SELECT c.event_type, count(*) AS n,
+             CAST(sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped,
+             CAST(max(lo) AS DOUBLE) / 100.0 AS p05,
+             CAST(max(hi) AS DOUBLE) / 100.0 AS p95,
+             round(CAST(sum(v) AS DOUBLE) / (count(*) * 100.0), 6)
+               AS raw_mean,
+             round(CAST(sum(CASE WHEN v < lo THEN lo
+                                 WHEN v > hi THEN hi
+                                 ELSE v END) AS DOUBLE)
+               / (count(*) * 100.0), 6) AS win_mean
+      FROM c JOIN th ON c.event_type = th.event_type
+      GROUP BY c.event_type ORDER BY c.event_type""",
+    "q_target_encode" -> """
+      WITH sp AS (SELECT o_custkey,
+                    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc
+                  FROM orders GROUP BY 1),
+      cust AS (SELECT c_custkey, c_mktsegment AS segment,
+                 COALESCE(sc, 0) AS sc
+               FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+      seg AS (SELECT segment, sum(sc) AS ssum, count(*) AS sn
+              FROM cust GROUP BY 1 HAVING count(*) > 1)
+      SELECT c_custkey, cust.segment,
+             CAST(sc AS DOUBLE) / 100.0 AS spend,
+             round(CAST(ssum - sc AS DOUBLE) / ((sn - 1) * 100.0), 6)
+               AS loo_enc
+      FROM cust JOIN seg ON cust.segment = seg.segment
+      ORDER BY c_custkey""",
+    "q_skyline" -> """
+      WITH pts AS (SELECT DISTINCT p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT)
+                       AS price_c, p_size
+                   FROM part),
+      r AS (SELECT p_brand, price_c, p_size,
+              max(p_size) OVER (PARTITION BY p_brand
+                ORDER BY price_c, p_size DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+            FROM pts)
+      SELECT p_brand, CAST(price_c AS DOUBLE) / 100.0 AS price, p_size
+      FROM r WHERE rm IS NULL OR p_size > rm
+      ORDER BY p_brand, price_c""",
     "q_asof_native" -> """
       WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events),
            o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
@@ -3456,6 +3668,58 @@ object SparkEntry {
          JOIN customer ON c_custkey = a.o_custkey
     WHERE a.yr = 1996 AND b.yr = 1997 AND b.tc * 2 > a.tc * 3
     ORDER BY growth DESC, c_name LIMIT 20"""
+
+  /** Shared verbatim — TPC-DS Q99's lag-band report: one pass of the
+    * order⨝line facts, four FILTER cells banding the ship delay
+    * against order-date + INTERVAL bounds (pure integer date math —
+    * no engine-specific datediff signature enters the string). */
+  private val sqlDsShipdelay: String = """
+    WITH f AS (SELECT o_orderpriority,
+                      CAST(l_shipdate AS DATE) AS sd,
+                      CAST(o_orderdate AS DATE) AS od
+               FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE sd <= od + INTERVAL 30 DAY) AS d30,
+           count(*) FILTER (WHERE sd > od + INTERVAL 30 DAY
+                              AND sd <= od + INTERVAL 60 DAY) AS d60,
+           count(*) FILTER (WHERE sd > od + INTERVAL 60 DAY
+                              AND sd <= od + INTERVAL 90 DAY) AS d90,
+           count(*) FILTER (WHERE sd > od + INTERVAL 90 DAY) AS d90plus,
+           count(*) AS n_lines
+    FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Shared verbatim — TPC-DS Q90's am/pm ratio: two conditional
+    * counts per type from one scan; the ratio is the only float op
+    * (one IEEE division of exact BIGINT counts, mirrored). */
+  private val sqlDsAmpm: String = """
+    SELECT event_type,
+           count(*) FILTER (WHERE hour(ts) < 12) AS am_cnt,
+           count(*) FILTER (WHERE hour(ts) >= 12) AS pm_cnt,
+           round(CAST(count(*) FILTER (WHERE hour(ts) < 12) AS DOUBLE)
+             / count(*) FILTER (WHERE hour(ts) >= 12), 6) AS am_pm_ratio
+    FROM events
+    GROUP BY event_type ORDER BY event_type"""
+
+  /** Shared verbatim — TPC-DS Q93's returns-adjusted spend: gross and
+    * returned revenue from ONE conditional-sum pass per customer
+    * (never a second fact scan), net = gross − returned in exact
+    * cents, ordered by the integer net before any display division. */
+  private val sqlDsNetloss: String = """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS gross,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+               THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT) ELSE 0 END) AS BIGINT) AS returned
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY o_custkey)
+    SELECT o_custkey,
+           CAST(gross AS DOUBLE) / 100.0 AS gross_spend,
+           CAST(returned AS DOUBLE) / 100.0 AS returned_spend,
+           CAST(gross - returned AS DOUBLE) / 100.0 AS net_spend
+    FROM per
+    ORDER BY gross - returned DESC, o_custkey LIMIT 20"""
 
   /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
     * orders of one quarter counted per priority when ANY of their
@@ -7692,6 +7956,9 @@ object SparkEntry {
     "q_sql_ds_intersect" -> sqlDsIntersect,
     "q_sql_ds_bestfreq" -> sqlDsBestfreq,
     "q_sql_ds_growth" -> sqlDsGrowth,
+    "q_sql_ds_shipdelay" -> sqlDsShipdelay,
+    "q_sql_ds_ampm" -> sqlDsAmpm,
+    "q_sql_ds_netloss" -> sqlDsNetloss,
     "q_ab_within" -> """
       WITH ev AS (SELECT user_id, event_type,
                     epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -83,7 +83,11 @@ class PlanSpec extends SparkSpec {
       // crossJoin(broadcast(feed)) — the standard fenced 1-row
       // scalar-carrier (IdentityBroadcastMode over one row);
       // q_delete_dv is its merge-on-read twin with the same carrier
-      "q_delete_where", "q_delete_dv")
+      "q_delete_where", "q_delete_dv",
+      // q_theilsen self-joins the calendar-bounded ≤181-row daily
+      // frame on xa < xb (≤16k pairs) — a bounded frame×frame
+      // carrier, never the fact table
+      "q_theilsen")
 
   test("every intendedNestedLoop key exists and still plans one") {
     // keeps the allowlist from rotting: a key that stops planning a
