@@ -801,6 +801,15 @@ object SparkEntry {
       s.sql(sqlDsNetloss)
     }),
 
+    // 224: SQL front door, TPC-DS Q65's below-average-performer
+    // report — parts earning ≤ 70% of their brand's average revenue,
+    // the brand average derived by re-aggregating the per-part frame
+    // (one fact scan) and compared by integer cross-multiplication.
+    "q_sql_ds_belowavg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsBelowavg)
+    }),
+
     // 138: SQL front door, TPC-H Q4's EXISTS-date shape — the late-
     // line order count per priority; the correlated EXISTS carries
     // date predicates on BOTH sides of the correlation.
@@ -2254,6 +2263,151 @@ object SparkEntry {
         .select(col("p_brand"), money(col("price_c")).as("price"),
           col("p_size"))
         .orderBy("p_brand", "price_c")
+    }),
+
+    // 220: MANN–WHITNEY U — the nonparametric two-sample test
+    // (do 'click' and 'purchase' event values come from the same
+    // distribution?): the rank-sum sibling of q_abtest's proportion
+    // z-test and q_ks_test's ECDF distance. NEVER ranks rows: the
+    // samples collapse to a distinct-value HISTOGRAM first (a_v /
+    // b_v counts per exact cent value — bounded by the value domain,
+    // not the row count), the cross-group comparison count rides ONE
+    // prefix sum over that frame (Ranking.withPrefixSums — range
+    // slices in parallel), and 2·U = Σ a_v·(2·cumB_v − b_v) stays
+    // exact BIGINT (ties contribute the half step). The tie-corrected
+    // variance needs n³ — past long at the 10× probe — so the product
+    // chain rides DECIMAL(38,0) (HUGEINT on the oracle side), cast to
+    // double ONCE for the final mirrored sqrt/divide chain.
+    "q_mannwhitney" -> ((s, dir) => {
+      def d38(c: Column): Column = c.cast("decimal(38,0)")
+      val f = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), cents(col("value")).as("v"))
+      val h = f.groupBy("v")
+        .agg(sum((col("event_type") === "click").cast("long")).as("a"),
+          sum((col("event_type") === "purchase").cast("long")).as("b"))
+      val c = Ranking.withPrefixSums(h, Nil, Seq(col("v")), Seq("b"))
+      val tc = col("a") + col("b")
+      val agg = c.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(col("a") * (col("b_cum") * 2 - col("b"))).as("u2"),
+        sum(d38(tc) * tc * tc - tc).as("tie3"))
+      val n = col("n_a") + col("n_b")
+      val varnum = d38(col("n_a")) * col("n_b") *
+        (d38(n) * (n + lit(1L)) * (n - lit(1L)) - col("tie3"))
+      agg.select(col("n_a"), col("n_b"),
+        (col("u2").cast("double") / 2.0).as("u_a"),
+        round(col("u2").cast("double") / (col("n_a") * col("n_b")) - 1.0, 6)
+          .as("r_rb"),
+        round((col("u2") - col("n_a") * col("n_b")).cast("double") /
+          (lit(2.0) * sqrt(varnum.cast("double") /
+            (lit(12L) * n * (n - lit(1L))).cast("double"))), 6).as("z"))
+    }),
+
+    // 221: CRAMÉR'S V — association strength between two categorical
+    // columns (market segment × order priority): q_chi2's statistic
+    // normalized to [0,1] so it is comparable across tables — the
+    // screen a feature-selection pass runs over every categorical
+    // pair. Same discipline: the fact join aggregates to the
+    // ≤|segments|·|priorities| cell frame FIRST, marginals are
+    // broadcast sub-aggregates of the cells, (O·N − R·C)² keeps the
+    // deviation exact BIGINT per cell, and only the per-cell term and
+    // the final sqrt are (mirrored) float.
+    "q_cramers_v" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderpriority")
+      val cu = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val cells = o.join(cu, o("o_custkey") === cu("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("o"))
+        .staged // ≤25 rows reused by marginals + terms
+      val rowT = cells.groupBy("seg").agg(sum(col("o")).as("rt"))
+      val colT = cells.groupBy("pri").agg(sum(col("o")).as("ct"))
+      val tot = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("seg")).as("r"),
+        countDistinct(col("pri")).as("c"))
+      val d = col("o") * col("n") - col("rt") * col("ct")
+      cells.join(broadcast(rowT), "seg")
+        .join(broadcast(colT), "pri")
+        .crossJoin(broadcast(tot)) // intended: 1-row N/r/c carrier
+        .select(col("n"), col("r"), col("c"),
+          (d.cast("double") * d.cast("double") /
+            (col("rt").cast("double") * col("ct") * col("n"))).as("term"))
+        .agg(round(sum(col("term")), 6).as("chi2"),
+          round(sqrt(sum(col("term")) /
+            (first(col("n")) *
+              (least(first(col("r")), first(col("c"))) - 1))), 6)
+            .as("cramers_v"),
+          first(col("n")).as("n_orders"))
+    }),
+
+    // 222: IQR / TUKEY-FENCE OUTLIERS — the box-plot screen per event
+    // type: exact discrete quartiles from Stats.percentileDisc (the
+    // q_winsorize machinery at 1/4 and 3/4), fences compared WITHOUT
+    // ever materializing the 1.5·IQR float (v < q1 − 1.5·(q3−q1) ⇔
+    // 2v < 5·q1 − 3·q3 — pure BIGINT cross-multiplication), so the
+    // outlier counts are integer-exact; the |types|-row threshold
+    // frame broadcasts back over the facts.
+    "q_iqr_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v"),
+          col("event_id"))
+      val th = graft.ops.Stats.percentileDisc(ev, Seq("event_type"),
+          "v", "event_id", Seq(("q1", 1, 4), ("q3", 3, 4)))
+        .select(col("event_type"), col("q1"), col("q3"))
+      ev.join(broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("q1")).as("q1c"), max(col("q3")).as("q3c"),
+          sum((col("v") * 2 < col("q1") * 5 - col("q3") * 3)
+            .cast("long")).as("n_low"),
+          sum((col("v") * 2 > col("q3") * 5 - col("q1") * 3)
+            .cast("long")).as("n_high"))
+        .select(col("event_type"), col("n"),
+          money(col("q1c")).as("q1"), money(col("q3c")).as("q3"),
+          money(col("q3c") - col("q1c")).as("iqr"),
+          col("n_low"), col("n_high"),
+          round((col("n_low") + col("n_high")).cast("double")
+            / col("n") * 100, 6).as("outlier_pct"))
+        .orderBy("event_type")
+    }),
+
+    // 223: WATER-FILLING TOKEN-BUDGET MIX — the data-mixing
+    // allocator behind every "cap the over-represented domains"
+    // training recipe: given a global char budget (60% of the
+    // corpus), small sources keep everything and large sources are
+    // capped at the common water level L where Σ min(chars_s, L) =
+    // budget. The closed form needs the sources SORTED by size —
+    // fine, because the frame is |sources| rows (bounded by the
+    // domain count, never the corpus; the one unpartitioned window
+    // is the q_survival bounded class). Everything except the final
+    // keep_rate division is exact BIGINT: the budget is an integer
+    // floor, the "fully kept" test P_j + (m−j)·c_j ≤ B is monotone
+    // in j (so Σ flags IS the split point), and the cap level floors
+    // to integer chars. Both scalar hops ride fenced 1-row carriers.
+    "q_mix_waterfill" -> ((s, dir) => {
+      val src = t(s, dir, "documents").groupBy("source")
+        .agg(sum(col("n_chars")).as("chars"))
+      val tot = src.agg(sum(col("chars")).as("tc"), count(lit(1)).as("m"))
+        .select(expr("tc * 3 div 5").as("bb"), col("m"))
+      val w = Window.orderBy(col("chars"), col("source"))
+      val ranked = src.select(col("source"), col("chars"),
+        row_number().over(w).as("j"),
+        sum(col("chars"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("p"))
+      val f = ranked.crossJoin(broadcast(tot)) // intended: 1-row budget carrier
+        .withColumn("fl",
+          (col("p") + (col("m") - col("j")) * col("chars") <= col("bb"))
+            .cast("long"))
+      val lvl = f.agg(sum(col("fl")).as("ik"),
+        sum(col("chars") * col("fl")).as("pk"))
+      val alloc = when(col("j") <= col("ik"), col("chars"))
+        .otherwise(expr("(bb - pk) div (m - ik)"))
+      f.crossJoin(broadcast(lvl)) // intended: 1-row water-level carrier
+        .select(col("source"), col("chars"),
+          (col("j") <= col("ik")).cast("int").as("kept"),
+          alloc.as("alloc_chars"),
+          round(alloc.cast("double") / col("chars"), 6).as("keep_rate"))
+        .orderBy("source")
     }))
 
   private def analyticsOracle: Map[String, String] = Map(
@@ -3189,7 +3343,102 @@ object SparkEntry {
                  FROM orders GROUP BY 1, 2)
       SELECT e.event_id, e.user_id, o.last_orderkey
       FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.d >= o.od
-      ORDER BY event_id""")
+      ORDER BY event_id""",
+    "q_mannwhitney" -> """
+      WITH f AS (SELECT event_type AS t,
+                   CAST(round(value * 100) AS BIGINT) AS v
+                 FROM events WHERE event_type IN ('click', 'purchase')),
+      h AS (SELECT v,
+              CAST(sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+              CAST(sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS b
+            FROM f GROUP BY v),
+      c AS (SELECT a, b, sum(b) OVER (ORDER BY v) AS bc FROM h),
+      s AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+              CAST(sum(b) AS BIGINT) AS nb,
+              CAST(sum(a * (2 * bc - b)) AS BIGINT) AS u2,
+              CAST(sum(CAST(a + b AS HUGEINT) * (a + b) * (a + b)
+                - (a + b)) AS HUGEINT) AS tie3
+            FROM c)
+      SELECT na AS n_a, nb AS n_b,
+             CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+             round(CAST(u2 AS DOUBLE) / (na * nb) - 1.0, 6) AS r_rb,
+             round(CAST(u2 - na * nb AS DOUBLE) /
+               (2.0 * sqrt(CAST(CAST(na AS HUGEINT) * nb *
+                 (CAST(na + nb AS HUGEINT) * (na + nb + 1) * (na + nb - 1)
+                   - tie3) AS DOUBLE)
+                 / CAST(12 * (na + nb) * (na + nb - 1) AS DOUBLE))), 6)
+               AS z
+      FROM s""",
+    "q_cramers_v" -> """
+      WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+      cells AS (SELECT seg, pri, count(*) AS o FROM j GROUP BY 1, 2),
+      rt AS (SELECT seg, sum(o) AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT pri, sum(o) AS ct FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                count(DISTINCT seg) AS r,
+                count(DISTINCT pri) AS c FROM cells),
+      terms AS (SELECT n, r, c,
+                  CAST(o * n - rt * ct AS DOUBLE) * (o * n - rt * ct)
+                    / (CAST(rt AS DOUBLE) * ct * n) AS term
+                FROM cells JOIN rt USING (seg) JOIN ct USING (pri)
+                     CROSS JOIN tot)
+      SELECT round(sum(term), 6) AS chi2,
+             round(sqrt(sum(term) / (any_value(n) *
+               (least(any_value(r), any_value(c)) - 1))), 6) AS cramers_v,
+             any_value(n) AS n_orders
+      FROM terms""",
+    "q_iqr_outliers" -> """
+      WITH c AS (SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS v, event_id
+                 FROM events),
+      r AS (SELECT event_type, v,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY v, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM c),
+      th AS (SELECT event_type,
+               min(CASE WHEN rn * 4 >= n THEN v END) AS q1c,
+               min(CASE WHEN rn * 4 >= n * 3 THEN v END) AS q3c
+             FROM r GROUP BY event_type)
+      SELECT c.event_type, count(*) AS n,
+             CAST(max(q1c) AS DOUBLE) / 100.0 AS q1,
+             CAST(max(q3c) AS DOUBLE) / 100.0 AS q3,
+             CAST(max(q3c) - max(q1c) AS DOUBLE) / 100.0 AS iqr,
+             CAST(sum(CASE WHEN v * 2 < q1c * 5 - q3c * 3
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             CAST(sum(CASE WHEN v * 2 > q3c * 5 - q1c * 3
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             round(CAST(sum(CASE WHEN v * 2 < q1c * 5 - q3c * 3
+                 OR v * 2 > q3c * 5 - q1c * 3 THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) * 100, 6) AS outlier_pct
+      FROM c JOIN th USING (event_type)
+      GROUP BY c.event_type ORDER BY c.event_type""",
+    "q_mix_waterfill" -> """
+      WITH src AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+                   FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(chars) AS BIGINT) AS tc,
+                count(*) AS m FROM src),
+      b AS (SELECT tc * 3 // 5 AS bb, m FROM tot),
+      r AS (SELECT source, chars,
+              row_number() OVER (ORDER BY chars, source) AS j,
+              sum(chars) OVER (ORDER BY chars, source) AS p
+            FROM src),
+      f AS (SELECT r.*, bb, m,
+              CASE WHEN p + (m - j) * chars <= bb THEN 1 ELSE 0 END AS fl
+            FROM r CROSS JOIN b),
+      s AS (SELECT CAST(sum(fl) AS BIGINT) AS ik,
+              CAST(sum(chars * fl) AS BIGINT) AS pk FROM f),
+      o AS (SELECT source, chars,
+              CAST(j <= ik AS INT) AS kept,
+              CASE WHEN j <= ik THEN chars
+                   ELSE (bb - pk) // (m - ik) END AS alloc
+            FROM f CROSS JOIN s)
+      SELECT source, chars, kept, CAST(alloc AS BIGINT) AS alloc_chars,
+             round(CAST(alloc AS DOUBLE) / chars, 6) AS keep_rate
+      FROM o ORDER BY source""")
 
   /** Shared verbatim between Spark SQL and DuckDB: correlated scalar
     * subqueries (TPC-H Q17 shape) — Catalyst decorrelates them into
@@ -3720,6 +3969,30 @@ object SparkEntry {
            CAST(gross - returned AS DOUBLE) / 100.0 AS net_spend
     FROM per
     ORDER BY gross - returned DESC, o_custkey LIMIT 20"""
+
+  /** Shared verbatim — TPC-DS Q65's below-average-performer shape:
+    * per-(brand, part) revenue from one fact pass, brands' totals
+    * from a re-aggregation of that frame (never a second fact scan),
+    * and the "≤ 70% of the brand average" filter cross-multiplied
+    * into exact BIGINT cents (rc·bn·10 ≤ brc·7 — no float average
+    * ever materializes; magnitudes stay < 2^53 with headroom at the
+    * 10× probe). Both engines plan rev as one aggregate reused by
+    * the join and the brand rollup. */
+  private val sqlDsBelowavg: String = """
+    WITH rev AS (
+      SELECT p_brand, l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS rc
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand, l_partkey),
+    b AS (SELECT p_brand, CAST(sum(rc) AS BIGINT) AS brc,
+            count(*) AS bn FROM rev GROUP BY p_brand)
+    SELECT rev.p_brand, l_partkey,
+           CAST(rc AS DOUBLE) / 100.0 AS revenue,
+           round(CAST(bn * rc AS DOUBLE) / brc, 6) AS vs_avg
+    FROM rev JOIN b ON rev.p_brand = b.p_brand
+    WHERE rc * bn * 10 <= brc * 7
+    ORDER BY rev.p_brand, l_partkey"""
 
   /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
     * orders of one quarter counted per priority when ANY of their
@@ -7959,6 +8232,7 @@ object SparkEntry {
     "q_sql_ds_shipdelay" -> sqlDsShipdelay,
     "q_sql_ds_ampm" -> sqlDsAmpm,
     "q_sql_ds_netloss" -> sqlDsNetloss,
+    "q_sql_ds_belowavg" -> sqlDsBelowavg,
     "q_ab_within" -> """
       WITH ev AS (SELECT user_id, event_type,
                     epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Staging._
 
 /** Distributed exact rank — the scale-safe replacement for
   * `row_number().over(Window.orderBy(...))` (a single-task global
@@ -37,8 +38,21 @@ object Ranking {
     val grp = groupCols.map(col)
     val parts = math.max(
       df.sparkSession.sessionState.conf.numShufflePartitions, 2)
+    // STAGED, not merely shuffled: repartitionByRange draws its slice
+    // boundaries from reservoir SAMPLES whose selection depends on
+    // shuffle-fetch arrival order — nondeterministic across jobs. The
+    // local-rank branch and the offsets branch below both consume the
+    // ranged frame; if each re-executed the exchange they could
+    // disagree about which slice a boundary-adjacent row landed in,
+    // silently corrupting every downstream offset (caught live: a
+    // distinct-value prefix sum drifted by a constant from one slice
+    // boundary on, and changed between executions of the SAME plan).
+    // Staging materializes the slice assignment ONCE; both branches
+    // read the same frozen pids. ReuseExchange is NOT a substitute —
+    // column pruning can specialize the two subtrees apart.
     val ranged = df.repartitionByRange(parts, grp ++ order: _*)
       .withColumn(pid, spark_partition_id())
+      .staged
     val local = ranged.withColumn("_rk_loc", row_number()
       .over(Window.partitionBy(col(pid) +: grp: _*).orderBy(order: _*)))
     // tiny frame: #partitions × #groups rows; its unpartitioned-per-
@@ -75,8 +89,11 @@ object Ranking {
     val grp = groupCols.map(col)
     val parts = math.max(
       df.sparkSession.sessionState.conf.numShufflePartitions, 2)
+    // staged for the same reason as withRank: freeze the sampled
+    // range-slice assignment once for both consuming branches
     val ranged = df.repartitionByRange(parts, grp ++ order: _*)
       .withColumn(pid, spark_partition_id())
+      .staged
     val wLoc = Window.partitionBy(col(pid) +: grp: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = sumCols.foldLeft(ranged) { (d, c) =>

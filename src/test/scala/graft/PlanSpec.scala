@@ -87,7 +87,13 @@ class PlanSpec extends SparkSpec {
       // q_theilsen self-joins the calendar-bounded ≤181-row daily
       // frame on xa < xb (≤16k pairs) — a bounded frame×frame
       // carrier, never the fact table
-      "q_theilsen")
+      "q_theilsen",
+      // q_cramers_v crossJoins the 1-row (N, r, c) grand-total onto
+      // the ≤25-cell contingency frame — the q_chi2 scalar-carrier
+      // shape; q_mix_waterfill threads the 1-row budget and the
+      // 1-row water-level onto the |sources|-row frame (two fenced
+      // scalar carriers in one plan)
+      "q_cramers_v", "q_mix_waterfill")
 
   test("every intendedNestedLoop key exists and still plans one") {
     // keeps the allowlist from rotting: a key that stops planning a

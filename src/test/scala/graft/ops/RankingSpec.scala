@@ -122,6 +122,38 @@ class RankingSpec extends SparkSpec {
         "must keep the equal-value run splittable")
   }
 
+  test("range-slice assignment is frozen: one materialized shuffle feeds both branches") {
+    // r10 live bug: repartitionByRange draws its slice boundaries
+    // from reservoir samples whose selection depends on shuffle-fetch
+    // arrival order — nondeterministic across jobs. The local-window
+    // branch and the offsets branch each consumed the ranged frame;
+    // when the exchange re-executed per branch, a boundary-adjacent
+    // row could land in different slices and every downstream offset
+    // from that boundary on was silently wrong — AND the same
+    // returned DataFrame answered differently on successive actions.
+    // The fix stages the ranged frame. Pinned both ways: structurally
+    // (the executed plan consumes a materialized RDD scan, with NO
+    // live range exchange left to re-run) and behaviorally (repeated
+    // executions all equal the single-sort windowed truth).
+    val df = (1 to 5000).map(i => ((i * 2654435761L) % 100000, 1L))
+      .toDF("v", "b").groupBy("v").agg(sum("b").as("b"))
+    val got = Ranking.withPrefixSums(df.repartition(8), Nil,
+      Seq(col("v")), Seq("b"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"ranged frame not staged — live exchange subject to re-sampling:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"live range exchange still in the consuming plan:\n$plan")
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("tc", sum(col("b")).over(w))
+      .select("v", "tc").as[(Long, Long)].collect().toMap
+    (1 to 3).foreach { i =>
+      val g = got.select("v", "b_cum").as[(Long, Long)].collect().toMap
+      assert(g == want, s"execution $i diverged from the windowed truth")
+    }
+  }
+
   test("ntileFromRank reproduces ntile(k) for every n in 1..23") {
     for (n <- 1 to 23) {
       val df = (1 to n).map(i => (i.toLong, (i * 13 % 7).toLong))
