@@ -5056,6 +5056,39 @@ object SparkEntry {
     // (`_changes/cv=2/ct=delete`) is read back as a distributed agg
     // beside the post-delete snapshot, so the oracle gates the
     // snapshot, the feed, and the ledger accounting in one row.
+    // 225: PARTITION EVOLUTION driver-gated — the versioned table
+    // staged as a MIXED-layout snapshot (one commit hive-partitioned
+    // by priority, one plain append: the manifest records the spec
+    // PER-DIR, so changing the partitioning never rewrites history),
+    // then read with readPartitionPruned: whole partition directories
+    // of the spec-matching dir are skipped BEFORE any file IO, the
+    // plain dir row-filters exactly, and the partition column itself
+    // re-derives from directory names (it is not in the hive dir's
+    // file bytes — the layout a flat schema read would silently
+    // null). The checked output carries the filesRead < filesTotal
+    // pruning flag; oracle = the same filter+aggregate off the source
+    // table + TRUE.
+    "q_partition_prune" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/versioned_partevo"
+      if (V.latestVersion(table) < 0) {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"), cents(col("o_totalprice")).as("price_cents"))
+        V.commitPartitioned(o.filter(col("o_orderkey") % 2 === 0), table,
+          "o_orderpriority"): Unit
+        V.commit(o.filter(col("o_orderkey") % 2 === 1), table,
+          overwrite = false): Unit
+      }
+      val (df, filesRead, filesTotal) = V.readPartitionPruned(s, table,
+        "o_orderpriority", Seq("1-URGENT", "2-HIGH"))
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(col("price_cents"))).as("sum_price"))
+        .select(col("o_orderpriority"), col("n_orders"), col("sum_price"),
+          lit(filesRead < filesTotal).as("pruned"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_delete_where" -> ((s, dir) => {
       val V = graft.sources.Versioned
       val table = stagingRoot(dir) + "/versioned_delete"
@@ -5458,6 +5491,14 @@ object SparkEntry {
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                / 100.0 AS sum_price
       FROM orders""",
+    "q_partition_prune" -> """
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_price,
+             TRUE AS pruned
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_delete_where" -> """
       WITH o AS (SELECT o_orderkey, o_orderstatus,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS pc

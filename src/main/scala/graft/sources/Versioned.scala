@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -47,7 +48,19 @@ object Versioned {
       dataDirs: Seq[String], txn: Option[String] = None,
       schemaDdl: Option[String] = None, ts: Option[Long] = None,
       constraints: Seq[String] = Seq.empty,
-      dvDirs: Seq[String] = Seq.empty)
+      dvDirs: Seq[String] = Seq.empty,
+      // PARTITION EVOLUTION ledger: dirId → the hive-layout partition
+      // column that dir was written under ([[commitPartitioned]]).
+      // Per-DIR, not per-table, so commits under different specs (or
+      // none) coexist in one snapshot and readers handle each dir by
+      // its own layout — changing the partitioning NEVER rewrites
+      // history. Absent for plain dirs; filtered with the dir chain
+      // on overwrite/rewrite.
+      partSpecs: Map[String, String] = Map.empty) {
+    /** `partSpecs` restricted to dirs a derived manifest carries. */
+    def specsFor(dirs: Seq[String]): Map[String, String] =
+      partSpecs.filter { case (d, _) => dirs.contains(d) }
+  }
 
   private def dvRoot(path: String) = Paths.get(path, "dv")
 
@@ -81,7 +94,12 @@ object Versioned {
          m.constraints.map(ManifestJson.quote).mkString(",")}]""") +
       (if (m.dvDirs.isEmpty) ""
        else s""","dvDirs":[${
-         m.dvDirs.map(ManifestJson.quote).mkString(",")}]""") + "}"
+         m.dvDirs.map(ManifestJson.quote).mkString(",")}]""") +
+      (if (m.partSpecs.isEmpty) ""
+       else s""","partSpecs":{${
+         m.partSpecs.toSeq.sortBy(_._1).map { case (d, c) =>
+           s"${ManifestJson.quote(d)}:${ManifestJson.quote(c)}"
+         }.mkString(",")}}""") + "}"
 
   private def parse(s: String): Manifest = {
     val m = ManifestJson.parseObject(s)
@@ -98,7 +116,10 @@ object Versioned {
       constraints = m.getOrElse("constraints", List.empty[Any])
         .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
       dvDirs = m.getOrElse("dvDirs", List.empty[Any])
-        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
+      partSpecs = m.getOrElse("partSpecs", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]]
+        .map { case (d, c) => d -> c.asInstanceOf[String] })
   }
 
   /** THE commit-coordination primitive — the single seam a cluster
@@ -222,10 +243,134 @@ object Versioned {
         Clustered.writeStats(df.sparkSession, dataDir, Seq(c1, c2))
       }).get
 
+  /** PARTITION-EVOLUTION commit (Iceberg's headline metadata trick,
+    * ledger-sized for this format): stage `df` under a hive layout
+    * (`<partCol>=<value>/` subdirs inside this commit's data dir) and
+    * record the spec PER-DIR in the manifest. Because the spec rides
+    * the dir, not the table, changing the partitioning NEVER rewrites
+    * history: later commits may partition by a different column — or
+    * none — and one snapshot reads dirs of every vintage, each by its
+    * own recorded layout ([[readDirs]]). [[readPartitionPruned]]
+    * skips whole partition directories of spec-matching dirs before
+    * any file IO — the coarse, free sibling of [[commitClustered]]'s
+    * min/max skipping. The partition column is carried in directory
+    * NAMES (not file bytes); every read path in this object restores
+    * it via per-dir partition discovery. Same optimistic-concurrency
+    * ledger mechanics as every commit. */
+  def commitPartitioned(df: DataFrame, path: String, partCol: String,
+      overwrite: Boolean = false, txn: Option[String] = None): Int = {
+    require(df.columns.contains(partCol),
+      s"versioned commitPartitioned: no column '$partCol' to partition by")
+    commitCore(df, path, overwrite, txn, expectedBase = None,
+      stage = dataDir => df.write.partitionBy(partCol)
+        .mode("errorifexists").parquet(dataDir),
+      partSpec = Some(partCol)).get
+  }
+
+  /** Per-dir partition specs of `v`'s manifest (observability /
+    * spec hook — the partition-evolution half of [[dataDirIds]]). */
+  def partSpecIds(path: String, v: Int): Map[String, String] =
+    readManifest(path, v).partSpecs
+
+  /** Snapshot read with PARTITION pruning: keep only rows with
+    * `c` ∈ `values`, skipping — before any file IO — every partition
+    * directory of a `c`-partitioned dir whose value does not match.
+    * Dirs partitioned by another column (or not at all) are read
+    * fully and row-filtered exactly (unknown never justifies a
+    * skip), so the result is row-exact across mixed layouts, and the
+    * deletion-vector mask overlays as usual (mask rows for pruned
+    * files never match). `values` are matched against the directory
+    * names after hive unescaping — pass each value exactly as the
+    * column renders it (`CAST(v AS STRING)`). Returns
+    * (frame, filesRead, filesTotal). */
+  def readPartitionPruned(spark: SparkSession, path: String, c: String,
+      values: Seq[String], version: Option[Int] = None)
+      : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "versioned readPartitionPruned: empty value set")
+    val v = version.getOrElse(latestVersion(path))
+    require(v >= 0, s"versioned readPartitionPruned: no table at $path")
+    val m = readManifest(path, v)
+    val want = values.toSet
+    val withIds = m.dvDirs.nonEmpty
+    val schema = m.schemaDdl.map(
+      org.apache.spark.sql.types.StructType.fromDDL)
+    var filesRead = 0
+    var filesTotal = 0
+    val frames = m.dataDirs.flatMap { d =>
+      val dirPath = Paths.get(path, "data", d)
+      val dirTotal = countDataFiles(dirPath)
+      filesTotal += dirTotal
+      if (m.partSpecs.get(d).contains(c)) {
+        // this dir IS partitioned on c: keep only matching subdirs
+        val kept = Files.list(dirPath).iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(s"$c="))
+          .filter(p => want(unescapePartVal(
+            p.getFileName.toString.drop(c.length + 1))))
+          .map(_.toString).toSeq.sorted
+        if (kept.isEmpty) None else {
+          kept.foreach(k => filesRead += countDataFiles(Paths.get(k)))
+          val st = schema.getOrElse(sys.error(
+            s"versioned readPartitionPruned: dir $d predates " +
+              "schema tracking"))
+          val scan = spark.read
+            .option("basePath", dirPath.toString).parquet(kept: _*)
+          Some(alignToSchema(
+            if (withIds) withRowId(scan) else scan, st, withIds))
+        }
+      } else {
+        // other layout: read fully, the exact row filter below applies
+        filesRead += dirTotal
+        Some(readDirs(spark, path, m, Seq(d), withIds))
+      }
+    }
+    val pred = col(c).isin(values: _*)
+    val df = frames match {
+      case Seq() => // every dir pruned away: empty frame, no IO
+        readDirs(spark, path, m, m.dataDirs, withIds).filter(pred).limit(0)
+      case fs => fs.reduce(_.unionByName(_)).filter(pred)
+    }
+    val masked =
+      if (withIds) maskByPos(spark, path, m.dvDirs, df)
+        .drop("__dv_rel", "__dv_pos")
+      else df
+    (masked, filesRead, filesTotal)
+  }
+
+  /** Parquet data files under `p`, recursively (sidecars and hidden
+    * files excluded) — the pruning-proof denominator. */
+  private def countDataFiles(p: java.nio.file.Path): Int =
+    if (!Files.exists(p)) 0
+    else {
+      val w = Files.walk(p)
+      try w.iterator().asScala.count { q =>
+        val n = q.getFileName.toString
+        Files.isRegularFile(q) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+      finally w.close()
+    }
+
+  /** Hive partition-dir value unescaping (percent-encoding). */
+  private def unescapePartVal(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 2 < s.length) {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { b.append(ch); i += 1 }
+    }
+    b.toString
+  }
+
   private def commitCore(df: DataFrame, path: String, overwrite: Boolean,
       txn: Option[String], expectedBase: Option[Int],
       stage: String => Unit = null,
-      modeOverride: Option[String] = None): Option[Int] = {
+      modeOverride: Option[String] = None,
+      partSpec: Option[String] = None): Option[Int] = {
     // token charset gate BEFORE any work: render() interpolates the
     // token into manifest JSON unescaped (documented builder-owned
     // charset); an appId-derived token carrying a quote or backslash
@@ -320,7 +465,11 @@ object Versioned {
         modeOverride.getOrElse(if (overwrite) "overwrite" else "append"),
         parentDirs :+ dataId, txn, Some(ddl),
         ts = Some(System.currentTimeMillis()), constraints = cons,
-        dvDirs = parent.map(_.dvDirs).getOrElse(Seq.empty))
+        dvDirs = parent.map(_.dvDirs).getOrElse(Seq.empty),
+        // carry the CARRIED dirs' partition specs; the new dir adds
+        // its own spec iff this is a partitioned-layout commit
+        partSpecs = parent.map(_.specsFor(parentDirs))
+          .getOrElse(Map.empty) ++ partSpec.map(dataId -> _))
       // atomic create-exclusive publish via [[publishManifest]] (the
       // one deployment seam — rename(2) would REPLACE silently, the
       // wrong primitive for a commit race); the loser retries against
@@ -335,7 +484,20 @@ object Versioned {
         // publish none ([[readChanges]] fails loudly on them);
         // [[merge]] writes its own batch-sized feed post-publish.
         m.mode match {
-          case "append" => publishInsertFeed(path, m.version, dataDir)
+          case "append" if partSpec.isEmpty =>
+            publishInsertFeed(path, m.version, dataDir)
+          case "append" =>
+            // a hive-partitioned dir's files do NOT contain the
+            // partition column — zero-copy links would publish a feed
+            // missing it. Read the staged dir back (discovery
+            // restores the column) and WRITE the insert feed.
+            import org.apache.spark.sql.functions.{col, lit}
+            val back = df.sparkSession.read.parquet(dataDir)
+            publishWrittenFeed(
+              back.withColumn("ct", lit("insert"))
+                .select((df.columns.toIndexedSeq.map(col)
+                  :+ col("ct")): _*),
+              path, m.version)
           case "compact" =>
             Files.createDirectories(changeDirPath(path, m.version)): Unit
           case _ => ()
@@ -356,24 +518,76 @@ object Versioned {
       version.map(w => s" (asked for v$w)").getOrElse(""))
     val m = readManifest(path, v)
     require(version.forall(_ == m.version))
-    applyDvMask(spark, path, m.dvDirs, rawRead(spark, path, m))
+    if (m.dvDirs.isEmpty) rawRead(spark, path, m)
+    else {
+      // ids must ride each SCAN branch (readDirs withIds) — a mixed-
+      // layout snapshot is a union, where `_metadata` no longer
+      // resolves; the mask anti-joins, then the ids drop
+      maskByPos(spark, path, m.dvDirs,
+          readDirs(spark, path, m, m.dataDirs, withIds = true))
+        .drop("__dv_rel", "__dv_pos")
+    }
   }
 
   /** The manifest's file set read WITHOUT the deletion-vector mask —
     * the physical bytes, not the logical table. */
   private def rawRead(spark: SparkSession, path: String,
-      m: Manifest): DataFrame = {
-    val dirs = m.dataDirs.map(d => s"$path/data/$d")
-    // the manifest's schema is authoritative: files written before a
-    // column was added null-fill it under the explicit read schema —
-    // no mergeSchema footer scan, the ledger already knows. Manifests
-    // from before schema tracking fall back to parquet inference.
-    m.schemaDdl match {
-      case Some(ddl) => spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        .parquet(dirs: _*)
-      case None => spark.read.parquet(dirs: _*)
+      m: Manifest): DataFrame = readDirs(spark, path, m, m.dataDirs)
+
+  /** Layout-aware read of a subset of `m`'s data dirs. Plain dirs
+    * batch-read under the manifest's authoritative schema: files
+    * written before a column was added null-fill it under the
+    * explicit read schema — no mergeSchema footer scan, the ledger
+    * already knows (manifests from before schema tracking fall back
+    * to parquet inference). Hive-partitioned dirs ([[partSpecs]])
+    * CANNOT join that batch: their partition column lives in the
+    * directory names, not the file bytes, so an explicit-schema read
+    * would silently null it — each is read per-dir (partition
+    * discovery restores the column), null-filled for evolved columns
+    * the same way, cast to the manifest's types, and united by name.
+    * Mixed layouts in one snapshot are the point: changing the
+    * partition spec never rewrites history. */
+  private def readDirs(spark: SparkSession, path: String,
+      m: Manifest, dirIds: Seq[String],
+      withIds: Boolean = false): DataFrame = {
+    require(dirIds.nonEmpty, s"versioned read: empty dir set at $path")
+    val schema = m.schemaDdl.map(
+      org.apache.spark.sql.types.StructType.fromDDL)
+    val (parted, plain) = dirIds.partition(m.partSpecs.contains)
+    val plainDf = if (plain.isEmpty) Seq.empty[DataFrame] else Seq {
+      val dirs = plain.map(d => s"$path/data/$d")
+      val scan = schema match {
+        case Some(st) => spark.read.schema(st).parquet(dirs: _*)
+        case None => spark.read.parquet(dirs: _*)
+      }
+      if (withIds) withRowId(scan) else scan
     }
+    val partDfs = parted.map { d =>
+      val st = schema.getOrElse(sys.error(
+        s"versioned read: partitioned dir $d at $path predates " +
+          "schema tracking"))
+      val scan = spark.read.parquet(s"$path/data/$d")
+      // row ids attach ON the scan (the `_metadata` hidden column
+      // only resolves there — after the cast/union projections it is
+      // gone), THEN the frame aligns to the manifest schema
+      alignToSchema(if (withIds) withRowId(scan) else scan, st, withIds)
+    }
+    (plainDf ++ partDfs).reduce(_.unionByName(_))
+  }
+
+  /** Null-fill evolved columns and cast to the manifest's types in
+    * its column order (the per-branch analog of the explicit-schema
+    * read), passing the row-identity columns through when present. */
+  private def alignToSchema(df: DataFrame,
+      st: org.apache.spark.sql.types.StructType,
+      withIds: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.toSet
+    val cols = st.fields.toIndexedSeq.map { f =>
+      (if (present(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    } ++ (if (withIds) Seq(col("__dv_rel"), col("__dv_pos")) else Nil)
+    df.select(cols: _*)
   }
 
   /** Append each row's stable physical identity — its file path
@@ -383,9 +597,13 @@ object Versioned {
     * file). This (rel, pos) pair is the key deletion vectors mask. */
   private def withRowId(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
+    // `(.+)` not `([^/]+/[^/]+)`: a hive-partitioned dir's files sit
+    // one level deeper (<dirId>/<col>=<v>/<file>) — the greedy tail
+    // yields the same `<dirId>/<file>` for plain dirs (old masks stay
+    // valid) and the full nested path for partitioned ones
     df.select(col("*"),
       regexp_extract(col("_metadata.file_path"),
-        "/data/([^/]+/[^/]+)$", 1).as("__dv_rel"),
+        "/data/(.+)$", 1).as("__dv_rel"),
       col("_metadata.row_index").as("__dv_pos"))
   }
 
@@ -519,7 +737,7 @@ object Versioned {
       val m = Manifest(head + 1, "restore", src.dataDirs, txn = None,
         schemaDdl = src.schemaDdl,
         ts = Some(System.currentTimeMillis()), constraints = cons,
-        dvDirs = src.dvDirs)
+        dvDirs = src.dvDirs, partSpecs = src.partSpecs)
       if (publishManifest(path, m)) return m.version
     }
     -1 // unreachable
@@ -1118,7 +1336,7 @@ object Versioned {
       // sized, never table-sized
       val touched = updates.select(keys.map(col): _*).distinct()
       val live = maskByPos(spark, path, m.dvDirs,
-        withRowId(rawRead(spark, path, m)))
+        readDirs(spark, path, m, m.dataDirs, withIds = true))
       val dvId = java.util.UUID.randomUUID().toString
       live.join(touched, keys.toIndexedSeq, "left_semi")
         .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
@@ -1129,7 +1347,8 @@ object Versioned {
       val next = Manifest(base + 1, "merge-dv", m.dataDirs :+ dataId,
         txn, m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints,
-        dvDirs = if (masked == 0L) m.dvDirs else m.dvDirs :+ dvId)
+        dvDirs = if (masked == 0L) m.dvDirs else m.dvDirs :+ dvId,
+        partSpecs = m.partSpecs)
       if (publishManifest(path, next)) {
         if (masked == 0L) dropDirRec(Paths.get(path, "dv", dvId))
         publishMergeFeed(path, next.version, target, updates, keys,
@@ -1206,27 +1425,24 @@ object Versioned {
       // survives whatever join shape the mask overlay plans —
       // input_file_name() would go blank after a shuffle join).
       val livePos = maskByPos(spark, path, m.dvDirs,
-        withRowId(rawRead(spark, path, m)))
+        readDirs(spark, path, m, m.dataDirs, withIds = true))
       val touched = livePos.filter(hit)
         .select(regexp_extract(col("__dv_rel"), "^([^/]+)/", 1).as("d"))
         .distinct().collect().map(_.getString(0)).toSet
       if (touched.isEmpty)
         return DeleteResult(base, 0, m.dataDirs.size, 0L)
       val carried = m.dataDirs.filterNot(touched)
-      // rewrite ONLY the touched dirs, without their matching rows;
-      // read under the manifest schema so older files null-fill
-      // evolved columns exactly like a snapshot read
-      val reader = m.schemaDdl match {
-        case Some(ddl) => spark.read.schema(
-          org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        case None => spark.read
-      }
-      // the rewrite source applies the table's deletion-vector mask:
-      // rows an earlier merge-on-read delete masked must NOT be
-      // resurrected into the rewritten dir
-      val touchedDf = applyDvMask(spark, path, m.dvDirs,
-        reader.parquet(
-          touched.toSeq.sorted.map(d => s"$path/data/$d"): _*))
+      // rewrite ONLY the touched dirs, without their matching rows —
+      // via the layout-aware [[readDirs]] (manifest-schema null-fill
+      // for evolved columns, per-dir discovery for partitioned dirs;
+      // a flat explicit-schema read would silently null a partition
+      // column out of a hive-layout dir). The rewrite source applies
+      // the table's deletion-vector mask: rows an earlier
+      // merge-on-read delete masked must NOT be resurrected into the
+      // rewritten dir.
+      val touchedDf = maskByPos(spark, path, m.dvDirs,
+          readDirs(spark, path, m, touched.toSeq.sorted, withIds = true))
+        .drop("__dv_rel", "__dv_pos")
       val deletedRows = touchedDf.filter(hit).count()
       val dataId = java.util.UUID.randomUUID().toString
       touchedDf.filter(not(hit))
@@ -1236,7 +1452,10 @@ object Versioned {
       // (rel,pos) keys can never match a file the manifest references
       val next = Manifest(base + 1, "delete", carried :+ dataId, txn,
         m.schemaDdl, ts = Some(System.currentTimeMillis()),
-        constraints = m.constraints, dvDirs = m.dvDirs)
+        constraints = m.constraints, dvDirs = m.dvDirs,
+        // rewritten dirs drop their specs with their bytes (the
+        // staged replacement is plain); carried dirs keep theirs
+        partSpecs = m.specsFor(carried))
       if (publishManifest(path, next)) {
         // stored feed: pre-image delete rows, derived from the
         // immutable base snapshot AFTER the publish (a lost race
@@ -1311,7 +1530,7 @@ object Versioned {
       // re-masked and double-counted), filtered to matches, reduced
       // to (rel, pos) row ids
       val live = maskByPos(spark, path, m.dvDirs,
-        withRowId(rawRead(spark, path, m)))
+        readDirs(spark, path, m, m.dataDirs, withIds = true))
       val dvId = java.util.UUID.randomUUID().toString
       live.filter(hit)
         .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
@@ -1325,7 +1544,8 @@ object Versioned {
       }
       val next = Manifest(base + 1, "delete-dv", m.dataDirs, txn,
         m.schemaDdl, ts = Some(System.currentTimeMillis()),
-        constraints = m.constraints, dvDirs = m.dvDirs :+ dvId)
+        constraints = m.constraints, dvDirs = m.dvDirs :+ dvId,
+        partSpecs = m.partSpecs)
       if (publishManifest(path, next)) {
         // stored feed: pre-image delete rows derived from the STAGED
         // MASK, not a re-run of the predicate — (a) one bounded read
@@ -1342,8 +1562,27 @@ object Versioned {
             org.apache.spark.sql.types.StructType.fromDDL(ddl))
           case None => spark.read
         }
-        val frame = withRowId(reader.parquet(
-          touchedFiles.sorted.map(f => s"$path/data/$f").toIndexedSeq: _*))
+        // files in hive-partitioned dirs read under their dir's
+        // basePath so the partition column re-derives from the path
+        // (a bare file read would null it); plain files keep the one
+        // explicit-schema batch
+        val (partRels, plainRels) = touchedFiles.toIndexedSeq.sorted
+          .partition(f => m.partSpecs.contains(f.takeWhile(_ != '/')))
+        val plainFrames = if (plainRels.isEmpty) Seq.empty[DataFrame]
+          else Seq(withRowId(reader.parquet(
+            plainRels.map(f => s"$path/data/$f"): _*)))
+        val partFrames = partRels.groupBy(_.takeWhile(_ != '/')).toSeq
+          .sortBy(_._1).map { case (d, rels) =>
+            val st = org.apache.spark.sql.types.StructType.fromDDL(
+              m.schemaDdl.getOrElse(sys.error(
+                s"versioned deleteWhereDV: partitioned dir $d " +
+                  "predates schema tracking")))
+            alignToSchema(withRowId(spark.read
+              .option("basePath", s"$path/data/$d")
+              .parquet(rels.map(f => s"$path/data/$f"): _*)),
+              st, withIds = true)
+          }
+        val frame = (plainFrames ++ partFrames).reduce(_.unionByName(_))
         val cols = frame.columns.toIndexedSeq
           .filterNot(Set("__dv_rel", "__dv_pos"))
         val pre = frame.join(staged,
@@ -1417,7 +1656,8 @@ object Versioned {
     Files.createDirectories(versionsDir(dstPath))
     val v0 = Manifest(0, "clone", m.dataDirs, txn = None,
       schemaDdl = m.schemaDdl, ts = Some(System.currentTimeMillis()),
-      constraints = m.constraints, dvDirs = m.dvDirs)
+      constraints = m.constraints, dvDirs = m.dvDirs,
+      partSpecs = m.partSpecs)
     require(publishManifest(dstPath, v0),
       s"versioned clone: $dstPath v0 already exists (racing clone?)")
     // birth feed: the clone's v0 IS a whole-table insert. With an
@@ -1426,7 +1666,11 @@ object Versioned {
     // the feed dir absent (a loud, documented gap) and let
     // [[repairChangeFeed]] write the MASKED snapshot as the birth
     // feed (it needs a SparkSession this metadata-only call lacks).
-    if (m.dvDirs.isEmpty) publishWholeTableFeed(dstPath, 0, m.dataDirs)
+    // ... and the same for hive-partitioned dirs: their files lack
+    // the partition column, so a link-feed would publish rows with
+    // the column missing — leave the gap for repairChangeFeed.
+    if (m.dvDirs.isEmpty && m.partSpecs.isEmpty)
+      publishWholeTableFeed(dstPath, 0, m.dataDirs)
     0
   }
 

@@ -1,0 +1,172 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PARTITION EVOLUTION on the versioned table: per-DIR hive partition
+  * specs in the manifest, so commits under different specs (or none)
+  * coexist in one snapshot, readers handle each dir by its own
+  * recorded layout, and changing the partitioning never rewrites
+  * history. Load-bearing claims: mixed-layout snapshot reads are
+  * row-exact (the partition column re-derives from directory names —
+  * a flat explicit-schema read would silently null it),
+  * readPartitionPruned skips whole partition directories BEFORE IO
+  * yet stays row-exact across mixed layouts, row-level deletes (both
+  * copy-on-write and deletion-vector) compose, and
+  * restore/clone/time-travel carry the specs. */
+class VersionedPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String = java.nio.file.Files
+    .createTempDirectory("graft_partevo").toString
+
+  private def rows(lo: Long, hi: Long) =
+    (lo to hi).map(k => (k, s"g${k % 3}", k * 10))
+      .toDF("k", "grp", "val")
+
+  test("mixed-layout snapshot: partitioned + plain dirs read row-exact") {
+    val path = tmpTable()
+    Versioned.commitPartitioned(rows(1, 60), path, "grp")
+    Versioned.commit(rows(61, 100), path, overwrite = false)
+    assert(Versioned.partSpecIds(path, 1).size == 1)
+    val got = Versioned.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    val want = (1L to 100L).map(k => (k, s"g${k % 3}", k * 10)).toSet
+    assert(got == want, "partition column must re-derive from dir names")
+    // schema order and types survive the union
+    assert(Versioned.read(spark, path).columns.toSeq ==
+      Seq("k", "grp", "val"))
+  }
+
+  test("readPartitionPruned skips partition dirs before IO, row-exact across layouts") {
+    val path = tmpTable()
+    Versioned.commitPartitioned(rows(1, 60), path, "grp")
+    Versioned.commit(rows(61, 100), path, overwrite = false)
+    val (df, read, total) =
+      Versioned.readPartitionPruned(spark, path, "grp", Seq("g1"))
+    assert(read < total, s"expected pruning, read $read of $total")
+    val got = df.as[(Long, String, Long)].collect().toSet
+    val want = (1L to 100L).map(k => (k, s"g${k % 3}", k * 10))
+      .filter(_._2 == "g1").toSet
+    assert(got == want,
+      "pruned read must still row-filter the plain dir exactly")
+    // value matching none: zero files of the partitioned dir are read
+    val (none, r2, t2) =
+      Versioned.readPartitionPruned(spark, path, "grp", Seq("nope"))
+    assert(none.count() == 0 && r2 < t2)
+  }
+
+  test("evolution: a later commit partitions by a DIFFERENT column; both prune") {
+    val path = tmpTable()
+    Versioned.commitPartitioned(rows(1, 50), path, "grp")
+    val byK = (51L to 90L).map(k => (k, s"g${k % 3}", k * 10))
+      .toDF("k", "grp", "val").withColumn("band", col("k") % 2)
+    // second spec on a different (numeric) column — and it ADDS a
+    // column, so partition evolution composes with schema evolution
+    Versioned.commitPartitioned(byK, path, "band")
+    val specs = Versioned.partSpecIds(path,
+      Versioned.latestVersion(path))
+    assert(specs.values.toSet == Set("grp", "band"))
+    // full read: older dir null-fills band, partition cols re-derive
+    val full = Versioned.read(spark, path)
+    assert(full.count() == 90)
+    assert(full.filter(col("band").isNull).count() == 50)
+    // prune on band: the grp-partitioned dir is read fully (unknown
+    // never justifies a skip), band dirs prune
+    val (bandDf, br, bt) =
+      Versioned.readPartitionPruned(spark, path, "band", Seq("1"))
+    assert(br < bt)
+    assert(bandDf.count() == (51L to 90L).count(_ % 2 == 1))
+    // prune on grp: symmetric
+    val (grpDf, gr, gt) =
+      Versioned.readPartitionPruned(spark, path, "grp", Seq("g0"))
+    assert(gr < gt)
+    assert(grpDf.count() == (1L to 90L).count(k => k % 3 == 0))
+  }
+
+  test("deleteWhere rewrites a partitioned dir correctly (copy-on-write)") {
+    val path = tmpTable()
+    Versioned.commitPartitioned(rows(1, 60), path, "grp")
+    Versioned.commit(rows(61, 100), path, overwrite = false)
+    val r = Versioned.deleteWhere(spark, path,
+      col("grp") === "g1" && col("k") <= 60L)
+    assert(r.deletedRows == (1L to 60L).count(_ % 3 == 1).toLong)
+    // the rewritten (ex-partitioned) dir lost its spec; content exact
+    assert(Versioned.partSpecIds(path, r.version).isEmpty
+      || !Versioned.partSpecIds(path, r.version).values.exists(_ == "grp"))
+    val got = Versioned.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    val want = (1L to 100L).map(k => (k, s"g${k % 3}", k * 10))
+      .filterNot { case (k, g, _) => g == "g1" && k <= 60 }.toSet
+    assert(got == want)
+    // pre-image feed rows carry the partition column's values
+    val feed = Versioned.readChanges(spark, path, r.version, r.version)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("grp").as[String].collect().toSet == Set("g1"))
+  }
+
+  test("deletion vectors mask rows inside a partitioned dir; feed keeps the column") {
+    val path = tmpTable()
+    Versioned.commitPartitioned(rows(1, 60), path, "grp")
+    val r = Versioned.deleteWhereDV(spark, path, col("k") === 7L)
+    assert(r.version == 1 && r.rewrittenDirs == 0 && r.deletedRows == 1L)
+    val got = Versioned.read(spark, path).select("k")
+      .as[Long].collect().toSet
+    assert(!got.contains(7L) && got.size == 59)
+    // the pre-image delete feed re-derived the partition value from
+    // the file's path (basePath read) — not null
+    val feed = Versioned.readChanges(spark, path, 1, 1)
+      .filter(col("_change_type") === "delete")
+    assert(feed.select("grp").as[String].collect().toSeq == Seq("g1"))
+    // pruned read composes with the mask: g1 minus the masked row
+    val (df, rd, tot) =
+      Versioned.readPartitionPruned(spark, path, "grp", Seq("g1"))
+    assert(rd < tot)
+    assert(df.select("k").as[Long].collect().toSet ==
+      (1L to 60L).filter(k => k % 3 == 1 && k != 7L).toSet)
+  }
+
+  test("restore and clone carry partition specs; time travel prunes per version") {
+    val path = tmpTable()
+    Versioned.commitPartitioned(rows(1, 30), path, "grp")
+    Versioned.commit(rows(31, 50), path, overwrite = false)
+    Versioned.restore(path, 0)
+    val head = Versioned.latestVersion(path)
+    assert(Versioned.partSpecIds(path, head).nonEmpty)
+    assert(Versioned.read(spark, path).count() == 30)
+    // clone shares the layout and the spec
+    val dst = tmpTable() + "/clone"
+    Versioned.cloneTable(path, dst)
+    assert(Versioned.partSpecIds(dst, 0).nonEmpty)
+    assert(Versioned.read(spark, dst)
+      .as[(Long, String, Long)].collect().toSet ==
+      (1L to 30L).map(k => (k, s"g${k % 3}", k * 10)).toSet)
+    val (pruned, rd, tot) =
+      Versioned.readPartitionPruned(spark, dst, "grp", Seq("g2"))
+    assert(rd < tot && pruned.count() == (1L to 30L).count(_ % 3 == 2))
+  }
+
+  test("a partitioned append publishes a WRITTEN insert feed with the column") {
+    val path = tmpTable()
+    Versioned.commit(rows(1, 10), path, overwrite = false)
+    Versioned.commitPartitioned(rows(11, 25), path, "grp")
+    val feed = Versioned.readChanges(spark, path, 1, 1)
+    assert(feed.filter(col("_change_type") === "insert").count() == 15)
+    // the zero-copy link feed CANNOT represent a hive layout (files
+    // lack the column) — the written feed must carry real values
+    assert(feed.filter(col("grp").isNull).count() == 0)
+    assert(feed.select("grp").distinct().as[String].collect().toSet ==
+      Set("g0", "g1", "g2"))
+  }
+
+  test("compact materializes a mixed-layout table back to one plain dir") {
+    val path = tmpTable()
+    Versioned.commitPartitioned(rows(1, 40), path, "grp")
+    Versioned.commit(rows(41, 60), path, overwrite = false)
+    val v = Versioned.compact(spark, path, targetFiles = 2)
+    assert(Versioned.partSpecIds(path, v).isEmpty)
+    assert(Versioned.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet ==
+      (1L to 60L).map(k => (k, s"g${k % 3}", k * 10)).toSet)
+  }
+}
