@@ -152,14 +152,22 @@ object Versioned {
     }
   }
 
+  /** Apply `f` to each direct child of `dir`, CLOSING the listing
+    * stream (Files.list holds an OS directory handle until closed —
+    * a leak per call in hot paths like the commit retry loop). */
+  private def eachEntry(dir: java.nio.file.Path)(
+      f: java.nio.file.Path => Unit): Unit = {
+    val ls = Files.list(dir)
+    try ls.iterator().forEachRemaining(p => f(p)) finally ls.close()
+  }
+
   /** Latest committed version number, or -1 for an empty table. */
   def latestVersion(path: String): Int = {
     val dir = versionsDir(path)
     if (!Files.isDirectory(dir)) return -1
-    val vs = Files.list(dir).iterator()
     var best = -1
-    while (vs.hasNext) {
-      val name = vs.next().getFileName.toString
+    eachEntry(dir) { p =>
+      val name = p.getFileName.toString
       if (name.startsWith("v") && name.endsWith(".json"))
         best = math.max(best, name.stripPrefix("v").stripSuffix(".json").toInt)
     }
@@ -303,18 +311,25 @@ object Versioned {
       filesTotal += dirTotal
       if (m.partSpecs.get(d).contains(c)) {
         // this dir IS partitioned on c: keep only matching subdirs
-        val kept = Files.list(dirPath).iterator().asScala
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith(s"$c="))
-          .filter(p => want(unescapePartVal(
-            p.getFileName.toString.drop(c.length + 1))))
-          .map(_.toString).toSeq.sorted
+        val ls = Files.list(dirPath)
+        val kept =
+          try ls.iterator().asScala
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith(s"$c="))
+            .filter(p => want(unescapePartVal(
+              p.getFileName.toString.drop(c.length + 1))))
+            .map(_.toString).toList.sorted
+          finally ls.close()
         if (kept.isEmpty) None else {
           kept.foreach(k => filesRead += countDataFiles(Paths.get(k)))
           val st = schema.getOrElse(sys.error(
             s"versioned readPartitionPruned: dir $d predates " +
               "schema tracking"))
-          val scan = spark.read
+          // explicit schema: discovery PARSES the partition value
+          // under the declared type (see [[readDirs]]) — without it a
+          // string value like '00123' infers numeric, round-trips as
+          // '123', and the final isin filter silently drops the rows
+          val scan = spark.read.schema(st)
             .option("basePath", dirPath.toString).parquet(kept: _*)
           Some(alignToSchema(
             if (withIds) withRowId(scan) else scan, st, withIds))
@@ -492,7 +507,12 @@ object Versioned {
             // missing it. Read the staged dir back (discovery
             // restores the column) and WRITE the insert feed.
             import org.apache.spark.sql.functions.{col, lit}
-            val back = df.sparkSession.read.parquet(dataDir)
+            // read back under df's OWN schema: discovery then parses
+            // the partition-dir values as the declared type, so the
+            // written feed's column types match feedSchema exactly
+            // (inference could flip a string partition col numeric)
+            val back = df.sparkSession.read.schema(df.schema)
+              .option("basePath", dataDir).parquet(dataDir)
             publishWrittenFeed(
               back.withColumn("ct", lit("insert"))
                 .select((df.columns.toIndexedSeq.map(col)
@@ -566,7 +586,14 @@ object Versioned {
       val st = schema.getOrElse(sys.error(
         s"versioned read: partitioned dir $d at $path predates " +
           "schema tracking"))
-      val scan = spark.read.parquet(s"$path/data/$d")
+      // the manifest schema rides the per-dir read too: partition
+      // discovery PARSES the directory-name values under the declared
+      // type instead of inferring one (a string column of
+      // numeric-looking values — '00123', '1e3' — would otherwise
+      // infer numeric and round-trip corrupted)
+      val scan = spark.read.schema(st)
+        .option("basePath", s"$path/data/$d")
+        .parquet(s"$path/data/$d")
       // row ids attach ON the scan (the `_metadata` hidden column
       // only resolves there — after the cast/union projections it is
       // gone), THEN the frame aligns to the manifest schema
@@ -600,10 +627,15 @@ object Versioned {
     // `(.+)` not `([^/]+/[^/]+)`: a hive-partitioned dir's files sit
     // one level deeper (<dirId>/<col>=<v>/<file>) — the greedy tail
     // yields the same `<dirId>/<file>` for plain dirs (old masks stay
-    // valid) and the full nested path for partitioned ones
+    // valid) and the full nested path for partitioned ones. The
+    // greedy `^.*` prefix anchors to the LAST '/data/' occurrence: a
+    // table rooted under a path that itself contains '/data/' (e.g.
+    // /warehouse/data/t) must not bleed the prefix into the rel key
+    // (partition values percent-escape '/', so no later '/data/'
+    // segment can appear inside the rel path itself).
     df.select(col("*"),
       regexp_extract(col("_metadata.file_path"),
-        "/data/(.+)$", 1).as("__dv_rel"),
+        "^.*/data/(.+)$", 1).as("__dv_rel"),
       col("_metadata.row_index").as("__dv_pos"))
   }
 
@@ -668,14 +700,17 @@ object Versioned {
         // un-indexed dir: all of its data files stay in the read set
         // (local listing here; an HDFS/object-store deployment swaps
         // this for FileSystem.listStatus — same contract)
-        val fs = Files.list(Paths.get(dir)).iterator()
-        while (fs.hasNext) {
-          val f = fs.next().getFileName.toString
-          if (f.endsWith(".parquet") && !f.startsWith("_") &&
-              !f.startsWith(".")) {
-            kept :+= s"$dir/$f"; total += 1
+        val ls = Files.list(Paths.get(dir))
+        try {
+          val fs = ls.iterator()
+          while (fs.hasNext) {
+            val f = fs.next().getFileName.toString
+            if (f.endsWith(".parquet") && !f.startsWith("_") &&
+                !f.startsWith(".")) {
+              kept :+= s"$dir/$f"; total += 1
+            }
           }
-        }
+        } finally ls.close()
       }
     }
     val reader = m.schemaDdl match {
@@ -754,7 +789,7 @@ object Versioned {
       .foldLeft(Set.empty[String])(_ ++ _)
     val dataRoot = Paths.get(path, "data")
     if (Files.isDirectory(dataRoot)) {
-      Files.list(dataRoot).iterator().forEachRemaining { p =>
+      eachEntry(dataRoot) { p =>
         if (!retained(p.getFileName.toString)) dropDirRec(p)
       }
     }
@@ -766,7 +801,7 @@ object Versioned {
       .map(readManifest(path, _).dvDirs.toSet)
       .foldLeft(Set.empty[String])(_ ++ _)
     if (Files.isDirectory(dvRoot(path))) {
-      Files.list(dvRoot(path)).iterator().forEachRemaining { p =>
+      eachEntry(dvRoot(path)) { p =>
         if (!retainedDv(p.getFileName.toString)) dropDirRec(p)
       }
     }
@@ -777,7 +812,7 @@ object Versioned {
     // caveat as the data sweep above — don't vacuum under a live
     // committer)
     if (Files.isDirectory(changesRoot(path))) {
-      Files.list(changesRoot(path)).iterator().forEachRemaining { p =>
+      eachEntry(changesRoot(path)) { p =>
         val n = p.getFileName.toString
         val drop = n.startsWith(".stage-") ||
           (n.startsWith("cv=") && n.stripPrefix("cv=").toInt < retainFrom)
@@ -828,11 +863,18 @@ object Versioned {
       .resolve(s".stage-${java.util.UUID.randomUUID()}")
     val ins = stage.resolve("ct=insert")
     Files.createDirectories(ins)
-    Files.list(Paths.get(dataDir)).iterator().forEachRemaining { p =>
+    val ls = Files.list(Paths.get(dataDir))
+    try ls.iterator().forEachRemaining { p =>
       val n = p.getFileName.toString
+      // a subdir means a hive layout: its files LACK the partition
+      // column, so a link feed would silently lose it — fail loudly
+      // (callers route partitioned dirs to the written-feed path)
+      if (Files.isDirectory(p) && n.contains("=")) sys.error(
+        s"versioned feed: $dataDir is hive-partitioned — link feeds " +
+          "cannot represent it; write the feed from a layout-aware read")
       if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
         Files.createLink(ins.resolve(n), p): Unit
-    }
+    } finally ls.close()
     try { Files.move(stage, dst): Unit }
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       // a concurrent repair published the same feed first — ours is
@@ -937,7 +979,17 @@ object Versioned {
     (0 to head).filterNot(v => Files.isDirectory(changeDirPath(path, v)))
       .map { v =>
         val m = readManifest(path, v)
+        // a hive-partitioned dir holds only `<col>=v/` SUBDIRS — the
+        // zero-copy link publishers would find zero top-level files
+        // and publish an EMPTY feed (silent insert loss, and the
+        // published-but-empty dir un-bumps the epoch so reseed never
+        // fires either). Any branch whose fed dirs intersect
+        // m.partSpecs must WRITE the feed from a layout-aware read.
+        def fedPartitioned(dirs: Seq[String]): Boolean =
+          dirs.exists(m.partSpecs.contains)
         m.mode match {
+          case "append" if fedPartitioned(Seq(m.dataDirs.last)) =>
+            writeDirsInsertFeed(spark, path, v, m, Seq(m.dataDirs.last))
           case "append" =>
             publishInsertFeed(path, v, s"$path/data/${m.dataDirs.last}")
           case "compact" | "meta" =>
@@ -952,11 +1004,18 @@ object Versioned {
               read(spark, path, Some(v)).withColumn("ct", lit("insert"))
                 .select((cols.map(col) :+ col("ct")): _*),
               path, v)
+          case "clone" if fedPartitioned(m.dataDirs) =>
+            // same resurrection-by-omission hazard as the dv clone:
+            // linked files LACK the partition column — write the
+            // birth feed from the layout-aware read instead
+            writeDirsInsertFeed(spark, path, v, m, m.dataDirs)
           case "clone" =>
             // a clone's v0 is a whole-table insert across ALL its
             // dirs (the birth feed [[cloneTable]] writes; this is the
             // crash-window backfill)
             publishWholeTableFeed(path, v, m.dataDirs)
+          case _ if v == 0 && fedPartitioned(Seq(m.dataDirs.last)) =>
+            writeDirsInsertFeed(spark, path, 0, m, Seq(m.dataDirs.last))
           case _ if v == 0 =>
             publishInsertFeed(path, 0, s"$path/data/${m.dataDirs.last}")
           case _ =>
@@ -968,6 +1027,24 @@ object Versioned {
         }
         v
       }
+  }
+
+  /** Layout-aware `ct=insert` feed for `dirs` of `v`'s manifest:
+    * [[readDirs]] restores partition columns from directory names and
+    * aligns to the manifest schema, then the rows are WRITTEN (not
+    * linked) as the feed — the only sound shape when a fed dir is
+    * hive-partitioned, because its files physically lack the
+    * partition column. Cost ∝ the fed dirs' rows (an append's batch /
+    * a clone's birth snapshot), the same bound the normal write-path
+    * feed pays. */
+  private def writeDirsInsertFeed(spark: SparkSession, path: String,
+      v: Int, m: Manifest, dirs: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = readDirs(spark, path, m, dirs)
+    publishWrittenFeed(
+      base.withColumn("ct", lit("insert"))
+        .select((base.columns.toIndexedSeq.map(col) :+ col("ct")): _*),
+      path, v)
   }
 
   /** FEED EPOCH of version `v`: the number of commits ≤ v that are
@@ -1577,7 +1654,7 @@ object Versioned {
               m.schemaDdl.getOrElse(sys.error(
                 s"versioned deleteWhereDV: partitioned dir $d " +
                   "predates schema tracking")))
-            alignToSchema(withRowId(spark.read
+            alignToSchema(withRowId(spark.read.schema(st)
               .option("basePath", s"$path/data/$d")
               .parquet(rels.map(f => s"$path/data/$f"): _*)),
               st, withIds = true)
@@ -1689,12 +1766,16 @@ object Versioned {
     Files.createDirectories(ins)
     dirIds.foreach { d =>
       val dd = Paths.get(path, "data", d)
-      Files.list(dd).iterator().forEachRemaining { p =>
+      val ls = Files.list(dd)
+      try ls.iterator().forEachRemaining { p =>
         val n = p.getFileName.toString
+        if (Files.isDirectory(p) && n.contains("=")) sys.error(
+          s"versioned feed: dir $d is hive-partitioned — link feeds " +
+            "cannot represent it; write the feed from a layout-aware read")
         if (n.endsWith(".parquet") && !n.startsWith("_") &&
             !n.startsWith("."))
           Files.createLink(ins.resolve(s"$d-$n"), p): Unit
-      }
+      } finally ls.close()
     }
     try { Files.move(stage, dst): Unit }
     catch { case _: java.nio.file.FileAlreadyExistsException =>
