@@ -784,6 +784,23 @@ object SparkEntry {
       s.sql(sqlDsShipdelay)
     }),
 
+    // 232: SQL front door, TPC-DS Q73/Q34's trips-per-customer band —
+    // count orders per customer in one fact pass, keep the 8–10-trip
+    // band, then join the customer dim on the already-thinned frame.
+    "q_sql_ds_tripcount" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsTripcount)
+    }),
+
+    // 233: SQL front door, TPC-DS Q88's eight-cell time-band census —
+    // one events scan produces all eight 3-hour counts as conditional
+    // aggregates (Q88 spells this as eight self-joined subqueries;
+    // the scan-fused form is the plan you actually want at 100 TB).
+    "q_sql_ds_timebands" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsTimebands)
+    }),
+
     // 218: SQL front door, TPC-DS Q90's am/pm traffic-ratio shape —
     // exact conditional counts per type in one scan, ratio as the
     // single mirrored IEEE division of the two integer cells.
@@ -2371,6 +2388,201 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 226: SPEARMAN RANK CORRELATION — the outlier-robust sibling of
+    // q_stats_corr: both columns rank through Ranking.withRank
+    // (range-sliced parallel rank, never a data-sized global-sort
+    // window) under a DETERMINISTIC total order (value, orderkey,
+    // linenumber — ties broken by key, so both engines assign the
+    // identical permutation of 1..n), then the distinct-rank closed
+    // form ρ = 1 − 6·Σd²/(n(n²−1)). Σd² is exact DECIMAL(38,0)
+    // (n·n² passes 2^63 around sf1); the final expression is ONE
+    // mirrored IEEE formula over exact integers.
+    "q_spearman" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .select(cents(col("l_quantity")).as("qc"),
+          cents(col("l_extendedprice")).as("pc"),
+          col("l_orderkey"), col("l_linenumber"))
+      val rx = graft.ops.Ranking.withRank(base, Seq.empty,
+        Seq(col("qc"), col("l_orderkey"), col("l_linenumber")), "rx")
+      val rxy = graft.ops.Ranking.withRank(rx, Seq.empty,
+        Seq(col("pc"), col("l_orderkey"), col("l_linenumber")), "ry")
+      val d = (c: Column) => c.cast("double")
+      rxy.select(((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .cast("decimal(38,0)").as("d2"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+        .select(col("n"),
+          round(lit(1.0) - lit(6.0) * d(col("sd2"))
+            / (d(col("n")) * (d(col("n")) * d(col("n")) - lit(1.0))), 6)
+            .as("spearman_rho"))
+    }),
+
+    // 227: ROLLING MEDIAN — exact trailing-7-row median of order
+    // value per customer. The window is per-customer (hash-
+    // partitioned, bounded frame), and the median of ≤7 BIGINT cents
+    // comes from the sorted frame array: odd counts pick the middle
+    // element, even counts average the two middles — (a+b)/2 on
+    // exact integer doubles, bit-identical to DuckDB's
+    // quantile_cont(0.5) on the same frame.
+    "q_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, 0)
+      val sorted = sort_array(
+        collect_list(cents(col("o_totalprice"))).over(w))
+      val k = size(sorted)
+      val mid = element_at(sorted,
+        ((k + lit(1)).cast("double") / lit(2.0)).cast("int"))
+      val loEven = element_at(sorted,
+        (k.cast("double") / lit(2.0)).cast("int"))
+      val hiEven = element_at(sorted,
+        (k.cast("double") / lit(2.0)).cast("int") + lit(1))
+      val medCents = when(pmod(k, lit(2)) === 1, mid.cast("double"))
+        .otherwise((loEven + hiEven).cast("double") / lit(2.0))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (medCents / lit(100.0)).as("rolling_median_7"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // 228: WELCH'S T-TEST — the unequal-variance two-sample test on
+    // finished (F) vs open (O) order values. Both groups reduce in
+    // ONE conditional-sum scan (no self-join, no second pass): n, Σx
+    // (BIGINT cents), Σx² (DECIMAL(38,0) — the square sum passes
+    // 2^63 near sf1). Mean, variance, t and the Welch–Satterthwaite
+    // df are each ONE mirrored IEEE expression over those exact
+    // integers.
+    "q_welch_ttest" -> ((s, dir) => {
+      val pc = cents(col("o_totalprice"))
+      val isF = col("o_orderstatus") === "F"
+      val isO = col("o_orderstatus") === "O"
+      val d = (c: Column) => c.cast("double")
+      t(s, dir, "orders")
+        .filter(isF || isO)
+        .agg(sum(isF.cast("long")).as("n_f"),
+          sum(when(isF, pc).otherwise(lit(0L))).as("s_f"),
+          sum(when(isF, (pc * pc).cast("decimal(38,0)"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as("q_f"),
+          sum(isO.cast("long")).as("n_o"),
+          sum(when(isO, pc).otherwise(lit(0L))).as("s_o"),
+          sum(when(isO, (pc * pc).cast("decimal(38,0)"))
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as("q_o"))
+        .select(col("n_f"), col("n_o"),
+          round(d(col("s_f")) / (d(col("n_f")) * lit(100.0)), 6)
+            .as("mean_f"),
+          round(d(col("s_o")) / (d(col("n_o")) * lit(100.0)), 6)
+            .as("mean_o"),
+          // vf/nf and vo/no in display dollars² — shared subterms of
+          // t and df, spelled identically in the oracle SQL
+          round((d(col("s_f")) / d(col("n_f"))
+              - d(col("s_o")) / d(col("n_o"))) /
+            sqrt((d(col("n_f")) * d(col("q_f"))
+                - d(col("s_f")) * d(col("s_f")))
+                / (d(col("n_f")) * (d(col("n_f")) - lit(1.0))
+                  * d(col("n_f")))
+              + (d(col("n_o")) * d(col("q_o"))
+                - d(col("s_o")) * d(col("s_o")))
+                / (d(col("n_o")) * (d(col("n_o")) - lit(1.0))
+                  * d(col("n_o")))), 6).as("t_stat"))
+    }),
+
+    // 229: HERFINDAHL–HIRSCHMAN INDEX — supplier revenue
+    // concentration per nation, the antitrust-screen aggregate. Two
+    // partial-aggregable groupBys (lineitem → supplier revenue →
+    // nation), and HHI = Σ share² computes WITHOUT a float per-term
+    // sum (whose addition order would diverge between engines):
+    // Σ rc² / T² with Σ rc² exact DECIMAL(38,0) and T exact BIGINT —
+    // one IEEE division at the end, ×10000 for the standard scale.
+    "q_hhi" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rc"))
+      rev.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("rc")).as("tc"),
+          // rc is a per-SUPPLIER revenue total (≫ a row's cents):
+          // its square passes 2^63 already at sf0.01 — the operands
+          // must widen to decimal BEFORE the multiply
+          sum(col("rc").cast("decimal(19,0)")
+            * col("rc").cast("decimal(19,0)")).as("rc2"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_suppliers"),
+          money(col("tc")).as("revenue"),
+          round(d(col("rc2")) / (d(col("tc")) * d(col("tc")))
+            * lit(10000.0), 6).as("hhi"))
+        .orderBy("n_name")
+    }),
+
+    // 230: CONVERSION-LAG COHORTS — time from a user's FIRST view to
+    // their first purchase AFTER it, reported per first-view-day
+    // cohort. Two user-grained pre-aggregations (min over views, min
+    // over later purchases) before any join — the de-skew discipline;
+    // lags are exact BIGINT epoch-micros, so the mean is one mirrored
+    // division.
+    "q_conversion_lag" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id")
+        .agg(min(col("us")).as("tv"))
+        // cohort day DERIVES from the min micros (not a min_by pick):
+        // deterministic by construction, mirrored by make_timestamp
+        .withColumn("cohort_day", to_date(timestamp_micros(col("tv"))))
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("tp"))
+        .join(firstView.select("user_id", "tv"), "user_id")
+        .filter(col("tp") > col("tv"))
+        .groupBy("user_id").agg(min(col("tp")).as("tp"))
+      firstView.join(firstBuy, "user_id")
+        .groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_converted"),
+          sum(col("tp") - col("tv")).as("lag_us"))
+        .select(col("cohort_day"), col("n_converted"),
+          round(col("lag_us").cast("double")
+            / (col("n_converted").cast("double") * lit(3600e6)), 6)
+            .as("avg_lag_hours"))
+        .orderBy("cohort_day")
+    }),
+
+    // 231: NEAREST-HUB ASSIGNMENT — each customer snaps to the
+    // closest of 5 region hubs by squared planar distance on
+    // deterministic synthetic coordinates (integer congruential
+    // spread from the keys — no trig, no engine-divergent libm
+    // call anywhere). The hub table is 5 rows: the crossJoin is a
+    // fenced bounded-broadcast carrier (the q_kmeans centroid
+    // shape), the per-customer argmin is a 5-row window, and the
+    // report re-aggregates to |regions| rows.
+    "q_nearest_hub" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") * 7919 % 18001 - 9000).as("latc"),
+        (col("c_custkey") * 104729 % 36001 - 18000).as("lonc"))
+      val hubs = t(s, dir, "region").select(
+        col("r_regionkey"), col("r_name"),
+        (col("r_regionkey").cast("long") * 3571 % 18001 - 9000)
+          .as("lath"),
+        (col("r_regionkey").cast("long") * 7129 % 36001 - 18000)
+          .as("lonh"))
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("d2"), col("r_regionkey"))
+      cust.crossJoin(broadcast(hubs)) // intended: 5-row hub carrier
+        .withColumn("d2",
+          (col("latc") - col("lath")) * (col("latc") - col("lath"))
+            + (col("lonc") - col("lonh")) * (col("lonc") - col("lonh")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("d2")).as("sd2"))
+        .select(col("r_name"), col("n_customers"),
+          round(col("sd2").cast("double")
+            / col("n_customers").cast("double"), 6).as("avg_d2"))
+        .orderBy("r_name")
+    }),
+
     // 223: WATER-FILLING TOKEN-BUDGET MIX — the data-mixing
     // allocator behind every "cap the over-represented domains"
     // training recipe: given a global char budget (60% of the
@@ -2411,6 +2623,107 @@ object SparkEntry {
     }))
 
   private def analyticsOracle: Map[String, String] = Map(
+    "q_spearman" -> """
+      WITH base AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                           l_orderkey, l_linenumber FROM lineitem),
+      r AS (SELECT
+              row_number() OVER (ORDER BY qc, l_orderkey, l_linenumber) AS rx,
+              row_number() OVER (ORDER BY pc, l_orderkey, l_linenumber) AS ry
+            FROM base)
+      SELECT count(*) AS n,
+             round(1.0 - 6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE)
+                  * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0)),
+               6) AS spearman_rho
+      FROM r""",
+    "q_rolling_median" -> """
+      SELECT o_orderkey, o_custkey,
+             median(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0
+               AS rolling_median_7
+      FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_welch_ttest" -> """
+      WITH o AS (SELECT o_orderstatus,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                 FROM orders WHERE o_orderstatus IN ('F', 'O')),
+      a AS (SELECT
+              CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f,
+              sum(CASE WHEN o_orderstatus = 'F' THEN pc ELSE 0 END) AS s_f,
+              sum(CASE WHEN o_orderstatus = 'F' THEN pc * pc ELSE 0 END) AS q_f,
+              CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_o,
+              sum(CASE WHEN o_orderstatus = 'O' THEN pc ELSE 0 END) AS s_o,
+              sum(CASE WHEN o_orderstatus = 'O' THEN pc * pc ELSE 0 END) AS q_o
+            FROM o)
+      SELECT n_f, n_o,
+             round(CAST(s_f AS DOUBLE) / (CAST(n_f AS DOUBLE) * 100.0), 6)
+               AS mean_f,
+             round(CAST(s_o AS DOUBLE) / (CAST(n_o AS DOUBLE) * 100.0), 6)
+               AS mean_o,
+             round((CAST(s_f AS DOUBLE) / CAST(n_f AS DOUBLE)
+                    - CAST(s_o AS DOUBLE) / CAST(n_o AS DOUBLE))
+               / sqrt((CAST(n_f AS DOUBLE) * CAST(q_f AS DOUBLE)
+                       - CAST(s_f AS DOUBLE) * CAST(s_f AS DOUBLE))
+                      / (CAST(n_f AS DOUBLE) * (CAST(n_f AS DOUBLE) - 1.0)
+                         * CAST(n_f AS DOUBLE))
+                    + (CAST(n_o AS DOUBLE) * CAST(q_o AS DOUBLE)
+                       - CAST(s_o AS DOUBLE) * CAST(s_o AS DOUBLE))
+                      / (CAST(n_o AS DOUBLE) * (CAST(n_o AS DOUBLE) - 1.0)
+                         * CAST(n_o AS DOUBLE))), 6) AS t_stat
+      FROM a""",
+    "q_hhi" -> """
+      WITH rev AS (SELECT s_nationkey, s_suppkey,
+                          sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                            AS rc
+                   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                   GROUP BY 1, 2),
+      agg AS (SELECT s_nationkey, count(*) AS n_suppliers,
+                     sum(rc) AS tc, sum(rc * rc) AS rc2
+              FROM rev GROUP BY 1)
+      SELECT n_name, n_suppliers, CAST(tc AS DOUBLE) / 100.0 AS revenue,
+             round(CAST(rc2 AS DOUBLE)
+               / (CAST(tc AS DOUBLE) * CAST(tc AS DOUBLE)) * 10000.0, 6)
+               AS hhi
+      FROM agg JOIN nation ON s_nationkey = n_nationkey ORDER BY n_name""",
+    "q_conversion_lag" -> """
+      WITH ev AS (SELECT user_id, event_type,
+                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      fv AS (SELECT user_id, min(us) AS tv FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      fb AS (SELECT e.user_id, min(us) AS tp FROM ev e JOIN fv USING (user_id)
+             WHERE event_type = 'purchase' AND us > tv GROUP BY 1)
+      SELECT CAST(make_timestamp(tv) AS DATE) AS cohort_day,
+             count(*) AS n_converted,
+             round(CAST(sum(tp - tv) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 3600000000.0), 6)
+               AS avg_lag_hours
+      FROM fv JOIN fb USING (user_id)
+      GROUP BY 1 ORDER BY 1""",
+    "q_nearest_hub" -> """
+      WITH cust AS (SELECT c_custkey,
+                           c_custkey * 7919 % 18001 - 9000 AS latc,
+                           c_custkey * 104729 % 36001 - 18000 AS lonc
+                    FROM customer),
+      hubs AS (SELECT r_regionkey, r_name,
+                      CAST(r_regionkey AS BIGINT) * 3571 % 18001 - 9000
+                        AS lath,
+                      CAST(r_regionkey AS BIGINT) * 7129 % 36001 - 18000
+                        AS lonh
+               FROM region),
+      d AS (SELECT c_custkey, r_regionkey, r_name,
+                   (latc - lath) * (latc - lath)
+                     + (lonc - lonh) * (lonc - lonh) AS d2
+            FROM cust, hubs),
+      pick AS (SELECT *, row_number() OVER (
+                 PARTITION BY c_custkey ORDER BY d2, r_regionkey) AS rn
+               FROM d)
+      SELECT r_name, count(*) AS n_customers,
+             round(CAST(sum(d2) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS avg_d2
+      FROM pick WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
     "q_moving_avg" -> """
       SELECT o_orderkey, o_custkey,
              CAST(sum(pc) OVER wt AS DOUBLE)
@@ -3936,6 +4249,35 @@ object SparkEntry {
            count(*) FILTER (WHERE sd > od + INTERVAL 90 DAY) AS d90plus,
            count(*) AS n_lines
     FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Shared verbatim — TPC-DS Q73/Q34's trips-per-customer band
+    * report: one fact aggregation to |customers| rows, an integer
+    * BETWEEN band filter on the count, then the dim join — the fact
+    * table is touched exactly once and the join input is already
+    * band-filtered (far below |customers|). */
+  private val sqlDsTripcount: String = """
+    WITH t AS (SELECT o_custkey, count(*) AS n_trips
+               FROM orders WHERE o_orderstatus <> 'F'
+               GROUP BY o_custkey)
+    SELECT c_custkey, c_name, n_trips
+    FROM t JOIN customer ON c_custkey = o_custkey
+    WHERE n_trips BETWEEN 8 AND 10
+    ORDER BY n_trips DESC, c_custkey"""
+
+  /** Shared verbatim — TPC-DS Q88's time-band census: eight 3-hour
+    * traffic cells from ONE fact scan (conditional counts, never
+    * eight scans or a self-join union); everything is exact BIGINT. */
+  private val sqlDsTimebands: String = """
+    SELECT count(*) FILTER (WHERE hour(ts) < 3) AS h00_03,
+           count(*) FILTER (WHERE hour(ts) >= 3 AND hour(ts) < 6) AS h03_06,
+           count(*) FILTER (WHERE hour(ts) >= 6 AND hour(ts) < 9) AS h06_09,
+           count(*) FILTER (WHERE hour(ts) >= 9 AND hour(ts) < 12) AS h09_12,
+           count(*) FILTER (WHERE hour(ts) >= 12 AND hour(ts) < 15) AS h12_15,
+           count(*) FILTER (WHERE hour(ts) >= 15 AND hour(ts) < 18) AS h15_18,
+           count(*) FILTER (WHERE hour(ts) >= 18 AND hour(ts) < 21) AS h18_21,
+           count(*) FILTER (WHERE hour(ts) >= 21) AS h21_24,
+           count(*) AS total
+    FROM events"""
 
   /** Shared verbatim — TPC-DS Q90's am/pm ratio: two conditional
     * counts per type from one scan; the ratio is the only float op
@@ -6448,6 +6790,94 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // 234: SHINGLE NOVELTY — per document, the fraction of its
+    // 3-gram shingles that NO lower-id document contains (the
+    // "how much new text does this doc add" curation signal; with
+    // doc_id as ingest order it is the dedup-marginal-value curve).
+    // First-owner = min(doc_id) per shingle hash: ONE groupBy on the
+    // hashed shingle space (min is associative — map-side partials
+    // absorb hot shingles), one equi-join back, one doc-grain
+    // re-aggregation. Never all-pairs; cost ∝ Σ|shingles|.
+    "q_doc_novelty" -> ((s, dir) => {
+      val shExpr = org.apache.spark.sql.GraftBridge.column(
+        graft.plans.CharShingleHashes(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 3, 8))
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(shExpr)).as("h"))
+      val owner = ex.groupBy("h").agg(min(col("doc_id")).as("owner"))
+      ex.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("owner") === col("doc_id")).cast("long"))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double")
+            / col("n_shingles").cast("double"), 6).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    // 235: CONTAINMENT NEAR-DUP PAIRS — Broder's asymmetric
+    // |A∩B|/|A| within (lang, source, length-bucket) blocks: the
+    // signal that catches a short document swallowed by a longer one,
+    // which Jaccard's union term hides. Exact rational keep filter
+    // (inter·4 ≥ min(|A|,|B|)·3); same blocked never-all-pairs shape
+    // and loud block-size guard as q_ngram_jaccard.
+    "q_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      Dedup.containmentPairs(d, "text", "doc_id",
+          Seq("lang", "source", "len_bucket"), 3, 3, 4)
+        .withColumn("cont_ab", round(col("cont_ab"), 6))
+        .withColumn("cont_ba", round(col("cont_ba"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 236: TOKENIZER FERTILITY — characters per token by language,
+    // the budget planner's bytes→tokens conversion table. One scan,
+    // one tiny groupBy; the division happens once per LANGUAGE on
+    // exact integer sums, never per row.
+    "q_token_fertility" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          TF.tokenCount(col("text")).cast("long").as("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          sum(col("n_toks")).as("toks"))
+        .select(col("lang"), col("n_docs"), col("chars"), col("toks"),
+          round(col("chars").cast("double") / col("toks").cast("double"),
+            6).as("chars_per_token"))
+        .orderBy("lang")
+    }),
+
+    // 237: GOPHER-STYLE RULE FILTER — the classic multi-rule text
+    // quality gate with per-rule verdicts (length band, mean word
+    // length band, type/token diversity, stopword presence) so a
+    // curation pipeline can report WHY a document dropped, not just
+    // that it did. Every rule is an integer cross-multiplication on
+    // per-row token stats — no float, no join, pure codegen'd scan.
+    "q_gopher_rules" -> ((s, dir) => {
+      val stopArr = array(Seq("the", "a", "of", "to", "and",
+        "in", "is", "it", "on", "for").map(lit): _*)
+      val okLen = col("n") >= 30 && col("n") <= 100000
+      val okWl = col("sl") * 2 >= col("n") * 9 &&
+        col("sl") <= col("n") * 10
+      val okDiv = col("ntypes") * 2 >= col("n")
+      val okStop = col("nstop") >= 2
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+        .select(col("doc_id"), size(col("t")).as("n"),
+          aggregate(transform(col("t"), x => length(x)),
+            lit(0), (acc, x) => acc + x).as("sl"),
+          size(array_distinct(col("t"))).as("ntypes"),
+          size(array_intersect(array_distinct(col("t")), stopArr))
+            .as("nstop"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          okLen.as("ok_len"), okWl.as("ok_word_len"),
+          okDiv.as("ok_diversity"), okStop.as("ok_stopwords"),
+          (okLen && okWl && okDiv && okStop).as("pass"))
+        .orderBy("doc_id")
+    }),
+
     // 31: MinHash + LSH banding — candidates only within band buckets.
     "q_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
@@ -7999,6 +8429,65 @@ object SparkEntry {
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
       FROM documents ORDER BY doc_id""",
+    "q_doc_novelty" -> s"""
+      WITH d AS (SELECT doc_id,
+                        list_distinct(list_transform($sh3,
+                          s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS sh
+                 FROM documents),
+      ex AS (SELECT doc_id, unnest(sh) AS h FROM d),
+      own AS (SELECT h, min(doc_id) AS owner FROM ex GROUP BY 1)
+      SELECT doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             round(CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+      FROM ex JOIN own USING (h)
+      GROUP BY doc_id ORDER BY doc_id""",
+    "q_containment" -> s"""
+      WITH d AS (SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
+                        list_distinct(list_transform($sh3,
+                          s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS sh
+                 FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(list_intersect(a.sh, b.sh)) AS inter_n,
+              len(a.sh) AS na, len(b.sh) AS nb
+            FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+              AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(inter_n AS INT) AS inter_n,
+             CAST(na AS INT) AS na, CAST(nb AS INT) AS nb,
+             round(CASE WHEN na > 0
+               THEN CAST(inter_n AS DOUBLE) / CAST(na AS DOUBLE)
+               ELSE 0.0 END, 6) AS cont_ab,
+             round(CASE WHEN nb > 0
+               THEN CAST(inter_n AS DOUBLE) / CAST(nb AS DOUBLE)
+               ELSE 0.0 END, 6) AS cont_ba
+      FROM p WHERE inter_n * 4 >= least(na, nb) * 3
+      ORDER BY id_a, id_b""",
+    "q_token_fertility" -> s"""
+      WITH d AS (SELECT lang, n_chars, len($toks) AS n_toks FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(sum(n_toks) AS BIGINT) AS toks,
+             round(CAST(sum(n_chars) AS DOUBLE)
+               / CAST(sum(n_toks) AS DOUBLE), 6) AS chars_per_token
+      FROM d GROUP BY lang ORDER BY lang""",
+    "q_gopher_rules" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+      m AS (SELECT doc_id, len(t) AS n,
+              list_sum(list_transform(t, x -> length(x))) AS sl,
+              len(list_distinct(t)) AS ntypes,
+              len(list_intersect(list_distinct(t),
+                ['the','a','of','to','and','in','is','it','on','for']))
+                AS nstop
+            FROM d)
+      SELECT doc_id, n AS n_tokens,
+             (n >= 30 AND n <= 100000) AS ok_len,
+             (sl * 2 >= n * 9 AND sl <= n * 10) AS ok_word_len,
+             (ntypes * 2 >= n) AS ok_diversity,
+             (nstop >= 2) AS ok_stopwords,
+             (n >= 30 AND n <= 100000 AND sl * 2 >= n * 9
+              AND sl <= n * 10 AND ntypes * 2 >= n AND nstop >= 2) AS pass
+      FROM m ORDER BY doc_id""",
     "q_ngram_jaccard" -> s"""
       WITH d AS (SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
                         list_distinct(list_transform($sh3,
@@ -8271,6 +8760,8 @@ object SparkEntry {
     "q_sql_ds_bestfreq" -> sqlDsBestfreq,
     "q_sql_ds_growth" -> sqlDsGrowth,
     "q_sql_ds_shipdelay" -> sqlDsShipdelay,
+    "q_sql_ds_tripcount" -> sqlDsTripcount,
+    "q_sql_ds_timebands" -> sqlDsTimebands,
     "q_sql_ds_ampm" -> sqlDsAmpm,
     "q_sql_ds_netloss" -> sqlDsNetloss,
     "q_sql_ds_belowavg" -> sqlDsBelowavg,

@@ -351,7 +351,44 @@ object Dedup {
     * distinct shingles is ~2^-32 per pair and deterministic. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], shingleK: Int,
-      num: Int, den: Int, maxBlock: Int = 10000): DataFrame = {
+      num: Int, den: Int, maxBlock: Int = 10000): DataFrame =
+    shingleBlockPairs(docs, textCol, idCol, blockCols, shingleK, maxBlock)
+      .withColumn("union_n", col("na") + col("nb") - col("inter_n"))
+      .withColumn("jaccard", when(col("union_n") > 0,
+        col("inter_n").cast("double") / col("union_n").cast("double"))
+        .otherwise(lit(0.0)))
+      .filter(col("inter_n") * den >= col("union_n") * num)
+      .select("id_a", "id_b", "inter_n", "union_n", "jaccard")
+
+  /** Blocked shingle CONTAINMENT pairs — the asymmetric near-dup
+    * signal (Broder's containment): c(a in b) = |A∩B| / |A|. Unlike
+    * Jaccard it catches a short document embedded in a longer one,
+    * where the union term dilutes the symmetric score below any
+    * usable threshold. Kept when max(c_ab, c_ba) ≥ num/den — an exact
+    * rational compare on the SMALLER side's size (|A∩B|·den ≥
+    * min(|A|,|B|)·num), so no float enters the filter. Same blocked,
+    * never-all-pairs shape and loud maxBlock guard as
+    * [[ngramJaccardPairs]]. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], shingleK: Int,
+      num: Int, den: Int, maxBlock: Int = 10000): DataFrame =
+    shingleBlockPairs(docs, textCol, idCol, blockCols, shingleK, maxBlock)
+      .filter(col("inter_n") * den >= least(col("na"), col("nb")) * num)
+      .select(col("id_a"), col("id_b"), col("inter_n"),
+        col("na"), col("nb"),
+        when(col("na") > 0, col("inter_n").cast("double")
+          / col("na").cast("double")).otherwise(lit(0.0)).as("cont_ab"),
+        when(col("nb") > 0, col("inter_n").cast("double")
+          / col("nb").cast("double")).otherwise(lit(0.0)).as("cont_ba"))
+
+  /** Shared pair frame behind [[ngramJaccardPairs]] /
+    * [[containmentPairs]]: per-block id<id self-join over pre-sorted
+    * 32-bit shingle-hash arrays, yielding (id_a, id_b, inter_n, na,
+    * nb). The native merge-walk intersect does one pass per pair; the
+    * maxBlock guard fails loudly before any block goes quadratic. */
+  private def shingleBlockPairs(docs: DataFrame, textCol: String,
+      idCol: String, blockCols: Seq[String], shingleK: Int,
+      maxBlock: Int): DataFrame = {
     val wBlk = Window.partitionBy(blockCols.map(col).toIndexedSeq: _*)
     val shingleHashExpr = org.apache.spark.sql.GraftBridge.column(
       graft.plans.CharShingleHashes(
@@ -363,7 +400,7 @@ object Dedup {
           .as("sh")).toIndexedSeq: _*)
       .withColumn("__bc", count(lit(1)).over(wBlk))
       .filter(when(col("__bc") <= maxBlock, lit(true)).otherwise(
-        raise_error(concat(lit(s"ngramJaccardPairs: block over $maxBlock rows: "),
+        raise_error(concat(lit(s"shingleBlockPairs: block over $maxBlock rows: "),
           concat_ws(",", blockCols.map(col).toIndexedSeq: _*))).cast("boolean")))
       .drop("__bc")
     val l = withSh.toDF(blockCols.map(_ + "_a") ++ Seq("id_a", "sh_a"): _*)
@@ -381,11 +418,5 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         interCount(col("sh_a"), col("sh_b")).as("inter_n"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
-      .withColumn("union_n", col("na") + col("nb") - col("inter_n"))
-      .withColumn("jaccard", when(col("union_n") > 0,
-        col("inter_n").cast("double") / col("union_n").cast("double"))
-        .otherwise(lit(0.0)))
-      .filter(col("inter_n") * den >= col("union_n") * num)
-      .select("id_a", "id_b", "inter_n", "union_n", "jaccard")
   }
 }

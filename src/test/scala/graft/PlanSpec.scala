@@ -75,6 +75,10 @@ class PlanSpec extends SparkSpec {
       // onto the day frame — both the q_histogram scalar-carrier
       // shape
       "q_benford", "q_changepoint",
+      // q_nearest_hub crossJoins the 5-row broadcast hub table onto
+      // customers — the bounded centroid-table carrier (q_kmeans
+      // shape; hubs are |regions| rows, never data-sized)
+      "q_nearest_hub",
       // q_knn_classify rides bruteTopK — the same labeled brute-force
       // ANN baseline join as q_embed_topk
       "q_knn_classify",

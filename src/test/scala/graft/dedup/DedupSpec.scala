@@ -50,6 +50,39 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L))) // near-zero overlap
   }
 
+  test("containmentPairs catches a short doc embedded in a long one") {
+    // doc 11 is a strict substring of doc 12: containment(11 in 12)
+    // is 1.0, while Jaccard is diluted by 12's extra shingles
+    val d = Seq(
+      (11L, "the quick brown fox", "b1"),
+      (12L, "the quick brown fox jumps over the lazy dog today", "b1"),
+      (13L, "completely unrelated words here entirely", "b1"))
+      .toDF("doc_id", "text", "blk")
+    val got = Dedup.containmentPairs(d, "text", "doc_id",
+        Seq("blk"), 3, 9, 10)
+      .select("id_a", "id_b", "cont_ab", "cont_ba")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((11L, 12L)))
+    val (_, _, contAb, contBa) = got.head
+    assert(contAb == 1.0, "every shingle of the substring is contained")
+    assert(contBa < 1.0, "the superstring has extra shingles")
+    // the symmetric score would have failed a 0.9 threshold here
+    val jac = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        Seq("blk"), 3, 9, 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((11L, 12L)))
+  }
+
+  test("containmentPairs fails loudly on an oversized block") {
+    val big = (1 to 50).map(i => (i.toLong, s"text number $i", "same"))
+      .toDF("doc_id", "text", "blk")
+    val ex = intercept[Exception] {
+      Dedup.containmentPairs(big, "text", "doc_id", Seq("blk"), 3, 1, 2,
+        maxBlock = 10).count()
+    }
+    assert(ex.getMessage.contains("block over"))
+  }
+
   test("ngramJaccardPairs fails loudly on an oversized block") {
     val big = (1 to 50).map(i => (i.toLong, s"text number $i", "same"))
       .toDF("doc_id", "text", "blk")
