@@ -122,35 +122,29 @@ object Versioned {
         .map { case (d, c) => d -> c.asInstanceOf[String] })
   }
 
-  /** THE commit-coordination primitive — the single seam a cluster
-    * deployment swaps: atomically publish manifest `m` for `path`
-    * IF AND ONLY IF its version slot is free, returning whether the
-    * publish WON. Locally the rendered JSON stages to a temp file
-    * and `link(2)`s into place (create-exclusive — EEXIST loses);
-    * HDFS substitutes rename-no-overwrite, an object store a
-    * conditional put (`If-None-Match: *`) — the identical
-    * fail-if-exists contract, so every optimistic retry loop above
-    * this seam is deployment-agnostic and
-    * [[VersionedCrossProcessSpec]]'s cross-process exactly-once
-    * proof carries over to whatever implements it. Invokes the
+  /** THE commit-coordination primitive — delegates to the pluggable
+    * [[CommitArbiter]] (see [[arbiter]]): atomically publish manifest
+    * `m` for `path` IF AND ONLY IF its version slot is free,
+    * returning whether the publish WON. The default arbiter is the
+    * create-exclusive `link(2)` of POSIX/HDFS-class stores; a store
+    * with NO fail-if-exists write swaps in
+    * [[CommitArbiter.ExternalLog]] (slot CAS through an external
+    * coordination log with crash recovery) — every optimistic retry
+    * loop above this seam is deployment-agnostic, so
+    * [[VersionedCrossProcessSpec]]'s cross-process exactly-once proof
+    * carries over to whatever implements the contract. Invokes the
     * test-only [[prePublishHook]] race-injection point before the
-    * attempt; the temp file is cleaned on both outcomes. */
+    * attempt. */
   private def publishManifest(path: String, m: Manifest): Boolean = {
-    Files.createDirectories(versionsDir(path))
-    val tmp = versionsDir(path)
-      .resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, render(m).getBytes("UTF-8"))
-    try {
-      prePublishHook()
-      Files.createLink(manifestPath(path, m.version), tmp)
-      Files.deleteIfExists(tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        false
-    }
+    prePublishHook()
+    arbiter.putIfAbsent(path, m.version, render(m).getBytes("UTF-8"))
   }
+
+  /** The [[CommitArbiter]] every commit publishes through. A
+    * deployment seam, not per-table state: set ONCE at session setup
+    * for stores without atomic fail-if-exists writes. Default:
+    * [[CommitArbiter.LocalFs]]. */
+  @volatile var arbiter: CommitArbiter = CommitArbiter.LocalFs
 
   /** Apply `f` to each direct child of `dir`, CLOSING the listing
     * stream (Files.list holds an OS directory handle until closed —
