@@ -792,6 +792,15 @@ object SparkEntry {
       s.sql(sqlDsTripcount)
     }),
 
+    // 242: SQL front door, TPC-DS Q51's two-series cumulative
+    // compare — urgent-class vs normal-class revenue reduced to the
+    // month grain in one conditional-sum pass, running sums over the
+    // bounded calendar frame, months where the urgent channel leads.
+    "q_sql_ds_channelcum" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsChannelcum)
+    }),
+
     // 233: SQL front door, TPC-DS Q88's eight-cell time-band census —
     // one events scan produces all eight 3-hour counts as conditional
     // aggregates (Q88 spells this as eight self-joined subqueries;
@@ -2388,6 +2397,121 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 238: BOLLINGER BANDS — trailing-7-row mean ± 2σ envelope of
+    // order value per customer. The window stats come from EXACT
+    // integer frame sums (n, Σx, Σx² — never a float accumulator
+    // whose order could diverge); mean/σ/bands are each one mirrored
+    // IEEE expression per row. Per-customer hash partitions keep the
+    // window distributed; σ is NULL on 1-row frames (n−1 = 0).
+    "q_bollinger" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, 0)
+      val d = (c: Column) => c.cast("double")
+      val pc = cents(col("o_totalprice"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          pc.as("pc"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("pc")).over(w))
+        .withColumn("sxx", sum(col("pc") * col("pc")).over(w))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(d(col("sx")) / (d(col("n")) * lit(100.0)), 6).as("ma_7"),
+          round(when(col("n") > 1,
+            sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+              / (d(col("n")) * (d(col("n")) - lit(1.0)))) / lit(100.0)),
+            6).as("sd_7"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // 239: RSI — the 14-row relative-strength index per customer:
+    // up/down moves from lag-1 integer diffs, conditional gain/loss
+    // sums over the trailing frame (exact BIGINT cents), and
+    // RSI = 100·G/(G+L) — algebraically Wilder's 100 − 100/(1+G/L)
+    // without the divide-by-zero special case; NULL until a prior
+    // row exists, 100/0 exact at the all-gain/all-loss edges.
+    "q_rsi" -> ((s, dir) => {
+      val wo = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val w14 = wo.rowsBetween(-13, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("pc"))
+        .withColumn("diff", col("pc") - lag(col("pc"), 1).over(wo))
+        .withColumn("g", sum(when(col("diff") > 0, col("diff"))
+          .otherwise(lit(0L))).over(w14))
+        .withColumn("l", sum(when(col("diff") < 0, -col("diff"))
+          .otherwise(lit(0L))).over(w14))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(when(col("g") + col("l") > 0,
+            lit(100.0) * col("g").cast("double")
+              / (col("g") + col("l")).cast("double")), 6).as("rsi_14"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // 240: VWAP — the volume-weighted average price per ship day:
+    // Σ(price·qty)/Σqty on exact integer cents (the per-day product
+    // sum rides DECIMAL(38,0) — a hot day at sf100 passes 2^63), ONE
+    // partial-aggregable groupBy on the day key, one mirrored
+    // division per day row.
+    "q_vwap" -> ((s, dir) => {
+      val pc = cents(col("l_extendedprice"))
+      val qc = cents(col("l_quantity"))
+      t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+        .agg(count(lit(1)).as("n_lines"), sum(qc).as("sq"),
+          sum((pc * qc).cast("decimal(38,0)")).as("spq"))
+        .select(col("ship_day"), col("n_lines"),
+          round(col("spq").cast("double")
+            / (col("sq").cast("double") * lit(100.0)), 6).as("vwap"))
+        .orderBy("ship_day")
+    }),
+
+    // 241: KRUSKAL–WALLIS H — the k-group rank test (do click /
+    // view / purchase values share a distribution?), extending
+    // q_mannwhitney's discipline to 3 groups: samples collapse to a
+    // distinct-value histogram FIRST (bounded by the cent domain),
+    // average ranks come from ONE parallel prefix sum over that
+    // frame, and doubled rank sums 2R_g = Σ g_v·(2·cumBefore_v +
+    // t_v + 1) stay exact BIGINT (ties = half steps, the ×2 clears
+    // them). (2R)² and the tie/N³ terms ride DECIMAL(38,0); H and
+    // the tie correction are one mirrored float chain at the end.
+    "q_kruskal" -> ((s, dir) => {
+      def d38(c: Column): Column = c.cast("decimal(38,0)")
+      val d = (c: Column) => c.cast("double")
+      val f = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("event_type"), cents(col("value")).as("v"))
+      val h = f.groupBy("v")
+        .agg(sum((col("event_type") === "click").cast("long")).as("a"),
+          sum((col("event_type") === "view").cast("long")).as("b"),
+          sum((col("event_type") === "purchase").cast("long")).as("c"))
+        .withColumn("tc", col("a") + col("b") + col("c"))
+      val cum = Ranking.withPrefixSums(h, Nil, Seq(col("v")), Seq("tc"))
+      // 2·avgrank of value v = 2·(ranks before v) + t_v + 1
+      val w2 = col("tc_cum") * 2 - col("tc") + 1
+      val agg = cum.agg(
+        sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(col("c")).as("n_c"),
+        sum(col("a") * w2).as("r2a"), sum(col("b") * w2).as("r2b"),
+        sum(col("c") * w2).as("r2c"),
+        sum(d38(col("tc")) * col("tc") * col("tc") - col("tc")).as("tie3"))
+      val n = col("n_a") + col("n_b") + col("n_c")
+      // Σ R_g²/n_g = Σ (2R_g)² / (4·n_g) — each term one mirrored
+      // division of exact decimals
+      val sumR2 = d(d38(col("r2a")) * col("r2a")) / (d(col("n_a")) * 4.0) +
+        d(d38(col("r2b")) * col("r2b")) / (d(col("n_b")) * 4.0) +
+        d(d38(col("r2c")) * col("r2c")) / (d(col("n_c")) * 4.0)
+      val hRaw = lit(12.0) / (d(n) * (d(n) + 1.0)) * sumR2 -
+        lit(3.0) * (d(n) + 1.0)
+      val tieCorr = lit(1.0) -
+        d(col("tie3")) / (d(n) * d(n) * d(n) - d(n))
+      agg.select(col("n_a").as("n_click"), col("n_b").as("n_view"),
+        col("n_c").as("n_purchase"),
+        round(hRaw / tieCorr, 6).as("h_stat"),
+        round(hRaw / tieCorr / (d(n) - 1.0), 6).as("epsilon_sq"))
+    }),
+
     // 226: SPEARMAN RANK CORRELATION — the outlier-robust sibling of
     // q_stats_corr: both columns rank through Ranking.withRank
     // (range-sliced parallel rank, never a data-sized global-sort
@@ -2623,6 +2747,91 @@ object SparkEntry {
     }))
 
   private def analyticsOracle: Map[String, String] = Map(
+    "q_bollinger" -> """
+      SELECT o_orderkey, o_custkey,
+             round(CAST(sum(pc) OVER w AS DOUBLE)
+               / (CAST(count(*) OVER w AS DOUBLE) * 100.0), 6) AS ma_7,
+             round(CASE WHEN count(*) OVER w > 1 THEN
+               sqrt((CAST(count(*) OVER w AS DOUBLE)
+                     * CAST(sum(pc * pc) OVER w AS DOUBLE)
+                     - CAST(sum(pc) OVER w AS DOUBLE)
+                       * CAST(sum(pc) OVER w AS DOUBLE))
+                 / (CAST(count(*) OVER w AS DOUBLE)
+                    * (CAST(count(*) OVER w AS DOUBLE) - 1.0))) / 100.0
+               END, 6) AS sd_7
+      FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+            FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""",
+    "q_rsi" -> """
+      WITH b AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                 FROM orders),
+      dd AS (SELECT o_orderkey, o_custkey, o_orderdate,
+               pc - lag(pc, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS diff
+             FROM b),
+      gl AS (SELECT o_orderkey, o_custkey,
+               sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER w AS g,
+               sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER w AS l
+             FROM dd
+             WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      SELECT o_orderkey, o_custkey,
+             round(CASE WHEN g + l > 0 THEN
+               100.0 * CAST(g AS DOUBLE) / CAST(g + l AS DOUBLE)
+               END, 6) AS rsi_14
+      FROM gl ORDER BY o_custkey, o_orderkey""",
+    "q_vwap" -> """
+      SELECT CAST(l_shipdate AS DATE) AS ship_day, count(*) AS n_lines,
+             round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_quantity * 100) AS BIGINT))
+                        AS DOUBLE)
+               / (CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                       AS DOUBLE) * 100.0), 6) AS vwap
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_kruskal" -> """
+      WITH f AS (SELECT event_type,
+                        CAST(round(value * 100) AS BIGINT) AS v
+                 FROM events
+                 WHERE event_type IN ('click', 'view', 'purchase')),
+      h AS (SELECT v,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+            FROM f GROUP BY v),
+      cum AS (SELECT a, b, c, a + b + c AS tc,
+                sum(a + b + c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS tc_cum
+              FROM h),
+      agg AS (SELECT
+                CAST(sum(a) AS BIGINT) AS n_a,
+                CAST(sum(b) AS BIGINT) AS n_b,
+                CAST(sum(c) AS BIGINT) AS n_c,
+                sum(a * (tc_cum * 2 - tc + 1)) AS r2a,
+                sum(b * (tc_cum * 2 - tc + 1)) AS r2b,
+                sum(c * (tc_cum * 2 - tc + 1)) AS r2c,
+                sum(tc * tc * tc - tc) AS tie3
+              FROM cum),
+      fin AS (SELECT n_a, n_b, n_c, tie3,
+                CAST(n_a + n_b + n_c AS DOUBLE) AS n,
+                CAST(r2a * r2a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 4.0)
+                + CAST(r2b * r2b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 4.0)
+                + CAST(r2c * r2c AS DOUBLE) / (CAST(n_c AS DOUBLE) * 4.0)
+                  AS sum_r2
+              FROM agg)
+      SELECT n_a AS n_click, n_b AS n_view, n_c AS n_purchase,
+             round((12.0 / (n * (n + 1.0)) * sum_r2 - 3.0 * (n + 1.0))
+               / (1.0 - CAST(tie3 AS DOUBLE) / (n * n * n - n)), 6)
+               AS h_stat,
+             round((12.0 / (n * (n + 1.0)) * sum_r2 - 3.0 * (n + 1.0))
+               / (1.0 - CAST(tie3 AS DOUBLE) / (n * n * n - n))
+               / (n - 1.0), 6) AS epsilon_sq
+      FROM fin""",
     "q_spearman" -> """
       WITH base AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qc,
                            CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
@@ -4263,6 +4472,36 @@ object SparkEntry {
     FROM t JOIN customer ON c_custkey = o_custkey
     WHERE n_trips BETWEEN 8 AND 10
     ORDER BY n_trips DESC, c_custkey"""
+
+  /** Shared verbatim — TPC-DS Q51's two-series cumulative compare:
+    * both "channels" (urgent-class vs normal-class priorities) reduce
+    * to the month grain in ONE conditional-sum fact pass, the running
+    * sums ride the ~|months| calendar frame (bounded window class),
+    * and the report keeps months where the urgent channel's
+    * cumulative revenue leads. Cents stay exact BIGINT end-to-end;
+    * the lead ratio is the single mirrored division. */
+  private val sqlDsChannelcum: String = """
+    WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                 AS BIGINT) AS ym,
+                      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS uc,
+                      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0
+                            ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                            END) AS nc
+               FROM orders GROUP BY 1),
+    c AS (SELECT ym,
+                 sum(uc) OVER (ORDER BY ym
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+                 sum(nc) OVER (ORDER BY ym
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+          FROM m)
+    SELECT ym, CAST(cu AS DOUBLE) / 100.0 AS cum_urgent,
+           CAST(cn AS DOUBLE) / 100.0 AS cum_normal,
+           round(CAST(cu AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS lead_ratio,
+           cu > cn AS urgent_leads
+    FROM c ORDER BY ym"""
 
   /** Shared verbatim — TPC-DS Q88's time-band census: eight 3-hour
     * traffic cells from ONE fact scan (conditional counts, never
@@ -6790,6 +7029,70 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // 243: DUPLICATE RATIO BY SOURCE — the corpus-health dashboard
+    // number: per source, how much of the crawl is exact-dup dead
+    // weight. One groupBy with a distinct-count of content hashes
+    // (md5 text digests — the dedup key, never the raw text, moves
+    // through the shuffle); one mirrored division per source row.
+    "q_dupe_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          (col("n_docs") - col("n_unique")).as("n_dup_rows"),
+          round((col("n_docs") - col("n_unique")).cast("double")
+            / col("n_docs").cast("double"), 6).as("dup_ratio"))
+        .orderBy("source")
+    }),
+
+    // 244: BOILERPLATE DETECTION — the 3 most document-frequent
+    // 5-gram shingles per source (navigation chrome / template text
+    // shows up as a shingle shared by most of a domain's pages).
+    // Distinct-per-doc shingles explode once, ONE partial-aggregable
+    // (source, shingle) count, then the q_topk_per_group window on
+    // the already-aggregated frame with a deterministic tiebreak.
+    "q_boilerplate" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_docs_sh").desc, col("sh"))
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(TF.shingles(col("text"), 5)).as("sh"))
+        .groupBy("source", "sh")
+        .agg(count(lit(1)).as("n_docs_sh"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("source", "rn", "sh", "n_docs_sh")
+        .orderBy("source", "rn")
+    }),
+
+    // 245: ZIPF SLOPE — the log-log rank-frequency regression slope
+    // of the top-50 token types (a healthy natural-language corpus
+    // sits near −1; template spam and synthetic junk bend it). The
+    // vocabulary aggregates first; ranks come from Ranking.withRank
+    // (the vocabulary is NOT bounded a priori at corpus scale — no
+    // global-sort window); the OLS slope runs over the fixed 50-row
+    // head, float only in the final ln/2-sum chain under round(6)
+    // (the q_entropy bounded-frame float class).
+    "q_zipf" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val pts = Ranking.withRank(vocab, Seq.empty,
+          Seq(col("freq").desc, col("tok")), "rk")
+        .filter(col("rk") <= 50)
+        .select(log(col("rk").cast("double")).as("x"),
+          log(col("freq").cast("double")).as("y"))
+      val d = (c: Column) => c.cast("double")
+      pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").as("n_types"),
+          round((d(col("n")) * col("sxy") - col("sx") * col("sy"))
+            / (d(col("n")) * col("sxx") - col("sx") * col("sx")), 6)
+            .as("zipf_slope"))
+    }),
+
     // 234: SHINGLE NOVELTY — per document, the fraction of its
     // 3-gram shingles that NO lower-id document contains (the
     // "how much new text does this doc add" curation signal; with
@@ -8429,6 +8732,38 @@ object SparkEntry {
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
       FROM documents ORDER BY doc_id""",
+    "q_dupe_ratio" -> s"""
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_unique,
+             count(*) - count(DISTINCT md5(text)) AS n_dup_rows,
+             round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+      FROM documents GROUP BY source ORDER BY source""",
+    "q_boilerplate" -> s"""
+      WITH ex AS (SELECT source, unnest($sh5) AS sh FROM documents),
+      cnt AS (SELECT source, sh, count(*) AS n_docs_sh
+              FROM ex GROUP BY 1, 2),
+      r AS (SELECT source, sh, n_docs_sh,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY n_docs_sh DESC, sh) AS INT) AS rn
+            FROM cnt)
+      SELECT source, rn, sh, n_docs_sh FROM r WHERE rn <= 3
+      ORDER BY source, rn""",
+    "q_zipf" -> s"""
+      WITH v AS (SELECT tok, count(*) AS freq
+                 FROM (SELECT unnest($toks) AS tok FROM documents)
+                 GROUP BY tok),
+      r AS (SELECT freq,
+              row_number() OVER (ORDER BY freq DESC, tok) AS rk FROM v),
+      p AS (SELECT ln(CAST(rk AS DOUBLE)) AS x,
+                   ln(CAST(freq AS DOUBLE)) AS y
+            FROM r WHERE rk <= 50),
+      a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx FROM p)
+      SELECT n AS n_types,
+             round((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
+      FROM a""",
     "q_doc_novelty" -> s"""
       WITH d AS (SELECT doc_id,
                         list_distinct(list_transform($sh3,
@@ -8762,6 +9097,7 @@ object SparkEntry {
     "q_sql_ds_shipdelay" -> sqlDsShipdelay,
     "q_sql_ds_tripcount" -> sqlDsTripcount,
     "q_sql_ds_timebands" -> sqlDsTimebands,
+    "q_sql_ds_channelcum" -> sqlDsChannelcum,
     "q_sql_ds_ampm" -> sqlDsAmpm,
     "q_sql_ds_netloss" -> sqlDsNetloss,
     "q_sql_ds_belowavg" -> sqlDsBelowavg,
