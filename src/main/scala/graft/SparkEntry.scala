@@ -2397,6 +2397,73 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 246: POISSON RATE TEST — are errors arriving faster in the
+    // second half of the window? Counts AND exposure (distinct
+    // active days) per half from ONE conditional-count scan; the
+    // z-score for the rate difference is one mirrored IEEE chain
+    // over four exact integers.
+    "q_poisson_rate" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val half = dayofmonth(col("ts")) <= 15
+      t(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .select(half.as("h1"), to_date(col("ts")).as("day"))
+        .agg(sum(col("h1").cast("long")).as("n1"),
+          sum((!col("h1")).cast("long")).as("n2"),
+          countDistinct(when(col("h1"), col("day"))).as("d1"),
+          countDistinct(when(!col("h1"), col("day"))).as("d2"))
+        .select(col("n1"), col("n2"), col("d1"), col("d2"),
+          round(d(col("n1")) / d(col("d1"))
+            - d(col("n2")) / d(col("d2")), 6).as("rate_diff"),
+          round((d(col("n1")) / d(col("d1")) - d(col("n2")) / d(col("d2")))
+            / sqrt(d(col("n1")) / (d(col("d1")) * d(col("d1")))
+              + d(col("n2")) / (d(col("d2")) * d(col("d2")))), 6).as("z"))
+    }),
+
+    // 247: SEASONAL INDEX — the month-of-year revenue index
+    // (month mean / grand mean over the monthly cells): the fact
+    // table reduces to the ~|months| calendar frame FIRST, the
+    // month-of-year roll-up re-aggregates those cells, and the index
+    // is one mirrored division of exact integer sums. 12 rows.
+    "q_seasonal_index" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val cells = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 100
+          + month(col("o_orderdate"))).as("ym"),
+          month(col("o_orderdate")).as("m"))
+        .agg(sum(cents(col("o_totalprice"))).as("rc"))
+        .staged // ~84 cells consumed by both roll-ups
+      val grand = cells.agg(sum(col("rc")).as("g"),
+        count(lit(1)).as("gn"))
+      cells.groupBy("m")
+        .agg(sum(col("rc")).as("mc"), count(lit(1)).as("mn"))
+        .crossJoin(broadcast(grand)) // intended: 1-row grand-mean carrier
+        .select(col("m").as("month"), col("mn").as("n_months"),
+          money(col("mc")).as("revenue"),
+          round((d(col("mc")) / d(col("mn")))
+            / (d(col("g")) / d(col("gn"))), 6).as("seasonal_index"))
+        .orderBy("month")
+    }),
+
+    // 248: INTER-ORDER GAP HISTOGRAM — the purchase-cadence
+    // distribution: per-customer lag-1 day gaps (exact integer date
+    // math in per-customer hash partitions), then ONE global
+    // histogram groupBy on the week bucket (capped at 10+). Integer
+    // end to end.
+    "q_order_gap" -> ((s, dir) => {
+      val wo = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("gap", datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(wo)))
+        .filter(col("gap").isNotNull)
+        .select(least(floor(col("gap") / 7), lit(10L)).as("week_bucket"))
+        .groupBy("week_bucket")
+        .agg(count(lit(1)).as("n_gaps"))
+        .orderBy("week_bucket")
+    }),
+
     // 238: BOLLINGER BANDS — trailing-7-row mean ± 2σ envelope of
     // order value per customer. The window stats come from EXACT
     // integer frame sums (n, Σx, Σx² — never a float accumulator
@@ -2747,6 +2814,49 @@ object SparkEntry {
     }))
 
   private def analyticsOracle: Map[String, String] = Map(
+    "q_poisson_rate" -> """
+      WITH f AS (SELECT day(ts) <= 15 AS h1, CAST(ts AS DATE) AS day
+                 FROM events WHERE event_type = 'error'),
+      a AS (SELECT
+              CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN h1 THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+              count(DISTINCT CASE WHEN h1 THEN day END) AS d1,
+              count(DISTINCT CASE WHEN NOT h1 THEN day END) AS d2
+            FROM f)
+      SELECT n1, n2, d1, d2,
+             round(CAST(n1 AS DOUBLE) / CAST(d1 AS DOUBLE)
+               - CAST(n2 AS DOUBLE) / CAST(d2 AS DOUBLE), 6) AS rate_diff,
+             round((CAST(n1 AS DOUBLE) / CAST(d1 AS DOUBLE)
+                    - CAST(n2 AS DOUBLE) / CAST(d2 AS DOUBLE))
+               / sqrt(CAST(n1 AS DOUBLE)
+                        / (CAST(d1 AS DOUBLE) * CAST(d1 AS DOUBLE))
+                      + CAST(n2 AS DOUBLE)
+                        / (CAST(d2 AS DOUBLE) * CAST(d2 AS DOUBLE))), 6)
+               AS z
+      FROM a""",
+    "q_seasonal_index" -> """
+      WITH cells AS (SELECT year(o_orderdate) * 100 + month(o_orderdate)
+                       AS ym,
+                       CAST(month(o_orderdate) AS INT) AS m,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
+                     FROM orders GROUP BY 1, 2),
+      g AS (SELECT sum(rc) AS g, count(*) AS gn FROM cells),
+      mm AS (SELECT m, sum(rc) AS mc, count(*) AS mn FROM cells GROUP BY m)
+      SELECT m AS month, mn AS n_months,
+             CAST(mc AS DOUBLE) / 100.0 AS revenue,
+             round((CAST(mc AS DOUBLE) / CAST(mn AS DOUBLE))
+               / (CAST(g AS DOUBLE) / CAST(gn AS DOUBLE)), 6)
+               AS seasonal_index
+      FROM mm, g ORDER BY month""",
+    "q_order_gap" -> """
+      WITH gaps AS (SELECT date_diff('day',
+               lag(CAST(o_orderdate AS DATE), 1) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap
+             FROM orders)
+      SELECT CAST(least(floor(gap / 7), 10) AS BIGINT) AS week_bucket,
+             count(*) AS n_gaps
+      FROM gaps WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""",
     "q_bollinger" -> """
       SELECT o_orderkey, o_custkey,
              round(CAST(sum(pc) OVER w AS DOUBLE)
@@ -7029,6 +7139,56 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // 249: CROSS-SOURCE SHINGLE OVERLAP — the corpus-mixing overlap
+    // matrix: Jaccard of each source PAIR's shingle vocabularies
+    // (high overlap = the same crawl ingested twice under two
+    // names). The frame aggregates to distinct (source, hash) FIRST
+    // (bounded by vocabulary, not rows), pairs meet in a hash-space
+    // equi-join, and |sources|² stays tiny while the heavy lifting
+    // is the one shuffle on the shingle hash.
+    "q_source_overlap" -> ((s, dir) => {
+      val shExpr = org.apache.spark.sql.GraftBridge.column(
+        graft.plans.CharShingleHashes(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 5, 8))
+      val sv = t(s, dir, "documents")
+        .select(col("source"), explode(array_distinct(shExpr)).as("h"))
+        .distinct()
+        .staged // reused by sizes + the pair join
+      val sizes = sv.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sv.toDF("sa", "h")
+        .join(sv.toDF("sb", "h"), "h")
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("inter_n"))
+      inter
+        .join(broadcast(sizes.toDF("sa", "na")), "sa")
+        .join(broadcast(sizes.toDF("sb", "nb")), "sb")
+        .select(col("sa"), col("sb"), col("inter_n"), col("na"), col("nb"),
+          round(col("inter_n").cast("double")
+            / (col("na") + col("nb") - col("inter_n")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy("sa", "sb")
+    }),
+
+    // 250: DEDUP SURVIVORSHIP — the canonical-record policy applied
+    // to exact-dup clusters: one groupBy on the content digest, the
+    // survivor chosen per cluster by (longest text, then lowest id)
+    // through a deterministic rank inside the digest partition —
+    // never a whole-cluster collect. Every cluster reports its
+    // survivor and member count.
+    "q_survivorship" -> ((s, dir) => {
+      val w = Window.partitionBy(col("fp"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(md5(col("text")).as("fp"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1))
+          .over(Window.partitionBy(col("fp"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id").as("survivor_id"), col("n_members"),
+          col("n_chars").as("survivor_chars"))
+        .orderBy("survivor_id")
+    }),
+
     // 243: DUPLICATE RATIO BY SOURCE — the corpus-health dashboard
     // number: per source, how much of the crawl is exact-dup dead
     // weight. One groupBy with a distinct-count of content hashes
@@ -8732,6 +8892,30 @@ object SparkEntry {
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
       FROM documents ORDER BY doc_id""",
+    "q_source_overlap" -> s"""
+      WITH sv AS (SELECT DISTINCT source, h FROM (
+              SELECT source, unnest(list_distinct(list_transform($sh5,
+                s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))) AS h
+              FROM documents)),
+      sizes AS (SELECT source, count(*) AS n FROM sv GROUP BY 1),
+      i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter_n
+            FROM sv a JOIN sv b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT sa, sb, inter_n, na.n AS na, nb.n AS nb,
+             round(CAST(inter_n AS DOUBLE)
+               / CAST(na.n + nb.n - inter_n AS DOUBLE), 6) AS jaccard
+      FROM i JOIN sizes na ON na.source = sa
+             JOIN sizes nb ON nb.source = sb
+      ORDER BY sa, sb""",
+    "q_survivorship" -> s"""
+      WITH d AS (SELECT md5(text) AS fp, doc_id, n_chars FROM documents),
+      r AS (SELECT fp, doc_id, n_chars,
+              row_number() OVER (PARTITION BY fp
+                ORDER BY n_chars DESC, doc_id) AS rn,
+              count(*) OVER (PARTITION BY fp) AS n_members
+            FROM d)
+      SELECT doc_id AS survivor_id, n_members, n_chars AS survivor_chars
+      FROM r WHERE rn = 1 ORDER BY survivor_id""",
     "q_dupe_ratio" -> s"""
       SELECT source, count(*) AS n_docs,
              count(DISTINCT md5(text)) AS n_unique,

@@ -75,6 +75,9 @@ class PlanSpec extends SparkSpec {
       // onto the day frame — both the q_histogram scalar-carrier
       // shape
       "q_benford", "q_changepoint",
+      // q_seasonal_index threads the 1-row grand-mean (Σ, n) onto the
+      // 12-row month frame — the q_histogram scalar-carrier shape
+      "q_seasonal_index",
       // q_nearest_hub crossJoins the 5-row broadcast hub table onto
       // customers — the bounded centroid-table carrier (q_kmeans
       // shape; hubs are |regions| rows, never data-sized)
