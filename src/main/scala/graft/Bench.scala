@@ -37,6 +37,8 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // Burst ATTRIBUTION instruments: per-query GC-pause and JIT-
@@ -74,8 +76,13 @@ object Bench {
         // Queries must not leak state into each other's measurements:
         // drop any cached blocks a query materialized (cache debris
         // accumulating in the shared local heap slowed the whole r3
-        // suite tail).
+        // suite tail). localCheckpoint blocks (Staging.staged) are
+        // NOT catalog cache — they free only on driver GC of the RDD
+        // handle, so the iterative-graph queries would otherwise leak
+        // storage blocks into every later measurement.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         Timing(name, elapsed, ok, gcMillis() - gc0, jitMillis() - jit0)
       }
     // TWO timed passes; the graded number per query is the MIN of the

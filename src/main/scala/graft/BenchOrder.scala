@@ -55,6 +55,8 @@ object BenchOrder {
         try byName(n)(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     val gcBeans = java.lang.management.ManagementFactory
@@ -79,6 +81,10 @@ object BenchOrder {
         val sec = (System.nanoTime() - t0) / 1e9
         val gms = gcMillis - g0
         spark.catalog.clearCache()
+        // free localCheckpoint blocks too (see Bench.scala) — they
+        // are not catalog cache and otherwise leak between timings
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         runs(name) = (pass, pos, sec, gms) :: runs(name)
       }
       System.err.println(s"[benchorder] pass $pass done")

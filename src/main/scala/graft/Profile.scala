@@ -45,6 +45,13 @@ object Profile {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // localCheckpoint blocks (Staging.staged) are NOT catalog
+        // cache: they free only when the driver GCs the RDD handle.
+        // Back-to-back runs in one session otherwise pile storage
+        // blocks until eviction churn dominates the measurement
+        // (r11 profile: q_triangle 3.6→23→35s across its 3 runs).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         t
       }
       println(f"[profile] $name%-24s " +

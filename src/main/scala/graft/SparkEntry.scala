@@ -4685,6 +4685,47 @@ object SparkEntry {
     WHERE rc * bn * 10 <= brc * 7
     ORDER BY rev.p_brand, l_partkey"""
 
+  /** Shared verbatim — TPC-DS Q47's monthly-deviation shape: monthly
+    * brand revenue vs the brand's own year average, with the
+    * neighboring months (lag/lead) carried alongside — the
+    * seasonality-outlier report. The deviation predicate is an exact
+    * BIGINT cross-multiplication (rc·n·10 vs s·11 / s·9 — no float
+    * compare can flip row membership); ratio and revenues are
+    * mirrored IEEE divisions on the way out. Both engines aggregate
+    * the fact table once, then run bounded per-(brand, yr) /
+    * per-brand calendar windows over the |brands|×|months| frame. */
+  private val sqlDsMonthdev: String = """
+    WITH m AS (
+      SELECT p_brand AS brand,
+             CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT)
+               AS yr,
+             CAST(EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS INT)
+               AS mo,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+               * 100) AS BIGINT)) AS BIGINT) AS rc
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3),
+    w AS (
+      SELECT brand, yr, mo, rc,
+             CAST(sum(rc) OVER (PARTITION BY brand, yr) AS BIGINT) AS s,
+             CAST(count(*) OVER (PARTITION BY brand, yr) AS BIGINT) AS n,
+             lag(rc) OVER (PARTITION BY brand ORDER BY yr, mo)
+               AS prev_rc,
+             lead(rc) OVER (PARTITION BY brand ORDER BY yr, mo)
+               AS next_rc
+      FROM m)
+    SELECT brand, yr, mo,
+           CAST(rc AS DOUBLE) / 100.0 AS revenue,
+           CAST(rc * n AS DOUBLE) / s AS ratio_to_avg,
+           CAST(prev_rc AS DOUBLE) / 100.0 AS prev_revenue,
+           CAST(next_rc AS DOUBLE) / 100.0 AS next_revenue
+    FROM w
+    WHERE prev_rc IS NOT NULL AND next_rc IS NOT NULL
+      AND (rc * n * 10 > s * 11 OR rc * n * 10 < s * 9)
+    ORDER BY brand, yr, mo"""
+
   /** Shared verbatim — TPC-H Q4's EXISTS-over-a-date-window shape:
     * orders of one quarter counted per priority when ANY of their
     * lines shipped late (this schema has no commit/receipt dates, so
@@ -8124,6 +8165,272 @@ object SparkEntry {
         .orderBy("pri")
     }),
 
+    // 251: BOUNDED K-CORE TRIM — 4 peel rounds at k=3 over the
+    // customer↔supplier co-purchase bipartite graph (the q_bfs_levels
+    // edge set). Each round drops every vertex whose CURRENT degree
+    // is < k and reports the surviving (nodes, directed edges) — the
+    // spam/bot-ring densest-subgraph screen. FIXED round count makes
+    // the operator deterministic and its oracle expressible (4
+    // unrolled SQL stages); the library loop generalizes to
+    // peel-to-fixpoint. Per round: ONE groupBy(src) degree count
+    // (symmetric edges make src-degree == full degree) + two semi
+    // joins, each a hash-keyed shuffle ∝ surviving edges; staged
+    // frames truncate lineage so round r never recomputes rounds
+    // 1..r−1 — cost tracks the SHRINKING graph, the 100 TB shape.
+    "q_kcore" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      var e = e0.union(e0.select(col("dst").as("src"),
+        col("src").as("dst"))).staged
+      val rounds = (1 to 4).map { r =>
+        val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 3).select(col("src").as("v"))
+        val keep2 = keep.toDF("v2")
+        e = e.join(keep, e("src") === keep("v"), "left_semi")
+          .join(keep2, col("dst") === keep2("v2"), "left_semi")
+          .staged
+        e.agg(countDistinct(col("src")).as("n_nodes"),
+          count(lit(1)).as("n_dir_edges"))
+          .select(lit(r).as("round"), col("n_nodes"),
+            col("n_dir_edges"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
+    }),
+
+    // 252: BOM-STYLE HIERARCHY EXPLOSION — every part resolved to its
+    // root ancestor + depth through a synthetic decimal-trie parent
+    // table (parent = (key−1) div 10, roots 1..10; deterministic, no
+    // synthesized data). The walk is the real distributed shape: the
+    // parent map is a MATERIALIZED edge frame and each level is ONE
+    // frontier-sized hash equi-join — never a driver-side chase —
+    // looping until the frontier empties (depth ≤ log₁₀ |parts|, so
+    // ~12 levels at 100 TB; each level staged, lineage truncated).
+    // Oracle = DuckDB WITH RECURSIVE over the same parent function.
+    "q_bom_explode" -> ((s, dir) => {
+      val parts = t(s, dir, "part").select(col("p_partkey"))
+      val edges = parts.select(col("p_partkey").as("child"),
+        expr("(p_partkey - 1) div 10").as("parent")).staged
+      var frontier = parts.select(col("p_partkey"),
+        col("p_partkey").as("node"), lit(0).as("depth"))
+      var acc: DataFrame = null
+      var more = true
+      while (more) {
+        val stepped = frontier.join(edges,
+            frontier("node") === edges("child"))
+          .select(frontier("p_partkey"), frontier("node"),
+            frontier("depth"), edges("parent"))
+        val fin = stepped.filter(col("parent") === 0)
+          .select(col("p_partkey"), col("node").as("root_key"),
+            col("depth"))
+        acc = if (acc == null) fin else acc.unionByName(fin)
+        frontier = stepped.filter(col("parent") >= 1)
+          .select(col("p_partkey"), col("parent").as("node"),
+            (col("depth") + 1).as("depth")).staged
+        more = !frontier.isEmpty
+      }
+      acc.orderBy("p_partkey")
+    }),
+
+    // 253: K-ANONYMITY AUDIT — the privacy screen every
+    // training-data release runs: group by the quasi-identifier
+    // tuple (nation, market segment, $1000 balance band) and report
+    // every equivalence class smaller than k=5 (re-identifiable
+    // rows). One hash groupBy with map-side partials; output bounded
+    // by QI-combination cardinality, never row count. The band
+    // floors EXACT cents through a sub-2^53 double so the
+    // floor-vs-trunc divergence of integer division on negative
+    // balances can't bite either engine.
+    "q_k_anonymity" -> ((s, dir) => {
+      val band = floor(cents(col("c_acctbal")).cast("double") /
+        100000.0).cast("long")
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          band.as("bal_band"))
+        .agg(count(lit(1)).as("k"))
+        .filter(col("k") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    }),
+
+    // 254: NDCG@10 RANKING QUALITY — how well the account-balance
+    // ranking predicts the actual revenue ranking, per nation: DCG of
+    // the predicted order vs ideal DCG, top-10 cutoff. The classic
+    // eval for any learned ranker. Float-sum-order trap dodged by
+    // design: the 1/log₂(i+1) discounts are TEN FIXED INTEGER
+    // micro-weights (round(1e6/log₂(i+1)) — a documented lookup, not
+    // runtime libm), so both DCGs are exact BIGINT dot products and
+    // NDCG is ONE mirrored IEEE division. Two per-nation rank windows
+    // (bounded partitions), one suppkey equi-join.
+    "q_ndcg" -> ((s, dir) => {
+      val w10 = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val wexpr = (pos: Column) =>
+        w10.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, i)) =>
+          when(pos === (i + 1), lit(w)).otherwise(acc) }
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice") *
+          (lit(1) - col("l_discount")))).as("rel0"))
+      val g = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(rev, col("s_suppkey") === col("l_suppkey"), "left")
+        .select(col("n_name"), col("s_suppkey"),
+          coalesce(col("rel0"), lit(0L)).as("rel"),
+          cents(col("s_acctbal")).as("pred"))
+      val wp = Window.partitionBy(col("n_name"))
+        .orderBy(col("pred").desc, col("s_suppkey"))
+      val wi = Window.partitionBy(col("n_name"))
+        .orderBy(col("rel").desc, col("s_suppkey"))
+      g.withColumn("pp", row_number().over(wp))
+        .withColumn("ip", row_number().over(wi))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(when(col("pp") <= 10, col("rel") * wexpr(col("pp")))
+            .otherwise(0L)).as("dcg_w"),
+          sum(when(col("ip") <= 10, col("rel") * wexpr(col("ip")))
+            .otherwise(0L)).as("idcg_w"))
+        .select(col("n_name"), col("dcg_w"), col("idcg_w"),
+          when(col("idcg_w") > 0, col("dcg_w").cast("double") /
+            col("idcg_w").cast("double")).otherwise(lit(0.0))
+            .as("ndcg"))
+        .orderBy("n_name")
+    }),
+
+    // 255: MUTUAL INFORMATION lang×source + the DETERMINISTIC
+    // FLOAT-SUM pattern: MI's total is a sum of per-cell ln terms —
+    // a float sum whose result depends on ADDITION ORDER, which a
+    // distributed reduce does not fix. Reproducibility discipline for
+    // 100 TB: reduce the corpus to the bounded |langs|×|sources|
+    // contingency frame (one exact-count groupBy), compute each
+    // cell's contribution as ONE mirrored IEEE expression over exact
+    // BIGINTs, then fold the cells in (lang, source) order via
+    // sorted-array aggregate — bit-identical on every partitioning,
+    // and to DuckDB's list_reduce over the same ordered list.
+    "q_mutual_info" -> ((s, dir) => {
+      val joint = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("nxy"))
+      val contrib = joint
+        .withColumn("nx",
+          sum(col("nxy")).over(Window.partitionBy(col("lang"))))
+        .withColumn("ny",
+          sum(col("nxy")).over(Window.partitionBy(col("source"))))
+        .withColumn("nn", sum(col("nxy")).over(Window.partitionBy()))
+        .withColumn("c",
+          (col("nxy").cast("double") / col("nn").cast("double")) *
+            log((col("nxy").cast("double") * col("nn").cast("double")) /
+              (col("nx").cast("double") * col("ny").cast("double"))))
+      contrib.agg(max(col("nn")).as("n_docs"),
+        count(lit(1)).as("n_pairs"),
+        aggregate(
+          array_sort(collect_list(struct(col("lang"), col("source"),
+            col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("mi_nats"))
+    }),
+
+    // 256: SQL front door, TPC-DS Q47's monthly-deviation shape —
+    // see [[sqlDsMonthdev]].
+    "q_sql_ds_monthdev" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsMonthdev)
+    }),
+
+    // 257: DECISION-STUMP SPLIT SEARCH — the supervised-learning
+    // primitive feature pipelines run at scale: the best balance
+    // threshold predicting market segment by minimum weighted Gini
+    // impurity. The 100 TB shape: ONE hash groupBy reduces the table
+    // to the bounded (band × segment) contingency frame ($500 bands —
+    // candidate thresholds track the FEATURE RANGE, never row count);
+    // the dense grid, per-class cumulatives, and per-threshold
+    // scoring all run on that bounded frame. Scoring is EXACT BIGINT:
+    // weighted Gini over common denominator n·nL·nR becomes
+    // score = (nL²−ΣcL²)·nR + (nR²−ΣcR²)·nL (≤ n³ — exact through
+    // sf1000), so the argmin (tie → lowest band) is float-free; the
+    // reported impurity is one mirrored division on the way out.
+    "q_best_split" -> ((s, dir) => {
+      val cont = t(s, dir, "customer")
+        .groupBy(floor(cents(col("c_acctbal")).cast("double") /
+            50000.0).cast("long").as("band"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+      // dense (band × seg) grid: every class needs a value at every
+      // threshold for ΣcL² — both sides bounded (feature bands ×
+      // label classes), the fenced bounded-carrier pattern
+      val grid = cont.select(col("band")).distinct()
+        .crossJoin(broadcast(cont.select(col("seg")).distinct()))
+      val dense = grid.join(cont, Seq("band", "seg"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val cum = dense
+        .withColumn("cl",
+          sum(col("n")).over(Window.partitionBy(col("seg"))
+            .orderBy(col("band"))))
+        .withColumn("ct",
+          sum(col("n")).over(Window.partitionBy(col("seg"))))
+      val th = cum.groupBy(col("band")).agg(
+        sum(col("cl")).as("n_l"),
+        sum(col("cl") * col("cl")).as("ssq_l"),
+        sum(col("ct") - col("cl")).as("n_r"),
+        sum((col("ct") - col("cl")) * (col("ct") - col("cl")))
+          .as("ssq_r"))
+      th.filter(col("n_l") > 0 && col("n_r") > 0)
+        .withColumn("score",
+          (col("n_l") * col("n_l") - col("ssq_l")) * col("n_r") +
+            (col("n_r") * col("n_r") - col("ssq_r")) * col("n_l"))
+        .orderBy(col("score"), col("band")).limit(1)
+        .select(col("band").as("best_band"), col("n_l"), col("n_r"),
+          col("score"),
+          (col("score").cast("double") /
+            ((col("n_l") + col("n_r")) * col("n_l") * col("n_r"))
+              .cast("double")).as("weighted_gini"))
+    }),
+
+    // 258: WEIGHT-OF-EVIDENCE / INFORMATION VALUE — the
+    // credit-scoring feature screen (how predictive is the balance
+    // band of urgent orders?). Corpus reduces to the bounded
+    // per-band (good, bad) count frame first (one groupBy after the
+    // customer⋈orders equi-join); totals ride bounded windows. Each
+    // band's IV term is ONE mirrored IEEE expression over exact
+    // BIGINTs; the total folds the bands IN BAND ORDER via the
+    // sorted-array aggregate (the q_mutual_info determinism pattern)
+    // — bit-reproducible on any partitioning. Laplace +1 on both
+    // counts keeps ln() finite on one-sided bands.
+    "q_woe_iv" -> ((s, dir) => {
+      val lab = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(floor(cents(col("c_acctbal")).cast("double") /
+            100000.0).cast("long").as("band"),
+          when(col("o_orderpriority") === "1-URGENT", 1L)
+            .otherwise(0L).as("bad"))
+      val bands = lab.groupBy(col("band")).agg(
+        (sum(lit(1L) - col("bad")) + 1L).as("ng"),
+        (sum(col("bad")) + 1L).as("nb"))
+      val tot = bands
+        .withColumn("tg", sum(col("ng")).over(Window.partitionBy()))
+        .withColumn("tb", sum(col("nb")).over(Window.partitionBy()))
+      val term = tot.withColumn("woe",
+          log((col("ng").cast("double") * col("tb").cast("double")) /
+            (col("nb").cast("double") * col("tg").cast("double"))))
+        .withColumn("iv_term",
+          (col("ng").cast("double") / col("tg").cast("double") -
+            col("nb").cast("double") / col("tb").cast("double")) *
+            col("woe"))
+      term.agg(count(lit(1)).as("n_bands"),
+        (max(col("tg")) - count(lit(1))).as("n_good"),
+        (max(col("tb")) - count(lit(1))).as("n_bad"),
+        aggregate(
+          array_sort(collect_list(struct(col("band"),
+            col("iv_term")))),
+          lit(0.0), (acc, x) => acc + x.getField("iv_term"))
+          .as("iv_nats"))
+    }),
+
     // 37: the streaming pipeline's transformation, driven in batch
     // mode (Spark's batch/stream unification makes them the same
     // plan); the MemoryStream spec proves the streaming execution.
@@ -9534,6 +9841,174 @@ object SparkEntry {
       SELECT vec_id, amax, CAST(list_sum(qv) AS BIGINT) AS qsum,
              md5(array_to_string(qv, ',')) AS qhash
       FROM q ORDER BY vec_id""",
+    "q_kcore" -> """
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                         l_suppkey + 1000000 AS dst
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e1 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      k1 AS (SELECT src AS v FROM e1 GROUP BY src HAVING count(*) >= 3),
+      f1 AS (SELECT e.src, e.dst FROM e1 e JOIN k1 a ON e.src = a.v
+             JOIN k1 b ON e.dst = b.v),
+      k2 AS (SELECT src AS v FROM f1 GROUP BY src HAVING count(*) >= 3),
+      f2 AS (SELECT e.src, e.dst FROM f1 e JOIN k2 a ON e.src = a.v
+             JOIN k2 b ON e.dst = b.v),
+      k3 AS (SELECT src AS v FROM f2 GROUP BY src HAVING count(*) >= 3),
+      f3 AS (SELECT e.src, e.dst FROM f2 e JOIN k3 a ON e.src = a.v
+             JOIN k3 b ON e.dst = b.v),
+      k4 AS (SELECT src AS v FROM f3 GROUP BY src HAVING count(*) >= 3),
+      f4 AS (SELECT e.src, e.dst FROM f3 e JOIN k4 a ON e.src = a.v
+             JOIN k4 b ON e.dst = b.v)
+      SELECT CAST(1 AS INT) AS round,
+             (SELECT count(DISTINCT src) FROM f1) AS n_nodes,
+             (SELECT count(*) FROM f1) AS n_dir_edges
+      UNION ALL SELECT 2, (SELECT count(DISTINCT src) FROM f2),
+             (SELECT count(*) FROM f2)
+      UNION ALL SELECT 3, (SELECT count(DISTINCT src) FROM f3),
+             (SELECT count(*) FROM f3)
+      UNION ALL SELECT 4, (SELECT count(DISTINCT src) FROM f4),
+             (SELECT count(*) FROM f4)
+      ORDER BY round""",
+    "q_bom_explode" -> """
+      WITH RECURSIVE up AS (
+        SELECT p_partkey, p_partkey AS node, CAST(0 AS INT) AS depth
+        FROM part
+        UNION ALL
+        SELECT p_partkey, (node - 1) // 10, depth + 1 FROM up
+        WHERE (node - 1) // 10 >= 1)
+      SELECT p_partkey, node AS root_key, depth
+      FROM up WHERE (node - 1) // 10 = 0
+      ORDER BY p_partkey""",
+    "q_k_anonymity" -> """
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+               AS DOUBLE) / 100000.0) AS BIGINT) AS bal_band,
+             count(*) AS k
+      FROM customer
+      GROUP BY 1, 2, 3
+      HAVING count(*) < 5
+      ORDER BY c_nationkey, c_mktsegment, bal_band""",
+    "q_ndcg" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                 * 100) AS BIGINT)) AS BIGINT) AS rel0
+        FROM lineitem GROUP BY l_suppkey),
+      g AS (
+        SELECT n_name, s_suppkey, coalesce(rel0, 0) AS rel,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS pred
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             LEFT JOIN rev ON l_suppkey = s_suppkey),
+      r AS (
+        SELECT n_name, rel,
+               row_number() OVER (PARTITION BY n_name
+                 ORDER BY pred DESC, s_suppkey) AS pp,
+               row_number() OVER (PARTITION BY n_name
+                 ORDER BY rel DESC, s_suppkey) AS ip
+        FROM g),
+      d AS (
+        SELECT n_name,
+               CAST(sum(CASE WHEN pp <= 10 THEN rel *
+                 (CASE pp WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                   WHEN 3 THEN 500000 WHEN 4 THEN 430677
+                   WHEN 5 THEN 386853 WHEN 6 THEN 356207
+                   WHEN 7 THEN 333333 WHEN 8 THEN 315465
+                   WHEN 9 THEN 301030 WHEN 10 THEN 289065 END)
+                 ELSE 0 END) AS BIGINT) AS dcg_w,
+               CAST(sum(CASE WHEN ip <= 10 THEN rel *
+                 (CASE ip WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                   WHEN 3 THEN 500000 WHEN 4 THEN 430677
+                   WHEN 5 THEN 386853 WHEN 6 THEN 356207
+                   WHEN 7 THEN 333333 WHEN 8 THEN 315465
+                   WHEN 9 THEN 301030 WHEN 10 THEN 289065 END)
+                 ELSE 0 END) AS BIGINT) AS idcg_w
+        FROM r GROUP BY n_name)
+      SELECT n_name, dcg_w, idcg_w,
+             CASE WHEN idcg_w > 0 THEN CAST(dcg_w AS DOUBLE) / idcg_w
+                  ELSE 0.0 END AS ndcg
+      FROM d ORDER BY n_name""",
+    "q_mutual_info" -> """
+      WITH j AS (SELECT lang, source, count(*) AS nxy
+                 FROM documents GROUP BY 1, 2),
+      m AS (SELECT lang, source, nxy,
+              CAST(sum(nxy) OVER (PARTITION BY lang) AS BIGINT) AS nx,
+              CAST(sum(nxy) OVER (PARTITION BY source) AS BIGINT) AS ny,
+              CAST(sum(nxy) OVER () AS BIGINT) AS nn
+            FROM j),
+      c AS (SELECT lang, source, nn,
+              (CAST(nxy AS DOUBLE) / CAST(nn AS DOUBLE)) *
+                ln((CAST(nxy AS DOUBLE) * CAST(nn AS DOUBLE)) /
+                   (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS c
+            FROM m)
+      SELECT CAST(max(nn) AS BIGINT) AS n_docs, count(*) AS n_pairs,
+             list_reduce(list(c ORDER BY lang, source),
+               (a, b) -> a + b) AS mi_nats
+      FROM c""",
+    "q_sql_ds_monthdev" -> sqlDsMonthdev,
+    "q_best_split" -> """
+      WITH cont AS (
+        SELECT CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                 AS DOUBLE) / 50000.0) AS BIGINT) AS band,
+               c_mktsegment AS seg, count(*) AS n
+        FROM customer GROUP BY 1, 2),
+      grid AS (
+        SELECT b.band, s.seg
+        FROM (SELECT DISTINCT band FROM cont) b
+        CROSS JOIN (SELECT DISTINCT seg FROM cont) s),
+      dense AS (
+        SELECT g.band, g.seg, coalesce(c.n, 0) AS n
+        FROM grid g LEFT JOIN cont c
+          ON g.band = c.band AND g.seg = c.seg),
+      cum AS (
+        SELECT band, seg, n,
+               CAST(sum(n) OVER (PARTITION BY seg ORDER BY band)
+                 AS BIGINT) AS cl,
+               CAST(sum(n) OVER (PARTITION BY seg) AS BIGINT) AS ct
+        FROM dense),
+      th AS (
+        SELECT band, CAST(sum(cl) AS BIGINT) AS n_l,
+               CAST(sum(cl * cl) AS BIGINT) AS ssq_l,
+               CAST(sum(ct - cl) AS BIGINT) AS n_r,
+               CAST(sum((ct - cl) * (ct - cl)) AS BIGINT) AS ssq_r
+        FROM cum GROUP BY band),
+      sc AS (
+        SELECT band, n_l, n_r,
+               (n_l * n_l - ssq_l) * n_r +
+               (n_r * n_r - ssq_r) * n_l AS score
+        FROM th WHERE n_l > 0 AND n_r > 0)
+      SELECT band AS best_band, n_l, n_r, score,
+             CAST(score AS DOUBLE) /
+               CAST((n_l + n_r) * n_l * n_r AS DOUBLE) AS weighted_gini
+      FROM sc ORDER BY score, band LIMIT 1""",
+    "q_woe_iv" -> """
+      WITH lab AS (
+        SELECT CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                 AS DOUBLE) / 100000.0) AS BIGINT) AS band,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+                 END AS bad
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      bands AS (
+        SELECT band, CAST(sum(1 - bad) + 1 AS BIGINT) AS ng,
+               CAST(sum(bad) + 1 AS BIGINT) AS nb
+        FROM lab GROUP BY band),
+      tot AS (
+        SELECT band, ng, nb,
+               CAST(sum(ng) OVER () AS BIGINT) AS tg,
+               CAST(sum(nb) OVER () AS BIGINT) AS tb
+        FROM bands),
+      term AS (
+        SELECT band, tg, tb,
+               (CAST(ng AS DOUBLE) / CAST(tg AS DOUBLE) -
+                CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) *
+               ln((CAST(ng AS DOUBLE) * CAST(tb AS DOUBLE)) /
+                  (CAST(nb AS DOUBLE) * CAST(tg AS DOUBLE)))
+                 AS iv_term
+        FROM tot)
+      SELECT count(*) AS n_bands,
+             CAST(max(tg) - count(*) AS BIGINT) AS n_good,
+             CAST(max(tb) - count(*) AS BIGINT) AS n_bad,
+             list_reduce(list(iv_term ORDER BY band),
+               (a, b) -> a + b) AS iv_nats
+      FROM term""",
     "q_stream_window" -> """
       SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
              CAST(hour(date_trunc('hour', ts)) AS INT) AS hr, event_type,

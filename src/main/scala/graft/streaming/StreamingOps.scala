@@ -89,10 +89,56 @@ object StreamingOps {
       watermark: String): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
-    l.join(r,
-      l(key) === r(key) &&
-        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"))
+    l.join(r, ssCond(l, r, key, leftTs, rightTs, before, after))
       .drop(r(key))
   }
+
+  /** Watermarked LEFT OUTER stream-stream join — [[streamStreamJoin]]
+    * plus the "never matched" rows: an unmatched left event emits
+    * ONCE with nulls on the right side, but only after the watermark
+    * passes its join window, because that is the moment "no match
+    * yet" becomes "no match EVER" (late right-side data inside the
+    * watermark could still pair it). The time-interval condition +
+    * both watermarks are what make the outer emission decidable with
+    * EVICTABLE state — Structured Streaming rejects outer
+    * stream-stream joins without them, and an engine that accepted
+    * one would hold every left row forever. */
+  def streamStreamJoinLeftOuter(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String, before: String,
+      after: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, ssCond(l, r, key, leftTs, rightTs, before, after),
+        "left_outer")
+      .drop(r(key))
+  }
+
+  /** Watermarked FULL OUTER stream-stream join — BOTH sides' "never
+    * matched" rows emit null-padded once the watermark closes their
+    * window (same eviction-moment semantics as
+    * [[streamStreamJoinLeftOuter]], applied symmetrically). The key
+    * survives as coalesce(left key, right key) — a right-only row has
+    * a NULL left key, so dropping one side would blank it; the
+    * coalesced key lands as the LAST column. */
+  def streamStreamJoinFullOuter(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String, before: String,
+      after: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, ssCond(l, r, key, leftTs, rightTs, before, after),
+        "full_outer")
+      .withColumn(s"__k_$key", coalesce(l(key), r(key)))
+      .drop(l(key)).drop(r(key))
+      .withColumnRenamed(s"__k_$key", key)
+  }
+
+  /** Shared equi-key + time-interval join condition of the
+    * stream-stream joins (the range bound is what lets the state
+    * store evict rows older than watermark − window). */
+  private def ssCond(l: DataFrame, r: DataFrame, key: String,
+      leftTs: String, rightTs: String, before: String,
+      after: String) =
+    l(key) === r(key) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after")
 }

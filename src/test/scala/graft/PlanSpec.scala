@@ -100,7 +100,12 @@ class PlanSpec extends SparkSpec {
       // shape; q_mix_waterfill threads the 1-row budget and the
       // 1-row water-level onto the |sources|-row frame (two fenced
       // scalar carriers in one plan)
-      "q_cramers_v", "q_mix_waterfill")
+      "q_cramers_v", "q_mix_waterfill",
+      // q_best_split crossJoins the ≤|bands|-row distinct-band frame
+      // with the broadcast ≤|segments|-row class frame to densify
+      // the contingency grid — both sides bounded by feature range /
+      // label cardinality, never row count (q_kmeans shape)
+      "q_best_split")
 
   test("every intendedNestedLoop key exists and still plans one") {
     // keeps the allowlist from rotting: a key that stops planning a

@@ -113,6 +113,77 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "c1", "v-in-window")))
   }
 
+  test("streamStreamJoinLeftOuter emits null-padded rows after watermark expiry") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.streamStreamJoinLeftOuter(
+        clicks.toDF().toDF("cts", "user_id", "click"),
+        views.toDF().toDF("vts", "user_id", "view"),
+        "user_id", "cts", "vts", "0 seconds", "30 minutes", "1 hour")
+      .select("user_id", "click", "view")
+      .writeStream.format("memory").queryName("ss_join_outer")
+      .outputMode("append").start()
+    clicks.addData((ts("2024-01-01 00:00:00"), 1L, "c-matched"),
+      (ts("2024-01-01 00:00:00"), 2L, "c-unmatched"))
+    views.addData((ts("2024-01-01 00:10:00"), 1L, "v-in-window"))
+    q.processAllAvailable()
+    // inner match emits immediately; the unmatched left row must NOT
+    // emit yet — a right event inside the watermark could still pair
+    val early = spark.table("ss_join_outer")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(early == Set((1L, "c-matched", Some("v-in-window"))))
+    // push the watermark far past user 2's window [00:00, 00:30]:
+    // watermark = max(ts) − 1h = 03:00 after this batch, making the
+    // no-match decision final
+    clicks.addData((ts("2024-01-01 04:00:00"), 9L, "c-late"))
+    views.addData((ts("2024-01-01 04:00:00"), 9L, "v-late"))
+    q.processAllAvailable()
+    // one more micro-batch so the state store flushes expired rows
+    views.addData((ts("2024-01-01 04:00:01"), 9L, "v-later"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join_outer")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got.contains((2L, "c-unmatched", None)),
+      s"expired unmatched left row must emit null-padded, got $got")
+    assert(!got.exists(r => r._1 == 2L && r._3.isDefined),
+      "the unmatched row must never ALSO emit a matched version")
+  }
+
+  test("streamStreamJoinFullOuter emits null-padded rows on BOTH sides") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.streamStreamJoinFullOuter(
+        clicks.toDF().toDF("cts", "user_id", "click"),
+        views.toDF().toDF("vts", "user_id", "view"),
+        "user_id", "cts", "vts", "0 seconds", "30 minutes", "1 hour")
+      .select("user_id", "click", "view")
+      .writeStream.format("memory").queryName("ss_join_full")
+      .outputMode("append").start()
+    clicks.addData((ts("2024-01-01 00:00:00"), 1L, "c-matched"),
+      (ts("2024-01-01 00:00:00"), 2L, "c-only"))
+    views.addData((ts("2024-01-01 00:10:00"), 1L, "v-in-window"),
+      (ts("2024-01-01 00:10:00"), 3L, "v-only"))
+    q.processAllAvailable()
+    // push the watermark far past both unmatched windows, then one
+    // more batch so the state store flushes expired rows
+    clicks.addData((ts("2024-01-01 04:00:00"), 9L, "c-late"))
+    views.addData((ts("2024-01-01 04:00:00"), 9L, "v-late"))
+    q.processAllAvailable()
+    views.addData((ts("2024-01-01 04:00:01"), 9L, "v-later"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join_full")
+      .as[(Long, Option[String], Option[String])].collect().toSet
+    assert(got.contains((1L, Some("c-matched"), Some("v-in-window"))))
+    assert(got.contains((2L, Some("c-only"), None)),
+      s"expired left-only row must emit null-padded, got $got")
+    assert(got.contains((3L, None, Some("v-only"))),
+      s"expired right-only row must emit null-padded, got $got")
+  }
+
   test("UpsertSink: micro-batches merge into a keyed parquet table") {
     implicit val sq = spark.sqlContext
     import java.nio.file.Files
