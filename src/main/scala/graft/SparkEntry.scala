@@ -8523,6 +8523,45 @@ object SparkEntry {
         .orderBy("view_id", "purchase_id")
     }),
 
+    // 259: LEFT-OUTER stream-stream join on the real engine — the
+    // attribution shape with the "never converted" views kept:
+    // unmatched views emit null-padded ONCE their join window closes
+    // under the watermark (late purchases inside the watermark could
+    // still pair them, so earlier emission would be wrong — and a
+    // retraction-free append sink forces exactly-one emission). The
+    // oracle mirrors the eviction rule: a view is decidably
+    // unconverted iff v_ts + 4h < min(max view ts, max purchase ts)
+    // − 24h — the engine's global watermark is the MIN across the
+    // two watermark operators, each clocked by its own FILTERED
+    // stream; views still inside that horizon stay in state at
+    // end-of-stream and must NOT appear —
+    // the same bounded-state discipline as q_stream_join, now with
+    // the outer-emission clock made part of the checked contract.
+    "q_stream_outer" -> ((s, dir) => {
+      val views = eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val joined = graft.streaming.StreamingOps.streamStreamJoinLeftOuter(
+        views, purchases, "user_id", "v_ts", "p_ts",
+        "0 seconds", "4 hours", "24 hours")
+      val sink = s"q_stream_outer_${streamExecSeq.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("view_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+            .as("gap_usec"))
+        .orderBy("view_id", "purchase_id")
+    }),
+
     // 137: streaming exactly-once dedup on the real engine —
     // dropDuplicatesWithinWatermark over a deliberately doubled
     // stream (the at-least-once delivery every ingest pipeline sees:
@@ -10028,6 +10067,36 @@ object SparkEntry {
         ON v.user_id = p.user_id
        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
       WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      ORDER BY view_id, purchase_id""",
+    "q_stream_outer" -> """
+      WITH v AS (SELECT user_id, ts, event_id FROM events
+                 WHERE event_type = 'view'),
+      p AS (SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase'),
+      matched AS (
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS gap_usec
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR),
+      expired_unmatched AS (
+        -- the engine's global watermark is the MIN across both
+        -- watermark operators, each fed by its own FILTERED stream —
+        -- so the clock is the slower of (max view ts, max purchase
+        -- ts), not the raw table max
+        SELECT v.event_id AS view_id,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS BIGINT) AS gap_usec
+        FROM v
+        WHERE v.ts + INTERVAL 4 HOUR <
+                (SELECT least((SELECT max(ts) FROM v),
+                              (SELECT max(ts) FROM p))
+                        - INTERVAL 24 HOUR)
+          AND NOT EXISTS (SELECT 1 FROM p
+                WHERE p.user_id = v.user_id
+                  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR))
+      SELECT * FROM matched
+      UNION ALL SELECT * FROM expired_unmatched
       ORDER BY view_id, purchase_id""",
     "q_bloom_join" -> """
       SELECT l_orderkey, l_linenumber, l_partkey,
