@@ -8341,6 +8341,90 @@ object SparkEntry {
       s.sql(sqlDsMonthdev)
     }),
 
+    // 261: SPEARMAN WITH TIE CORRECTION — the AVERAGE-RANK variant
+    // (q_spearman row 226 breaks ties by key; this one computes the
+    // textbook tie-corrected statistic, which matters when one
+    // variable is heavily tied — order counts here take ~30 distinct
+    // values over 150k customers). The 100 TB discipline is the
+    // RANKING itself: no global-sort
+    // window — each variable reduces to its distinct-value count
+    // frame, Ranking.withPrefixSums produces exact cumulative counts
+    // (range-sliced, offsets broadcast), and twice-the-average-rank
+    // rides back as the INTEGER 2·off + cnt + 1. All five moments of
+    // the doubled ranks are exact BIGINTs (≤ 4n³ — exact through
+    // sf≈30); rho is one mirrored IEEE expression over them.
+    "q_spearman_ties" -> ((s, dir) => {
+      val x = t(s, dir, "customer").select(col("c_custkey").as("k"),
+        cents(col("c_acctbal")).as("xv"))
+      val y = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("yv"))
+      val base = x.join(y, col("k") === col("o_custkey"), "left")
+        .select(col("k"), col("xv"),
+          coalesce(col("yv"), lit(0L)).as("yv"))
+      def rank2(v: String): DataFrame = {
+        val cnts = base.groupBy(col(v)).agg(count(lit(1)).as("c"))
+        graft.ops.Ranking.withPrefixSums(cnts, Seq.empty,
+            Seq(col(v)), Seq("c"))
+          .select(col(v), (lit(2L) * (col("c_cum") - col("c")) +
+            col("c") + 1L).as(s"r2$v"))
+      }
+      val ranked = base
+        .join(rank2("xv"), Seq("xv"))
+        .join(rank2("yv"), Seq("yv"))
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(col("r2xv")).as("sx"), sum(col("r2yv")).as("sy"),
+        sum(col("r2xv") * col("r2xv")).as("sxx"),
+        sum(col("r2yv") * col("r2yv")).as("syy"),
+        sum(col("r2xv") * col("r2yv")).as("sxy"))
+      m.select(col("n"), col("sx"), col("sy"), col("sxx"),
+        col("syy"), col("sxy"),
+        (((col("sxy").cast("double") / col("n").cast("double")) -
+          (col("sx").cast("double") / col("n").cast("double")) *
+          (col("sy").cast("double") / col("n").cast("double"))) /
+          (sqrt(col("sxx").cast("double") / col("n").cast("double") -
+            (col("sx").cast("double") / col("n").cast("double")) *
+            (col("sx").cast("double") / col("n").cast("double"))) *
+           sqrt(col("syy").cast("double") / col("n").cast("double") -
+            (col("sy").cast("double") / col("n").cast("double")) *
+            (col("sy").cast("double") / col("n").cast("double")))))
+          .as("rho"))
+    }),
+
+    // 262: ONE-WAY ANOVA — does mean order value differ across the
+    // customer's nation? Between/within sum-of-squares from EXACT
+    // per-group BIGINT moments (whole-dollar order totals keep Σx²
+    // under 2^63 through sf10); the only float reduction — the
+    // 25-term Σ S_g²/n_g — folds in nation order via the
+    // sorted-array aggregate (the q_mutual_info determinism
+    // pattern), and F is one mirrored IEEE expression.
+    "q_anova" -> ((s, dir) => {
+      val g = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"),
+          round(col("o_totalprice")).cast("long").as("x"))
+        .groupBy(col("nk")).agg(count(lit(1)).as("ng"),
+          sum(col("x")).as("sg"),
+          sum(col("x") * col("x")).as("qg"))
+      val m = g.agg(count(lit(1)).as("k"),
+        sum(col("ng")).as("n"), sum(col("sg")).as("s"),
+        sum(col("qg")).as("q"),
+        aggregate(
+          array_sort(collect_list(struct(col("nk"),
+            (col("sg").cast("double") * col("sg").cast("double") /
+              col("ng").cast("double")).as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("sb0"))
+      m.select(col("k"), col("n"),
+          (col("sb0") - col("s").cast("double") *
+            col("s").cast("double") / col("n").cast("double"))
+            .as("ssb"),
+          (col("q").cast("double") - col("sb0")).as("ssw"))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"),
+          ((col("ssb") / (col("k") - 1).cast("double")) /
+            (col("ssw") / (col("n") - col("k")).cast("double")))
+            .as("f_stat"))
+    }),
+
     // 257: DECISION-STUMP SPLIT SEARCH — the supervised-learning
     // primitive feature pipelines run at scale: the best balance
     // threshold predicting market segment by minimum weighted Gini
@@ -8560,6 +8644,36 @@ object SparkEntry {
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
             .as("gap_usec"))
         .orderBy("view_id", "purchase_id")
+    }),
+
+    // 260: SESSION WINDOWS on the real streaming engine — the
+    // merging-window stateful shape (fixed windows never exercise
+    // window-merge state): 30-idle-minute sessions per user under a
+    // 24 h watermark, append mode, so a session emits exactly once —
+    // when the watermark passes its end and no later event can merge
+    // into it. The oracle is the batch gap-sessionization filtered by
+    // the same clock (end < max ts − 24 h); still-open tail sessions
+    // must NOT appear. State is watermark-bounded per user — the
+    // continuous-ingest shape where sessions close and leave state
+    // instead of accumulating forever.
+    "q_stream_session" -> ((s, dir) => {
+      val sess = eventsStream(s, dir)
+        .withWatermark("ts", "24 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val sink = s"q_stream_session_${streamExecSeq.incrementAndGet()}"
+      val q = sess.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
     }),
 
     // 137: streaming exactly-once dedup on the real engine —
@@ -9983,6 +10097,90 @@ object SparkEntry {
                (a, b) -> a + b) AS mi_nats
       FROM c""",
     "q_sql_ds_monthdev" -> sqlDsMonthdev,
+    "q_stream_session" -> """
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                            > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM g)
+      SELECT user_id,
+             epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+             epoch_us(CAST(max(ts) AS TIMESTAMP)) + 1800 * 1000000 AS end_us,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sess_id
+      HAVING epoch_us(CAST(max(ts) AS TIMESTAMP)) + 1800 * 1000000 <
+             (SELECT epoch_us(CAST(max(ts) AS TIMESTAMP))
+                     - CAST(86400 AS BIGINT) * 1000000 FROM events)
+      ORDER BY user_id, start_us""",
+    "q_spearman_ties" -> """
+      WITH base AS (
+        SELECT c_custkey AS k,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS xv,
+               CAST(coalesce(o.cnt, 0) AS BIGINT) AS yv
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+        ) o ON c_custkey = o_custkey),
+      rx AS (SELECT xv, 2 * CAST(rank() OVER (ORDER BY xv) AS BIGINT)
+                    + count(*) OVER (PARTITION BY xv) - 1 AS r2x
+             FROM base),
+      ry AS (SELECT yv, 2 * CAST(rank() OVER (ORDER BY yv) AS BIGINT)
+                    + count(*) OVER (PARTITION BY yv) - 1 AS r2y
+             FROM base),
+      m AS (
+        SELECT count(*) AS n,
+               CAST(sum(r2x) AS BIGINT) AS sx,
+               CAST(sum(r2y) AS BIGINT) AS sy,
+               CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+               CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+               CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+        FROM (SELECT b.k, x.r2x, y.r2y
+              FROM base b
+              JOIN (SELECT DISTINCT xv, r2x FROM rx) x ON b.xv = x.xv
+              JOIN (SELECT DISTINCT yv, r2y FROM ry) y ON b.yv = y.yv))
+      SELECT n, sx, sy, sxx, syy, sxy,
+             ((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)) -
+              (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) /
+             (sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) -
+                (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+                (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) *
+              sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) -
+                (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+                (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS rho
+      FROM m""",
+    "q_anova" -> """
+      WITH g AS (
+        SELECT c_nationkey AS nk, count(*) AS ng,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+                 AS sg,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT) *
+                        CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+                 AS qg
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1),
+      m AS (
+        SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(sg) AS BIGINT) AS s,
+               CAST(sum(qg) AS BIGINT) AS q,
+               list_reduce(list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                 / CAST(ng AS DOUBLE) ORDER BY nk), (a, b) -> a + b)
+                 AS sb0
+        FROM g)
+      SELECT k, n,
+             sb0 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+               CAST(n AS DOUBLE) AS ssb,
+             CAST(q AS DOUBLE) - sb0 AS ssw,
+             ((sb0 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+                 CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) /
+             ((CAST(q AS DOUBLE) - sb0) / CAST(n - k AS DOUBLE))
+               AS f_stat
+      FROM m""",
     "q_best_split" -> """
       WITH cont AS (
         SELECT CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
