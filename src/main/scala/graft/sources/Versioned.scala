@@ -56,7 +56,16 @@ object Versioned {
       // its own layout — changing the partitioning NEVER rewrites
       // history. Absent for plain dirs; filtered with the dir chain
       // on overwrite/rewrite.
-      partSpecs: Map[String, String] = Map.empty) {
+      partSpecs: Map[String, String] = Map.empty,
+      // DROPPED-COLUMN tombstones ([[dropColumn]]): physical names
+      // whose bytes still sit in the chain's old files. Re-adding a
+      // tombstoned name must FAIL — an explicit-schema read would
+      // resurrect the old files' bytes under the new column (the
+      // ghost-column bug column-mapping formats solve with ids;
+      // tombstones are the honest no-mapping answer). Carried by
+      // every derived manifest; an OVERWRITE resets them with the
+      // schema baseline (its chain holds no old files to haunt).
+      droppedCols: Seq[String] = Seq.empty) {
     /** `partSpecs` restricted to dirs a derived manifest carries. */
     def specsFor(dirs: Seq[String]): Map[String, String] =
       partSpecs.filter { case (d, _) => dirs.contains(d) }
@@ -99,7 +108,10 @@ object Versioned {
        else s""","partSpecs":{${
          m.partSpecs.toSeq.sortBy(_._1).map { case (d, c) =>
            s"${ManifestJson.quote(d)}:${ManifestJson.quote(c)}"
-         }.mkString(",")}}""") + "}"
+         }.mkString(",")}}""") +
+      (if (m.droppedCols.isEmpty) ""
+       else s""","dropped":[${
+         m.droppedCols.map(ManifestJson.quote).mkString(",")}]""") + "}"
 
   private def parse(s: String): Manifest = {
     val m = ManifestJson.parseObject(s)
@@ -119,7 +131,9 @@ object Versioned {
         .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
       partSpecs = m.getOrElse("partSpecs", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]]
-        .map { case (d, c) => d -> c.asInstanceOf[String] })
+        .map { case (d, c) => d -> c.asInstanceOf[String] },
+      droppedCols = m.getOrElse("dropped", List.empty[Any])
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
   }
 
   /** THE commit-coordination primitive — delegates to the pluggable
@@ -450,19 +464,49 @@ object Versioned {
           viol.map(_.toString).getOrElse(""))
       }
       // schema evolution: an append may ADD columns (they null-fill
-      // for older files at read time); a same-name column must keep
-      // its type — silent type drift is the bug every format rejects
+      // for older files at read time), and a same-name column may
+      // WIDEN along the lossless ladders byte→short→int→long and
+      // float→double — Spark 4's parquet readers upcast narrower file
+      // bytes under the wider read schema, so neither old nor new
+      // files rewrite (the manifest adopts the widest type ever
+      // committed; a NARROWER arrival is equally fine — its files
+      // read widened). Anything off the ladder — long→int, string→
+      // numeric — is silent-corruption drift and still fails loudly.
+      // A name tombstoned by [[dropColumn]] cannot come back: the
+      // explicit-schema read would resurrect the dropped files' bytes
+      // under the reborn column.
+      val dropped = parent.map(_.droppedCols).getOrElse(Seq.empty)
       val ddl = parent.flatMap(_.schemaDdl) match {
         case Some(pd) =>
-          val ps = org.apache.spark.sql.types.StructType.fromDDL(pd)
-          val byName = ps.fields.map(f => f.name -> f.dataType).toMap
-          df.schema.fields.foreach { f =>
-            byName.get(f.name).foreach(t => require(t == f.dataType,
-              s"versioned commit: column ${f.name} type drift " +
-                s"($t -> ${f.dataType}) at $path"))
+          import org.apache.spark.sql.types._
+          def widens(from: DataType, to: DataType): Boolean =
+            (from, to) match {
+              case (ByteType, ShortType | IntegerType | LongType) => true
+              case (ShortType, IntegerType | LongType) => true
+              case (IntegerType, LongType) => true
+              case (FloatType, DoubleType) => true
+              case _ => false
+            }
+          val ps = StructType.fromDDL(pd)
+          val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+          val merged = ps.fields.map { f =>
+            byName.get(f.name) match {
+              case Some(d) if d == f.dataType => f
+              case Some(d) if widens(f.dataType, d) => f.copy(dataType = d)
+              case Some(d) if widens(d, f.dataType) => f
+              case Some(d) => sys.error(
+                s"versioned commit: column ${f.name} type drift " +
+                  s"(${f.dataType} -> $d) at $path")
+              case None => f
+            }
           }
-          val added = df.schema.fields.filterNot(f => byName.contains(f.name))
-          org.apache.spark.sql.types.StructType(ps.fields ++ added).toDDL
+          val have = ps.fields.map(_.name).toSet
+          val added = df.schema.fields.filterNot(f => have.contains(f.name))
+          added.find(f => dropped.contains(f.name)).foreach(f => sys.error(
+            s"versioned commit: column ${f.name} was DROPPED at $path — " +
+              "old files still hold its bytes, which an explicit-schema " +
+              "read would resurrect; use a fresh column name"))
+          StructType(merged ++ added).toDDL
         case None => df.schema.toDDL
       }
       // an APPEND carries the parent's deletion-vector mask — new
@@ -478,7 +522,8 @@ object Versioned {
         // carry the CARRIED dirs' partition specs; the new dir adds
         // its own spec iff this is a partitioned-layout commit
         partSpecs = parent.map(_.specsFor(parentDirs))
-          .getOrElse(Map.empty) ++ partSpec.map(dataId -> _))
+          .getOrElse(Map.empty) ++ partSpec.map(dataId -> _),
+        droppedCols = dropped)
       // atomic create-exclusive publish via [[publishManifest]] (the
       // one deployment seam — rename(2) would REPLACE silently, the
       // wrong primitive for a commit race); the loser retries against
@@ -766,7 +811,8 @@ object Versioned {
       val m = Manifest(head + 1, "restore", src.dataDirs, txn = None,
         schemaDdl = src.schemaDdl,
         ts = Some(System.currentTimeMillis()), constraints = cons,
-        dvDirs = src.dvDirs, partSpecs = src.partSpecs)
+        dvDirs = src.dvDirs, partSpecs = src.partSpecs,
+        droppedCols = src.droppedCols)
       if (publishManifest(path, m)) return m.version
     }
     -1 // unreachable
@@ -1194,6 +1240,62 @@ object Versioned {
     readManifest(path,
       version.getOrElse(latestVersion(path))).constraints
 
+  /** DROP COLUMN as a METADATA commit — zero data files move: the new
+    * manifest's schema simply omits the column, and every read (plain,
+    * per-dir, feed) already projects through the manifest's explicit
+    * schema, so the bytes still sitting in old files become invisible
+    * at the head while TIME TRAVEL at older versions still shows them
+    * (each version reads under its own schema). The physical name is
+    * TOMBSTONED: re-adding it fails loudly at commit, because the
+    * explicit-schema read would resurrect the old files' bytes under
+    * the reborn column — the ghost-column bug column-mapping formats
+    * solve with field ids (renames are likewise unsupported without
+    * ids: drop + re-add under a fresh name is the honest spelling).
+    * Guards: cannot drop the last column, a LIVE dir's hive partition
+    * column ([[readPartitionPruned]] would break and discovery could
+    * not restore prunability), or a column referenced by a CHECK
+    * constraint (conservative word-boundary match — drop the
+    * constraint first). Publishes mode `meta` with an empty feed dir
+    * (no logical rows changed), like [[addConstraint]]. */
+  def dropColumn(path: String, colName: String): Int = {
+    import org.apache.spark.sql.types.StructType
+    var attempt = 0
+    while (true) {
+      require(attempt < 50, s"versioned dropColumn: 50 lost races at $path")
+      attempt += 1
+      val head = latestVersion(path)
+      require(head >= 0, s"versioned dropColumn: no committed version at $path")
+      val parent = readManifest(path, head)
+      val ddl = parent.schemaDdl.getOrElse(sys.error(
+        s"versioned dropColumn: table at $path predates schema tracking"))
+      val ps = StructType.fromDDL(ddl)
+      require(ps.fieldNames.contains(colName),
+        s"versioned dropColumn: no column '$colName' at $path " +
+          s"(have: ${ps.fieldNames.mkString(", ")})")
+      require(ps.fields.length > 1,
+        s"versioned dropColumn: cannot drop the last column at $path")
+      require(!parent.partSpecs.values.toSet.contains(colName),
+        s"versioned dropColumn: '$colName' is a live dir's partition " +
+          s"column at $path — compact() first to flatten the layout")
+      val word = (".*\\b" +
+        java.util.regex.Pattern.quote(colName) + "\\b.*").r
+      parent.constraints.find(c => word.matches(c)).foreach(c =>
+        sys.error(s"versioned dropColumn: '$colName' appears in CHECK " +
+          s"constraint '$c' at $path — remove the constraint first"))
+      val m = parent.copy(version = head + 1, mode = "meta", txn = None,
+        ts = Some(System.currentTimeMillis()),
+        schemaDdl = Some(
+          StructType(ps.fields.filterNot(_.name == colName)).toDDL),
+        droppedCols = parent.droppedCols :+ colName)
+      if (publishManifest(path, m)) {
+        // a metadata commit changes no logical rows: empty feed dir
+        Files.createDirectories(changeDirPath(path, m.version))
+        return m.version
+      } // else: lost the race — re-derive against the new head
+    }
+    -1 // unreachable
+  }
+
   /** Snapshot CDC: classify every key between two versions of the
     * table as insert / delete / update / unchanged — the change feed
     * an incremental consumer reads instead of re-scanning snapshots.
@@ -1419,7 +1521,7 @@ object Versioned {
         txn, m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints,
         dvDirs = if (masked == 0L) m.dvDirs else m.dvDirs :+ dvId,
-        partSpecs = m.partSpecs)
+        partSpecs = m.partSpecs, droppedCols = m.droppedCols)
       if (publishManifest(path, next)) {
         if (masked == 0L) dropDirRec(Paths.get(path, "dv", dvId))
         publishMergeFeed(path, next.version, target, updates, keys,
@@ -1526,7 +1628,7 @@ object Versioned {
         constraints = m.constraints, dvDirs = m.dvDirs,
         // rewritten dirs drop their specs with their bytes (the
         // staged replacement is plain); carried dirs keep theirs
-        partSpecs = m.specsFor(carried))
+        partSpecs = m.specsFor(carried), droppedCols = m.droppedCols)
       if (publishManifest(path, next)) {
         // stored feed: pre-image delete rows, derived from the
         // immutable base snapshot AFTER the publish (a lost race
@@ -1616,7 +1718,7 @@ object Versioned {
       val next = Manifest(base + 1, "delete-dv", m.dataDirs, txn,
         m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints, dvDirs = m.dvDirs :+ dvId,
-        partSpecs = m.partSpecs)
+        partSpecs = m.partSpecs, droppedCols = m.droppedCols)
       if (publishManifest(path, next)) {
         // stored feed: pre-image delete rows derived from the STAGED
         // MASK, not a re-run of the predicate — (a) one bounded read
@@ -1728,7 +1830,7 @@ object Versioned {
     val v0 = Manifest(0, "clone", m.dataDirs, txn = None,
       schemaDdl = m.schemaDdl, ts = Some(System.currentTimeMillis()),
       constraints = m.constraints, dvDirs = m.dvDirs,
-      partSpecs = m.partSpecs)
+      partSpecs = m.partSpecs, droppedCols = m.droppedCols)
     require(publishManifest(dstPath, v0),
       s"versioned clone: $dstPath v0 already exists (racing clone?)")
     // birth feed: the clone's v0 IS a whole-table insert. With an

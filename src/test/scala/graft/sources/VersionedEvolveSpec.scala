@@ -1,0 +1,157 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Schema evolution beyond column ADDS: lossless TYPE WIDENING
+  * (byte→short→int→long, float→double — neither old nor new files
+  * rewrite; the manifest adopts the widest type ever committed and
+  * Spark 4's parquet readers upcast narrower file bytes under the
+  * wider read schema) and DROP COLUMN as a metadata-only commit with
+  * physical-name tombstones (re-adding a dropped name would let the
+  * explicit-schema read resurrect the old files' bytes — the
+  * ghost-column bug — so it fails loudly). */
+class VersionedEvolveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String = java.nio.file.Files
+    .createTempDirectory("graft_vevolve").toString
+
+  test("int→long widening: old int32 files read under the widened schema") {
+    val path = tmpTable()
+    // v0 writes k as INT (int32 parquet pages)
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"),
+      path, overwrite = false)
+    assert(Versioned.read(spark, path).schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // v1 appends k as LONG — accepted, manifest widens, v0's files stay
+    Versioned.commit(Seq((3000000000L, "c")).toDF("k", "v"),
+      path, overwrite = false)
+    val head = Versioned.read(spark, path)
+    assert(head.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(head.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3000000000L, "c")))
+    // a NARROWER append after the widening is equally fine: its int32
+    // file reads widened under the long manifest type
+    Versioned.commit(Seq((4, "d")).toDF("k", "v"), path,
+      overwrite = false)
+    assert(Versioned.read(spark, path).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"),
+        (3000000000L, "c"), (4L, "d")))
+    // time travel at v0 still reads the ORIGINAL int type
+    assert(Versioned.read(spark, path, Some(0)).schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("float→double widening; off-ladder drift still fails loudly") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, 1.5f)).toDF("k", "x"), path,
+      overwrite = false)
+    Versioned.commit(Seq((2L, 2.25)).toDF("k", "x"), path,
+      overwrite = false)
+    assert(Versioned.read(spark, path).as[(Long, Double)]
+      .collect().toSet == Set((1L, 1.5), (2L, 2.25)))
+    // long→int is NARROWING of the manifest type ONLY when the
+    // manifest never saw the wide type — here x is DOUBLE; a string
+    // arrival is plain corruption
+    val err = intercept[RuntimeException] {
+      Versioned.commit(Seq((3L, "nope")).toDF("k", "x"), path,
+        overwrite = false)
+    }
+    assert(err.getMessage.contains("type drift"))
+  }
+
+  test("dropColumn hides the column at the head, keeps it in history, and tombstones the name") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "v", "secret"), path, overwrite = false)
+    val v1 = Versioned.dropColumn(path, "secret")
+    assert(v1 == 1)
+    // head no longer shows the column; bytes did not move
+    val head = Versioned.read(spark, path)
+    assert(head.columns.toSeq == Seq("k", "v"))
+    assert(head.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // time travel still shows it (each version reads under its schema)
+    assert(Versioned.read(spark, path, Some(0)).columns.toSeq ==
+      Seq("k", "v", "secret"))
+    // appends WITHOUT the column proceed normally
+    Versioned.commit(Seq((3L, "c")).toDF("k", "v"), path,
+      overwrite = false)
+    assert(Versioned.read(spark, path).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // re-adding the tombstoned name fails loudly: v0's files still
+    // hold 10/20 under 'secret', which the explicit-schema read
+    // would resurrect into the reborn column
+    val err = intercept[RuntimeException] {
+      Versioned.commit(Seq((4L, "d", 99L)).toDF("k", "v", "secret"),
+        path, overwrite = false)
+    }
+    assert(err.getMessage.contains("DROPPED"))
+    // an OVERWRITE resets the baseline (no old files left to haunt)
+    Versioned.commit(Seq((9L, "z", 7L)).toDF("k", "v", "secret"),
+      path, overwrite = true)
+    assert(Versioned.read(spark, path).columns.toSeq ==
+      Seq("k", "v", "secret"))
+  }
+
+  test("dropColumn guards: last column, live partition column, constraint reference") {
+    val path = tmpTable()
+    Versioned.commitPartitioned(
+      Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("k", "v", "p"),
+      path, "p", overwrite = false)
+    Versioned.addConstraint(spark, path, "k > 0")
+    val e1 = intercept[RuntimeException](
+      Versioned.dropColumn(path, "p"))
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[RuntimeException](
+      Versioned.dropColumn(path, "k"))
+    assert(e2.getMessage.contains("constraint"))
+    val e3 = intercept[RuntimeException](
+      Versioned.dropColumn(path, "nope"))
+    assert(e3.getMessage.contains("no column"))
+    Versioned.dropColumn(path, "v")
+    val one = tmpTable()
+    Versioned.commit(Seq(Tuple1(1L)).toDF("k"), one, overwrite = false)
+    val e4 = intercept[RuntimeException](
+      Versioned.dropColumn(one, "k"))
+    assert(e4.getMessage.contains("last column"))
+  }
+
+  test("dropColumn composes with the change feed: meta commit feeds empty, later changes flow") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a", 1L)).toDF("k", "v", "junk"),
+      path, overwrite = false)
+    Versioned.dropColumn(path, "junk")                      // v1 meta
+    Versioned.commit(Seq((2L, "b")).toDF("k", "v"), path,
+      overwrite = false)                                    // v2
+    val ch = Versioned.readChanges(spark, path, 0, 2)
+    // feed reads under the HEAD schema: 'junk' is projected away even
+    // for v0's feed files; the meta commit contributes zero rows
+    assert(ch.columns.toSeq ==
+      Seq("k", "v", "_commit_version", "_change_type"))
+    val got = ch.select("k", "_commit_version", "_change_type")
+      .as[(Long, Int, String)].collect().toSet
+    assert(got == Set((1L, 0, "insert"), (2L, 2, "insert")))
+    // the widened/narrowed epoch accounting is untouched: no bump
+    assert(Versioned.feedEpoch(path, 2) == 0)
+  }
+
+  test("widening composes with deletion vectors and compaction") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), path,
+      overwrite = false)                                    // int32
+    Versioned.commit(Seq((5000000000L, "c")).toDF("k", "v"), path,
+      overwrite = false)                                    // widens
+    Versioned.deleteWhereDV(spark, path, col("k") === 2L)
+    assert(Versioned.read(spark, path).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (5000000000L, "c")))
+    Versioned.compact(spark, path, 1)
+    val after = Versioned.read(spark, path)
+    assert(after.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(after.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (5000000000L, "c")))
+  }
+}

@@ -181,9 +181,11 @@ class VersionedSpec extends SparkSpec {
     assert(h2.columns.toSeq == Seq("k", "v", "n"))
     assert(h2.filter(col("k") === 3L).select("n").as[Option[Int]]
       .collect().toSeq == Seq(None))
-    // same-name type drift is rejected, not silently coerced
-    val err = intercept[IllegalArgumentException] {
-      Versioned.commit(Seq((4L, 99L)).toDF("k", "n"), path,
+    // same-name type drift is rejected, not silently coerced —
+    // int→long would now be a legal WIDENING (VersionedEvolveSpec),
+    // so the drift case is an off-ladder string arrival
+    val err = intercept[RuntimeException] {
+      Versioned.commit(Seq((4L, "not-an-int")).toDF("k", "n"), path,
         overwrite = false)
     }
     assert(err.getMessage.contains("type drift"))
