@@ -8341,6 +8341,57 @@ object SparkEntry {
       s.sql(sqlDsMonthdev)
     }),
 
+    // 264: DIFFERENCE-IN-DIFFERENCES — the workhorse causal
+    // estimator: did the BUILDING segment's mean order value move
+    // differently across the date-range midpoint than everyone
+    // else's? The 2×2 (treated × period) cells come from the bounded
+    // (group × day) frame — the fact table reduces in ONE exact
+    // groupBy (BIGINT cent sums) before any scalar joins, so the
+    // midpoint carrier only ever touches |groups|×|days| rows. Cell
+    // means are mirrored divisions; DiD is one mirrored expression.
+    "q_did" -> ((s, dir) => {
+      val day = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy((col("c_mktsegment") === "BUILDING")
+            .cast("int").as("treated"),
+          col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sc"))
+      val bounds = day.agg(min(col("d")).as("dmin"),
+        max(col("d")).as("dmax"))
+      val cells = day.crossJoin(broadcast(bounds))
+        .withColumn("post",
+          (datediff(col("d"), col("dmin")) * 2 >=
+            datediff(col("dmax"), col("dmin"))).cast("int"))
+        .groupBy(col("treated"), col("post"))
+        .agg(sum(col("n")).as("n"), sum(col("sc")).as("sc"))
+      val m = cells.agg(
+        sum(when(col("treated") === 1 && col("post") === 0, col("n"))
+          .otherwise(0L)).as("n_pre_t"),
+        sum(when(col("treated") === 1 && col("post") === 0, col("sc"))
+          .otherwise(0L)).as("s_pre_t"),
+        sum(when(col("treated") === 1 && col("post") === 1, col("n"))
+          .otherwise(0L)).as("n_post_t"),
+        sum(when(col("treated") === 1 && col("post") === 1, col("sc"))
+          .otherwise(0L)).as("s_post_t"),
+        sum(when(col("treated") === 0 && col("post") === 0, col("n"))
+          .otherwise(0L)).as("n_pre_c"),
+        sum(when(col("treated") === 0 && col("post") === 0, col("sc"))
+          .otherwise(0L)).as("s_pre_c"),
+        sum(when(col("treated") === 0 && col("post") === 1, col("n"))
+          .otherwise(0L)).as("n_post_c"),
+        sum(when(col("treated") === 0 && col("post") === 1, col("sc"))
+          .otherwise(0L)).as("s_post_c"))
+      def mean(sc: String, n: String) =
+        col(sc).cast("double") / col(n).cast("double") / 100.0
+      m.select(col("n_pre_t"), col("n_post_t"), col("n_pre_c"),
+        col("n_post_c"),
+        ((mean("s_post_t", "n_post_t") - mean("s_pre_t", "n_pre_t")) -
+          (mean("s_post_c", "n_post_c") - mean("s_pre_c", "n_pre_c")))
+          .as("did_dollars"))
+    }),
+
     // 261: SPEARMAN WITH TIE CORRECTION — the AVERAGE-RANK variant
     // (q_spearman row 226 breaks ties by key; this one computes the
     // textbook tie-corrected statistic, which matters when one
@@ -8644,6 +8695,44 @@ object SparkEntry {
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
             .as("gap_usec"))
         .orderBy("view_id", "purchase_id")
+    }),
+
+    // 263: FULL-OUTER stream-stream join on the real engine — BOTH
+    // sides' never-matched rows, each under its OWN eviction clock:
+    // an unmatched view emits once the watermark passes v_ts + 4h
+    // (no future purchase can land in its window), an unmatched
+    // purchase once the watermark passes p_ts itself (views with
+    // v_ts ≤ p_ts could arrive until then). The oracle encodes both
+    // horizons against the shared min-of-streams watermark — the
+    // asymmetry IS the check (left and right state evict at
+    // different clocks derived from the interval bounds).
+    "q_stream_full" -> ((s, dir) => {
+      val views = eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val joined = graft.streaming.StreamingOps.streamStreamJoinFullOuter(
+        views, purchases, "user_id", "v_ts", "p_ts",
+        "0 seconds", "4 hours", "24 hours")
+      val sink = s"q_stream_full_${streamExecSeq.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("view_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+            .as("gap_usec"))
+        // NULLS LAST on both keys: Spark's ASC default is nulls
+        // FIRST, DuckDB's is nulls LAST — the right-only rows' NULL
+        // view_id would land at opposite ends of the dump
+        .orderBy(col("view_id").asc_nulls_last,
+          col("purchase_id").asc_nulls_last)
     }),
 
     // 260: SESSION WINDOWS on the real streaming engine — the
@@ -10097,6 +10186,42 @@ object SparkEntry {
                (a, b) -> a + b) AS mi_nats
       FROM c""",
     "q_sql_ds_monthdev" -> sqlDsMonthdev,
+    "q_stream_full" -> """
+      WITH v AS (SELECT user_id, ts, event_id FROM events
+                 WHERE event_type = 'view'),
+      p AS (SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase'),
+      wm AS (SELECT least((SELECT max(ts) FROM v),
+                          (SELECT max(ts) FROM p))
+                    - INTERVAL 24 HOUR AS w),
+      matched AS (
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS gap_usec
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR),
+      left_only AS (
+        SELECT v.event_id AS view_id,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS BIGINT) AS gap_usec
+        FROM v
+        WHERE v.ts + INTERVAL 4 HOUR < (SELECT w FROM wm)
+          AND NOT EXISTS (SELECT 1 FROM p
+                WHERE p.user_id = v.user_id
+                  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR)),
+      right_only AS (
+        SELECT CAST(NULL AS BIGINT) AS view_id,
+               p.event_id AS purchase_id,
+               CAST(NULL AS BIGINT) AS gap_usec
+        FROM p
+        WHERE p.ts < (SELECT w FROM wm)
+          AND NOT EXISTS (SELECT 1 FROM v
+                WHERE v.user_id = p.user_id
+                  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR))
+      SELECT * FROM matched
+      UNION ALL SELECT * FROM left_only
+      UNION ALL SELECT * FROM right_only
+      ORDER BY view_id, purchase_id""",
     "q_stream_session" -> """
       WITH g AS (
         SELECT user_id, ts,
@@ -10118,6 +10243,44 @@ object SparkEntry {
              (SELECT epoch_us(CAST(max(ts) AS TIMESTAMP))
                      - CAST(86400 AS BIGINT) * 1000000 FROM events)
       ORDER BY user_id, start_us""",
+    "q_did" -> """
+      WITH day AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                 AS treated,
+               o_orderdate AS d, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS sc
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      b AS (SELECT min(d) AS dmin, max(d) AS dmax FROM day),
+      cells AS (
+        SELECT treated,
+               CASE WHEN (CAST(d AS DATE) - (SELECT CAST(dmin AS DATE)
+                      FROM b)) * 2 >=
+                    ((SELECT CAST(dmax AS DATE) FROM b) -
+                     (SELECT CAST(dmin AS DATE) FROM b))
+                    THEN 1 ELSE 0 END AS post,
+               CAST(sum(n) AS BIGINT) AS n, CAST(sum(sc) AS BIGINT) AS sc
+        FROM day GROUP BY 1, 2),
+      m AS (
+        SELECT
+          CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN n ELSE 0 END) AS BIGINT) AS n_pre_t,
+          CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN sc ELSE 0 END) AS BIGINT) AS s_pre_t,
+          CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN n ELSE 0 END) AS BIGINT) AS n_post_t,
+          CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN sc ELSE 0 END) AS BIGINT) AS s_post_t,
+          CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN n ELSE 0 END) AS BIGINT) AS n_pre_c,
+          CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN sc ELSE 0 END) AS BIGINT) AS s_pre_c,
+          CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN n ELSE 0 END) AS BIGINT) AS n_post_c,
+          CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN sc ELSE 0 END) AS BIGINT) AS s_post_c
+        FROM cells)
+      SELECT n_pre_t, n_post_t, n_pre_c, n_post_c,
+             ((CAST(s_post_t AS DOUBLE) / CAST(n_post_t AS DOUBLE) / 100.0
+               - CAST(s_pre_t AS DOUBLE) / CAST(n_pre_t AS DOUBLE) / 100.0)
+              -
+              (CAST(s_post_c AS DOUBLE) / CAST(n_post_c AS DOUBLE) / 100.0
+               - CAST(s_pre_c AS DOUBLE) / CAST(n_pre_c AS DOUBLE) / 100.0))
+               AS did_dollars
+      FROM m""",
     "q_spearman_ties" -> """
       WITH base AS (
         SELECT c_custkey AS k,

@@ -105,7 +105,10 @@ class PlanSpec extends SparkSpec {
       // with the broadcast ≤|segments|-row class frame to densify
       // the contingency grid — both sides bounded by feature range /
       // label cardinality, never row count (q_kmeans shape)
-      "q_best_split")
+      "q_best_split",
+      // q_did threads the 1-row date-range bounds onto the bounded
+      // (group × day) frame — the q_histogram scalar-carrier shape
+      "q_did")
 
   test("every intendedNestedLoop key exists and still plans one") {
     // keeps the allowlist from rotting: a key that stops planning a
