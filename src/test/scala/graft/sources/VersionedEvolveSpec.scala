@@ -138,6 +138,47 @@ class VersionedEvolveSpec extends SparkSpec {
     assert(Versioned.feedEpoch(path, 2) == 0)
   }
 
+  test("widened feed reads: pre-widening int32 feed files upcast under the head feed schema") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1, "a")).toDF("k", "v"), path,
+      overwrite = false)                       // v0 feed files: int32 k
+    Versioned.commit(Seq((3000000000L, "b")).toDF("k", "v"), path,
+      overwrite = false)                       // widens the head to long
+    // readChanges reads the WHOLE feed under the HEAD schema — v0's
+    // zero-copy linked files still hold int32 pages and must upcast
+    val got = Versioned.readChanges(spark, path, 0, 1)
+      .select("k", "v", "_commit_version", "_change_type")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(got == Set((1L, "a", 0, "insert"),
+      (3000000000L, "b", 1, "insert")))
+  }
+
+  test("streaming feed subscriber survives a dropColumn across a checkpoint restart") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a", 99L)).toDF("k", "v", "junk"),
+      path, overwrite = false)
+    val ckpt = tmpTable()
+    val out = tmpTable() + "/sink"
+    def start() = Versioned.readChangeStream(spark, path)
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // schema change lands while the subscriber is down
+    Versioned.dropColumn(path, "junk")                    // v1, empty feed
+    Versioned.commit(Seq((2L, "b")).toDF("k", "v"), path,
+      overwrite = false)                                  // v2
+    // the restarted reader resolves the NEW (narrower) feed schema;
+    // already-seen v0 files are not replayed, v2 arrives once
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val sunk = spark.read.option("mergeSchema", "true").parquet(out)
+      .select("k", "_commit_version", "_change_type")
+      .as[(Long, Int, String)].collect().toSet
+    assert(sunk == Set((1L, 0, "insert"), (2L, 2, "insert")))
+  }
+
   test("widening composes with deletion vectors and compaction") {
     val path = tmpTable()
     Versioned.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), path,

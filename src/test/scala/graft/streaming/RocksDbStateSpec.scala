@@ -66,4 +66,49 @@ class RocksDbStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("outer stream-stream join state (both sides + null-emission bookkeeping) runs on RocksDB") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sq = spark.sqlContext
+      val clicks = MemoryStream[(Timestamp, Long, String)]
+      val views = MemoryStream[(Timestamp, Long, String)]
+      val q = StreamingOps.streamStreamJoinLeftOuter(
+          clicks.toDF().toDF("cts", "user_id", "click"),
+          views.toDF().toDF("vts", "user_id", "view"),
+          "user_id", "cts", "vts", "0 seconds", "30 minutes", "1 hour")
+        .select("user_id", "click", "view")
+        .writeStream.format("memory").queryName("rocks_outer")
+        .outputMode("append").start()
+      clicks.addData((ts("2024-01-01 00:00:00"), 1L, "c-matched"),
+        (ts("2024-01-01 00:00:00"), 2L, "c-unmatched"))
+      views.addData((ts("2024-01-01 00:10:00"), 1L, "v-in-window"))
+      q.processAllAvailable()
+      // advance the watermark past user 2's window, then one more
+      // batch so the store flushes the expired row (same cadence as
+      // the default-store spec in StreamingSpec)
+      clicks.addData((ts("2024-01-01 04:00:00"), 9L, "c-late"))
+      views.addData((ts("2024-01-01 04:00:00"), 9L, "v-late"))
+      q.processAllAvailable()
+      views.addData((ts("2024-01-01 04:00:01"), 9L, "v-later"))
+      q.processAllAvailable()
+      val lastProgress = q.lastProgress
+      q.stop()
+      val got = spark.table("rocks_outer")
+        .as[(Long, String, Option[String])].collect().toSet
+      assert(got.contains((1L, "c-matched", Some("v-in-window"))))
+      assert(got.contains((2L, "c-unmatched", None)),
+        s"expired unmatched left row must emit on RocksDB too, got $got")
+      assert(lastProgress.stateOperators.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
