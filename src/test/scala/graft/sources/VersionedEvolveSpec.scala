@@ -179,6 +179,65 @@ class VersionedEvolveSpec extends SparkSpec {
     assert(sunk == Set((1L, 0, "insert"), (2L, 2, "insert")))
   }
 
+  test("widening composes with clustered commits: per-version index prunes, widened schema reads") {
+    val path = tmpTable()
+    // clustered commit with int32 k; its min/max sidecar is int-typed
+    Versioned.commitClustered(
+      (1 to 100).map(i => (i, i * 2)).toDF("k", "w"),
+      path, "k", "w", files = 4, overwrite = false)
+    // widening append (long) — indexed under its own (long) sidecar
+    Versioned.commitClustered(
+      Seq((3000000000L, 6000000000L)).toDF("k", "w"),
+      path, "k", "w", files = 1, overwrite = false)
+    val (df, kept, total) = Versioned.readRangeClustered(
+      spark, path, "k", 1.0, 10.0)
+    // the v0 sidecar still skips files; the widened manifest schema
+    // governs the read (k is LONG even for int32 pages)
+    assert(kept < total, s"no skipping: $kept/$total")
+    assert(df.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.select("k").as[Long].collect().toSet ==
+      (1L to 10L).toSet)
+    // the widened row is reachable through its own range
+    val (df2, _, _) = Versioned.readRangeClustered(
+      spark, path, "k", 2.9e9, 3.1e9)
+    assert(df2.select("k").as[Long].collect().toSet ==
+      Set(3000000000L))
+  }
+
+  test("dropColumn racing a concurrent append: the loser re-derives, tombstone and schema stay consistent") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a", 10L)).toDF("k", "v", "junk"),
+      path, overwrite = false)
+    var fired = false
+    Versioned.prePublishHook = () => {
+      if (!fired) {
+        fired = true
+        // the racer lands an append WITH the column inside
+        // dropColumn's derive→publish window
+        Versioned.commit(Seq((2L, "b", 20L)).toDF("k", "v", "junk"),
+          path, overwrite = false): Unit
+      }
+    }
+    try {
+      val v = Versioned.dropColumn(path, "junk")
+      assert(fired, "race hook never fired")
+      // ledger: v0 seed, v1 racer append, v2 the drop (re-derived
+      // against the post-append head, so the racer's rows survive
+      // minus the column)
+      assert(v == 2)
+      assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "v"))
+      assert(Versioned.read(spark, path).as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (2L, "b")))
+      // and the tombstone bites commits derived AFTER the race
+      val err = intercept[RuntimeException] {
+        Versioned.commit(Seq((3L, "c", 30L)).toDF("k", "v", "junk"),
+          path, overwrite = false)
+      }
+      assert(err.getMessage.contains("DROPPED"))
+    } finally Versioned.prePublishHook = () => ()
+  }
+
   test("widening composes with deletion vectors and compaction") {
     val path = tmpTable()
     Versioned.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), path,
