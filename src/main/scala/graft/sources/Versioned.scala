@@ -259,6 +259,23 @@ object Versioned {
         Clustered.writeStats(df.sparkSession, dataDir, Seq(c1, c2))
       }).get
 
+  /** STATS-INDEXED APPEND: a plain commit (no re-clustering, no
+    * sort — the rows land in arrival order) that also writes the
+    * per-file min/max sidecar for `cols`, so [[readRangeClustered]]
+    * prunes this dir's files too. The cheap middle ground between a
+    * plain append (never skipped) and [[commitClustered]] (full
+    * z-order rewrite): time-ordered ingest is usually ALREADY
+    * range-clustered on its event-time column, so recording the
+    * min/max buys date-range skipping for one extra aggregate job
+    * per commit and zero data movement. */
+  def commitIndexed(df: DataFrame, path: String, cols: Seq[String],
+      overwrite: Boolean, txn: Option[String] = None): Int =
+    commitCore(df, path, overwrite, txn, expectedBase = None,
+      stage = dataDir => {
+        df.write.mode("errorifexists").parquet(dataDir)
+        Clustered.writeStats(df.sparkSession, dataDir, cols)
+      }).get
+
   /** PARTITION-EVOLUTION commit (Iceberg's headline metadata trick,
     * ledger-sized for this format): stage `df` under a hive layout
     * (`<partCol>=<value>/` subdirs inside this commit's data dir) and

@@ -113,6 +113,23 @@ object StreamingOps {
       .drop(r(key))
   }
 
+  /** Watermarked RIGHT OUTER stream-stream join — the mirror of
+    * [[streamStreamJoinLeftOuter]]: an unmatched RIGHT event emits
+    * once the watermark passes the last left timestamp that could
+    * still pair it (p_ts itself under a [0, after] window — left
+    * rows at or before p_ts may arrive until then). The key column
+    * survives from the right side (always present on a right-outer
+    * row). */
+  def streamStreamJoinRightOuter(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String, before: String,
+      after: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, ssCond(l, r, key, leftTs, rightTs, before, after),
+        "right_outer")
+      .drop(l(key))
+  }
+
   /** Watermarked FULL OUTER stream-stream join — BOTH sides' "never
     * matched" rows emit null-padded once the watermark closes their
     * window (same eviction-moment semantics as

@@ -205,6 +205,26 @@ class VersionedEvolveSpec extends SparkSpec {
       Set(3000000000L))
   }
 
+  test("commitIndexed: plain appends gain min/max file skipping without re-clustering") {
+    val path = tmpTable()
+    // two "daily batches" already range-clustered by arrival (the
+    // time-ordered ingest shape) — indexed, not z-ordered
+    Versioned.commitIndexed(
+      (1 to 100).map(i => (i.toLong, i * 2L)).toDF("k", "w")
+        .repartition(4), path, Seq("k", "w"), overwrite = false)
+    Versioned.commitIndexed(
+      (101 to 200).map(i => (i.toLong, i * 2L)).toDF("k", "w")
+        .repartition(4), path, Seq("k", "w"), overwrite = false)
+    val (df, kept, total) = Versioned.readRangeClustered(
+      spark, path, "k", 120.0, 140.0)
+    // the first commit's files all miss [120, 140]: skipped wholesale
+    assert(total >= 8 && kept < total, s"no skipping: $kept/$total")
+    assert(df.select("k").as[Long].collect().toSet ==
+      (120L to 140L).toSet)
+    // plain read still sees everything (the sidecar is read-path-only)
+    assert(Versioned.read(spark, path).count() == 200L)
+  }
+
   test("dropColumn racing a concurrent append: the loser re-derives, tombstone and schema stay consistent") {
     val path = tmpTable()
     Versioned.commit(Seq((1L, "a", 10L)).toDF("k", "v", "junk"),

@@ -151,6 +151,34 @@ class StreamingSpec extends SparkSpec {
       "the unmatched row must never ALSO emit a matched version")
   }
 
+  test("streamStreamJoinRightOuter emits null-padded right-only rows after expiry") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.streamStreamJoinRightOuter(
+        clicks.toDF().toDF("cts", "user_id", "click"),
+        views.toDF().toDF("vts", "user_id", "view"),
+        "user_id", "cts", "vts", "0 seconds", "30 minutes", "1 hour")
+      .select("user_id", "click", "view")
+      .writeStream.format("memory").queryName("ss_join_right")
+      .outputMode("append").start()
+    clicks.addData((ts("2024-01-01 00:00:00"), 1L, "c-matched"))
+    views.addData((ts("2024-01-01 00:10:00"), 1L, "v-in-window"),
+      (ts("2024-01-01 00:10:00"), 3L, "v-only"))
+    q.processAllAvailable()
+    clicks.addData((ts("2024-01-01 04:00:00"), 9L, "c-late"))
+    views.addData((ts("2024-01-01 04:00:00"), 9L, "v-late"))
+    q.processAllAvailable()
+    views.addData((ts("2024-01-01 04:00:01"), 9L, "v-later"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join_right")
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(got.contains((1L, Some("c-matched"), "v-in-window")))
+    assert(got.contains((3L, None, "v-only")),
+      s"expired right-only row must emit null-padded, got $got")
+  }
+
   test("streamStreamJoinFullOuter emits null-padded rows on BOTH sides") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
