@@ -67,6 +67,49 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("merging session-window state runs on RocksDB (append mode, watermark-closed sessions)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sq = spark.sqlContext
+      val s = MemoryStream[(Timestamp, Long)]
+      val sess = s.toDF().toDF("ts", "user_id")
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val q = sess.select("user_id", "n")
+        .writeStream.format("memory").queryName("rocks_sess")
+        .outputMode("append").start()
+      // two events 10 min apart MERGE into one session; a later event
+      // starts a second session and pushes the watermark past the
+      // first, which then emits exactly once
+      s.addData((ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:10:00"), 1L))
+      q.processAllAvailable()
+      s.addData((ts("2024-01-01 06:00:00"), 1L))
+      q.processAllAvailable()
+      s.addData((ts("2024-01-01 06:00:01"), 9L))
+      q.processAllAvailable()
+      val lastProgress = q.lastProgress
+      q.stop()
+      val got = spark.table("rocks_sess").as[(Long, Long)]
+        .collect().toSet
+      assert(got.contains((1L, 2L)),
+        s"merged 2-event session must emit once closed, got $got")
+      assert(!got.contains((1L, 1L)) || got.count(_._1 == 1L) <= 2,
+        s"session fragments emitted separately: $got")
+      assert(lastProgress.stateOperators.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("outer stream-stream join state (both sides + null-emission bookkeeping) runs on RocksDB") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
