@@ -109,9 +109,14 @@ class RankingSpec extends SparkSpec {
         assert(rk == idx + 1L, s"rank of ($v, $id)")
     }
     // distribution: replicate withRank's range partitioning and check
-    // the hot run's rows land in MULTIPLE slices
-    val parts = math.max(
-      spark.sessionState.conf.numShufflePartitions, 2)
+    // the hot run's rows land in MULTIPLE slices. Pinned to 8 slices,
+    // NOT the session conf: at 2 slices the single sampled boundary
+    // can land exactly at the hot run's edge (the run is exactly half
+    // the rows), putting the whole run in one slice — a sampling
+    // artifact of the replica, not a property failure. At 8 slices
+    // the 50%-of-rows run spans ~4 boundary targets; only a
+    // pathological reservoir sample could keep it whole.
+    val parts = 8
     val hotSlices = df
       .repartitionByRange(parts, col("g"), col("v"), col("id"))
       .withColumn("pid", spark_partition_id())
