@@ -160,6 +160,42 @@ object SparkEntry {
     table
   }
 
+  /** The three-commit versioned events ledger (v0 = non-purchases,
+    * v1 = + purchases, v2 = overwrite to clicks only), shared by
+    * q_time_travel (Scala reads) and q_sql_time_travel (SQL catalog
+    * reads); staged once per process. Returns the table path. */
+  private[graft] def ensureVersionedEvents(s: SparkSession,
+      dir: String): String = {
+    val table = stagingRoot(dir) + "/versioned_events"
+    if (graft.sources.Versioned.latestVersion(table) < 0) {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), cents(col("value")).as("vc"))
+      graft.sources.Versioned.commit(
+        ev.filter(col("event_type") =!= "purchase"), table,
+        overwrite = false)
+      graft.sources.Versioned.commit(
+        ev.filter(col("event_type") === "purchase"), table,
+        overwrite = false)
+      graft.sources.Versioned.commit(
+        ev.filter(col("event_type") === "click"), table,
+        overwrite = true)
+    }
+    table
+  }
+
+  /** Register (idempotently) and return the SQL catalog name for
+    * `dir`'s staging warehouse. The name carries the dir digest
+    * because a catalog binds its warehouse at FIRST use — one shared
+    * session touching several sf dirs (the spec suites do) must get
+    * one catalog per dir, never a silently-stale warehouse. */
+  private[graft] def sqlCatalogFor(s: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val cat = s"gsql_${digest.take(8)}"
+    graft.sources.GraftCatalog.register(s, cat, stagingRoot(dir))
+    cat
+  }
+
   /** The read side of q_lake_roundtrip, shared with LakeRoundtripSpec
     * so the spec's executed-scan pruning fence measures EXACTLY the
     * plan the driver row runs. */
@@ -5290,26 +5326,34 @@ object SparkEntry {
     // reconstructable — the property that distinguishes a versioned
     // lake from a directory of parquet.
     "q_time_travel" -> ((s, dir) => {
-      val table = stagingRoot(dir) + "/versioned_events"
-      val ev = t(s, dir, "events").select(col("event_id"),
-        col("event_type"), cents(col("value")).as("vc"))
-      if (graft.sources.Versioned.latestVersion(table) < 0) {
-        graft.sources.Versioned.commit(
-          ev.filter(col("event_type") =!= "purchase"), table,
-          overwrite = false)
-        graft.sources.Versioned.commit(
-          ev.filter(col("event_type") === "purchase"), table,
-          overwrite = false)
-        graft.sources.Versioned.commit(
-          ev.filter(col("event_type") === "click"), table,
-          overwrite = true)
-      }
+      val table = ensureVersionedEvents(s, dir)
       Seq(0, 1, 2).map { v =>
         graft.sources.Versioned.read(s, table, Some(v))
           .agg(count(lit(1)).as("n_events"),
             money(sum(col("vc"))).as("sum_value"))
           .select(lit(v).as("version"), col("n_events"), col("sum_value"))
       }.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // 265: TIME TRAVEL through plain SQL TEXT — the same three-commit
+    // ledger as q_time_travel, read back entirely via Spark's native
+    // `VERSION AS OF` syntax against the DataSource V2 catalog
+    // (sources/GraftCatalog.scala): the SQL front door onto the
+    // versioned table, so a SQL-only user reaches snapshot isolation,
+    // schema history, and DV-masked reads with zero Scala. The scan
+    // path reuses Versioned.read's distributed plan (V1Scan bridge)
+    // with V2 filter/column pushdown landing in the inner parquet
+    // scans; the catalog name is derived from the sf dir so sessions
+    // touching several dirs (spec suites) never cross warehouses —
+    // a catalog binds its warehouse at first use.
+    "q_sql_time_travel" -> ((s, dir) => {
+      ensureVersionedEvents(s, dir): Unit
+      val cat = sqlCatalogFor(s, dir)
+      s.sql(Seq(0, 1, 2).map(v =>
+        s"""SELECT $v AS version, count(*) AS n_events,
+              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+            FROM $cat.versioned_events VERSION AS OF $v""")
+        .mkString("", " UNION ALL ", " ORDER BY version"))
     }),
 
     // 149: snapshot CDC (Versioned.changes) — the change feed between
@@ -6298,6 +6342,19 @@ object SparkEntry {
                / 100.0 AS sum_value
       FROM events GROUP BY 1 ORDER BY event_type""",
     "q_time_travel" -> """
+      WITH ev AS (SELECT event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      s0 AS (SELECT 0 AS version, count(*) AS n_events,
+               CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+             FROM ev WHERE event_type <> 'purchase'),
+      s1 AS (SELECT 1 AS version, count(*) AS n_events,
+               CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value FROM ev),
+      s2 AS (SELECT 2 AS version, count(*) AS n_events,
+               CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+             FROM ev WHERE event_type = 'click')
+      SELECT * FROM s0 UNION ALL SELECT * FROM s1
+      UNION ALL SELECT * FROM s2 ORDER BY version""",
+    "q_sql_time_travel" -> """
       WITH ev AS (SELECT event_type,
                     CAST(round(value * 100) AS BIGINT) AS vc FROM events),
       s0 AS (SELECT 0 AS version, count(*) AS n_events,
@@ -8167,16 +8224,17 @@ object SparkEntry {
 
     // 251: BOUNDED K-CORE TRIM — 4 peel rounds at k=3 over the
     // customer↔supplier co-purchase bipartite graph (the q_bfs_levels
-    // edge set). Each round drops every vertex whose CURRENT degree
-    // is < k and reports the surviving (nodes, directed edges) — the
-    // spam/bot-ring densest-subgraph screen. FIXED round count makes
-    // the operator deterministic and its oracle expressible (4
-    // unrolled SQL stages); the library loop generalizes to
-    // peel-to-fixpoint. Per round: ONE groupBy(src) degree count
-    // (symmetric edges make src-degree == full degree) + two semi
-    // joins, each a hash-keyed shuffle ∝ surviving edges; staged
-    // frames truncate lineage so round r never recomputes rounds
-    // 1..r−1 — cost tracks the SHRINKING graph, the 100 TB shape.
+    // edge set), via [[graft.ops.Graphs.kCore]] (per-round shape +
+    // fixpoint early-exit documented there). Node tagging is
+    // SCALE-PROOF by sign: customers keep their positive custkey,
+    // suppliers are tagged as -l_suppkey — the two id spaces are
+    // disjoint at EVERY scale factor (suppkey ≥ 1 ⟹ tag < 0 <
+    // custkey), unlike an additive offset that custkeys outgrow
+    // (1e6 collided at sf ≳ 7). Disjointness also makes the
+    // symmetric UNION ALL duplicate-free by construction — a
+    // (pos, neg) row can never equal a (neg, pos) flip — so Spark's
+    // union and the oracle's UNION ALL agree with zero dedup
+    // shuffle on the full edge set.
     "q_kcore" -> ((s, dir) => {
       val e0 = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
@@ -8184,23 +8242,12 @@ object SparkEntry {
           .select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
+          (-col("l_suppkey")).cast("long").as("dst"))
         .distinct()
-      var e = e0.union(e0.select(col("dst").as("src"),
-        col("src").as("dst"))).staged
-      val rounds = (1 to 4).map { r =>
-        val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
-          .filter(col("d") >= 3).select(col("src").as("v"))
-        val keep2 = keep.toDF("v2")
-        e = e.join(keep, e("src") === keep("v"), "left_semi")
-          .join(keep2, col("dst") === keep2("v2"), "left_semi")
-          .staged
-        e.agg(countDistinct(col("src")).as("n_nodes"),
-          count(lit(1)).as("n_dir_edges"))
-          .select(lit(r).as("round"), col("n_nodes"),
-            col("n_dir_edges"))
-      }
-      rounds.reduce(_ unionByName _).orderBy("round")
+      val sym = e0.select(col("src").cast("long").as("src"), col("dst"))
+        .union(e0.select(col("dst").as("src"),
+          col("src").cast("long").as("dst")))
+      graft.ops.Graphs.kCore(sym, k = 3, rounds = 4).orderBy("round")
     }),
 
     // 252: BOM-STYLE HIERARCHY EXPLOSION — every part resolved to its
@@ -8483,11 +8530,18 @@ object SparkEntry {
     // to the bounded (band × segment) contingency frame ($500 bands —
     // candidate thresholds track the FEATURE RANGE, never row count);
     // the dense grid, per-class cumulatives, and per-threshold
-    // scoring all run on that bounded frame. Scoring is EXACT BIGINT:
+    // scoring all run on that bounded frame. Scoring is EXACT:
     // weighted Gini over common denominator n·nL·nR becomes
-    // score = (nL²−ΣcL²)·nR + (nR²−ΣcR²)·nL (≤ n³ — exact through
-    // sf1000), so the argmin (tie → lowest band) is float-free; the
-    // reported impurity is one mirrored division on the way out.
+    // score = (nL²−ΣcL²)·nR + (nR²−ΣcR²)·nL — an ≈n³-scale product
+    // that passes 2^63 around n ≈ 2e6 customers (sf ≈ 15), so the
+    // operands widen to decimal(38,0) BEFORE the multiply (the q_hhi
+    // pattern; exact to n ≈ 4e12 — far past sf1000, where Spark
+    // BIGINT would wrap silently to a wrong argmin while DuckDB
+    // errors). The argmin (tie → lowest band) runs on the exact
+    // decimal; the REPORTED score and impurity are each one mirrored
+    // exact-int→IEEE-double conversion on the way out, keeping the
+    // output dtype cross-engine stable (HUGEINT/decimal never
+    // reaches the hash path).
     "q_best_split" -> ((s, dir) => {
       val cont = t(s, dir, "customer")
         .groupBy(floor(cents(col("c_acctbal")).cast("double") /
@@ -8513,16 +8567,19 @@ object SparkEntry {
         sum(col("ct") - col("cl")).as("n_r"),
         sum((col("ct") - col("cl")) * (col("ct") - col("cl")))
           .as("ssq_r"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
       th.filter(col("n_l") > 0 && col("n_r") > 0)
-        .withColumn("score",
-          (col("n_l") * col("n_l") - col("ssq_l")) * col("n_r") +
-            (col("n_r") * col("n_r") - col("ssq_r")) * col("n_l"))
-        .orderBy(col("score"), col("band")).limit(1)
+        .withColumn("score_x",
+          (dec(col("n_l")) * dec(col("n_l")) - dec(col("ssq_l"))) *
+            dec(col("n_r")) +
+            (dec(col("n_r")) * dec(col("n_r")) - dec(col("ssq_r"))) *
+              dec(col("n_l")))
+        .orderBy(col("score_x"), col("band")).limit(1)
         .select(col("band").as("best_band"), col("n_l"), col("n_r"),
-          col("score"),
-          (col("score").cast("double") /
-            ((col("n_l") + col("n_r")) * col("n_l") * col("n_r"))
-              .cast("double")).as("weighted_gini"))
+          col("score_x").cast("double").as("score"),
+          (col("score_x").cast("double") /
+            (dec(col("n_l") + col("n_r")) * dec(col("n_l")) *
+              dec(col("n_r"))).cast("double")).as("weighted_gini"))
     }),
 
     // 258: WEIGHT-OF-EVIDENCE / INFORMATION VALUE — the
@@ -10085,9 +10142,9 @@ object SparkEntry {
       FROM q ORDER BY vec_id""",
     "q_kcore" -> """
       WITH e0 AS (SELECT DISTINCT o_custkey AS src,
-                         l_suppkey + 1000000 AS dst
+                         -l_suppkey AS dst
                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      e1 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
       k1 AS (SELECT src AS v FROM e1 GROUP BY src HAVING count(*) >= 3),
       f1 AS (SELECT e.src, e.dst FROM e1 e JOIN k1 a ON e.src = a.v
              JOIN k1 b ON e.dst = b.v),
@@ -10372,13 +10429,15 @@ object SparkEntry {
         FROM cum GROUP BY band),
       sc AS (
         SELECT band, n_l, n_r,
-               (n_l * n_l - ssq_l) * n_r +
-               (n_r * n_r - ssq_r) * n_l AS score
+               (CAST(n_l AS HUGEINT) * n_l - ssq_l) * n_r +
+               (CAST(n_r AS HUGEINT) * n_r - ssq_r) * n_l AS score_x
         FROM th WHERE n_l > 0 AND n_r > 0)
-      SELECT band AS best_band, n_l, n_r, score,
-             CAST(score AS DOUBLE) /
-               CAST((n_l + n_r) * n_l * n_r AS DOUBLE) AS weighted_gini
-      FROM sc ORDER BY score, band LIMIT 1""",
+      SELECT band AS best_band, n_l, n_r,
+             CAST(score_x AS DOUBLE) AS score,
+             CAST(score_x AS DOUBLE) /
+               CAST(CAST(n_l + n_r AS HUGEINT) * n_l * n_r AS DOUBLE)
+               AS weighted_gini
+      FROM sc ORDER BY score_x, band LIMIT 1""",
     "q_woe_iv" -> """
       WITH lab AS (
         SELECT CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)

@@ -106,12 +106,23 @@ object CommitArbiter {
 
     /** Overwriting publish of `payload` to the slot's manifest name —
       * deliberately never create-exclusive: this models the only
-      * write primitive the target store has. */
+      * write primitive the target store has. An object-store PUT is
+      * atomic-or-nothing to readers, so the local stand-in must be
+      * too: an in-place CREATE+TRUNCATE write would let a concurrent
+      * `readManifest`/`latestVersion` poller observe a truncated JSON
+      * (and concurrent recoverers re-truncate each other). Stage to a
+      * temp name and ATOMIC_MOVE over the slot — an overwriting atomic
+      * rename models an atomic PUT faithfully; readers see either the
+      * old bytes or the new, never a prefix. */
     private def publish(path: String, v: Int, payload: Array[Byte]): Unit = {
-      Files.createDirectories(manifestFile(path, v).getParent)
-      Files.write(manifestFile(path, v), payload,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-        StandardOpenOption.WRITE): Unit
+      val target = manifestFile(path, v)
+      Files.createDirectories(target.getParent)
+      val tmp = target.getParent.resolve(
+        s".pub-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, payload)
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }
 
     def putIfAbsent(path: String, v: Int, payload: Array[Byte]): Boolean = {
@@ -142,10 +153,21 @@ object CommitArbiter {
           val winnerUuid = new String(
             Files.readAllBytes(claimFile(path, v)), "UTF-8")
           val winnerStaged = dir.resolve(s".claim-v$v-$winnerUuid.json")
-          // the winner may publish (and delete its stage) concurrently
-          // with this recovery — either way the same bytes land
-          if (Files.exists(winnerStaged))
-            publish(path, v, Files.readAllBytes(winnerStaged))
+          // The winner may publish (and delete its stage) concurrently
+          // with this recovery — either way the same bytes land. The
+          // exists→read pair is a TOCTOU window: a LIVE winner can
+          // publish+delete between the two calls, so the read itself
+          // must tolerate the file vanishing. A vanished stage means
+          // the winner published (it deletes only after publish), so
+          // the loss is clean — re-verify the manifest and move on
+          // rather than abort a retry loop that actually lost fine.
+          if (Files.exists(winnerStaged)) {
+            try publish(path, v, Files.readAllBytes(winnerStaged))
+            catch {
+              case _: java.nio.file.NoSuchFileException
+                if Files.exists(manifestFile(path, v)) => ()
+            }
+          }
         }
         false
       }

@@ -1,0 +1,258 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL front door for [[Versioned]] tables — a DataSource V2
+  * `TableCatalog` so a SQL user reaches every snapshot capability
+  * through plain query text, including Spark's native time-travel
+  * syntax:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", warehouseDir)
+  *   spark.sql("SELECT * FROM graft.sales")                     // head
+  *   spark.sql("SELECT * FROM graft.sales VERSION AS OF 3")     // commit v3
+  *   spark.sql("SELECT * FROM graft.sales TIMESTAMP AS OF '…'") // as-of
+  * }}}
+  *
+  * Identifiers map to table roots under the configured `warehouse`
+  * directory (`graft.ns.t` → `<warehouse>/ns/t`). `loadTable` pins the
+  * version AT RESOLUTION time — every query is a consistent snapshot
+  * even while commits race it, the same guarantee [[Versioned.read]]
+  * gives the Scala API.
+  *
+  * Execution reuses the snapshot read's DISTRIBUTED plan instead of
+  * re-deriving one: the scan is a [[V1Scan]] whose relation builds
+  * `Versioned.read(...)` — the union of explicit-schema parquet scans
+  * plus the deletion-vector anti-join — so DV-masked and evolved
+  * snapshots are exactly as correct through SQL as through the Scala
+  * API, and the physical work stays whole-stage-codegen parquet
+  * batches on executors (the RDD handoff carries no driver
+  * materialization). Filter and column pushdown are real: the V2
+  * pushdown calls land on the inner DataFrame, where Catalyst pushes
+  * them into the parquet readers ([[translateFilter]] covers the
+  * standard `sources.Filter` algebra; anything it can't express is
+  * rejected back to Spark, which keeps it on top — double-filtering
+  * safe, never wrong).
+  *
+  * Batch READ only, by design: writes go through [[Versioned.commit]]
+  * and friends, whose commit arbitration ([[CommitArbiter]]) is the
+  * correctness seam — a silent SQL INSERT path that bypassed txn
+  * dedup would be a trap, so the capability is simply absent and
+  * Spark fails loudly at analysis.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(sys.error(
+      s"GraftCatalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catName
+
+  private def pathOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name())).mkString("/")
+
+  private def tableAt(ident: Identifier, version: Int): Table = {
+    val spark = SparkSession.active
+    new VersionedSqlTable(s"$catName.${ident.toString}",
+      pathOf(ident), version,
+      Versioned.schemaAt(spark, pathOf(ident), version))
+  }
+
+  /** Head read — the version pins here, at resolution. */
+  override def loadTable(ident: Identifier): Table = {
+    val head =
+      try Versioned.latestVersion(pathOf(ident))
+      catch { case _: Exception => -1 }
+    if (head < 0) throw new NoSuchTableException(ident)
+    tableAt(ident, head)
+  }
+
+  /** `VERSION AS OF <n>` — Spark hands the literal as a string. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toInt catch {
+      case _: NumberFormatException => sys.error(
+        s"GraftCatalog: VERSION AS OF wants the integer commit " +
+          s"version, got '$version'")
+    }
+    try { Versioned.schemaAt(SparkSession.active, pathOf(ident), v) }
+    catch { case _: Exception => throw new NoSuchTableException(ident) }
+    tableAt(ident, v)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch;
+    * manifests stamp millis. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    tableAt(ident, Versioned.versionAt(pathOf(ident), timestamp / 1000L))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = java.nio.file.Paths.get(
+      (warehouse +: namespace).mkString("/"))
+    if (!java.nio.file.Files.isDirectory(dir))
+      throw new NoSuchNamespaceException(namespace)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Identifier]
+    val s = java.nio.file.Files.list(dir)
+    try s.forEach { p =>
+      if (java.nio.file.Files.isDirectory(p.resolve("_versions")))
+        out += Identifier.of(namespace, p.getFileName.toString)
+    } finally s.close()
+    out.toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "GraftCatalog is read-only SQL: create tables with Versioned.commit")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "GraftCatalog is read-only SQL: evolve with Versioned.dropColumn/commit")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "GraftCatalog is read-only SQL: Versioned has no table drop")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "GraftCatalog is read-only SQL: move the table directory instead")
+}
+
+/** One pinned snapshot (table path + commit version) as a V2 table. */
+private[sources] final class VersionedSqlTable(ident: String,
+    path: String, pinned: Int, tableSchema: StructType)
+    extends Table with SupportsRead {
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def version(): String = pinned.toString
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new VersionedScanBuilder(path, pinned, tableSchema)
+}
+
+/** V2 pushdown surface: accepted filters and the pruned column set
+  * are REPLAYED onto the inner snapshot DataFrame, where Catalyst
+  * pushes them into the parquet scans — the explain-visible
+  * `PushedFilters` a SQL user expects from a real table. */
+private[sources] final class VersionedScanBuilder(path: String,
+    pinned: Int, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rejected) = filters.partition(f =>
+      GraftCatalog.translateFilter(f).isDefined)
+    accepted = ok
+    rejected // Spark keeps these on top
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new VersionedV1Scan(path, pinned, required, accepted)
+}
+
+/** The scan: a [[V1Scan]] bridging to the snapshot DataFrame's RDD.
+  * The handoff is plan-level — `buildScan` hands Spark the DISTRIBUTED
+  * row RDD of the filtered, pruned snapshot read (parquet batches +
+  * DV anti-join on executors); nothing collects on the driver. */
+private[sources] final class VersionedV1Scan(path: String, pinned: Int,
+    required: StructType, accepted: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-versioned $path v$pinned " +
+      s"pushed=[${accepted.mkString(", ")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def needConversion: Boolean = true
+      override def buildScan(): org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.Row] = {
+        val spark = context.sparkSession
+        var df = Versioned.read(spark, path, Some(pinned))
+        // replay what the V2 pushdown ACCEPTED: rejected filters are
+        // Spark's to apply on top, so no filter evaluates zero times
+        accepted.flatMap(GraftCatalog.translateFilter)
+          .foreach(c => df = df.filter(c))
+        df.select(required.fieldNames.map(org.apache.spark.sql
+          .functions.col).toIndexedSeq: _*).rdd
+      }
+    }
+    rel.asInstanceOf[T]
+  }
+}
+
+object GraftCatalog {
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  /** `sources.Filter` → `Column` for the standard pushdown algebra.
+    * None = inexpressible here (e.g. AlwaysTrue subtypes added later)
+    * → rejected back to Spark, which evaluates it post-scan. */
+  private[sources] def translateFilter(f: Filter): Option[Column] =
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) =>
+        Some(col(a).isin(vs.toIndexedSeq.map(lit(_)): _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) =>
+        Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) => for {
+        lc <- translateFilter(l); rc <- translateFilter(r)
+      } yield lc && rc
+      case sources.Or(l, r) => for {
+        lc <- translateFilter(l); rc <- translateFilter(r)
+      } yield lc || rc
+      case sources.Not(c) => translateFilter(c).map(not)
+      case _ => None
+    }
+
+  /** Wire the catalog onto a LIVE session (catalogs resolve lazily,
+    * so a runtime conf set is enough — no session rebuild). */
+  def register(spark: SparkSession, catalogName: String,
+      warehouseDir: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$catalogName",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catalogName.warehouse",
+      warehouseDir)
+  }
+}

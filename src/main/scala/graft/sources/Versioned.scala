@@ -505,9 +505,22 @@ object Versioned {
               case _ => false
             }
           val ps = StructType.fromDDL(pd)
-          val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+          // Spark resolves column names case-INsensitively by default
+          // (spark.sql.caseSensitive=false), so every name comparison
+          // in this guard folds case: committing 'SECRET' after
+          // dropColumn("secret") must hit the tombstone (a sensitive
+          // compare would wave it through and the explicit-schema read
+          // would resurrect the dropped files' bytes — the exact ghost
+          // the tombstone exists to block), and a re-cased arrival of
+          // an existing column is the SAME column widening/matching,
+          // not an addition. Folding even under caseSensitive=true is
+          // deliberate: case-colliding names in one table are a
+          // portability trap, and this guard errs loud, never silent.
+          def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+          val byName =
+            df.schema.fields.map(f => fold(f.name) -> f.dataType).toMap
           val merged = ps.fields.map { f =>
-            byName.get(f.name) match {
+            byName.get(fold(f.name)) match {
               case Some(d) if d == f.dataType => f
               case Some(d) if widens(f.dataType, d) => f.copy(dataType = d)
               case Some(d) if widens(d, f.dataType) => f
@@ -517,9 +530,12 @@ object Versioned {
               case None => f
             }
           }
-          val have = ps.fields.map(_.name).toSet
-          val added = df.schema.fields.filterNot(f => have.contains(f.name))
-          added.find(f => dropped.contains(f.name)).foreach(f => sys.error(
+          val have = ps.fields.map(f => fold(f.name)).toSet
+          val droppedFolded = dropped.map(fold).toSet
+          val added =
+            df.schema.fields.filterNot(f => have.contains(fold(f.name)))
+          added.find(f => droppedFolded.contains(fold(f.name)))
+            .foreach(f => sys.error(
             s"versioned commit: column ${f.name} was DROPPED at $path — " +
               "old files still hold its bytes, which an explicit-schema " +
               "read would resurrect; use a fresh column name"))
@@ -1203,16 +1219,31 @@ object Versioned {
     * Driver-side O(versions) manifest scan, like every ledger walk
     * here. */
   def readAsOf(spark: SparkSession, path: String,
-      tsMillis: Long): DataFrame = {
+      tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAt(path, tsMillis)))
+
+  /** The latest version committed at or before `tsMillis` — the
+    * TIMESTAMP AS OF resolution rule, shared by [[readAsOf]] and the
+    * SQL catalog ([[GraftCatalog]]). */
+  def versionAt(path: String, tsMillis: Long): Int = {
     val head = latestVersion(path)
     require(head >= 0, s"versioned readAsOf: no committed version at $path")
-    val v = (0 to head).flatMap { w =>
+    (0 to head).flatMap { w =>
       if (!Files.exists(manifestPath(path, w))) None // vacuumed tail
       else readManifest(path, w).ts.filter(_ <= tsMillis).map(_ => w)
     }.lastOption.getOrElse(sys.error(
       s"versioned readAsOf: no commit at or before ts=$tsMillis at $path"))
-    read(spark, path, Some(v))
   }
+
+  /** The manifest's authoritative schema at `version` — metadata-only
+    * (no file opens) when the ledger carries a DDL; pre-schema-
+    * tracking manifests fall back to the snapshot read's inference.
+    * The SQL catalog resolves analysis-time schemas through this. */
+  def schemaAt(spark: SparkSession, path: String, version: Int)
+      : org.apache.spark.sql.types.StructType =
+    readManifest(path, version).schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(read(spark, path, Some(version)).schema)
 
   /** Add a CHECK constraint (Spark SQL boolean expression over the
     * table's columns; SQL semantics — NULL passes) as a METADATA
@@ -1286,15 +1317,22 @@ object Versioned {
       val ddl = parent.schemaDdl.getOrElse(sys.error(
         s"versioned dropColumn: table at $path predates schema tracking"))
       val ps = StructType.fromDDL(ddl)
-      require(ps.fieldNames.contains(colName),
-        s"versioned dropColumn: no column '$colName' at $path " +
-          s"(have: ${ps.fieldNames.mkString(", ")})")
+      // Name comparisons fold case (Spark default resolution is
+      // case-insensitive — same rationale as the commit-time guard):
+      // the user may spell the column in any case; the tombstone
+      // records the PHYSICAL name from the schema so later folded
+      // comparisons hit regardless of the drop call's spelling.
+      def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val physical = ps.fields.find(f => fold(f.name) == fold(colName))
+        .map(_.name).getOrElse(sys.error(
+          s"versioned dropColumn: no column '$colName' at $path " +
+            s"(have: ${ps.fieldNames.mkString(", ")})"))
       require(ps.fields.length > 1,
         s"versioned dropColumn: cannot drop the last column at $path")
-      require(!parent.partSpecs.values.toSet.contains(colName),
+      require(!parent.partSpecs.values.map(fold).toSet.contains(fold(colName)),
         s"versioned dropColumn: '$colName' is a live dir's partition " +
           s"column at $path — compact() first to flatten the layout")
-      val word = (".*\\b" +
+      val word = ("(?i).*\\b" +
         java.util.regex.Pattern.quote(colName) + "\\b.*").r
       parent.constraints.find(c => word.matches(c)).foreach(c =>
         sys.error(s"versioned dropColumn: '$colName' appears in CHECK " +
@@ -1302,8 +1340,9 @@ object Versioned {
       val m = parent.copy(version = head + 1, mode = "meta", txn = None,
         ts = Some(System.currentTimeMillis()),
         schemaDdl = Some(
-          StructType(ps.fields.filterNot(_.name == colName)).toDDL),
-        droppedCols = parent.droppedCols :+ colName)
+          StructType(ps.fields.filterNot(f =>
+            fold(f.name) == fold(colName))).toDDL),
+        droppedCols = parent.droppedCols :+ physical)
       if (publishManifest(path, m)) {
         // a metadata commit changes no logical rows: empty feed dir
         Files.createDirectories(changeDirPath(path, m.version))

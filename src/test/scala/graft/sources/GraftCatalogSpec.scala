@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The DSv2 SQL front door ([[GraftCatalog]]): head, `VERSION AS OF`,
+  * `TIMESTAMP AS OF`, and DV-masked reads through plain `spark.sql`
+  * text must equal the Scala-API [[Versioned]] reads, with pushdown
+  * reaching the underlying parquet scans. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWarehouse(): String = java.nio.file.Files
+    .createTempDirectory("graft_sqlcat").toString
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("head / VERSION AS OF / TIMESTAMP AS OF match the Scala API") {
+    val wh = freshWarehouse()
+    val path = s"$wh/sales"
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "v", "amt"), path, overwrite = false) // v0
+    val tsAfterV0 = System.currentTimeMillis()
+    Thread.sleep(5) // commit stamps are millis: order the clock reads
+    Versioned.commit(Seq((3L, "c", 30L)).toDF("k", "v", "amt"),
+      path, overwrite = false) // v1
+    GraftCatalog.register(spark, "g1", wh)
+
+    // head == Scala head
+    assert(sortedRows(spark.sql("SELECT * FROM g1.sales")) ==
+      sortedRows(Versioned.read(spark, path)))
+    // VERSION AS OF 0 == Scala v0
+    assert(sortedRows(
+      spark.sql("SELECT * FROM g1.sales VERSION AS OF 0")) ==
+      sortedRows(Versioned.read(spark, path, Some(0))))
+    // TIMESTAMP AS OF between the commits == v0 (micros in SQL come
+    // from a timestamp literal; build it from the millis stamp)
+    val tsLit = java.time.Instant.ofEpochMilli(tsAfterV0).toString
+    assert(sortedRows(spark.sql(
+      s"SELECT * FROM g1.sales TIMESTAMP AS OF '$tsLit'")) ==
+      sortedRows(Versioned.readAsOf(spark, path, tsAfterV0)))
+    // aggregation through the SQL name agrees with the DataFrame route
+    val viaSql = spark.sql(
+      "SELECT sum(amt) AS s FROM g1.sales").head.getLong(0)
+    val viaApi = Versioned.read(spark, path)
+      .agg(sum("amt")).head.getLong(0)
+    assert(viaSql == viaApi && viaSql == 60L)
+  }
+
+  test("DV-masked snapshots read identically through SQL") {
+    val wh = freshWarehouse()
+    val path = s"$wh/dv"
+    Versioned.commit((1L to 100L).map(i => (i, i % 7))
+      .toDF("k", "m"), path, overwrite = false)
+    Versioned.deleteWhereDV(spark, path, col("m") === 3) // mask only
+    GraftCatalog.register(spark, "g2", wh)
+    val viaSql = spark.sql("SELECT k FROM g2.dv ORDER BY k")
+      .as[Long].collect().toSeq
+    val viaApi = Versioned.read(spark, path).select("k")
+      .orderBy("k").as[Long].collect().toSeq
+    assert(viaSql == viaApi)
+    assert(!viaSql.exists(_ % 7 == 3) && viaSql.size == 86)
+    // time travel BELOW the delete still shows the masked rows
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM g2.dv VERSION AS OF 0")
+      .head.getLong(0) == 100L)
+  }
+
+  test("filter and column pushdown reach the inner parquet scan") {
+    val wh = freshWarehouse()
+    val path = s"$wh/push"
+    Versioned.commit((1L to 1000L).map(i => (i, s"name$i", i * 2))
+      .toDF("k", "nm", "x"), path, overwrite = false)
+    GraftCatalog.register(spark, "g3", wh)
+    val q = spark.sql(
+      "SELECT k FROM g3.push WHERE k > 990 AND nm LIKE 'name99%'")
+    // the V2 layer consumed BOTH predicates and the projection: the
+    // optimized plan is the bare relation (no residual Filter/Project
+    // above it) with only `k` in its output
+    val v2plan = q.queryExecution.optimizedPlan
+    assert(v2plan.collectLeaves().size == 1 &&
+      v2plan.toString.startsWith("RelationV2[k#"),
+      s"pushdown left residual operators:\n$v2plan")
+    // and the executed scan records the pushed filters
+    val executed = q.queryExecution.executedPlan.toString
+    assert(executed.contains("GreaterThan(k,990)"),
+      s"pushed filters missing from executed scan:\n$executed")
+    assert(q.as[Long].collect().toSet ==
+      Set(991L, 992L, 993L, 994L, 995L, 996L, 997L, 998L, 999L))
+    // schema pruning: the executed inner scan must not read 'x'
+    assert(!executed.contains("x:bigint"),
+      s"column pruning lost:\n$executed")
+  }
+
+  test("evolved snapshots: each version reads under its own schema through SQL") {
+    val wh = freshWarehouse()
+    val path = s"$wh/evo"
+    Versioned.commit(Seq((1L, "a", 9L)).toDF("k", "v", "junk"),
+      path, overwrite = false)
+    Versioned.dropColumn(path, "junk")
+    Versioned.commit(Seq((2L, "b")).toDF("k", "v"), path,
+      overwrite = false)
+    GraftCatalog.register(spark, "g4", wh)
+    assert(spark.sql("SELECT * FROM g4.evo").columns.toSeq ==
+      Seq("k", "v"))
+    assert(spark.sql("SELECT * FROM g4.evo VERSION AS OF 0")
+      .columns.toSeq == Seq("k", "v", "junk"))
+    assert(spark.sql("SELECT count(*) AS n FROM g4.evo")
+      .head.getLong(0) == 2L)
+  }
+
+  test("read-only: writes and missing tables fail loudly") {
+    val wh = freshWarehouse()
+    val path = s"$wh/ro"
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path,
+      overwrite = false)
+    GraftCatalog.register(spark, "g5", wh)
+    intercept[Exception] {
+      spark.sql("INSERT INTO g5.ro VALUES (2, 'b')")
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g5.nope").collect()
+    }
+    // the failed INSERT must not have landed
+    assert(spark.sql("SELECT count(*) AS n FROM g5.ro")
+      .head.getLong(0) == 1L)
+  }
+}

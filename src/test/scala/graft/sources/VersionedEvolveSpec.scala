@@ -96,6 +96,41 @@ class VersionedEvolveSpec extends SparkSpec {
       Seq("k", "v", "secret"))
   }
 
+  test("tombstone and drift guards fold case (Spark resolves names case-insensitively)") {
+    // committing 'SECRET' after dropColumn("secret") is the SAME
+    // column under Spark's default case-insensitive resolution — a
+    // sensitive compare would wave it through and the explicit-schema
+    // read would resurrect v0's bytes under the reborn column
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a", 10L)).toDF("k", "v", "secret"),
+      path, overwrite = false)
+    // drop may be spelled in ANY case; the tombstone records the
+    // physical name
+    Versioned.dropColumn(path, "SeCrEt")
+    assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "v"))
+    val err = intercept[RuntimeException] {
+      Versioned.commit(Seq((2L, "b", 99L)).toDF("k", "v", "SECRET"),
+        path, overwrite = false)
+    }
+    assert(err.getMessage.contains("DROPPED"))
+    // a re-cased arrival of a LIVE column is that column, not an add:
+    // same-type append under a different spelling commits cleanly and
+    // the manifest keeps ONE column
+    val p2 = tmpTable()
+    Versioned.commit(Seq((1L, 5L)).toDF("k", "x"), p2, overwrite = false)
+    Versioned.commit(Seq((2L, 6L)).toDF("k", "X"), p2, overwrite = false)
+    assert(Versioned.read(spark, p2).columns.map(_.toLowerCase).toSeq ==
+      Seq("k", "x"))
+    assert(Versioned.read(spark, p2).as[(Long, Long)].collect().toSet ==
+      Set((1L, 5L), (2L, 6L)))
+    // re-cased TYPE DRIFT is still drift, still loud
+    val e2 = intercept[RuntimeException] {
+      Versioned.commit(Seq((3L, "s")).toDF("k", "X"), p2,
+        overwrite = false)
+    }
+    assert(e2.getMessage.contains("type drift"))
+  }
+
   test("dropColumn guards: last column, live partition column, constraint reference") {
     val path = tmpTable()
     Versioned.commitPartitioned(
