@@ -5335,6 +5335,39 @@ object SparkEntry {
       }.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // 266: RENAME COLUMN on the versioned table — name-mode column
+    // mapping (Versioned.renameColumn; Manifest.colMap): physical
+    // names are immutable so the rename moves ZERO bytes, old files
+    // read under the new name, a post-rename append mixes freely, and
+    // the reborn-after-drop column null-fills instead of resurrecting
+    // dropped bytes. The row stages a customer slice, renames
+    // c_acctbal→balance, appends under the NEW name, drops+re-adds a
+    // flag column, and aggregates per segment — the oracle recomputes
+    // the same frame arithmetically from the source table, so the
+    // whole metadata chain is value-gated.
+    "q_rename_column" -> ((s, dir) => {
+      val table = stagingRoot(dir) + "/versioned_rename"
+      if (graft.sources.Versioned.latestVersion(table) < 0) {
+        val cust = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_mktsegment"), cents(col("c_acctbal")).as("c_acctbal"),
+          lit(1L).as("flag"))
+        val (lo, hi) = (cust.filter(col("c_custkey") % 2 === 0),
+          cust.filter(col("c_custkey") % 2 === 1))
+        graft.sources.Versioned.commit(lo, table, overwrite = false)
+        graft.sources.Versioned.renameColumn(table, "c_acctbal", "balance")
+        graft.sources.Versioned.dropColumn(table, "flag")
+        graft.sources.Versioned.commit(
+          hi.withColumnRenamed("c_acctbal", "balance")
+            .withColumn("flag", lit(2L)), table, overwrite = false)
+      }
+      graft.sources.Versioned.read(s, table)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          money(sum(col("balance"))).as("sum_balance"),
+          sum(coalesce(col("flag"), lit(0L))).as("sum_flag"))
+        .orderBy("c_mktsegment")
+    }),
+
     // 265: TIME TRAVEL through plain SQL TEXT — the same three-commit
     // ledger as q_time_travel, read back entirely via Spark's native
     // `VERSION AS OF` syntax against the DataSource V2 catalog
@@ -5822,6 +5855,53 @@ object SparkEntry {
           col("sum_price"))
     }),
 
+    // 267: AGE-BASED VACUUM RETENTION driver-gated — the operational
+    // vacuum form (Versioned.vacuumOlderThan): two stamped appends
+    // with a wall-clock cutoff captured between them; retention keeps
+    // every version at-or-after the cutoff readable, reclaims the
+    // manifests below it (time travel there now fails loudly — probed
+    // and carried as a gated boolean), and cannot break the head
+    // chain (the append lineage keeps v0's DATA dir alive by
+    // reference even though v0's MANIFEST is gone). The oracle
+    // recomputes the surviving head aggregate + the exact ledger
+    // arithmetic from the source table.
+    "q_vacuum_age" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/versioned_vacuum_age"
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        V.commit(ev.filter(col("event_type") =!= "purchase"), table,
+          overwrite = false) // v0 (old era)
+        Thread.sleep(5) // millis stamps: order the clock reads
+        val cutoff = System.currentTimeMillis()
+        Thread.sleep(5)
+        V.commit(ev.filter(col("event_type") === "purchase"), table,
+          overwrite = false) // v1 (new era)
+        val oldest = V.vacuumOlderThan(table, cutoff)
+        require(oldest == 1, s"expected retainFrom 1, got $oldest")
+      }
+      val head = V.latestVersion(table)
+      val v0Readable =
+        try { V.read(s, table, Some(0)).limit(1).count(); true }
+        catch { case _: Exception => false }
+      def count0(p: java.nio.file.Path, pat: String): Int = {
+        val st = java.nio.file.Files.list(p)
+        try st.filter(_.getFileName.toString.matches(pat)).count().toInt
+        finally st.close()
+      }
+      val nManifests = count0(
+        java.nio.file.Paths.get(table, "_versions"), "v\\d+\\.json")
+      val nDataDirs = count0(java.nio.file.Paths.get(table, "data"), ".*")
+      V.read(s, table)
+        .agg(count(lit(1)).as("n_events"),
+          money(sum(col("vc"))).as("sum_value"))
+        .select(lit(head).as("head"), lit(nManifests).as("n_manifests"),
+          lit(nDataDirs).as("n_data_dirs"),
+          lit(v0Readable).as("v0_readable"), col("n_events"),
+          col("sum_value"))
+    }),
+
     // 199: DELETE WHERE driver-gated — dir-granular copy-on-write
     // row deletion: two appends split orders by key parity, then
     // deleteWhere(odd AND status 'F'); ONLY the odd dir is rewritten
@@ -6267,6 +6347,12 @@ object SparkEntry {
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                / 100.0 AS sum_price
       FROM orders""",
+    "q_vacuum_age" -> """
+      SELECT 1 AS head, 1 AS n_manifests, 2 AS n_data_dirs,
+             FALSE AS v0_readable, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value
+      FROM events""",
     "q_partition_prune" -> """
       SELECT o_orderpriority, count(*) AS n_orders,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -6354,6 +6440,15 @@ object SparkEntry {
              FROM ev WHERE event_type = 'click')
       SELECT * FROM s0 UNION ALL SELECT * FROM s1
       UNION ALL SELECT * FROM s2 ORDER BY version""",
+    "q_rename_column" -> """
+      WITH c AS (SELECT c_custkey, c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                 FROM customer)
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(bal) AS DOUBLE) / 100.0 AS sum_balance,
+             CAST(sum(CASE WHEN c_custkey % 2 = 1 THEN 2 ELSE 0 END)
+               AS BIGINT) AS sum_flag
+      FROM c GROUP BY 1 ORDER BY 1""",
     "q_sql_time_travel" -> """
       WITH ev AS (SELECT event_type,
                     CAST(round(value * 100) AS BIGINT) AS vc FROM events),

@@ -57,18 +57,37 @@ object Versioned {
       // history. Absent for plain dirs; filtered with the dir chain
       // on overwrite/rewrite.
       partSpecs: Map[String, String] = Map.empty,
-      // DROPPED-COLUMN tombstones ([[dropColumn]]): physical names
-      // whose bytes still sit in the chain's old files. Re-adding a
-      // tombstoned name must FAIL — an explicit-schema read would
-      // resurrect the old files' bytes under the new column (the
-      // ghost-column bug column-mapping formats solve with ids;
-      // tombstones are the honest no-mapping answer). Carried by
-      // every derived manifest; an OVERWRITE resets them with the
-      // schema baseline (its chain holds no old files to haunt).
-      droppedCols: Seq[String] = Seq.empty) {
+      // DROPPED-COLUMN tombstones ([[dropColumn]]): PHYSICAL names
+      // whose bytes still sit in the chain's old files. With column
+      // mapping ([[colMap]]) these are no longer commit blockers —
+      // they are a RESERVATION list: a re-added logical column gets a
+      // FRESH physical name so the explicit-schema read can never
+      // resurrect the dropped files' bytes (the ghost-column bug
+      // field-id/name mapping solves). Carried by every derived
+      // manifest; an OVERWRITE resets them with the schema baseline
+      // (its chain holds no old files to haunt).
+      droppedCols: Seq[String] = Seq.empty,
+      // COLUMN MAPPING (Delta name-mode shape): logical column name →
+      // immutable PHYSICAL name. A column's physical name is fixed at
+      // its first commit and NEVER changes; logical names live only
+      // here + in schemaDdl, so RENAME COLUMN is a metadata commit
+      // and every file ever written stays readable under one physical
+      // schema. Only DIVERGENT columns appear (empty map = identity —
+      // every pre-mapping manifest parses unchanged). partSpecs and
+      // droppedCols always hold PHYSICAL names; schemaDdl and
+      // constraints always hold LOGICAL names.
+      colMap: Map[String, String] = Map.empty) {
     /** `partSpecs` restricted to dirs a derived manifest carries. */
     def specsFor(dirs: Seq[String]): Map[String, String] =
       partSpecs.filter { case (d, _) => dirs.contains(d) }
+    /** The immutable physical name of logical column `l` (folded
+      * lookup — Spark resolves names case-insensitively). */
+    def physOf(l: String): String = {
+      val f = l.toLowerCase(java.util.Locale.ROOT)
+      colMap.collectFirst {
+        case (k, p) if k.toLowerCase(java.util.Locale.ROOT) == f => p
+      }.getOrElse(l)
+    }
   }
 
   private def dvRoot(path: String) = Paths.get(path, "dv")
@@ -111,7 +130,12 @@ object Versioned {
          }.mkString(",")}}""") +
       (if (m.droppedCols.isEmpty) ""
        else s""","dropped":[${
-         m.droppedCols.map(ManifestJson.quote).mkString(",")}]""") + "}"
+         m.droppedCols.map(ManifestJson.quote).mkString(",")}]""") +
+      (if (m.colMap.isEmpty) ""
+       else s""","colMap":{${
+         m.colMap.toSeq.sortBy(_._1).map { case (l, p) =>
+           s"${ManifestJson.quote(l)}:${ManifestJson.quote(p)}"
+         }.mkString(",")}}""") + "}"
 
   private def parse(s: String): Manifest = {
     val m = ManifestJson.parseObject(s)
@@ -133,8 +157,48 @@ object Versioned {
         .asInstanceOf[Map[String, Any]]
         .map { case (d, c) => d -> c.asInstanceOf[String] },
       droppedCols = m.getOrElse("dropped", List.empty[Any])
-        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
+      colMap = m.getOrElse("colMap", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]]
+        .map { case (l, p) => l -> p.asInstanceOf[String] })
   }
+
+  private def foldName(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
+  /** The manifest's schema with every field under its PHYSICAL name —
+    * what the files actually carry; the one read schema that covers
+    * every data dir of every era (physical names never change). */
+  private def physStruct(m: Manifest,
+      st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (m.colMap.isEmpty) st
+    else org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = m.physOf(f.name))))
+
+  /** Rename a physical-named frame to the manifest's LOGICAL names
+    * (identity — and plan-invisible — when no column ever diverged),
+    * passing `extra` columns (row ids, feed partition cols) through. */
+  private def toLogical(m: Manifest,
+      st: org.apache.spark.sql.types.StructType, df: DataFrame,
+      extra: Seq[String] = Seq.empty): DataFrame =
+    if (m.colMap.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select((st.fields.toIndexedSeq.map(f =>
+        col(m.physOf(f.name)).as(f.name)) ++ extra.map(col)): _*)
+    }
+
+  /** Rename a logical-named frame to PHYSICAL names before a file
+    * write (the inverse of [[toLogical]]); `extra` passes through. */
+  private def toPhysical(m: Manifest, df: DataFrame,
+      extra: Seq[String] = Seq.empty): DataFrame =
+    if (m.colMap.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select((df.columns.toIndexedSeq.filterNot(extra.contains)
+        .map(c => col(c).as(m.physOf(c))) ++ extra.map(col)): _*)
+    }
 
   /** THE commit-coordination primitive — delegates to the pluggable
     * [[CommitArbiter]] (see [[arbiter]]): atomically publish manifest
@@ -253,10 +317,11 @@ object Versioned {
   def commitClustered(df: DataFrame, path: String, c1: String, c2: String,
       files: Int, overwrite: Boolean, txn: Option[String] = None): Int =
     commitCore(df, path, overwrite, txn, expectedBase = None,
-      stage = dataDir => {
-        Clustered.clusteredFrame(df, c1, c2, files)
+      stage = (dataDir, pdf, phys) => {
+        Clustered.clusteredFrame(pdf, phys(c1), phys(c2), files)
           .write.mode("errorifexists").parquet(dataDir)
-        Clustered.writeStats(df.sparkSession, dataDir, Seq(c1, c2))
+        Clustered.writeStats(pdf.sparkSession, dataDir,
+          Seq(phys(c1), phys(c2)))
       }).get
 
   /** STATS-INDEXED APPEND: a plain commit (no re-clustering, no
@@ -271,9 +336,9 @@ object Versioned {
   def commitIndexed(df: DataFrame, path: String, cols: Seq[String],
       overwrite: Boolean, txn: Option[String] = None): Int =
     commitCore(df, path, overwrite, txn, expectedBase = None,
-      stage = dataDir => {
-        df.write.mode("errorifexists").parquet(dataDir)
-        Clustered.writeStats(df.sparkSession, dataDir, cols)
+      stage = (dataDir, pdf, phys) => {
+        pdf.write.mode("errorifexists").parquet(dataDir)
+        Clustered.writeStats(pdf.sparkSession, dataDir, cols.map(phys))
       }).get
 
   /** PARTITION-EVOLUTION commit (Iceberg's headline metadata trick,
@@ -295,7 +360,7 @@ object Versioned {
     require(df.columns.contains(partCol),
       s"versioned commitPartitioned: no column '$partCol' to partition by")
     commitCore(df, path, overwrite, txn, expectedBase = None,
-      stage = dataDir => df.write.partitionBy(partCol)
+      stage = (dataDir, pdf, phys) => pdf.write.partitionBy(phys(partCol))
         .mode("errorifexists").parquet(dataDir),
       partSpec = Some(partCol)).get
   }
@@ -328,26 +393,29 @@ object Versioned {
     val withIds = m.dvDirs.nonEmpty
     val schema = m.schemaDdl.map(
       org.apache.spark.sql.types.StructType.fromDDL)
+    // directory names on disk carry the PHYSICAL column name; the
+    // caller prunes by the LOGICAL one
+    val cPhys = m.physOf(c)
     var filesRead = 0
     var filesTotal = 0
     val frames = m.dataDirs.flatMap { d =>
       val dirPath = Paths.get(path, "data", d)
       val dirTotal = countDataFiles(dirPath)
       filesTotal += dirTotal
-      if (m.partSpecs.get(d).contains(c)) {
+      if (m.partSpecs.get(d).contains(cPhys)) {
         // this dir IS partitioned on c: keep only matching subdirs
         val ls = Files.list(dirPath)
         val kept =
           try ls.iterator().asScala
             .filter(p => Files.isDirectory(p) &&
-              p.getFileName.toString.startsWith(s"$c="))
+              p.getFileName.toString.startsWith(s"$cPhys="))
             .filter(p => want(unescapePartVal(
-              p.getFileName.toString.drop(c.length + 1))))
+              p.getFileName.toString.drop(cPhys.length + 1))))
             .map(_.toString).toList.sorted
           finally ls.close()
         if (kept.isEmpty) None else {
           kept.foreach(k => filesRead += countDataFiles(Paths.get(k)))
-          val st = schema.getOrElse(sys.error(
+          val st = schema.map(physStruct(m, _)).getOrElse(sys.error(
             s"versioned readPartitionPruned: dir $d predates " +
               "schema tracking"))
           // explicit schema: discovery PARSES the partition value
@@ -356,8 +424,9 @@ object Versioned {
           // '123', and the final isin filter silently drops the rows
           val scan = spark.read.schema(st)
             .option("basePath", dirPath.toString).parquet(kept: _*)
-          Some(alignToSchema(
-            if (withIds) withRowId(scan) else scan, st, withIds))
+          Some(toLogical(m, schema.get, alignToSchema(
+            if (withIds) withRowId(scan) else scan, st, withIds),
+            if (withIds) Seq("__dv_rel", "__dv_pos") else Seq.empty))
         }
       } else {
         // other layout: read fully, the exact row filter below applies
@@ -408,7 +477,7 @@ object Versioned {
 
   private def commitCore(df: DataFrame, path: String, overwrite: Boolean,
       txn: Option[String], expectedBase: Option[Int],
-      stage: String => Unit = null,
+      stage: (String, DataFrame, String => String) => Unit = null,
       modeOverride: Option[String] = None,
       partSpec: Option[String] = None): Option[Int] = {
     // token charset gate BEFORE any work: render() interpolates the
@@ -433,11 +502,61 @@ object Versioned {
     }
     val dataId = java.util.UUID.randomUUID().toString
     val dataDir = s"$path/data/$dataId"
-    // default staging is a plain distributed parquet write; a commit
-    // MODE (e.g. [[commitClustered]]) swaps in its own layout writer
-    // — the ledger mechanics below are identical either way
-    if (stage == null) df.write.mode("errorifexists").parquet(dataDir)
-    else stage(dataDir)
+    // COLUMN-MAPPING assignment for this commit's columns: existing
+    // logical columns keep their immutable physical name; NEW columns
+    // get `logical` itself unless that physical name is already taken
+    // by a live column or reserved by a dropColumn tombstone — then a
+    // fresh `<logical>_p<version>` name, which is what makes
+    // drop-then-re-add safe (old files simply lack the fresh physical
+    // name and null-fill; their bytes can never resurrect).
+    def assignPhys(parentM: Option[Manifest], nextV: Int)
+        : Map[String, String] = parentM match {
+      case None => df.columns.map(c => c -> c).toMap // fresh baseline
+      case Some(pm) =>
+        import org.apache.spark.sql.types.StructType
+        val ps = pm.schemaDdl.map(StructType.fromDDL)
+        val liveByFold = ps.map(_.fields.map(f =>
+          foldName(f.name) -> f.name).toMap).getOrElse(Map.empty)
+        var used = (ps.map(_.fields.toSeq.map(f =>
+          foldName(pm.physOf(f.name)))).getOrElse(Seq.empty) ++
+          pm.droppedCols.map(foldName)).toSet
+        df.columns.map { c =>
+          liveByFold.get(foldName(c)) match {
+            case Some(parentName) => c -> pm.physOf(parentName)
+            case None =>
+              var cand = c
+              var i = 0
+              while (used(foldName(cand))) {
+                i += 1
+                cand = if (i == 1) s"${c}_p$nextV" else s"${c}_p${nextV}_$i"
+              }
+              used += foldName(cand)
+              c -> cand
+          }
+        }.toMap
+    }
+    def physRename(mapping: Map[String, String]): DataFrame =
+      if (df.columns.forall(c => mapping(c) == c)) df
+      else {
+        import org.apache.spark.sql.functions.col
+        df.select(df.columns.toIndexedSeq
+          .map(c => col(c).as(mapping(c))): _*)
+      }
+    // default staging is a plain distributed parquet write of the
+    // PHYSICAL-named frame; a commit MODE (e.g. [[commitClustered]])
+    // swaps in its own layout writer, receiving the physical frame
+    // and the name translator — the ledger mechanics below are
+    // identical either way
+    def runStage(mapping: Map[String, String]): Unit = {
+      val pdf = physRename(mapping)
+      if (stage == null) pdf.write.mode("errorifexists").parquet(dataDir)
+      else stage(dataDir, pdf, (c: String) => mapping.getOrElse(c, c))
+    }
+    val stageHead = latestVersion(path)
+    val stageParent = if (overwrite || stageHead < 0) None
+      else Some(readManifest(path, stageHead))
+    var stagedMapping = assignPhys(stageParent, stageHead + 1)
+    runStage(stagedMapping)
     Files.createDirectories(versionsDir(path))
     var attempt = 0
     while (true) {
@@ -464,6 +583,20 @@ object Versioned {
       val parentMeta = if (head < 0) None else Some(readManifest(path, head))
       val parent = if (overwrite) None else parentMeta
       val parentDirs = parent.map(_.dataDirs).getOrElse(Seq.empty)
+      // column-mapping drift check: the staged files were written
+      // under physical names derived from the STAGE-TIME head; a
+      // concurrent rename / colliding new-column commit can change
+      // the assignment (physical names themselves are immutable, so
+      // this is rare: only fresh-name suffixes and rename-reused
+      // logical names move). Restage under the current assignment —
+      // correctness over the re-write cost, on a losing-race path
+      // that is already re-deriving everything else.
+      val mappingNow = assignPhys(parent, head + 1)
+      if (mappingNow != stagedMapping) {
+        dropDirRec(Paths.get(dataDir))
+        stagedMapping = mappingNow
+        runStage(stagedMapping)
+      }
       // CHECK-constraint enforcement (SQL semantics: NULL passes):
       // one batch job finds any violating row BEFORE the publish; the
       // staged dir stays orphaned on failure (vacuum reclaims). For
@@ -489,9 +622,9 @@ object Versioned {
       // committed; a NARROWER arrival is equally fine — its files
       // read widened). Anything off the ladder — long→int, string→
       // numeric — is silent-corruption drift and still fails loudly.
-      // A name tombstoned by [[dropColumn]] cannot come back: the
-      // explicit-schema read would resurrect the dropped files' bytes
-      // under the reborn column.
+      // A name tombstoned by [[dropColumn]] CAN come back: column
+      // mapping hands the reborn column a FRESH physical name
+      // (assignPhys), so old files null-fill it — never resurrect it.
       val dropped = parent.map(_.droppedCols).getOrElse(Seq.empty)
       val ddl = parent.flatMap(_.schemaDdl) match {
         case Some(pd) =>
@@ -507,15 +640,12 @@ object Versioned {
           val ps = StructType.fromDDL(pd)
           // Spark resolves column names case-INsensitively by default
           // (spark.sql.caseSensitive=false), so every name comparison
-          // in this guard folds case: committing 'SECRET' after
-          // dropColumn("secret") must hit the tombstone (a sensitive
-          // compare would wave it through and the explicit-schema read
-          // would resurrect the dropped files' bytes — the exact ghost
-          // the tombstone exists to block), and a re-cased arrival of
-          // an existing column is the SAME column widening/matching,
-          // not an addition. Folding even under caseSensitive=true is
-          // deliberate: case-colliding names in one table are a
-          // portability trap, and this guard errs loud, never silent.
+          // in this guard folds case: a re-cased arrival of an
+          // existing column is the SAME column widening/matching, not
+          // an addition, and a re-cased arrival of a DROPPED name is
+          // a re-add (fresh physical via assignPhys), never a ghost.
+          // Folding even under caseSensitive=true is deliberate:
+          // case-colliding names in one table are a portability trap.
           def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
           val byName =
             df.schema.fields.map(f => fold(f.name) -> f.dataType).toMap
@@ -531,17 +661,16 @@ object Versioned {
             }
           }
           val have = ps.fields.map(f => fold(f.name)).toSet
-          val droppedFolded = dropped.map(fold).toSet
           val added =
             df.schema.fields.filterNot(f => have.contains(fold(f.name)))
-          added.find(f => droppedFolded.contains(fold(f.name)))
-            .foreach(f => sys.error(
-            s"versioned commit: column ${f.name} was DROPPED at $path — " +
-              "old files still hold its bytes, which an explicit-schema " +
-              "read would resurrect; use a fresh column name"))
           StructType(merged ++ added).toDDL
         case None => df.schema.toDDL
       }
+      // carry the parent's mapping (covers columns this commit does
+      // not touch) plus this commit's non-identity assignments (new
+      // columns that collided with a live physical or a tombstone)
+      val nextColMap = parent.map(_.colMap).getOrElse(Map.empty) ++
+        stagedMapping.filter { case (l, p) => foldName(l) != foldName(p) }
       // an APPEND carries the parent's deletion-vector mask — new
       // files are untouched by it (their (rel,pos) ids are fresh) and
       // the carried dirs' masked rows must STAY deleted; an overwrite
@@ -554,9 +683,13 @@ object Versioned {
         dvDirs = parent.map(_.dvDirs).getOrElse(Seq.empty),
         // carry the CARRIED dirs' partition specs; the new dir adds
         // its own spec iff this is a partitioned-layout commit
+        // partSpecs hold PHYSICAL names (directories on disk are
+        // physical); the new dir records its spec under the staged
+        // mapping
         partSpecs = parent.map(_.specsFor(parentDirs))
-          .getOrElse(Map.empty) ++ partSpec.map(dataId -> _),
-        droppedCols = dropped)
+          .getOrElse(Map.empty) ++
+          partSpec.map(pc => dataId -> stagedMapping.getOrElse(pc, pc)),
+        droppedCols = dropped, colMap = nextColMap)
       // atomic create-exclusive publish via [[publishManifest]] (the
       // one deployment seam — rename(2) would REPLACE silently, the
       // wrong primitive for a commit race); the loser retries against
@@ -579,12 +712,20 @@ object Versioned {
             // missing it. Read the staged dir back (discovery
             // restores the column) and WRITE the insert feed.
             import org.apache.spark.sql.functions.{col, lit}
-            // read back under df's OWN schema: discovery then parses
-            // the partition-dir values as the declared type, so the
+            // read back under df's OWN schema — PHYSICAL names (the
+            // staged dir carries them): discovery then parses the
+            // partition-dir values as the declared type, so the
             // written feed's column types match feedSchema exactly
-            // (inference could flip a string partition col numeric)
-            val back = df.sparkSession.read.schema(df.schema)
+            // (inference could flip a string partition col numeric);
+            // renamed to logical before the feed write renames back
+            // (publishWrittenFeed owns the physical translation)
+            val backSchema = org.apache.spark.sql.types.StructType(
+              df.schema.fields.map(f =>
+                f.copy(name = stagedMapping(f.name))))
+            val back0 = df.sparkSession.read.schema(backSchema)
               .option("basePath", dataDir).parquet(dataDir)
+            val back = back0.select(df.columns.toIndexedSeq.map(c =>
+              col(stagedMapping(c)).as(c)): _*)
             publishWrittenFeed(
               back.withColumn("ct", lit("insert"))
                 .select((df.columns.toIndexedSeq.map(col)
@@ -645,17 +786,22 @@ object Versioned {
     require(dirIds.nonEmpty, s"versioned read: empty dir set at $path")
     val schema = m.schemaDdl.map(
       org.apache.spark.sql.types.StructType.fromDDL)
+    // files carry PHYSICAL names (column mapping): every scan reads
+    // under the physical schema, and ONE rename projection at the end
+    // restores the manifest's logical names — identity (and absent
+    // from the plan) for tables that never renamed
+    val physOpt = schema.map(physStruct(m, _))
     val (parted, plain) = dirIds.partition(m.partSpecs.contains)
     val plainDf = if (plain.isEmpty) Seq.empty[DataFrame] else Seq {
       val dirs = plain.map(d => s"$path/data/$d")
-      val scan = schema match {
+      val scan = physOpt match {
         case Some(st) => spark.read.schema(st).parquet(dirs: _*)
         case None => spark.read.parquet(dirs: _*)
       }
       if (withIds) withRowId(scan) else scan
     }
     val partDfs = parted.map { d =>
-      val st = schema.getOrElse(sys.error(
+      val st = physOpt.getOrElse(sys.error(
         s"versioned read: partitioned dir $d at $path predates " +
           "schema tracking"))
       // the manifest schema rides the per-dir read too: partition
@@ -671,7 +817,9 @@ object Versioned {
       // gone), THEN the frame aligns to the manifest schema
       alignToSchema(if (withIds) withRowId(scan) else scan, st, withIds)
     }
-    (plainDf ++ partDfs).reduce(_.unionByName(_))
+    val phys = (plainDf ++ partDfs).reduce(_.unionByName(_))
+    toLogical(m, schema.getOrElse(return phys), phys,
+      if (withIds) Seq("__dv_rel", "__dv_pos") else Seq.empty)
   }
 
   /** Null-fill evolved columns and cast to the manifest's types in
@@ -762,11 +910,13 @@ object Versioned {
     require(v >= 0, s"versioned read: no committed version at $path")
     val m = readManifest(path, v)
     val dirs = m.dataDirs.map(d => s"$path/data/$d")
+    // stats sidecars and file bytes carry PHYSICAL names
+    val cPhys = m.physOf(c)
     var kept = Vector.empty[String]
     var total = 0
     dirs.foreach { dir =>
       if (Files.isDirectory(Paths.get(Clustered.statsPath(dir)))) {
-        val (k, t) = Clustered.pruneRange(spark, dir, c, lo, hi)
+        val (k, t) = Clustered.pruneRange(spark, dir, cPhys, lo, hi)
         kept ++= k; total += t
       } else {
         // un-indexed dir: all of its data files stay in the read set
@@ -785,18 +935,20 @@ object Versioned {
         } finally ls.close()
       }
     }
-    val reader = m.schemaDdl match {
-      case Some(ddl) => spark.read.schema(
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    val logicalOpt = m.schemaDdl.map(
+      org.apache.spark.sql.types.StructType.fromDDL)
+    val reader = logicalOpt match {
+      case Some(st) => spark.read.schema(physStruct(m, st))
       case None => spark.read
     }
-    val pred = col(c) >= lo && col(c) <= hi
+    val pred = col(cPhys) >= lo && col(cPhys) <= hi
     // the deletion-vector overlay composes with file skipping: mask
     // rows for pruned/absent files simply never match the anti-join
-    val df =
+    val phys =
       if (kept.isEmpty) reader.parquet(dirs: _*).filter(pred).limit(0)
       else applyDvMask(spark, path, m.dvDirs,
         reader.parquet(kept: _*).filter(pred))
+    val df = logicalOpt.map(toLogical(m, _, phys)).getOrElse(phys)
     (df, kept.size, total)
   }
 
@@ -845,10 +997,47 @@ object Versioned {
         schemaDdl = src.schemaDdl,
         ts = Some(System.currentTimeMillis()), constraints = cons,
         dvDirs = src.dvDirs, partSpecs = src.partSpecs,
-        droppedCols = src.droppedCols)
+        droppedCols = src.droppedCols, colMap = src.colMap)
       if (publishManifest(path, m)) return m.version
     }
     -1 // unreachable
+  }
+
+  /** AGE-BASED retention — the operational vacuum form every
+    * lakehouse user reaches for first: reclaim history older than
+    * `cutoffMillis` (epoch wall-clock), keep every version stamped at
+    * or after it readable. Resolution rule:
+    *
+    *  - `retainFrom` = the LOWEST version whose commit timestamp is
+    *    ≥ cutoff — every version from there to head keeps
+    *    time-traveling; manifests below it are reclaimed and time
+    *    travel to them fails loudly (the [[read]] no-such-version
+    *    error);
+    *  - versions predating timestamp tracking count as older than any
+    *    cutoff (their position in time is unknowable — the
+    *    conservative direction for a RECLAIM is to be explicit, and
+    *    they are only reclaimed, never silently kept as readable
+    *    history);
+    *  - a cutoff newer than every commit CANNOT break the head chain:
+    *    retainFrom clamps to head — the live table always survives
+    *    its own retention policy.
+    *
+    * Data dirs follow reference liveness exactly like [[vacuum]]
+    * (a dir referenced by any retained manifest stays — an append
+    * chain keeps its whole lineage readable); the change feed trims
+    * consistently (cv dirs below retainFrom drop with their
+    * manifests, and [[feedEpoch]]'s compare loses the same prefix on
+    * both sides, documented there). Returns `retainFrom` — the oldest
+    * still-readable version. */
+  def vacuumOlderThan(path: String, cutoffMillis: Long): Int = {
+    val head = latestVersion(path)
+    require(head >= 0, s"versioned vacuum: no committed version at $path")
+    val retainFrom = (0 to head).find { v =>
+      Files.exists(manifestPath(path, v)) &&
+        readManifest(path, v).ts.exists(_ >= cutoffMillis)
+    }.getOrElse(head)
+    vacuum(path, retainFrom)
+    retainFrom
   }
 
   /** Drop data dirs unreferenced by any manifest ≥ `retainFrom`
@@ -957,15 +1146,21 @@ object Versioned {
   }
 
   /** Write a merge's classified change rows as the feed of `v`.
-    * `feed` columns: the table columns + `ct`; partitioned by `ct` so
-    * the type rides the directory name like the append path. */
+    * `feed` arrives with LOGICAL table columns + `ct` (every caller
+    * passes frames read through the logical API); the write renames
+    * to PHYSICAL names so feed files and data files share the one
+    * era-free physical schema — linked and written feed dirs mix
+    * freely under [[feedSchema]]. Partitioned by `ct` so the type
+    * rides the directory name like the append path. */
   private def publishWrittenFeed(feed: DataFrame, path: String,
       v: Int): Unit = {
     val dst = changeDirPath(path, v)
     if (Files.exists(dst)) return
+    val m = readManifest(path, v) // published before any feed write
     val stage = changesRoot(path)
       .resolve(s".stage-${java.util.UUID.randomUUID()}")
-    feed.write.partitionBy("ct").mode("errorifexists")
+    toPhysical(m, feed, extra = Seq("ct"))
+      .write.partitionBy("ct").mode("errorifexists")
       .parquet(stage.toString)
     try { Files.move(stage, dst): Unit }
     catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -973,16 +1168,27 @@ object Versioned {
     }
   }
 
-  /** The feed's read schema: the head manifest's table schema plus
-    * the two directory-derived partition columns. */
+  /** The feed's read schema — PHYSICAL table names (what the linked/
+    * written feed files carry) plus the two directory-derived
+    * partition columns; [[logicalizeFeed]] restores the head's
+    * logical names after the scan. */
   private def feedSchema(path: String): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     val head = latestVersion(path)
     require(head >= 0, s"change feed: no committed version at $path")
-    val ddl = readManifest(path, head).schemaDdl.getOrElse(
+    val m = readManifest(path, head)
+    val ddl = m.schemaDdl.getOrElse(
       sys.error(s"change feed: table at $path predates schema tracking"))
-    StructType(StructType.fromDDL(ddl).fields ++
+    StructType(physStruct(m, StructType.fromDDL(ddl)).fields ++
       Seq(StructField("cv", IntegerType), StructField("ct", StringType)))
+  }
+
+  /** Physical→logical rename for feed reads (head's names). */
+  private def logicalizeFeed(path: String, df: DataFrame): DataFrame = {
+    val m = readManifest(path, latestVersion(path))
+    val st = org.apache.spark.sql.types.StructType.fromDDL(
+      m.schemaDdl.get)
+    toLogical(m, st, df, extra = Seq("cv", "ct"))
   }
 
   private def renameFeedCols(df: DataFrame): DataFrame = df
@@ -1014,10 +1220,10 @@ object Versioned {
       }
     }
     import org.apache.spark.sql.functions.col
-    renameFeedCols(
+    renameFeedCols(logicalizeFeed(path,
       spark.read.schema(feedSchema(path))
         .option("basePath", changesRoot(path).toString)
-        .parquet(changesRoot(path).toString))
+        .parquet(changesRoot(path).toString)))
       .filter(col("_commit_version").between(vFrom, vTo))
   }
 
@@ -1032,10 +1238,10 @@ object Versioned {
     * publish by atomic rename, so a discovered dir is complete. */
   def readChangeStream(spark: SparkSession, path: String): DataFrame = {
     Files.createDirectories(changesRoot(path))
-    renameFeedCols(
+    renameFeedCols(logicalizeFeed(path,
       spark.readStream.schema(feedSchema(path))
         .option("basePath", changesRoot(path).toString)
-        .parquet(changesRoot(path).toString))
+        .parquet(changesRoot(path).toString)))
   }
 
   /** Backfill feed gaps (crash between manifest publish and feed
@@ -1293,12 +1499,12 @@ object Versioned {
     * per-dir, feed) already projects through the manifest's explicit
     * schema, so the bytes still sitting in old files become invisible
     * at the head while TIME TRAVEL at older versions still shows them
-    * (each version reads under its own schema). The physical name is
-    * TOMBSTONED: re-adding it fails loudly at commit, because the
-    * explicit-schema read would resurrect the old files' bytes under
-    * the reborn column — the ghost-column bug column-mapping formats
-    * solve with field ids (renames are likewise unsupported without
-    * ids: drop + re-add under a fresh name is the honest spelling).
+    * (each version reads under its own schema). The PHYSICAL name is
+    * tombstoned as a RESERVATION: re-adding the logical name is
+    * allowed — column mapping ([[Manifest.colMap]]) hands the reborn
+    * column a fresh physical name, so old files null-fill it instead
+    * of resurrecting their bytes (the ghost-column bug field-id/name
+    * mapping solves; see also [[renameColumn]]).
     * Guards: cannot drop the last column, a LIVE dir's hive partition
     * column ([[readPartitionPruned]] would break and discovery could
     * not restore prunability), or a column referenced by a CHECK
@@ -1320,16 +1526,18 @@ object Versioned {
       // Name comparisons fold case (Spark default resolution is
       // case-insensitive — same rationale as the commit-time guard):
       // the user may spell the column in any case; the tombstone
-      // records the PHYSICAL name from the schema so later folded
-      // comparisons hit regardless of the drop call's spelling.
+      // records the PHYSICAL name (what the files carry) so the
+      // fresh-name assignment in commitCore can never reuse it.
       def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-      val physical = ps.fields.find(f => fold(f.name) == fold(colName))
+      val logical = ps.fields.find(f => fold(f.name) == fold(colName))
         .map(_.name).getOrElse(sys.error(
           s"versioned dropColumn: no column '$colName' at $path " +
             s"(have: ${ps.fieldNames.mkString(", ")})"))
+      val physical = parent.physOf(logical)
       require(ps.fields.length > 1,
         s"versioned dropColumn: cannot drop the last column at $path")
-      require(!parent.partSpecs.values.map(fold).toSet.contains(fold(colName)),
+      require(!parent.partSpecs.values.map(fold).toSet
+          .contains(fold(physical)),
         s"versioned dropColumn: '$colName' is a live dir's partition " +
           s"column at $path — compact() first to flatten the layout")
       val word = ("(?i).*\\b" +
@@ -1342,7 +1550,77 @@ object Versioned {
         schemaDdl = Some(
           StructType(ps.fields.filterNot(f =>
             fold(f.name) == fold(colName))).toDDL),
-        droppedCols = parent.droppedCols :+ physical)
+        droppedCols = parent.droppedCols :+ physical,
+        colMap = parent.colMap.filterNot { case (l, _) =>
+          fold(l) == fold(logical) })
+      if (publishManifest(path, m)) {
+        // a metadata commit changes no logical rows: empty feed dir
+        Files.createDirectories(changeDirPath(path, m.version))
+        return m.version
+      } // else: lost the race — re-derive against the new head
+    }
+    -1 // unreachable
+  }
+
+  /** RENAME COLUMN as a METADATA commit — zero data files move, the
+    * rename unlocked by name-mode column mapping ([[Manifest.colMap]]):
+    * a column's PHYSICAL name (what every file ever written carries)
+    * is fixed at its first commit; the rename swaps only the LOGICAL
+    * name in the manifest's schema and repoints the mapping. Old
+    * files read under the new name immediately (one physical schema
+    * covers every era), TIME TRAVEL below the rename still shows the
+    * old name (each version reads under its own manifest), and the
+    * change feed follows the head's names ([[logicalizeFeed]]) so a
+    * checkpointed subscriber crosses the rename exactly-once — feed
+    * FILES are physical-named and era-free.
+    *
+    * Guards: `oldName` must exist; `newName` must not collide with a
+    * live column (folded — Spark resolves case-insensitively) or a
+    * reserved feed/DV name; a CHECK constraint referencing `oldName`
+    * blocks the rename (its expression text would silently break —
+    * drop the constraint, rename, re-add under the new name).
+    * Partition columns rename fine: directory layouts carry the
+    * immutable physical name. Publishes mode `meta` with an empty
+    * feed dir, like [[dropColumn]]. */
+  def renameColumn(path: String, oldName: String, newName: String): Int = {
+    import org.apache.spark.sql.types.StructType
+    require(!Seq("cv", "ct", "__dv_rel", "__dv_pos").contains(newName),
+      s"versioned renameColumn: '$newName' is reserved")
+    var attempt = 0
+    while (true) {
+      require(attempt < 50, s"versioned renameColumn: 50 lost races at $path")
+      attempt += 1
+      val head = latestVersion(path)
+      require(head >= 0,
+        s"versioned renameColumn: no committed version at $path")
+      val parent = readManifest(path, head)
+      val ddl = parent.schemaDdl.getOrElse(sys.error(
+        s"versioned renameColumn: table at $path predates schema tracking"))
+      val ps = StructType.fromDDL(ddl)
+      def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val field = ps.fields.find(f => fold(f.name) == fold(oldName))
+        .getOrElse(sys.error(
+          s"versioned renameColumn: no column '$oldName' at $path " +
+            s"(have: ${ps.fieldNames.mkString(", ")})"))
+      require(!ps.fields.exists(f => fold(f.name) == fold(newName)),
+        s"versioned renameColumn: column '$newName' already exists at $path")
+      val word = ("(?i).*\\b" +
+        java.util.regex.Pattern.quote(oldName) + "\\b.*").r
+      parent.constraints.find(c => word.matches(c)).foreach(c =>
+        sys.error(s"versioned renameColumn: '$oldName' appears in CHECK " +
+          s"constraint '$c' at $path — remove the constraint first"))
+      val physical = parent.physOf(field.name)
+      val m = parent.copy(version = head + 1, mode = "meta", txn = None,
+        ts = Some(System.currentTimeMillis()),
+        schemaDdl = Some(StructType(ps.fields.map(f =>
+          if (fold(f.name) == fold(oldName)) f.copy(name = newName)
+          else f)).toDDL),
+        colMap = parent.colMap.filterNot { case (l, _) =>
+          fold(l) == fold(oldName) } ++
+          // identity entries stay OUT of the map ­— a rename back to
+          // the physical name fully dissolves the divergence
+          (if (fold(newName) == fold(physical)) Map.empty[String, String]
+           else Map(newName -> physical)))
       if (publishManifest(path, m)) {
         // a metadata commit changes no logical rows: empty feed dir
         Files.createDirectories(changeDirPath(path, m.version))
@@ -1572,12 +1850,14 @@ object Versioned {
         .write.mode("errorifexists").parquet(s"$path/dv/$dvId")
       val masked = spark.read.parquet(s"$path/dv/$dvId").count()
       val dataId = java.util.UUID.randomUUID().toString
-      upserts.write.mode("errorifexists").parquet(s"$path/data/$dataId")
+      toPhysical(m, upserts)
+        .write.mode("errorifexists").parquet(s"$path/data/$dataId")
       val next = Manifest(base + 1, "merge-dv", m.dataDirs :+ dataId,
         txn, m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints,
         dvDirs = if (masked == 0L) m.dvDirs else m.dvDirs :+ dvId,
-        partSpecs = m.partSpecs, droppedCols = m.droppedCols)
+        partSpecs = m.partSpecs, droppedCols = m.droppedCols,
+        colMap = m.colMap)
       if (publishManifest(path, next)) {
         if (masked == 0L) dropDirRec(Paths.get(path, "dv", dvId))
         publishMergeFeed(path, next.version, target, updates, keys,
@@ -1674,7 +1954,7 @@ object Versioned {
         .drop("__dv_rel", "__dv_pos")
       val deletedRows = touchedDf.filter(hit).count()
       val dataId = java.util.UUID.randomUUID().toString
-      touchedDf.filter(not(hit))
+      toPhysical(m, touchedDf.filter(not(hit)))
         .write.mode("errorifexists").parquet(s"$path/data/$dataId")
       // the carried dirs keep their mask entries (still live); mask
       // rows pointing at the dropped dirs dangle harmlessly — their
@@ -1684,7 +1964,8 @@ object Versioned {
         constraints = m.constraints, dvDirs = m.dvDirs,
         // rewritten dirs drop their specs with their bytes (the
         // staged replacement is plain); carried dirs keep theirs
-        partSpecs = m.specsFor(carried), droppedCols = m.droppedCols)
+        partSpecs = m.specsFor(carried), droppedCols = m.droppedCols,
+        colMap = m.colMap)
       if (publishManifest(path, next)) {
         // stored feed: pre-image delete rows, derived from the
         // immutable base snapshot AFTER the publish (a lost race
@@ -1774,7 +2055,8 @@ object Versioned {
       val next = Manifest(base + 1, "delete-dv", m.dataDirs, txn,
         m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints, dvDirs = m.dvDirs :+ dvId,
-        partSpecs = m.partSpecs, droppedCols = m.droppedCols)
+        partSpecs = m.partSpecs, droppedCols = m.droppedCols,
+        colMap = m.colMap)
       if (publishManifest(path, next)) {
         // stored feed: pre-image delete rows derived from the STAGED
         // MASK, not a re-run of the predicate — (a) one bounded read
@@ -1786,15 +2068,18 @@ object Versioned {
         val staged = spark.read.parquet(s"$path/dv/$dvId")
         val touchedFiles = staged.select("rel").distinct()
           .collect().map(_.getString(0)) // ≤ files-with-deletes
-        val reader = m.schemaDdl match {
-          case Some(ddl) => spark.read.schema(
-            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        val logicalSt = m.schemaDdl.map(
+          org.apache.spark.sql.types.StructType.fromDDL)
+        val physSt = logicalSt.map(physStruct(m, _))
+        val reader = physSt match {
+          case Some(st) => spark.read.schema(st)
           case None => spark.read
         }
         // files in hive-partitioned dirs read under their dir's
         // basePath so the partition column re-derives from the path
         // (a bare file read would null it); plain files keep the one
-        // explicit-schema batch
+        // explicit-schema batch. All file bytes carry PHYSICAL names;
+        // one rename projection restores the logical view below.
         val (partRels, plainRels) = touchedFiles.toIndexedSeq.sorted
           .partition(f => m.partSpecs.contains(f.takeWhile(_ != '/')))
         val plainFrames = if (plainRels.isEmpty) Seq.empty[DataFrame]
@@ -1802,16 +2087,18 @@ object Versioned {
             plainRels.map(f => s"$path/data/$f"): _*)))
         val partFrames = partRels.groupBy(_.takeWhile(_ != '/')).toSeq
           .sortBy(_._1).map { case (d, rels) =>
-            val st = org.apache.spark.sql.types.StructType.fromDDL(
-              m.schemaDdl.getOrElse(sys.error(
-                s"versioned deleteWhereDV: partitioned dir $d " +
-                  "predates schema tracking")))
+            val st = physSt.getOrElse(sys.error(
+              s"versioned deleteWhereDV: partitioned dir $d " +
+                "predates schema tracking"))
             alignToSchema(withRowId(spark.read.schema(st)
               .option("basePath", s"$path/data/$d")
               .parquet(rels.map(f => s"$path/data/$f"): _*)),
               st, withIds = true)
           }
-        val frame = (plainFrames ++ partFrames).reduce(_.unionByName(_))
+        val physFrame = (plainFrames ++ partFrames)
+          .reduce(_.unionByName(_))
+        val frame = logicalSt.map(toLogical(m, _, physFrame,
+          extra = Seq("__dv_rel", "__dv_pos"))).getOrElse(physFrame)
         val cols = frame.columns.toIndexedSeq
           .filterNot(Set("__dv_rel", "__dv_pos"))
         val pre = frame.join(staged,
@@ -1886,7 +2173,8 @@ object Versioned {
     val v0 = Manifest(0, "clone", m.dataDirs, txn = None,
       schemaDdl = m.schemaDdl, ts = Some(System.currentTimeMillis()),
       constraints = m.constraints, dvDirs = m.dvDirs,
-      partSpecs = m.partSpecs, droppedCols = m.droppedCols)
+      partSpecs = m.partSpecs, droppedCols = m.droppedCols,
+      colMap = m.colMap)
     require(publishManifest(dstPath, v0),
       s"versioned clone: $dstPath v0 already exists (racing clone?)")
     // birth feed: the clone's v0 IS a whole-table insert. With an

@@ -19,7 +19,16 @@ import org.apache.spark.sql.SparkSession
   * stack on stdout (the spec asserts on it). */
 object RaceCommitMain {
   def main(args: Array[String]): Unit = {
-    val Array(path, sync, label, nStr, sharedTxn) = args
+    // optional 6th arg: an ExternalLog coordination dir — the child
+    // then commits through the CAS-log arbiter instead of link(2),
+    // making the cross-process proof cover BOTH arbiters
+    val (path, sync, label, nStr, sharedTxn) = args match {
+      case Array(p, s, l, n, t) => (p, s, l, n, t)
+      case Array(p, s, l, n, t, logDir) =>
+        Versioned.arbiter = new CommitArbiter.ExternalLog(
+          java.nio.file.Paths.get(logDir))
+        (p, s, l, n, t)
+    }
     val n = nStr.toInt
     val spark = SparkSession.builder()
       .master("local[2]")

@@ -81,26 +81,31 @@ class VersionedEvolveSpec extends SparkSpec {
       overwrite = false)
     assert(Versioned.read(spark, path).as[(Long, String)]
       .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
-    // re-adding the tombstoned name fails loudly: v0's files still
-    // hold 10/20 under 'secret', which the explicit-schema read
-    // would resurrect into the reborn column
-    val err = intercept[RuntimeException] {
-      Versioned.commit(Seq((4L, "d", 99L)).toDF("k", "v", "secret"),
-        path, overwrite = false)
-    }
-    assert(err.getMessage.contains("DROPPED"))
+    // RE-ADDING the dropped name works — column mapping hands the
+    // reborn column a FRESH physical name, so v0's files (which still
+    // hold 10/20 under the old physical 'secret') null-fill it: the
+    // ghost-column resurrection is structurally impossible
+    Versioned.commit(Seq((4L, "d", 99L)).toDF("k", "v", "secret"),
+      path, overwrite = false)
+    val reborn = Versioned.read(spark, path)
+      .select("k", "secret").as[(Long, Option[Long])].collect().toMap
+    assert(reborn(4L).contains(99L))
+    assert(reborn(1L).isEmpty && reborn(2L).isEmpty && reborn(3L).isEmpty,
+      s"old files resurrected dropped bytes: $reborn")
     // an OVERWRITE resets the baseline (no old files left to haunt)
     Versioned.commit(Seq((9L, "z", 7L)).toDF("k", "v", "secret"),
       path, overwrite = true)
     assert(Versioned.read(spark, path).columns.toSeq ==
       Seq("k", "v", "secret"))
+    assert(Versioned.read(spark, path).as[(Long, String, Long)]
+      .collect().toSeq == Seq((9L, "z", 7L)))
   }
 
   test("tombstone and drift guards fold case (Spark resolves names case-insensitively)") {
     // committing 'SECRET' after dropColumn("secret") is the SAME
-    // column under Spark's default case-insensitive resolution — a
-    // sensitive compare would wave it through and the explicit-schema
-    // read would resurrect v0's bytes under the reborn column
+    // column under Spark's default case-insensitive resolution — the
+    // fresh-physical assignment must fire for it too, or the
+    // explicit-schema read would resurrect v0's bytes
     val path = tmpTable()
     Versioned.commit(Seq((1L, "a", 10L)).toDF("k", "v", "secret"),
       path, overwrite = false)
@@ -108,11 +113,13 @@ class VersionedEvolveSpec extends SparkSpec {
     // physical name
     Versioned.dropColumn(path, "SeCrEt")
     assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "v"))
-    val err = intercept[RuntimeException] {
-      Versioned.commit(Seq((2L, "b", 99L)).toDF("k", "v", "SECRET"),
-        path, overwrite = false)
-    }
-    assert(err.getMessage.contains("DROPPED"))
+    Versioned.commit(Seq((2L, "b", 99L)).toDF("k", "v", "SECRET"),
+      path, overwrite = false)
+    val rows = Versioned.read(spark, path)
+      .select("k", "SECRET").as[(Long, Option[Long])].collect().toMap
+    assert(rows(2L).contains(99L))
+    assert(rows(1L).isEmpty,
+      s"re-cased re-add resurrected dropped bytes: $rows")
     // a re-cased arrival of a LIVE column is that column, not an add:
     // same-type append under a different spelling commits cleanly and
     // the manifest keeps ONE column
@@ -284,12 +291,16 @@ class VersionedEvolveSpec extends SparkSpec {
       assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "v"))
       assert(Versioned.read(spark, path).as[(Long, String)]
         .collect().toSet == Set((1L, "a"), (2L, "b")))
-      // and the tombstone bites commits derived AFTER the race
-      val err = intercept[RuntimeException] {
-        Versioned.commit(Seq((3L, "c", 30L)).toDF("k", "v", "junk"),
-          path, overwrite = false)
-      }
-      assert(err.getMessage.contains("DROPPED"))
+      // and the tombstone's fresh-physical assignment bites commits
+      // derived AFTER the race: the reborn column null-fills for the
+      // racer's rows instead of resurrecting their dropped bytes
+      Versioned.commit(Seq((3L, "c", 30L)).toDF("k", "v", "junk"),
+        path, overwrite = false)
+      val rows = Versioned.read(spark, path)
+        .select("k", "junk").as[(Long, Option[Long])].collect().toMap
+      assert(rows(3L).contains(30L))
+      assert(rows(1L).isEmpty && rows(2L).isEmpty,
+        s"post-race re-add resurrected dropped bytes: $rows")
     } finally Versioned.prePublishHook = () => ()
   }
 

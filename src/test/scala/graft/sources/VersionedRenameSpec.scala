@@ -1,0 +1,161 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RENAME COLUMN through name-mode column mapping
+  * ([[Versioned.renameColumn]], Manifest.colMap): physical names are
+  * immutable, logical names are metadata — so renames move zero
+  * bytes, old files read under the new name, time travel shows each
+  * version's own name, drop-then-re-add yields nulls (never
+  * resurrected bytes), and the change feed crosses a rename
+  * exactly-once. */
+class VersionedRenameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String = java.nio.file.Files
+    .createTempDirectory("graft_vrename").toString
+
+  test("rename: old files read under the new name; time travel keeps each version's own name") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "v", "amt"), path, overwrite = false) // v0
+    val v1 = Versioned.renameColumn(path, "amt", "amount")
+    assert(v1 == 1)
+    // head: new name, OLD files' values visible under it (zero rewrite)
+    val head = Versioned.read(spark, path)
+    assert(head.columns.toSeq == Seq("k", "v", "amount"))
+    assert(head.select("k", "amount").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    // time travel below the rename: the OLD name
+    assert(Versioned.read(spark, path, Some(0)).columns.toSeq ==
+      Seq("k", "v", "amt"))
+    // appends AFTER the rename arrive under the new logical name and
+    // mix with pre-rename files in one snapshot
+    Versioned.commit(Seq((3L, "c", 30L)).toDF("k", "v", "amount"),
+      path, overwrite = false)
+    assert(Versioned.read(spark, path)
+      .agg(sum("amount")).head.getLong(0) == 60L)
+    // rename AGAIN: a → b → c chains through the same physical name
+    Versioned.renameColumn(path, "amount", "amt_usd")
+    assert(Versioned.read(spark, path)
+      .select("k", "amt_usd").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("rename guards: missing column, collision, reserved, constraint reference") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a", 10L)).toDF("k", "v", "amt"),
+      path, overwrite = false)
+    Versioned.addConstraint(spark, path, "amt > 0")
+    intercept[RuntimeException](
+      Versioned.renameColumn(path, "nope", "x"))
+    intercept[Exception](
+      Versioned.renameColumn(path, "v", "AMT")) // folded collision
+    intercept[Exception](
+      Versioned.renameColumn(path, "v", "__dv_rel")) // reserved
+    intercept[RuntimeException](
+      Versioned.renameColumn(path, "amt", "amount")) // in constraint
+    // a rename of an untouched column still lands
+    assert(Versioned.renameColumn(path, "v", "val") == 2)
+  }
+
+  test("drop-then-re-add yields nulls, not resurrected bytes; rename composes") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a", 7L)).toDF("k", "v", "x"),
+      path, overwrite = false) // v0: x=7 in file bytes
+    Versioned.dropColumn(path, "x") // v1
+    Versioned.commit(Seq((2L, "b", 99L)).toDF("k", "v", "x"),
+      path, overwrite = false) // v2: reborn x, fresh physical
+    val rows = Versioned.read(spark, path)
+      .select("k", "x").as[(Long, Option[Long])].collect().toMap
+    assert(rows(2L).contains(99L) && rows(1L).isEmpty,
+      s"ghost column: $rows")
+    // renaming the reborn column keeps its fresh physical binding
+    Versioned.renameColumn(path, "x", "y")
+    val rows2 = Versioned.read(spark, path)
+      .select("k", "y").as[(Long, Option[Long])].collect().toMap
+    assert(rows2(2L).contains(99L) && rows2(1L).isEmpty)
+    // and v0 time travel still shows the ORIGINAL x bytes
+    assert(Versioned.read(spark, path, Some(0))
+      .select("x").as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("renamed partition column: pruned reads keep skipping (physical dirs unchanged)") {
+    val path = tmpTable()
+    Versioned.commitPartitioned(
+      Seq((1L, "p1"), (2L, "p2"), (3L, "p1")).toDF("k", "p"),
+      path, "p", overwrite = false)
+    Versioned.renameColumn(path, "p", "part")
+    val (df, read, total) = Versioned.readPartitionPruned(
+      spark, path, "part", Seq("p1"))
+    assert(df.columns.toSeq == Seq("k", "part"))
+    assert(df.select("k").as[Long].collect().toSet == Set(1L, 3L))
+    assert(read < total, s"no pruning: $read/$total")
+    // appends under the renamed spec still prune with the old dirs
+    Versioned.commitPartitioned(Seq((4L, "p1")).toDF("k", "part"),
+      path, "part", overwrite = false)
+    val (df2, r2, t2) = Versioned.readPartitionPruned(
+      spark, path, "part", Seq("p1"))
+    assert(df2.select("k").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    assert(r2 < t2)
+  }
+
+  test("rename composes with deletion vectors and clustered stats skipping") {
+    val path = tmpTable()
+    Versioned.commitClustered((1L to 100L).map(i => (i, i * 2))
+      .toDF("a", "b"), path, "a", "b", files = 4, overwrite = false)
+    Versioned.deleteWhereDV(spark, path, col("a") === 5L)
+    Versioned.renameColumn(path, "a", "key")
+    // DV mask still applies under the new name
+    val keys = Versioned.read(spark, path).select("key")
+      .as[Long].collect().toSet
+    assert(!keys.contains(5L) && keys.size == 99)
+    // range-clustered read prunes by the NEW logical name (stats
+    // sidecars carry the physical one)
+    val (df, kept, total) = Versioned.readRangeClustered(
+      spark, path, "key", 10, 20)
+    assert(df.columns.toSeq == Seq("key", "b"))
+    assert(df.select("key").as[Long].collect().toSet ==
+      (10L to 20L).toSet)
+    assert(kept < total, s"no file skipping: $kept/$total")
+  }
+
+  test("change feed crosses a rename exactly-once (checkpointed subscriber)") {
+    val path = tmpTable()
+    val mirror = java.nio.file.Files
+      .createTempDirectory("graft_vrename_mirror").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_vrename_ckpt").toString
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "x"), path,
+      overwrite = false) // v0
+    // subscriber pass 1: consume v0 under the ORIGINAL names
+    def drainOnce(): Unit = {
+      val q = Versioned.readChangeStream(spark, path)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", mirror).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainOnce()
+    val pass1 = spark.read.parquet(mirror)
+    assert(pass1.columns.contains("x") && pass1.count() == 1)
+    // rename + new append, then the SAME checkpoint resumes: only the
+    // new rows arrive (exactly-once), under a schema whose physical
+    // file layout never changed
+    Versioned.renameColumn(path, "x", "y") // v1 (meta: empty feed)
+    Versioned.commit(Seq((2L, 20L)).toDF("k", "y"), path,
+      overwrite = false) // v2
+    drainOnce()
+    // exactly-once across the rename: 2 rows total (v0 once, v2 once,
+    // the meta commit's empty feed contributing nothing, no replays)
+    assert(spark.read.parquet(mirror).count() == 2)
+    assert(spark.read.parquet(mirror).select("k")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // a FRESH subscriber reads the whole feed under the NEW name
+    val fresh = Versioned.readChanges(spark, path, 0, 2)
+    assert(fresh.columns.contains("y") && !fresh.columns.contains("x"))
+    assert(fresh.select("k", "y").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+  }
+}

@@ -115,6 +115,41 @@ class VersionedSpec extends SparkSpec {
     intercept[Exception] { Versioned.read(spark, path, Some(0)).collect() }
   }
 
+  test("vacuumOlderThan: age-based retention keeps stamped versions at/after the cutoff, never breaks the head") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path, overwrite = false)
+    Versioned.commit(Seq((2L, "b")).toDF("k", "v"), path, overwrite = false)
+    Thread.sleep(5) // millis stamps: order the clock reads
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(5)
+    Versioned.commit(Seq((3L, "c")).toDF("k", "v"), path, overwrite = false)
+    Versioned.commit(Seq((4L, "d")).toDF("k", "v"), path, overwrite = false)
+    val oldest = Versioned.vacuumOlderThan(path, cutoff)
+    assert(oldest == 2)
+    // every version at/after the cutoff stays readable...
+    assert(Versioned.read(spark, path, Some(2)).count() == 3)
+    assert(Versioned.read(spark, path, Some(3)).count() == 4)
+    // ...time travel below it fails loudly...
+    intercept[Exception] { Versioned.read(spark, path, Some(0)).collect() }
+    intercept[Exception] { Versioned.read(spark, path, Some(1)).collect() }
+    // ...and the append lineage keeps the OLD data dirs alive by
+    // reference (reclaim is manifest-first; bytes follow liveness)
+    assert(Versioned.read(spark, path).as[(Long, String)]
+      .collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // a future cutoff clamps to the head — the live table always
+    // survives its own retention policy
+    val clamped = Versioned.vacuumOlderThan(
+      path, System.currentTimeMillis() + 3600000L)
+    assert(clamped == Versioned.latestVersion(path))
+    assert(Versioned.read(spark, path).count() == 4)
+    // feed trims consistently: cv dirs below the floor are gone and
+    // the feed epoch still resolves at the head
+    assert(!java.nio.file.Files.isDirectory(
+      Versioned.changeDirPath(path, 0)))
+    assert(Versioned.feedEpoch(path, clamped) >= 0)
+  }
+
   test("changes classifies insert/delete/update/unchanged between versions") {
     val path = tmpTable()
     Versioned.commit(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
