@@ -109,18 +109,16 @@ object Bench {
     val results = outcomes.map { case (t1, _, sec) => t1.name -> sec }
     val failed = outcomes.collect { case (t1, t2, _) if !(t1.ok && t2.ok) =>
       t1.name }
-    // Per-query lines FIRST (complete evidence even if a capture window
-    // clips the head) — min beside both pass times plus each pass's
-    // GC/JIT delta milliseconds (burst attribution) — then the single
-    // summary JSON line LAST and kept small: times rounded to 3
-    // decimals so the entries fit the driver's capture window (the r6
-    // tail truncated at full double precision).
+    // stdout carries ONLY the one summary JSON line (the driver's
+    // contract), times rounded to 3 decimals: r10/r11 proved that
+    // printing 264 per-query detail lines first overflows the
+    // driver's stdout capture window and leaves BENCH_r{N}.json
+    // unparsed ("parsed": null). The complete per-query evidence —
+    // both pass times + GC/JIT burst attribution per query — lives in
+    // the BENCH_full.json artifact written below, which has no
+    // capture-window budget and has been the authoritative channel
+    // since r8.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    outcomes.foreach { case (t1, t2, sec) =>
-      println(s"""{"q":"${t1.name}","sec":${f3(sec)},"p1":${f3(t1.sec)}""" +
-        s""","p2":${f3(t2.sec)},"gc1":${t1.gcMs},"gc2":${t2.gcMs}""" +
-        s""","jit1":${t1.jitMs},"jit2":${t2.jitMs}}""")
-    }
     def qmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")

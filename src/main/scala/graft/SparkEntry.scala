@@ -196,6 +196,16 @@ object SparkEntry {
     cat
   }
 
+  /** Staged decode-once parquet for q_jpeg_decode's oracle. DIR- and
+    * PID-independent on purpose: the corpus ids are literals, so
+    * every SF and process derives identical bytes, the stage is
+    * write-once (atomic publish), and the DuckDB side can read it
+    * from a static path baked into the oracle SQL. Never registered
+    * for shutdown cleanup — the compare runs in a LATER process. */
+  private[graft] val jpegOraclePath: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_jpeg_oracle_v1"
+
   /** The read side of q_lake_roundtrip, shared with LakeRoundtripSpec
     * so the spec's executed-scan pruning fence measures EXACTLY the
     * plan the driver row runs. */
@@ -690,6 +700,23 @@ object SparkEntry {
     "q_sql_q22" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(sqlQ22)
+    }),
+
+    // 269: SQL front door, TPC-DS Q64's repeat-purchase join chain —
+    // consecutive-year traded-up buyers per nation; the self-join
+    // runs on the per-(customer, year) AGGREGATE, never fact×fact.
+    "q_sql_ds_repeat" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsRepeat)
+    }),
+
+    // 270: SQL front door, TPC-DS Q31's share-growth shape — nations
+    // whose revenue share strictly grows across 1996's first three
+    // quarters; share compares exact via DECIMAL(38,0)
+    // cross-multiplication.
+    "q_sql_ds_share" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sqlDsShare)
     }),
 
     // 168: SQL front door, TPC-DS Q22's hierarchy-ROLLUP report —
@@ -4231,6 +4258,74 @@ object SparkEntry {
                         AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
     GROUP BY n_name
     ORDER BY n_name"""
+
+  /** Shared verbatim — TPC-DS Q64's repeat-purchase join-chain shape
+    * (the same buyer appearing in consecutive years with a price
+    * compare across the pair), adapted: per-(customer, year) revenue
+    * self-joined on (custkey, year+1), kept where the second year
+    * TRADED UP (exact integer cents compare), dimensioned through
+    * customer→nation. The chain aggregates BEFORE the self-join, so
+    * the join runs on the |customers|·|years| frame, never
+    * fact×fact — the shape that survives 100 TB. */
+  private val sqlDsRepeat: String = """
+    WITH cy AS (
+      SELECT o_custkey AS ck,
+             CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT)
+               AS yr,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2)
+    SELECT n_name, a.yr AS yr1, count(*) AS n_repeat,
+           CAST(sum(a.rev) AS DOUBLE) / 100.0 AS rev_y1,
+           CAST(sum(b.rev) AS DOUBLE) / 100.0 AS rev_y2
+    FROM cy a
+    JOIN cy b ON b.ck = a.ck AND b.yr = a.yr + 1
+    JOIN customer ON c_custkey = a.ck
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE b.rev > a.rev
+    GROUP BY n_name, a.yr
+    ORDER BY n_name, yr1"""
+
+  /** Shared verbatim — TPC-DS Q31's share-growth shape (counties
+    * whose sales share grows quarter over quarter), adapted: each
+    * nation's share of total order revenue across 1996's first three
+    * quarters, kept where the share STRICTLY increases both steps.
+    * Shares compare exactly by cross-multiplication — widened to
+    * DECIMAL(38,0) because cents·cents passes 2^63 at sf ≳ 15 — and
+    * the reported shares are one mirrored IEEE division each. */
+  private val sqlDsShare: String = """
+    WITH q AS (
+      SELECT n_name,
+             CAST(EXTRACT(quarter FROM CAST(o_orderdate AS DATE)) AS INT)
+               AS qtr,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      GROUP BY 1, 2),
+    t AS (SELECT qtr, CAST(sum(rev) AS BIGINT) AS tot FROM q GROUP BY 1)
+    SELECT a.n_name,
+           round(CAST(a.rev AS DOUBLE) / CAST(t1.tot AS DOUBLE), 9)
+             AS share_q1,
+           round(CAST(b.rev AS DOUBLE) / CAST(t2.tot AS DOUBLE), 9)
+             AS share_q2,
+           round(CAST(c.rev AS DOUBLE) / CAST(t3.tot AS DOUBLE), 9)
+             AS share_q3
+    FROM q a
+    JOIN q b ON b.n_name = a.n_name AND b.qtr = 2
+    JOIN q c ON c.n_name = a.n_name AND c.qtr = 3
+    JOIN t t1 ON t1.qtr = 1
+    JOIN t t2 ON t2.qtr = 2
+    JOIN t t3 ON t3.qtr = 3
+    WHERE a.qtr = 1
+      AND CAST(b.rev AS DECIMAL(38,0)) * t1.tot >
+          CAST(a.rev AS DECIMAL(38,0)) * t2.tot
+      AND CAST(c.rev AS DECIMAL(38,0)) * t2.tot >
+          CAST(b.rev AS DECIMAL(38,0)) * t3.tot
+    ORDER BY a.n_name"""
 
   /** Shared verbatim — TPC-DS Q22's hierarchy-ROLLUP report shape
     * (avg quantity at every level of the item hierarchy), adapted to
@@ -8145,6 +8240,45 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // 268: REAL JPEG decode as a CHECKED row — closing the one
+    // unchecked modality path (PNG/GIF/WAV/AVI are lossless, so their
+    // oracles reconstruct pixels arithmetically; JPEG's decoded
+    // pixels are ENCODER-DEFINED, so no codec-less oracle exists).
+    // The contract is decode-ONCE-compare-TWICE: a 48-image corpus of
+    // smooth-gradient patterns is encoded + decoded on the executors
+    // (ImageIO, deterministic within one runtime) into all-integer
+    // (width, height, 16-bucket luma histogram) features; the FIRST
+    // run stages that exact frame to a dir-independent parquet (ids
+    // are literals 0..47, so every SF and process derives identical
+    // bytes — the stage is write-once with an atomic publish), and
+    // the DuckDB oracle reads the staged parquet back. Equality holds
+    // iff the decode is STABLE and the Spark plumbing (binary column,
+    // partitioned decode, histogram arithmetic) is correct; a
+    // MultimodalSpec test separately bounds the decoded luma against
+    // the pre-encode pattern, so a decoder returning garbage cannot
+    // hide behind self-agreement.
+    "q_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val fresh = graft.multimodal.Multimodal.decodeLumaHist(
+        s.range(48).as[Long].repartition(8).mapPartitions { it =>
+          it.map(m => (m, graft.multimodal.Multimodal.patternJpeg(m)))
+        }.toDF("media_id", "content"), bins = 16)
+        .orderBy("media_id")
+      val dst = java.nio.file.Paths.get(jpegOraclePath)
+      if (!java.nio.file.Files.exists(dst.resolve("_SUCCESS"))) {
+        val tmp = java.nio.file.Paths.get(
+          jpegOraclePath + s".tmp-${java.util.UUID.randomUUID()}")
+        fresh.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        try { java.nio.file.Files.move(tmp, dst): Unit }
+        catch { case _: Exception => // racer published first
+          java.nio.file.Files.walk(tmp)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+        }
+      }
+      fresh
+    }),
+
     // 104: REAL multi-frame demux as a CHECKED row — a 48-container
     // corpus of deterministic ANIMATED GIFs encoded on the executors
     // (indexed-gray palette ⇒ lossless), demuxed back through the
@@ -9339,6 +9473,8 @@ object SparkEntry {
     "q_sql_q9" -> sqlQ9,
     "q_sql_q11" -> sqlQ11,
     "q_sql_ds_rollup" -> sqlDsRollup,
+    "q_sql_ds_repeat" -> sqlDsRepeat,
+    "q_sql_ds_share" -> sqlDsShare,
     "q_sql_ds_toprank" -> sqlDsTopRank,
     "q_sql_ds_channel" -> sqlDsChannel,
     "q_sql_ds_cumulative" -> sqlDsCumulative,
@@ -10643,6 +10779,11 @@ object SparkEntry {
       SELECT m AS media_id, w AS width, h AS height,
              md5(hexs) AS pixel_md5
       FROM px ORDER BY media_id""",
+    "q_jpeg_decode" -> s"""
+      SELECT media_id, width, height,
+             ${(0 until 16).map(i => f"h$i%02d").mkString(", ")}
+      FROM read_parquet('$jpegOraclePath/*.parquet')
+      ORDER BY media_id""",
     "q_audio_decode" -> """
       WITH ids AS (SELECT doc_id AS m FROM documents
                    ORDER BY doc_id LIMIT 48),

@@ -170,6 +170,86 @@ object Multimodal {
     buf.toByteArray
   }
 
+  /** Deterministic RGB test pattern for image id `m`, encoded as a
+    * REAL (lossy) JPEG through `javax.imageio` — the corpus generator
+    * for the checked JPEG path. The SMOOTH gradient (no hard edges)
+    * keeps quantization error small, but unlike [[patternPng]] no
+    * codec-less oracle can reproduce the decoded pixels: JPEG output
+    * is encoder-defined. The checked contract is therefore
+    * decode-ONCE-compare-twice (see q_jpeg_decode): both sides of the
+    * compare run THIS encoder + the JDK decoder on identical inputs,
+    * which is bit-deterministic within one runtime. */
+  def patternJpeg(m: Long): Array[Byte] = {
+    val w = (24 + m % 13).toInt
+    val h = (24 + m % 11).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // smooth gradients (linear in x, y) — JPEG-friendly content
+        val r = (((m * 5) % 64) + x * 3 + y * 2).toInt.min(255)
+        val g = (((m * 3) % 64) + x * 2 + y * 3).toInt.min(255)
+        val b = (((m * 7) % 64) + x + y).toInt.min(255)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    buf.toByteArray
+  }
+
+  /** Real image decode to integer luma-histogram features:
+    * (media_id, width, height, h00..h{bins-1}) with
+    * luma = (299·r + 587·g + 114·b) / 1000 (integer division) and
+    * bucket = luma·bins / 256 — all-integer, so two decodes of the
+    * same bytes agree bit-exactly on any engine. Per-partition
+    * ImageIO streaming like [[decodeImages]]; corrupt payloads
+    * degrade to (-1, -1, zero histogram), never task failures. */
+  def decodeLumaHist(media: DataFrame, bins: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val decoded = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null) (id, -1, -1, Array.fill(bins)(0L))
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val hist = Array.fill(bins)(0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                val luma = (299 * r + 587 * g + 114 * b) / 1000
+                hist(luma * bins / 256) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            (id, w, h, hist)
+          }
+        }
+      }.toDF("media_id", "width", "height", "hist")
+    decoded.select((Seq(col("media_id"), col("width"), col("height")) ++
+      (0 until bins).map(i =>
+        element_at(col("hist"), i + 1).as(f"h$i%02d"))): _*)
+  }
+
   /** Real image decode to a canonical pixel transcript: (media_id,
     * width, height, pixel_hex) where pixel_hex is the row-major
     * lowercase `rrggbb` hex of every decoded pixel — the form an

@@ -7,6 +7,52 @@ import org.apache.spark.sql.types._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("JPEG decode: real lossy decode stays within codec tolerance of the pattern") {
+    // q_jpeg_decode's oracle is decode-once-compare-twice (self-
+    // agreement) — THIS test is the independent truth anchor: the
+    // decoded luma histogram must sit close to the PRE-ENCODE
+    // pattern's arithmetic histogram, so a decoder returning garbage
+    // (right schema, wrong pixels) cannot hide behind stability.
+    val media = spark.range(24).as[Long].repartition(4)
+      .mapPartitions(it => it.map(m => (m, Multimodal.patternJpeg(m))))
+      .toDF("media_id", "content")
+    val got = Multimodal.decodeLumaHist(media, bins = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2),
+          (0 until 16).map(i => r.getLong(3 + i)))).toMap
+    (0L until 24L).foreach { m =>
+      val (w, h, hist) = got(m)
+      // dims are exact (JPEG never changes geometry)
+      assert(w == (24 + m % 13).toInt && h == (24 + m % 11).toInt)
+      assert(hist.sum == w.toLong * h, s"histogram lost pixels for $m")
+      // arithmetic histogram of the pre-encode pattern
+      val ref = Array.fill(16)(0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = (((m * 5) % 64) + x * 3 + y * 2).toInt.min(255)
+          val g = (((m * 3) % 64) + x * 2 + y * 3).toInt.min(255)
+          val b = (((m * 7) % 64) + x + y).toInt.min(255)
+          val luma = (299 * r + 587 * g + 114 * b) / 1000
+          ref(luma * 16 / 256) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      // codec tolerance: total variation ≤ 15% of pixels (smooth
+      // gradients quantize gently; garbage pixels would blow this)
+      val tv = (0 until 16).map(i => math.abs(hist(i) - ref(i))).sum / 2
+      assert(tv <= (w.toLong * h * 15) / 100,
+        s"media $m drifted $tv of ${w * h} pixels from the pattern")
+    }
+    // corrupt payloads degrade, never fail
+    val bad = Seq((99L, Array[Byte](1, 2, 3)), (100L, null))
+      .toDF("media_id", "content")
+    val rows = Multimodal.decodeLumaHist(bad, bins = 16).collect()
+    assert(rows.forall(r => r.getInt(1) == -1 && r.getInt(2) == -1))
+  }
+
   test("asMedia produces the canonical media schema") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello"), (2L, "")).toDF("id", "payload"),
