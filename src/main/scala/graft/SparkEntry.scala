@@ -4292,7 +4292,11 @@ object SparkEntry {
     * quarters, kept where the share STRICTLY increases both steps.
     * Shares compare exactly by cross-multiplication — widened to
     * DECIMAL(38,0) because cents·cents passes 2^63 at sf ≳ 15 — and
-    * the reported shares are one mirrored IEEE division each. */
+    * the reported shares are one mirrored IEEE division each. The
+    * per-quarter totals join on EQUI-keys (t.qtr = side.qtr, chained
+    * qtr+1 hops) so nothing plans cartesian — the constant-predicate
+    * spelling (t1.qtr = 1) had no join key and flagged CARTESIAN in
+    * PLANAUDIT. */
   private val sqlDsShare: String = """
     WITH q AS (
       SELECT n_name,
@@ -4315,11 +4319,11 @@ object SparkEntry {
            round(CAST(c.rev AS DOUBLE) / CAST(t3.tot AS DOUBLE), 9)
              AS share_q3
     FROM q a
-    JOIN q b ON b.n_name = a.n_name AND b.qtr = 2
-    JOIN q c ON c.n_name = a.n_name AND c.qtr = 3
-    JOIN t t1 ON t1.qtr = 1
-    JOIN t t2 ON t2.qtr = 2
-    JOIN t t3 ON t3.qtr = 3
+    JOIN t t1 ON t1.qtr = a.qtr
+    JOIN q b ON b.n_name = a.n_name AND b.qtr = a.qtr + 1
+    JOIN t t2 ON t2.qtr = b.qtr
+    JOIN q c ON c.n_name = b.n_name AND c.qtr = b.qtr + 1
+    JOIN t t3 ON t3.qtr = c.qtr
     WHERE a.qtr = 1
       AND CAST(b.rev AS DECIMAL(38,0)) * t1.tot >
           CAST(a.rev AS DECIMAL(38,0)) * t2.tot

@@ -46,11 +46,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rejected back to Spark, which keeps it on top — double-filtering
   * safe, never wrong).
   *
-  * Batch READ only, by design: writes go through [[Versioned.commit]]
-  * and friends, whose commit arbitration ([[CommitArbiter]]) is the
-  * correctness seam — a silent SQL INSERT path that bypassed txn
-  * dedup would be a trap, so the capability is simply absent and
-  * Spark fails loudly at analysis.
+  * Writes: `INSERT INTO` / `INSERT OVERWRITE` are supported and go
+  * THROUGH [[Versioned.commit]] — the V1 write bridge's
+  * `InsertableRelation` hands the fully-resolved micro-plan to the
+  * same commit path every Scala caller uses, so SQL inserts get the
+  * identical arbiter race loop, constraint enforcement, schema
+  * drift/widening ledger, column-mapping physical naming, and change
+  * feed. DDL (CREATE/ALTER/DROP TABLE) stays Scala-API-only: table
+  * creation is a data commit here, and evolution has dedicated
+  * guarded entry points (dropColumn/renameColumn/addConstraint)
+  * whose guards a generic ALTER could not express.
   */
 class GraftCatalog extends TableCatalog {
   private var catName: String = _
@@ -136,20 +141,59 @@ class GraftCatalog extends TableCatalog {
       "GraftCatalog is read-only SQL: move the table directory instead")
 }
 
-/** One pinned snapshot (table path + commit version) as a V2 table. */
+/** One pinned snapshot (table path + commit version) as a V2 table.
+  * Reads serve the PINNED version (snapshot-consistent per query);
+  * writes always commit against the live head — the commit loop
+  * re-reads it, exactly like the Scala API. */
 private[sources] final class VersionedSqlTable(ident: String,
     path: String, pinned: Int, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def version(): String = pinned.toString
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    // V1_BATCH_WRITE (not BATCH_WRITE): the write IS a V1Write
+    // bridge — Spark's exec path calls toInsertableRelation only
+    // when the table declares the V1 capability
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new VersionedScanBuilder(path, pinned, tableSchema)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new VersionedWriteBuilder(path)
+}
+
+/** INSERT INTO (append) / INSERT OVERWRITE (truncate) as ONE
+  * [[Versioned.commit]] each — the V1 write bridge: Spark resolves
+  * and aligns the query against the table schema, then hands the
+  * frame to `InsertableRelation.insert`, which is exactly the Scala
+  * commit path (arbiter race loop, txn ledger, constraints,
+  * widening, column mapping, change feed — nothing bypassed). */
+private[sources] final class VersionedWriteBuilder(path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: DataFrame, ow: Boolean): Unit =
+            Versioned.commit(data, path,
+              overwrite = overwrite || ow): Unit
+        }
+    }
 }
 
 /** V2 pushdown surface: accepted filters and the pruned column set

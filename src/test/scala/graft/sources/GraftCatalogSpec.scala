@@ -110,20 +110,38 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == 2L)
   }
 
-  test("read-only: writes and missing tables fail loudly") {
+  test("INSERT INTO / OVERWRITE commit through the versioned ledger; missing tables fail loudly") {
     val wh = freshWarehouse()
-    val path = s"$wh/ro"
+    val path = s"$wh/w"
     Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path,
-      overwrite = false)
+      overwrite = false) // v0
     GraftCatalog.register(spark, "g5", wh)
+    // INSERT INTO = one append COMMIT: ledger grows, feed publishes,
+    // Scala reads see it
+    spark.sql("INSERT INTO g5.w VALUES (2, 'b')")
+    assert(Versioned.latestVersion(path) == 1)
+    assert(Versioned.read(spark, path).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(Versioned.readChanges(spark, path, 1, 1).count() == 1)
+    // time travel still sees the pre-insert snapshot
+    assert(spark.sql("SELECT count(*) AS n FROM g5.w VERSION AS OF 0")
+      .head.getLong(0) == 1L)
+    // constraints gate SQL inserts exactly like Scala commits
+    Versioned.addConstraint(spark, path, "k > 0") // v2 (meta)
     intercept[Exception] {
-      spark.sql("INSERT INTO g5.ro VALUES (2, 'b')")
+      spark.sql("INSERT INTO g5.w VALUES (-5, 'bad')")
     }
+    assert(Versioned.read(spark, path).count() == 2) // nothing landed
+    // INSERT OVERWRITE = one overwrite commit (truncate-and-load)
+    spark.sql("INSERT OVERWRITE g5.w VALUES (9, 'z')")
+    assert(Versioned.read(spark, path).as[(Long, String)]
+      .collect().toSeq == Seq((9L, "z")))
+    // history before the overwrite still time-travels
+    assert(spark.sql("SELECT count(*) AS n FROM g5.w VERSION AS OF 1")
+      .head.getLong(0) == 2L)
+    // missing tables still fail loudly
     intercept[Exception] {
       spark.sql("SELECT * FROM g5.nope").collect()
     }
-    // the failed INSERT must not have landed
-    assert(spark.sql("SELECT count(*) AS n FROM g5.ro")
-      .head.getLong(0) == 1L)
   }
 }
