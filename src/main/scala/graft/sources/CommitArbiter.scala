@@ -92,6 +92,13 @@ object CommitArbiter {
     * CLAIM and PUBLISH. */
   final class ExternalLog(logDir: Path) extends CommitArbiter {
     @volatile private[sources] var postClaimHook: () => Unit = () => ()
+    /** Test-only injection point INSIDE the loser-recovery TOCTOU
+      * window — after the `Files.exists(winnerStaged)` check, before
+      * the staged read — so a spec can deterministically make the
+      * live winner publish-and-delete exactly there (the race the
+      * NoSuchFileException fallback below exists for). */
+    @volatile private[sources] var preRecoveryReadHook: () => Unit =
+      () => ()
 
     private def slotKey(path: String, v: Int): String = {
       // table path → filesystem-safe log key (the real system keys on
@@ -162,6 +169,7 @@ object CommitArbiter {
           // the loss is clean — re-verify the manifest and move on
           // rather than abort a retry loop that actually lost fine.
           if (Files.exists(winnerStaged)) {
+            preRecoveryReadHook()
             try publish(path, v, Files.readAllBytes(winnerStaged))
             catch {
               case _: java.nio.file.NoSuchFileException

@@ -52,10 +52,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * same commit path every Scala caller uses, so SQL inserts get the
   * identical arbiter race loop, constraint enforcement, schema
   * drift/widening ledger, column-mapping physical naming, and change
-  * feed. DDL (CREATE/ALTER/DROP TABLE) stays Scala-API-only: table
-  * creation is a data commit here, and evolution has dedicated
-  * guarded entry points (dropColumn/renameColumn/addConstraint)
-  * whose guards a generic ALTER could not express.
+  * feed. `ALTER TABLE … ADD/RENAME/DROP COLUMN` map onto the guarded
+  * Versioned metadata commits (addColumn/renameColumn/dropColumn) —
+  * full SQL schema evolution with the same tombstone and
+  * column-mapping guarantees. CREATE/DROP TABLE stay Scala-API-only:
+  * table creation IS a data commit here, and table removal is a
+  * filesystem operation this catalog deliberately refuses to own.
   */
 class GraftCatalog extends TableCatalog {
   private var catName: String = _
@@ -126,10 +128,37 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "GraftCatalog is read-only SQL: create tables with Versioned.commit")
 
+  /** SQL schema evolution — `ALTER TABLE … ADD/RENAME/DROP COLUMN`
+    * map onto the GUARDED Versioned entry points (each one its own
+    * metadata commit with its own race loop, tombstones, and
+    * column-mapping bookkeeping — the generic change never bypasses a
+    * guard). Everything else (SET properties, type changes — widening
+    * happens implicitly at data commits) is unsupported and loud. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "GraftCatalog is read-only SQL: evolve with Versioned.dropColumn/commit")
+      changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "GraftCatalog: nested ADD COLUMN is not supported")
+        Versioned.addColumn(path, add.fieldNames()(0),
+          add.dataType().sql): Unit
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "GraftCatalog: nested RENAME COLUMN is not supported")
+        Versioned.renameColumn(path, ren.fieldNames()(0),
+          ren.newName()): Unit
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "GraftCatalog: nested DROP COLUMN is not supported")
+        Versioned.dropColumn(path, del.fieldNames()(0)): Unit
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported ALTER TABLE change $other — " +
+          "type widening happens implicitly at data commits; " +
+          "constraints via Versioned.addConstraint")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -1562,6 +1562,61 @@ object Versioned {
     -1 // unreachable
   }
 
+  /** ADD COLUMN as a METADATA commit — zero data files move: the new
+    * manifest's schema gains a nullable field that every existing
+    * file null-fills under the explicit read schema (the same
+    * mechanism appends-with-adds rely on); later data commits
+    * populate it. The physical name follows the commit-time rule
+    * ([[commitCore]]'s assignPhys): the logical name itself unless a
+    * live physical or a dropColumn tombstone already owns it — then a
+    * fresh `<name>_p<version>`, recorded in [[Manifest.colMap]], so
+    * ADD after DROP can never resurrect old bytes. Guards: reserved
+    * names, existing columns (folded compare). Mode `meta`, empty
+    * feed dir. */
+  def addColumn(path: String, colName: String, ddlType: String): Int = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    require(!Seq("cv", "ct", "__dv_rel", "__dv_pos").contains(colName),
+      s"versioned addColumn: '$colName' is reserved")
+    val dt = DataType.fromDDL(ddlType)
+    var attempt = 0
+    while (true) {
+      require(attempt < 50, s"versioned addColumn: 50 lost races at $path")
+      attempt += 1
+      val head = latestVersion(path)
+      require(head >= 0,
+        s"versioned addColumn: no committed version at $path")
+      val parent = readManifest(path, head)
+      val ddl = parent.schemaDdl.getOrElse(sys.error(
+        s"versioned addColumn: table at $path predates schema tracking"))
+      val ps = StructType.fromDDL(ddl)
+      require(!ps.fields.exists(f =>
+          foldName(f.name) == foldName(colName)),
+        s"versioned addColumn: column '$colName' already exists at $path")
+      val used = (ps.fields.toSeq.map(f =>
+        foldName(parent.physOf(f.name))) ++
+        parent.droppedCols.map(foldName)).toSet
+      var phys = colName
+      var i = 0
+      while (used(foldName(phys))) {
+        i += 1
+        phys = if (i == 1) s"${colName}_p${head + 1}"
+          else s"${colName}_p${head + 1}_$i"
+      }
+      val m = parent.copy(version = head + 1, mode = "meta", txn = None,
+        ts = Some(System.currentTimeMillis()),
+        schemaDdl = Some(StructType(
+          ps.fields :+ StructField(colName, dt, nullable = true)).toDDL),
+        colMap = parent.colMap ++
+          (if (foldName(phys) == foldName(colName)) Map.empty
+           else Map(colName -> phys)))
+      if (publishManifest(path, m)) {
+        Files.createDirectories(changeDirPath(path, m.version))
+        return m.version
+      } // else: lost the race — re-derive against the new head
+    }
+    -1 // unreachable
+  }
+
   /** RENAME COLUMN as a METADATA commit — zero data files move, the
     * rename unlocked by name-mode column mapping ([[Manifest.colMap]]):
     * a column's PHYSICAL name (what every file ever written carries)

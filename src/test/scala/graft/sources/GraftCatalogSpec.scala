@@ -110,6 +110,79 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == 2L)
   }
 
+  test("renamed tables through SQL: new-name reads, time-travel old names, INSERT under the new name") {
+    // column mapping × the SQL front door: the catalog resolves each
+    // snapshot's schema from ITS manifest, so a rename shows the new
+    // name at the head, the old name under VERSION AS OF, and SQL
+    // inserts land under the new logical name (physical mapping
+    // applied by the commit path, invisible here)
+    val wh = freshWarehouse()
+    val path = s"$wh/ren"
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "amt"), path,
+      overwrite = false) // v0
+    Versioned.renameColumn(path, "amt", "amount") // v1 (meta)
+    GraftCatalog.register(spark, "g6", wh)
+    assert(spark.sql("SELECT * FROM g6.ren").columns.toSeq ==
+      Seq("k", "amount"))
+    // old FILE bytes read under the new name through pure SQL
+    assert(spark.sql("SELECT amount FROM g6.ren WHERE k = 1")
+      .head.getLong(0) == 10L)
+    // time travel below the rename shows the old name
+    assert(spark.sql("SELECT * FROM g6.ren VERSION AS OF 0")
+      .columns.toSeq == Seq("k", "amt"))
+    // filter pushdown on the RENAMED column still reaches the scan
+    // (the V2 layer pushes 'amount'; the inner frame's rename
+    // projection carries it down to the physical 'amt' scan filter)
+    val q = spark.sql("SELECT k FROM g6.ren WHERE amount > 5")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // INSERT under the new name: the commit path maps to the
+    // immutable physical name; both eras read back as one column
+    spark.sql("INSERT INTO g6.ren VALUES (2, 20)")
+    assert(spark.sql("SELECT sum(amount) AS s FROM g6.ren")
+      .head.getLong(0) == 30L)
+    assert(Versioned.read(spark, path).columns.toSeq ==
+      Seq("k", "amount"))
+  }
+
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN run the guarded metadata commits from SQL") {
+    val wh = freshWarehouse()
+    val path = s"$wh/ddl"
+    Versioned.commit(Seq((1L, "a", 5L)).toDF("k", "v", "junk"),
+      path, overwrite = false) // v0
+    GraftCatalog.register(spark, "g7", wh)
+    // RENAME via SQL text → Versioned.renameColumn metadata commit
+    spark.sql("ALTER TABLE g7.ddl RENAME COLUMN v TO label")
+    assert(Versioned.read(spark, path).columns.toSeq ==
+      Seq("k", "label", "junk"))
+    // DROP via SQL → tombstoned physical, zero rewrite
+    spark.sql("ALTER TABLE g7.ddl DROP COLUMN junk")
+    assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "label"))
+    // ADD via SQL → nullable metadata column, old rows null-fill
+    spark.sql("ALTER TABLE g7.ddl ADD COLUMN score BIGINT")
+    val head = spark.sql("SELECT * FROM g7.ddl")
+    assert(head.columns.toSeq == Seq("k", "label", "score"))
+    assert(head.select("score").head.isNullAt(0))
+    // ADD of a DROPPED name gets a fresh physical: old junk bytes
+    // can never resurrect through the SQL path either
+    spark.sql("ALTER TABLE g7.ddl ADD COLUMN junk BIGINT")
+    assert(spark.sql("SELECT junk FROM g7.ddl").head.isNullAt(0),
+      "SQL re-add resurrected dropped bytes")
+    // data lands under the evolved schema via SQL and reads back
+    spark.sql("INSERT INTO g7.ddl VALUES (2, 'b', 9, 7)")
+    assert(spark.sql(
+      "SELECT sum(score) AS s, sum(junk) AS j FROM g7.ddl")
+      .head.toSeq == Seq(9L, 7L))
+    // the whole chain was metadata: still exactly 2 DATA dirs (v0 +
+    // the insert), 5 ledger versions before the insert
+    assert(Versioned.dataDirIds(path,
+      Versioned.latestVersion(path)).size == 2)
+    // guards still fire through SQL: dropping the last column /
+    // renaming onto a live name fail loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g7.ddl RENAME COLUMN label TO k")
+    }
+  }
+
   test("INSERT INTO / OVERWRITE commit through the versioned ledger; missing tables fail loudly") {
     val wh = freshWarehouse()
     val path = s"$wh/w"

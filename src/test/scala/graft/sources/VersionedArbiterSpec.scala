@@ -66,6 +66,45 @@ class VersionedArbiterSpec extends SparkSpec {
       "recovery publishes the CLAIMANT's payload, not the recoverer's")
   }
 
+  test("ExternalLog: a LIVE winner publishing inside the loser's recovery window is not an error") {
+    // the TOCTOU the r11 advice flagged: the loser checks
+    // Files.exists(winnerStaged), the live winner then publishes AND
+    // deletes its stage, and the loser's readAllBytes hits
+    // NoSuchFileException — that is a CLEAN loss (the winner
+    // published), not a failure that should abort a commit retry loop
+    val table = tmpDir("graft_arb_toctou")
+    val arb = new CommitArbiter.ExternalLog(
+      Paths.get(tmpDir("graft_arb_log3")))
+    // stage a claimed-but-unpublished slot, exactly as a slow winner
+    // would leave it mid-protocol
+    arb.postClaimHook = () => sys.error("pause the winner pre-publish")
+    intercept[RuntimeException] {
+      arb.putIfAbsent(table, 0, """{"writer":"slow"}""".getBytes("UTF-8"))
+    }
+    arb.postClaimHook = () => ()
+    // the loser enters recovery; INSIDE its exists→read window the
+    // "live winner" finishes: publishes the manifest and deletes its
+    // staged file (the hook runs the winner's steps 3+cleanup)
+    arb.preRecoveryReadHook = () => {
+      Files.write(Paths.get(table, "_versions", "v0.json"),
+        """{"writer":"slow"}""".getBytes("UTF-8"))
+      val vs = Files.list(Paths.get(table, "_versions"))
+      val staged = try vs.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".claim-v0-"))
+        .toList finally vs.close()
+      staged.foreach(p => Files.deleteIfExists(p))
+    }
+    try {
+      val won = arb.putIfAbsent(table, 0,
+        """{"writer":"loser"}""".getBytes("UTF-8"))
+      assert(!won, "the loser must report a clean loss, not throw")
+    } finally arb.preRecoveryReadHook = () => ()
+    val got = new String(Files.readAllBytes(
+      Paths.get(table, "_versions", "v0.json")), "UTF-8")
+    assert(got == """{"writer":"slow"}""",
+      "the winner's publish survives the concurrent recovery")
+  }
+
   test("Versioned commits compose end-to-end over the ExternalLog arbiter") {
     val table = tmpDir("graft_arb_e2e") + "/t"
     val arb = new CommitArbiter.ExternalLog(

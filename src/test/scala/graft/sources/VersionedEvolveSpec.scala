@@ -138,6 +138,36 @@ class VersionedEvolveSpec extends SparkSpec {
     assert(e2.getMessage.contains("type drift"))
   }
 
+  test("addColumn: metadata-only nullable add, null-fills history, fresh physical after a drop") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), path,
+      overwrite = false) // v0
+    val v1 = Versioned.addColumn(path, "score", "BIGINT")
+    assert(v1 == 1)
+    // metadata-only: same single data dir, old row null-fills
+    assert(Versioned.dataDirIds(path, v1).size == 1)
+    val head = Versioned.read(spark, path)
+    assert(head.columns.toSeq == Seq("k", "v", "score"))
+    assert(head.select("score").head.isNullAt(0))
+    // data commits then populate it; time travel below the add
+    // never shows it
+    Versioned.commit(Seq((2L, "b", 9L)).toDF("k", "v", "score"),
+      path, overwrite = false)
+    assert(Versioned.read(spark, path).agg(sum("score"))
+      .head.getLong(0) == 9L)
+    assert(Versioned.read(spark, path, Some(0)).columns.toSeq ==
+      Seq("k", "v"))
+    // guards: existing (folded), reserved
+    intercept[Exception](Versioned.addColumn(path, "V", "STRING"))
+    intercept[Exception](Versioned.addColumn(path, "ct", "STRING"))
+    // add-after-drop reserves a fresh physical: the manifest maps it
+    Versioned.dropColumn(path, "score")
+    Versioned.addColumn(path, "score", "BIGINT")
+    assert(Versioned.read(spark, path).filter(col("k") === 2L)
+      .select("score").head.isNullAt(0),
+      "metadata re-add resurrected dropped bytes")
+  }
+
   test("dropColumn guards: last column, live partition column, constraint reference") {
     val path = tmpTable()
     Versioned.commitPartitioned(
