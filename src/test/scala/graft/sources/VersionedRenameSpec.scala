@@ -121,6 +121,36 @@ class VersionedRenameSpec extends SparkSpec {
     assert(kept < total, s"no file skipping: $kept/$total")
   }
 
+  test("restore across a rename: the rolled-back head carries its own names and mapping") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "amt"), path,
+      overwrite = false) // v0: names (k, amt)
+    Versioned.renameColumn(path, "amt", "amount") // v1
+    Versioned.commit(Seq((2L, 20L)).toDF("k", "amount"), path,
+      overwrite = false) // v2: files under the SAME physical 'amt'
+    // RESTORE to v0: the head is v0's content AND v0's names again
+    val v3 = Versioned.restore(path, 0)
+    val head = Versioned.read(spark, path)
+    assert(head.columns.toSeq == Seq("k", "amt"))
+    assert(head.as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    // appends against the restored head use the restored mapping —
+    // the old logical name is live again
+    Versioned.commit(Seq((3L, 30L)).toDF("k", "amt"), path,
+      overwrite = false)
+    assert(Versioned.read(spark, path).agg(sum("amt"))
+      .head.getLong(0) == 40L)
+    // the renamed era still time-travels under ITS names
+    assert(Versioned.read(spark, path, Some(2)).columns.toSeq ==
+      Seq("k", "amount"))
+    assert(Versioned.read(spark, path, Some(2)).agg(sum("amount"))
+      .head.getLong(0) == 30L)
+    // and renaming AGAIN after the restore keeps working
+    Versioned.renameColumn(path, "amt", "value")
+    assert(Versioned.read(spark, path).agg(sum("value"))
+      .head.getLong(0) == 40L)
+    assert(v3 == 3)
+  }
+
   test("change feed crosses a rename exactly-once (checkpointed subscriber)") {
     val path = tmpTable()
     val mirror = java.nio.file.Files
