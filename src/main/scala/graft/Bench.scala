@@ -109,13 +109,15 @@ object Bench {
     val results = outcomes.map { case (t1, _, sec) => t1.name -> sec }
     val failed = outcomes.collect { case (t1, t2, _) if !(t1.ok && t2.ok) =>
       t1.name }
-    // stdout carries ONLY the one summary JSON line (the driver's
-    // contract), times rounded to 3 decimals: r10/r11 proved that
-    // printing 264 per-query detail lines first overflows the
-    // driver's stdout capture window and leaves BENCH_r{N}.json
-    // unparsed ("parsed": null). The complete per-query evidence —
-    // both pass times + GC/JIT burst attribution per query — lives in
-    // the BENCH_full.json artifact written below, which has no
+    // stdout carries ONLY one COMPACT totals-only JSON line (the
+    // driver's contract): r10-r12 proved the driver's stdout capture
+    // window is ~2 KB — first the 264 per-query detail LINES
+    // overflowed it (r10/r11), then the single summary line with the
+    // 270-entry per-query map inline (~10 KB) still did (r12,
+    // "parsed": null three rounds running). Totals, counts, and the
+    // sf tag fit; EVERYTHING per-query — the graded min-of-2 map,
+    // both pass maps, GC/JIT burst attribution — lives in the
+    // BENCH_full.json artifact written below, which has no
     // capture-window budget and has been the authoritative channel
     // since r8.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -125,10 +127,9 @@ object Bench {
     val total = results.map(_._2).sum
     val t1 = pass1.map(_.sec).sum
     val t2 = pass2.map(_.sec).sum
-    // "queries" carries the min-of-2 (the graded per-query number);
-    // the pass totals sit beside it so the burst magnitude each round
-    // is itself visible in the artifact.
-    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":2,"value_p1":${f3(t1)},"value_p2":${f3(t2)},"nq":${results.size},"nfail":${failed.size},"queries":${qmap(results)},"sf":"$sfDir"}"""
+    // pass totals sit beside the graded min-of-2 total so the burst
+    // magnitude each round is visible from the one stdout line
+    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":2,"value_p1":${f3(t1)},"value_p2":${f3(t2)},"nq":${results.size},"nfail":${failed.size},"sf":"$sfDir"}"""
     println(summary)
     // The artifact must survive a truncated stdout capture: write the
     // COMPLETE per-query timings + summary to a repo file too (the
@@ -143,6 +144,7 @@ object Bench {
       vs.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val fileSummary = summary.stripSuffix("}") +
+      s""","queries":${qmap(results)}""" +
       s""","queries_p1":${qmap(pass1.map(t => t.name -> t.sec))}""" +
       s""","queries_p2":${qmap(pass2.map(t => t.name -> t.sec))}""" +
       s""","gc_ms_p1":${lmap(pass1.map(t => t.name -> t.gcMs))}""" +

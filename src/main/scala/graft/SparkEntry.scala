@@ -201,10 +201,21 @@ object SparkEntry {
     * every SF and process derives identical bytes, the stage is
     * write-once (atomic publish), and the DuckDB side can read it
     * from a static path baked into the oracle SQL. Never registered
-    * for shutdown cleanup — the compare runs in a LATER process. */
-  private[graft] val jpegOraclePath: String =
+    * for shutdown cleanup — the compare runs in a LATER process.
+    * The path carries a RUNTIME discriminator (java version+vendor
+    * digest): JPEG decode determinism is only guaranteed within one
+    * runtime, so a JDK/ImageIO upgrade between the staging run and a
+    * later compare must RE-STAGE under the new runtime's path instead
+    * of comparing against another JVM's decode. */
+  private[graft] val jpegOraclePath: String = {
+    val runtime = sys.props.getOrElse("java.version", "?") + "/" +
+      sys.props.getOrElse("java.vendor", "?")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(runtime.getBytes("UTF-8")).map(b => f"$b%02x")
+      .mkString.take(8)
     sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft_jpeg_oracle_v1"
+      s"/graft_jpeg_oracle_v1_$tag"
+  }
 
   /** The read side of q_lake_roundtrip, shared with LakeRoundtripSpec
     * so the spec's executed-scan pruning fence measures EXACTLY the
@@ -5977,7 +5988,10 @@ object SparkEntry {
         Thread.sleep(5)
         V.commit(ev.filter(col("event_type") === "purchase"), table,
           overwrite = false) // v1 (new era)
-        val oldest = V.vacuumOlderThan(table, cutoff)
+        // force: this staged fixture's cutoff is milliseconds old —
+        // inside the retention safety window by design (the guard
+        // itself is spec-gated in VersionedSpec)
+        val oldest = V.vacuumOlderThan(table, cutoff, force = true)
         require(oldest == 1, s"expected retainFrom 1, got $oldest")
       }
       val head = V.latestVersion(table)

@@ -12,6 +12,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsofJoinNative.Strategy)
     ext.injectOptimizerRule(_ => AsofJoinNative.FilterPushdown)
+    // SQL front door: row-level DML over GraftCatalog tables (also
+    // self-registered at runtime by GraftCatalog.register/loadTable)
+    // and the streaming table-read rewrite (BUILD-time only — an
+    // analyzer rule can't attach to a live session, so
+    // spark.readStream.table over graft tables needs this class on
+    // spark.sql.extensions)
+    ext.injectPlannerStrategy(_ => graft.sources.GraftSqlDml.Strategy)
+    ext.injectResolutionRule(sp => new graft.sources.GraftStreamRewrite(sp))
   }
 }
 

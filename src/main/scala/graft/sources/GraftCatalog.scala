@@ -52,12 +52,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * same commit path every Scala caller uses, so SQL inserts get the
   * identical arbiter race loop, constraint enforcement, schema
   * drift/widening ledger, column-mapping physical naming, and change
-  * feed. `ALTER TABLE … ADD/RENAME/DROP COLUMN` map onto the guarded
-  * Versioned metadata commits (addColumn/renameColumn/dropColumn) —
-  * full SQL schema evolution with the same tombstone and
-  * column-mapping guarantees. CREATE/DROP TABLE stay Scala-API-only:
-  * table creation IS a data commit here, and table removal is a
-  * filesystem operation this catalog deliberately refuses to own.
+  * feed. `ALTER TABLE … ADD/RENAME/DROP COLUMN` statements map onto
+  * ONE guarded [[Versioned.alterColumns]] metadata commit (all
+  * changes validated before any publish — a failing change mid-list
+  * leaves the table untouched, never partially altered).
+  *
+  * Row-level DML — `DELETE FROM` / `UPDATE` / `MERGE INTO` — executes
+  * through the engine's merge-on-read primitives with
+  * batch-proportional write amplification; see [[GraftSqlDml]].
+  * `CREATE TABLE` / CTAS / `DROP TABLE` / `ALTER TABLE RENAME TO` are
+  * full citizens too: create publishes a schema-only v0 commit (CTAS
+  * then INSERTs through the same V1 bridge), drop removes the table
+  * tree, rename moves the table directory.
+  *
+  * Metadata tables (Iceberg/Delta convention): `g.t.history` — the
+  * commit ledger ([[Versioned.history]]: DESCRIBE HISTORY as a
+  * queryable table) — and `g.t.changes` — the stored change-data feed
+  * (batch: [[Versioned.readChanges]] over the retained range;
+  * streaming via `spark.readStream.table("g.t.changes")` when
+  * [[graft.plans.GraftExtensions]] is registered, see
+  * [[GraftStreamRewrite]]). A real table named `history`/`changes`
+  * wins over the metadata view.
   */
 class GraftCatalog extends TableCatalog {
   private var catName: String = _
@@ -82,24 +97,55 @@ class GraftCatalog extends TableCatalog {
       Versioned.schemaAt(spark, pathOf(ident), version))
   }
 
-  /** Head read — the version pins here, at resolution. */
+  /** Head read — the version pins here, at resolution. Error surface
+    * is deliberate: a missing `_versions` ledger is NoSuchTable; a
+    * corrupt ledger, a permissions failure, or any other read error
+    * RETHROWS (masking them as "table not found" sent the operator
+    * hunting the wrong bug); `<table>.history` / `<table>.changes`
+    * resolve as metadata tables when the prefix is a table. */
   override def loadTable(ident: Identifier): Table = {
-    val head =
-      try Versioned.latestVersion(pathOf(ident))
-      catch { case _: Exception => -1 }
-    if (head < 0) throw new NoSuchTableException(ident)
-    tableAt(ident, head)
+    GraftCatalog.ensureDmlStrategy(SparkSession.active)
+    val head = Versioned.latestVersion(pathOf(ident))
+    if (head >= 0) return tableAt(ident, head)
+    if (ident.namespace().nonEmpty) {
+      val parentPath = (warehouse +: ident.namespace()).mkString("/")
+      val parentHead = Versioned.latestVersion(parentPath)
+      if (parentHead >= 0) {
+        val parentName = s"$catName.${ident.namespace().mkString(".")}"
+        ident.name().toLowerCase(java.util.Locale.ROOT) match {
+          case "history" =>
+            return new HistorySqlTable(s"$parentName.history", parentPath)
+          case "changes" =>
+            return new ChangesSqlTable(s"$parentName.changes",
+              parentPath,
+              Versioned.oldestRetainedVersion(parentPath), parentHead,
+              Versioned.schemaAt(SparkSession.active, parentPath,
+                parentHead))
+          case _ => ()
+        }
+      }
+    }
+    throw new NoSuchTableException(ident)
   }
 
-  /** `VERSION AS OF <n>` — Spark hands the literal as a string. */
+  /** `VERSION AS OF <n>` — Spark hands the literal as a string. A
+    * missing table is NoSuchTable; an out-of-range or vacuumed
+    * version is ITS OWN error naming the retained range (not "table
+    * not found" — the table exists, the version doesn't). */
   override def loadTable(ident: Identifier, version: String): Table = {
+    GraftCatalog.ensureDmlStrategy(SparkSession.active)
     val v = try version.toInt catch {
       case _: NumberFormatException => sys.error(
         s"GraftCatalog: VERSION AS OF wants the integer commit " +
           s"version, got '$version'")
     }
-    try { Versioned.schemaAt(SparkSession.active, pathOf(ident), v) }
-    catch { case _: Exception => throw new NoSuchTableException(ident) }
+    val path = pathOf(ident)
+    val head = Versioned.latestVersion(path)
+    if (head < 0) throw new NoSuchTableException(ident)
+    if (!Versioned.versionExists(path, v)) sys.error(
+      s"GraftCatalog: version $v of ${ident.toString} does not exist " +
+        s"(retained range: ${Versioned.oldestRetainedVersion(path)}" +
+        s"..$head — older versions may have been vacuumed)")
     tableAt(ident, v)
   }
 
@@ -122,62 +168,130 @@ class GraftCatalog extends TableCatalog {
     out.toArray
   }
 
+  /** CREATE TABLE: a schema-only v0 commit (an empty staged data dir
+    * under the declared schema — the ledger, constraints, and every
+    * read path treat it like any other version), so a SQL session can
+    * birth a table it then INSERTs into / ALTERs; CTAS rides the same
+    * path (Spark creates, then INSERTs through the V1 write bridge).
+    * Fields normalize to nullable — the versioned read null-fills
+    * evolved columns, so table-level NOT NULL would be unenforceable
+    * history-wide; declare quality gates as CHECK constraints
+    * ([[Versioned.addConstraint]]) instead. Partition transforms are
+    * rejected loudly: partitioning here is per-COMMIT
+    * ([[Versioned.commitPartitioned]]), not per-table. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "GraftCatalog is read-only SQL: create tables with Versioned.commit")
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "GraftCatalog: PARTITIONED BY at CREATE TABLE is not supported " +
+        "— partitioning is per-commit here (a layout choice, not a " +
+        "table property): create unpartitioned, then commit " +
+        "partitioned data via Versioned.commitPartitioned")
+    val path = pathOf(ident)
+    if (Versioned.latestVersion(path) >= 0)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toIndexedSeq)
+    val spark = SparkSession.active
+    val norm = StructType(schema.fields.map(_.copy(nullable = true)))
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), norm)
+    Versioned.commit(empty, path, overwrite = false): Unit
+    loadTable(ident)
+  }
 
-  /** SQL schema evolution — `ALTER TABLE … ADD/RENAME/DROP COLUMN`
-    * map onto the GUARDED Versioned entry points (each one its own
-    * metadata commit with its own race loop, tombstones, and
-    * column-mapping bookkeeping — the generic change never bypasses a
-    * guard). Everything else (SET properties, type changes — widening
-    * happens implicitly at data commits) is unsupported and loud. */
+  /** SQL schema evolution — `ALTER TABLE … ADD/RENAME/DROP COLUMN(S)`
+    * becomes ONE [[Versioned.alterColumns]] metadata commit: every
+    * change in the statement is validated against the evolving schema
+    * BEFORE anything publishes, so a failing change mid-list leaves
+    * the table untouched (no partially applied ALTER), and the whole
+    * statement lands atomically under the usual race loop. NOT NULL
+    * adds are rejected loudly (existing rows would null-fill the new
+    * column — silently making it nullable lied about the contract).
+    * Everything else (SET properties, type changes — widening happens
+    * implicitly at data commits) is unsupported and loud. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val path = pathOf(ident)
-    changes.foreach {
+    val ops: Seq[Versioned.ColumnOp] = changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "GraftCatalog: nested ADD COLUMN is not supported")
-        Versioned.addColumn(path, add.fieldNames()(0),
-          add.dataType().sql): Unit
+        require(add.isNullable,
+          s"GraftCatalog: ADD COLUMN ${add.fieldNames()(0)} NOT NULL " +
+            "is not supported — existing rows null-fill a new column, " +
+            "so the constraint would be violated at birth; add it " +
+            "nullable, backfill, then add a CHECK constraint")
+        Versioned.ColumnOp.Add(add.fieldNames()(0), add.dataType().sql)
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames().length == 1,
           "GraftCatalog: nested RENAME COLUMN is not supported")
-        Versioned.renameColumn(path, ren.fieldNames()(0),
-          ren.newName()): Unit
+        Versioned.ColumnOp.Rename(ren.fieldNames()(0), ren.newName())
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           "GraftCatalog: nested DROP COLUMN is not supported")
-        Versioned.dropColumn(path, del.fieldNames()(0)): Unit
+        Versioned.ColumnOp.Drop(del.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change $other — " +
           "type widening happens implicitly at data commits; " +
           "constraints via Versioned.addConstraint")
-    }
+    }.toSeq
+    Versioned.alterColumns(path, ops): Unit
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "GraftCatalog is read-only SQL: Versioned has no table drop")
+  /** DROP TABLE: removes the table tree. Only directories that ARE
+    * versioned tables (carry a `_versions` ledger) are ever deleted —
+    * anything else returns false, so the catalog can never be used to
+    * remove an arbitrary directory. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    if (Versioned.latestVersion(path) < 0) return false
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.walk(root)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+    true
+  }
 
+  /** RENAME TABLE: one directory move. Data files, the ledger, DV
+    * masks, and the change feed all travel together because every
+    * path in the format is TABLE-RELATIVE (the same property that
+    * makes [[Versioned.cloneTable]] links safe). */
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "GraftCatalog is read-only SQL: move the table directory instead")
+      newIdent: Identifier): Unit = {
+    val oldPath = pathOf(oldIdent)
+    val newPath = pathOf(newIdent)
+    if (Versioned.latestVersion(oldPath) < 0)
+      throw new NoSuchTableException(oldIdent)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(newPath)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (newIdent.namespace() :+ newIdent.name()).toIndexedSeq)
+    val dst = java.nio.file.Paths.get(newPath)
+    if (dst.getParent != null)
+      java.nio.file.Files.createDirectories(dst.getParent): Unit
+    java.nio.file.Files.move(java.nio.file.Paths.get(oldPath), dst): Unit
+  }
 }
 
 /** One pinned snapshot (table path + commit version) as a V2 table.
   * Reads serve the PINNED version (snapshot-consistent per query);
   * writes always commit against the live head — the commit loop
-  * re-reads it, exactly like the Scala API. */
+  * re-reads it, exactly like the Scala API.
+  *
+  * Row-level SQL: [[SupportsDelete]] routes translatable
+  * `DELETE FROM … WHERE` predicates onto [[Versioned.deleteWhereDV]]
+  * (merge-on-read: a mask write proportional to the deleted rows,
+  * zero data files rewritten) — UPDATE / MERGE INTO and
+  * untranslatable deletes go through the [[GraftSqlDml]] planner
+  * strategy. `TRUNCATE TABLE` is one empty overwrite commit (O(1)
+  * metadata — NOT a whole-table deletion mask). */
 private[sources] final class VersionedSqlTable(ident: String,
-    path: String, pinned: Int, tableSchema: StructType)
+    val path: String, val pinned: Int, tableSchema: StructType)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = ident
   override def schema(): StructType = tableSchema
@@ -197,6 +311,89 @@ private[sources] final class VersionedSqlTable(ident: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new VersionedWriteBuilder(path)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftCatalog.translateFilter(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val pred = filters.toIndexedSeq
+      .flatMap(GraftCatalog.translateFilter)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Versioned.deleteWhereDV(SparkSession.active, path, pred): Unit
+  }
+
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      Versioned.read(spark, path).schema)
+    Versioned.commit(empty, path, overwrite = true): Unit
+    true
+  }
+}
+
+/** `<table>.history` — [[Versioned.history]] (the commit ledger) as a
+  * read-only SQL table: DESCRIBE HISTORY for this format. The frame
+  * is ledger-sized (one row per commit, never data-sized), so the
+  * scan carries no pushdown surface. */
+private[sources] final class HistorySqlTable(ident: String,
+    val path: String) extends Table with SupportsRead {
+  private val historySchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("ts_millis",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("mode",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("txn",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_data_dirs",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("n_dv_dirs",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("n_constraints",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("schema_ddl",
+      org.apache.spark.sql.types.StringType)))
+  override def name(): String = ident
+  override def schema(): StructType = historySchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    GraftCatalog.frameScan(historySchema, s"graft-history $path",
+      spark => Versioned.history(spark, path))
+}
+
+/** `<table>.changes` — the STORED change-data feed as a SQL table:
+  * batch reads cover the full retained feed range (pinned at
+  * resolution, like every read here) via [[Versioned.readChanges]] —
+  * which keeps its loud contract on feed gaps and plain overwrites;
+  * streaming reads (`spark.readStream.table`) route through
+  * [[GraftStreamRewrite]] onto the feed's file-stream source. The
+  * MICRO_BATCH_READ capability is declared so the table is
+  * stream-eligible; reaching `toMicroBatchStream` without the
+  * extension registered throws the pointer to it. */
+private[sources] final class ChangesSqlTable(ident: String,
+    val path: String, vFrom: Int, vTo: Int, tableSchema: StructType)
+    extends Table with SupportsRead {
+  private val feedSchema: StructType = StructType(
+    tableSchema.fields.map(_.copy(nullable = true)) ++ Seq(
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
+  override def name(): String = ident
+  override def schema(): StructType = feedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    GraftCatalog.frameScan(feedSchema,
+      s"graft-changes $path cv=$vFrom..$vTo", spark =>
+        Versioned.readChanges(spark, path, vFrom, vTo))
 }
 
 /** INSERT INTO (append) / INSERT OVERWRITE (truncate) as ONE
@@ -316,16 +513,73 @@ object GraftCatalog {
         lc <- translateFilter(l); rc <- translateFilter(r)
       } yield lc || rc
       case sources.Not(c) => translateFilter(c).map(not)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
       case _ => None
     }
 
+  /** A no-pushdown V1 scan over a driver-BUILT (not driver-
+    * materialized — the returned RDD is the frame's distributed plan)
+    * DataFrame: the metadata tables' scan shape (`.history`,
+    * `.changes`), where the frame is ledger-derived and the pushdown
+    * surface would optimize nothing. */
+  private[sources] def frameScan(schema: StructType, desc: String,
+      frame: SparkSession => DataFrame): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema
+        override def description(): String = desc
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming
+              .MicroBatchStream =
+          throw new UnsupportedOperationException(
+            s"$desc: streaming reads route through the stored feed's " +
+              "file-stream source — register graft's session " +
+              "extensions (spark.sql.extensions=graft.plans." +
+              "GraftExtensions) so spark.readStream.table(...) " +
+              "rewrites onto it")
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val rel = new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = readSchema()
+            override def needConversion: Boolean = true
+            override def buildScan(): org.apache.spark.rdd.RDD[
+                org.apache.spark.sql.Row] = {
+              import org.apache.spark.sql.functions.col
+              frame(context.sparkSession)
+                .select(readSchema().fieldNames
+                  .map(col).toIndexedSeq: _*).rdd
+            }
+          }
+          rel.asInstanceOf[T]
+        }
+      }
+    }
+
+  /** Make the row-level DML strategy ([[GraftSqlDml.Strategy]])
+    * visible to this session's planner — idempotent, called from
+    * [[register]] and from every `loadTable`, so even a session that
+    * configured the catalog through plain conf keys gets DELETE /
+    * UPDATE / MERGE INTO without any Scala call. */
+  private[graft] def ensureDmlStrategy(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(GraftSqlDml.Strategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftSqlDml.Strategy
+  }
+
   /** Wire the catalog onto a LIVE session (catalogs resolve lazily,
-    * so a runtime conf set is enough — no session rebuild). */
+    * so a runtime conf set is enough — no session rebuild), including
+    * the row-level-DML planner strategy. Streaming table reads
+    * (`spark.readStream.table`) additionally need the BUILD-time
+    * extension `spark.sql.extensions=graft.plans.GraftExtensions`
+    * (analyzer rules cannot attach to a live session). */
   def register(spark: SparkSession, catalogName: String,
       warehouseDir: String): Unit = {
     spark.conf.set(s"spark.sql.catalog.$catalogName",
       classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$catalogName.warehouse",
       warehouseDir)
+    ensureDmlStrategy(spark)
   }
 }

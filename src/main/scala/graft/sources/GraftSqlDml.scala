@@ -1,0 +1,354 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+
+/** SQL row-level DML for [[GraftCatalog]] tables — `DELETE FROM`,
+  * `UPDATE`, and `MERGE INTO` as plain query text, each mapped onto
+  * the engine's existing MERGE-ON-READ primitives (batch-proportional
+  * write amplification — a 10-row UPDATE against a 100 TB table
+  * stages a kilobyte mask plus ten rows, never the table):
+  *
+  *  - `DELETE FROM g.t WHERE p`  → [[Versioned.deleteWhereDV]]
+  *  - `UPDATE g.t SET … WHERE p` → [[Versioned.updateWhereDV]]
+  *  - `MERGE INTO g.t USING s …` → [[Versioned.mergeDV]]
+  *
+  * Mechanism: Spark 4 analyzes these statements into fully-resolved
+  * `DeleteFromTable` / `UpdateTable` / `MergeIntoTable` commands (star
+  * actions expanded, assignment casts inserted) and only rejects them
+  * at PLANNING time when the table lacks row-level support — so one
+  * injected planner [[Strategy]] (via `spark.experimental
+  * .extraStrategies`, self-registered by [[GraftCatalog.register]]
+  * and by every `loadTable`, or build-time via
+  * [[graft.plans.GraftExtensions]]) intercepts the commands first and
+  * executes them through the engine. The resolved condition /
+  * assignment expressions are replayed against the engine's logical
+  * snapshot frames by NAME (attribute references rewritten to
+  * unresolved names — the engine frames carry exactly the manifest's
+  * logical columns), so every guard the Scala API enforces — CHECK
+  * constraints, type drift, column mapping, txn ledger, change feed —
+  * applies identically to SQL DML; nothing is re-implemented here.
+  *
+  * Loud, documented limits (each throws with the workaround named):
+  * subqueries in DML predicates, nested-field assignment, MERGE
+  * conditions that are not (target-column = source-expression)
+  * equalities plus source-only prefilters, `WHEN NOT MATCHED BY
+  * SOURCE`, and `WITH SCHEMA EVOLUTION`.
+  */
+object GraftSqlDml extends PredicateHelper {
+
+  /** Unwrap down to a [[VersionedSqlTable]] relation, returning its
+    * output attributes. By PLANNING time the optimizer has usually
+    * (a) eliminated SubqueryAlias and (b) converted the V2 relation
+    * into a `DataSourceV2ScanRelation` (V2ScanRelationPushDown runs
+    * on the command's child even though a DML command never executes
+    * that scan) — match all three shapes so the strategy is
+    * phase-independent. */
+  private object VersionedRel {
+    def unapply(plan: LogicalPlan)
+        : Option[(Seq[Attribute], VersionedSqlTable)] = plan match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: VersionedSqlTable => Some((r.output, t))
+        case _ => None
+      }
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.relation.table match {
+        case t: VersionedSqlTable => Some((r.output, t))
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => unapply(child)
+      case _ => None
+    }
+  }
+
+  private def unsupported(what: String, fix: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"GraftCatalog DML: $what is not supported — $fix")
+
+  private def requireNoSubquery(e: Expression, what: String): Unit =
+    e.foreach {
+      case _: SubqueryExpression => unsupported(s"$what with a subquery",
+        "materialize the subquery as a table (CREATE TABLE … AS " +
+          "SELECT) and MERGE/join against it")
+      case _ => ()
+    }
+
+  /** Resolved single-relation expression → a Column that re-resolves
+    * by NAME against the engine's logical snapshot frame (which
+    * carries exactly the manifest's logical columns). */
+  private def bareCol(e: Expression, what: String): Column = {
+    requireNoSubquery(e, what)
+    GraftBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    })
+  }
+
+  /** Resolved two-relation expression → a Column against the aliased
+    * target ⨝ source join (target attrs qualify under `tAl`,
+    * everything else under `sAl`). */
+  private def sidedCol(e: Expression, tOut: AttributeSet, tAl: String,
+      sAl: String, what: String): Column = {
+    requireNoSubquery(e, what)
+    GraftBridge.column(e.transform {
+      case a: AttributeReference if tOut.contains(a) =>
+        UnresolvedAttribute(Seq(tAl, a.name))
+      case a: AttributeReference => UnresolvedAttribute(Seq(sAl, a.name))
+    })
+  }
+
+  private def assignName(a: Assignment): String = a.key match {
+    case ar: AttributeReference => ar.name
+    case other => unsupported(s"assignment to a nested field ($other)",
+      "assign the whole top-level column")
+  }
+
+  /** The planner strategy. Only commands whose target is a
+    * [[VersionedSqlTable]] match; everything else falls through to
+    * Spark's own strategies. */
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case DeleteFromTable(VersionedRel(_, t), cond) =>
+        val pred = bareCol(cond, "DELETE WHERE")
+        GraftDmlExec(s"GraftDelete ${t.name()}", sp =>
+          Versioned.deleteWhereDV(sp, t.path, pred): Unit) :: Nil
+
+      case UpdateTable(VersionedRel(_, t), assignments, cond) =>
+        val set = assignments.map(a =>
+          assignName(a) -> bareCol(a.value, "UPDATE SET"))
+        val pred = cond.map(bareCol(_, "UPDATE WHERE")).getOrElse(lit(true))
+        GraftDmlExec(s"GraftUpdate ${t.name()}", sp =>
+          Versioned.updateWhereDV(sp, t.path, pred, set): Unit) :: Nil
+
+      case MergeIntoTable(VersionedRel(tOut, t), source, mergeCond,
+          matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
+        if (notMatchedBySource.nonEmpty)
+          unsupported("MERGE … WHEN NOT MATCHED BY SOURCE",
+            "it touches target rows OUTSIDE the batch's keys (not a " +
+              "key-batch merge); run UPDATE/DELETE with an anti-join " +
+              "predicate instead")
+        if (withSchemaEvolution)
+          unsupported("MERGE … WITH SCHEMA EVOLUTION",
+            "ALTER TABLE … ADD COLUMNS first, then MERGE")
+        GraftDmlExec(s"GraftMerge ${t.name()}",
+          mergeRun(tOut, t, source, mergeCond, matched, notMatched)) :: Nil
+
+      case _ => Nil
+    }
+  }
+
+  /** Translate one MERGE INTO onto [[Versioned.mergeDV]]: split the
+    * ON condition into key equalities + source-only prefilters, build
+    * the batch-sized updates frame (matched post-images via one
+    * target ⨝ source key join, first-matching-clause-wins; unmatched
+    * insert rows via one anti-join), and hand it to the engine with
+    * `deleteWhen` carrying the DELETE clauses' verdicts. Target rows
+    * matched by NO applicable clause are left out of the batch — they
+    * persist untouched (and produce no change-feed noise). The
+    * standard MERGE cardinality rule (≤1 source row per target row)
+    * is enforced with one batch-sized aggregate before any write. */
+  private def mergeRun(targetOut: Seq[Attribute], t: VersionedSqlTable,
+      source: LogicalPlan, mergeCond: Expression,
+      matched: Seq[MergeAction], notMatched: Seq[MergeAction])
+      : SparkSession => Unit = { spark =>
+    val tOut = AttributeSet(targetOut)
+    val sOut = AttributeSet(source.output)
+    // ---- ON condition: key equalities + source-only prefilters
+    val keys = scala.collection.mutable.ArrayBuffer.empty[(String, Expression)]
+    val srcOnly = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    splitConjunctivePredicates(mergeCond).foreach {
+      case EqualTo(l: AttributeReference, rr)
+          if tOut.contains(l) && rr.references.subsetOf(sOut) =>
+        keys += l.name -> rr
+      case EqualTo(ll, rr: AttributeReference)
+          if tOut.contains(rr) && ll.references.subsetOf(sOut) =>
+        keys += rr.name -> ll
+      case p if p.references.subsetOf(sOut) => srcOnly += p
+      case p => unsupported(s"MERGE ON conjunct `${p.sql}`",
+        "supported conjuncts are target-column = source-expression " +
+          "equalities and source-only prefilters")
+    }
+    if (keys.isEmpty)
+      unsupported("MERGE ON without a target-key equality",
+        "join target and source on at least one target column")
+    if (keys.map(k => k._1.toLowerCase(java.util.Locale.ROOT)).distinct
+        .sizeIs < keys.size)
+      unsupported("MERGE ON with the same target column in two equalities",
+        "fold the duplicate into a source-only predicate")
+    val tAl = "__graft_t"
+    val sAl = "__graft_s"
+    // ---- source: prefilters applied, key expressions materialized
+    var sdf = GraftBridge.ofRows(spark, source)
+    srcOnly.foreach(p => sdf = sdf.filter(bareCol(p, "MERGE ON")))
+    val gk = keys.indices.map(i => s"__graft_k$i")
+    val sdf2 = sdf.select(col("*") +: keys.zipWithIndex.map {
+      case ((_, se), i) => bareCol(se, "MERGE key").as(gk(i)) }.toSeq: _*)
+    val tdf = Versioned.read(spark, t.path)
+    val schema = tdf.schema
+    val keyCond = keys.zipWithIndex.map { case ((tn, _), i) =>
+      col(s"$tAl.$tn") === col(s"$sAl.${gk(i)}") }.reduce(_ && _)
+    val tA = tdf.as(tAl)
+    val sA = sdf2.as(sAl)
+    // ---- cardinality check: a duplicate source key is only an error
+    // if it actually matches a target row (SQL MERGE contract)
+    val dupKeys = sdf2.groupBy(gk.map(col): _*).count()
+      .filter(col("count") > 1).select(gk.map(col): _*)
+    if (tA.join(dupKeys.as(sAl), keyCond, "left_semi")
+        .limit(1).count() > 0)
+      throw new IllegalStateException(
+        "GraftCatalog DML: MERGE cardinality violation — more than " +
+          "one source row matched the same target row; deduplicate " +
+          "the source on the ON keys first")
+    // ---- matched rows: first-match-wins verdict over the pair join
+    def actionCond(a: MergeAction): Option[Expression] = a match {
+      case UpdateAction(c, _, _) => c
+      case DeleteAction(c) => c
+      case InsertAction(c, _) => c
+      case other => unsupported(s"MERGE action $other",
+        "UPDATE / DELETE / INSERT actions only")
+    }
+    def verdictOf(actions: Seq[MergeAction], what: String): Column =
+      actions.zipWithIndex.foldRight(lit(-1)) { case ((a, i), els) =>
+        val c = actionCond(a)
+          .map(e => coalesce(sidedCol(e, tOut, tAl, sAl, what), lit(false)))
+          .getOrElse(lit(true))
+        when(c, lit(i)).otherwise(els)
+      }
+    val matchedAssigns: Seq[Option[Map[String, Column]]] = matched.map {
+      case UpdateAction(_, assigns, _) => Some(assigns.map(a =>
+        assignName(a).toLowerCase(java.util.Locale.ROOT) ->
+          sidedCol(a.value, tOut, tAl, sAl, "MERGE UPDATE SET")).toMap)
+      case DeleteAction(_) => None
+      case other => unsupported(s"MERGE matched action $other",
+        "WHEN MATCHED supports UPDATE and DELETE")
+    }
+    val delIdx = matchedAssigns.zipWithIndex.collect {
+      case (None, i) => i }
+    val matchedOut = tA.join(sA, keyCond, "inner")
+      .withColumn("__graft_v", verdictOf(matched, "WHEN MATCHED"))
+      .filter(col("__graft_v") >= 0)
+      .select(schema.fields.toIndexedSeq.map { f =>
+        val fold = f.name.toLowerCase(java.util.Locale.ROOT)
+        matchedAssigns.zipWithIndex.foldRight(
+            col(s"$tAl.${f.name}"): Column) { case ((asg, i), els) =>
+          val v = asg match {
+            case Some(m) => m.getOrElse(fold, col(s"$tAl.${f.name}"))
+            case None => col(s"$tAl.${f.name}") // delete: values unused
+          }
+          when(col("__graft_v") === i, v).otherwise(els)
+        }.cast(f.dataType).as(f.name)
+      } :+ (if (delIdx.isEmpty) lit(false)
+            else col("__graft_v").isin(delIdx.map(Integer.valueOf): _*))
+        .as("__graft_del"): _*)
+    // ---- unmatched source rows: first applicable INSERT clause;
+    // rows with no applicable clause do nothing (standard MERGE)
+    val insertAssigns: Seq[Map[String, Column]] = notMatched.map {
+      case InsertAction(_, assigns) => assigns.map(a =>
+        assignName(a).toLowerCase(java.util.Locale.ROOT) ->
+          sidedCol(a.value, tOut, tAl, sAl, "MERGE INSERT")).toMap
+      case other => unsupported(s"MERGE not-matched action $other",
+        "WHEN NOT MATCHED supports INSERT")
+    }
+    val insertOut =
+      if (notMatched.isEmpty) None
+      else Some(sA.join(tA, keyCond, "left_anti")
+        .withColumn("__graft_v",
+          verdictOf(notMatched, "WHEN NOT MATCHED"))
+        .filter(col("__graft_v") >= 0)
+        .select(schema.fields.toIndexedSeq.map { f =>
+          val fold = f.name.toLowerCase(java.util.Locale.ROOT)
+          insertAssigns.zipWithIndex.foldRight(
+              lit(null).cast(f.dataType): Column) { case ((m, i), els) =>
+            when(col("__graft_v") === i,
+              m.getOrElse(fold, lit(null))).otherwise(els)
+          }.cast(f.dataType).as(f.name)
+        } :+ lit(false).as("__graft_del"): _*))
+    val updates = insertOut.map(matchedOut.unionByName(_))
+      .getOrElse(matchedOut)
+    Versioned.mergeDV(spark, t.path, updates, keys.map(_._1).toSeq,
+      txn = None, deleteWhen = Some(col("__graft_del"))): Unit
+  }
+}
+
+/** Driver-side command node for the DML strategy: runs the engine
+  * call once (Spark's eager command execution path calls
+  * `executeCollect`) and yields no rows — exactly the shape of
+  * Spark's own row-level command execs. The heavy lifting (scans,
+  * joins, mask/data staging) happens in the DISTRIBUTED jobs the
+  * engine primitive launches, not on this node. */
+private[sources] case class GraftDmlExec(label: String,
+    run: SparkSession => Unit) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  override def nodeName: String = label
+  private lazy val done: Unit = run(SparkSession.active)
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+  override protected def doExecute(): RDD[InternalRow] = {
+    done
+    sparkContext.emptyRDD[InternalRow]
+  }
+}
+
+/** Analyzer rule (build-time injection via
+  * [[graft.plans.GraftExtensions]] — set
+  * `spark.sql.extensions=graft.plans.GraftExtensions`): routes
+  * STREAMING reads of catalog tables onto the stored change-feed's
+  * file-stream source plan ([[Versioned.readChangeStream]] — the
+  * built-in source supplies discovery, checkpointing, exactly-once
+  * per feed file, and backpressure; the stored `_changes` layout IS
+  * the source contract, so no custom MicroBatchStream is needed):
+  *
+  *  - `spark.readStream.table("g.t.changes")` → the full CDC stream
+  *    (table columns + `_commit_version` + `_change_type`);
+  *  - `spark.readStream.table("g.t")` with option
+  *    `skipChangeCommits=true` → insert-only rows projected to the
+  *    table schema (the Delta-shaped append stream);
+  *  - `spark.readStream.table("g.t")` WITHOUT the option → a loud
+  *    analysis error: silently dropping update/delete rows from a
+  *    table stream is exactly the silent-wrong-data failure this
+  *    engine refuses, so the skip must be explicit (or stream
+  *    `.changes` and handle the change types).
+  *
+  * The rewrite keeps the relation's resolved attribute ids (aliases
+  * pinned to the original exprIds), so downstream operators resolve
+  * unchanged. */
+class GraftStreamRewrite(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  private def align(plan: LogicalPlan,
+      out: Seq[AttributeReference]): LogicalPlan = {
+    val byFold = plan.output.map(a =>
+      a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+    Project(out.map { o =>
+      val a = byFold(o.name.toLowerCase(java.util.Locale.ROOT))
+      Alias(a, o.name)(exprId = o.exprId)
+    }, plan)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case StreamingRelationV2(_, _, tbl: ChangesSqlTable, _, out,
+          _, _, _) =>
+        align(Versioned.readChangeStream(spark, tbl.path)
+          .queryExecution.analyzed, out)
+      case StreamingRelationV2(_, _, tbl: VersionedSqlTable, opts, out,
+          _, _, _) =>
+        if (!opts.getBoolean("skipChangeCommits", false))
+          throw new UnsupportedOperationException(
+            s"GraftCatalog: streaming ${tbl.name()} emits only " +
+              "ct=insert feed rows; pass option " +
+              "skipChangeCommits=true to acknowledge that update/" +
+              s"delete commits are skipped, or stream ${tbl.name()}" +
+              ".changes for the full change feed")
+        val feed = Versioned.readChangeStream(spark, tbl.path)
+          .filter(col("_change_type") === "insert")
+          .drop("_commit_version", "_change_type")
+        align(feed.queryExecution.analyzed, out)
+    }
+}

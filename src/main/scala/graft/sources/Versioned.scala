@@ -64,8 +64,12 @@ object Versioned {
       // FRESH physical name so the explicit-schema read can never
       // resurrect the dropped files' bytes (the ghost-column bug
       // field-id/name mapping solves). Carried by every derived
-      // manifest; an OVERWRITE resets them with the schema baseline
-      // (its chain holds no old files to haunt).
+      // manifest, INCLUDING overwrites: the overwrite's data chain
+      // holds no old files, but the change-FEED dirs of earlier eras
+      // still carry every physical name ever written, so an overwrite
+      // extends the list with the physical names of columns it drops
+      // instead of resetting it (a post-overwrite re-add must not
+      // read old feed bytes back as the new column).
       droppedCols: Seq[String] = Seq.empty,
       // COLUMN MAPPING (Delta name-mode shape): logical column name →
       // immutable PHYSICAL name. A column's physical name is fixed at
@@ -91,6 +95,13 @@ object Versioned {
   }
 
   private def dvRoot(path: String) = Paths.get(path, "dv")
+
+  /** Minimum age history must reach before [[vacuumOlderThan]]
+    * reclaims it without `force` (7 days). A deployment seam like
+    * [[arbiter]], settable once at session setup; the guard exists
+    * because readers pin versions at resolution time and vacuum is
+    * the one operation that can invalidate a pinned read. */
+  @volatile var minRetentionMillis: Long = 7L * 24 * 3600 * 1000
 
   /** Recursive delete of a directory tree if it exists (staged-dir
     * cleanup / vacuum reclaim — the walk-in-reverse-order idiom,
@@ -492,8 +503,11 @@ object Versioned {
     // are the deletion-vector row-identity columns (a same-named
     // table column makes every masked read ambiguous AFTER a mask
     // already committed) — reserve all four up front
+    // folded compare, like every other name comparison here: Spark
+    // resolves case-insensitively, so 'Cv' would shadow the feed's
+    // partition column exactly as 'cv' does
     Seq("cv", "ct", "__dv_rel", "__dv_pos").foreach(r =>
-      require(!df.columns.contains(r),
+      require(!df.columns.exists(c => foldName(c) == r),
         s"versioned commit: column name '$r' is reserved (change-" +
           "feed partition / deletion-vector row-identity columns)"))
     txn.flatMap(findTxn(path, _, latestVersion(path))) match {
@@ -553,7 +567,17 @@ object Versioned {
       else stage(dataDir, pdf, (c: String) => mapping.getOrElse(c, c))
     }
     val stageHead = latestVersion(path)
-    val stageParent = if (overwrite || stageHead < 0) None
+    // NAME CONTINUITY CROSSES OVERWRITES: the physical assignment
+    // always derives from the actual head manifest, even when the
+    // commit replaces the table's content. The data-dir chain resets
+    // on overwrite, but the change-FEED dirs of earlier eras do not —
+    // their files carry the old physical names, and [[feedSchema]]
+    // reads every era under ONE head-derived physical schema. A
+    // logical column that persists across the overwrite must
+    // therefore keep its physical name (else historical feed reads
+    // silently null-fill it), and a new column must avoid every
+    // physical name any era ever used.
+    val stageParent = if (stageHead < 0) None
       else Some(readManifest(path, stageHead))
     var stagedMapping = assignPhys(stageParent, stageHead + 1)
     runStage(stagedMapping)
@@ -591,7 +615,7 @@ object Versioned {
       // logical names move). Restage under the current assignment —
       // correctness over the re-write cost, on a losing-race path
       // that is already re-deriving everything else.
-      val mappingNow = assignPhys(parent, head + 1)
+      val mappingNow = assignPhys(parentMeta, head + 1)
       if (mappingNow != stagedMapping) {
         dropDirRec(Paths.get(dataDir))
         stagedMapping = mappingNow
@@ -625,7 +649,22 @@ object Versioned {
       // A name tombstoned by [[dropColumn]] CAN come back: column
       // mapping hands the reborn column a FRESH physical name
       // (assignPhys), so old files null-fill it — never resurrect it.
-      val dropped = parent.map(_.droppedCols).getOrElse(Seq.empty)
+      // tombstones survive overwrites (see stageParent above): prior
+      // reservations carry forward, and every parent physical name
+      // the overwrite's column set does NOT reuse is newly tombstoned
+      // — feed files of the old era still carry those bytes, so a
+      // later re-add must draw a fresh physical name
+      val dropped = parentMeta match {
+        case None => Seq.empty
+        case Some(pm) if !overwrite => pm.droppedCols
+        case Some(pm) =>
+          val keptFold = stagedMapping.values.map(foldName).toSet
+          val implicitDrops = pm.schemaDdl.toSeq.flatMap(d =>
+            org.apache.spark.sql.types.StructType.fromDDL(d)
+              .fields.toSeq.map(f => pm.physOf(f.name))
+              .filterNot(p => keptFold(foldName(p))))
+          (pm.droppedCols ++ implicitDrops).distinct
+      }
       val ddl = parent.flatMap(_.schemaDdl) match {
         case Some(pd) =>
           import org.apache.spark.sql.types._
@@ -668,8 +707,13 @@ object Versioned {
       }
       // carry the parent's mapping (covers columns this commit does
       // not touch) plus this commit's non-identity assignments (new
-      // columns that collided with a live physical or a tombstone)
-      val nextColMap = parent.map(_.colMap).getOrElse(Map.empty) ++
+      // columns that collided with a live physical or a tombstone).
+      // An overwrite's schema holds exactly this commit's columns, so
+      // its mapping is exactly the staged assignment — which already
+      // carries forward the parent's physical names for persisting
+      // logical columns (stageParent above)
+      val nextColMap = (if (overwrite) Map.empty[String, String]
+        else parent.map(_.colMap).getOrElse(Map.empty)) ++
         stagedMapping.filter { case (l, p) => foldName(l) != foldName(p) }
       // an APPEND carries the parent's deletion-vector mask — new
       // files are untouched by it (their (rel,pos) ids are fresh) and
@@ -1028,10 +1072,33 @@ object Versioned {
     * consistently (cv dirs below retainFrom drop with their
     * manifests, and [[feedEpoch]]'s compare loses the same prefix on
     * both sides, documented there). Returns `retainFrom` — the oldest
-    * still-readable version. */
-  def vacuumOlderThan(path: String, cutoffMillis: Long): Int = {
+    * still-readable version.
+    *
+    * RETENTION GUARD + the pinned-reader contract: every reader pins
+    * its version at RESOLUTION time ([[read]] resolves the manifest
+    * before opening data; the SQL catalog's `loadTable` pins at
+    * analysis), and a reader that outlives retention fails LOUDLY
+    * mid-scan with a FileNotFound-class error — never silently wrong
+    * data — because vacuum removes the files its pinned manifest
+    * references. To keep that failure mode away from live queries, a
+    * cutoff younger than [[minRetentionMillis]] (default 7 days, the
+    * convention every lakehouse ships) is REFUSED unless
+    * `force = true`: reclaiming history a running query may still be
+    * reading is an operator decision, not a default. */
+  def vacuumOlderThan(path: String, cutoffMillis: Long,
+      force: Boolean = false): Int = {
     val head = latestVersion(path)
     require(head >= 0, s"versioned vacuum: no committed version at $path")
+    if (!force) {
+      val floor = System.currentTimeMillis() - minRetentionMillis
+      require(cutoffMillis <= floor,
+        s"versioned vacuum: cutoff $cutoffMillis is inside the " +
+          s"${minRetentionMillis / 3600000L}h retention safety window " +
+          "— readers pin their version at resolution time, and a " +
+          "pinned reader outliving retention fails with FileNotFound " +
+          "mid-scan; pass force = true only after confirming no " +
+          "reader outlives the cutoff")
+    }
     val retainFrom = (0 to head).find { v =>
       Files.exists(manifestPath(path, v)) &&
         readManifest(path, v).ts.exists(_ >= cutoffMillis)
@@ -1417,6 +1484,21 @@ object Versioned {
   def commitTimestamp(path: String, v: Int): Option[Long] =
     readManifest(path, v).ts
 
+  /** Whether version `v`'s manifest is still retained (false below
+    * the vacuum point) — the SQL catalog's `VERSION AS OF` existence
+    * probe. */
+  def versionExists(path: String, v: Int): Boolean =
+    v >= 0 && Files.exists(manifestPath(path, v))
+
+  /** The oldest still-retained version (0 until the first vacuum) —
+    * the lower bound of time travel and of the batch `.changes`
+    * range. */
+  def oldestRetainedVersion(path: String): Int = {
+    val head = latestVersion(path)
+    require(head >= 0, s"versioned: no committed version at $path")
+    (0 to head).find(v => Files.exists(manifestPath(path, v))).get
+  }
+
   /** Time travel BY TIMESTAMP: the snapshot a reader at wall-clock
     * `tsMillis` would have seen — the highest version whose commit
     * timestamp is ≤ `tsMillis`. Versions predating timestamp
@@ -1494,6 +1576,23 @@ object Versioned {
     readManifest(path,
       version.getOrElse(latestVersion(path))).constraints
 
+  /** One schema-evolution operation for [[alterColumns]] — the ALTER
+    * TABLE verb set (ADD / RENAME / DROP COLUMN), each a pure
+    * metadata transformation with its own guards. */
+  sealed trait ColumnOp
+  object ColumnOp {
+    /** ADD COLUMN `name` of DDL type `ddlType` (always nullable —
+      * existing files null-fill it; see [[addColumn]]). */
+    final case class Add(name: String, ddlType: String) extends ColumnOp
+    /** RENAME COLUMN (logical only — physical names are immutable;
+      * see [[renameColumn]]). */
+    final case class Rename(oldName: String, newName: String)
+        extends ColumnOp
+    /** DROP COLUMN (tombstones the physical name; see
+      * [[dropColumn]]). */
+    final case class Drop(name: String) extends ColumnOp
+  }
+
   /** DROP COLUMN as a METADATA commit — zero data files move: the new
     * manifest's schema simply omits the column, and every read (plain,
     * per-dir, feed) already projects through the manifest's explicit
@@ -1511,56 +1610,8 @@ object Versioned {
     * constraint (conservative word-boundary match — drop the
     * constraint first). Publishes mode `meta` with an empty feed dir
     * (no logical rows changed), like [[addConstraint]]. */
-  def dropColumn(path: String, colName: String): Int = {
-    import org.apache.spark.sql.types.StructType
-    var attempt = 0
-    while (true) {
-      require(attempt < 50, s"versioned dropColumn: 50 lost races at $path")
-      attempt += 1
-      val head = latestVersion(path)
-      require(head >= 0, s"versioned dropColumn: no committed version at $path")
-      val parent = readManifest(path, head)
-      val ddl = parent.schemaDdl.getOrElse(sys.error(
-        s"versioned dropColumn: table at $path predates schema tracking"))
-      val ps = StructType.fromDDL(ddl)
-      // Name comparisons fold case (Spark default resolution is
-      // case-insensitive — same rationale as the commit-time guard):
-      // the user may spell the column in any case; the tombstone
-      // records the PHYSICAL name (what the files carry) so the
-      // fresh-name assignment in commitCore can never reuse it.
-      def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-      val logical = ps.fields.find(f => fold(f.name) == fold(colName))
-        .map(_.name).getOrElse(sys.error(
-          s"versioned dropColumn: no column '$colName' at $path " +
-            s"(have: ${ps.fieldNames.mkString(", ")})"))
-      val physical = parent.physOf(logical)
-      require(ps.fields.length > 1,
-        s"versioned dropColumn: cannot drop the last column at $path")
-      require(!parent.partSpecs.values.map(fold).toSet
-          .contains(fold(physical)),
-        s"versioned dropColumn: '$colName' is a live dir's partition " +
-          s"column at $path — compact() first to flatten the layout")
-      val word = ("(?i).*\\b" +
-        java.util.regex.Pattern.quote(colName) + "\\b.*").r
-      parent.constraints.find(c => word.matches(c)).foreach(c =>
-        sys.error(s"versioned dropColumn: '$colName' appears in CHECK " +
-          s"constraint '$c' at $path — remove the constraint first"))
-      val m = parent.copy(version = head + 1, mode = "meta", txn = None,
-        ts = Some(System.currentTimeMillis()),
-        schemaDdl = Some(
-          StructType(ps.fields.filterNot(f =>
-            fold(f.name) == fold(colName))).toDDL),
-        droppedCols = parent.droppedCols :+ physical,
-        colMap = parent.colMap.filterNot { case (l, _) =>
-          fold(l) == fold(logical) })
-      if (publishManifest(path, m)) {
-        // a metadata commit changes no logical rows: empty feed dir
-        Files.createDirectories(changeDirPath(path, m.version))
-        return m.version
-      } // else: lost the race — re-derive against the new head
-    }
-    -1 // unreachable
-  }
+  def dropColumn(path: String, colName: String): Int =
+    alterColumns(path, Seq(ColumnOp.Drop(colName)))
 
   /** ADD COLUMN as a METADATA commit — zero data files move: the new
     * manifest's schema gains a nullable field that every existing
@@ -1573,49 +1624,8 @@ object Versioned {
     * ADD after DROP can never resurrect old bytes. Guards: reserved
     * names, existing columns (folded compare). Mode `meta`, empty
     * feed dir. */
-  def addColumn(path: String, colName: String, ddlType: String): Int = {
-    import org.apache.spark.sql.types.{DataType, StructField, StructType}
-    require(!Seq("cv", "ct", "__dv_rel", "__dv_pos").contains(colName),
-      s"versioned addColumn: '$colName' is reserved")
-    val dt = DataType.fromDDL(ddlType)
-    var attempt = 0
-    while (true) {
-      require(attempt < 50, s"versioned addColumn: 50 lost races at $path")
-      attempt += 1
-      val head = latestVersion(path)
-      require(head >= 0,
-        s"versioned addColumn: no committed version at $path")
-      val parent = readManifest(path, head)
-      val ddl = parent.schemaDdl.getOrElse(sys.error(
-        s"versioned addColumn: table at $path predates schema tracking"))
-      val ps = StructType.fromDDL(ddl)
-      require(!ps.fields.exists(f =>
-          foldName(f.name) == foldName(colName)),
-        s"versioned addColumn: column '$colName' already exists at $path")
-      val used = (ps.fields.toSeq.map(f =>
-        foldName(parent.physOf(f.name))) ++
-        parent.droppedCols.map(foldName)).toSet
-      var phys = colName
-      var i = 0
-      while (used(foldName(phys))) {
-        i += 1
-        phys = if (i == 1) s"${colName}_p${head + 1}"
-          else s"${colName}_p${head + 1}_$i"
-      }
-      val m = parent.copy(version = head + 1, mode = "meta", txn = None,
-        ts = Some(System.currentTimeMillis()),
-        schemaDdl = Some(StructType(
-          ps.fields :+ StructField(colName, dt, nullable = true)).toDDL),
-        colMap = parent.colMap ++
-          (if (foldName(phys) == foldName(colName)) Map.empty
-           else Map(colName -> phys)))
-      if (publishManifest(path, m)) {
-        Files.createDirectories(changeDirPath(path, m.version))
-        return m.version
-      } // else: lost the race — re-derive against the new head
-    }
-    -1 // unreachable
-  }
+  def addColumn(path: String, colName: String, ddlType: String): Int =
+    alterColumns(path, Seq(ColumnOp.Add(colName, ddlType)))
 
   /** RENAME COLUMN as a METADATA commit — zero data files move, the
     * rename unlocked by name-mode column mapping ([[Manifest.colMap]]):
@@ -1637,45 +1647,139 @@ object Versioned {
     * Partition columns rename fine: directory layouts carry the
     * immutable physical name. Publishes mode `meta` with an empty
     * feed dir, like [[dropColumn]]. */
-  def renameColumn(path: String, oldName: String, newName: String): Int = {
-    import org.apache.spark.sql.types.StructType
-    require(!Seq("cv", "ct", "__dv_rel", "__dv_pos").contains(newName),
-      s"versioned renameColumn: '$newName' is reserved")
+  def renameColumn(path: String, oldName: String, newName: String): Int =
+    alterColumns(path, Seq(ColumnOp.Rename(oldName, newName)))
+
+  /** Apply a SEQUENCE of column operations as ONE atomic metadata
+    * commit — the engine under `ALTER TABLE … ADD COLUMNS (a INT,
+    * b STRING)` and every single-op wrapper above. All guards for all
+    * ops are checked against the evolving schema BEFORE anything
+    * publishes, so a failing op mid-list leaves the table exactly as
+    * it was (no partially applied ALTER — the failure the per-op
+    * commit shape could not avoid); one manifest carries the combined
+    * result. Ops apply in order (ADD then RENAME of the added name is
+    * legal). Same optimistic race loop as every metadata commit:
+    * losers re-derive against the new head. */
+  def alterColumns(path: String, ops: Seq[ColumnOp]): Int = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    require(ops.nonEmpty, s"versioned alterColumns: empty op list at $path")
+    // one loud prefix per op kind, matching the single-op entry
+    // points' historical messages
+    def pfx(op: ColumnOp): String = op match {
+      case _: ColumnOp.Add => "versioned addColumn"
+      case _: ColumnOp.Rename => "versioned renameColumn"
+      case _: ColumnOp.Drop => "versioned dropColumn"
+    }
+    val loopPfx =
+      if (ops.sizeIs == 1) pfx(ops.head) else "versioned alterColumns"
+    // reserved-name + type-parse guards need no ledger state: fail
+    // them before the loop (folded — Spark resolves names
+    // case-insensitively, so 'Cv' shadows the feed partition column
+    // exactly as 'cv' does)
+    ops.foreach {
+      case op @ ColumnOp.Add(n, ddlType) =>
+        require(!Seq("cv", "ct", "__dv_rel", "__dv_pos")
+            .contains(foldName(n)),
+          s"${pfx(op)}: '$n' is reserved")
+        DataType.fromDDL(ddlType): Unit // parse error is the message
+      case op @ ColumnOp.Rename(_, nn) =>
+        require(!Seq("cv", "ct", "__dv_rel", "__dv_pos")
+            .contains(foldName(nn)),
+          s"${pfx(op)}: '$nn' is reserved")
+      case _: ColumnOp.Drop => ()
+    }
     var attempt = 0
     while (true) {
-      require(attempt < 50, s"versioned renameColumn: 50 lost races at $path")
+      require(attempt < 50, s"$loopPfx: 50 lost races at $path")
       attempt += 1
       val head = latestVersion(path)
-      require(head >= 0,
-        s"versioned renameColumn: no committed version at $path")
+      require(head >= 0, s"$loopPfx: no committed version at $path")
       val parent = readManifest(path, head)
       val ddl = parent.schemaDdl.getOrElse(sys.error(
-        s"versioned renameColumn: table at $path predates schema tracking"))
-      val ps = StructType.fromDDL(ddl)
-      def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-      val field = ps.fields.find(f => fold(f.name) == fold(oldName))
-        .getOrElse(sys.error(
-          s"versioned renameColumn: no column '$oldName' at $path " +
-            s"(have: ${ps.fieldNames.mkString(", ")})"))
-      require(!ps.fields.exists(f => fold(f.name) == fold(newName)),
-        s"versioned renameColumn: column '$newName' already exists at $path")
-      val word = ("(?i).*\\b" +
-        java.util.regex.Pattern.quote(oldName) + "\\b.*").r
-      parent.constraints.find(c => word.matches(c)).foreach(c =>
-        sys.error(s"versioned renameColumn: '$oldName' appears in CHECK " +
-          s"constraint '$c' at $path — remove the constraint first"))
-      val physical = parent.physOf(field.name)
+        s"$loopPfx: table at $path predates schema tracking"))
+      // the evolving state every op transforms under guard; nothing
+      // below publishes until EVERY op validated
+      var ps = StructType.fromDDL(ddl)
+      var droppedCols = parent.droppedCols
+      var colMap = parent.colMap
+      def physOf(l: String): String = {
+        val f = foldName(l)
+        colMap.collectFirst {
+          case (k, p) if foldName(k) == f => p
+        }.getOrElse(l)
+      }
+      def constraintGuard(p: String, name: String): Unit = {
+        val word = ("(?i).*\\b" +
+          java.util.regex.Pattern.quote(name) + "\\b.*").r
+        parent.constraints.find(c => word.matches(c)).foreach(c =>
+          sys.error(s"$p: '$name' appears in CHECK constraint '$c' " +
+            s"at $path — remove the constraint first"))
+      }
+      ops.foreach {
+        case op @ ColumnOp.Drop(colName) =>
+          val logical = ps.fields.find(f =>
+              foldName(f.name) == foldName(colName))
+            .map(_.name).getOrElse(sys.error(
+              s"${pfx(op)}: no column '$colName' at $path " +
+                s"(have: ${ps.fieldNames.mkString(", ")})"))
+          val physical = physOf(logical)
+          require(ps.fields.length > 1,
+            s"${pfx(op)}: cannot drop the last column at $path")
+          require(!parent.partSpecs.values.map(foldName).toSet
+              .contains(foldName(physical)),
+            s"${pfx(op)}: '$colName' is a live dir's partition " +
+              s"column at $path — compact() first to flatten the layout")
+          constraintGuard(pfx(op), colName)
+          ps = StructType(ps.fields.filterNot(f =>
+            foldName(f.name) == foldName(colName)))
+          droppedCols = droppedCols :+ physical
+          colMap = colMap.filterNot { case (l, _) =>
+            foldName(l) == foldName(logical) }
+        case op @ ColumnOp.Add(colName, ddlType) =>
+          val dt = DataType.fromDDL(ddlType)
+          require(!ps.fields.exists(f =>
+              foldName(f.name) == foldName(colName)),
+            s"${pfx(op)}: column '$colName' already exists at $path")
+          val used = (ps.fields.toSeq.map(f => foldName(physOf(f.name)))
+            ++ droppedCols.map(foldName)).toSet
+          var phys = colName
+          var i = 0
+          while (used(foldName(phys))) {
+            i += 1
+            phys = if (i == 1) s"${colName}_p${head + 1}"
+              else s"${colName}_p${head + 1}_$i"
+          }
+          ps = StructType(
+            ps.fields :+ StructField(colName, dt, nullable = true))
+          if (foldName(phys) != foldName(colName))
+            colMap = colMap + (colName -> phys)
+        case op @ ColumnOp.Rename(oldName, newName) =>
+          val field = ps.fields.find(f =>
+              foldName(f.name) == foldName(oldName))
+            .getOrElse(sys.error(
+              s"${pfx(op)}: no column '$oldName' at $path " +
+                s"(have: ${ps.fieldNames.mkString(", ")})"))
+          require(!ps.fields.exists(f =>
+              foldName(f.name) == foldName(newName)),
+            s"${pfx(op)}: column '$newName' already exists at $path")
+          constraintGuard(pfx(op), oldName)
+          val physical = physOf(field.name)
+          ps = StructType(ps.fields.map(f =>
+            if (foldName(f.name) == foldName(oldName))
+              f.copy(name = newName)
+            else f))
+          colMap = colMap.filterNot { case (l, _) =>
+            foldName(l) == foldName(oldName) } ++
+            // identity entries stay OUT of the map — a rename back to
+            // the physical name fully dissolves the divergence
+            (if (foldName(newName) == foldName(physical))
+              Map.empty[String, String]
+            else Map(newName -> physical))
+      }
       val m = parent.copy(version = head + 1, mode = "meta", txn = None,
         ts = Some(System.currentTimeMillis()),
-        schemaDdl = Some(StructType(ps.fields.map(f =>
-          if (fold(f.name) == fold(oldName)) f.copy(name = newName)
-          else f)).toDDL),
-        colMap = parent.colMap.filterNot { case (l, _) =>
-          fold(l) == fold(oldName) } ++
-          // identity entries stay OUT of the map ­— a rename back to
-          // the physical name fully dissolves the divergence
-          (if (fold(newName) == fold(physical)) Map.empty[String, String]
-           else Map(newName -> physical)))
+        schemaDdl = Some(ps.toDDL),
+        droppedCols = droppedCols, colMap = colMap)
       if (publishManifest(path, m)) {
         // a metadata commit changes no logical rows: empty feed dir
         Files.createDirectories(changeDirPath(path, m.version))
@@ -1684,7 +1788,6 @@ object Versioned {
     }
     -1 // unreachable
   }
-
   /** Snapshot CDC: classify every key between two versions of the
     * table as insert / delete / update / unchanged — the change feed
     * an incremental consumer reads instead of re-scanning snapshots.
@@ -2120,45 +2223,8 @@ object Versioned {
         // committed mask even under a nondeterministic predicate.
         // Published AFTER the manifest (lost races never write a
         // stale feed); batch-sized like the deleted set.
-        val staged = spark.read.parquet(s"$path/dv/$dvId")
-        val touchedFiles = staged.select("rel").distinct()
-          .collect().map(_.getString(0)) // ≤ files-with-deletes
-        val logicalSt = m.schemaDdl.map(
-          org.apache.spark.sql.types.StructType.fromDDL)
-        val physSt = logicalSt.map(physStruct(m, _))
-        val reader = physSt match {
-          case Some(st) => spark.read.schema(st)
-          case None => spark.read
-        }
-        // files in hive-partitioned dirs read under their dir's
-        // basePath so the partition column re-derives from the path
-        // (a bare file read would null it); plain files keep the one
-        // explicit-schema batch. All file bytes carry PHYSICAL names;
-        // one rename projection restores the logical view below.
-        val (partRels, plainRels) = touchedFiles.toIndexedSeq.sorted
-          .partition(f => m.partSpecs.contains(f.takeWhile(_ != '/')))
-        val plainFrames = if (plainRels.isEmpty) Seq.empty[DataFrame]
-          else Seq(withRowId(reader.parquet(
-            plainRels.map(f => s"$path/data/$f"): _*)))
-        val partFrames = partRels.groupBy(_.takeWhile(_ != '/')).toSeq
-          .sortBy(_._1).map { case (d, rels) =>
-            val st = physSt.getOrElse(sys.error(
-              s"versioned deleteWhereDV: partitioned dir $d " +
-                "predates schema tracking"))
-            alignToSchema(withRowId(spark.read.schema(st)
-              .option("basePath", s"$path/data/$d")
-              .parquet(rels.map(f => s"$path/data/$f"): _*)),
-              st, withIds = true)
-          }
-        val physFrame = (plainFrames ++ partFrames)
-          .reduce(_.unionByName(_))
-        val frame = logicalSt.map(toLogical(m, _, physFrame,
-          extra = Seq("__dv_rel", "__dv_pos"))).getOrElse(physFrame)
-        val cols = frame.columns.toIndexedSeq
-          .filterNot(Set("__dv_rel", "__dv_pos"))
-        val pre = frame.join(staged,
-          frame("__dv_rel") === staged("rel") &&
-            frame("__dv_pos") === staged("pos"), "left_semi")
+        val pre = stagedMaskRows(spark, path, m, dvId)
+        val cols = pre.columns.toIndexedSeq
         publishWrittenFeed(
           pre.withColumn("ct", lit("delete"))
             .select((cols.map(col) :+ col("ct")): _*),
@@ -2171,6 +2237,202 @@ object Versioned {
       dropDirRec(Paths.get(path, "dv", dvId))
     }
     sys.error("unreachable")
+  }
+
+  /** The LIVE pre-image rows a staged mask `dvId` names, under the
+    * manifest's LOGICAL column names: one bounded read of ONLY the
+    * files the mask touches (per-dir basePath for hive-partitioned
+    * dirs so the partition column re-derives from the path), semi-
+    * joined to the staged (rel, pos) pairs. Deriving from the staged
+    * mask instead of re-running the predicate makes the result
+    * provably consistent with the committed mask even under a
+    * nondeterministic predicate — the one sound row source for
+    * delete feeds ([[deleteWhereDV]]) and update post-images
+    * ([[updateWhereDV]]). Cost ∝ files-with-matches, never the
+    * table. */
+  private def stagedMaskRows(spark: SparkSession, path: String,
+      m: Manifest, dvId: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val staged = spark.read.parquet(s"$path/dv/$dvId")
+    val touchedFiles = staged.select("rel").distinct()
+      .collect().map(_.getString(0)) // ≤ files-with-matches
+    val logicalSt = m.schemaDdl.map(
+      org.apache.spark.sql.types.StructType.fromDDL)
+    val physSt = logicalSt.map(physStruct(m, _))
+    val reader = physSt match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
+    // file bytes carry PHYSICAL names; one rename projection at the
+    // end restores the logical view
+    val (partRels, plainRels) = touchedFiles.toIndexedSeq.sorted
+      .partition(f => m.partSpecs.contains(f.takeWhile(_ != '/')))
+    val plainFrames = if (plainRels.isEmpty) Seq.empty[DataFrame]
+      else Seq(withRowId(reader.parquet(
+        plainRels.map(f => s"$path/data/$f"): _*)))
+    val partFrames = partRels.groupBy(_.takeWhile(_ != '/')).toSeq
+      .sortBy(_._1).map { case (d, rels) =>
+        val st = physSt.getOrElse(sys.error(
+          s"versioned stagedMaskRows: partitioned dir $d " +
+            "predates schema tracking"))
+        alignToSchema(withRowId(spark.read.schema(st)
+          .option("basePath", s"$path/data/$d")
+          .parquet(rels.map(f => s"$path/data/$f"): _*)),
+          st, withIds = true)
+      }
+    val physFrame = (plainFrames ++ partFrames)
+      .reduce(_.unionByName(_))
+    val frame = logicalSt.map(toLogical(m, _, physFrame,
+      extra = Seq("__dv_rel", "__dv_pos"))).getOrElse(physFrame)
+    val cols = frame.columns.toIndexedSeq
+      .filterNot(Set("__dv_rel", "__dv_pos"))
+    frame.join(staged,
+      frame("__dv_rel") === staged("rel") &&
+        frame("__dv_pos") === staged("pos"), "left_semi")
+      .select(cols.map(col): _*)
+  }
+
+  /** Row-level UPDATE … SET … WHERE as ONE merge-on-read commit — the
+    * update twin of [[deleteWhereDV]]: matching live rows are MASKED
+    * via a deletion-vector sidecar and their POST-IMAGE rows
+    * (assignments applied, every other column carried) APPEND as one
+    * new data dir, both published in ONE atomic manifest (mode
+    * `update-dv`). Bytes written ∝ matched rows — updating one
+    * tenant's rows in a 100 TB table stages the mask plus the
+    * rewritten rows, never the table (the overwrite-commit shape
+    * [[merge]] uses would). ZERO existing files rewritten; the
+    * accounting returns rewrittenDirs == 0 and deletedRows = rows
+    * updated.
+    *
+    * SQL UPDATE semantics: rows where the predicate is NULL are
+    * untouched (only TRUE updates); assignment values cast to the
+    * column's declared type. The post-image is derived from the
+    * STAGED mask ([[stagedMaskRows]]) so mask and appended rows agree
+    * even under a nondeterministic predicate, then staged and read
+    * back so the committed bytes — not a recomputation — feed both
+    * the CHECK-constraint gate and the `ct=update` post-image change
+    * feed. Same optimistic-concurrency loop and txn dedup as
+    * [[mergeDV]]; a failed constraint gate leaves the staged dirs
+    * orphaned for [[vacuum]], head unmoved. */
+  def updateWhereDV(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      txn: Option[String] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(set.nonEmpty, "versioned updateWhereDV: empty SET list")
+    txn.foreach(t => require(t.nonEmpty && t.forall(ch =>
+      ch.isLetterOrDigit && ch < 128 || ch == ':' || ch == '_' || ch == '-'),
+      s"versioned updateWhereDV: txn token must match [A-Za-z0-9:_-]+, got '$t'"))
+    var attempt = 0
+    while (true) {
+      require(attempt < 50,
+        s"versioned updateWhereDV: 50 lost races at $path")
+      attempt += 1
+      val base = latestVersion(path)
+      require(base >= 0,
+        s"versioned updateWhereDV: no committed version at $path")
+      txn.flatMap(findTxn(path, _, base)) match {
+        case Some(v) =>
+          return DeleteResult(v, -1, -1, -1L) // replay: already done
+        case None => ()
+      }
+      val m = readManifest(path, base)
+      val st = org.apache.spark.sql.types.StructType.fromDDL(
+        m.schemaDdl.getOrElse(sys.error(
+          s"versioned updateWhereDV: table at $path predates schema tracking")))
+      // every SET key must name a live column (folded — Spark
+      // resolves case-insensitively); unknown names fail before any IO
+      val byFold = st.fields.map(f => foldName(f.name) -> f).toMap
+      val setFold = set.map { case (n, c) =>
+        require(byFold.contains(foldName(n)),
+          s"versioned updateWhereDV: no column '$n' at $path " +
+            s"(have: ${st.fieldNames.mkString(", ")})")
+        foldName(n) -> c
+      }.toMap
+      val hit = coalesce(predicate, lit(false)) // NULL keeps the row
+      // stage the mask: live matching rows reduced to (rel, pos) —
+      // identical first job to [[deleteWhereDV]]
+      val live = maskByPos(spark, path, m.dvDirs,
+        readDirs(spark, path, m, m.dataDirs, withIds = true))
+      val dvId = java.util.UUID.randomUUID().toString
+      live.filter(hit)
+        .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
+        .write.mode("errorifexists").parquet(s"$path/dv/$dvId")
+      val updatedRows = spark.read.parquet(s"$path/dv/$dvId").count()
+      if (updatedRows == 0L) {
+        dropDirRec(Paths.get(path, "dv", dvId)) // pure no-op: no commit
+        return DeleteResult(base, 0, m.dataDirs.size, 0L)
+      }
+      // post-image from the staged mask: assignments applied, casts
+      // to the declared column types (SQL UPDATE semantics), staged
+      // as this commit's data dir under PHYSICAL names
+      val postImage = stagedMaskRows(spark, path, m, dvId)
+        .select(st.fields.toIndexedSeq.map { f =>
+          setFold.get(foldName(f.name))
+            .map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)
+        }: _*)
+      val dataId = java.util.UUID.randomUUID().toString
+      toPhysical(m, postImage)
+        .write.mode("errorifexists").parquet(s"$path/data/$dataId")
+      // gate + feed read the immutable STAGED bytes back, so what was
+      // checked and what was fed is exactly what the manifest commits
+      val stagedBack = toLogical(m, st, spark.read
+        .schema(physStruct(m, st)).parquet(s"$path/data/$dataId"))
+      if (m.constraints.nonEmpty) {
+        import org.apache.spark.sql.functions.expr
+        val pred = m.constraints.map(expr).reduce(_ && _)
+        val viol = stagedBack.filter(not(pred)).limit(1)
+          .collect().headOption
+        require(viol.isEmpty, s"versioned updateWhereDV at $path " +
+          s"violates constraint(s) [${m.constraints.mkString("; ")}]; " +
+          s"example row: ${viol.map(_.toString).getOrElse("")}")
+      }
+      val next = Manifest(base + 1, "update-dv", m.dataDirs :+ dataId,
+        txn, m.schemaDdl, ts = Some(System.currentTimeMillis()),
+        constraints = m.constraints, dvDirs = m.dvDirs :+ dvId,
+        partSpecs = m.partSpecs, droppedCols = m.droppedCols,
+        colMap = m.colMap)
+      if (publishManifest(path, next)) {
+        val cols = stagedBack.columns.toIndexedSeq
+        publishWrittenFeed(
+          stagedBack.withColumn("ct", lit("update"))
+            .select((cols.map(col) :+ col("ct")): _*),
+          path, next.version)
+        return DeleteResult(next.version, 0, m.dataDirs.size,
+          updatedRows)
+      }
+      // lost the race: both staged dirs were derived against a stale
+      // head — drop them and re-derive
+      dropDirRec(Paths.get(path, "dv", dvId))
+      dropDirRec(Paths.get(path, "data", dataId))
+    }
+    sys.error("unreachable")
+  }
+
+  /** The ledger as a DataFrame — DESCRIBE HISTORY for the versioned
+    * table: one row per retained manifest with version, commit
+    * timestamp (millis; null for pre-stamp manifests), mode, txn
+    * token, data/DV dir counts, constraint count, and the schema DDL
+    * — the operational audit surface every lakehouse ships. Exposed
+    * through SQL as the `<table>.history` metadata table
+    * ([[GraftCatalog]]). Driver-side O(versions) manifest walk like
+    * every ledger read here — manifest COUNT grows with commits,
+    * never with data, so the walk costs the same at 100 TB as at
+    * 100 MB; vacuumed versions are simply absent. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val head = latestVersion(path)
+    require(head >= 0, s"versioned history: no committed version at $path")
+    val rows = (0 to head).flatMap { v =>
+      if (!Files.exists(manifestPath(path, v))) None
+      else {
+        val m = readManifest(path, v)
+        Some((v, m.ts, m.mode, m.txn, m.dataDirs.size, m.dvDirs.size,
+          m.constraints.size, m.schemaDdl))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("version", "ts_millis", "mode", "txn", "n_data_dirs",
+      "n_dv_dirs", "n_constraints", "schema_ddl")
   }
 
   /** Data-dir ids referenced by `v`'s manifest (observability /

@@ -124,7 +124,7 @@ class VersionedSpec extends SparkSpec {
     Thread.sleep(5)
     Versioned.commit(Seq((3L, "c")).toDF("k", "v"), path, overwrite = false)
     Versioned.commit(Seq((4L, "d")).toDF("k", "v"), path, overwrite = false)
-    val oldest = Versioned.vacuumOlderThan(path, cutoff)
+    val oldest = Versioned.vacuumOlderThan(path, cutoff, force = true)
     assert(oldest == 2)
     // every version at/after the cutoff stays readable...
     assert(Versioned.read(spark, path, Some(2)).count() == 3)
@@ -140,7 +140,7 @@ class VersionedSpec extends SparkSpec {
     // a future cutoff clamps to the head — the live table always
     // survives its own retention policy
     val clamped = Versioned.vacuumOlderThan(
-      path, System.currentTimeMillis() + 3600000L)
+      path, System.currentTimeMillis() + 3600000L, force = true)
     assert(clamped == Versioned.latestVersion(path))
     assert(Versioned.read(spark, path).count() == 4)
     // feed trims consistently: cv dirs below the floor are gone and
