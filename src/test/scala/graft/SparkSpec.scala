@@ -13,6 +13,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the advertised session setup: graft_* SQL functions, the native
+    // as-of strategy, SQL DML, and the streaming table-read rewrite
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .appName(getClass.getSimpleName)
     .getOrCreate()

@@ -1,0 +1,337 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQL row-level DML + catalog CRUD + metadata tables
+  * ([[GraftSqlDml]], [[GraftCatalog]]): DELETE / UPDATE / MERGE
+  * through plain SQL must hit the engine's merge-on-read primitives
+  * (zero data files rewritten, feed published, constraints enforced,
+  * time travel intact), CREATE/CTAS/DROP/RENAME must round-trip with
+  * the Scala API, and the error surface must name the actual problem
+  * (corrupt ledger ≠ missing table; missing version ≠ missing
+  * table). */
+class GraftSqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWarehouse(): String = java.nio.file.Files
+    .createTempDirectory("graft_sqldml").toString
+
+  private var seq = 0
+  private def freshCat(wh: String): String = {
+    seq += 1
+    val cat = s"gdml$seq"
+    GraftCatalog.register(spark, cat, wh)
+    cat
+  }
+
+  test("SQL DELETE is merge-on-read: mask written, zero dirs rewritten, feed + time travel intact") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit((1L to 100L).map(i => (i, i % 7)).toDF("k", "m"),
+      path, overwrite = false)
+    val dirsBefore = Versioned.dataDirIds(path, 0)
+    val cat = freshCat(wh)
+    spark.sql(s"DELETE FROM $cat.t WHERE m = 3")
+    // values: SQL head == Scala head == the predicate's complement
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t")
+      .head.getLong(0) == (1L to 100L).count(_ % 7 != 3))
+    // zero-rewrite: the same data dirs carried by reference, one mask
+    assert(Versioned.dataDirIds(path, 1) == dirsBefore)
+    assert(Versioned.dvDirIds(path, 1).size == 1)
+    // pre-image feed, classified delete
+    val feed = Versioned.readChanges(spark, path, 1, 1)
+    assert(feed.filter(col("_change_type") === "delete").count() ==
+      (1L to 100L).count(_ % 7 == 3))
+    // time travel still shows the pre-delete snapshot through SQL
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 0")
+      .head.getLong(0) == 100L)
+  }
+
+  test("SQL UPDATE writes post-images + mask in one commit; NULL predicate rows are untouched") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, Some(10L)), (2L, None: Option[Long]),
+      (3L, Some(30L))).toDF("k", "v"), path, overwrite = false)
+    val cat = freshCat(wh)
+    spark.sql(s"UPDATE $cat.t SET v = v * 2 WHERE v >= 10")
+    // NULL predicate row (k=2) untouched — SQL UPDATE semantics
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq ==
+      Seq((1L, Some(20L)), (2L, None), (3L, Some(60L))))
+    // one new data dir (post-images) + one mask; originals carried
+    assert(Versioned.dataDirIds(path, 1).size == 2)
+    assert(Versioned.dvDirIds(path, 1).size == 1)
+    // feed carries the POST-image as ct=update
+    val upd = Versioned.readChanges(spark, path, 1, 1)
+      .filter(col("_change_type") === "update")
+      .select("k", "v").as[(Long, Option[Long])].collect().toSet
+    assert(upd == Set((1L, Some(20L)), (3L, Some(60L))))
+  }
+
+  test("SQL MERGE: conditional update/delete/insert through mergeDV, unmatched-clause rows persist") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "v"), path, overwrite = false)
+    val cat = freshCat(wh)
+    spark.sql(s"""MERGE INTO $cat.t t USING (SELECT * FROM VALUES
+        (1L, 'kill', 0L), (2L, 'bump', 5L), (3L, 'skip', 0L),
+        (9L, 'new', 90L), (10L, 'low', 1L)
+        AS s(k, name, v)) s
+      ON t.k = s.k
+      WHEN MATCHED AND s.name = 'kill' THEN DELETE
+      WHEN MATCHED AND s.name = 'bump' THEN UPDATE SET v = t.v + s.v
+      WHEN NOT MATCHED AND s.v > 50 THEN INSERT (k, name, v)
+        VALUES (s.k, s.name, s.v)""")
+    // k=1 deleted; k=2 updated with a TARGET-referencing expression;
+    // k=3 matched but no clause applied -> persists untouched;
+    // k=9 inserted; k=10 unmatched + condition false -> dropped
+    assert(spark.sql(s"SELECT k, name, v FROM $cat.t ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((2L, "b", 25L), (3L, "c", 30L), (9L, "new", 90L)))
+    // the untouched row produced NO change-feed noise
+    val ct = Versioned.readChanges(spark, path, 1, 1)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(ct == Set((1L, "delete"), (2L, "update"), (9L, "insert")))
+    // merge-on-read accounting: base dir carried, not rewritten
+    assert(Versioned.dataDirIds(path, 1).head ==
+      Versioned.dataDirIds(path, 0).head)
+  }
+
+  test("CHECK constraints enforce through SQL UPDATE and MERGE; head unmoved on violation") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      path, overwrite = false)
+    Versioned.addConstraint(spark, path, "v >= 0") // v1 (meta)
+    val cat = freshCat(wh)
+    val head = Versioned.latestVersion(path)
+    val eU = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.t SET v = -1 WHERE k = 1") }
+    assert(eU.getMessage.contains("violates constraint"))
+    val eM = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.t t USING (SELECT 9L AS k, -5L AS v) s " +
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *") }
+    assert(eM.getMessage.contains("violates constraint"))
+    assert(Versioned.latestVersion(path) == head) // nothing landed
+    spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE k = 1") // clean one lands
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 1")
+      .head.getLong(0) == 11L)
+  }
+
+  test("SQL MERGE cardinality violation and unsupported shapes are loud") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "v"), path,
+      overwrite = false)
+    val cat = freshCat(wh)
+    // two source rows match target k=1 -> standard MERGE error
+    val eCard = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.t t USING (SELECT * FROM VALUES " +
+        "(1L, 1L), (1L, 2L) AS s(k, v)) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *") }
+    assert(eCard.getMessage.contains("cardinality"))
+    // ...but duplicate source keys that match NOTHING are legal inserts
+    spark.sql(s"MERGE INTO $cat.t t USING (SELECT * FROM VALUES " +
+      "(7L, 1L), (7L, 2L) AS s(k, v)) s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE k = 7")
+      .head.getLong(0) == 2L)
+    val eNms = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.t t USING (SELECT 1L AS k, 1L AS v) s " +
+        "ON t.k = s.k WHEN NOT MATCHED BY SOURCE THEN DELETE") }
+    assert(eNms.getMessage.contains("NOT MATCHED BY SOURCE"))
+    val eOn = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.t t USING (SELECT 1L AS k, 1L AS v) s " +
+        "ON t.k > s.k WHEN MATCHED THEN UPDATE SET *") }
+    assert(eOn.getMessage.contains("ON conjunct"))
+  }
+
+  test("CTAS round-trips: SQL-born table reads identically via Scala, evolves, time-travels") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.born (k BIGINT, v BIGINT)")
+    assert(spark.sql(s"SELECT * FROM $cat.born").count() == 0L) // empty v0
+    spark.sql(s"INSERT INTO $cat.born VALUES (1, 10), (2, 20)")
+    spark.sql(s"CREATE TABLE $cat.ctas AS SELECT k, v * 2 AS w " +
+      s"FROM $cat.born")
+    // Scala API reads the SQL-born tables identically
+    assert(Versioned.read(spark, s"$wh/ctas").orderBy("k")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 20L), (2L, 40L)))
+    // evolution + DML + time travel on the CTAS table
+    spark.sql(s"ALTER TABLE $cat.ctas RENAME COLUMN w TO dbl")
+    spark.sql(s"UPDATE $cat.ctas SET dbl = 0 WHERE k = 2")
+    assert(spark.sql(s"SELECT dbl FROM $cat.ctas ORDER BY k")
+      .as[Long].collect().toSeq == Seq(20L, 0L))
+    // the CTAS write itself pinned as a version: v0 create, v1 insert
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ctas VERSION AS OF 0")
+      .head.getLong(0) == 0L)
+    // duplicate create is TableAlreadyExists, not silent replace
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE $cat.ctas (x INT)") }
+    // NOT NULL add column rejected loudly
+    val eNn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ctas ADD COLUMNS (q INT NOT NULL)") }
+    assert(eNn.getMessage.contains("NOT NULL"))
+    // partitioned create rejected loudly (per-commit layout here)
+    val ePart = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.p (k INT, d STRING) " +
+        "PARTITIONED BY (d)") }
+    assert(ePart.getMessage.contains("per-commit"))
+  }
+
+  test("DROP TABLE and RENAME TABLE: tree moves whole, non-tables are never deleted") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.a (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.a VALUES (1), (2)")
+    spark.sql(s"ALTER TABLE $cat.a RENAME TO b")
+    // ledger + data traveled together (table-relative paths)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.b")
+      .head.getLong(0) == 2L)
+    assert(Versioned.latestVersion(s"$wh/b") == 1)
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.a") }
+    assert(spark.sql(s"DROP TABLE $cat.b").collect().isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/b")))
+    // a directory WITHOUT a ledger is not droppable through the catalog
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wh/notatable"))
+    intercept[Exception] { spark.sql(s"DROP TABLE $cat.notatable") }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/notatable")))
+  }
+
+  test("error surface: corrupt ledger rethrows, missing version names the retained range") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 2L)).toDF("k", "v"), path,
+      overwrite = false)
+    val cat = freshCat(wh)
+    val eV = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 42").collect() }
+    assert(eV.getMessage.contains("version 42") &&
+      eV.getMessage.contains("retained range"))
+    // corrupt the manifest: the failure must NOT read as "not found"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_versions", "v0.json"),
+      "{ this is not json")
+    val eC = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.t").collect() }
+    assert(!eC.getMessage.contains("cannot be found"),
+      s"corrupt ledger masked as missing table: ${eC.getMessage}")
+    // a genuinely missing table still reads as NOT FOUND
+    val eM = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.nosuch").collect() }
+    assert(eM.getMessage.contains("cannot be found"))
+  }
+
+  test("metadata tables: .history mirrors the ledger, .changes the stored feed; real tables win") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), path,
+      overwrite = false)
+    Versioned.deleteWhereDV(spark, path, col("k") === 1L)
+    val cat = freshCat(wh)
+    val hist = spark.sql(s"SELECT version, mode, n_data_dirs, n_dv_dirs " +
+      s"FROM $cat.t.history ORDER BY version")
+      .as[(Int, String, Int, Int)].collect().toSeq
+    assert(hist == Seq((0, "append", 1, 0), (1, "delete-dv", 1, 1)))
+    val ch = spark.sql(s"SELECT _commit_version, _change_type, k " +
+      s"FROM $cat.t.changes ORDER BY _commit_version, k")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(ch == Seq((0, "insert", 1L), (0, "insert", 2L),
+      (1, "delete", 1L)))
+    // a REAL table named history under the same namespace wins
+    Versioned.commit(Seq(("real", 1L)).toDF("tag", "n"),
+      s"$wh/t/history", overwrite = false)
+    assert(spark.sql(s"SELECT tag FROM $cat.t.history")
+      .as[String].head() == "real")
+  }
+
+  test("vacuum retention guard refuses young cutoffs; pinned readers fail loudly, never silently") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "v"), path,
+      overwrite = false) // v0
+    Versioned.commit(Seq((2L, 20L)).toDF("k", "v"), path,
+      overwrite = true) // v1: v0's dir now unreachable from the head
+    val e = intercept[IllegalArgumentException] {
+      Versioned.vacuumOlderThan(path, System.currentTimeMillis()) }
+    assert(e.getMessage.contains("safety window"))
+    assert(Versioned.versionExists(path, 0)) // guard held: nothing reclaimed
+    // a reader PINNED at v0 before the vacuum...
+    val pinned = Versioned.read(spark, path, Some(0))
+    Versioned.vacuumOlderThan(path, System.currentTimeMillis(),
+      force = true)
+    assert(!Versioned.versionExists(path, 0))
+    // ...fails LOUDLY mid-scan (files gone), never returns wrong data
+    intercept[Exception] { pinned.collect() }
+    // the head keeps serving
+    assert(Versioned.read(spark, path).as[(Long, Long)]
+      .collect().toSeq == Seq((2L, 20L)))
+  }
+
+  test("streaming table read: .changes via readStream.table is exactly-once across restart") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), path,
+      overwrite = false) // v0 feed: 2 inserts
+    val cat = freshCat(wh)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dml_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$cat.t.changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("k", "_change_type").collect()
+            .foreach(r => got.add((r.getLong(0), r.getString(1)))): Unit
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(got.size == 2) // the v0 birth feed
+    // more commits while the stream is DOWN...
+    Versioned.deleteWhereDV(spark, path, col("k") === 1L) // v1
+    Versioned.commit(Seq((3L, 30L)).toDF("k", "v"), path,
+      overwrite = false) // v2
+    drain() // ...restart from the same checkpoint
+    // exactly-once: v0's rows NOT re-delivered, v1+v2's rows present
+    assert(got.size == 4, s"expected 4 total rows, got ${got.size}")
+    import scala.jdk.CollectionConverters._
+    val later = got.asScala.toSet
+    assert(later.contains((1L, "delete")) && later.contains((3L, "insert")))
+  }
+
+  test("streaming the base table requires the explicit skip acknowledgment") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "v"), path,
+      overwrite = false)
+    val cat = freshCat(wh)
+    // without the option: loud analysis-time refusal (silent
+    // update/delete dropping is exactly what the engine refuses)
+    val e = intercept[Exception] {
+      spark.readStream.table(s"$cat.t")
+        .writeStream.format("noop").start() }
+    assert(e.getMessage.contains("skipChangeCommits"))
+    // with it: the insert-only stream under the TABLE schema
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dml_ckpt2").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = spark.readStream.option("skipChangeCommits", "true")
+      .table(s"$cat.t")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(batch.columns.toSeq == Seq("k", "v")) // table schema
+        batch.select("k").collect()
+          .foreach(r => got.add(java.lang.Long.valueOf(r.getLong(0)))): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.map(_.longValue).toSet == Set(1L))
+  }
+}

@@ -350,4 +350,44 @@ class VersionedEvolveSpec extends SparkSpec {
     assert(after.as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (5000000000L, "c")))
   }
+
+  test("alterColumns: a failing op mid-list publishes NOTHING (atomic multi-change ALTER)") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "v"), path,
+      overwrite = false)
+    val head = Versioned.latestVersion(path)
+    // op 2 collides with op 1's own addition -> the WHOLE statement
+    // must fail with the ledger untouched, not leave 'a' behind
+    intercept[Exception] {
+      Versioned.alterColumns(path, Seq(
+        Versioned.ColumnOp.Add("a", "BIGINT"),
+        Versioned.ColumnOp.Add("a", "INT"))) }
+    assert(Versioned.latestVersion(path) == head)
+    assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "v"))
+    // ...and a consistent list lands as ONE metadata commit
+    val v = Versioned.alterColumns(path, Seq(
+      Versioned.ColumnOp.Add("a", "BIGINT"),
+      Versioned.ColumnOp.Rename("a", "b"),
+      Versioned.ColumnOp.Drop("v")))
+    assert(v == head + 1)
+    assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "b"))
+  }
+
+  test("updateWhereDV: zero matches is a pure no-op; unknown SET column fails before IO") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "v"), path,
+      overwrite = false)
+    val r = Versioned.updateWhereDV(spark, path, col("k") === 99L,
+      Seq("v" -> lit(0L)))
+    assert(r.version == 0 && r.deletedRows == 0L) // no commit published
+    assert(Versioned.latestVersion(path) == 0)
+    val e = intercept[Exception] {
+      Versioned.updateWhereDV(spark, path, col("k") === 1L,
+        Seq("nope" -> lit(0L))) }
+    assert(e.getMessage.contains("no column 'nope'"))
+    // assignment CASTS to the declared column type (SQL semantics)
+    Versioned.updateWhereDV(spark, path, col("k") === 1L,
+      Seq("v" -> lit(2.9)))
+    assert(Versioned.read(spark, path).select("v").as[Long].head() == 2L)
+  }
 }

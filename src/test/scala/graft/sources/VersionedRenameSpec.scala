@@ -188,4 +188,53 @@ class VersionedRenameSpec extends SparkSpec {
     assert(fresh.select("k", "y").as[(Long, Long)].collect().toSet ==
       Set((1L, 10L), (2L, 20L)))
   }
+
+  test("historical feed reads survive an OVERWRITE after a rename (era-free physical names)") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "amt"), path,
+      overwrite = false) // v0: physical name 'amt'
+    Versioned.renameColumn(path, "amt", "amount") // v1: colMap amount->amt
+    Versioned.commit(Seq((2L, 20L)).toDF("k", "amount"), path,
+      overwrite = false) // v2: feed files still carry physical 'amt'
+    // the OVERWRITE resets the data chain but must NOT reset the
+    // physical-name continuity: pre-overwrite feed dirs carry 'amt',
+    // and the head schema must keep reading them as 'amount'
+    Versioned.commit(Seq((9L, 90L)).toDF("k", "amount"), path,
+      overwrite = true) // v3
+    val below = Versioned.readChanges(spark, path, 0, 2)
+      .filter(col("_change_type") === "insert")
+      .select("k", "amount").as[(Long, Long)].collect().toSet
+    // the regression this guards: v0/v2 rows null-filling 'amount'
+    assert(below == Set((1L, 10L), (2L, 20L)),
+      s"historical feed lost renamed-column values: $below")
+    // and the post-overwrite append keeps composing
+    Versioned.commit(Seq((10L, 100L)).toDF("k", "amount"), path,
+      overwrite = false) // v4
+    assert(Versioned.readChanges(spark, path, 4, 4)
+      .select("k", "amount").as[(Long, Long)].collect().toSet ==
+      Set((10L, 100L)))
+  }
+
+  test("a column dropped before an OVERWRITE cannot haunt the feed when re-added after it") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, 7L)).toDF("k", "x"), path,
+      overwrite = false) // v0: feed files carry x=7 bytes
+    Versioned.dropColumn(path, "x") // v1: tombstone 'x'
+    // overwrite WITHOUT x: tombstones must survive the overwrite —
+    // the feed dirs of the old era still carry 'x' bytes
+    Versioned.commit(Seq(Tuple1(2L)).toDF("k"), path,
+      overwrite = true) // v2
+    Versioned.addColumn(path, "x", "BIGINT") // v3: must get a FRESH physical
+    Versioned.commit(Seq((3L, 33L)).toDF("k", "x"), path,
+      overwrite = false) // v4
+    // v0's feed rows must show x = NULL under the head schema (the
+    // reborn column never existed for them) — not the old 7
+    val birth = Versioned.readChanges(spark, path, 0, 0)
+      .select("k", "x").as[(Long, Option[Long])].collect().toSet
+    assert(birth == Set((1L, None)),
+      s"dropped bytes resurrected through the feed: $birth")
+    assert(Versioned.readChanges(spark, path, 4, 4)
+      .select("k", "x").as[(Long, Option[Long])].collect().toSet ==
+      Set((3L, Some(33L))))
+  }
 }
