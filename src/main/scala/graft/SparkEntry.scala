@@ -6360,6 +6360,261 @@ object SparkEntry {
           "validacion")
     }),
 
+    // 271: SQL DELETE FROM through the catalog, driver-gated — the
+    // row-level-DML front door (sources/GraftSqlDml.scala) onto the
+    // engine's merge-on-read delete (Versioned.deleteWhereDV): the
+    // staged events table loses its clicks via ONE plain SQL
+    // statement, the mask is a sidecar proportional to the deleted
+    // rows, and ZERO data files rewrite (the ledger facts ride the
+    // checked output: the original dir is carried by reference and
+    // exactly one DV dir exists). The oracle recomputes the surviving
+    // aggregate from the source table.
+    "q_sql_delete" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_delete"
+      val cat = sqlCatalogFor(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        V.commit(ev, table, overwrite = false) // v0
+        s.sql(s"DELETE FROM $cat.sql_delete WHERE event_type = 'click'")
+      }
+      s.sql(s"""SELECT event_type, count(*) AS n_events,
+            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.sql_delete GROUP BY event_type""")
+        .withColumn("n_data_dirs", lit(V.dataDirIds(table, 1).size))
+        .withColumn("n_dv_dirs", lit(V.dvDirIds(table, 1).size))
+        .orderBy("event_type")
+    }),
+
+    // 272: SQL UPDATE through the catalog, driver-gated — UPDATE …
+    // SET … WHERE onto Versioned.updateWhereDV: matched rows are
+    // masked and their post-images append as ONE new dir, published
+    // in one atomic manifest (bytes written ∝ matched rows — the
+    // original dir carries by reference, counted in the output). The
+    // oracle applies the same revaluation arithmetically.
+    "q_sql_update" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_update"
+      val cat = sqlCatalogFor(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        V.commit(ev, table, overwrite = false) // v0
+        s.sql(s"UPDATE $cat.sql_update SET vc = vc * 3 " +
+          "WHERE event_type = 'purchase'")
+      }
+      s.sql(s"""SELECT event_type, count(*) AS n_events,
+            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.sql_update GROUP BY event_type""")
+        .withColumn("n_data_dirs", lit(V.dataDirIds(table, 1).size))
+        .withColumn("n_dv_dirs", lit(V.dvDirIds(table, 1).size))
+        .orderBy("event_type")
+    }),
+
+    // 273: SQL MERGE INTO through the catalog, driver-gated — the
+    // full conditional-clause shape (WHEN MATCHED AND … DELETE /
+    // WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT) translated onto
+    // Versioned.mergeDV (sources/GraftSqlDml.scala: ON split into key
+    // equalities, one batch-sized pair join, first-clause-wins):
+    // clicks leave, purchases revalue ×2, shifted-id views insert —
+    // the same CDC scenario as q_stream_cdc, so the oracle is the
+    // same arithmetic reconstruction; here the whole mutation is ONE
+    // SQL statement with batch-proportional write amplification.
+    "q_sql_merge" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_merge"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        V.commit(ev, table, overwrite = false) // v0
+        s.sql(s"""MERGE INTO $cat.sql_merge tgt USING (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) * 2 AS vc
+            FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT)
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id + 1000000000, event_type,
+                   CAST(round(value * 100) AS BIGINT)
+            FROM events WHERE event_type = 'view') src
+          ON tgt.event_id = src.event_id
+          WHEN MATCHED AND src.event_type = 'click' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET vc = src.vc
+          WHEN NOT MATCHED THEN INSERT (event_id, event_type, vc)
+            VALUES (src.event_id, src.event_type, src.vc)""")
+      }
+      s.sql(s"""SELECT event_type, count(*) AS n_events,
+            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.sql_merge GROUP BY event_type
+          ORDER BY event_type""")
+    }),
+
+    // 274: CREATE TABLE AS SELECT through the catalog, driver-gated —
+    // a SQL session BIRTHS a versioned table (schema-only v0 commit,
+    // CTAS insert through the same V1 write bridge), renames a column
+    // (metadata-only, name-mode column mapping), and keeps inserting
+    // under the new name; the checked aggregate reads the final head,
+    // and the oracle recomputes it from the source table — the full
+    // SQL-only lifecycle with zero Scala calls after registration.
+    "q_sql_ctas" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_ctas"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        s.sql(s"""CREATE TABLE $cat.sql_ctas AS
+          SELECT c_custkey, c_mktsegment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS vc
+          FROM customer WHERE c_custkey % 2 = 0""")
+        s.sql(s"ALTER TABLE $cat.sql_ctas RENAME COLUMN vc TO balance")
+        s.sql(s"""INSERT INTO $cat.sql_ctas
+          SELECT c_custkey, c_mktsegment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS balance
+          FROM customer WHERE c_custkey % 2 = 1""")
+      }
+      s.sql(s"""SELECT c_mktsegment, count(*) AS n,
+            CAST(sum(balance) AS DOUBLE) / 100.0 AS sum_balance
+          FROM $cat.sql_ctas GROUP BY c_mktsegment
+          ORDER BY c_mktsegment""")
+    }),
+
+    // 275: DESCRIBE HISTORY driver-gated — the commit ledger as a
+    // queryable metadata table (`<table>.history`, Versioned.history:
+    // version, mode, dir/mask/constraint counts), JOINED against
+    // per-version `VERSION AS OF` row counts so the ledger arithmetic
+    // is value-tied to the snapshots it describes (not just a shape
+    // check). Three-commit fixture shared with q_time_travel; the
+    // oracle reconstructs both the ledger facts and the counts.
+    "q_history" -> ((s, dir) => {
+      ensureVersionedEvents(s, dir): Unit
+      val cat = sqlCatalogFor(s, dir)
+      s.sql(s"""
+        SELECT h.version, h.mode, h.n_data_dirs, h.n_dv_dirs,
+               h.n_constraints, v.n_events
+        FROM $cat.versioned_events.history h
+        JOIN (SELECT 0 AS version, count(*) AS n_events
+                FROM $cat.versioned_events VERSION AS OF 0
+              UNION ALL SELECT 1, count(*)
+                FROM $cat.versioned_events VERSION AS OF 1
+              UNION ALL SELECT 2, count(*)
+                FROM $cat.versioned_events VERSION AS OF 2) v
+          ON h.version = v.version
+        ORDER BY h.version""")
+    }),
+
+    // 276: STREAMING table read through the catalog, driver-gated —
+    // q_stream_cdc's exact pipeline with the feed consumed via
+    // spark.readStream.table("<cat>.<table>.changes") (the
+    // GraftStreamRewrite analyzer rule routes it onto the stored
+    // feed's file-stream source — checkpointed exactly-once), merged
+    // per micro-batch into a versioned mirror; the oracle recomputes
+    // the converged mirror from the base table. Proves the SQL
+    // streaming story end-to-end: a session that only knows the
+    // table NAME gets incremental CDC.
+    "q_stream_table" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = ensureCdcTable(s, dir)
+      val cat = sqlCatalogFor(s, dir)
+      val n = streamExecSeq.incrementAndGet()
+      val mirror = stagingRoot(dir) + s"/cdc_tmirror_$n"
+      val ckpt = stagingRoot(dir) + s"/cdc_tckpt_$n"
+      V.commit(V.read(s, table, Some(0)), mirror,
+        overwrite = false): Unit
+      val feed = s.readStream.table(s"$cat.versioned_cdc.changes")
+        .filter(col("_commit_version") === 1)
+        .drop("_commit_version")
+        .withColumnRenamed("_change_type", "change_type")
+      val q = graft.streaming.CdcSink.startVersioned(
+        feed, Seq("event_id"), mirror, appId = s"cdct_$n", ckpt)
+      try q.processAllAvailable() finally q.stop()
+      V.read(s, mirror)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          money(sum(col("vc"))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // 277: TPC-DS rollup report OVER THE VERSIONED TABLE through the
+    // catalog, driver-gated — the breadth proof that real query load
+    // composes with the lake layer: the orders fact lives in a
+    // catalog table that has been CTAS-created, column-RENAMED
+    // (metadata-only mapping), and row-DELETED (DV mask), and the
+    // Q22-style hierarchy rollup still reads it with the date filter
+    // pushed into the inner parquet scans and the mask anti-joined
+    // before aggregation. The oracle folds the rename and delete into
+    // arithmetic over the source table.
+    "q_sql_ds_lakerollup" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/orders_lake"
+      val cat = sqlCatalogFor(s, dir)
+      if (V.latestVersion(table) < 0) {
+        Tables.registerAll(s, dir)
+        s.sql(s"""CREATE TABLE $cat.orders_lake AS
+          SELECT o_orderkey, o_custkey, o_orderpriority,
+                 CAST(o_orderdate AS DATE) AS odate,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+          FROM orders""")
+        s.sql(s"ALTER TABLE $cat.orders_lake RENAME COLUMN pc " +
+          "TO price_cents")
+        s.sql(s"DELETE FROM $cat.orders_lake " +
+          "WHERE o_orderpriority = '5-LOW'")
+      }
+      s.sql(s"""
+        WITH o AS (
+          SELECT o_orderpriority,
+                 CAST(EXTRACT(YEAR FROM odate) AS INT) AS yr,
+                 price_cents
+          FROM $cat.orders_lake WHERE odate >= DATE '1995-01-01')
+        SELECT o_orderpriority, yr, count(*) AS n_orders,
+               CAST(sum(price_cents) AS BIGINT) AS rev_cents
+        FROM o GROUP BY ROLLUP(o_orderpriority, yr)
+        ORDER BY o_orderpriority NULLS FIRST, yr NULLS FIRST""")
+    }),
+
+    // 278: TPC-DS rank-within-group report OVER THE VERSIONED TABLE
+    // joined to a plain dimension view — the second breadth shape:
+    // the customer fact is a catalog table with a renamed money
+    // column and an EXPRESSION delete (c_custkey % 10 — exercising
+    // the strategy path, not the translatable-filter path), joined to
+    // the nation dimension, aggregated, and ranked within nation over
+    // the aggregate's frame. Oracle folds the delete predicate into
+    // the source arithmetic.
+    "q_sql_ds_lakerank" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/cust_lake"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        s.sql(s"""CREATE TABLE $cat.cust_lake AS
+          SELECT c_custkey, c_nationkey, c_mktsegment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+          FROM customer""")
+        s.sql(s"ALTER TABLE $cat.cust_lake RENAME COLUMN bal TO balance")
+        s.sql(s"DELETE FROM $cat.cust_lake WHERE c_custkey % 10 = 0")
+      }
+      s.sql(s"""
+        WITH agg AS (
+          SELECT n_name, c_mktsegment,
+                 CAST(sum(balance) AS BIGINT) AS bal_cents,
+                 count(*) AS n_cust
+          FROM $cat.cust_lake JOIN nation ON n_nationkey = c_nationkey
+          GROUP BY n_name, c_mktsegment),
+        rk AS (
+          SELECT n_name, c_mktsegment, bal_cents, n_cust,
+                 CAST(rank() OVER (PARTITION BY n_name
+                   ORDER BY bal_cents DESC, c_mktsegment) AS BIGINT)
+                   AS rnk
+          FROM agg)
+        SELECT n_name, c_mktsegment, bal_cents, n_cust, rnk
+        FROM rk WHERE rnk <= 2
+        ORDER BY n_name, rnk, c_mktsegment""")
+    }),
+
     // 38 (beyond-§2): rule-priority row selection per group
     // (asignar_tipologia): first Qx-if-small, else H-if-CE, else first
     // neutral row.
@@ -6933,6 +7188,100 @@ object SparkEntry {
              LEFT JOIN c5r ON m.uid = c5r.uid
              LEFT JOIN qx1 ON m.uid = qx1.uid
       ORDER BY m.factura, m.linea, m.servicio, m.tipologia, fecha, validacion""",
+    "q_sql_delete" -> """
+      WITH ev AS (SELECT event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events WHERE event_type <> 'click')
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             CAST(1 AS INT) AS n_data_dirs, CAST(1 AS INT) AS n_dv_dirs
+      FROM ev GROUP BY event_type ORDER BY event_type""",
+    "q_sql_update" -> """
+      WITH ev AS (SELECT event_type,
+                    CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) * 3
+                         ELSE CAST(round(value * 100) AS BIGINT)
+                    END AS vc
+                  FROM events)
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             CAST(2 AS INT) AS n_data_dirs, CAST(1 AS INT) AS n_dv_dirs
+      FROM ev GROUP BY event_type ORDER BY event_type""",
+    "q_sql_merge" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      b AS (SELECT event_id, event_type,
+                   CASE WHEN event_type = 'purchase' THEN vc * 2
+                        ELSE vc END AS vc
+            FROM ev WHERE event_type <> 'click'
+            UNION ALL
+            SELECT event_id + 1000000000, event_type, vc
+            FROM ev WHERE event_type = 'view')
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+      FROM b GROUP BY event_type ORDER BY event_type""",
+    "q_sql_ctas" -> """
+      WITH c AS (SELECT c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                 FROM customer)
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(bal) AS DOUBLE) / 100.0 AS sum_balance
+      FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_history" -> """
+      WITH h(version, mode, n_data_dirs, n_dv_dirs, n_constraints) AS (
+        VALUES (0, 'append', 1, 0, 0), (1, 'append', 2, 0, 0),
+               (2, 'overwrite', 1, 0, 0)),
+      v AS (SELECT 0 AS version, count(*) AS n_events
+              FROM events WHERE event_type <> 'purchase'
+            UNION ALL SELECT 1, count(*) FROM events
+            UNION ALL SELECT 2, count(*)
+              FROM events WHERE event_type = 'click')
+      SELECT h.version, h.mode, h.n_data_dirs, h.n_dv_dirs,
+             h.n_constraints, v.n_events
+      FROM h JOIN v ON h.version = v.version ORDER BY h.version""",
+    "q_stream_table" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      b AS (SELECT event_id, event_type,
+                   CASE WHEN event_type = 'purchase' THEN vc * 2
+                        ELSE vc END AS vc
+            FROM ev WHERE event_type <> 'click'
+            UNION ALL
+            SELECT event_id + 1000000000, event_type, vc
+            FROM ev WHERE event_type = 'view')
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+      FROM b GROUP BY event_type ORDER BY event_type""",
+    "q_sql_ds_lakerollup" -> """
+      WITH o AS (
+        SELECT o_orderpriority,
+               CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT)
+                 AS yr,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE o_orderpriority <> '5-LOW'
+          AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01')
+      SELECT o_orderpriority, yr, count(*) AS n_orders,
+             CAST(sum(price_cents) AS BIGINT) AS rev_cents
+      FROM o GROUP BY ROLLUP(o_orderpriority, yr)
+      ORDER BY o_orderpriority NULLS FIRST, yr NULLS FIRST""",
+    "q_sql_ds_lakerank" -> """
+      WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS balance
+                 FROM customer WHERE c_custkey % 10 <> 0),
+      agg AS (SELECT n_name, c_mktsegment,
+                     CAST(sum(balance) AS BIGINT) AS bal_cents,
+                     count(*) AS n_cust
+              FROM c JOIN nation ON n_nationkey = c_nationkey
+              GROUP BY n_name, c_mktsegment),
+      rk AS (SELECT n_name, c_mktsegment, bal_cents, n_cust,
+                    CAST(rank() OVER (PARTITION BY n_name
+                      ORDER BY bal_cents DESC, c_mktsegment) AS BIGINT)
+                      AS rnk
+             FROM agg)
+      SELECT n_name, c_mktsegment, bal_cents, n_cust, rnk
+      FROM rk WHERE rnk <= 2
+      ORDER BY n_name, rnk, c_mktsegment""",
     "q_rule_priority" -> s"""
       WITH s AS ($sendasSql),
       p AS (SELECT *,
