@@ -6379,11 +6379,17 @@ object SparkEntry {
         V.commit(ev, table, overwrite = false) // v0
         s.sql(s"DELETE FROM $cat.sql_delete WHERE event_type = 'click'")
       }
+      // ledger facts from the HEAD (== v1 once the DML landed; on an
+      // EMPTY source the DML is a pure no-op and the head stays v0 —
+      // the aggregate below is then zero rows, so the facts never
+      // reach the compare; EmptyInputSpec runs every row over empty
+      // tables)
+      val head = V.latestVersion(table)
       s.sql(s"""SELECT event_type, count(*) AS n_events,
             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
           FROM $cat.sql_delete GROUP BY event_type""")
-        .withColumn("n_data_dirs", lit(V.dataDirIds(table, 1).size))
-        .withColumn("n_dv_dirs", lit(V.dvDirIds(table, 1).size))
+        .withColumn("n_data_dirs", lit(V.dataDirIds(table, head).size))
+        .withColumn("n_dv_dirs", lit(V.dvDirIds(table, head).size))
         .orderBy("event_type")
     }),
 
@@ -6404,11 +6410,17 @@ object SparkEntry {
         s.sql(s"UPDATE $cat.sql_update SET vc = vc * 3 " +
           "WHERE event_type = 'purchase'")
       }
+      // ledger facts from the HEAD (== v1 once the DML landed; on an
+      // EMPTY source the DML is a pure no-op and the head stays v0 —
+      // the aggregate below is then zero rows, so the facts never
+      // reach the compare; EmptyInputSpec runs every row over empty
+      // tables)
+      val head = V.latestVersion(table)
       s.sql(s"""SELECT event_type, count(*) AS n_events,
             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
           FROM $cat.sql_update GROUP BY event_type""")
-        .withColumn("n_data_dirs", lit(V.dataDirIds(table, 1).size))
-        .withColumn("n_dv_dirs", lit(V.dvDirIds(table, 1).size))
+        .withColumn("n_data_dirs", lit(V.dataDirIds(table, head).size))
+        .withColumn("n_dv_dirs", lit(V.dvDirIds(table, head).size))
         .orderBy("event_type")
     }),
 
@@ -6613,6 +6625,38 @@ object SparkEntry {
         SELECT n_name, c_mktsegment, bal_cents, n_cust, rnk
         FROM rk WHERE rnk <= 2
         ORDER BY n_name, rnk, c_mktsegment""")
+    }),
+
+    // 279: SQL maintenance verbs (CALL procedures), driver-gated —
+    // Spark 4's ProcedureCatalog surface (sources/GraftProcedures):
+    // three appends, `CALL <cat>.system.compact(...)` folding the
+    // ledger to one dir, `CALL add_constraint(...)` landing a quality
+    // gate as a metadata commit — each verb 1:1 onto the engine entry
+    // point the Scala API uses. The checked output joins the ledger
+    // history (version/mode/dir counts, constants the CALL sequence
+    // fully determines) to the surviving row count, so the whole
+    // SQL-driven maintenance chain is value-gated.
+    "q_sql_call" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_call"
+      val cat = sqlCatalogFor(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        (0 until 3).foreach(i => V.commit(
+          ev.filter(col("event_id") % 3 === i), table,
+          overwrite = false)) // v0..v2
+        s.sql(s"CALL $cat.system.compact(`table` => 'sql_call', " +
+          "target_files => 2)") // v3
+        s.sql(s"CALL $cat.system.add_constraint(`table` => 'sql_call', " +
+          "expr => 'event_id >= 0')") // v4 (meta)
+      }
+      s.sql(s"""
+        SELECT h.version, h.mode, h.n_data_dirs, h.n_constraints,
+               a.n_events
+        FROM $cat.sql_call.history h
+        CROSS JOIN (SELECT count(*) AS n_events FROM $cat.sql_call) a
+        ORDER BY h.version""")
     }),
 
     // 38 (beyond-§2): rule-priority row selection per group
@@ -7282,6 +7326,15 @@ object SparkEntry {
       SELECT n_name, c_mktsegment, bal_cents, n_cust, rnk
       FROM rk WHERE rnk <= 2
       ORDER BY n_name, rnk, c_mktsegment""",
+    "q_sql_call" -> """
+      WITH h(version, mode, n_data_dirs, n_constraints) AS (
+        VALUES (0, 'append', 1, 0), (1, 'append', 2, 0),
+               (2, 'append', 3, 0), (3, 'compact', 1, 0),
+               (4, 'meta', 1, 1)),
+      a AS (SELECT count(*) AS n_events FROM events)
+      SELECT h.version, h.mode, h.n_data_dirs, h.n_constraints,
+             a.n_events
+      FROM h CROSS JOIN a ORDER BY h.version""",
     "q_rule_priority" -> s"""
       WITH s AS ($sendasSql),
       p AS (SELECT *,

@@ -74,9 +74,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[GraftStreamRewrite]]). A real table named `history`/`changes`
   * wins over the metadata view.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var warehouse: String = _
+
+  /** SQL maintenance verbs (`CALL <cat>.system.compact/vacuum/
+    * restore/clone/repair_feed/add_constraint` — see
+    * [[GraftProcedures]]): each maps 1:1 onto the engine entry point
+    * the Scala API uses, guards included. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    GraftProcedures.load(warehouse, ident)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] = GraftProcedures.list(namespace)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

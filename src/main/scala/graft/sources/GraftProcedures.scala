@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL maintenance verbs for [[GraftCatalog]] — Spark 4's stored-
+  * procedure surface (`ProcedureCatalog`), the Iceberg-shaped
+  * `CALL` convention every lakehouse operator knows:
+  *
+  * {{{
+  *   CALL g.system.compact(`table` => 't', target_files => 4)
+  *   CALL g.system.vacuum(`table` => 't', retain_hours => 720.0)
+  *   CALL g.system.restore(`table` => 't', version => 3)
+  *   CALL g.system.clone(source => 't', target => 'fork')
+  *   CALL g.system.repair_feed(`table` => 't', keys => 'k')
+  *   CALL g.system.add_constraint(`table` => 't', expr => 'v >= 0')
+  * }}}
+  *
+  * Each verb maps 1:1 onto the engine entry point the Scala API uses
+  * (compact / vacuumOlderThan / restore / cloneTable /
+  * repairChangeFeed / addConstraint) — same guards, same ledger, no
+  * parallel code path — and returns its result (new version / oldest
+  * retained / repaired count) as one row, so operators can script
+  * maintenance in pure SQL. `vacuum` keeps the retention guard:
+  * `retain_hours` younger than the safety window needs
+  * `force => true`, exactly like the Scala call. Table names resolve
+  * against the catalog's warehouse (`'ns.t'` → `<warehouse>/ns/t`).
+  */
+object GraftProcedures {
+
+  private val NS = Array("system")
+
+  private def outRow(schema: StructType,
+      values: Seq[Any]): java.util.Iterator[Scan] = {
+    val row = new GenericInternalRow(values.toArray)
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+    }
+    java.util.List.of(scan).iterator()
+  }
+
+  private def versionOut = StructType(Seq(StructField("version", IntegerType)))
+
+  /** One procedure definition: parameters + the engine call. */
+  private final case class Proc(name: String, describe: String,
+      params: Seq[ProcedureParameter],
+      run: (SparkSession, String => String, InternalRow) =>
+        java.util.Iterator[Scan])
+
+  private def in(n: String, dt: DataType) =
+    ProcedureParameter.in(n, dt).build()
+  private def inDefault(n: String, dt: DataType, d: String) =
+    ProcedureParameter.in(n, dt).defaultValue(d).build()
+
+  private val procs: Seq[Proc] = Seq(
+    Proc("compact",
+      "rewrite the head snapshot as one commit of target_files files",
+      Seq(in("table", StringType),
+        inDefault("target_files", IntegerType, "1")),
+      (spark, path, input) => {
+        val v = Versioned.compact(spark, path(str(input, 0)),
+          input.getInt(1))
+        outRow(versionOut, Seq(v))
+      }),
+    Proc("vacuum",
+      "reclaim history older than retain_hours (guarded below the " +
+        "safety window unless force)",
+      Seq(in("table", StringType), in("retain_hours", DoubleType),
+        inDefault("force", BooleanType, "false")),
+      (spark, path, input) => {
+        val cutoff = System.currentTimeMillis() -
+          (input.getDouble(1) * 3600 * 1000).toLong
+        val oldest = Versioned.vacuumOlderThan(path(str(input, 0)),
+          cutoff, force = input.getBoolean(2))
+        outRow(StructType(Seq(
+          StructField("oldest_retained", IntegerType))), Seq(oldest))
+      }),
+    Proc("restore",
+      "roll the head back to an earlier version as a new commit " +
+        "(zero bytes moved; history stays readable)",
+      Seq(in("table", StringType), in("version", IntegerType)),
+      (spark, path, input) => {
+        val v = Versioned.restore(path(str(input, 0)), input.getInt(1))
+        outRow(versionOut, Seq(v))
+      }),
+    Proc("clone",
+      "zero-copy shallow fork of the source head into a new table",
+      Seq(in("source", StringType), in("target", StringType)),
+      (spark, path, input) => {
+        val v = Versioned.cloneTable(path(str(input, 0)),
+          path(str(input, 1)))
+        outRow(versionOut, Seq(v))
+      }),
+    Proc("repair_feed",
+      "backfill missing change-feed dirs (crash-window gaps; " +
+        "overwrite diffs need keys)",
+      Seq(in("table", StringType),
+        inDefault("keys", StringType, "''")),
+      (spark, path, input) => {
+        val keys = str(input, 1).split(",").toIndexedSeq
+          .map(_.trim).filter(_.nonEmpty)
+        val repaired = Versioned.repairChangeFeed(spark,
+          path(str(input, 0)), keys)
+        outRow(StructType(Seq(
+          StructField("n_repaired", IntegerType))), Seq(repaired.size))
+      }),
+    Proc("add_constraint",
+      "add a CHECK constraint (validates existing data first) as a " +
+        "metadata commit",
+      Seq(in("table", StringType), in("expr", StringType)),
+      (spark, path, input) => {
+        val v = Versioned.addConstraint(spark, path(str(input, 0)),
+          str(input, 1))
+        outRow(versionOut, Seq(v))
+      }))
+
+  private def str(input: InternalRow, i: Int): String = {
+    require(!input.isNullAt(i), s"procedure argument $i must not be NULL")
+    input.getUTF8String(i).toString
+  }
+
+  private val byName = procs.map(p =>
+    p.name.toLowerCase(java.util.Locale.ROOT) -> p).toMap
+
+  /** [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]
+    * loadProcedure: the returned BoundProcedure executes through
+    * [[call]] with the catalog's warehouse closed over. */
+  private[sources] def load(warehouse: String,
+      ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(NS),
+      s"GraftCatalog: procedures live under the `system` namespace " +
+        s"(CALL <cat>.system.<name>), got ${ident.toString}")
+    val p = byName.getOrElse(
+      ident.name().toLowerCase(java.util.Locale.ROOT),
+      sys.error(s"GraftCatalog: no procedure '${ident.name()}' " +
+        s"(have: ${procs.map(_.name).sorted.mkString(", ")})"))
+    new UnboundProcedure {
+      override def name(): String = p.name
+      override def description(): String = p.describe
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = p.name
+          override def description(): String = p.describe
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] =
+            p.params.toArray
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val spark = SparkSession.active
+            def path(tbl: String): String = (warehouse +:
+              tbl.split("\\.").toIndexedSeq).mkString("/")
+            p.run(spark, path, input)
+          }
+        }
+    }
+  }
+
+  private[sources] def list(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(NS)) Array.empty
+    else procs.map(p => Identifier.of(NS, p.name)).toArray
+}

@@ -274,6 +274,58 @@ class GraftSqlDmlSpec extends SparkSpec {
       .collect().toSeq == Seq((2L, 20L)))
   }
 
+  test("CALL procedures: compact/restore/clone/add_constraint/vacuum map onto the engine verbs") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.t VALUES ($i, ${i * 10})"))
+    // compact: head rewritten as one commit of target_files files
+    assert(spark.sql(s"CALL $cat.system.compact(`table` => 't', " +
+      "target_files => 2)").head.getInt(0) == 4)
+    assert(Versioned.dataDirIds(s"$wh/t", 4).size == 1)
+    // add_constraint: later INSERT violating it is rejected loudly
+    assert(spark.sql(s"CALL $cat.system.add_constraint(`table` => 't', " +
+      "expr => 'v >= 0')").head.getInt(0) == 5)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VALUES (9, -1)") }
+    assert(e.getMessage.contains("violates constraint"))
+    // restore: head becomes v1's content again (new commit, no rewrite)
+    assert(spark.sql(s"CALL $cat.system.restore(`table` => 't', " +
+      "version => 1)").head.getInt(0) == 6)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t")
+      .head.getLong(0) == 1L)
+    // clone: zero-copy fork readable through the catalog
+    assert(spark.sql(s"CALL $cat.system.clone(source => 't', " +
+      "target => 'fork')").head.getInt(0) == 0)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.fork")
+      .head.getLong(0) == 1L)
+    // vacuum keeps the retention guard through SQL too
+    val eV = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.vacuum(`table` => 't', " +
+        "retain_hours => 0.001)").collect() }
+    assert(eV.getMessage.contains("safety window"))
+    // retain_hours 0 => cutoff = now: every version is older, so
+    // retainFrom clamps to the head (the live table survives its own
+    // policy) and everything below it reclaims
+    assert(spark.sql(s"CALL $cat.system.vacuum(`table` => 't', " +
+      "retain_hours => 0.0, force => true)").head.getInt(0) == 6)
+    assert(!Versioned.versionExists(s"$wh/t", 5))
+    // repair_feed is idempotent (clone already published its birth feed)
+    assert(spark.sql(s"CALL $cat.system.repair_feed(`table` => 'fork', " +
+      "keys => 'k')").head.getInt(0) == 0)
+    // unknown procedure fails loudly (Spark wraps it as
+    // FAILED_TO_LOAD_ROUTINE; our verb list rides the cause chain)
+    val eP = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.nope()") }
+    val chain = Iterator.iterate[Throwable](eP)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+      .mkString(" | ")
+    assert(chain.contains("nope"))
+    assert(chain.contains("no procedure") && chain.contains("compact"),
+      s"verb list missing from the failure: $chain")
+  }
+
   test("streaming table read: .changes via readStream.table is exactly-once across restart") {
     val wh = freshWarehouse()
     val path = s"$wh/t"
