@@ -108,7 +108,11 @@ class PlanSpec extends SparkSpec {
       "q_best_split",
       // q_did threads the 1-row date-range bounds onto the bounded
       // (group × day) frame — the q_histogram scalar-carrier shape
-      "q_did")
+      "q_did",
+      // q_sql_call CROSS JOINs the 1-row surviving-count aggregate
+      // onto the ledger-sized (≤5-row) history frame — a scalar
+      // carrier over a commits-sized side, never data-sized
+      "q_sql_call")
 
   test("every intendedNestedLoop key exists and still plans one") {
     // keeps the allowlist from rotting: a key that stops planning a
