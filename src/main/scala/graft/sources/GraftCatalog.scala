@@ -575,11 +575,17 @@ object GraftCatalog {
     * [[register]] and from every `loadTable`, so even a session that
     * configured the catalog through plain conf keys gets DELETE /
     * UPDATE / MERGE INTO without any Scala call. */
-  private[graft] def ensureDmlStrategy(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraStrategies.contains(GraftSqlDml.Strategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GraftSqlDml.Strategy
-  }
+  private[graft] def ensureDmlStrategy(spark: SparkSession): Unit =
+    // synchronized: loadTable runs on analyzer threads, and two
+    // concurrent first-queries would otherwise race the read-append
+    // on the experimental var (a lost update = one query planning
+    // without the strategy)
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies
+          .contains(GraftSqlDml.Strategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GraftSqlDml.Strategy
+    }
 
   /** Wire the catalog onto a LIVE session (catalogs resolve lazily,
     * so a runtime conf set is enough — no session rebuild), including
