@@ -75,9 +75,77 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * wins over the metadata view.
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catName: String = _
   private var warehouse: String = _
+
+  // ------------------------------------------------------- namespaces
+  // A namespace is a warehouse subdirectory that is not itself a
+  // table (tables carry a `_versions` ledger). This unlocks the SQL
+  // session verbs a catalog-only user needs — `USE g`,
+  // `SHOW NAMESPACES`, `CREATE NAMESPACE g.ns` before a CTAS into
+  // it — with the same safety stance as dropTable: namespace DROP
+  // only removes EMPTY directories (no cascade through this surface;
+  // drop the tables first, deliberately).
+
+  private def nsDir(namespace: Array[String]): java.nio.file.Path =
+    java.nio.file.Paths.get((warehouse +: namespace).mkString("/"))
+
+  private def isTableDir(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(p.resolve("_versions"))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val dir = nsDir(namespace)
+    if (!java.nio.file.Files.isDirectory(dir))
+      throw new NoSuchNamespaceException(namespace)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    val s = java.nio.file.Files.list(dir)
+    try s.forEach { p =>
+      if (java.nio.file.Files.isDirectory(p) && !isTableDir(p))
+        out += (namespace :+ p.getFileName.toString)
+    } finally s.close()
+    out.toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (namespace.nonEmpty && (!java.nio.file.Files.isDirectory(
+        nsDir(namespace)) || isTableDir(nsDir(namespace))))
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (java.nio.file.Files.isDirectory(nsDir(namespace)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    java.nio.file.Files.createDirectories(nsDir(namespace)): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!java.nio.file.Files.isDirectory(dir)) return false
+    if (isTableDir(dir)) throw new NoSuchNamespaceException(namespace)
+    val empty = { val s = java.nio.file.Files.list(dir)
+      try !s.iterator().hasNext finally s.close() }
+    if (!empty) throw new UnsupportedOperationException(
+      "GraftCatalog: namespace is not empty — DROP its tables first " +
+        "(cascade through the namespace surface is refused on purpose)")
+    java.nio.file.Files.delete(dir)
+    true
+  }
 
   /** SQL maintenance verbs (`CALL <cat>.system.compact/vacuum/
     * restore/clone/repair_feed/add_constraint` — see

@@ -326,6 +326,29 @@ class GraftSqlDmlSpec extends SparkSpec {
       s"verb list missing from the failure: $chain")
   }
 
+  test("namespaces: USE / SHOW / CREATE NAMESPACE / CTAS into it / guarded DROP") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns1")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat")
+      .collect().map(_.getString(0)).contains("ns1"))
+    spark.sql(s"CREATE TABLE $cat.ns1.t AS SELECT 1L AS k")
+    assert(spark.sql(s"SELECT k FROM $cat.ns1.t").head.getLong(0) == 1L)
+    // USE pins the catalog (+ namespace); bare names then resolve
+    spark.sql(s"USE $cat.ns1")
+    assert(spark.sql("SELECT k FROM t").head.getLong(0) == 1L)
+    assert(spark.sql("SHOW TABLES").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("USE spark_catalog.default") // restore for later suites
+    // non-empty namespace refuses to drop; empty one goes
+    val e = intercept[Exception] {
+      spark.sql(s"DROP NAMESPACE $cat.ns1") }
+    assert(e.getMessage.contains("not empty"))
+    spark.sql(s"DROP TABLE $cat.ns1.t")
+    spark.sql(s"DROP NAMESPACE $cat.ns1")
+    intercept[Exception] { spark.sql(s"SHOW TABLES IN $cat.ns1") }
+  }
+
   test("streaming table read: .changes via readStream.table is exactly-once across restart") {
     val wh = freshWarehouse()
     val path = s"$wh/t"
