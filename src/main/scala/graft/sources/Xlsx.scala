@@ -153,6 +153,42 @@ object Xlsx {
     rows.result()
   }
 
+  /** WIDTH-ONLY sheet scan: the widest row's cell count, from one
+    * streaming pass over the sheet XML that tracks column indexes
+    * only — no shared-strings parse, no value assembly, no row
+    * buffering. The schema-agreement job ([[read]]) needs exactly
+    * this, so it no longer pays a full [[parseSheet]] per file just
+    * to learn the column count (two passes over the XML are
+    * structurally required — the global width must exist before any
+    * row can pad — but the first pass is now a counter). */
+  private[sources] def sheetWidth(bytes: Array[Byte]): Int = {
+    val entries = readEntries(bytes, n =>
+      n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml"))
+    val sheetName = entries.keys.toSeq.sorted.headOption
+      .getOrElse(throw new IllegalArgumentException("xlsx: no worksheet"))
+    val r = staxReader(entries(sheetName))
+    var width = 0
+    var rowCells = 0
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => rowCells = 0
+            case "c" =>
+              val ref = r.getAttributeValue(null, "r")
+              rowCells =
+                (if (ref != null) colIndex(ref) + 1 else rowCells + 1)
+                  .max(rowCells)
+              width = math.max(width, rowCells)
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    width
+  }
+
   /** Distributed read: every workbook in `paths` is shipped whole to
     * an executor (binaryFile) and StAX-parsed there. The column count
     * is the widest row across all files; short rows pad with "". All
@@ -164,11 +200,11 @@ object Xlsx {
       .load(paths: _*)
       .select("path", "content")
       .as[(String, Array[Byte])]
-    // one small job to agree on width (reads only zip headers + sheet
-    // XML of each file — file count is batch-sized, not row-sized)
-    val width = bin.map { case (_, bytes) =>
-      parseSheet(bytes).foldLeft(0)((m, r) => math.max(m, r.length))
-    }.collect().maxOption.getOrElse(0)
+    // one small job to agree on width — a count-only streaming scan
+    // of each sheet's XML ([[sheetWidth]]), not a full parse; file
+    // count is batch-sized, not row-sized
+    val width = bin.map { case (_, bytes) => sheetWidth(bytes) }
+      .collect().maxOption.getOrElse(0)
     require(width > 0, "xlsx read: no cells in any input")
     val schema = StructType((0 until width)
       .map(i => StructField(s"_c$i", StringType, nullable = true)))

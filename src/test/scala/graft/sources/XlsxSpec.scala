@@ -104,4 +104,25 @@ class XlsxSpec extends SparkSpec {
       ("a & <b>", "1", "1.5", "x\"quote\""),
       ("ünïcode ñ", "-2", "0.25", "tab\tkeep")))
   }
+
+  test("sheetWidth (the count-only schema pass) agrees with the full parse on every workbook") {
+    // the width job must never disagree with the row job it sizes —
+    // checked on the reference's real workbooks AND a writer output
+    val real = Seq("bases_norte.xlsx", "facturacion_total.xlsx",
+      "facturacion_rips.xlsx").map(n => s"$refDir/$n")
+    val written = {
+      val df = Seq(("a", 1L), ("b", 2L)).toDF("x", "y")
+      val path = Files.createTempDirectory("xlsxw2")
+        .resolve("w.xlsx").toString
+      Xlsx.write(df, path)
+      Seq(path)
+    }
+    (real ++ written).foreach { p =>
+      val bytes = Files.readAllBytes(java.nio.file.Paths.get(p))
+      val full = Xlsx.parseSheet(bytes)
+        .foldLeft(0)((m, r) => math.max(m, r.length))
+      assert(Xlsx.sheetWidth(bytes) == full,
+        s"width drift on $p: ${Xlsx.sheetWidth(bytes)} vs $full")
+    }
+  }
 }
