@@ -90,7 +90,8 @@ class GraftCatalog extends TableCatalog
   // drop the tables first, deliberately).
 
   private def nsDir(namespace: Array[String]): java.nio.file.Path =
-    java.nio.file.Paths.get((warehouse +: namespace).mkString("/"))
+    java.nio.file.Paths.get((warehouse +:
+      namespace.toIndexedSeq.map(GraftCatalog.checkSegment)).mkString("/"))
 
   private def isTableDir(p: java.nio.file.Path): Boolean =
     java.nio.file.Files.isDirectory(p.resolve("_versions"))
@@ -169,7 +170,8 @@ class GraftCatalog extends TableCatalog
   override def name(): String = catName
 
   private def pathOf(ident: Identifier): String =
-    (warehouse +: (ident.namespace() :+ ident.name())).mkString("/")
+    (warehouse +: (ident.namespace() :+ ident.name()).toIndexedSeq
+      .map(GraftCatalog.checkSegment)).mkString("/")
 
   private def tableAt(ident: Identifier, version: Int): Table = {
     val spark = SparkSession.active
@@ -236,8 +238,7 @@ class GraftCatalog extends TableCatalog
     tableAt(ident, Versioned.versionAt(pathOf(ident), timestamp / 1000L))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = java.nio.file.Paths.get(
-      (warehouse +: namespace).mkString("/"))
+    val dir = nsDir(namespace)
     if (!java.nio.file.Files.isDirectory(dir))
       throw new NoSuchNamespaceException(namespace)
     val out = scala.collection.mutable.ArrayBuffer.empty[Identifier]
@@ -567,6 +568,24 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
 
 object GraftCatalog {
   import org.apache.spark.sql.functions.{col, lit, not}
+
+  /** Path-containment gate for every identifier segment the catalog
+    * (or a CALL verb) turns into a filesystem path: the catalog is
+    * filesystem-MUTATING (DROP deletes a tree, RENAME moves one,
+    * clone/vacuum write), so a backquoted `..` segment or a '../x'
+    * CALL argument must never compose into a path that escapes the
+    * warehouse — the is-it-a-table ledger check guards WHAT gets
+    * touched, this guards WHERE. Rejects empty, '.', '..', and any
+    * segment carrying a path separator. */
+  private[sources] def checkSegment(seg: String): String = {
+    require(seg != null && seg.nonEmpty && seg != "." && seg != ".." &&
+      !seg.contains("/") && !seg.contains("\\"),
+      s"GraftCatalog: illegal identifier segment '$seg' — segments " +
+        "must be non-empty and must not be '.', '..', or contain " +
+        "path separators (identifiers resolve strictly INSIDE the " +
+        "catalog warehouse)")
+    seg
+  }
 
   /** `sources.Filter` → `Column` for the standard pushdown algebra.
     * None = inexpressible here (e.g. AlwaysTrue subtypes added later)

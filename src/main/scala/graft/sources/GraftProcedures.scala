@@ -154,8 +154,15 @@ object GraftProcedures {
           override def call(input: InternalRow)
               : java.util.Iterator[Scan] = {
             val spark = SparkSession.active
+            // table-name args compose into filesystem paths (clone
+            // CREATES the target, vacuum DELETES under it) — every
+            // dot-separated segment passes the same containment gate
+            // as catalog identifiers, so a '../x' argument can never
+            // escape the warehouse (split limit -1: a trailing dot
+            // yields an empty segment and is rejected, not dropped)
             def path(tbl: String): String = (warehouse +:
-              tbl.split("\\.").toIndexedSeq).mkString("/")
+              tbl.split("\\.", -1).toIndexedSeq
+                .map(GraftCatalog.checkSegment)).mkString("/")
             p.run(spark, path, input)
           }
         }

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression, PredicateHelper, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -184,6 +184,48 @@ object GraftSqlDml extends PredicateHelper {
         "fold the duplicate into a source-only predicate")
     val tAl = "__graft_t"
     val sAl = "__graft_s"
+    // ---- ON-key reassignment guard: [[Versioned.mergeDV]] masks the
+    // matched target rows by the BATCH's key values (post-images), so
+    // a clause that gives a row a key DIFFERENT from the value the ON
+    // equality matched would (a) leave the pre-image row unmasked — a
+    // silent duplicate — or (b) mask an UNRELATED existing row that
+    // happens to carry the new key. Both are valid SQL with no loud
+    // failure point downstream, so the guard lives here: a key-column
+    // assignment must provably equal the row's matched key — the
+    // target column itself (identity / SET k = t.k) or the ON
+    // clause's source expression for that key (what `UPDATE SET *` /
+    // the canonical INSERT expand to) — anything else throws with the
+    // workaround named. Casts strip before the compare (Spark aligns
+    // assignment types by inserting them).
+    def fold(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+    val keyExprByFold: Map[String, Expression] =
+      keys.map(k => fold(k._1) -> k._2).toMap
+    def stripCasts(e: Expression): Expression = e match {
+      case c: Cast => stripCasts(c.child)
+      case a: Alias => stripCasts(a.child)
+      case other => other
+    }
+    def guardKeyAssigns(assigns: Seq[Assignment], clause: String,
+        sourceSideOk: Boolean): Unit = assigns.foreach { a =>
+      val n = fold(assignName(a))
+      keyExprByFold.get(n).foreach { keyExpr =>
+        val v = stripCasts(a.value)
+        val identity = v match {
+          case ar: AttributeReference =>
+            tOut.contains(ar) && fold(ar.name) == n
+          case _ => false
+        }
+        val matchedKey =
+          sourceSideOk && stripCasts(keyExpr).semanticEquals(v)
+        if (!identity && !matchedKey) unsupported(
+          s"MERGE $clause assigning ON key column `${assignName(a)}` " +
+            "a value other than the matched key itself",
+          "the merge masks target rows by the batch's key values, so " +
+            "a reassigned key would duplicate the pre-image row or " +
+            "replace an unrelated one; to change keys, DELETE the old " +
+            "row and INSERT the new one (or MERGE on a stable key)")
+      }
+    }
     // ---- source: prefilters applied, key expressions materialized
     var sdf = GraftBridge.ofRows(spark, source)
     srcOnly.foreach(p => sdf = sdf.filter(bareCol(p, "MERGE ON")))
@@ -197,15 +239,19 @@ object GraftSqlDml extends PredicateHelper {
     val tA = tdf.as(tAl)
     val sA = sdf2.as(sAl)
     // ---- cardinality check: a duplicate source key is only an error
-    // if it actually matches a target row (SQL MERGE contract)
-    val dupKeys = sdf2.groupBy(gk.map(col): _*).count()
-      .filter(col("count") > 1).select(gk.map(col): _*)
-    if (tA.join(dupKeys.as(sAl), keyCond, "left_semi")
-        .limit(1).count() > 0)
-      throw new IllegalStateException(
-        "GraftCatalog DML: MERGE cardinality violation — more than " +
-          "one source row matched the same target row; deduplicate " +
-          "the source on the ON keys first")
+    // if it actually matches a target row AND a WHEN MATCHED clause
+    // exists to apply twice (SQL MERGE contract — an insert-only
+    // merge anti-joins, so duplicate matching keys are harmless)
+    if (matched.nonEmpty) {
+      val dupKeys = sdf2.groupBy(gk.map(col): _*).count()
+        .filter(col("count") > 1).select(gk.map(col): _*)
+      if (tA.join(dupKeys.as(sAl), keyCond, "left_semi")
+          .limit(1).count() > 0)
+        throw new IllegalStateException(
+          "GraftCatalog DML: MERGE cardinality violation — more than " +
+            "one source row matched the same target row; deduplicate " +
+            "the source on the ON keys first")
+    }
     // ---- matched rows: first-match-wins verdict over the pair join
     def actionCond(a: MergeAction): Option[Expression] = a match {
       case UpdateAction(c, _, _) => c
@@ -222,9 +268,11 @@ object GraftSqlDml extends PredicateHelper {
         when(c, lit(i)).otherwise(els)
       }
     val matchedAssigns: Seq[Option[Map[String, Column]]] = matched.map {
-      case UpdateAction(_, assigns, _) => Some(assigns.map(a =>
-        assignName(a).toLowerCase(java.util.Locale.ROOT) ->
-          sidedCol(a.value, tOut, tAl, sAl, "MERGE UPDATE SET")).toMap)
+      case UpdateAction(_, assigns, _) =>
+        guardKeyAssigns(assigns, "WHEN MATCHED UPDATE", sourceSideOk = true)
+        Some(assigns.map(a =>
+          assignName(a).toLowerCase(java.util.Locale.ROOT) ->
+            sidedCol(a.value, tOut, tAl, sAl, "MERGE UPDATE SET")).toMap)
       case DeleteAction(_) => None
       case other => unsupported(s"MERGE matched action $other",
         "WHEN MATCHED supports UPDATE and DELETE")
@@ -250,9 +298,16 @@ object GraftSqlDml extends PredicateHelper {
     // ---- unmatched source rows: first applicable INSERT clause;
     // rows with no applicable clause do nothing (standard MERGE)
     val insertAssigns: Seq[Map[String, Column]] = notMatched.map {
-      case InsertAction(_, assigns) => assigns.map(a =>
-        assignName(a).toLowerCase(java.util.Locale.ROOT) ->
-          sidedCol(a.value, tOut, tAl, sAl, "MERGE INSERT")).toMap
+      case InsertAction(_, assigns) =>
+        // an INSERT key must be the ON clause's source key expression:
+        // the anti-join proved THAT value absent from the target, so
+        // only that value is a safe plain insert (a divergent key can
+        // collide with — and mask-replace — an unrelated existing row)
+        guardKeyAssigns(assigns, "WHEN NOT MATCHED INSERT",
+          sourceSideOk = true)
+        assigns.map(a =>
+          assignName(a).toLowerCase(java.util.Locale.ROOT) ->
+            sidedCol(a.value, tOut, tAl, sAl, "MERGE INSERT")).toMap
       case other => unsupported(s"MERGE not-matched action $other",
         "WHEN NOT MATCHED supports INSERT")
     }

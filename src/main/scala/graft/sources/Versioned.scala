@@ -2320,6 +2320,15 @@ object Versioned {
       txn: Option[String] = None): DeleteResult = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     require(set.nonEmpty, "versioned updateWhereDV: empty SET list")
+    // each column once: the SET list folds into a map below, so a
+    // duplicate assignment (SET v = 1, v = 2) would silently last-win
+    // where SQL requires an error — and the SQL front door forwards
+    // assignments verbatim, so the silent path was reachable
+    set.map(n => foldName(n._1)).groupBy(identity)
+      .collectFirst { case (n, g) if g.size > 1 => n }.foreach(d =>
+        sys.error(s"versioned updateWhereDV: duplicate assignment to " +
+          s"column '$d' in SET — SQL forbids assigning the same column " +
+          "twice in one UPDATE; keep one assignment per column"))
     txn.foreach(t => require(t.nonEmpty && t.forall(ch =>
       ch.isLetterOrDigit && ch < 128 || ch == ':' || ch == '_' || ch == '-'),
       s"versioned updateWhereDV: txn token must match [A-Za-z0-9:_-]+, got '$t'"))

@@ -149,6 +149,96 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(eOn.getMessage.contains("ON conjunct"))
   }
 
+  test("MERGE ON-key reassignment is refused loudly; key-preserving shapes pass") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), path,
+      overwrite = false)
+    val cat = freshCat(wh)
+    // a matched UPDATE that moves the ON key would leave the
+    // pre-image row unmasked (mergeDV masks by POST-image keys) —
+    // the silent-duplication shape, so it throws instead
+    val eU = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.t t USING (SELECT 1L AS k, 5L AS v) s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET k = t.k + 1, v = s.v") }
+    assert(eU.getMessage.contains("ON key column"))
+    // an INSERT whose key diverges from the ON source expression can
+    // mask-replace an UNRELATED existing row (k=2 here) — refused too
+    val eI = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.t t USING (SELECT 1L AS k, 5L AS v) s " +
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT (k, v) " +
+        "VALUES (s.k + 1, s.v)") }
+    assert(eI.getMessage.contains("ON key column"))
+    assert(Versioned.latestVersion(path) == 0) // nothing landed
+    // key-preserving shapes all pass: identity (SET k = t.k),
+    // SET * (k = s.k == the ON source key), canonical INSERT
+    spark.sql(s"MERGE INTO $cat.t t USING (SELECT * FROM VALUES " +
+      "(1L, 100L), (9L, 90L) AS s(k, v)) s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET k = t.k, v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 100L), (2L, 20L), (9L, 90L)))
+  }
+
+  test("insert-only MERGE tolerates duplicate source keys that match a target row") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "v"), path,
+      overwrite = false)
+    val cat = freshCat(wh)
+    // per the SQL standard, duplicates only violate cardinality when
+    // a WHEN MATCHED clause would apply twice to one target row; an
+    // insert-only merge anti-joins, so both rows simply drop out
+    spark.sql(s"MERGE INTO $cat.t t USING (SELECT * FROM VALUES " +
+      "(1L, 1L), (1L, 2L), (8L, 80L) AS s(k, v)) s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k, v")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (8L, 80L)))
+  }
+
+  test("duplicate SET assignments to one column error loudly (never silently last-win)") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "v"), path,
+      overwrite = false)
+    val e = intercept[Exception] {
+      Versioned.updateWhereDV(spark, path, lit(true),
+        Seq("v" -> lit(1L), "V" -> lit(2L))) } // folded compare too
+    assert(e.getMessage.contains("duplicate assignment"))
+    assert(Versioned.latestVersion(path) == 0)
+  }
+
+  test("identifier segments can never escape the warehouse (catalog paths and CALL args)") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT 1L AS k")
+    // a decoy versioned table OUTSIDE the warehouse: traversal from
+    // the catalog must never reach it
+    val outside = s"$wh-outside/victim"
+    Versioned.commit(Seq((1L, 1L)).toDF("k", "v"), outside,
+      overwrite = false)
+    def fails(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+        .mkString(" | ")
+      assert(chain.contains("illegal identifier segment") ||
+        chain.contains("cannot be found") || chain.contains("NOT_FOUND"),
+        s"traversal not refused: $chain")
+    }
+    fails(s"DROP TABLE $cat.`..`.`$wh-outside`.victim")
+    fails(s"SELECT * FROM $cat.`../../tmp`.x")
+    fails(s"CALL $cat.system.clone(source => 't', " +
+      "target => '../escape')")
+    fails(s"CALL $cat.system.vacuum(`table` => " +
+      s"'../${wh.split('/').last}-outside/victim', " +
+      "retain_hours => 0.0, force => true)")
+    // the decoy is intact
+    assert(Versioned.latestVersion(outside) == 0)
+    assert(Versioned.read(spark, outside).count() == 1L)
+  }
+
   test("CTAS round-trips: SQL-born table reads identically via Scala, evolves, time-travels") {
     val wh = freshWarehouse()
     val cat = freshCat(wh)
