@@ -18,6 +18,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The driver grades the LAST ~2 KB of combined output; four rounds
+    // of "parsed": null traced to end-of-run WARN chatter (WindowExec
+    // "No Partition Defined" et al.) landing AFTER the summary line in
+    // the capture. Two defenses: silence the known-chatty execution
+    // loggers to ERROR (their warnings are advisory — every
+    // unpartitioned window in the suite is a documented bounded
+    // frame), and print the summary LAST, after spark.stop(), so no
+    // logger can trail it.
+    Seq("org.apache.spark.sql.execution.window",
+        "org.apache.spark.sql.execution.CacheManager",
+        "org.apache.spark.sql.catalyst.expressions.codegen",
+        "org.apache.spark.storage",
+        "org.apache.spark.scheduler.DAGScheduler").foreach(l =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(l,
+        org.apache.logging.log4j.Level.ERROR))
     // Warm the JVM/codegen/scan paths once so the first timed query
     // doesn't absorb session startup (~7s of JIT on a cold JVM).
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -131,7 +146,6 @@ object Bench {
     // pass totals sit beside the graded min-of-2 total so the burst
     // magnitude each round is visible from the one stdout line
     val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":2,"value_p1":${f3(t1)},"value_p2":${f3(t2)},"nq":${results.size},"nfail":${failed.size},"sf":"$sfDir"}"""
-    println(summary)
     // The artifact must survive a truncated stdout capture: write the
     // COMPLETE per-query timings + summary to a repo file too (the
     // r6/r7 driver tails clipped to ~89 of 137 per-query lines).
@@ -158,6 +172,10 @@ object Bench {
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
     spark.stop()
+    // summary LAST — after spark.stop() — so no end-of-run logger can
+    // interleave into the driver's tail capture behind it
+    println(summary)
+    System.out.flush()
     // Artifact-completeness gate, AFTER the artifact is printed and
     // written so a failure is loud (rc != 0) but never destroys the
     // evidence. A failed query still records a timing, so a pure
