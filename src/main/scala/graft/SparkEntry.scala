@@ -160,6 +160,35 @@ object SparkEntry {
     table
   }
 
+  /** The three-commit change-feed fixture (v0/v1 = event thirds
+    * appended, v2 = a merge batch with inserts/updates/deletes),
+    * shared by q_changefeed (Scala readChanges) and q_changes_range
+    * (SQL `.changes` with version-range pushdown); staged once per
+    * process. Returns the table path. */
+  private[graft] def ensureFeedTable(s: SparkSession,
+      dir: String): String = {
+    val table = stagingRoot(dir) + "/versioned_feed"
+    if (graft.sources.Versioned.latestVersion(table) < 0) {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), cents(col("value")).as("vc"))
+      graft.sources.Versioned.commit(
+        ev.filter(col("event_id") % 3 === 0), table, overwrite = false)
+      graft.sources.Versioned.commit(
+        ev.filter(col("event_id") % 3 === 1), table, overwrite = false)
+      val batch = ev.filter(col("event_id") % 3 === 2)
+        .withColumn("change_type", lit("insert"))
+        .unionByName(ev.filter(col("event_id") % 6 === 0)
+          .withColumn("vc", col("vc") * 3)
+          .withColumn("change_type", lit("update")))
+        .unionByName(ev.filter(col("event_id") % 3 === 1 &&
+            col("event_type") === "click")
+          .withColumn("change_type", lit("delete")))
+      graft.sources.Versioned.applyChangeFeed(s, table, batch,
+        Seq("event_id")): Unit
+    }
+    table
+  }
+
   /** The three-commit versioned events ledger (v0 = non-purchases,
     * v1 = + purchases, v2 = overwrite to clicks only), shared by
     * q_time_travel (Scala reads) and q_sql_time_travel (SQL catalog
@@ -5735,31 +5764,46 @@ object SparkEntry {
     // incremental consumer reads THIS instead of diffing snapshots:
     // the feed is written once at commit, never recomputed.
     "q_changefeed" -> ((s, dir) => {
-      val table = stagingRoot(dir) + "/versioned_feed"
-      if (graft.sources.Versioned.latestVersion(table) < 0) {
-        val ev = t(s, dir, "events").select(col("event_id"),
-          col("event_type"), cents(col("value")).as("vc"))
-        graft.sources.Versioned.commit(
-          ev.filter(col("event_id") % 3 === 0), table, overwrite = false)
-        graft.sources.Versioned.commit(
-          ev.filter(col("event_id") % 3 === 1), table, overwrite = false)
-        val batch = ev.filter(col("event_id") % 3 === 2)
-          .withColumn("change_type", lit("insert"))
-          .unionByName(ev.filter(col("event_id") % 6 === 0)
-            .withColumn("vc", col("vc") * 3)
-            .withColumn("change_type", lit("update")))
-          .unionByName(ev.filter(col("event_id") % 3 === 1 &&
-              col("event_type") === "click")
-            .withColumn("change_type", lit("delete")))
-        graft.sources.Versioned.applyChangeFeed(s, table, batch,
-          Seq("event_id")): Unit
-      }
+      val table = ensureFeedTable(s, dir)
       graft.sources.Versioned.readChanges(s, table, 0, 2)
         .groupBy(col("_commit_version").as("commit_version"),
           col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n_rows"),
           money(sum(col("vc"))).as("sum_value"))
         .orderBy("commit_version", "change_type")
+    }),
+
+    // 280: CDC VERSION-RANGE PUSHDOWN driver-gated — the canonical
+    // batch CDC query, `SELECT … FROM <t>.changes WHERE
+    // _commit_version >= N`, through the SQL catalog: the
+    // ChangesScanBuilder maps the comparison onto the feed layout's
+    // `cv=` directory index (sources/GraftCatalog.scala →
+    // Versioned.readChangesPruned), so the scan lists and reads ONLY
+    // the asked versions' dirs — O(asked range), not O(retained
+    // feed). The checked output carries the cv=2 aggregate AND a
+    // `skipped` flag gated on the scan's directory accounting
+    // (dirsRead < dirsTotal — real skipped IO, the q_zorder_skip
+    // pattern); the oracle reconstructs the v2 merge batch and TRUE.
+    // The 3-row collect is bounded by |change types|, never data.
+    "q_changes_range" -> ((s, dir) => {
+      val table = ensureFeedTable(s, dir)
+      val cat = sqlCatalogFor(s, dir)
+      val agg = s.sql(s"""SELECT _change_type AS change_type,
+            count(*) AS n_rows,
+            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.versioned_feed.changes
+          WHERE _commit_version >= 2
+          GROUP BY _change_type""").collect() // ≤3 rows (change types)
+      val (accPath, dirsRead, dirsTotal) =
+        graft.sources.GraftCatalog.lastChangesScan.get()
+      require(accPath == table,
+        s"q_changes_range: accounting is for '$accPath', not '$table'")
+      import s.implicits._
+      agg.toSeq.map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toDF("change_type", "n_rows", "sum_value")
+        .withColumn("skipped", lit(dirsRead < dirsTotal))
+        .orderBy("change_type")
     }),
 
     // 163: Z-ORDER SKIPPING driver-gated — events staged z-clustered
@@ -6495,6 +6539,37 @@ object SparkEntry {
           ORDER BY c_mktsegment""")
     }),
 
+    // 281: SQL DELETE WHERE … IN (subquery) driver-gated — the GDPR
+    // erasure shape, the loudest former limit of the DML front door:
+    // the subplan (purchasing users with event_id % 10 = 0) executes
+    // DISTRIBUTED, its distinct key set replaces the IN as a native
+    // Catalyst In (bounded-or-loud driver materialization,
+    // GraftSqlDml.rewritePredicateSubqueries), and the delete lands
+    // merge-on-read (one mask sidecar, zero dirs rewritten — the
+    // ledger facts ride the checked output). The oracle reconstructs
+    // the post-delete snapshot with the same NOT IN complement.
+    "q_sql_delete_subq" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_delsubq"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("user_id"), col("event_type"), cents(col("value")).as("vc"))
+        V.commit(ev, table, overwrite = false) // v0
+        s.sql(s"""DELETE FROM $cat.sql_delsubq WHERE user_id IN
+            (SELECT user_id FROM events
+             WHERE event_type = 'purchase' AND event_id % 10 = 0)""")
+      }
+      val head = V.latestVersion(table)
+      s.sql(s"""SELECT event_type, count(*) AS n_events,
+            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.sql_delsubq GROUP BY event_type""")
+        .withColumn("n_data_dirs", lit(V.dataDirIds(table, head).size))
+        .withColumn("n_dv_dirs", lit(V.dvDirIds(table, head).size))
+        .orderBy("event_type")
+    }),
+
     // 275: DESCRIBE HISTORY driver-gated — the commit ledger as a
     // queryable metadata table (`<table>.history`, Versioned.history:
     // version, mode, dir/mask/constraint counts), JOINED against
@@ -6919,6 +6994,18 @@ object SparkEntry {
       SELECT CAST(commit_version AS INT) AS commit_version, change_type,
              count(*) AS n_rows, CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
       FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_changes_range" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      f AS (
+        SELECT 'insert' AS change_type, vc FROM ev WHERE event_id % 3 = 2
+        UNION ALL SELECT 'update', vc * 3 FROM ev WHERE event_id % 6 = 0
+        UNION ALL SELECT 'delete', CAST(NULL AS BIGINT)
+        FROM ev WHERE event_id % 3 = 1 AND event_type = 'click')
+      SELECT change_type, count(*) AS n_rows,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             TRUE AS skipped
+      FROM f GROUP BY change_type ORDER BY change_type""",
     "q_yoy_growth" -> """
       WITH m AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
                         CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mo,
@@ -7236,6 +7323,17 @@ object SparkEntry {
       WITH ev AS (SELECT event_type,
                     CAST(round(value * 100) AS BIGINT) AS vc
                   FROM events WHERE event_type <> 'click')
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             CAST(1 AS INT) AS n_data_dirs, CAST(1 AS INT) AS n_dv_dirs
+      FROM ev GROUP BY event_type ORDER BY event_type""",
+    "q_sql_delete_subq" -> """
+      WITH del AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase' AND event_id % 10 = 0),
+      ev AS (SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc
+             FROM events
+             WHERE user_id NOT IN (SELECT user_id FROM del))
       SELECT event_type, count(*) AS n_events,
              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
              CAST(1 AS INT) AS n_data_dirs, CAST(1 AS INT) AS n_dv_dirs

@@ -450,9 +450,15 @@ private[sources] final class HistorySqlTable(ident: String,
 
 /** `<table>.changes` — the STORED change-data feed as a SQL table:
   * batch reads cover the full retained feed range (pinned at
-  * resolution, like every read here) via [[Versioned.readChanges]] —
-  * which keeps its loud contract on feed gaps and plain overwrites;
-  * streaming reads (`spark.readStream.table`) route through
+  * resolution, like every read here) and PUSH DOWN the filters the
+  * feed layout indexes ([[ChangesScanBuilder]]): `_commit_version`
+  * comparisons narrow the version range and `_change_type`
+  * equality/IN selects `ct=` subdirs — both become directory-list
+  * filters BEFORE any file IO ([[Versioned.readChangesPruned]]), so
+  * the canonical "changes since version N" query costs O(asked
+  * range), not O(retained feed). Data-column filters replay onto the
+  * inner frame where Catalyst pushes them into the parquet readers.
+  * Streaming reads (`spark.readStream.table`) route through
   * [[GraftStreamRewrite]] onto the feed's file-stream source. The
   * MICRO_BATCH_READ capability is declared so the table is
   * stream-eligible; reaching `toMicroBatchStream` without the
@@ -473,9 +479,141 @@ private[sources] final class ChangesSqlTable(ident: String,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    GraftCatalog.frameScan(feedSchema,
-      s"graft-changes $path cv=$vFrom..$vTo", spark =>
-        Versioned.readChanges(spark, path, vFrom, vTo))
+    new ChangesScanBuilder(path, vFrom, vTo, feedSchema)
+}
+
+/** Pushdown surface for `<table>.changes` batch reads. The stored
+  * layout `_changes/cv=N/ct=type/` already IS the index, so:
+  *
+  *  - `_commit_version` =, >, >=, <, <= narrow the `[lo, hi]` version
+  *    window exactly (IN narrows to its min..max envelope);
+  *  - `_change_type` = / IN intersects into the `ct=` directory set;
+  *  - anything [[GraftCatalog.translateFilter]] can express (data
+  *    columns included) is ACCEPTED and replayed onto the inner
+  *    frame, where Catalyst pushes it into the parquet scans;
+  *  - the rest is rejected back to Spark (applied on top — never
+  *    wrong, merely unoptimized).
+  *
+  * Every accepted filter still re-applies row-level after the
+  * directory prune (the IN envelope and double-filtering are
+  * RELAXATIONS — pruning may read extra dirs, never skip a needed
+  * one). The most recent scan's directory accounting is recorded in
+  * [[GraftCatalog.lastChangesScan]] so specs and driver rows can gate
+  * `dirsRead < dirsTotal` — real skipped IO, not a plan shape. */
+private[sources] final class ChangesScanBuilder(path: String,
+    vFrom: Int, vTo: Int, feedSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+  private var lo: Long = vFrom.toLong
+  private var hi: Long = vTo.toLong
+  private var cts: Option[Set[String]] = None
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = feedSchema
+
+  // saturating Int clamp: a literal beyond Int range still narrows
+  // soundly (versions are Ints, so > Int.MaxValue ⇒ empty range)
+  private def narrowLo(v: Long): Unit = lo = math.max(lo, v)
+  private def narrowHi(v: Long): Unit = hi = math.min(hi, v)
+
+  private def asVersion(v: Any): Option[Long] = v match {
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Long => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Byte => Some(n.longValue)
+    case _ => None
+  }
+
+  /** Whether `f` narrows the directory prune (version window / ct
+    * set). Mutates the builder state when it does. */
+  private def prunes(f: Filter): Boolean = f match {
+    case sources.EqualTo(a, v) if fold(a) == "_commit_version" =>
+      asVersion(v).exists { n => narrowLo(n); narrowHi(n); true }
+    case sources.GreaterThan(a, v) if fold(a) == "_commit_version" =>
+      asVersion(v).exists { n => narrowLo(n + 1); true }
+    case sources.GreaterThanOrEqual(a, v)
+        if fold(a) == "_commit_version" =>
+      asVersion(v).exists { n => narrowLo(n); true }
+    case sources.LessThan(a, v) if fold(a) == "_commit_version" =>
+      asVersion(v).exists { n => narrowHi(n - 1); true }
+    case sources.LessThanOrEqual(a, v)
+        if fold(a) == "_commit_version" =>
+      asVersion(v).exists { n => narrowHi(n); true }
+    case sources.In(a, vs) if fold(a) == "_commit_version" &&
+        vs.nonEmpty && vs.forall(asVersion(_).isDefined) =>
+      // envelope prune; the exact set re-applies row-level
+      narrowLo(vs.flatMap(asVersion).min)
+      narrowHi(vs.flatMap(asVersion).max)
+      true
+    case sources.EqualTo(a, v: String) if fold(a) == "_change_type" =>
+      val want = Set(fold(v))
+      cts = Some(cts.map(_.intersect(want)).getOrElse(want))
+      true
+    case sources.In(a, vs) if fold(a) == "_change_type" &&
+        vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      val want = vs.map(v => fold(v.asInstanceOf[String])).toSet
+      cts = Some(cts.map(_.intersect(want)).getOrElse(want))
+      true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rejected) = filters.partition(f =>
+      prunes(f) || GraftCatalog.translateFilter(f).isDefined)
+    accepted = ok
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"graft-changes $path cv=$lo..$hi" +
+        cts.map(s => s" ct=[${s.toSeq.sorted.mkString(",")}]")
+          .getOrElse("") +
+        s" pushed=[${accepted.mkString(", ")}]"
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming
+          .MicroBatchStream =
+      throw new UnsupportedOperationException(
+        s"graft-changes $path: streaming reads route through the " +
+          "stored feed's file-stream source — register graft's " +
+          "session extensions (spark.sql.extensions=graft.plans." +
+          "GraftExtensions) so spark.readStream.table(...) rewrites " +
+          "onto it")
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val rel = new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = readSchema()
+        override def needConversion: Boolean = true
+        override def buildScan(): org.apache.spark.rdd.RDD[
+            org.apache.spark.sql.Row] = {
+          import org.apache.spark.sql.functions.col
+          val spark = context.sparkSession
+          val loI = math.max(lo, Int.MinValue.toLong).min(
+            Int.MaxValue.toLong).toInt
+          val hiI = math.max(hi, Int.MinValue.toLong).min(
+            Int.MaxValue.toLong).toInt
+          val (df0, dirsRead) = Versioned.readChangesPruned(
+            spark, path, loI, if (lo > hi) loI - 1 else hiI, cts)
+          GraftCatalog.lastChangesScan.set(
+            (path, dirsRead, Versioned.changeFeedDirCount(
+              path, vFrom, vTo)))
+          var df = df0
+          accepted.flatMap(GraftCatalog.translateFilter)
+            .foreach(c => df = df.filter(c))
+          df.select(readSchema().fieldNames
+            .map(col).toIndexedSeq: _*).rdd
+        }
+      }
+      rel.asInstanceOf[T]
+    }
+  }
 }
 
 /** INSERT INTO (append) / INSERT OVERWRITE (truncate) as ONE
@@ -568,6 +706,16 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
 
 object GraftCatalog {
   import org.apache.spark.sql.functions.{col, lit, not}
+
+  /** Directory accounting of the most recent [[ChangesScanBuilder]]
+    * batch scan in this JVM: (table path, ct-dirs read, ct-dirs in
+    * the pinned range). The observability hook specs and driver rows
+    * gate `dirsRead < dirsTotal` on — proof the `_commit_version` /
+    * `_change_type` pushdown skipped real directory IO, not just
+    * shaped a plan. */
+  val lastChangesScan =
+    new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)](
+      ("", 0, 0))
 
   /** Path-containment gate for every identifier segment the catalog
     * (or a CALL verb) turns into a filesystem path: the catalog is

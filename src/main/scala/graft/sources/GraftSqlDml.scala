@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, EqualTo, Exists, Expression, In, InSubquery, ListQuery, Literal, OuterReference, PredicateHelper, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -37,11 +37,21 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * constraints, type drift, column mapping, txn ledger, change feed —
   * applies identically to SQL DML; nothing is re-implemented here.
   *
+  * DELETE/UPDATE predicates may carry `IN (subquery)` / `EXISTS
+  * (subquery)` — the GDPR-erasure shape: the subplan executes
+  * distributed, its DISTINCT key set (bounded, loud past
+  * [[MaxInSetKeys]]) replaces the subquery as a native [[In]], and
+  * SQL's three-valued NOT-IN-with-NULLs semantics ride Catalyst's
+  * own In evaluation. Correlated EXISTS decorrelates when its
+  * correlation is one outer = inner equality.
+  *
   * Loud, documented limits (each throws with the workaround named):
-  * subqueries in DML predicates, nested-field assignment, MERGE
-  * conditions that are not (target-column = source-expression)
-  * equalities plus source-only prefilters, `WHEN NOT MATCHED BY
-  * SOURCE`, and `WITH SCHEMA EVOLUTION`.
+  * correlated/multi-column IN, multi-equality EXISTS correlations,
+  * scalar subqueries in SET values or MERGE clauses, nested-field
+  * assignment, MERGE conditions that are not (target-column =
+  * source-expression) equalities plus source-only prefilters, MERGE
+  * clauses that reassign an ON key column, and `WITH SCHEMA
+  * EVOLUTION`.
   */
 object GraftSqlDml extends PredicateHelper {
 
@@ -81,6 +91,138 @@ object GraftSqlDml extends PredicateHelper {
       case _ => ()
     }
 
+  /** Upper bound on the driver-materialized IN-set a DML predicate
+    * subquery may produce. The rewrite executes the subplan
+    * DISTRIBUTED and collects only its DISTINCT key set (the GDPR
+    * erasure list, the quarantined-id table — thousands, not
+    * billions); a set past this bound means the statement is really
+    * a big join and must run as one, so the collect is refused loudly
+    * with the MERGE workaround named — bounded-or-loud, like every
+    * driver-side materialization in this repo. */
+  private val MaxInSetKeys = 1 << 20
+
+  /** Rewrite `IN (subquery)` / `EXISTS (subquery)` inside a
+    * DELETE/UPDATE WHERE into a row-local predicate the merge-on-read
+    * primitives can evaluate: the subplan executes ONCE (distributed;
+    * only the distinct key set returns to the driver, capped by
+    * [[MaxInSetKeys]]) and the subquery expression is replaced by a
+    * Catalyst [[In]] over the collected keys — whose native
+    * three-valued semantics keep `NOT IN (… NULL …)` exactly right.
+    * Correlated EXISTS with one outer-column = inner-expression
+    * equality decorrelates into the same IN shape (EXISTS is
+    * two-valued, so the IN wraps in COALESCE(…, false)); both the
+    * OuterReference-in-plan and the pulled-up joinCond analyzer
+    * shapes are handled. Runs at EXECUTION time (inside the command
+    * exec), never at planning. */
+  private def rewritePredicateSubqueries(spark: SparkSession,
+      e: Expression, what: String): Expression = e.transformUp {
+    case InSubquery(values, lq: ListQuery) =>
+      if (lq.outerAttrs.nonEmpty || lq.joinCond.nonEmpty)
+        unsupported(s"$what with a CORRELATED IN subquery",
+          "rewrite as EXISTS with one outer = inner equality, or " +
+            "materialize the subquery and MERGE against it")
+      if (values.size != 1)
+        unsupported(s"$what with a multi-column IN subquery",
+          "rewrite as EXISTS with one equality over a composite key " +
+            "expression, or materialize the subquery and MERGE")
+      inSetOf(spark, values.head, lq.plan, what)
+    case ex: Exists => existsOf(spark, ex, what)
+    // uncorrelated scalar subquery → its one value as a literal
+    // (also what the optimizer's RewriteNonCorrelatedExists turns an
+    // uncorrelated EXISTS into: IsNotNull(ScalarSubquery(LIMIT 1)))
+    case s: ScalarSubquery
+        if s.outerAttrs.isEmpty && s.joinCond.isEmpty =>
+      val rows = GraftBridge.ofRows(spark, s.plan).limit(2).collect()
+      if (rows.length > 1) throw new IllegalStateException(
+        s"GraftCatalog DML: scalar subquery in $what returned more " +
+          "than one row")
+      if (rows.isEmpty || rows.head.isNullAt(0))
+        Literal.create(null, s.dataType)
+      else Literal.create(rows.head.get(0), s.dataType)
+  }
+
+  /** `value IN (<plan's first column>)` as a literal-set [[In]]:
+    * executes `plan` distributed, collects the DISTINCT key set
+    * (capped), and keeps SQL's exact three-valued IN — a NULL in the
+    * set makes non-matches NULL (so NOT IN matches nothing), an
+    * empty set is FALSE even for a NULL probe. */
+  private def inSetOf(spark: SparkSession, value: Expression,
+      plan: LogicalPlan, what: String): Expression = {
+    val rows = GraftBridge.ofRows(spark, plan).distinct()
+      .limit(MaxInSetKeys + 1).collect()
+    if (rows.length > MaxInSetKeys)
+      unsupported(s"$what subquery with more than $MaxInSetKeys " +
+        "distinct keys",
+        "the rewrite broadcasts the key set from the driver; a set " +
+          "this large is a join — materialize the subquery as a " +
+          "table and MERGE (or anti-join + overwrite) against it")
+    val dt = plan.output.head.dataType
+    val hasNull = rows.exists(_.isNullAt(0))
+    val lits = rows.toIndexedSeq.filterNot(_.isNullAt(0))
+      .map(r => Literal.create(r.get(0), dt))
+    if (lits.isEmpty && !hasNull) Literal.FalseLiteral
+    else In(value,
+      lits ++ (if (hasNull) Seq(Literal.create(null, dt)) else Nil))
+  }
+
+  /** EXISTS rewrite: uncorrelated probes the subplan once (LIMIT 1);
+    * correlated requires exactly ONE outer-column = inner-expression
+    * equality (conjoined with any number of inner-only predicates)
+    * and decorrelates to `outer IN (SELECT inner FROM …)` wrapped in
+    * COALESCE(…, false) — EXISTS is two-valued, a NULL outer value
+    * witnesses nothing. */
+  private def existsOf(spark: SparkSession, ex: Exists,
+      what: String): Expression = {
+    if (ex.outerAttrs.isEmpty && ex.joinCond.isEmpty)
+      return Literal(
+        GraftBridge.ofRows(spark, ex.plan).limit(1).count() > 0L)
+    // EXISTS ignores the subquery's projection — peel to the filter
+    def peelP(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child) => peelP(child)
+      case SubqueryAlias(_, child) => peelP(child)
+      case other => other
+    }
+    val (conjuncts, base) =
+      if (ex.joinCond.nonEmpty) (ex.joinCond, ex.plan)
+      else peelP(ex.plan) match {
+        case Filter(cond, child) =>
+          (splitConjunctivePredicates(cond), child)
+        case other => (Seq.empty[Expression], other)
+      }
+    val baseOut = base.outputSet
+    def hasOuter(x: Expression): Boolean =
+      x.exists(_.isInstanceOf[OuterReference]) ||
+        !x.references.subsetOf(baseOut)
+    def stripOuterRef(x: Expression): Expression =
+      x.transform { case OuterReference(a) => a }
+    val outerEqs =
+      scala.collection.mutable.ArrayBuffer.empty[(Expression, Expression)]
+    val innerOnly = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    conjuncts.foreach {
+      case EqualTo(l, r) if hasOuter(l) && !hasOuter(r) =>
+        outerEqs += ((stripOuterRef(l), r))
+      case EqualTo(l, r) if hasOuter(r) && !hasOuter(l) =>
+        outerEqs += ((stripOuterRef(r), l))
+      case p if !hasOuter(p) => innerOnly += p
+      case p => unsupported(s"$what EXISTS correlation conjunct " +
+        s"`${p.sql}`",
+        "supported correlations are conjuncts of outer-column = " +
+          "inner-expression equalities plus inner-only predicates")
+    }
+    if (outerEqs.size != 1)
+      unsupported(s"$what EXISTS with ${outerEqs.size} outer-equality " +
+        "correlations",
+        "exactly one outer = inner equality decorrelates here — " +
+          "fold a composite key into one expression, or materialize " +
+          "the subquery and MERGE")
+    val filtered =
+      if (innerOnly.isEmpty) base else Filter(innerOnly.reduce(And), base)
+    val proj = Project(Seq(Alias(outerEqs.head._2, "__graft_in")()),
+      filtered)
+    Coalesce(Seq(inSetOf(spark, outerEqs.head._1, proj, what),
+      Literal.FalseLiteral))
+  }
+
   /** Resolved single-relation expression → a Column that re-resolves
     * by NAME against the engine's logical snapshot frame (which
     * carries exactly the manifest's logical columns). */
@@ -116,16 +258,22 @@ object GraftSqlDml extends PredicateHelper {
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case DeleteFromTable(VersionedRel(_, t), cond) =>
-        val pred = bareCol(cond, "DELETE WHERE")
-        GraftDmlExec(s"GraftDelete ${t.name()}", sp =>
-          Versioned.deleteWhereDV(sp, t.path, pred): Unit) :: Nil
+        // subquery rewrite runs INSIDE the exec (execution time — it
+        // runs the subplan), so planning/explain stays side-effect-free
+        GraftDmlExec(s"GraftDelete ${t.name()}", sp => {
+          val pred = bareCol(rewritePredicateSubqueries(sp, cond,
+            "DELETE WHERE"), "DELETE WHERE")
+          Versioned.deleteWhereDV(sp, t.path, pred): Unit
+        }) :: Nil
 
       case UpdateTable(VersionedRel(_, t), assignments, cond) =>
         val set = assignments.map(a =>
           assignName(a) -> bareCol(a.value, "UPDATE SET"))
-        val pred = cond.map(bareCol(_, "UPDATE WHERE")).getOrElse(lit(true))
-        GraftDmlExec(s"GraftUpdate ${t.name()}", sp =>
-          Versioned.updateWhereDV(sp, t.path, pred, set): Unit) :: Nil
+        GraftDmlExec(s"GraftUpdate ${t.name()}", sp => {
+          val pred = cond.map(c => bareCol(rewritePredicateSubqueries(
+            sp, c, "UPDATE WHERE"), "UPDATE WHERE")).getOrElse(lit(true))
+          Versioned.updateWhereDV(sp, t.path, pred, set): Unit
+        }) :: Nil
 
       case MergeIntoTable(VersionedRel(tOut, t), source, mergeCond,
           matched, notMatched, notMatchedBySource, withSchemaEvolution) =>

@@ -1294,6 +1294,98 @@ object Versioned {
       .filter(col("_commit_version").between(vFrom, vTo))
   }
 
+  /** Directory-level accounting for the pruned feed read: ct-level
+    * feed dirs (`_changes/cv=N/ct=type/`) present in `vFrom..vTo` —
+    * the denominator of the "did the pushdown actually skip IO"
+    * proof (missing cv dirs count zero here; [[readChangesPruned]]
+    * owns the gap validation). Driver-side listing, O(versions),
+    * like every ledger walk. */
+  def changeFeedDirCount(path: String, vFrom: Int, vTo: Int): Int =
+    (math.max(0, vFrom) to vTo).map { v =>
+      val d = changeDirPath(path, v)
+      if (!Files.isDirectory(d)) 0
+      else {
+        val ls = Files.list(d)
+        try ls.iterator().asScala.count(p =>
+          Files.isDirectory(p) && p.getFileName.toString.startsWith("ct="))
+        finally ls.close()
+      }
+    }.sum
+
+  /** [[readChanges]] with DIRECTORY pruning — the batch CDC read the
+    * SQL pushdown lands on: the feed layout `_changes/cv=N/ct=type/`
+    * IS the index, so a version-range or change-type predicate
+    * becomes a directory-list filter BEFORE any file IO. Reads only
+    * the `cv=` dirs in `vFrom..vTo` and, inside each, only the `ct=`
+    * subdirs in `ct` (None = all); "changes since version N" over a
+    * long-retained feed costs O(asked range), not O(retained feed).
+    * Gap validation matches [[readChanges]] but over the NARROWED
+    * range only (versions the caller pruned away are not read, so
+    * their gaps cannot mislead it). An over-narrowed range
+    * (vFrom > vTo) is a valid empty read. Returns
+    * (frame, ctDirsRead) — the numerator of the skipping proof. */
+  def readChangesPruned(spark: SparkSession, path: String, vFrom: Int,
+      vTo: Int, ct: Option[Set[String]] = None): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions.col
+    val lo = math.max(0, vFrom)
+    def emptyFrame(): DataFrame = {
+      val head = latestVersion(path)
+      require(head >= 0, s"change feed: no committed version at $path")
+      val m = readManifest(path, head)
+      val logical = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl
+          .getOrElse(sys.error(
+            s"change feed: table at $path predates schema tracking")))
+          .fields.map(_.copy(nullable = true)) ++ Seq(
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType)))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        logical)
+    }
+    if (lo > vTo) return (emptyFrame(), 0)
+    // same loud contract as readChanges, narrowed range only
+    (lo to vTo).foreach { v =>
+      if (!Files.isDirectory(changeDirPath(path, v))) {
+        val mode = readManifest(path, v).mode
+        if (mode == "overwrite" || mode == "restore") sys.error(
+          s"readChangesPruned: v$v at $path is a $mode commit — " +
+            "no stored row changes; land replacements via merge() " +
+            "(or compact() for rewrites), or backfill a key-diff " +
+            "feed with repairChangeFeed(keys)")
+        else sys.error(
+          s"readChangesPruned: v$v at $path has no published feed " +
+            "(crash between manifest publish and feed rename?) — " +
+            "run repairChangeFeed() to backfill")
+      }
+    }
+    val ctWant = ct.map(_.map(foldName))
+    val paths = (lo to vTo).flatMap { v =>
+      val d = changeDirPath(path, v)
+      val ls = Files.list(d)
+      try ls.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("ct="))
+        .filter(p => ctWant.forall(_.contains(
+          foldName(p.getFileName.toString.drop(3)))))
+        .map(_.toString).toList.sorted
+      finally ls.close()
+    }
+    if (paths.isEmpty) return (emptyFrame(), 0)
+    val df = renameFeedCols(logicalizeFeed(path,
+      spark.read.schema(feedSchema(path))
+        .option("basePath", changesRoot(path).toString)
+        .parquet(paths: _*)))
+      // the directory prune is exact for cv (whole versions) and ct
+      // (whole types); this residual filter only re-asserts the range
+      // so a caller passing a narrower lo than the dir list (never
+      // happens today) still reads exactly the asked rows
+      .filter(col("_commit_version").between(lo, vTo))
+    (df, paths.size)
+  }
+
   /** STREAMING read of the stored feed: Spark's file-stream source
     * over `_changes` — new feed dirs land as new files, the source's
     * checkpoint gives exactly-once per file, and the `cv`/`ct`

@@ -149,6 +149,92 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(eOn.getMessage.contains("ON conjunct"))
   }
 
+  test("DELETE/UPDATE WHERE IN (subquery): exact semantics incl. NOT IN with NULLs") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    def stage(name: String): String = {
+      val p = s"$wh/$name"
+      Versioned.commit((1L to 10L).map(i => (i, i * 10L)).toDF("k", "v"),
+        p, overwrite = false)
+      p
+    }
+    // the erasure list, with a NULL and a no-match key
+    Versioned.commit(Seq(Some(2L), Some(4L), None, Some(99L))
+      .toDF("id"), s"$wh/erasure", overwrite = false)
+    // IN: deletes exactly the listed keys (NULL in the list and the
+    // no-match key are inert)
+    val pIn = stage("t_in")
+    spark.sql(s"DELETE FROM $cat.t_in WHERE k IN " +
+      s"(SELECT id FROM $cat.erasure)")
+    assert(spark.sql(s"SELECT k FROM $cat.t_in ORDER BY k")
+      .as[Long].collect().toSeq ==
+      (1L to 10L).filterNot(Set(2L, 4L)))
+    // it landed merge-on-read: mask sidecar, zero dirs rewritten
+    assert(Versioned.dvDirIds(pIn, 1).size == 1)
+    // NOT IN with a NULL in the subquery: SQL says NO row qualifies
+    // (x NOT IN (…, NULL) is never TRUE) — the delete must be a no-op
+    val pNotIn = stage("t_notin")
+    spark.sql(s"DELETE FROM $cat.t_notin WHERE k NOT IN " +
+      s"(SELECT id FROM $cat.erasure)")
+    assert(Versioned.latestVersion(pNotIn) == 0) // pure no-op, no commit
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t_notin")
+      .head.getLong(0) == 10L)
+    // NOT IN against a NULL-free list deletes the complement
+    Versioned.commit(Seq(2L, 4L).toDF("id"), s"$wh/clean",
+      overwrite = false)
+    val pNotIn2 = stage("t_notin2")
+    spark.sql(s"DELETE FROM $cat.t_notin2 WHERE k NOT IN " +
+      s"(SELECT id FROM $cat.clean)")
+    assert(spark.sql(s"SELECT k FROM $cat.t_notin2 ORDER BY k")
+      .as[Long].collect().toSeq == Seq(2L, 4L))
+    // UPDATE WHERE IN rides the same rewrite
+    val pUpd = stage("t_upd")
+    spark.sql(s"UPDATE $cat.t_upd SET v = 0 WHERE k IN " +
+      s"(SELECT id FROM $cat.clean)")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $cat.t_upd")
+      .head.getLong(0) == (1L to 10L).map(_ * 10).sum - 60L)
+    // empty subquery result: IN is FALSE for every row — no-op
+    val pEmpty = stage("t_empty")
+    spark.sql(s"DELETE FROM $cat.t_empty WHERE k IN " +
+      s"(SELECT id FROM $cat.clean WHERE id > 100)")
+    assert(Versioned.latestVersion(pEmpty) == 0)
+  }
+
+  test("DELETE WHERE EXISTS: correlated single-equality decorrelates; NOT EXISTS exact") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    Versioned.commit((1L to 10L).map(i => (i, i * 10L)).toDF("k", "v"),
+      s"$wh/t", overwrite = false)
+    Versioned.commit(Seq((2L, "x"), (4L, "y"), (4L, "z"))
+      .toDF("id", "tag"), s"$wh/flagged", overwrite = false)
+    // correlated EXISTS with an inner-only predicate beside the
+    // correlation equality
+    spark.sql(s"DELETE FROM $cat.t WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.flagged f WHERE f.id = k AND f.tag <> 'z')")
+    assert(spark.sql(s"SELECT k FROM $cat.t ORDER BY k")
+      .as[Long].collect().toSeq == (1L to 10L).filterNot(Set(2L, 4L)))
+    // NOT EXISTS: two-valued — deletes the complement exactly
+    Versioned.commit((1L to 10L).map(i => (i, i * 10L)).toDF("k", "v"),
+      s"$wh/t2", overwrite = false)
+    spark.sql(s"DELETE FROM $cat.t2 WHERE NOT EXISTS " +
+      s"(SELECT 1 FROM $cat.flagged f WHERE f.id = k)")
+    assert(spark.sql(s"SELECT k FROM $cat.t2 ORDER BY k")
+      .as[Long].collect().toSeq == Seq(2L, 4L))
+    // uncorrelated EXISTS: constant gate (non-empty → delete all)
+    Versioned.commit(Seq((1L, 1L)).toDF("k", "v"), s"$wh/t3",
+      overwrite = false)
+    spark.sql(s"DELETE FROM $cat.t3 WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.flagged)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t3")
+      .head.getLong(0) == 0L)
+    // unsupported correlation shapes stay loud
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.t WHERE EXISTS " +
+        s"(SELECT 1 FROM $cat.flagged f WHERE f.id > k)") }
+    assert(e.getMessage.contains("EXISTS"),
+      s"wrong error: ${e.getMessage}")
+  }
+
   test("MERGE ON-key reassignment is refused loudly; key-preserving shapes pass") {
     val wh = freshWarehouse()
     val path = s"$wh/t"
