@@ -6539,6 +6539,48 @@ object SparkEntry {
           ORDER BY c_mktsegment""")
     }),
 
+    // 282: SQL MERGE full-sync mirror driver-gated — WHEN NOT MATCHED
+    // BY SOURCE completes the mirror idiom: matched rows revalue,
+    // source-only rows insert, target rows that VANISHED from the
+    // source (clicks) delete — one statement converges the table to
+    // the source exactly (what q_stream_cdc approximates
+    // incrementally). The scope is one reverse anti-join
+    // (GraftSqlDml.mergeRun nmbsOut); write amplification stays
+    // ∝ (batch + affected target rows), gated by the dir/mask
+    // accounting on the checked output. Oracle = the source
+    // reconstruction.
+    "q_sql_merge_sync" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_merge_sync"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        V.commit(ev, table, overwrite = false) // v0
+        s.sql(s"""MERGE INTO $cat.sql_merge_sync tgt USING (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) * 2 AS vc
+            FROM events WHERE event_type <> 'click'
+            UNION ALL
+            SELECT event_id + 1000000000, 'mirror' AS event_type,
+                   CAST(round(value * 100) AS BIGINT)
+            FROM events WHERE event_type = 'purchase') src
+          ON tgt.event_id = src.event_id
+          WHEN MATCHED THEN UPDATE SET vc = src.vc
+          WHEN NOT MATCHED THEN INSERT (event_id, event_type, vc)
+            VALUES (src.event_id, src.event_type, src.vc)
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      }
+      val head = V.latestVersion(table)
+      s.sql(s"""SELECT event_type, count(*) AS n_events,
+            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.sql_merge_sync GROUP BY event_type""")
+        .withColumn("n_data_dirs", lit(V.dataDirIds(table, head).size))
+        .withColumn("n_dv_dirs", lit(V.dvDirIds(table, head).size))
+        .orderBy("event_type")
+    }),
+
     // 281: SQL DELETE WHERE … IN (subquery) driver-gated — the GDPR
     // erasure shape, the loudest former limit of the DML front door:
     // the subplan (purchasing users with event_id % 10 = 0) executes
@@ -7327,6 +7369,17 @@ object SparkEntry {
              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
              CAST(1 AS INT) AS n_data_dirs, CAST(1 AS INT) AS n_dv_dirs
       FROM ev GROUP BY event_type ORDER BY event_type""",
+    "q_sql_merge_sync" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      m AS (SELECT event_type, vc * 2 AS vc FROM ev
+            WHERE event_type <> 'click'
+            UNION ALL
+            SELECT 'mirror', vc FROM ev WHERE event_type = 'purchase')
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             CAST(2 AS INT) AS n_data_dirs, CAST(1 AS INT) AS n_dv_dirs
+      FROM m GROUP BY event_type ORDER BY event_type""",
     "q_sql_delete_subq" -> """
       WITH del AS (SELECT DISTINCT user_id FROM events
                    WHERE event_type = 'purchase' AND event_id % 10 = 0),

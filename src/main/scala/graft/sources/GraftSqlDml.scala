@@ -277,16 +277,12 @@ object GraftSqlDml extends PredicateHelper {
 
       case MergeIntoTable(VersionedRel(tOut, t), source, mergeCond,
           matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
-        if (notMatchedBySource.nonEmpty)
-          unsupported("MERGE … WHEN NOT MATCHED BY SOURCE",
-            "it touches target rows OUTSIDE the batch's keys (not a " +
-              "key-batch merge); run UPDATE/DELETE with an anti-join " +
-              "predicate instead")
         if (withSchemaEvolution)
           unsupported("MERGE … WITH SCHEMA EVOLUTION",
             "ALTER TABLE … ADD COLUMNS first, then MERGE")
         GraftDmlExec(s"GraftMerge ${t.name()}",
-          mergeRun(tOut, t, source, mergeCond, matched, notMatched)) :: Nil
+          mergeRun(tOut, t, source, mergeCond, matched, notMatched,
+            notMatchedBySource)) :: Nil
 
       case _ => Nil
     }
@@ -296,15 +292,23 @@ object GraftSqlDml extends PredicateHelper {
     * ON condition into key equalities + source-only prefilters, build
     * the batch-sized updates frame (matched post-images via one
     * target ⨝ source key join, first-matching-clause-wins; unmatched
-    * insert rows via one anti-join), and hand it to the engine with
-    * `deleteWhen` carrying the DELETE clauses' verdicts. Target rows
-    * matched by NO applicable clause are left out of the batch — they
-    * persist untouched (and produce no change-feed noise). The
-    * standard MERGE cardinality rule (≤1 source row per target row)
-    * is enforced with one batch-sized aggregate before any write. */
+    * insert rows via one anti-join; `WHEN NOT MATCHED BY SOURCE`
+    * post-images/deletes via the REVERSE anti-join — target keys
+    * absent from the source, the full-sync mirror scope), and hand it
+    * to the engine with `deleteWhen` carrying the DELETE clauses'
+    * verdicts. Target rows matched by NO applicable clause are left
+    * out of the batch — they persist untouched (and produce no
+    * change-feed noise). Write amplification stays ∝ (batch +
+    * affected target rows): an unconditioned NOT MATCHED BY SOURCE
+    * DELETE touches every unmatched target row because that IS its
+    * semantics, never the untouched rest. The standard MERGE
+    * cardinality rule (≤1 source row per target row, only when a
+    * matched clause exists) is enforced with one batch-sized
+    * aggregate before any write. */
   private def mergeRun(targetOut: Seq[Attribute], t: VersionedSqlTable,
       source: LogicalPlan, mergeCond: Expression,
-      matched: Seq[MergeAction], notMatched: Seq[MergeAction])
+      matched: Seq[MergeAction], notMatched: Seq[MergeAction],
+      notMatchedBySource: Seq[MergeAction])
       : SparkSession => Unit = { spark =>
     val tOut = AttributeSet(targetOut)
     val sOut = AttributeSet(source.output)
@@ -473,8 +477,49 @@ object GraftSqlDml extends PredicateHelper {
               m.getOrElse(fold, lit(null))).otherwise(els)
           }.cast(f.dataType).as(f.name)
         } :+ lit(false).as("__graft_del"): _*))
-    val updates = insertOut.map(matchedOut.unionByName(_))
-      .getOrElse(matchedOut)
+    // ---- target rows matched by NO source row (WHEN NOT MATCHED BY
+    // SOURCE): one anti-join scopes them, then the same first-match-
+    // wins verdict / post-image machinery as WHEN MATCHED. Conditions
+    // and assignments are target-only (analyzer-enforced), keys ride
+    // unchanged (guard above, sourceSideOk = false — there IS no
+    // source row to equal), so mergeDV's mask covers exactly the
+    // affected rows.
+    val nmbsAssigns: Seq[Option[Map[String, Column]]] =
+      notMatchedBySource.map {
+        case UpdateAction(_, assigns, _) =>
+          guardKeyAssigns(assigns, "WHEN NOT MATCHED BY SOURCE UPDATE",
+            sourceSideOk = false)
+          Some(assigns.map(a => fold(assignName(a)) ->
+            sidedCol(a.value, tOut, tAl, sAl,
+              "MERGE NOT MATCHED BY SOURCE SET")).toMap)
+        case DeleteAction(_) => None
+        case other => unsupported(
+          s"MERGE not-matched-by-source action $other",
+          "WHEN NOT MATCHED BY SOURCE supports UPDATE and DELETE")
+      }
+    val nmbsDelIdx = nmbsAssigns.zipWithIndex.collect {
+      case (None, i) => i }
+    val nmbsOut =
+      if (notMatchedBySource.isEmpty) None
+      else Some(tA.join(sA, keyCond, "left_anti")
+        .withColumn("__graft_v",
+          verdictOf(notMatchedBySource, "WHEN NOT MATCHED BY SOURCE"))
+        .filter(col("__graft_v") >= 0)
+        .select(schema.fields.toIndexedSeq.map { f =>
+          val foldF = fold(f.name)
+          nmbsAssigns.zipWithIndex.foldRight(
+              col(s"$tAl.${f.name}"): Column) { case ((asg, i), els) =>
+            val v = asg match {
+              case Some(m) => m.getOrElse(foldF, col(s"$tAl.${f.name}"))
+              case None => col(s"$tAl.${f.name}") // delete: values unused
+            }
+            when(col("__graft_v") === i, v).otherwise(els)
+          }.cast(f.dataType).as(f.name)
+        } :+ (if (nmbsDelIdx.isEmpty) lit(false)
+              else col("__graft_v").isin(nmbsDelIdx.map(Integer.valueOf): _*))
+          .as("__graft_del"): _*))
+    val updates = (Seq(matchedOut) ++ insertOut ++ nmbsOut)
+      .reduce(_.unionByName(_))
     Versioned.mergeDV(spark, t.path, updates, keys.map(_._1).toSeq,
       txn = None, deleteWhen = Some(col("__graft_del"))): Unit
   }

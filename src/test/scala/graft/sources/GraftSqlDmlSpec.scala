@@ -100,6 +100,52 @@ class GraftSqlDmlSpec extends SparkSpec {
       Versioned.dataDirIds(path, 0).head)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: the full-sync mirror converges in one statement") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("k", "name", "v"), path, overwrite = false)
+    val dirs0 = Versioned.dataDirIds(path, 0)
+    val cat = freshCat(wh)
+    // mirror sync: k=1,2 stay (1 updated), k=5 appears, k=3,4 vanish
+    // from the source — 4 must delete, 3 (condition false) must get
+    // the conditional NMBS UPDATE instead
+    spark.sql(s"""MERGE INTO $cat.t t USING (SELECT * FROM VALUES
+        (1L, 'a2', 11L), (2L, 'b', 20L), (5L, 'e', 50L)
+        AS s(k, name, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.v >= 40 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'orphan'""")
+    assert(spark.sql(s"SELECT k, name, v FROM $cat.t ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a2", 11L), (2L, "b", 20L), (3L, "orphan", 30L),
+        (5L, "e", 50L)))
+    // merge-on-read accounting: base dir carried, one new dir + mask
+    assert(Versioned.dataDirIds(path, 1).startsWith(dirs0))
+    assert(Versioned.dataDirIds(path, 1).size == dirs0.size + 1)
+    assert(Versioned.dvDirIds(path, 1).size == 1)
+    // change feed classifies the NMBS outcomes
+    val ct = Versioned.readChanges(spark, path, 1, 1)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(ct == Set((1L, "update"), (2L, "update"), (3L, "update"),
+      (4L, "delete"), (5L, "insert")))
+    // NMBS key reassignment is refused like every other clause
+    val eKey = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.t t USING (SELECT 1L AS k, 'x' AS " +
+        "name, 0L AS v) s ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = t.k + 100") }
+    assert(eKey.getMessage.contains("ON key column"))
+    // cardinality still enforced when NMBS clauses are present
+    val eCard = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.t t USING (SELECT * FROM VALUES " +
+        "(1L, 'x', 1L), (1L, 'y', 2L) AS s(k, name, v)) s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE") }
+    assert(eCard.getMessage.contains("cardinality"))
+  }
+
   test("CHECK constraints enforce through SQL UPDATE and MERGE; head unmoved on violation") {
     val wh = freshWarehouse()
     val path = s"$wh/t"
@@ -139,10 +185,6 @@ class GraftSqlDmlSpec extends SparkSpec {
       "WHEN NOT MATCHED THEN INSERT *")
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE k = 7")
       .head.getLong(0) == 2L)
-    val eNms = intercept[Exception] {
-      spark.sql(s"MERGE INTO $cat.t t USING (SELECT 1L AS k, 1L AS v) s " +
-        "ON t.k = s.k WHEN NOT MATCHED BY SOURCE THEN DELETE") }
-    assert(eNms.getMessage.contains("NOT MATCHED BY SOURCE"))
     val eOn = intercept[Exception] {
       spark.sql(s"MERGE INTO $cat.t t USING (SELECT 1L AS k, 1L AS v) s " +
         "ON t.k > s.k WHEN MATCHED THEN UPDATE SET *") }
