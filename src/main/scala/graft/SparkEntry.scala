@@ -6539,6 +6539,46 @@ object SparkEntry {
           ORDER BY c_mktsegment""")
     }),
 
+    // 283: PARTITIONED BY through SQL DDL driver-gated — the
+    // partition-pruned layout q_partition_prune proves the engine
+    // has, now reachable from PURE SQL: CREATE TABLE … PARTITIONED BY
+    // records the write policy in the birth manifest, INSERT routes
+    // through commitPartitioned (hive layout + per-dir spec), and the
+    // filtered read prunes whole partition directories before any
+    // file IO (VersionedV1Scan.partitionPrune). The checked output
+    // carries the aggregate AND a `pruned` flag gated on the scan's
+    // real file accounting (filesRead < filesTotal); oracle = the
+    // source-table filter + TRUE. Bounded collect: ≤2 groups.
+    "q_sql_partitioned" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_part"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        s.sql(s"""CREATE TABLE $cat.sql_part (
+            o_orderkey BIGINT, o_orderpriority STRING,
+            price_cents BIGINT) PARTITIONED BY (o_orderpriority)""")
+        s.sql(s"""INSERT INTO $cat.sql_part
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+          FROM orders""")
+      }
+      val agg = s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders,
+            CAST(sum(price_cents) AS DOUBLE) / 100.0 AS sum_price
+          FROM $cat.sql_part
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          GROUP BY o_orderpriority""").collect() // ≤2 groups
+      val (accPath, read, tot) =
+        graft.sources.GraftCatalog.lastVersionedScan.get()
+      require(accPath == table,
+        s"q_sql_partitioned: accounting is for '$accPath', not '$table'")
+      import s.implicits._
+      agg.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toDF("o_orderpriority", "n_orders", "sum_price")
+        .withColumn("pruned", lit(read < tot))
+        .orderBy("o_orderpriority")
+    }),
+
     // 282: SQL MERGE full-sync mirror driver-gated — WHEN NOT MATCHED
     // BY SOURCE completes the mirror idiom: matched rows revalue,
     // source-only rows insert, target rows that VANISHED from the
@@ -7369,6 +7409,14 @@ object SparkEntry {
              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
              CAST(1 AS INT) AS n_data_dirs, CAST(1 AS INT) AS n_dv_dirs
       FROM ev GROUP BY event_type ORDER BY event_type""",
+    "q_sql_partitioned" -> """
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_price,
+             TRUE AS pruned
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_sql_merge_sync" -> """
       WITH ev AS (SELECT event_id, event_type,
                     CAST(round(value * 100) AS BIGINT) AS vc FROM events),

@@ -258,17 +258,41 @@ class GraftCatalog extends TableCatalog
     * Fields normalize to nullable — the versioned read null-fills
     * evolved columns, so table-level NOT NULL would be unenforceable
     * history-wide; declare quality gates as CHECK constraints
-    * ([[Versioned.addConstraint]]) instead. Partition transforms are
-    * rejected loudly: partitioning here is per-COMMIT
-    * ([[Versioned.commitPartitioned]]), not per-table. */
+    * ([[Versioned.addConstraint]]) instead.
+    *
+    * `PARTITIONED BY (col)` — ONE identity transform — records
+    * `partCol` as a table property in the birth manifest: every
+    * INSERT then routes through [[Versioned.commitPartitioned]] (its
+    * data dir lands hive-laid-out with the per-dir spec recorded),
+    * and catalog SQL reads with an equality/IN on that column
+    * partition-prune whole directories before any file IO
+    * ([[VersionedV1Scan]]). Partitioning stays PER-COMMIT underneath
+    * (partition evolution intact — the property is write policy, not
+    * a retroactive layout claim); bucket/temporal transforms and
+    * multi-column specs are rejected loudly. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "GraftCatalog: PARTITIONED BY at CREATE TABLE is not supported " +
-        "— partitioning is per-commit here (a layout choice, not a " +
-        "table property): create unpartitioned, then commit " +
-        "partitioned data via Versioned.commitPartitioned")
+    val partCol: Option[String] = partitions match {
+      case Array() => None
+      case Array(t) if t.name == "identity" &&
+          t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        // store the SCHEMA's canonical spelling: the write path
+        // matches it against the aligned insert frame's columns
+        val canon = schema.fields.find(f =>
+          f.name.toLowerCase(java.util.Locale.ROOT) ==
+            c.toLowerCase(java.util.Locale.ROOT))
+        require(canon.isDefined,
+          s"GraftCatalog: PARTITIONED BY ($c) names no table column")
+        Some(canon.get.name)
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: PARTITIONED BY ${other.mkString(", ")} is not " +
+          "supported — one identity column only (bucketing/temporal " +
+          "transforms: cluster via CALL system.cluster / " +
+          "Versioned.commitClustered instead)")
+    }
     val path = pathOf(ident)
     if (Versioned.latestVersion(path) >= 0)
       throw new org.apache.spark.sql.catalyst.analysis
@@ -278,7 +302,9 @@ class GraftCatalog extends TableCatalog
     val norm = StructType(schema.fields.map(_.copy(nullable = true)))
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), norm)
-    Versioned.commit(empty, path, overwrite = false): Unit
+    Versioned.commitWithProps(empty, path, overwrite = false,
+      props = partCol.map(c => Map("partCol" -> c))
+        .getOrElse(Map.empty)): Unit
     loadTable(ident)
   }
 
@@ -635,9 +661,19 @@ private[sources] final class VersionedWriteBuilder(path: String)
       override def toInsertableRelation
           : org.apache.spark.sql.sources.InsertableRelation =
         new org.apache.spark.sql.sources.InsertableRelation {
-          override def insert(data: DataFrame, ow: Boolean): Unit =
-            Versioned.commit(data, path,
-              overwrite = overwrite || ow): Unit
+          override def insert(data: DataFrame, ow: Boolean): Unit = {
+            // the table's declared partition policy (CREATE TABLE …
+            // PARTITIONED BY) routes the insert through the
+            // hive-layout commit — per-dir spec recorded, partition
+            // pruning unlocked for every later read
+            val part = Versioned.tableProps(path).get("partCol")
+            part match {
+              case Some(c) => Versioned.commitPartitioned(data, path,
+                c, overwrite = overwrite || ow): Unit
+              case None => Versioned.commit(data, path,
+                overwrite = overwrite || ow): Unit
+            }
+          }
         }
     }
 }
@@ -672,7 +708,16 @@ private[sources] final class VersionedScanBuilder(path: String,
 /** The scan: a [[V1Scan]] bridging to the snapshot DataFrame's RDD.
   * The handoff is plan-level — `buildScan` hands Spark the DISTRIBUTED
   * row RDD of the filtered, pruned snapshot read (parquet batches +
-  * DV anti-join on executors); nothing collects on the driver. */
+  * DV anti-join on executors); nothing collects on the driver.
+  *
+  * FILE SKIPPING rides the pushed filters: an equality/IN on a
+  * column some data dir is hive-partitioned on routes the read
+  * through [[Versioned.readPartitionPruned]] (whole partition
+  * directories skipped before any file IO — the biggest scan saver
+  * at 100 TB, now reachable from pure SQL); the skip accounting
+  * lands in [[GraftCatalog.lastVersionedScan]]. Un-prunable shapes
+  * fall back to the plain snapshot read; every accepted filter
+  * re-applies row-level either way (double-filtering safe). */
 private[sources] final class VersionedV1Scan(path: String, pinned: Int,
     required: StructType, accepted: Array[Filter]) extends V1Scan {
 
@@ -681,6 +726,41 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
   override def description(): String =
     s"graft-versioned $path v$pinned " +
       s"pushed=[${accepted.mkString(", ")}]"
+
+  private def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Directory-name rendering of a pushed literal — must equal
+    * `CAST(v AS STRING)` of the column value (the
+    * [[Versioned.readPartitionPruned]] contract); types whose
+    * rendering is ambiguous are left unpruned (never wrong, merely
+    * unskipped). */
+  private def renderPartVal(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some(s)
+    case _: java.lang.Integer | _: java.lang.Long |
+         _: java.lang.Short | _: java.lang.Byte |
+         _: java.lang.Boolean => Some(v.toString)
+    case _ => None
+  }
+
+  /** The first accepted equality/IN over a column that some dir of
+    * this version is hive-partitioned on → (logical col, values). */
+  private def partitionPrune(): Option[(String, Seq[String])] = {
+    val specFold = Versioned.partSpecIds(path, pinned)
+      .values.map(fold).toSet
+    if (specFold.isEmpty) return None
+    def specd(a: String): Boolean =
+      specFold(fold(Versioned.physicalColumnName(path, pinned, a)))
+    accepted.iterator.map {
+      case sources.EqualTo(a, v) if specd(a) =>
+        renderPartVal(v).map(s => (a, Seq(s)))
+      case sources.In(a, vs) if vs.nonEmpty && specd(a) =>
+        val rendered = vs.toIndexedSeq.map(renderPartVal)
+        if (rendered.forall(_.isDefined)) Some((a, rendered.flatten))
+        else None
+      case _ => None
+    }.collectFirst { case Some(x) => x }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -691,7 +771,14 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
       override def buildScan(): org.apache.spark.rdd.RDD[
           org.apache.spark.sql.Row] = {
         val spark = context.sparkSession
-        var df = Versioned.read(spark, path, Some(pinned))
+        var df = partitionPrune() match {
+          case Some((c, vals)) =>
+            val (pdf, read, tot) = Versioned.readPartitionPruned(
+              spark, path, c, vals, Some(pinned))
+            GraftCatalog.lastVersionedScan.set((path, read, tot))
+            pdf
+          case None => Versioned.read(spark, path, Some(pinned))
+        }
         // replay what the V2 pushdown ACCEPTED: rejected filters are
         // Spark's to apply on top, so no filter evaluates zero times
         accepted.flatMap(GraftCatalog.translateFilter)
@@ -714,6 +801,15 @@ object GraftCatalog {
     * `_change_type` pushdown skipped real directory IO, not just
     * shaped a plan. */
   val lastChangesScan =
+    new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)](
+      ("", 0, 0))
+
+  /** File accounting of the most recent file-skipping
+    * [[VersionedV1Scan]] in this JVM: (table path, files read, files
+    * total) — set when a pushed filter partition-pruned directories
+    * or sidecar-skipped files; the `filesRead < filesTotal` evidence
+    * driver rows and specs gate on. */
+  val lastVersionedScan =
     new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)](
       ("", 0, 0))
 

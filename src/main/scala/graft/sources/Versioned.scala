@@ -71,6 +71,15 @@ object Versioned {
       // instead of resetting it (a post-overwrite re-add must not
       // read old feed bytes back as the new column).
       droppedCols: Seq[String] = Seq.empty,
+      // TABLE-LEVEL properties (the one non-per-commit knob): today
+      // only `partCol` — the DEFAULT hive-partition column the SQL
+      // write path applies to INSERTs ([[GraftCatalog]] CREATE TABLE
+      // … PARTITIONED BY). Distinct from partSpecs on purpose:
+      // partSpecs records what layout each dir WAS written under
+      // (history, per-dir, immutable); props records what layout new
+      // writes SHOULD use (policy, table-wide, carried by every
+      // derived manifest including overwrites — like constraints).
+      props: Map[String, String] = Map.empty,
       // COLUMN MAPPING (Delta name-mode shape): logical column name →
       // immutable PHYSICAL name. A column's physical name is fixed at
       // its first commit and NEVER changes; logical names live only
@@ -142,6 +151,11 @@ object Versioned {
       (if (m.droppedCols.isEmpty) ""
        else s""","dropped":[${
          m.droppedCols.map(ManifestJson.quote).mkString(",")}]""") +
+      (if (m.props.isEmpty) ""
+       else s""","props":{${
+         m.props.toSeq.sortBy(_._1).map { case (k, v) =>
+           s"${ManifestJson.quote(k)}:${ManifestJson.quote(v)}"
+         }.mkString(",")}}""") +
       (if (m.colMap.isEmpty) ""
        else s""","colMap":{${
          m.colMap.toSeq.sortBy(_._1).map { case (l, p) =>
@@ -169,6 +183,9 @@ object Versioned {
         .map { case (d, c) => d -> c.asInstanceOf[String] },
       droppedCols = m.getOrElse("dropped", List.empty[Any])
         .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
+      props = m.getOrElse("props", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[String] },
       colMap = m.getOrElse("colMap", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]]
         .map { case (l, p) => l -> p.asInstanceOf[String] })
@@ -381,6 +398,30 @@ object Versioned {
   def partSpecIds(path: String, v: Int): Map[String, String] =
     readManifest(path, v).partSpecs
 
+  /** TABLE-LEVEL properties at `version` (default head) — today only
+    * `partCol`, the default hive-partition column the SQL write path
+    * applies to INSERTs. Policy, not lineage: carried by every
+    * derived manifest including overwrites, travels with clones. */
+  def tableProps(path: String,
+      version: Option[Int] = None): Map[String, String] =
+    readManifest(path, version.getOrElse(latestVersion(path))).props
+
+  /** [[commit]] with explicit table properties — the CREATE TABLE
+    * birth commit ([[GraftCatalog.createTable]] records `partCol`
+    * here so every later INSERT routes through
+    * [[commitPartitioned]]). */
+  def commitWithProps(df: DataFrame, path: String, overwrite: Boolean,
+      props: Map[String, String]): Int =
+    commitCore(df, path, overwrite, txn = None, expectedBase = None,
+      tableProps = Some(props)).get
+
+  /** The immutable PHYSICAL name of logical column `c` at `v` (the
+    * name directory layouts and file bytes carry) — the translation
+    * the SQL scan needs to match pushed filters against per-dir
+    * partition specs. */
+  def physicalColumnName(path: String, v: Int, c: String): String =
+    readManifest(path, v).physOf(c)
+
   /** Snapshot read with PARTITION pruning: keep only rows with
     * `c` ∈ `values`, skipping — before any file IO — every partition
     * directory of a `c`-partitioned dir whose value does not match.
@@ -490,7 +531,8 @@ object Versioned {
       txn: Option[String], expectedBase: Option[Int],
       stage: (String, DataFrame, String => String) => Unit = null,
       modeOverride: Option[String] = None,
-      partSpec: Option[String] = None): Option[Int] = {
+      partSpec: Option[String] = None,
+      tableProps: Option[Map[String, String]] = None): Option[Int] = {
     // token charset gate BEFORE any work: render() interpolates the
     // token into manifest JSON unescaped (documented builder-owned
     // charset); an appId-derived token carrying a quote or backslash
@@ -733,7 +775,13 @@ object Versioned {
         partSpecs = parent.map(_.specsFor(parentDirs))
           .getOrElse(Map.empty) ++
           partSpec.map(pc => dataId -> stagedMapping.getOrElse(pc, pc)),
-        droppedCols = dropped, colMap = nextColMap)
+        droppedCols = dropped,
+        // table properties are POLICY, not data lineage — they
+        // survive overwrites like constraints do (parentMeta, not
+        // parent); an explicit tableProps (CREATE TABLE) wins
+        props = tableProps.getOrElse(
+          parentMeta.map(_.props).getOrElse(Map.empty)),
+        colMap = nextColMap)
       // atomic create-exclusive publish via [[publishManifest]] (the
       // one deployment seam — rename(2) would REPLACE silently, the
       // wrong primitive for a commit race); the loser retries against
@@ -1041,7 +1089,8 @@ object Versioned {
         schemaDdl = src.schemaDdl,
         ts = Some(System.currentTimeMillis()), constraints = cons,
         dvDirs = src.dvDirs, partSpecs = src.partSpecs,
-        droppedCols = src.droppedCols, colMap = src.colMap)
+        droppedCols = src.droppedCols,
+        props = readManifest(path, head).props, colMap = src.colMap)
       if (publishManifest(path, m)) return m.version
     }
     -1 // unreachable
@@ -2107,7 +2156,7 @@ object Versioned {
         constraints = m.constraints,
         dvDirs = if (masked == 0L) m.dvDirs else m.dvDirs :+ dvId,
         partSpecs = m.partSpecs, droppedCols = m.droppedCols,
-        colMap = m.colMap)
+        props = m.props, colMap = m.colMap)
       if (publishManifest(path, next)) {
         if (masked == 0L) dropDirRec(Paths.get(path, "dv", dvId))
         publishMergeFeed(path, next.version, target, updates, keys,
@@ -2215,7 +2264,7 @@ object Versioned {
         // rewritten dirs drop their specs with their bytes (the
         // staged replacement is plain); carried dirs keep theirs
         partSpecs = m.specsFor(carried), droppedCols = m.droppedCols,
-        colMap = m.colMap)
+        props = m.props, colMap = m.colMap)
       if (publishManifest(path, next)) {
         // stored feed: pre-image delete rows, derived from the
         // immutable base snapshot AFTER the publish (a lost race
@@ -2306,7 +2355,7 @@ object Versioned {
         m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints, dvDirs = m.dvDirs :+ dvId,
         partSpecs = m.partSpecs, droppedCols = m.droppedCols,
-        colMap = m.colMap)
+        props = m.props, colMap = m.colMap)
       if (publishManifest(path, next)) {
         // stored feed: pre-image delete rows derived from the STAGED
         // MASK, not a re-run of the predicate — (a) one bounded read
@@ -2492,7 +2541,7 @@ object Versioned {
         txn, m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints, dvDirs = m.dvDirs :+ dvId,
         partSpecs = m.partSpecs, droppedCols = m.droppedCols,
-        colMap = m.colMap)
+        props = m.props, colMap = m.colMap)
       if (publishManifest(path, next)) {
         val cols = stagedBack.columns.toIndexedSeq
         publishWrittenFeed(
@@ -2592,7 +2641,7 @@ object Versioned {
       schemaDdl = m.schemaDdl, ts = Some(System.currentTimeMillis()),
       constraints = m.constraints, dvDirs = m.dvDirs,
       partSpecs = m.partSpecs, droppedCols = m.droppedCols,
-      colMap = m.colMap)
+      props = m.props, colMap = m.colMap)
     require(publishManifest(dstPath, v0),
       s"versioned clone: $dstPath v0 already exists (racing clone?)")
     // birth feed: the clone's v0 IS a whole-table insert. With an

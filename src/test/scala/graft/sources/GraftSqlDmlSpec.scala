@@ -401,6 +401,51 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(ePart.getMessage.contains("per-commit"))
   }
 
+  test("CREATE TABLE … PARTITIONED BY: inserts land hive-laid-out, SQL reads partition-prune") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.p (k BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql(s"INSERT INTO $cat.p VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    spark.sql(s"INSERT INTO $cat.p VALUES (4, 'c')")
+    // both insert commits recorded their per-dir spec (partition
+    // evolution intact underneath the table-level policy)
+    val head = Versioned.latestVersion(s"$wh/p")
+    val specs = Versioned.partSpecIds(s"$wh/p", head)
+    assert(specs.size == 2 && specs.values.toSet == Set("grp"))
+    // equality read: correct rows AND whole directories skipped
+    assert(spark.sql(s"SELECT k FROM $cat.p WHERE grp = 'a' ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+    val (p, read, tot) = GraftCatalog.lastVersionedScan.get()
+    assert(p == s"$wh/p" && read < tot,
+      s"no files skipped: $read/$tot at $p")
+    // IN prunes too
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.p " +
+      "WHERE grp IN ('a', 'c')").head.getLong(0) == 3L)
+    // CTAS PARTITIONED BY rides the same path
+    spark.sql(s"CREATE TABLE $cat.p2 PARTITIONED BY (grp) AS " +
+      s"SELECT k, grp FROM $cat.p")
+    assert(Versioned.tableProps(s"$wh/p2").get("partCol")
+      .contains("grp"))
+    assert(Versioned.partSpecIds(s"$wh/p2", 1).values.toSet ==
+      Set("grp"))
+    // row-level DML composes with the hive layout
+    spark.sql(s"DELETE FROM $cat.p WHERE k = 1")
+    assert(spark.sql(s"SELECT k FROM $cat.p WHERE grp = 'a'")
+      .as[Long].collect().toSeq == Seq(3L))
+    // INSERT OVERWRITE keeps the policy (props survive overwrites)
+    spark.sql(s"INSERT OVERWRITE $cat.p2 VALUES (9L, 'z')")
+    assert(Versioned.tableProps(s"$wh/p2").get("partCol")
+      .contains("grp"))
+    assert(Versioned.partSpecIds(s"$wh/p2",
+      Versioned.latestVersion(s"$wh/p2")).values.toSet == Set("grp"))
+    // multi-column / non-identity specs are refused loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad (k BIGINT, g STRING, h STRING) " +
+        "PARTITIONED BY (g, h)") }
+    assert(e.getMessage.contains("identity"))
+  }
+
   test("DROP TABLE and RENAME TABLE: tree moves whole, non-tables are never deleted") {
     val wh = freshWarehouse()
     val cat = freshCat(wh)
