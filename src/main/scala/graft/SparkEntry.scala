@@ -6652,6 +6652,218 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 284: SQL Z-ORDER SKIPPING driver-gated — q_zorder_skip's
+    // mechanism through PURE SQL, twice over: the layout comes from
+    // `CALL g.system.cluster(...)` (OPTIMIZE ZORDER as a maintenance
+    // verb → Versioned.commitClustered: one overwrite commit whose
+    // files carry tight (user_id, vc) bounding boxes + the min/max
+    // sidecar, ledger mode 'cluster'), and the SELECT's pushed `vc`
+    // range routes VersionedV1Scan through readRangeClustered —
+    // files whose [lo, hi] misses [0, 500] are pruned on the sidecar
+    // BEFORE any data IO, with the exact predicate re-applied
+    // row-level. Checked output gates the aggregate AND the scan's
+    // real file accounting (filesRead < filesTotal, the q_zorder_skip
+    // pattern); oracle = the full-scan filter + TRUE. The 1-row
+    // collect is the aggregate itself.
+    "q_sql_zorder_skip" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_zorder"
+      val cat = sqlCatalogFor(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val src = t(s, dir, "events").select(col("event_id"),
+          col("user_id"), cents(col("value")).as("vc"))
+        V.commit(src, table, overwrite = false): Unit // v0 arrival order
+        s.sql(s"""CALL $cat.system.cluster(`table` => 'sql_zorder',
+          c1 => 'user_id', c2 => 'vc', files => 16)""").collect(): Unit
+      }
+      val agg = s.sql(s"""SELECT count(*) AS n_rows,
+            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.sql_zorder
+          WHERE vc >= 0 AND vc <= 500""").collect() // 1 row (aggregate)
+      val (accPath, read, tot) =
+        graft.sources.GraftCatalog.lastVersionedScan.get()
+      require(accPath == table,
+        s"q_sql_zorder_skip: accounting is for '$accPath', not '$table'")
+      import s.implicits._
+      Seq((agg(0).getLong(0),
+          if (agg(0).isNullAt(1)) None else Some(agg(0).getDouble(1)),
+          read < tot))
+        .toDF("n_rows", "sum_value", "skipped")
+    }),
+
+    // 285: SQL BLOOM SKIPPING driver-gated — q_bloom_skip through the
+    // catalog: documents hash-spread on doc_id (the layout min/max
+    // ranges CANNOT prune — every file's [lo, hi] spans the domain)
+    // committed with the per-file bloom sidecar
+    // (Versioned.commitBloomIndexed), and the SELECT's pushed
+    // `doc_id = 42` routes VersionedV1Scan through
+    // readEqualityClustered — files whose bloom proves the key absent
+    // never reach IO; the exact predicate removes bloom false
+    // positives. Same skipped-flag gate on the scan's file
+    // accounting; oracle = the point lookup + TRUE. The collect is
+    // the 1-row point lookup.
+    "q_sql_bloom_skip" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_bloom"
+      val cat = sqlCatalogFor(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val src = t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars")).repartition(16, col("doc_id"))
+        V.commitBloomIndexed(src, table, "doc_id",
+          expectedPerFile = 2000L, overwrite = false): Unit
+      }
+      val r = s.sql(s"""SELECT doc_id, n_chars FROM $cat.sql_bloom
+          WHERE doc_id = 42""").collect() // 1 row (point lookup)
+      val (accPath, read, tot) =
+        graft.sources.GraftCatalog.lastVersionedScan.get()
+      require(accPath == table,
+        s"q_sql_bloom_skip: accounting is for '$accPath', not '$table'")
+      import s.implicits._
+      r.toSeq.map(x => (x.getLong(0), x.getLong(1), read < tot))
+        .toDF("doc_id", "n_chars", "skipped")
+    }),
+
+    // 286: SQL CONSTRAINT LIFECYCLE driver-gated — CHECK constraints
+    // managed end-to-end through CALL verbs: add_constraint validates
+    // the existing snapshot and publishes a metadata commit (v1);
+    // while live, the gate REJECTS a violating INSERT (the staging
+    // asserts the throw — if the gate leaked, the extra commit would
+    // shift every later version and the oracle would mismatch);
+    // drop_constraint removes it by exact expression text as another
+    // metadata commit (v2); the previously-violating row then lands
+    // (v3) — proof the gate was real and its removal is real. Checked
+    // output = the ledger (version, mode, n_constraints) value-tied
+    // to per-version `VERSION AS OF` row counts, q_history style;
+    // oracle reconstructs all four versions from events arithmetic.
+    "q_sql_constraints" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_constraints"
+      val cat = sqlCatalogFor(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        V.commit(ev, table, overwrite = false): Unit // v0
+        s.sql(s"""CALL $cat.system.add_constraint(
+          `table` => 'sql_constraints', expr => 'vc >= 0')""")
+          .collect(): Unit // v1 (meta)
+        val denied = try {
+          s.sql(s"""INSERT INTO $cat.sql_constraints VALUES
+            (CAST(-2 AS BIGINT), 'bad', CAST(-1 AS BIGINT))""")
+          false
+        } catch { case _: Throwable => true }
+        require(denied, "q_sql_constraints: the live CHECK constraint " +
+          "let a violating INSERT through")
+        s.sql(s"""CALL $cat.system.drop_constraint(
+          `table` => 'sql_constraints', expr => 'vc >= 0')""")
+          .collect(): Unit // v2 (meta)
+        s.sql(s"""INSERT INTO $cat.sql_constraints VALUES
+          (CAST(-1 AS BIGINT), 'sentinel', CAST(-100 AS BIGINT))""") // v3
+      }
+      s.sql(s"""
+        SELECT h.version, h.mode, h.n_constraints, v.n_events
+        FROM $cat.sql_constraints.history h
+        JOIN (SELECT 0 AS version, count(*) AS n_events
+                FROM $cat.sql_constraints VERSION AS OF 0
+              UNION ALL SELECT 1, count(*)
+                FROM $cat.sql_constraints VERSION AS OF 1
+              UNION ALL SELECT 2, count(*)
+                FROM $cat.sql_constraints VERSION AS OF 2
+              UNION ALL SELECT 3, count(*)
+                FROM $cat.sql_constraints VERSION AS OF 3) v
+          ON h.version = v.version
+        ORDER BY h.version""")
+    }),
+
+    // 287: TIMESTAMP AS OF through SQL TEXT driver-gated — the
+    // wall-clock half of time travel (q_sql_time_travel covers
+    // VERSION AS OF): each commit's ledger instant, read back from
+    // DESCRIBE HISTORY (commits-sized collect), resolves via Spark's
+    // native `TIMESTAMP AS OF '<instant>'` to exactly that version —
+    // the as-of rule is "latest version committed at or before the
+    // asked instant" (GraftCatalog.loadTable → Versioned.readAsOf).
+    // Staging busy-waits the millisecond clock between commits so the
+    // three ledger stamps are strictly ordered (same-milli commits
+    // would make the ask ambiguous BY CONTRACT, not by bug). The
+    // oracle reconstructs each version's content from events
+    // arithmetic — identical shape to the version-addressed row, so a
+    // timestamp resolving to the wrong version fails the value gate.
+    "q_sql_ts_travel" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_tstravel"
+      val cat = sqlCatalogFor(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        def tick(): Unit = {
+          val t0 = System.currentTimeMillis()
+          while (System.currentTimeMillis() <= t0) Thread.onSpinWait()
+        }
+        V.commit(ev.filter(col("event_type") === "view"), table,
+          overwrite = false): Unit // v0
+        tick()
+        V.commit(ev.filter(col("event_type") =!= "view"), table,
+          overwrite = false): Unit // v1: all events
+        tick()
+        V.commit(ev.filter(col("event_type") === "purchase"), table,
+          overwrite = true): Unit // v2: purchases only
+      }
+      val ts = V.history(s, table).orderBy("version").collect()
+        .map(_.getAs[Long]("ts_millis")) // 3 rows (ledger-sized)
+      def tsLit(v: Int): String =
+        java.time.Instant.ofEpochMilli(ts(v)).toString
+      s.sql(Seq(0, 1, 2).map(v =>
+        s"""SELECT $v AS version, count(*) AS n_events,
+              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+            FROM $cat.sql_tstravel TIMESTAMP AS OF '${tsLit(v)}'""")
+        .mkString("", " UNION ALL ", " ORDER BY version"))
+    }),
+
+    // 288: STREAMING WRITES BY TABLE NAME driver-gated — the
+    // write-side complement of q_stream_table: events stream through
+    // `writeStream.toTable("<cat>.<t>")` into a versioned catalog
+    // table (DSv2 StreamingWrite, streaming/StreamTableSink):
+    // executors stage each epoch as parquet parts, the driver's
+    // epoch commit replays the acknowledged files through
+    // Versioned.commitTxn with a `stream:<queryId>:<epoch>` token —
+    // exactly-once across crash-replays, every engine guard
+    // (constraints, schema ledger, column mapping, feed) reused. The
+    // staging RESTARTS the query over the same checkpoint and
+    // requires zero replayed versions — the exactly-once contract is
+    // executed, not assumed; the `tokened` flag gates that every
+    // data commit carries its stream token. Oracle = events
+    // arithmetic + TRUE.
+    "q_stream_totable" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val n = streamExecSeq.incrementAndGet()
+      val cat = sqlCatalogFor(s, dir)
+      val tname = s"stream_totable_$n"
+      val table = stagingRoot(dir) + s"/$tname"
+      val ckpt = stagingRoot(dir) + s"/stream_totable_ckpt_$n"
+      s.sql(s"""CREATE TABLE $cat.$tname (
+        event_id BIGINT, event_type STRING, vc BIGINT)""")
+      def run(): Unit = {
+        val src = eventsStream(s, dir).select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        val q = src.writeStream.option("checkpointLocation", ckpt)
+          .toTable(s"$cat.$tname")
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      val head = V.latestVersion(table)
+      run() // restart, nothing new: exactly-once means zero replays
+      require(V.latestVersion(table) == head,
+        s"q_stream_totable: restart replayed commits " +
+          s"($head -> ${V.latestVersion(table)})")
+      val tokened = V.history(s, table) // ledger-sized collect
+        .filter(col("version") > 0).select("txn").collect()
+        .forall(r => !r.isNullAt(0) && r.getString(0).startsWith("stream:"))
+      s.sql(s"""SELECT event_type, count(*) AS n_events,
+            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.$tname GROUP BY event_type""")
+        .withColumn("tokened", lit(tokened))
+        .orderBy("event_type")
+    }),
+
     // 275: DESCRIBE HISTORY driver-gated — the commit ledger as a
     // queryable metadata table (`<table>.history`, Versioned.history:
     // version, mode, dir/mask/constraint counts), JOINED against
@@ -7439,6 +7651,45 @@ object SparkEntry {
              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
              CAST(1 AS INT) AS n_data_dirs, CAST(1 AS INT) AS n_dv_dirs
       FROM ev GROUP BY event_type ORDER BY event_type""",
+    "q_sql_zorder_skip" -> """
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value,
+             TRUE AS skipped
+      FROM events
+      WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 0 AND 500""",
+    "q_sql_bloom_skip" -> """
+      SELECT doc_id, n_chars, TRUE AS skipped
+      FROM documents WHERE doc_id = 42""",
+    "q_sql_constraints" -> """
+      WITH h(version, mode, n_constraints) AS (
+        VALUES (0, 'append', 0), (1, 'meta', 1),
+               (2, 'meta', 0), (3, 'append', 0)),
+      v AS (SELECT 0 AS version, count(*) AS n_events FROM events
+            UNION ALL SELECT 1, count(*) FROM events
+            UNION ALL SELECT 2, count(*) FROM events
+            UNION ALL SELECT 3, count(*) + 1 FROM events)
+      SELECT h.version, h.mode, h.n_constraints, v.n_events
+      FROM h JOIN v ON h.version = v.version ORDER BY h.version""",
+    "q_sql_ts_travel" -> """
+      WITH ev AS (SELECT event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events)
+      SELECT 0 AS version, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+      FROM ev WHERE event_type = 'view'
+      UNION ALL
+      SELECT 1, count(*), CAST(sum(vc) AS DOUBLE) / 100.0 FROM ev
+      UNION ALL
+      SELECT 2, count(*), CAST(sum(vc) AS DOUBLE) / 100.0
+      FROM ev WHERE event_type = 'purchase'
+      ORDER BY version""",
+    "q_stream_totable" -> """
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value,
+             TRUE AS tokened
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "q_sql_update" -> """
       WITH ev AS (SELECT event_type,
                     CASE WHEN event_type = 'purchase'

@@ -405,20 +405,23 @@ private[sources] final class VersionedSqlTable(ident: String,
   override def schema(): StructType = tableSchema
   override def version(): String = pinned.toString
   override def capabilities(): util.Set[TableCapability] =
-    // V1_BATCH_WRITE (not BATCH_WRITE): the write IS a V1Write
+    // V1_BATCH_WRITE (not BATCH_WRITE): the batch write IS a V1Write
     // bridge — Spark's exec path calls toInsertableRelation only
-    // when the table declares the V1 capability
+    // when the table declares the V1 capability. STREAMING_WRITE is
+    // the real DSv2 streaming path (writeStream.toTable →
+    // [[graft.streaming.StreamTableSink.VersionedStreamingWrite]]).
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new VersionedScanBuilder(path, pinned, tableSchema)
 
   override def newWriteBuilder(
-      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      infoArg: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new VersionedWriteBuilder(path)
+    new VersionedWriteBuilder(path, infoArg)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftCatalog.translateFilter(f).isDefined)
@@ -648,7 +651,8 @@ private[sources] final class ChangesScanBuilder(path: String,
   * frame to `InsertableRelation.insert`, which is exactly the Scala
   * commit path (arbiter race loop, txn ledger, constraints,
   * widening, column mapping, change feed — nothing bypassed). */
-private[sources] final class VersionedWriteBuilder(path: String)
+private[sources] final class VersionedWriteBuilder(path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwrite = false
@@ -658,6 +662,15 @@ private[sources] final class VersionedWriteBuilder(path: String)
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.V1Write {
+      // writeStream.toTable: stage on executors, commit each epoch
+      // through Versioned.commitTxn with a stream:<queryId>:<epoch>
+      // token — exactly-once, every engine guard reused (see
+      // graft.streaming.StreamTableSink). Complete mode arrives as
+      // the truncate flag → per-epoch overwrite commits.
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite =
+        new graft.streaming.StreamTableSink.VersionedStreamingWrite(
+          path, info.schema(), info.queryId(), overwrite)
       override def toInsertableRelation
           : org.apache.spark.sql.sources.InsertableRelation =
         new org.apache.spark.sql.sources.InsertableRelation {
@@ -710,14 +723,21 @@ private[sources] final class VersionedScanBuilder(path: String,
   * row RDD of the filtered, pruned snapshot read (parquet batches +
   * DV anti-join on executors); nothing collects on the driver.
   *
-  * FILE SKIPPING rides the pushed filters: an equality/IN on a
-  * column some data dir is hive-partitioned on routes the read
-  * through [[Versioned.readPartitionPruned]] (whole partition
-  * directories skipped before any file IO — the biggest scan saver
-  * at 100 TB, now reachable from pure SQL); the skip accounting
-  * lands in [[GraftCatalog.lastVersionedScan]]. Un-prunable shapes
-  * fall back to the plain snapshot read; every accepted filter
-  * re-applies row-level either way (double-filtering safe). */
+  * FILE SKIPPING rides the pushed filters, coarsest index first:
+  * an equality/IN on a column some data dir is hive-partitioned on
+  * routes the read through [[Versioned.readPartitionPruned]] (whole
+  * partition directories skipped before any file IO — the biggest
+  * scan saver at 100 TB, now reachable from pure SQL); an equality
+  * on a bloom-indexed column through
+  * [[Versioned.readEqualityClustered]] (files that provably lack the
+  * key skipped); a range/equality on a stats-indexed column through
+  * [[Versioned.readRangeClustered]] (z-order/min-max sidecar
+  * pruning) — so a SQL `WHERE k = v` or `BETWEEN` on a clustered
+  * versioned table skips files exactly like the Scala read paths.
+  * The skip accounting lands in [[GraftCatalog.lastVersionedScan]].
+  * Un-prunable shapes fall back to the plain snapshot read; every
+  * accepted filter re-applies row-level either way (double-filtering
+  * safe). */
 private[sources] final class VersionedV1Scan(path: String, pinned: Int,
     required: StructType, accepted: Array[Filter]) extends V1Scan {
 
@@ -741,6 +761,70 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
          _: java.lang.Short | _: java.lang.Byte |
          _: java.lang.Boolean => Some(v.toString)
     case _ => None
+  }
+
+  /** The first accepted EQUALITY over a bloom-indexed column →
+    * (logical col, probe value) — consulted when partition pruning
+    * does not apply. Null probes never prune (a bloom answers
+    * membership of values, not of NULL). */
+  private def bloomPrune(spark: org.apache.spark.sql.SparkSession)
+      : Option[(String, Any)] =
+    accepted.iterator.collectFirst {
+      case sources.EqualTo(a, v) if v != null &&
+          Versioned.hasSkippingIndex(spark, path, pinned, a, "bloom") =>
+        (a, v)
+    }
+
+  /** Fold every accepted numeric comparison into per-column [lo, hi]
+    * bounds (insertion-ordered), then pick the FIRST bounded column
+    * that some data dir of this version stats-indexes →
+    * (logical col, lo, hi). Strict bounds (`>`/`<`) are used
+    * INCLUSIVELY — a relaxation that may read one extra file, never
+    * skip a needed one; the exact predicate re-applies row-level.
+    * Literals are compared through double like the sidecar itself
+    * ([[Clustered.pruneRange]]); integral magnitudes beyond 2^53 are
+    * left unpruned rather than risk a lossy rounding. */
+  private def statsPrune(spark: org.apache.spark.sql.SparkSession)
+      : Option[(String, Double, Double)] = {
+    val SAFE = 9007199254740992L // 2^53: exact in double
+    def asD(v: Any): Option[Double] = v match {
+      case n: java.lang.Integer => Some(n.doubleValue)
+      case n: java.lang.Short => Some(n.doubleValue)
+      case n: java.lang.Byte => Some(n.doubleValue)
+      case n: java.lang.Float => Some(n.doubleValue)
+      case n: java.lang.Double => Some(n.doubleValue)
+      case n: java.lang.Long if math.abs(n.longValue) <= SAFE =>
+        Some(n.doubleValue)
+      case n: java.math.BigDecimal
+          if n.abs.compareTo(java.math.BigDecimal.valueOf(SAFE)) <= 0 =>
+        Some(n.doubleValue)
+      case _ => None
+    }
+    val bounds = scala.collection.mutable
+      .LinkedHashMap.empty[String, (Double, Double)]
+    def upd(a: String, lo: Double, hi: Double): Unit = {
+      val (l0, h0) = bounds.getOrElse(a,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      bounds(a) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    accepted.foreach {
+      case sources.EqualTo(a, v) => asD(v).foreach(d => upd(a, d, d))
+      case sources.GreaterThan(a, v) =>
+        asD(v).foreach(d => upd(a, d, Double.PositiveInfinity))
+      case sources.GreaterThanOrEqual(a, v) =>
+        asD(v).foreach(d => upd(a, d, Double.PositiveInfinity))
+      case sources.LessThan(a, v) =>
+        asD(v).foreach(d => upd(a, Double.NegativeInfinity, d))
+      case sources.LessThanOrEqual(a, v) =>
+        asD(v).foreach(d => upd(a, Double.NegativeInfinity, d))
+      case _ => ()
+    }
+    bounds.iterator
+      .filter { case (_, (lo, hi)) =>
+        lo != Double.NegativeInfinity || hi != Double.PositiveInfinity }
+      .find { case (c, _) =>
+        Versioned.hasSkippingIndex(spark, path, pinned, c, "stats") }
+      .map { case (c, (lo, hi)) => (c, lo, hi) }
   }
 
   /** The first accepted equality/IN over a column that some dir of
@@ -771,13 +855,30 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
       override def buildScan(): org.apache.spark.rdd.RDD[
           org.apache.spark.sql.Row] = {
         val spark = context.sparkSession
+        // prune priority: whole partition dirs > bloom point lookups
+        // > min/max ranges > plain snapshot — coarsest index first;
+        // every branch is a relaxation the row-level replay tightens
         var df = partitionPrune() match {
           case Some((c, vals)) =>
             val (pdf, read, tot) = Versioned.readPartitionPruned(
               spark, path, c, vals, Some(pinned))
             GraftCatalog.lastVersionedScan.set((path, read, tot))
             pdf
-          case None => Versioned.read(spark, path, Some(pinned))
+          case None => bloomPrune(spark) match {
+            case Some((c, v)) =>
+              val (pdf, read, tot) = Versioned.readEqualityClustered(
+                spark, path, c, v, Some(pinned))
+              GraftCatalog.lastVersionedScan.set((path, read, tot))
+              pdf
+            case None => statsPrune(spark) match {
+              case Some((c, lo, hi)) =>
+                val (pdf, read, tot) = Versioned.readRangeClustered(
+                  spark, path, c, lo, hi, Some(pinned))
+                GraftCatalog.lastVersionedScan.set((path, read, tot))
+                pdf
+              case None => Versioned.read(spark, path, Some(pinned))
+            }
+          }
         }
         // replay what the V2 pushdown ACCEPTED: rejected filters are
         // Spark's to apply on top, so no filter evaluates zero times

@@ -20,11 +20,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL g.system.clone(source => 't', target => 'fork')
   *   CALL g.system.repair_feed(`table` => 't', keys => 'k')
   *   CALL g.system.add_constraint(`table` => 't', expr => 'v >= 0')
+  *   CALL g.system.drop_constraint(`table` => 't', expr => 'v >= 0')
+  *   CALL g.system.cluster(`table` => 't', c1 => 'a', c2 => 'b',
+  *                         files => 8)
+  *   CALL g.system.index(`table` => 't', cols => 'ts,amount')
+  *   CALL g.system.bloom_index(`table` => 't', column => 'k')
   * }}}
   *
   * Each verb maps 1:1 onto the engine entry point the Scala API uses
   * (compact / vacuumOlderThan / restore / cloneTable /
-  * repairChangeFeed / addConstraint) — same guards, same ledger, no
+  * repairChangeFeed / addConstraint / dropConstraint /
+  * commitClustered) — same guards, same ledger, no
   * parallel code path — and returns its result (new version / oldest
   * retained / repaired count) as one row, so operators can script
   * maintenance in pure SQL. `vacuum` keeps the retention guard:
@@ -118,6 +124,56 @@ object GraftProcedures {
       (spark, path, input) => {
         val v = Versioned.addConstraint(spark, path(str(input, 0)),
           str(input, 1))
+        outRow(versionOut, Seq(v))
+      }),
+    Proc("drop_constraint",
+      "remove a CHECK constraint by exact expression text as a " +
+        "metadata commit (loud when the ledger has no such text)",
+      Seq(in("table", StringType), in("expr", StringType)),
+      (spark, path, input) => {
+        val v = Versioned.dropConstraint(path(str(input, 0)),
+          str(input, 1))
+        outRow(versionOut, Seq(v))
+      }),
+    Proc("index",
+      "build the per-file min/max stats sidecar for cols (comma-" +
+        "separated) over the head's data dirs IN PLACE — no rewrite, " +
+        "no new version; range filters start skipping immediately",
+      Seq(in("table", StringType), in("cols", StringType)),
+      (spark, path, input) => {
+        val cols = str(input, 1).split(",").toIndexedSeq
+          .map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty,
+          "CALL index: cols must name at least one column")
+        val n = Versioned.buildStatsIndex(spark, path(str(input, 0)),
+          cols)
+        outRow(StructType(Seq(
+          StructField("n_dirs_indexed", IntegerType))), Seq(n))
+      }),
+    Proc("bloom_index",
+      "build the per-file bloom sidecar for an equality key over the " +
+        "head's data dirs IN PLACE — point lookups skip files that " +
+        "provably lack the key, no rewrite, no new version",
+      Seq(in("table", StringType), in("column", StringType),
+        inDefault("expected_per_file", LongType, "100000")),
+      (spark, path, input) => {
+        val n = Versioned.buildBloomIndex(spark, path(str(input, 0)),
+          str(input, 1), input.getLong(2))
+        outRow(StructType(Seq(
+          StructField("n_dirs_indexed", IntegerType))), Seq(n))
+      }),
+    Proc("cluster",
+      "rewrite the head snapshot z-ordered on two numeric columns " +
+        "(OPTIMIZE ZORDER): one overwrite commit whose files carry " +
+        "tight (c1, c2) bounding boxes plus the min/max sidecar, so " +
+        "later SQL range filters on either column skip files",
+      Seq(in("table", StringType), in("c1", StringType),
+        in("c2", StringType), inDefault("files", IntegerType, "4")),
+      (spark, path, input) => {
+        val p = path(str(input, 0))
+        val v = Versioned.commitClustered(Versioned.read(spark, p), p,
+          str(input, 1), str(input, 2), input.getInt(3),
+          overwrite = true)
         outRow(versionOut, Seq(v))
       }))
 

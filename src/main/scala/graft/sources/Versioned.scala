@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Minimal versioned (snapshot-isolated) parquet table: the
   * manifest-log pattern every modern table format builds on — data
@@ -350,7 +350,10 @@ object Versioned {
           .write.mode("errorifexists").parquet(dataDir)
         Clustered.writeStats(pdf.sparkSession, dataDir,
           Seq(phys(c1), phys(c2)))
-      }).get
+      },
+      // the ledger names the maintenance action, like "compact" —
+      // DESCRIBE HISTORY should say what rewrote the snapshot
+      modeOverride = if (overwrite) Some("cluster") else None).get
 
   /** STATS-INDEXED APPEND: a plain commit (no re-clustering, no
     * sort — the rows land in arrival order) that also writes the
@@ -368,6 +371,70 @@ object Versioned {
         pdf.write.mode("errorifexists").parquet(dataDir)
         Clustered.writeStats(pdf.sparkSession, dataDir, cols.map(phys))
       }).get
+
+  /** BLOOM-INDEXED commit: a plain commit (arrival order, optionally
+    * pre-bucketed by the caller) that also writes the per-file bloom
+    * sidecar for equality key `c` ([[Clustered.writeBloomIndex]]), so
+    * [[readEqualityClustered]] — and the SQL catalog's pushed-filter
+    * scan — answers point lookups reading only files that might
+    * contain the key. The equality complement of [[commitIndexed]]:
+    * min/max ranges cannot prune a high-cardinality key whose values
+    * hash-spread across every file; a few-KB bloom per file can.
+    * Commit mechanics (atomicity, races, txn dedup, schema ledger)
+    * are exactly [[commitTxn]]'s. */
+  def commitBloomIndexed(df: DataFrame, path: String, c: String,
+      expectedPerFile: Long = 100000L, overwrite: Boolean = false,
+      txn: Option[String] = None): Int =
+    commitCore(df, path, overwrite, txn, expectedBase = None,
+      stage = (dataDir, pdf, phys) => {
+        pdf.write.mode("errorifexists").parquet(dataDir)
+        Clustered.writeBloomIndex(pdf.sparkSession, dataDir, phys(c),
+          expectedPerFile)
+      }).get
+
+  /** Build (or rebuild) the per-file min/max stats sidecar for
+    * `cols` over the head snapshot's data dirs IN PLACE — an INDEX
+    * build, not a commit: zero data bytes move, no version
+    * publishes, and every manifest referencing these dirs (past and
+    * future, until an overwrite drops them) gains range file
+    * skipping the moment the sidecar lands. The retrofit path for
+    * tables committed before anyone thought about skipping — the
+    * expensive alternative is [[commitClustered]]'s full rewrite.
+    * Hive-partitioned dirs are left alone (their files live under
+    * partition subdirs the flat sidecar contract does not list;
+    * partition pruning already covers them). Sidecars describe file
+    * CONTENTS including DV-masked rows — bounds only ever over-keep.
+    * Returns the number of dirs indexed. */
+  def buildStatsIndex(spark: SparkSession, path: String,
+      cols: Seq[String]): Int = {
+    val head = latestVersion(path)
+    require(head >= 0, s"versioned buildStatsIndex: no committed " +
+      s"version at $path")
+    val m = readManifest(path, head)
+    val phys = cols.map(m.physOf)
+    val dirs = m.dataDirs.filterNot(m.partSpecs.contains)
+    dirs.foreach(d =>
+      Clustered.writeStats(spark, s"$path/data/$d", phys))
+    dirs.size
+  }
+
+  /** The bloom sibling of [[buildStatsIndex]]: build the per-file
+    * bloom sidecar for equality key `c` over the head's (spec-free)
+    * data dirs in place — point lookups start skipping immediately,
+    * no rewrite, no new version. Returns the number of dirs
+    * indexed. */
+  def buildBloomIndex(spark: SparkSession, path: String, c: String,
+      expectedPerFile: Long = 100000L): Int = {
+    val head = latestVersion(path)
+    require(head >= 0, s"versioned buildBloomIndex: no committed " +
+      s"version at $path")
+    val m = readManifest(path, head)
+    val cPhys = m.physOf(c)
+    val dirs = m.dataDirs.filterNot(m.partSpecs.contains)
+    dirs.foreach(d => Clustered.writeBloomIndex(spark,
+      s"$path/data/$d", cPhys, expectedPerFile))
+    dirs.size
+  }
 
   /** PARTITION-EVOLUTION commit (Iceberg's headline metadata trick,
     * ledger-sized for this format): stage `df` under a hive layout
@@ -984,47 +1051,54 @@ object Versioned {
   def dvDirIds(path: String, v: Int): Seq[String] =
     readManifest(path, v).dvDirs
 
-  /** Snapshot read WITH file skipping: resolve the manifest of
-    * `version` (default head), then per data dir prune on its own
-    * min/max sidecar when one exists ([[Clustered.pruneRange]] —
-    * distributed filter, survivors-only collect) and keep every file
-    * of un-indexed dirs (plain appends after a clustered commit stay
-    * readable — unknown never justifies a skip). The exact predicate
-    * re-applies for row-level exactness, and the manifest's schema
-    * still governs the read, so skipping composes with schema
-    * evolution AND time travel — each version prunes on the index it
-    * was committed with. Returns (frame, filesRead, filesTotal). */
-  def readRangeClustered(spark: SparkSession, path: String, c: String,
-      lo: Double, hi: Double,
-      version: Option[Int] = None): (DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.col
+  /** Non-recursive data-file listing of one committed data dir
+    * (parquet parts only — `_`-prefixed sidecar tables and dot-files
+    * excluded). Local listing here; an HDFS/object-store deployment
+    * swaps this for FileSystem.listStatus — same contract. */
+  private def listDataFiles(dir: String): Vector[String] = {
+    val ls = Files.list(Paths.get(dir))
+    try {
+      val out = Vector.newBuilder[String]
+      val fs = ls.iterator()
+      while (fs.hasNext) {
+        val f = fs.next().getFileName.toString
+        if (f.endsWith(".parquet") && !f.startsWith("_") &&
+            !f.startsWith("."))
+          out += s"$dir/$f"
+      }
+      out.result()
+    } finally ls.close()
+  }
+
+  /** The shared sidecar-pruned snapshot read behind
+    * [[readRangeClustered]] (min/max stats) and
+    * [[readEqualityClustered]] (bloom): resolve `version`'s manifest,
+    * per data dir ask `pruneDir` for (survivors, total) — None means
+    * the dir carries no usable index for the asked column and EVERY
+    * file stays (unknown never justifies a skip) — then read the
+    * surviving files under the manifest's explicit schema, re-apply
+    * the exact predicate row-level, overlay the deletion-vector mask
+    * (mask rows for pruned files simply never match the anti-join),
+    * and restore logical names. Skipping therefore composes with
+    * schema evolution AND time travel — each version prunes on the
+    * index it was committed with. Returns (frame, filesRead,
+    * filesTotal). */
+  private def sidecarPrunedRead(spark: SparkSession, path: String,
+      version: Option[Int],
+      pruneDir: (String, Manifest) => Option[(Seq[String], Int)],
+      predPhys: Manifest => Column): (DataFrame, Int, Int) = {
     val v = version.getOrElse(latestVersion(path))
     require(v >= 0, s"versioned read: no committed version at $path")
     val m = readManifest(path, v)
     val dirs = m.dataDirs.map(d => s"$path/data/$d")
-    // stats sidecars and file bytes carry PHYSICAL names
-    val cPhys = m.physOf(c)
     var kept = Vector.empty[String]
     var total = 0
     dirs.foreach { dir =>
-      if (Files.isDirectory(Paths.get(Clustered.statsPath(dir)))) {
-        val (k, t) = Clustered.pruneRange(spark, dir, cPhys, lo, hi)
-        kept ++= k; total += t
-      } else {
-        // un-indexed dir: all of its data files stay in the read set
-        // (local listing here; an HDFS/object-store deployment swaps
-        // this for FileSystem.listStatus — same contract)
-        val ls = Files.list(Paths.get(dir))
-        try {
-          val fs = ls.iterator()
-          while (fs.hasNext) {
-            val f = fs.next().getFileName.toString
-            if (f.endsWith(".parquet") && !f.startsWith("_") &&
-                !f.startsWith(".")) {
-              kept :+= s"$dir/$f"; total += 1
-            }
-          }
-        } finally ls.close()
+      pruneDir(dir, m) match {
+        case Some((k, t)) => kept ++= k; total += t
+        case None =>
+          val fs = listDataFiles(dir)
+          kept ++= fs; total += fs.size
       }
     }
     val logicalOpt = m.schemaDdl.map(
@@ -1033,15 +1107,94 @@ object Versioned {
       case Some(st) => spark.read.schema(physStruct(m, st))
       case None => spark.read
     }
-    val pred = col(cPhys) >= lo && col(cPhys) <= hi
-    // the deletion-vector overlay composes with file skipping: mask
-    // rows for pruned/absent files simply never match the anti-join
+    val pred = predPhys(m)
     val phys =
       if (kept.isEmpty) reader.parquet(dirs: _*).filter(pred).limit(0)
       else applyDvMask(spark, path, m.dvDirs,
         reader.parquet(kept: _*).filter(pred))
     val df = logicalOpt.map(toLogical(m, _, phys)).getOrElse(phys)
     (df, kept.size, total)
+  }
+
+  /** Per-dir min/max prune, column-tolerant: a dir whose stats
+    * sidecar indexes OTHER columns (e.g. a later [[commitIndexed]] on
+    * a different key) counts as un-indexed for `cPhys` instead of
+    * erroring — one sidecar footer read decides. */
+  private def statsPruneDir(spark: SparkSession, dir: String,
+      cPhys: String, lo: Double, hi: Double): Option[(Seq[String], Int)] = {
+    if (!Files.isDirectory(Paths.get(Clustered.statsPath(dir))))
+      return None
+    val names = spark.read.parquet(Clustered.statsPath(dir))
+      .schema.fieldNames.toSet
+    if (!names("lo_" + cPhys) || !names("hi_" + cPhys)) return None
+    Some(Clustered.pruneRange(spark, dir, cPhys, lo, hi))
+  }
+
+  /** Snapshot read WITH file skipping: per data dir prune on its own
+    * min/max sidecar when one indexes `c` ([[Clustered.pruneRange]] —
+    * distributed filter, survivors-only collect) and keep every file
+    * of un-indexed dirs (plain appends after a clustered commit stay
+    * readable). Stats sidecars and file bytes carry PHYSICAL names —
+    * the manifest's column mapping translates. Returns (frame,
+    * filesRead, filesTotal). */
+  def readRangeClustered(spark: SparkSession, path: String, c: String,
+      lo: Double, hi: Double,
+      version: Option[Int] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    sidecarPrunedRead(spark, path, version,
+      (dir, m) => statsPruneDir(spark, dir, m.physOf(c), lo, hi),
+      m => col(m.physOf(c)) >= lo && col(m.physOf(c)) <= hi)
+  }
+
+  /** Snapshot read with BLOOM file skipping — the equality sibling of
+    * [[readRangeClustered]]: per data dir probe its per-file bloom
+    * sidecar for `c` when one exists ([[Clustered.pruneEquality]] —
+    * "definitely not here" drops the file before IO; false positives
+    * cost one extra read and the exact predicate removes their rows),
+    * keep every file of un-indexed dirs. The point-lookup layout
+    * min/max ranges cannot prune (high-cardinality keys hash-spread
+    * across files) is exactly where this wins. Returns (frame,
+    * filesRead, filesTotal). */
+  def readEqualityClustered(spark: SparkSession, path: String,
+      c: String, value: Any,
+      version: Option[Int] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    sidecarPrunedRead(spark, path, version,
+      (dir, m) => {
+        val cPhys = m.physOf(c)
+        if (Files.isDirectory(Paths.get(Clustered.bloomPath(dir, cPhys))))
+          Some(Clustered.pruneEquality(spark, dir, cPhys, value))
+        else None
+      },
+      m => col(m.physOf(c)) === lit(value))
+  }
+
+  /** Whether `v`'s snapshot carries a usable file-skipping sidecar
+    * for logical column `c` — the SQL scan's PLANNING gate
+    * ([[GraftCatalog]] consults it before routing a pushed filter
+    * through the sidecar read paths). `kind` is "stats" or "bloom".
+    * Cheap on purpose: directory existence checks plus at most one
+    * sidecar footer, no data IO. Manifests with hive-partitioned dirs
+    * return false — those dirs' files live under partition subdirs
+    * the flat sidecar listing does not see, and the partition-pruned
+    * read path covers them instead. */
+  def hasSkippingIndex(spark: SparkSession, path: String, v: Int,
+      c: String, kind: String): Boolean = {
+    val m = readManifest(path, v)
+    if (m.partSpecs.nonEmpty) return false
+    val cPhys = m.physOf(c)
+    m.dataDirs.map(d => s"$path/data/$d").exists { dir =>
+      kind match {
+        case "bloom" =>
+          Files.isDirectory(Paths.get(Clustered.bloomPath(dir, cPhys)))
+        case _ =>
+          Files.isDirectory(Paths.get(Clustered.statsPath(dir))) && {
+            val names = spark.read.parquet(Clustered.statsPath(dir))
+              .schema.fieldNames.toSet
+            names("lo_" + cPhys) && names("hi_" + cPhys)
+          }
+      }
+    }
   }
 
   /** Compaction: rewrite the head snapshot as ONE overwrite commit of
@@ -1716,6 +1869,43 @@ object Versioned {
   def constraints(path: String, version: Option[Int] = None): Seq[String] =
     readManifest(path,
       version.getOrElse(latestVersion(path))).constraints
+
+  /** DROP CONSTRAINT — the inverse of [[addConstraint]]: a METADATA
+    * commit whose manifest carries the ledger minus the one
+    * constraint matching `constraintSql` by exact (trimmed)
+    * expression text. Loud when absent — a typo'd drop must not
+    * silently leave the gate in place — and the error names the live
+    * ledger so the caller can copy the exact text. Same
+    * create-exclusive race loop as every metadata commit; history
+    * below the drop still ENFORCED what it recorded (each version's
+    * commits validated against its own ledger), this only stops
+    * FUTURE commits from checking it. Returns the metadata version. */
+  def dropConstraint(path: String, constraintSql: String): Int = {
+    val want = constraintSql.trim
+    var attempt = 0
+    while (true) {
+      require(attempt < 50,
+        s"versioned dropConstraint: 50 lost races at $path")
+      attempt += 1
+      val head = latestVersion(path)
+      require(head >= 0,
+        s"versioned dropConstraint: no committed version at $path")
+      val parent = readManifest(path, head)
+      require(parent.constraints.exists(_.trim == want),
+        s"versioned dropConstraint: no constraint '$want' at $path " +
+          s"v$head (ledger: ${parent.constraints.map(c => s"'$c'")
+            .mkString(", ")})")
+      val m = parent.copy(version = head + 1, mode = "meta",
+        txn = None, ts = Some(System.currentTimeMillis()),
+        constraints = parent.constraints.filterNot(_.trim == want))
+      if (publishManifest(path, m)) {
+        // a metadata commit changes no logical rows: empty feed dir
+        Files.createDirectories(changeDirPath(path, m.version))
+        return m.version
+      } // else: lost the race — re-resolve against the new head
+    }
+    -1 // unreachable
+  }
 
   /** One schema-evolution operation for [[alterColumns]] — the ALTER
     * TABLE verb set (ADD / RENAME / DROP COLUMN), each a pure

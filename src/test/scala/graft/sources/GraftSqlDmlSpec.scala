@@ -394,11 +394,12 @@ class GraftSqlDmlSpec extends SparkSpec {
     val eNn = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.ctas ADD COLUMNS (q INT NOT NULL)") }
     assert(eNn.getMessage.contains("NOT NULL"))
-    // partitioned create rejected loudly (per-commit layout here)
+    // non-identity partition transforms rejected loudly (identity
+    // PARTITIONED BY is first-class — its own test below)
     val ePart = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.p (k INT, d STRING) " +
-        "PARTITIONED BY (d)") }
-    assert(ePart.getMessage.contains("per-commit"))
+        "PARTITIONED BY (bucket(4, k))") }
+    assert(ePart.getMessage.contains("identity"))
   }
 
   test("CREATE TABLE … PARTITIONED BY: inserts land hive-laid-out, SQL reads partition-prune") {
@@ -587,6 +588,132 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(chain.contains("nope"))
     assert(chain.contains("no procedure") && chain.contains("compact"),
       s"verb list missing from the failure: $chain")
+  }
+
+  test("CALL cluster + drop_constraint: the maintenance verbs complete the OPTIMIZE surface") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id AS k, id * 7 % 1000 AS v " +
+      "FROM range(0, 2000)")
+    // cluster = OPTIMIZE ZORDER: one overwrite commit, ledger mode
+    // 'cluster', min/max sidecar staged inside the new data dir
+    assert(spark.sql(s"CALL $cat.system.cluster(`table` => 't', " +
+      "c1 => 'k', c2 => 'v', files => 8)").head.getInt(0) == 2)
+    assert(spark.sql(s"SELECT mode FROM $cat.t.history " +
+      "WHERE version = 2").head.getString(0) == "cluster")
+    val dir = s"$wh/t/data/${Versioned.dataDirIds(s"$wh/t", 2).head}"
+    assert(new java.io.File(Clustered.statsPath(dir)).isDirectory)
+    // the clustered layout now prunes SQL range filters (files = 8,
+    // k restricted to <2% of the domain → some files must skip)
+    GraftCatalog.lastVersionedScan.set(("", -1, -1))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t " +
+      "WHERE k >= 0 AND k <= 30").head.getLong(0) == 31L)
+    val (p, read, tot) = GraftCatalog.lastVersionedScan.get()
+    assert(p == s"$wh/t" && read < tot && read > 0,
+      s"expected a pruned sidecar scan, got ($p, $read, $tot)")
+    // drop_constraint: exact-text removal, loud when absent
+    spark.sql(s"CALL $cat.system.add_constraint(`table` => 't', " +
+      "expr => 'v >= 0')").collect()
+    intercept[Exception] { spark.sql(s"INSERT INTO $cat.t VALUES (9, -1)") }
+    val eMiss = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.drop_constraint(`table` => 't', " +
+        "expr => 'v > 0')").collect() }
+    assert(eMiss.getMessage.contains("no constraint") &&
+      eMiss.getMessage.contains("v >= 0"),
+      s"absent-text drop must name the live ledger: ${eMiss.getMessage}")
+    assert(spark.sql(s"CALL $cat.system.drop_constraint(`table` => 't', " +
+      "expr => 'v >= 0')").head.getInt(0) == 4)
+    spark.sql(s"INSERT INTO $cat.t VALUES (9, -1)") // gate really gone
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE v < 0")
+      .head.getLong(0) == 1L)
+  }
+
+  test("SQL file skipping: pushed ranges prune on the min/max sidecar, equalities on the bloom sidecar") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    // bloom-indexed layout: keys hash-spread across 8 files — the
+    // shape min/max ranges cannot prune, a per-file bloom can
+    Versioned.commitBloomIndexed((1L to 4000L).map(i => (i, i % 13))
+      .toDF("k", "v").repartition(8, col("k")), path, "k",
+      expectedPerFile = 1000L, overwrite = false)
+    val cat = freshCat(wh)
+    GraftCatalog.lastVersionedScan.set(("", -1, -1))
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 42")
+      .head.getLong(0) == 42L % 13)
+    val (p, read, tot) = GraftCatalog.lastVersionedScan.get()
+    assert(p == path && read < tot && read > 0,
+      s"expected a bloom-pruned scan, got ($p, $read, $tot)")
+    // a later PLAIN append stays readable: its un-indexed dir keeps
+    // every file (unknown never justifies a skip) and the lookup
+    // still sees rows from both dirs
+    Versioned.commit(Seq((42L, 99L)).toDF("k", "v"), path,
+      overwrite = false)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $cat.t WHERE k = 42")
+      .head.getLong(0) == 42L % 13 + 99L)
+    // un-indexed column predicates take the plain path (no accounting)
+    GraftCatalog.lastVersionedScan.set(("", -1, -1))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE v = 5")
+      .head.getLong(0) == (1L to 4000L).count(_ % 13 == 5))
+    assert(GraftCatalog.lastVersionedScan.get()._2 == -1,
+      "an un-indexed predicate must not claim skip accounting")
+  }
+
+  test("CALL index + bloom_index: in-place sidecar builds retrofit skipping onto existing dirs") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id AS k, id % 97 AS v " +
+      "FROM range(0, 4000)")
+    val head0 = Versioned.latestVersion(s"$wh/t")
+    // retrofit the min/max index: NO new version, pruning immediate
+    assert(spark.sql(s"CALL $cat.system.index(`table` => 't', " +
+      "cols => 'k')").head.getInt(0) >= 1)
+    assert(Versioned.latestVersion(s"$wh/t") == head0,
+      "an index build must not publish a commit")
+    GraftCatalog.lastVersionedScan.set(("", -1, -1))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t " +
+      "WHERE k >= 0 AND k <= 50").head.getLong(0) == 51L)
+    val (p, read, tot) = GraftCatalog.lastVersionedScan.get()
+    assert(p == s"$wh/t" && read < tot && read > 0,
+      s"retrofitted stats must prune, got ($p, $read, $tot)")
+    // bloom retrofit: the point lookup takes the bloom path (tried
+    // before stats) and skips files that provably lack the key
+    assert(spark.sql(s"CALL $cat.system.bloom_index(`table` => 't', " +
+      "column => 'k')").head.getInt(0) >= 1)
+    assert(Versioned.latestVersion(s"$wh/t") == head0)
+    GraftCatalog.lastVersionedScan.set(("", -1, -1))
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 42")
+      .head.getLong(0) == 42L % 97)
+    val (p2, read2, tot2) = GraftCatalog.lastVersionedScan.get()
+    assert(p2 == s"$wh/t" && read2 < tot2 && read2 > 0,
+      s"retrofitted bloom must prune, got ($p2, $read2, $tot2)")
+  }
+
+  test("optimistic concurrency through SQL: racing INSERTs all land, none lost") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.race (w INT, i INT)")
+    // two writers race 6 commits each through the SQL front door; the
+    // manifest create-exclusive loop retries losers against the new
+    // head — every batch must land exactly once, in SOME order
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try (0 until 6).foreach(i =>
+          spark.sql(s"INSERT INTO $cat.race VALUES ($w, $i)"))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing SQL INSERT failed: ${errs.peek()}")
+    // 13 manifests (create + 12 inserts), 12 rows, both writers whole
+    assert(Versioned.latestVersion(s"$wh/race") == 12)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.race")
+      .head.getLong(0) == 12L)
+    assert(spark.sql(s"SELECT w, count(*) AS n FROM $cat.race " +
+      "GROUP BY w ORDER BY w").collect().map(_.getLong(1)).toSeq ==
+      Seq(6L, 6L))
   }
 
   test("namespaces: USE / SHOW / CREATE NAMESPACE / CTAS into it / guarded DROP") {

@@ -385,6 +385,81 @@ class VersionedSpec extends SparkSpec {
     assert(d0b.count() == want0)
   }
 
+  test("bloom-indexed commits: point lookups skip files; appends and mixed indexes stay sound") {
+    val path = tmpTable()
+    // v0: keys hash-spread over 8 files — min/max cannot prune this
+    // layout, the per-file bloom can
+    assert(Versioned.commitBloomIndexed((1L to 4000L)
+      .map(i => (i, i % 13)).toDF("k", "v").repartition(8, col("k")),
+      path, "k", expectedPerFile = 1000L, overwrite = false) == 0)
+    val (d0, k0, t0) = Versioned.readEqualityClustered(
+      spark, path, "k", 42L)
+    assert(t0 == 8 && k0 < t0 && k0 > 0,
+      s"v0 read $k0 of $t0 files — no bloom skipping")
+    assert(d0.as[(Long, Long)].collect().toSeq == Seq((42L, 42L % 13)))
+    // v1: plain append — its un-indexed dir keeps every file, rows
+    // from both dirs surface
+    Versioned.commit(Seq((42L, 99L)).toDF("k", "v"), path,
+      overwrite = false)
+    val (d1, k1, t1) = Versioned.readEqualityClustered(
+      spark, path, "k", 42L)
+    assert(t1 > t0 && k1 > k0, s"plain dir files must all stay: $k1/$t1")
+    assert(d1.as[(Long, Long)].collect().toSet ==
+      Set((42L, 42L % 13), (42L, 99L)))
+    // an absent key reads ZERO files (bloom: definitely not here) but
+    // still returns an empty frame with the right schema
+    val (dAbsent, kAbsent, _) = Versioned.readEqualityClustered(
+      spark, path, "k", -7L)
+    assert(dAbsent.count() == 0 && kAbsent <= 1 + 1,
+      s"absent key read $kAbsent files") // ≤ fp allowance + plain dir
+  }
+
+  test("stats prune is column-tolerant: a sidecar indexing OTHER columns counts as un-indexed") {
+    val path = tmpTable()
+    // v0 indexes x; v1 indexes y — a range read on x must prune v0's
+    // dir on its sidecar and keep ALL of v1's files (its sidecar has
+    // no lo_x/hi_x: un-indexed for x, not an error)
+    Versioned.commitIndexed((0 until 2000).map(i =>
+      (i.toLong, i.toLong, (i * 3L) % 100)).toDF("id", "x", "y")
+      .repartitionByRange(4, col("x")), path, Seq("x"),
+      overwrite = false)
+    Versioned.commitIndexed((0 until 1000).map(i =>
+      (10000L + i, 5L, i.toLong)).toDF("id", "x", "y")
+      .repartitionByRange(4, col("y")), path, Seq("y"),
+      overwrite = false)
+    val (df, kept, total) = Versioned.readRangeClustered(
+      spark, path, "x", 0, 99)
+    assert(total == 8 && kept == 1 + 4,
+      s"expected 1 x-pruned + 4 unpruned files, kept $kept of $total")
+    assert(df.count() == 100 + 1000) // x∈[0,99] of v0 + all of v1 (x=5)
+  }
+
+  test("dropConstraint: exact-text metadata commit, loud when absent, gate provably gone") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "v"), path,
+      overwrite = false) // v0
+    assert(Versioned.addConstraint(spark, path, "v >= 0") == 1)
+    intercept[Exception] {
+      Versioned.commit(Seq((2L, -1L)).toDF("k", "v"), path,
+        overwrite = false) }
+    // wrong text: loud, names the live ledger
+    val e = intercept[IllegalArgumentException] {
+      Versioned.dropConstraint(path, "v > 0") }
+    assert(e.getMessage.contains("no constraint") &&
+      e.getMessage.contains("v >= 0"))
+    // whitespace-trimmed exact text drops; constraint ledger empties
+    assert(Versioned.dropConstraint(path, "  v >= 0  ") == 2)
+    assert(Versioned.constraints(path).isEmpty)
+    assert(Versioned.history(spark, path)
+      .filter(col("version") === 2).head.getAs[String]("mode") == "meta")
+    // the previously-rejected commit now lands
+    Versioned.commit(Seq((2L, -1L)).toDF("k", "v"), path,
+      overwrite = false)
+    assert(Versioned.read(spark, path).count() == 2)
+    // history below the drop still shows the constraint it enforced
+    assert(Versioned.constraints(path, Some(1)) == Seq("v >= 0"))
+  }
+
   test("commitTxn rejects tokens outside the manifest-safe charset") {
     val path = tmpTable()
     // a quote or backslash in the token would be interpolated raw
