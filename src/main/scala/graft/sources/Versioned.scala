@@ -1116,19 +1116,30 @@ object Versioned {
     (df, kept.size, total)
   }
 
+  /** An INDEX read must never fail a read that can proceed
+    * un-indexed: a sidecar mid-rebuild ([[buildStatsIndex]] mutates
+    * published dirs with a small overwrite window), truncated, or
+    * otherwise unreadable degrades to "un-indexed — keep every file"
+    * (always sound; pruning is an optimization). */
+  private def pruneOrKeepAll(f: => Option[(Seq[String], Int)])
+      : Option[(Seq[String], Int)] =
+    try f catch { case scala.util.control.NonFatal(_) => None }
+
   /** Per-dir min/max prune, column-tolerant: a dir whose stats
     * sidecar indexes OTHER columns (e.g. a later [[commitIndexed]] on
     * a different key) counts as un-indexed for `cPhys` instead of
     * erroring — one sidecar footer read decides. */
   private def statsPruneDir(spark: SparkSession, dir: String,
-      cPhys: String, lo: Double, hi: Double): Option[(Seq[String], Int)] = {
-    if (!Files.isDirectory(Paths.get(Clustered.statsPath(dir))))
-      return None
-    val names = spark.read.parquet(Clustered.statsPath(dir))
-      .schema.fieldNames.toSet
-    if (!names("lo_" + cPhys) || !names("hi_" + cPhys)) return None
-    Some(Clustered.pruneRange(spark, dir, cPhys, lo, hi))
-  }
+      cPhys: String, lo: Double, hi: Double): Option[(Seq[String], Int)] =
+    pruneOrKeepAll {
+      if (!Files.isDirectory(Paths.get(Clustered.statsPath(dir)))) None
+      else {
+        val names = spark.read.parquet(Clustered.statsPath(dir))
+          .schema.fieldNames.toSet
+        if (!names("lo_" + cPhys) || !names("hi_" + cPhys)) None
+        else Some(Clustered.pruneRange(spark, dir, cPhys, lo, hi))
+      }
+    }
 
   /** Snapshot read WITH file skipping: per data dir prune on its own
     * min/max sidecar when one indexes `c` ([[Clustered.pruneRange]] —
@@ -1160,13 +1171,88 @@ object Versioned {
       version: Option[Int] = None): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit}
     sidecarPrunedRead(spark, path, version,
-      (dir, m) => {
+      (dir, m) => pruneOrKeepAll {
         val cPhys = m.physOf(c)
         if (Files.isDirectory(Paths.get(Clustered.bloomPath(dir, cPhys))))
           Some(Clustered.pruneEquality(spark, dir, cPhys, value))
         else None
       },
       m => col(m.physOf(c)) === lit(value))
+  }
+
+  /** File accounting of the most recent bloom-pruned DML mask scan
+    * in this JVM: (table path, filesRead, filesTotal). Observability
+    * hook (the [[GraftCatalog.lastVersionedScan]] convention) so
+    * specs can gate `filesRead < filesTotal` — the GDPR-delete scan
+    * really skipped IO, not just planned differently. */
+  val lastDmlScan =
+    new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)](
+      ("", -1, -1))
+
+  /** The LIVE row set a row-level DML derives its mask from — with
+    * bloom file skipping when the predicate allows it: a top-level
+    * `k = literal` conjunct over a bloom-indexed column reads ONLY
+    * the files that might contain the key (no false negatives by
+    * construction — [[graft.ops.Bloom.hash64]] — so the mask provably
+    * covers every matching row; a missed file here would be a missed
+    * delete, which is exactly what the bloom's one-sided error makes
+    * impossible). The point-lookup DELETE/UPDATE — the GDPR erasure
+    * shape — stops scanning the whole table. Un-prunable predicates,
+    * hive-partitioned manifests, and un-indexed dirs fall back to the
+    * full [[readDirs]] scan. The existing DV mask overlays either
+    * way. */
+  private def dmlLiveRows(spark: SparkSession, path: String,
+      m: Manifest, predicate: Column): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val pruned: Option[DataFrame] =
+      if (m.partSpecs.nonEmpty) None
+      else org.apache.spark.sql.GraftBridge.topLevelEquality(predicate)
+        .flatMap { case (rawName, v) =>
+        // resolve the predicate's name against the schema (folded —
+        // Spark resolves case-insensitively) before the physical map
+        val stOpt = m.schemaDdl.map(StructType.fromDDL)
+        val logical = stOpt.flatMap(_.fields.map(_.name)
+          .find(n => foldName(n) == foldName(rawName)))
+          .getOrElse(rawName)
+        val cPhys = m.physOf(logical)
+        var kept = Vector.empty[String]
+        var total = 0
+        var anyIndexed = false
+        m.dataDirs.foreach { d =>
+          val dir = s"$path/data/$d"
+          val pruned =
+            if (Files.isDirectory(Paths.get(Clustered.bloomPath(dir, cPhys))))
+              pruneOrKeepAll(
+                Some(Clustered.pruneEquality(spark, dir, cPhys, v)))
+            else None
+          pruned match {
+            case Some((k, t)) =>
+              anyIndexed = true
+              kept ++= k; total += t
+            case None =>
+              val fs = listDataFiles(dir)
+              kept ++= fs; total += fs.size
+          }
+        }
+        if (!anyIndexed) None
+        else {
+          lastDmlScan.set((path, kept.size, total))
+          val physOpt = stOpt.map(physStruct(m, _))
+          val reader = physOpt match {
+            case Some(st) => spark.read.schema(st)
+            case None => spark.read
+          }
+          val raw =
+            if (kept.nonEmpty) reader.parquet(kept: _*)
+            else reader.parquet(m.dataDirs.map(d => s"$path/data/$d"): _*)
+              .filter(org.apache.spark.sql.functions.lit(false))
+          val withIds = withRowId(raw)
+          Some(stOpt.map(toLogical(m, _, withIds,
+            Seq("__dv_rel", "__dv_pos"))).getOrElse(withIds))
+        }
+      }
+    maskByPos(spark, path, m.dvDirs, pruned.getOrElse(
+      readDirs(spark, path, m, m.dataDirs, withIds = true)))
   }
 
   /** Whether `v`'s snapshot carries a usable file-skipping sidecar
@@ -1188,11 +1274,14 @@ object Versioned {
         case "bloom" =>
           Files.isDirectory(Paths.get(Clustered.bloomPath(dir, cPhys)))
         case _ =>
-          Files.isDirectory(Paths.get(Clustered.statsPath(dir))) && {
-            val names = spark.read.parquet(Clustered.statsPath(dir))
-              .schema.fieldNames.toSet
-            names("lo_" + cPhys) && names("hi_" + cPhys)
-          }
+          Files.isDirectory(Paths.get(Clustered.statsPath(dir))) &&
+            (try {
+              val names = spark.read.parquet(Clustered.statsPath(dir))
+                .schema.fieldNames.toSet
+              names("lo_" + cPhys) && names("hi_" + cPhys)
+            } catch { // mid-rebuild sidecar: plan as un-indexed
+              case scala.util.control.NonFatal(_) => false
+            })
       }
     }
   }
@@ -1306,7 +1395,28 @@ object Versioned {
         readManifest(path, v).ts.exists(_ >= cutoffMillis)
     }.getOrElse(head)
     vacuum(path, retainFrom)
+    sweepStreamStage(path, cutoffMillis)
     retainFrom
+  }
+
+  /** Reclaim ORPHANED streaming stage dirs (`.stream_stage/<queryId>`
+    * — see [[graft.streaming.StreamTableSink]]): a crashed query's
+    * last staged epoch is cleaned by its own next successful epoch,
+    * but a query that never restarts leaks one. Age-guarded by the
+    * NEWEST mtime under the query dir — a LIVE query's stage turns
+    * over within seconds, so a vacuum cutoff (days-scale, behind the
+    * retention guard) can never race an in-flight epoch. */
+  private def sweepStreamStage(path: String, cutoffMillis: Long): Unit = {
+    val root = Paths.get(path, ".stream_stage")
+    if (!Files.isDirectory(root)) return
+    eachEntry(root) { q =>
+      var newest = 0L
+      val w = Files.walk(q)
+      try w.forEach(p => newest = math.max(newest,
+        Files.getLastModifiedTime(p).toMillis))
+      finally w.close()
+      if (newest < cutoffMillis) dropDirRec(q)
+    }
   }
 
   /** Drop data dirs unreferenced by any manifest ≥ `retainFrom`
@@ -2527,9 +2637,9 @@ object Versioned {
       // ONE distributed job stages the mask: the base snapshot with
       // the EXISTING mask applied (already-deleted rows must not be
       // re-masked and double-counted), filtered to matches, reduced
-      // to (rel, pos) row ids
-      val live = maskByPos(spark, path, m.dvDirs,
-        readDirs(spark, path, m, m.dataDirs, withIds = true))
+      // to (rel, pos) row ids — bloom-pruned to candidate files when
+      // the predicate carries an indexed point lookup (dmlLiveRows)
+      val live = dmlLiveRows(spark, path, m, predicate)
       val dvId = java.util.UUID.randomUUID().toString
       live.filter(hit)
         .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
@@ -2691,9 +2801,9 @@ object Versioned {
       }.toMap
       val hit = coalesce(predicate, lit(false)) // NULL keeps the row
       // stage the mask: live matching rows reduced to (rel, pos) —
-      // identical first job to [[deleteWhereDV]]
-      val live = maskByPos(spark, path, m.dvDirs,
-        readDirs(spark, path, m, m.dataDirs, withIds = true))
+      // identical first job to [[deleteWhereDV]], bloom-pruned the
+      // same way
+      val live = dmlLiveRows(spark, path, m, predicate)
       val dvId = java.util.UUID.randomUUID().toString
       live.filter(hit)
         .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))

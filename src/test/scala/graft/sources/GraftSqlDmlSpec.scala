@@ -657,6 +657,15 @@ class GraftSqlDmlSpec extends SparkSpec {
       .head.getLong(0) == (1L to 4000L).count(_ % 13 == 5))
     assert(GraftCatalog.lastVersionedScan.get()._2 == -1,
       "an un-indexed predicate must not claim skip accounting")
+    // SQL DML rides the same bloom prune: the GDPR point DELETE's
+    // mask-building scan reads only candidate files
+    Versioned.lastDmlScan.set(("", -1, -1))
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 43")
+    val (pd, readD, totD) = Versioned.lastDmlScan.get()
+    assert(pd == path && readD < totD && readD > 0,
+      s"SQL DELETE mask scan must bloom-prune, got ($pd, $readD, $totD)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE k = 43")
+      .head.getLong(0) == 0L)
   }
 
   test("CALL index + bloom_index: in-place sidecar builds retrofit skipping onto existing dirs") {

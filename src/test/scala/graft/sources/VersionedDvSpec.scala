@@ -220,6 +220,46 @@ class VersionedDvSpec extends SparkSpec {
     } finally Versioned.prePublishHook = () => ()
   }
 
+  test("point-lookup DML prunes the mask scan on the bloom sidecar; soundness across mixed dirs") {
+    val path = tmpTable()
+    // v0: bloom-indexed, keys hash-spread over 8 files
+    Versioned.commitBloomIndexed((1L to 4000L).map(i => (i, i % 13))
+      .toDF("k", "v").repartition(8, col("k")), path, "k",
+      expectedPerFile = 1000L, overwrite = false)
+    // v1: a PLAIN append also carrying k=42 — un-indexed dirs keep
+    // every file, so the pruned mask MUST still cover this row
+    Versioned.commit(Seq((42L, 99L)).toDF("k", "v"), path,
+      overwrite = false)
+    Versioned.lastDmlScan.set(("", -1, -1))
+    val r = Versioned.deleteWhereDV(spark, path, col("k") === 42L)
+    val (p, read, tot) = Versioned.lastDmlScan.get()
+    assert(p == path && read < tot && read > 0,
+      s"expected a bloom-pruned mask scan, got ($p, $read, $tot)")
+    assert(r.deletedRows == 2L, s"both k=42 rows (indexed dir + plain " +
+      s"append) must mask, got ${r.deletedRows}")
+    assert(Versioned.read(spark, path).filter(col("k") === 42L)
+      .count() == 0)
+    assert(Versioned.read(spark, path).count() == 4000L + 1L - 2L)
+    // an equality under OR must NOT prune (it does not bound the
+    // matching files) — the full-scan fallback still deletes exactly
+    Versioned.lastDmlScan.set(("", -1, -1))
+    val r2 = Versioned.deleteWhereDV(spark, path,
+      col("k") === 7L || col("v") === 12L)
+    assert(Versioned.lastDmlScan.get()._2 == -1,
+      "an OR-guarded equality must not claim the pruned path")
+    assert(r2.deletedRows ==
+      (1L to 4000L).count(i => i != 42L && (i == 7L || i % 13 == 12L)))
+    // UPDATE rides the same pruned scan: post-image lands, accounting set
+    Versioned.lastDmlScan.set(("", -1, -1))
+    val r3 = Versioned.updateWhereDV(spark, path, col("k") === 100L,
+      Seq("v" -> lit(777L)))
+    assert(Versioned.lastDmlScan.get()._2 > 0 &&
+      Versioned.lastDmlScan.get()._2 < Versioned.lastDmlScan.get()._3)
+    assert(r3.deletedRows == 1L)
+    assert(Versioned.read(spark, path).filter(col("k") === 100L)
+      .select("v").head.getLong(0) == 777L)
+  }
+
   test("clone of a masked table: zero-copy mask, repair writes the masked birth feed") {
     val src = tmpTable()
     val dst = tmpTable() + "/clone"

@@ -460,6 +460,71 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.constraints(path, Some(1)) == Seq("v >= 0"))
   }
 
+  test("a corrupt/mid-rebuild sidecar degrades to un-indexed — reads keep all files, never fail") {
+    val path = tmpTable()
+    Versioned.commitIndexed((0 until 1000).map(i => (i.toLong, i.toLong))
+      .toDF("id", "x").repartitionByRange(4, col("x")), path, Seq("x"),
+      overwrite = false)
+    // healthy index prunes
+    val (_, k0, t0) = Versioned.readRangeClustered(spark, path, "x", 0, 99)
+    assert(k0 < t0)
+    // clobber the sidecar with garbage bytes (the mid-rebuild /
+    // truncated-upload shape): the read must fall back to keep-all,
+    // not throw — pruning is an optimization, never a correctness gate
+    val dir = s"$path/data/${Versioned.dataDirIds(path, 0).head}"
+    val sp = java.nio.file.Paths.get(Clustered.statsPath(dir))
+    java.nio.file.Files.walk(sp).sorted(
+      java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    java.nio.file.Files.createDirectories(sp)
+    java.nio.file.Files.write(sp.resolve("part-junk.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    val (df1, k1, t1) = Versioned.readRangeClustered(spark, path, "x", 0, 99)
+    assert(k1 == t1, s"corrupt sidecar must keep all files ($k1/$t1)")
+    assert(df1.count() == 100)
+    // bloom twin: garbage bloom sidecar also degrades to keep-all
+    val bp = java.nio.file.Paths.get(Clustered.bloomPath(dir, "id"))
+    java.nio.file.Files.createDirectories(bp)
+    java.nio.file.Files.write(bp.resolve("part-junk.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    val (df2, k2, t2) = Versioned.readEqualityClustered(
+      spark, path, "id", 42L)
+    assert(k2 == t2, s"corrupt bloom must keep all files ($k2/$t2)")
+    assert(df2.count() == 1)
+  }
+
+  test("vacuum reclaims orphaned streaming stage dirs by age; a live query's stage survives") {
+    val path = tmpTable()
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "v"), path,
+      overwrite = false)
+    val stage = java.nio.file.Paths.get(path, ".stream_stage")
+    // an ORPHAN: a crashed query's staged epoch, mtimes in the past
+    val orphan = stage.resolve("dead-query/e3")
+    java.nio.file.Files.createDirectories(orphan)
+    val f = orphan.resolve("part-0-1.parquet")
+    java.nio.file.Files.writeString(f, "x")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    Seq(stage.resolve("dead-query"), orphan, f).foreach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    // a LIVE query's stage: fresh mtimes
+    val live = stage.resolve("live-query/e9")
+    java.nio.file.Files.createDirectories(live)
+    java.nio.file.Files.writeString(
+      live.resolve("part-0-2.parquet"), "y")
+    // cutoff = 7 days ago: the orphan (10d) goes, the live one stays
+    Versioned.vacuumOlderThan(path,
+      System.currentTimeMillis() - 7L * 24 * 3600 * 1000,
+      force = true)
+    assert(!java.nio.file.Files.exists(stage.resolve("dead-query")),
+      "10-day-old orphaned stage dir must be reclaimed")
+    assert(java.nio.file.Files.exists(
+      live.resolve("part-0-2.parquet")),
+      "a fresh (live) stage dir must survive the sweep")
+    // the table itself is untouched
+    assert(Versioned.read(spark, path).count() == 1)
+  }
+
   test("commitTxn rejects tokens outside the manifest-safe charset") {
     val path = tmpTable()
     // a quote or backslash in the token would be interpolated raw
