@@ -198,6 +198,8 @@ class GraftCatalog extends TableCatalog
         ident.name().toLowerCase(java.util.Locale.ROOT) match {
           case "history" =>
             return new HistorySqlTable(s"$parentName.history", parentPath)
+          case "files" =>
+            return new FilesSqlTable(s"$parentName.files", parentPath)
           case "changes" =>
             return new ChangesSqlTable(s"$parentName.changes",
               parentPath,
@@ -475,6 +477,32 @@ private[sources] final class HistorySqlTable(ident: String,
       : ScanBuilder =
     GraftCatalog.frameScan(historySchema, s"graft-history $path",
       spark => Versioned.history(spark, path))
+}
+
+/** `<table>.files` — the head snapshot's physical file inventory as
+  * a SQL table (one row per data file: dir id, dir-relative path,
+  * size, partition spec). The scan bridges to
+  * [[Versioned.filesDetail]]'s DISTRIBUTED listing RDD — files-sized
+  * output lists at cluster width, nothing collects on the driver. */
+private[sources] final class FilesSqlTable(ident: String, path: String)
+    extends Table with SupportsRead {
+  private val filesSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("dir_id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("size_bytes",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("part_spec",
+      org.apache.spark.sql.types.StringType)))
+  override def name(): String = ident
+  override def schema(): StructType = filesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    GraftCatalog.frameScan(filesSchema, s"graft-files $path",
+      spark => Versioned.filesDetail(spark, path))
 }
 
 /** `<table>.changes` — the STORED change-data feed as a SQL table:

@@ -1255,15 +1255,26 @@ object Versioned {
       readDirs(spark, path, m, m.dataDirs, withIds = true)))
   }
 
+  /** Planning-time memo for [[hasSkippingIndex]]'s stats-footer
+    * probe, keyed (sidecar dir, physical col, sidecar mtime): data
+    * dirs are immutable, but [[buildStatsIndex]] can REBUILD a
+    * sidecar in place — the mtime key makes a rebuild a fresh entry
+    * instead of a stale answer. Without this, EVERY SQL read of a
+    * stats-indexed table would re-read the index footer at planning
+    * time (per query, per pushed column) — noise locally, a real
+    * planning tax on a 10⁶-file table. */
+  private val statsIndexMemo = new java.util.concurrent
+    .ConcurrentHashMap[(String, String, Long), java.lang.Boolean]()
+
   /** Whether `v`'s snapshot carries a usable file-skipping sidecar
     * for logical column `c` — the SQL scan's PLANNING gate
     * ([[GraftCatalog]] consults it before routing a pushed filter
     * through the sidecar read paths). `kind` is "stats" or "bloom".
     * Cheap on purpose: directory existence checks plus at most one
-    * sidecar footer, no data IO. Manifests with hive-partitioned dirs
-    * return false — those dirs' files live under partition subdirs
-    * the flat sidecar listing does not see, and the partition-pruned
-    * read path covers them instead. */
+    * memoized sidecar footer, no data IO. Manifests with
+    * hive-partitioned dirs return false — those dirs' files live
+    * under partition subdirs the flat sidecar listing does not see,
+    * and the partition-pruned read path covers them instead. */
   def hasSkippingIndex(spark: SparkSession, path: String, v: Int,
       c: String, kind: String): Boolean = {
     val m = readManifest(path, v)
@@ -1274,14 +1285,21 @@ object Versioned {
         case "bloom" =>
           Files.isDirectory(Paths.get(Clustered.bloomPath(dir, cPhys)))
         case _ =>
-          Files.isDirectory(Paths.get(Clustered.statsPath(dir))) &&
-            (try {
-              val names = spark.read.parquet(Clustered.statsPath(dir))
-                .schema.fieldNames.toSet
-              names("lo_" + cPhys) && names("hi_" + cPhys)
-            } catch { // mid-rebuild sidecar: plan as un-indexed
-              case scala.util.control.NonFatal(_) => false
-            })
+          val sp = Paths.get(Clustered.statsPath(dir))
+          Files.isDirectory(sp) && {
+            val mtime =
+              try Files.getLastModifiedTime(sp).toMillis
+              catch { case scala.util.control.NonFatal(_) => -1L }
+            statsIndexMemo.computeIfAbsent(
+              (sp.toString, cPhys, mtime),
+              _ => try {
+                val names = spark.read.parquet(Clustered.statsPath(dir))
+                  .schema.fieldNames.toSet
+                names("lo_" + cPhys) && names("hi_" + cPhys)
+              } catch { // mid-rebuild sidecar: plan as un-indexed
+                case scala.util.control.NonFatal(_) => false
+              })
+          }
       }
     }
   }
@@ -2890,6 +2908,46 @@ object Versioned {
     * reference instead of rewriting them). */
   def dataDirIds(path: String, v: Int): Seq[String] =
     readManifest(path, v).dataDirs
+
+  /** `<table>.files` — one row per physical data FILE of the head
+    * snapshot (dir id, dir-relative file path, size, the dir's
+    * partition spec if any). The listing is DISTRIBUTED: the
+    * manifest's dir list parallelizes across executors and each task
+    * walks its dirs, so a 10⁶-file table lists at cluster width and
+    * the driver never materializes the file list (unlike `.history`,
+    * this table is files-sized by definition — the scan shape must
+    * scale with it). Sidecar tables (`_graft_*`) and hidden files
+    * are excluded; hive-partitioned dirs list their nested files.
+    * Local filesystem walk here — an HDFS/object-store deployment
+    * swaps in FileSystem.listStatus, same contract as every listing
+    * in this format. */
+  def filesDetail(spark: SparkSession, path: String): DataFrame = {
+    val head = latestVersion(path)
+    require(head >= 0, s"versioned files: no committed version at $path")
+    val m = readManifest(path, head)
+    import spark.implicits._
+    val dirs = m.dataDirs.map(d =>
+      (d, s"$path/data/$d", m.partSpecs.getOrElse(d, "")))
+    spark.sparkContext
+      .parallelize(dirs, math.max(1, math.min(dirs.size, 64)))
+      .flatMap { case (id, dir, spec) =>
+        val root = java.nio.file.Paths.get(dir)
+        if (!java.nio.file.Files.isDirectory(root)) Iterator.empty
+        else {
+          val w = java.nio.file.Files.walk(root)
+          try w.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            java.nio.file.Files.isRegularFile(p) &&
+              n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith(".") &&
+              !root.relativize(p).toString.contains("_graft_")
+          }.map(p => (id, root.relativize(p).toString,
+            java.nio.file.Files.size(p), spec))
+            .toVector.iterator // materialize before the stream closes
+          finally w.close()
+        }
+      }.toDF("dir_id", "file", "size_bytes", "part_spec")
+  }
 
   /** SHALLOW CLONE (zero-copy table fork): materialize `srcPath`'s
     * head snapshot as a brand-new independent table at `dstPath` —

@@ -668,6 +668,46 @@ class GraftSqlDmlSpec extends SparkSpec {
       .head.getLong(0) == 0L)
   }
 
+  test("<t>.files inventories physical files: sidecars excluded, hive dirs nested, sizes real") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    // dir 0: hive-partitioned (nested files, spec recorded); dir 1:
+    // clustered (carries a _graft_stats sidecar that must NOT list)
+    Versioned.commitPartitioned(Seq((1L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("k", "d"), path, "d", overwrite = false)
+    Versioned.commitClustered((10L to 200L).map(i => (i, i % 9))
+      .toDF("k", "n").withColumn("d", lit("z")), path, "k", "n",
+      files = 4, overwrite = false)
+    val cat = freshCat(wh)
+    val rows = spark.sql(s"SELECT dir_id, file, size_bytes, part_spec " +
+      s"FROM $cat.t.files").collect()
+    val dirIds = Versioned.dataDirIds(path, 1).toSet
+    assert(rows.map(_.getString(0)).toSet == dirIds)
+    assert(rows.forall(_.getLong(2) > 0), "every file carries its size")
+    assert(!rows.exists(_.getString(1).contains("_graft_")),
+      "sidecar tables must not appear in the inventory")
+    // the partitioned dir's files nest under their hive value dirs
+    val parted = rows.filter(_.getString(3) == "d")
+    assert(parted.nonEmpty && parted.forall(_.getString(1).contains("=")),
+      s"hive files must list nested: ${parted.map(_.getString(1)).toSeq}")
+    // the clustered dir contributes its 4 z-ordered part files
+    assert(rows.count(_.getString(3) == "") == 4)
+    // total bytes match an independent filesystem walk
+    import scala.jdk.CollectionConverters._
+    val fsBytes = dirIds.toSeq.map { d =>
+      val root = java.nio.file.Paths.get(path, "data", d)
+      val w = java.nio.file.Files.walk(root)
+      try w.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".") &&
+          !root.relativize(p).toString.contains("_graft_")
+      }.map(p => java.nio.file.Files.size(p)).sum
+      finally w.close()
+    }.sum
+    assert(rows.map(_.getLong(2)).sum == fsBytes)
+  }
+
   test("CALL index + bloom_index: in-place sidecar builds retrofit skipping onto existing dirs") {
     val wh = freshWarehouse()
     val cat = freshCat(wh)
