@@ -171,6 +171,18 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
+    // Prefix-proof summary channel: the stdout line below still rides
+    // whatever launcher wraps this main (sbt prepends "[info] ", which
+    // has defeated the driver's line parser every round) — so the
+    // IDENTICAL summary JSON also lands as its own small file, where
+    // no stream prefix or capture window can touch it.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_SUMMARY", "BENCH_summary.json")),
+      summary + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] summary write failed: ${e.getMessage}")
+    }
     spark.stop()
     // summary LAST — after spark.stop() — so no end-of-run logger can
     // interleave into the driver's tail capture behind it

@@ -170,10 +170,13 @@ object GraftProcedures {
       Seq(in("table", StringType), in("c1", StringType),
         in("c2", StringType), inDefault("files", IntegerType, "4")),
       (spark, path, input) => {
-        val p = path(str(input, 0))
-        val v = Versioned.commitClustered(Versioned.read(spark, p), p,
-          str(input, 1), str(input, 2), input.getInt(3),
-          overwrite = true)
+        // clusterRewrite, not a bare read+commitClustered: the rewrite
+        // republishes the snapshot it READ, so it must carry the
+        // derive-from-head precondition — a concurrent INSERT landing
+        // between the read and the publish re-derives instead of
+        // being silently dropped from the new head
+        val v = Versioned.clusterRewrite(spark, path(str(input, 0)),
+          str(input, 1), str(input, 2), input.getInt(3))
         outRow(versionOut, Seq(v))
       }))
 

@@ -1256,15 +1256,24 @@ object Versioned {
   }
 
   /** Planning-time memo for [[hasSkippingIndex]]'s stats-footer
-    * probe, keyed (sidecar dir, physical col, sidecar mtime): data
-    * dirs are immutable, but [[buildStatsIndex]] can REBUILD a
-    * sidecar in place — the mtime key makes a rebuild a fresh entry
-    * instead of a stale answer. Without this, EVERY SQL read of a
-    * stats-indexed table would re-read the index footer at planning
-    * time (per query, per pushed column) — noise locally, a real
-    * planning tax on a 10⁶-file table. */
+    * probe, keyed (sidecar dir, physical col) and VALUED with the
+    * sidecar mtime it was computed at: data dirs are immutable, but
+    * [[buildStatsIndex]] can REBUILD a sidecar in place — an mtime
+    * mismatch recomputes and REPLACES the entry, so a rebuild can
+    * never serve a stale answer and stale generations never
+    * accumulate (the r14 shape keyed ON the mtime, which made every
+    * rebuild a fresh never-evicted entry — a slow leak in long-lived
+    * sessions). Entries for dropped/vacuumed tables still linger, so
+    * a size backstop clears the whole memo past a bound no healthy
+    * session reaches (it is a cache of one footer read — a clear
+    * costs one re-probe per live sidecar, never a wrong answer).
+    * Without the memo, EVERY SQL read of a stats-indexed table would
+    * re-read the index footer at planning time (per query, per
+    * pushed column) — noise locally, a real planning tax on a
+    * 10⁶-file table. */
   private val statsIndexMemo = new java.util.concurrent
-    .ConcurrentHashMap[(String, String, Long), java.lang.Boolean]()
+    .ConcurrentHashMap[(String, String), (Long, Boolean)]()
+  private val StatsIndexMemoCap = 1 << 16
 
   /** Whether `v`'s snapshot carries a usable file-skipping sidecar
     * for logical column `c` — the SQL scan's PLANNING gate
@@ -1290,15 +1299,23 @@ object Versioned {
             val mtime =
               try Files.getLastModifiedTime(sp).toMillis
               catch { case scala.util.control.NonFatal(_) => -1L }
-            statsIndexMemo.computeIfAbsent(
-              (sp.toString, cPhys, mtime),
-              _ => try {
-                val names = spark.read.parquet(Clustered.statsPath(dir))
-                  .schema.fieldNames.toSet
-                names("lo_" + cPhys) && names("hi_" + cPhys)
-              } catch { // mid-rebuild sidecar: plan as un-indexed
-                case scala.util.control.NonFatal(_) => false
-              })
+            val key = (sp.toString, cPhys)
+            statsIndexMemo.get(key) match {
+              case (`mtime`, ans) => ans
+              case _ =>
+                if (statsIndexMemo.size > StatsIndexMemoCap)
+                  statsIndexMemo.clear()
+                val ans = try {
+                  val names = spark.read
+                    .parquet(Clustered.statsPath(dir))
+                    .schema.fieldNames.toSet
+                  names("lo_" + cPhys) && names("hi_" + cPhys)
+                } catch { // mid-rebuild sidecar: plan as un-indexed
+                  case scala.util.control.NonFatal(_) => false
+                }
+                statsIndexMemo.put(key, (mtime, ans))
+                ans
+            }
           }
       }
     }
@@ -1309,13 +1326,64 @@ object Versioned {
     * dir per commit (the small-file problem in ledger form), and a
     * long dataDirs list slows every snapshot read. History is
     * untouched: pre-compaction versions still time-travel until
-    * [[vacuum]] reclaims them; concurrent committers race the
-    * compacted commit exactly like any other (loser retries). Returns
-    * the compacted version. */
+    * [[vacuum]] reclaims them. Returns the compacted version.
+    *
+    * Concurrency: a compaction is a read-modify-write (it republishes
+    * the snapshot it READ), so it runs under the same optimistic
+    * precondition as [[merge]] ([[commitIfBase]] — the head must
+    * still be the version the rewrite was derived from): a concurrent
+    * INSERT landing between the read and the publish fails the
+    * precondition and the compaction re-reads the NEW head and
+    * re-compacts, instead of silently dropping the append from the
+    * republished snapshot (the lost-update every naive OPTIMIZE
+    * implementation ships with). */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Int =
-    commitCore(read(spark, path).coalesce(targetFiles), path,
-      overwrite = true, txn = None, expectedBase = None,
-      modeOverride = Some("compact")).get
+    rewriteHead(spark, path, "compact", (df, base) =>
+      commitCore(df.coalesce(targetFiles), path, overwrite = true,
+        txn = None, expectedBase = Some(base),
+        modeOverride = Some("compact")))
+
+  /** OPTIMIZE ZORDER as a head rewrite — [[commitClustered]] of the
+    * CURRENT snapshot under the same derive-from-head optimistic
+    * precondition as [[compact]]: a concurrent append landing inside
+    * the read→publish window re-derives instead of being dropped.
+    * (The raw [[commitClustered]] stays precondition-free on purpose:
+    * its `df` is caller-supplied NEW content, where last-writer-wins
+    * overwrite is the intended semantics.) Returns the clustered
+    * version; the `CALL <cat>.system.cluster` verb routes here. */
+  def clusterRewrite(spark: SparkSession, path: String, c1: String,
+      c2: String, files: Int): Int =
+    rewriteHead(spark, path, "clusterRewrite", (df, base) =>
+      commitCore(df, path, overwrite = true, txn = None,
+        expectedBase = Some(base),
+        stage = (dataDir, pdf, phys) => {
+          Clustered.clusteredFrame(pdf, phys(c1), phys(c2), files)
+            .write.mode("errorifexists").parquet(dataDir)
+          Clustered.writeStats(pdf.sparkSession, dataDir,
+            Seq(phys(c1), phys(c2)))
+        },
+        modeOverride = Some("cluster")))
+
+  /** The shared read-head → rewrite → publish-if-base loop behind
+    * [[compact]] and [[clusterRewrite]]: `attemptCommit` receives the
+    * pinned base snapshot and its version and returns None on a lost
+    * race (some other commit moved the head), upon which the rewrite
+    * re-derives from the new head. */
+  private def rewriteHead(spark: SparkSession, path: String,
+      what: String, attemptCommit: (DataFrame, Int) => Option[Int]): Int = {
+    var attempt = 0
+    while (true) {
+      require(attempt < 50, s"versioned $what: 50 lost races at $path")
+      attempt += 1
+      val base = latestVersion(path)
+      require(base >= 0, s"versioned $what: no committed version at $path")
+      attemptCommit(read(spark, path, Some(base)), base) match {
+        case Some(v) => return v
+        case None => () // head moved under the rewrite: re-derive
+      }
+    }
+    -1 // unreachable
+  }
 
   /** RESTORE — rollback-as-a-commit (Delta RESTORE semantics): the
     * head becomes version `v`'s content again by publishing a NEW
@@ -1413,7 +1481,14 @@ object Versioned {
         readManifest(path, v).ts.exists(_ >= cutoffMillis)
     }.getOrElse(head)
     vacuum(path, retainFrom)
-    sweepStreamStage(path, cutoffMillis)
+    // the stream-stage sweep cutoff CLAMPS to the retention floor even
+    // under force: force overrides the HISTORY guard (the operator
+    // owns pinned readers), but a near-now cutoff must never reach the
+    // stage sweep — a live streaming query's staged epoch sits there
+    // between executor staging and the driver's commit re-read, and
+    // deleting it fails the in-flight epoch with FileNotFound
+    sweepStreamStage(path, math.min(cutoffMillis,
+      System.currentTimeMillis() - minRetentionMillis))
     retainFrom
   }
 

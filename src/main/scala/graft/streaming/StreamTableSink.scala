@@ -87,14 +87,26 @@ object StreamTableSink {
 
   /** Executor-side epoch staging: one parquet part per task, written
     * through Spark's own WriteSupport (no UnsafeRow copies leak:
-    * ParquetWriteSupport reads fields positionally per row). */
+    * ParquetWriteSupport reads fields positionally per row).
+    *
+    * File names carry a per-RUN salt beside the partition/task ids:
+    * task ids restart from 0 in a new application, so a crash-replayed
+    * epoch could otherwise collide with the crashed run's leftover
+    * part file in the same `e<epochId>` dir — and ParquetWriter's
+    * CREATE mode would throw, burning task retries before the replay
+    * lands. The salt is drawn once on the driver (the factory is
+    * constructed there and serialized to executors), so within one
+    * run the partition/task ids keep retried tasks apart exactly as
+    * before. */
   private[streaming] final class StageWriterFactory(stageRoot: String,
       schema: StructType) extends StreamingDataWriterFactory {
+    private val runSalt: String =
+      java.util.UUID.randomUUID().toString.take(8)
     override def createWriter(partitionId: Int, taskId: Long,
         epochId: Long): DataWriter[InternalRow] = {
       val dir = s"$stageRoot/e$epochId"
       Files.createDirectories(Paths.get(dir))
-      val file = s"$dir/part-$partitionId-$taskId.parquet"
+      val file = s"$dir/part-$partitionId-$taskId-$runSalt.parquet"
       new DataWriter[InternalRow] {
         // builder subclass: the only public way to hand ParquetWriter
         // a custom WriteSupport
@@ -108,8 +120,12 @@ object StreamTableSink {
               .ParquetWriteSupport
         }
         private var n = 0L
+        // Path from the File's URI, not "file://$file" string concat:
+        // Hadoop parses the string as a URI, so a warehouse path
+        // carrying URI-significant characters (spaces, %, #) would be
+        // mangled; File.toURI percent-escapes them correctly.
         private lazy val writer = new B(
-          new org.apache.hadoop.fs.Path(s"file://$file"))
+          new org.apache.hadoop.fs.Path(new java.io.File(file).toURI))
           .withConf(writeConf(schema))
           .withCompressionCodec(org.apache.parquet.hadoop.metadata
             .CompressionCodecName.SNAPPY)

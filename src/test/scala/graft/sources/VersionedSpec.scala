@@ -247,6 +247,61 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, path, Some(2)).count() == 3)
   }
 
+  test("compact loses a racing append and re-derives — the append is never dropped") {
+    val path = tmpTable()
+    (1 to 3).foreach(i => Versioned.commit(
+      Seq((i.toLong, s"r$i")).toDF("k", "v"), path, overwrite = false))
+    // inject a concurrent APPEND inside compact's read→publish window:
+    // the rewrite derived from the pre-append head, so its publish
+    // must FAIL the precondition and re-derive — the old shape
+    // (expectedBase = None) published the stale snapshot at head+1,
+    // silently dropping the racer's row
+    var fired = false
+    Versioned.prePublishHook = () => {
+      if (!fired) {
+        fired = true
+        Versioned.commit(Seq((99L, "raced")).toDF("k", "v"), path,
+          overwrite = false): Unit
+      }
+    }
+    try {
+      val vc = Versioned.compact(spark, path, targetFiles = 1)
+      assert(fired, "race hook never fired")
+      assert(Versioned.read(spark, path, Some(vc)).as[(Long, String)]
+        .collect().toSet ==
+        ((1 to 3).map(i => (i.toLong, s"r$i")).toSet + ((99L, "raced"))),
+        "the racing append must survive the compaction")
+      assert(Versioned.readManifestDirCount(path, vc) == 1)
+    } finally Versioned.prePublishHook = () => ()
+  }
+
+  test("clusterRewrite (CALL cluster's engine path) loses a racing append and re-derives") {
+    val path = tmpTable()
+    Versioned.commit((1L to 100L).map(i => (i, i % 7)).toDF("a", "b"),
+      path, overwrite = false)
+    var fired = false
+    Versioned.prePublishHook = () => {
+      if (!fired) {
+        fired = true
+        Versioned.commit(Seq((999L, 999L)).toDF("a", "b"), path,
+          overwrite = false): Unit
+      }
+    }
+    try {
+      val vc = Versioned.clusterRewrite(spark, path, "a", "b", files = 2)
+      assert(fired, "race hook never fired")
+      val rows = Versioned.read(spark, path, Some(vc))
+        .as[(Long, Long)].collect().toSet
+      assert(rows.contains((999L, 999L)),
+        "the racing append must survive the cluster rewrite")
+      assert(rows.size == 101)
+      // the rewrite still carries its skipping index
+      val (_, read, tot) =
+        Versioned.readRangeClustered(spark, path, "a", 1, 5)
+      assert(read <= tot)
+    } finally Versioned.prePublishHook = () => ()
+  }
+
   test("restore republishes an old version's dirs: metadata-only, history intact, vacuum-safe") {
     val path = tmpTable()
     Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
