@@ -6621,6 +6621,56 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 289: MERGE WITH SCHEMA EVOLUTION driver-gated — the CDC-mirror
+    // idiom surviving upstream schema drift: the batch carries a
+    // column (`src`) the target was born without, and ONE statement
+    // lands it end-to-end — the analyzer's
+    // ResolveMergeIntoSchemaEvolution (unlocked by the table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability) diffs source vs target
+    // and routes the add through the engine's alterColumns METADATA
+    // commit (v1 'meta': zero data moved, history null-fills), then
+    // the merge itself lands merge-on-read (v2 'merge-dv'). The
+    // `evolved` flag gates the REAL evidence: the ledger's
+    // append→meta→merge-dv mode ladder plus v0's schema provably
+    // lacking the column. Oracle reconstructs the post-merge snapshot
+    // with `src` null-filled ('none') on untouched rows.
+    "q_sql_merge_evolve" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_mergevo"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        V.commit(ev, table, overwrite = false) // v0: no `src` column
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.sql_mergevo tgt
+          USING (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) * 2 AS vc,
+                   'upd' AS src
+            FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT event_id + 1000000000, 'evolved' AS event_type,
+                   CAST(round(value * 100) AS BIGINT) AS vc,
+                   'ins' AS src
+            FROM events WHERE event_type = 'click') s
+          ON tgt.event_id = s.event_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+      }
+      val modes = V.history(s, table).orderBy("version")
+        .select("mode").collect().map(_.getString(0)).toSeq // ≤3 rows
+      val evolved = modes == Seq("append", "meta", "merge-dv") &&
+        !V.schemaAt(s, table, 0).fieldNames.contains("src")
+      s.sql(s"""SELECT event_type, coalesce(src, 'none') AS src,
+            count(*) AS n_events,
+            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.sql_mergevo
+          GROUP BY event_type, coalesce(src, 'none')""")
+        .withColumn("evolved", lit(evolved))
+        .orderBy("event_type", "src")
+    }),
+
     // 281: SQL DELETE WHERE … IN (subquery) driver-gated — the GDPR
     // erasure shape, the loudest former limit of the DML front door:
     // the subplan (purchasing users with event_id % 10 = 0) executes
@@ -7640,6 +7690,22 @@ object SparkEntry {
              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
              CAST(2 AS INT) AS n_data_dirs, CAST(1 AS INT) AS n_dv_dirs
       FROM m GROUP BY event_type ORDER BY event_type""",
+    "q_sql_merge_evolve" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      m AS (SELECT event_type,
+                   CASE WHEN event_type = 'purchase' THEN 'upd'
+                        ELSE 'none' END AS src,
+                   CASE WHEN event_type = 'purchase' THEN vc * 2
+                        ELSE vc END AS vc
+            FROM ev
+            UNION ALL
+            SELECT 'evolved', 'ins', vc FROM ev
+            WHERE event_type = 'click')
+      SELECT event_type, src, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             TRUE AS evolved
+      FROM m GROUP BY event_type, src ORDER BY event_type, src""",
     "q_sql_delete_subq" -> """
       WITH del AS (SELECT DISTINCT user_id FROM events
                    WHERE event_type = 'purchase' AND event_id % 10 = 0),

@@ -341,9 +341,18 @@ class GraftCatalog extends TableCatalog
         require(del.fieldNames().length == 1,
           "GraftCatalog: nested DROP COLUMN is not supported")
         Versioned.ColumnOp.Drop(del.fieldNames()(0))
+      case upd: TableChange.UpdateColumnType =>
+        // `ALTER TABLE … ALTER COLUMN … TYPE` — and the analyzer's
+        // MERGE … WITH SCHEMA EVOLUTION when the source column is
+        // wider: lossless widenings are metadata commits (the guard
+        // lives in [[Versioned.ColumnOp.Widen]]); anything else is
+        // loudly rejected there
+        require(upd.fieldNames().length == 1,
+          "GraftCatalog: nested ALTER COLUMN TYPE is not supported")
+        Versioned.ColumnOp.Widen(upd.fieldNames()(0),
+          upd.newDataType().sql)
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change $other — " +
-          "type widening happens implicitly at data commits; " +
           "constraints via Versioned.addConstraint")
     }.toSeq
     Versioned.alterColumns(path, ops): Unit
@@ -412,9 +421,17 @@ private[sources] final class VersionedSqlTable(ident: String,
     // when the table declares the V1 capability. STREAMING_WRITE is
     // the real DSv2 streaming path (writeStream.toTable →
     // [[graft.streaming.StreamTableSink.VersionedStreamingWrite]]).
+    // AUTOMATIC_SCHEMA_EVOLUTION opts into the analyzer's
+    // ResolveMergeIntoSchemaEvolution for `MERGE … WITH SCHEMA
+    // EVOLUTION`: Spark diffs source vs target schema and routes the
+    // changes through [[GraftCatalog.alterTable]] — the engine's own
+    // guarded alterColumns/widening ledger — before resolving the
+    // merge, so the CDC-mirror idiom survives upstream schema drift
+    // with zero new commit machinery (see [[GraftSqlDml]]).
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =

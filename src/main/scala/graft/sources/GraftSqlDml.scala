@@ -45,13 +45,20 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * own In evaluation. Correlated EXISTS decorrelates when its
   * correlation is one outer = inner equality.
   *
+  * `MERGE … WITH SCHEMA EVOLUTION` is supported end-to-end: the
+  * table declares `AUTOMATIC_SCHEMA_EVOLUTION`, so the analyzer's
+  * ResolveMergeIntoSchemaEvolution diffs source vs target and lands
+  * source-only columns / lossless type widenings through
+  * [[GraftCatalog.alterTable]] → [[Versioned.alterColumns]] (ONE
+  * guarded metadata commit — null-filled history, fresh physical
+  * names, off-ladder drift loud) before the merge resolves.
+  *
   * Loud, documented limits (each throws with the workaround named):
   * correlated/multi-column IN, multi-equality EXISTS correlations,
   * scalar subqueries in SET values or MERGE clauses, nested-field
   * assignment, MERGE conditions that are not (target-column =
-  * source-expression) equalities plus source-only prefilters, MERGE
-  * clauses that reassign an ON key column, and `WITH SCHEMA
-  * EVOLUTION`.
+  * source-expression) equalities plus source-only prefilters, and
+  * MERGE clauses that reassign an ON key column.
   */
 object GraftSqlDml extends PredicateHelper {
 
@@ -276,10 +283,16 @@ object GraftSqlDml extends PredicateHelper {
         }) :: Nil
 
       case MergeIntoTable(VersionedRel(tOut, t), source, mergeCond,
-          matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
-        if (withSchemaEvolution)
-          unsupported("MERGE … WITH SCHEMA EVOLUTION",
-            "ALTER TABLE … ADD COLUMNS first, then MERGE")
+          matched, notMatched, notMatchedBySource, _) =>
+        // `WITH SCHEMA EVOLUTION` needs no handling HERE: the table
+        // declares AUTOMATIC_SCHEMA_EVOLUTION, so the analyzer's
+        // ResolveMergeIntoSchemaEvolution already diffed source vs
+        // target and landed source-only columns / type widenings
+        // through [[GraftCatalog.alterTable]] (one guarded
+        // alterColumns metadata commit — null-filled history, fresh
+        // physical names, off-ladder drift loud) BEFORE this plan
+        // arrived; tOut is the EVOLVED schema and mergeRun reads the
+        // post-alter head.
         GraftDmlExec(s"GraftMerge ${t.name()}",
           mergeRun(tOut, t, source, mergeCond, matched, notMatched,
             notMatchedBySource)) :: Nil

@@ -194,6 +194,24 @@ object Versioned {
   private def foldName(s: String): String =
     s.toLowerCase(java.util.Locale.ROOT)
 
+  /** The LOSSLESS widening ladder — the only type changes any path in
+    * this format accepts (implicit at data commits, explicit through
+    * [[ColumnOp.Widen]]): Spark 4's parquet readers upcast narrower
+    * file bytes under the wider read schema, so neither old nor new
+    * files rewrite; anything off the ladder (long→int, string→
+    * numeric) is silent-corruption drift and fails loudly. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** The manifest's schema with every field under its PHYSICAL name —
     * what the files actually carry; the one read schema that covers
     * every data dir of every era (physical names never change). */
@@ -777,14 +795,6 @@ object Versioned {
       val ddl = parent.flatMap(_.schemaDdl) match {
         case Some(pd) =>
           import org.apache.spark.sql.types._
-          def widens(from: DataType, to: DataType): Boolean =
-            (from, to) match {
-              case (ByteType, ShortType | IntegerType | LongType) => true
-              case (ShortType, IntegerType | LongType) => true
-              case (IntegerType, LongType) => true
-              case (FloatType, DoubleType) => true
-              case _ => false
-            }
           val ps = StructType.fromDDL(pd)
           // Spark resolves column names case-INsensitively by default
           // (spark.sql.caseSensitive=false), so every name comparison
@@ -2125,6 +2135,17 @@ object Versioned {
     /** DROP COLUMN (tombstones the physical name; see
       * [[dropColumn]]). */
     final case class Drop(name: String) extends ColumnOp
+    /** ALTER COLUMN `name` TYPE `ddlType` — a METADATA commit that
+      * adopts a WIDER type along the lossless ladder ([[widens]]:
+      * byte→short→int→long, float→double). Zero data files move:
+      * every read already projects through the manifest's explicit
+      * schema, and Spark's parquet readers upcast narrower file bytes
+      * under the wider read schema — the same mechanism commit-time
+      * implicit widening rides. The SQL surface reaches here through
+      * `ALTER TABLE … ALTER COLUMN … TYPE` and through `MERGE … WITH
+      * SCHEMA EVOLUTION` (the analyzer emits UpdateColumnType when
+      * the source column is wider). Off-ladder changes fail loudly. */
+    final case class Widen(name: String, ddlType: String) extends ColumnOp
   }
 
   /** DROP COLUMN as a METADATA commit — zero data files move: the new
@@ -2203,6 +2224,7 @@ object Versioned {
       case _: ColumnOp.Add => "versioned addColumn"
       case _: ColumnOp.Rename => "versioned renameColumn"
       case _: ColumnOp.Drop => "versioned dropColumn"
+      case _: ColumnOp.Widen => "versioned widenColumn"
     }
     val loopPfx =
       if (ops.sizeIs == 1) pfx(ops.head) else "versioned alterColumns"
@@ -2220,6 +2242,8 @@ object Versioned {
         require(!Seq("cv", "ct", "__dv_rel", "__dv_pos")
             .contains(foldName(nn)),
           s"${pfx(op)}: '$nn' is reserved")
+      case ColumnOp.Widen(_, ddlType) =>
+        DataType.fromDDL(ddlType): Unit // parse error is the message
       case _: ColumnOp.Drop => ()
     }
     var attempt = 0
@@ -2287,6 +2311,28 @@ object Versioned {
             ps.fields :+ StructField(colName, dt, nullable = true))
           if (foldName(phys) != foldName(colName))
             colMap = colMap + (colName -> phys)
+        case op @ ColumnOp.Widen(colName, ddlType) =>
+          val want = DataType.fromDDL(ddlType)
+          val field = ps.fields.find(f =>
+              foldName(f.name) == foldName(colName))
+            .getOrElse(sys.error(
+              s"${pfx(op)}: no column '$colName' at $path " +
+                s"(have: ${ps.fieldNames.mkString(", ")})"))
+          // equal type = idempotent no-op within the statement; a
+          // NARROWING or off-ladder change is loud — the files' bytes
+          // cannot be reinterpreted losslessly
+          if (field.dataType != want) {
+            require(widens(field.dataType, want),
+              s"${pfx(op)}: cannot change '$colName' from " +
+                s"${field.dataType.sql} to ${want.sql} at $path — " +
+                "only lossless widenings (byte→short→int→long, " +
+                "float→double) are metadata-only; anything else " +
+                "would reinterpret committed bytes")
+            ps = StructType(ps.fields.map(f =>
+              if (foldName(f.name) == foldName(colName))
+                f.copy(dataType = want)
+              else f))
+          }
         case op @ ColumnOp.Rename(oldName, newName) =>
           val field = ps.fields.find(f =>
               foldName(f.name) == foldName(oldName))

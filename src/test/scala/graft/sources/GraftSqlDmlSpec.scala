@@ -848,4 +848,120 @@ class GraftSqlDmlSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(got.asScala.map(_.longValue).toSet == Set(1L))
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: source-only column lands as a metadata commit, history null-fills") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "name", "v"), path, overwrite = false)
+    val cat = freshCat(wh)
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t t
+        USING (SELECT * FROM VALUES
+          (2L, 'bump', 25L, 'x2'), (9L, 'new', 90L, 'x9')
+          AS s(k, name, v, tag)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // the evolution is ONE metadata commit (v1: tag STRING added,
+    // zero data moved) followed by the merge itself (v2)
+    val hist = Versioned.history(spark, path)
+      .select("version", "mode").as[(Int, String)].collect().toSeq
+    assert(hist == Seq((0, "append"), (1, "meta"), (2, "merge-dv")),
+      s"unexpected ledger: $hist")
+    // head: matched row revalued WITH the new column, insert carries
+    // it, untouched row null-fills
+    assert(spark.sql(s"SELECT k, name, v, tag FROM $cat.t ORDER BY k")
+      .as[(Long, String, Long, Option[String])].collect().toSeq ==
+      Seq((1L, "a", 10L, None), (2L, "bump", 25L, Some("x2")),
+        (9L, "new", 90L, Some("x9"))))
+    // TIME TRAVEL below the evolution shows the old schema
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 0")
+      .columns.toSeq == Seq("k", "name", "v"))
+    // the FEED schema follows the head: v0's insert rows null-fill
+    // `tag`, the merge's rows carry it
+    val feed = Versioned.readChanges(spark, path, 0,
+      Versioned.latestVersion(path))
+    assert(feed.columns.contains("tag"))
+    assert(feed.filter(col("_commit_version") === 0 &&
+      col("tag").isNotNull).count() == 0)
+    assert(feed.filter(col("_change_type") === "insert" &&
+      col("tag") === "x9").count() == 1)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: a wider source column widens the target along the ladder") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10), (2L, 20)).toDF("k", "v"),
+      path, overwrite = false) // v: INT
+    val cat = freshCat(wh)
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t t
+        USING (SELECT * FROM VALUES (2L, 9000000000L), (3L, 30L)
+          AS s(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // v is now BIGINT; the old INT files read upcast (zero rewritten)
+    assert(spark.table(s"$cat.t").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 9000000000L), (3L, 30L)))
+    // the widening was metadata-only: v0's data dir is carried by
+    // reference into every later manifest
+    val head = Versioned.latestVersion(path)
+    assert(Versioned.dataDirIds(path, head)
+      .containsSlice(Versioned.dataDirIds(path, 0)))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: off-ladder drift is loud, nothing publishes") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10L)).toDF("k", "v"), path,
+      overwrite = false) // v: BIGINT
+    val cat = freshCat(wh)
+    val headBefore = Versioned.latestVersion(path)
+    val err = intercept[Exception] {
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t t
+          USING (SELECT * FROM VALUES (1L, 'oops') AS s(k, v)) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(err.getMessage.contains("lossless widening") ||
+      err.getMessage.contains("cannot change"),
+      s"wrong error: ${err.getMessage}")
+    assert(Versioned.latestVersion(path) == headBefore,
+      "a rejected evolution must leave the ledger untouched")
+  }
+
+  test("ALTER TABLE ALTER COLUMN TYPE: explicit widening works, narrowing is loud") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 1.5f)).toDF("k", "x"), path,
+      overwrite = false)
+    val cat = freshCat(wh)
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN x TYPE DOUBLE")
+    assert(spark.table(s"$cat.t").schema("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(spark.sql(s"SELECT x FROM $cat.t").head.getDouble(0) == 1.5)
+    // narrowing: Spark's own analyzer rejects BIGINT→INT before the
+    // catalog is reached (NOT_SUPPORTED_CHANGE_COLUMN); an up-cast
+    // Spark allows but the engine's lossless ladder does not
+    // (INT→DOUBLE) is rejected by the engine guard — either way the
+    // statement is loud and the ledger untouched
+    val headBefore = Versioned.latestVersion(path)
+    val errNarrow = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN k TYPE INT")
+    }
+    assert(errNarrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      s"wrong error: ${errNarrow.getMessage}")
+    Versioned.commit(Seq((1L, 7, 1.5)).toDF("k", "i", "x2"),
+      s"$wh/t2", overwrite = false)
+    val errLadder = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t2 ALTER COLUMN i TYPE DOUBLE")
+    }
+    assert(errLadder.getMessage.contains("lossless widening") ||
+      errLadder.getMessage.contains("cannot change"),
+      s"wrong error: ${errLadder.getMessage}")
+    assert(Versioned.latestVersion(path) == headBefore)
+  }
 }
