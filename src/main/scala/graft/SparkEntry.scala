@@ -6579,6 +6579,53 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // 290: TIME-TRANSFORM PARTITIONING through SQL DDL driver-gated —
+    // THE canonical 100 TB lake layout, daily partitioning, with zero
+    // materialized helper columns: CREATE TABLE … PARTITIONED BY
+    // (days(ts)) records the transform spec in the birth manifest,
+    // INSERT routes through commitPartitionedSpec (dirs named
+    // ts__days=yyyy-MM-dd carry the rendering; the files keep the
+    // FULL timestamp, so reads are exact), and a pure-SQL timestamp
+    // RANGE predicate prunes whole day directories before any file IO
+    // (VersionedV1Scan.transformPrune → readPartitionPrunedTime — a
+    // lexicographic string-range compare over the zero-padded
+    // renderings, bounds rendered under the same session clock the
+    // writer staged under). The `pruned` flag gates the scan's REAL
+    // file accounting (filesRead < filesTotal); the exact predicate
+    // re-applies row-level, so boundary days never leak rows. Oracle
+    // = the same range over the source events.
+    "q_sql_partitioned_time" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_ptime"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        s.sql(s"""CREATE TABLE $cat.sql_ptime (
+            event_id BIGINT, event_type STRING, ts TIMESTAMP,
+            vc BIGINT) PARTITIONED BY (days(ts))""")
+        s.sql(s"""INSERT INTO $cat.sql_ptime
+          SELECT event_id, event_type, ts,
+                 CAST(round(value * 100) AS BIGINT)
+          FROM events""")
+      }
+      val agg = s.sql(s"""SELECT event_type, count(*) AS n_events,
+            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.sql_ptime
+          WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+            AND ts < TIMESTAMP '2024-01-08 00:00:00'
+          GROUP BY event_type""").collect() // ≤ |event types| rows
+      val (accPath, read, tot) =
+        graft.sources.GraftCatalog.lastVersionedScan.get()
+      require(accPath == table,
+        s"q_sql_partitioned_time: accounting is for '$accPath', " +
+          s"not '$table'")
+      import s.implicits._
+      agg.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toDF("event_type", "n_events", "sum_value")
+        .withColumn("pruned", lit(read < tot))
+        .orderBy("event_type")
+    }),
+
     // 282: SQL MERGE full-sync mirror driver-gated — WHEN NOT MATCHED
     // BY SOURCE completes the mirror idiom: matched rows revalue,
     // source-only rows insert, target rows that VANISHED from the
@@ -7679,6 +7726,15 @@ object SparkEntry {
       FROM orders
       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_sql_partitioned_time" -> """
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value,
+             TRUE AS pruned
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        AND ts < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY event_type ORDER BY event_type""",
     "q_sql_merge_sync" -> """
       WITH ev AS (SELECT event_id, event_type,
                     CAST(round(value * 100) AS BIGINT) AS vc FROM events),

@@ -262,38 +262,54 @@ class GraftCatalog extends TableCatalog
     * history-wide; declare quality gates as CHECK constraints
     * ([[Versioned.addConstraint]]) instead.
     *
-    * `PARTITIONED BY (col)` — ONE identity transform — records
-    * `partCol` as a table property in the birth manifest: every
-    * INSERT then routes through [[Versioned.commitPartitioned]] (its
-    * data dir lands hive-laid-out with the per-dir spec recorded),
-    * and catalog SQL reads with an equality/IN on that column
-    * partition-prune whole directories before any file IO
-    * ([[VersionedV1Scan]]). Partitioning stays PER-COMMIT underneath
-    * (partition evolution intact — the property is write policy, not
-    * a retroactive layout claim); bucket/temporal transforms and
-    * multi-column specs are rejected loudly. */
+    * `PARTITIONED BY (…)` — any mix of identity columns and time
+    * transforms (`days(ts)` / `months` / `years` / `hours`), in
+    * order — records the rendered spec as the `partCol` table
+    * property in the birth manifest: every INSERT then routes through
+    * [[Versioned.commitPartitionedSpec]] (its data dir lands
+    * hive-laid-out with the per-dir spec recorded), and catalog SQL
+    * reads partition-prune whole directories before any file IO
+    * ([[VersionedV1Scan]]): equality/IN on an identity column, and
+    * timestamp/date RANGE predicates on a transformed column (the
+    * daily-partitioned 100 TB layout's canonical query). Partitioning
+    * stays PER-COMMIT underneath (partition evolution intact — the
+    * property is write policy, not a retroactive layout claim);
+    * bucket and other transforms are rejected loudly. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val partCol: Option[String] = partitions match {
-      case Array() => None
-      case Array(t) if t.name == "identity" &&
-          t.references().length == 1 &&
-          t.references()(0).fieldNames().length == 1 =>
-        val c = t.references()(0).fieldNames()(0)
-        // store the SCHEMA's canonical spelling: the write path
-        // matches it against the aligned insert frame's columns
-        val canon = schema.fields.find(f =>
-          f.name.toLowerCase(java.util.Locale.ROOT) ==
-            c.toLowerCase(java.util.Locale.ROOT))
-        require(canon.isDefined,
-          s"GraftCatalog: PARTITIONED BY ($c) names no table column")
-        Some(canon.get.name)
+    def canonCol(t: Transform): String = {
+      require(t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+        s"GraftCatalog: PARTITIONED BY ${t.describe()} must reference " +
+          "exactly one top-level column")
+      val c = t.references()(0).fieldNames()(0)
+      // store the SCHEMA's canonical spelling: the write path
+      // matches it against the aligned insert frame's columns
+      val canon = schema.fields.find(f =>
+        f.name.toLowerCase(java.util.Locale.ROOT) ==
+          c.toLowerCase(java.util.Locale.ROOT))
+      require(canon.isDefined,
+        s"GraftCatalog: PARTITIONED BY ($c) names no table column")
+      canon.get.name
+    }
+    val spec: Seq[Versioned.PartField] = partitions.toIndexedSeq.map {
+      case t if t.name == "identity" =>
+        Versioned.PartField(canonCol(t), None)
+      case t if Versioned.PartUnits.contains(t.name) =>
+        val c = canonCol(t)
+        val dt = schema.fields.find(_.name == c).get.dataType
+        require(Seq(org.apache.spark.sql.types.TimestampType,
+            org.apache.spark.sql.types.TimestampNTZType,
+            org.apache.spark.sql.types.DateType).contains(dt),
+          s"GraftCatalog: PARTITIONED BY ${t.name}($c) needs a " +
+            s"timestamp/date column, got ${dt.sql}")
+        Versioned.PartField(c, Some(t.name))
       case other => throw new UnsupportedOperationException(
-        s"GraftCatalog: PARTITIONED BY ${other.mkString(", ")} is not " +
-          "supported — one identity column only (bucketing/temporal " +
-          "transforms: cluster via CALL system.cluster / " +
-          "Versioned.commitClustered instead)")
+        s"GraftCatalog: PARTITIONED BY ${other.describe()} is not " +
+          "supported — identity columns and days/months/years/hours " +
+          "transforms only (bucketing: cluster via CALL " +
+          "system.cluster / Versioned.commitClustered instead)")
     }
     val path = pathOf(ident)
     if (Versioned.latestVersion(path) >= 0)
@@ -305,8 +321,8 @@ class GraftCatalog extends TableCatalog
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), norm)
     Versioned.commitWithProps(empty, path, overwrite = false,
-      props = partCol.map(c => Map("partCol" -> c))
-        .getOrElse(Map.empty)): Unit
+      props = if (spec.isEmpty) Map.empty
+        else Map("partCol" -> Versioned.renderPartSpec(spec))): Unit
     loadTable(ident)
   }
 
@@ -726,8 +742,9 @@ private[sources] final class VersionedWriteBuilder(path: String,
             // pruning unlocked for every later read
             val part = Versioned.tableProps(path).get("partCol")
             part match {
-              case Some(c) => Versioned.commitPartitioned(data, path,
-                c, overwrite = overwrite || ow): Unit
+              case Some(s) => Versioned.commitPartitionedSpec(data,
+                path, Versioned.parsePartSpec(s),
+                overwrite = overwrite || ow): Unit
               case None => Versioned.commit(data, path,
                 overwrite = overwrite || ow): Unit
             }
@@ -872,14 +889,18 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
       .map { case (c, (lo, hi)) => (c, lo, hi) }
   }
 
-  /** The first accepted equality/IN over a column that some dir of
-    * this version is hive-partitioned on → (logical col, values). */
+  /** The first accepted equality/IN over a column some dir of this
+    * version identity-partitions on → (logical col, values). Specs
+    * parse through the [[Versioned.parsePartSpec]] grammar, so
+    * multi-column layouts prune on ANY of their identity columns
+    * (the walker handles the nesting depth). */
   private def partitionPrune(): Option[(String, Seq[String])] = {
-    val specFold = Versioned.partSpecIds(path, pinned)
-      .values.map(fold).toSet
-    if (specFold.isEmpty) return None
+    val identFold = Versioned.partSpecIds(path, pinned).values
+      .flatMap(Versioned.parsePartSpec).filter(_.unit.isEmpty)
+      .map(f => fold(f.col)).toSet
+    if (identFold.isEmpty) return None
     def specd(a: String): Boolean =
-      specFold(fold(Versioned.physicalColumnName(path, pinned, a)))
+      identFold(fold(Versioned.physicalColumnName(path, pinned, a)))
     accepted.iterator.map {
       case sources.EqualTo(a, v) if specd(a) =>
         renderPartVal(v).map(s => (a, Seq(s)))
@@ -889,6 +910,64 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
         else None
       case _ => None
     }.collectFirst { case Some(x) => x }
+  }
+
+  /** Fold accepted timestamp/date comparisons into per-column
+    * [lo, hi] LocalDateTime bounds (session-timezone rendering — the
+    * same clock [[Versioned.commitPartitionedSpec]]'s `date_format`
+    * staged the directory names under), then pick the FIRST bounded
+    * column some dir of this version TIME-TRANSFORM-partitions on
+    * (`days(ts)`-style) → (logical col, lo, hi). Strict bounds are
+    * used inclusively and the kept boundary directories can hold rows
+    * outside the exact instant range — both are RELAXATIONS; the
+    * accepted filters re-apply row-level after the read. */
+  private def transformPrune(
+      spark: org.apache.spark.sql.SparkSession)
+      : Option[(String, java.time.LocalDateTime,
+        java.time.LocalDateTime)] = {
+    val transFold = Versioned.partSpecIds(path, pinned).values
+      .flatMap(Versioned.parsePartSpec).filter(_.unit.isDefined)
+      .map(f => fold(f.col)).toSet
+    if (transFold.isEmpty) return None
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    def asLdt(v: Any): Option[java.time.LocalDateTime] = v match {
+      case t: java.sql.Timestamp =>
+        Some(t.toInstant.atZone(zone).toLocalDateTime)
+      case i: java.time.Instant => Some(i.atZone(zone).toLocalDateTime)
+      case l: java.time.LocalDateTime => Some(l)
+      case d: java.sql.Date => Some(d.toLocalDate.atStartOfDay)
+      case d: java.time.LocalDate => Some(d.atStartOfDay)
+      case _ => None
+    }
+    val MIN = java.time.LocalDateTime.of(1, 1, 1, 0, 0)
+    val MAX = java.time.LocalDateTime.of(9999, 12, 31, 23, 59)
+    val bounds = scala.collection.mutable
+      .LinkedHashMap.empty[String, (java.time.LocalDateTime,
+        java.time.LocalDateTime)]
+    def upd(a: String, lo: java.time.LocalDateTime,
+        hi: java.time.LocalDateTime): Unit = {
+      val (l0, h0) = bounds.getOrElse(a, (MIN, MAX))
+      bounds(a) = (if (lo.isAfter(l0)) lo else l0,
+        if (hi.isBefore(h0)) hi else h0)
+    }
+    accepted.foreach {
+      case sources.EqualTo(a, v) => asLdt(v).foreach(d => upd(a, d, d))
+      case sources.GreaterThan(a, v) =>
+        asLdt(v).foreach(d => upd(a, d, MAX))
+      case sources.GreaterThanOrEqual(a, v) =>
+        asLdt(v).foreach(d => upd(a, d, MAX))
+      case sources.LessThan(a, v) =>
+        asLdt(v).foreach(d => upd(a, MIN, d))
+      case sources.LessThanOrEqual(a, v) =>
+        asLdt(v).foreach(d => upd(a, MIN, d))
+      case _ => ()
+    }
+    bounds.iterator
+      .filter { case (_, (lo, hi)) => lo != MIN || hi != MAX }
+      .find { case (c, _) => transFold(
+        fold(Versioned.physicalColumnName(path, pinned, c))) }
+      .map { case (c, (lo, hi)) => (c, lo, hi) }
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -909,7 +988,13 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
               spark, path, c, vals, Some(pinned))
             GraftCatalog.lastVersionedScan.set((path, read, tot))
             pdf
-          case None => bloomPrune(spark) match {
+          case None => transformPrune(spark) match {
+            case Some((c, lo, hi)) =>
+              val (pdf, read, tot) = Versioned.readPartitionPrunedTime(
+                spark, path, c, lo, hi, Some(pinned))
+              GraftCatalog.lastVersionedScan.set((path, read, tot))
+              pdf
+            case None => bloomPrune(spark) match {
             case Some((c, v)) =>
               val (pdf, read, tot) = Versioned.readEqualityClustered(
                 spark, path, c, v, Some(pinned))
@@ -923,6 +1008,7 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
                 pdf
               case None => Versioned.read(spark, path, Some(pinned))
             }
+          }
           }
         }
         // replay what the V2 pushdown ACCEPTED: rejected filters are

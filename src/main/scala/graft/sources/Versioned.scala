@@ -469,13 +469,101 @@ object Versioned {
     * it via per-dir partition discovery. Same optimistic-concurrency
     * ledger mechanics as every commit. */
   def commitPartitioned(df: DataFrame, path: String, partCol: String,
-      overwrite: Boolean = false, txn: Option[String] = None): Int = {
-    require(df.columns.contains(partCol),
-      s"versioned commitPartitioned: no column '$partCol' to partition by")
+      overwrite: Boolean = false, txn: Option[String] = None): Int =
+    commitPartitionedSpec(df, path, Seq(PartField(partCol, None)),
+      overwrite, txn)
+
+  /** One entry of a partition SPEC: an identity column (`unit` =
+    * None — hive dirs carry the raw value) or a TIME transform of a
+    * timestamp/date column (`unit` = days/months/years/hours — dirs
+    * carry the truncated rendering, e.g. `ts__days=2024-01-15`, and
+    * the files keep the FULL source column, so transform dirs read
+    * back exactly and the derived value exists only in directory
+    * names). Serialized into the manifest's per-dir spec string as
+    * `col` / `unit(col)`, comma-joined in layout order — a bare
+    * column name parses identically to the single-identity specs
+    * every pre-r15 manifest carries. */
+  final case class PartField(col: String, unit: Option[String]) {
+    def render: String = unit.map(u => s"$u($col)").getOrElse(col)
+    /** The hive directory-level column name this entry lays out. */
+    def dirName: String = unit.map(u => s"${col}__$u").getOrElse(col)
+  }
+
+  private[graft] val PartUnits = Map(
+    "days" -> "yyyy-MM-dd", "months" -> "yyyy-MM",
+    "years" -> "yyyy", "hours" -> "yyyy-MM-dd-HH")
+
+  private[graft] def renderPartSpec(spec: Seq[PartField]): String =
+    spec.map(_.render).mkString(",")
+
+  private[graft] def parsePartSpec(s: String): Seq[PartField] =
+    s.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty).map {
+      case e if e.endsWith(")") && e.contains("(") =>
+        val u = e.takeWhile(_ != '(')
+        require(PartUnits.contains(u),
+          s"versioned partition spec: unknown transform '$u' in '$s'")
+        PartField(e.drop(u.length + 1).dropRight(1).trim, Some(u))
+      case e => PartField(e, None)
+    }
+
+  /** PARTITION-EVOLUTION commit, general form: stage `df` hive-laid-
+    * out under an ORDERED spec of identity columns and/or time
+    * transforms (`PartField`) and record the rendered spec per-dir in
+    * the manifest — `PARTITIONED BY (region, days(ts))` becomes
+    * `region=EU/ts__days=2024-01-15/…` dirs. Time-transform dirs keep
+    * the FULL source column in the file bytes (only the derived
+    * rendering lives in directory names), so reads need no inverse
+    * transform; identity columns live in directory names exactly as
+    * the single-column form always did. The derived renderings use
+    * [[PartUnits]]' zero-padded formats, which are LEXICOGRAPHICALLY
+    * monotonic in time — what makes date-range directory pruning a
+    * string-range compare ([[readPartitionPrunedTransform]]). All
+    * commit mechanics ([[commitPartitioned]] docs) unchanged. */
+  def commitPartitionedSpec(df: DataFrame, path: String,
+      spec: Seq[PartField], overwrite: Boolean = false,
+      txn: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    require(spec.nonEmpty, "versioned commitPartitionedSpec: empty spec")
+    require(spec.map(f => foldName(f.col)).distinct.sizeIs == spec.size,
+      s"versioned commitPartitionedSpec: a column appears twice in " +
+        s"'${renderPartSpec(spec)}'")
+    val byFold = df.schema.fields.map(f => foldName(f.name) -> f).toMap
+    spec.foreach { f =>
+      val fld = byFold.getOrElse(foldName(f.col), sys.error(
+        s"versioned commitPartitionedSpec: no column '${f.col}' to " +
+          s"partition by (have: ${df.columns.mkString(", ")})"))
+      f.unit.foreach { u =>
+        require(PartUnits.contains(u),
+          s"versioned commitPartitionedSpec: unknown transform '$u' " +
+            s"(have: ${PartUnits.keys.toSeq.sorted.mkString(", ")})")
+        require(Seq(TimestampType, TimestampNTZType, DateType)
+            .contains(fld.dataType),
+          s"versioned commitPartitionedSpec: $u(${f.col}) needs a " +
+            s"timestamp/date column, got ${fld.dataType.sql}")
+        // the derived directory column must not shadow a real one
+        require(!byFold.contains(foldName(f.dirName)),
+          s"versioned commitPartitionedSpec: derived partition " +
+            s"column '${f.dirName}' collides with a table column")
+      }
+    }
     commitCore(df, path, overwrite, txn, expectedBase = None,
-      stage = (dataDir, pdf, phys) => pdf.write.partitionBy(phys(partCol))
-        .mode("errorifexists").parquet(dataDir),
-      partSpec = Some(partCol)).get
+      stage = (dataDir, pdf, phys) => {
+        var staged = pdf
+        val dirCols = spec.map { f =>
+          f.unit match {
+            case None => phys(f.col)
+            case Some(u) =>
+              val dn = PartField(phys(f.col), Some(u)).dirName
+              staged = staged.withColumn(dn,
+                date_format(col(phys(f.col)), PartUnits(u)))
+              dn
+          }
+        }
+        staged.write.partitionBy(dirCols: _*)
+          .mode("errorifexists").parquet(dataDir)
+      },
+      partSpec = Some(spec)).get
   }
 
   /** Per-dir partition specs of `v`'s manifest (observability /
@@ -523,10 +611,58 @@ object Versioned {
       : (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.col
     require(values.nonEmpty, "versioned readPartitionPruned: empty value set")
-    val v = version.getOrElse(latestVersion(path))
-    require(v >= 0, s"versioned readPartitionPruned: no table at $path")
-    val m = readManifest(path, v)
     val want = values.toSet
+    val (df, read, tot) = specPrunedRead(spark, path, version, c,
+      matches = _.unit.isEmpty, keep = (_, v) => want(v))
+    (df.filter(col(c).isin(values: _*)), read, tot)
+  }
+
+  /** TIME-RANGE partition pruning over TRANSFORM-partitioned dirs
+    * (`days(ts)`/`months`/`years`/`hours` — [[commitPartitionedSpec]]):
+    * keep only partition directories whose rendered unit value
+    * intersects `[lo, hi]` — a STRING range compare, sound because
+    * the [[PartUnits]] renderings are zero-padded and therefore
+    * lexicographically monotonic in time; the bounds render per-DIR
+    * under each dir's own unit (partition evolution can mix daily and
+    * monthly dirs in one snapshot). Dirs without a time transform on
+    * `c` read fully.
+    *
+    * SUPERSET contract (unlike [[readPartitionPruned]]'s exact one):
+    * the returned frame holds every row of every kept directory — the
+    * caller re-applies its exact timestamp predicate on top (the SQL
+    * scan replays its accepted filters; a Scala caller filters the
+    * frame). Unit truncation means a kept boundary dir can hold rows
+    * just outside the asked instant range, and pruning must never be
+    * the thing that decides row membership. */
+  def readPartitionPrunedTime(spark: SparkSession, path: String,
+      c: String, lo: java.time.LocalDateTime,
+      hi: java.time.LocalDateTime, version: Option[Int] = None)
+      : (DataFrame, Int, Int) =
+    specPrunedRead(spark, path, version, c,
+      matches = _.unit.isDefined,
+      keep = (f, v) => {
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern(PartUnits(f.unit.get))
+        v >= fmt.format(lo) && v <= fmt.format(hi)
+      })
+
+  /** The shared spec-pruned snapshot read behind
+    * [[readPartitionPruned]] and [[readPartitionPrunedTime]]: per data
+    * dir, parse its recorded partition spec ([[parsePartSpec]]) and
+    * find the first entry on `c` (physical translation applied) that
+    * `matches`; if found, WALK the hive directory tree to that
+    * entry's depth and keep only the subtrees whose unescaped value
+    * passes `keep` — whole directories skipped before any file IO at
+    * whatever nesting the spec put them. Dirs without a usable entry
+    * read fully (unknown never justifies a skip); the DV mask
+    * overlays as usual. Returns (frame, filesRead, filesTotal). */
+  private def specPrunedRead(spark: SparkSession, path: String,
+      version: Option[Int], c: String,
+      matches: PartField => Boolean,
+      keep: (PartField, String) => Boolean): (DataFrame, Int, Int) = {
+    val v = version.getOrElse(latestVersion(path))
+    require(v >= 0, s"versioned specPrunedRead: no table at $path")
+    val m = readManifest(path, v)
     val withIds = m.dvDirs.nonEmpty
     val schema = m.schemaDdl.map(
       org.apache.spark.sql.types.StructType.fromDDL)
@@ -539,43 +675,58 @@ object Versioned {
       val dirPath = Paths.get(path, "data", d)
       val dirTotal = countDataFiles(dirPath)
       filesTotal += dirTotal
-      if (m.partSpecs.get(d).contains(cPhys)) {
-        // this dir IS partitioned on c: keep only matching subdirs
-        val ls = Files.list(dirPath)
-        val kept =
-          try ls.iterator().asScala
-            .filter(p => Files.isDirectory(p) &&
-              p.getFileName.toString.startsWith(s"$cPhys="))
-            .filter(p => want(unescapePartVal(
-              p.getFileName.toString.drop(cPhys.length + 1))))
-            .map(_.toString).toList.sorted
-          finally ls.close()
+      val spec = m.partSpecs.get(d).map(parsePartSpec)
+        .getOrElse(Seq.empty)
+      val idx = spec.indexWhere(f =>
+        foldName(f.col) == foldName(cPhys) && matches(f))
+      if (idx < 0) {
+        // other layout: read fully, the caller's row filter applies
+        filesRead += dirTotal
+        Some(readDirs(spark, path, m, Seq(d), withIds))
+      } else {
+        val entry = spec(idx)
+        val prefix = s"${entry.dirName}="
+        // walk the hive tree: levels above the entry pass through,
+        // the entry's level filters by value, below it is kept whole
+        def walk(p: java.nio.file.Path, depth: Int)
+            : List[java.nio.file.Path] =
+          if (!Files.isDirectory(p)) Nil
+          else {
+            val ls = Files.list(p)
+            try ls.iterator().asScala.filter(Files.isDirectory(_))
+              .flatMap { ch =>
+                val n = ch.getFileName.toString
+                if (depth == idx) {
+                  if (n.startsWith(prefix) &&
+                      keep(entry, unescapePartVal(n.drop(prefix.length))))
+                    List(ch)
+                  else Nil
+                } else walk(ch, depth + 1)
+              }.toList
+            finally ls.close()
+          }
+        val kept = walk(dirPath, 0).map(_.toString).sorted
         if (kept.isEmpty) None else {
           kept.foreach(k => filesRead += countDataFiles(Paths.get(k)))
           val st = schema.map(physStruct(m, _)).getOrElse(sys.error(
-            s"versioned readPartitionPruned: dir $d predates " +
+            s"versioned specPrunedRead: dir $d predates " +
               "schema tracking"))
-          // explicit schema: discovery PARSES the partition value
-          // under the declared type (see [[readDirs]]) — without it a
-          // string value like '00123' infers numeric, round-trips as
-          // '123', and the final isin filter silently drops the rows
+          // explicit schema: discovery PARSES the identity partition
+          // values under the declared types (see [[readDirs]]);
+          // derived transform columns are discovered as extras and
+          // dropped by the alignment projection
           val scan = spark.read.schema(st)
             .option("basePath", dirPath.toString).parquet(kept: _*)
           Some(toLogical(m, schema.get, alignToSchema(
             if (withIds) withRowId(scan) else scan, st, withIds),
             if (withIds) Seq("__dv_rel", "__dv_pos") else Seq.empty))
         }
-      } else {
-        // other layout: read fully, the exact row filter below applies
-        filesRead += dirTotal
-        Some(readDirs(spark, path, m, Seq(d), withIds))
       }
     }
-    val pred = col(c).isin(values: _*)
     val df = frames match {
       case Seq() => // every dir pruned away: empty frame, no IO
-        readDirs(spark, path, m, m.dataDirs, withIds).filter(pred).limit(0)
-      case fs => fs.reduce(_.unionByName(_)).filter(pred)
+        readDirs(spark, path, m, m.dataDirs, withIds).limit(0)
+      case fs => fs.reduce(_.unionByName(_))
     }
     val masked =
       if (withIds) maskByPos(spark, path, m.dvDirs, df)
@@ -616,7 +767,7 @@ object Versioned {
       txn: Option[String], expectedBase: Option[Int],
       stage: (String, DataFrame, String => String) => Unit = null,
       modeOverride: Option[String] = None,
-      partSpec: Option[String] = None,
+      partSpec: Option[Seq[PartField]] = None,
       tableProps: Option[Map[String, String]] = None): Option[Int] = {
     // token charset gate BEFORE any work: render() interpolates the
     // token into manifest JSON unescaped (documented builder-owned
@@ -851,7 +1002,8 @@ object Versioned {
         // mapping
         partSpecs = parent.map(_.specsFor(parentDirs))
           .getOrElse(Map.empty) ++
-          partSpec.map(pc => dataId -> stagedMapping.getOrElse(pc, pc)),
+          partSpec.map(sp => dataId -> renderPartSpec(sp.map(f =>
+            f.copy(col = stagedMapping.getOrElse(f.col, f.col))))),
         droppedCols = dropped,
         // table properties are POLICY, not data lineage — they
         // survive overwrites like constraints do (parentMeta, not
@@ -2283,7 +2435,8 @@ object Versioned {
           val physical = physOf(logical)
           require(ps.fields.length > 1,
             s"${pfx(op)}: cannot drop the last column at $path")
-          require(!parent.partSpecs.values.map(foldName).toSet
+          require(!parent.partSpecs.values.flatMap(parsePartSpec)
+              .map(f => foldName(f.col)).toSet
               .contains(foldName(physical)),
             s"${pfx(op)}: '$colName' is a live dir's partition " +
               s"column at $path — compact() first to flatten the layout")

@@ -175,8 +175,9 @@ object StreamTableSink {
         // PARTITIONED BY) binds streaming epochs exactly like batch
         // INSERTs — hive layout, per-dir spec, pruning intact
         Versioned.tableProps(path).get("partCol") match {
-          case Some(c) => Versioned.commitPartitioned(df, path, c,
-            overwrite = truncate, txn = token): Unit
+          case Some(s) => Versioned.commitPartitionedSpec(df, path,
+            Versioned.parsePartSpec(s), overwrite = truncate,
+            txn = token): Unit
           case None => Versioned.commitTxn(df, path,
             overwrite = truncate, txn = token): Unit
         }

@@ -440,11 +440,12 @@ class GraftSqlDmlSpec extends SparkSpec {
       .contains("grp"))
     assert(Versioned.partSpecIds(s"$wh/p2",
       Versioned.latestVersion(s"$wh/p2")).values.toSet == Set("grp"))
-    // multi-column / non-identity specs are refused loudly
+    // multi-column identity specs are supported since r15 (see the
+    // dedicated multi-identity test); non-time transforms stay loud
     val e = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.bad (k BIGINT, g STRING, h STRING) " +
-        "PARTITIONED BY (g, h)") }
-    assert(e.getMessage.contains("identity"))
+      spark.sql(s"CREATE TABLE $cat.bad (k BIGINT, g STRING) " +
+        "PARTITIONED BY (bucket(8, g))") }
+    assert(e.getMessage.contains("not supported"))
   }
 
   test("DROP TABLE and RENAME TABLE: tree moves whole, non-tables are never deleted") {
@@ -963,5 +964,70 @@ class GraftSqlDmlSpec extends SparkSpec {
       errLadder.getMessage.contains("cannot change"),
       s"wrong error: ${errLadder.getMessage}")
     assert(Versioned.latestVersion(path) == headBefore)
+  }
+
+  test("CREATE TABLE PARTITIONED BY (days(ts)): inserts land daily dirs, SQL time ranges prune") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"""CREATE TABLE $cat.tp (k BIGINT, ts TIMESTAMP,
+      v BIGINT) PARTITIONED BY (days(ts))""")
+    val base = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    val rows = (1L to 48L).map(i => (i,
+      java.sql.Timestamp.valueOf(base.plusHours(i * 6)), i * 10))
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("src_tp")
+    spark.sql(s"INSERT INTO $cat.tp SELECT k, ts, v FROM src_tp")
+    // daily hive dirs under the staged data dir
+    val path = s"$wh/tp"
+    assert(Versioned.partSpecIds(path, 1).values.toSeq ==
+      Seq("days(ts)"))
+    // row-exact full read (files keep the full timestamp)
+    assert(spark.sql(s"SELECT k, ts, v FROM $cat.tp")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet ==
+      rows.toSet)
+    // a pure-SQL time range prunes whole day directories
+    val got = spark.sql(s"""SELECT k FROM $cat.tp
+        WHERE ts >= TIMESTAMP '2024-03-03 00:00:00'
+          AND ts <  TIMESTAMP '2024-03-05 00:00:00'""")
+      .as[Long].collect().toSet
+    val (accPath, read, tot) = GraftCatalog.lastVersionedScan.get()
+    assert(accPath == path, s"accounting for '$accPath'")
+    assert(read < tot, s"day range did not prune ($read/$tot)")
+    // exactness: boundary days re-filter row-level
+    val want = rows.filter { case (_, t, _) =>
+      val l = t.toLocalDateTime
+      !l.isBefore(java.time.LocalDateTime.of(2024, 3, 3, 0, 0)) &&
+        l.isBefore(java.time.LocalDateTime.of(2024, 3, 5, 0, 0))
+    }.map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("CREATE TABLE PARTITIONED BY (a, b): multi-identity nesting, prune on either column") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"""CREATE TABLE $cat.tm (k BIGINT, region STRING,
+      bucket BIGINT, v BIGINT) PARTITIONED BY (region, bucket)""")
+    (1L to 40L).map(i => (i, s"r${i % 2}", i % 4, i))
+      .toDF("k", "region", "bucket", "v")
+      .createOrReplaceTempView("src_tm")
+    spark.sql(s"INSERT INTO $cat.tm SELECT * FROM src_tm")
+    val path = s"$wh/tm"
+    assert(Versioned.partSpecIds(path, 1).values.toSeq ==
+      Seq("region,bucket"))
+    // prune on the SECOND spec column — the walker descends past the
+    // region level
+    val got = spark.sql(
+      s"SELECT k FROM $cat.tm WHERE bucket = 2").as[Long]
+      .collect().toSet
+    val (accPath, read, tot) = GraftCatalog.lastVersionedScan.get()
+    assert(accPath == path && read < tot,
+      s"nested identity prune did not skip ($accPath $read/$tot)")
+    assert(got == (1L to 40L).filter(_ % 4 == 2).toSet)
+    // transforms that are not time units stay loud
+    val err = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.tb (k BIGINT)
+        PARTITIONED BY (bucket(4, k))""")
+    }
+    assert(err.getMessage.contains("not supported"),
+      s"wrong error: ${err.getMessage}")
   }
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** PARTITION EVOLUTION on the versioned table: per-DIR hive partition
   * specs in the manifest, so commits under different specs (or none)
@@ -168,5 +169,110 @@ class VersionedPartitionSpec extends SparkSpec {
     assert(Versioned.read(spark, path)
       .as[(Long, String, Long)].collect().toSet ==
       (1L to 60L).map(k => (k, s"g${k % 3}", k * 10)).toSet)
+  }
+
+  // ---- multi-column and time-transform specs (r15) ----
+
+  private def tsRows(lo: Long, hi: Long) =
+    (lo to hi).map(k => (k, s"g${k % 2}",
+      java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+          .plusHours(k * 7)), k * 10))
+      .toDF("k", "grp", "ts", "val")
+
+  test("multi-identity spec: nested hive layout reads exactly, prunes on EITHER column") {
+    val path = tmpTable()
+    Versioned.commitPartitionedSpec(rows(1, 60), path,
+      Seq(Versioned.PartField("grp", None),
+        Versioned.PartField("val", None)))
+    // the manifest records the comma-joined spec
+    assert(Versioned.partSpecIds(path, 0).values.toSeq ==
+      Seq("grp,val"))
+    // nested dirs: grp=g0/val=30/…
+    val d = Versioned.dataDirIds(path, 0).head
+    assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "data", d)).iterator().asScala
+      .exists(p => p.getFileName.toString.startsWith("grp=")))
+    // row-exact read (both columns re-derive from dir names)
+    assert(Versioned.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet ==
+      (1L to 60L).map(k => (k, s"g${k % 3}", k * 10)).toSet)
+    // prune on the FIRST level
+    val (df1, r1, t1) = Versioned.readPartitionPruned(
+      spark, path, "grp", Seq("g1"))
+    assert(r1 < t1, s"level-0 prune did not skip files ($r1/$t1)")
+    assert(df1.as[(Long, String, Long)].collect().toSet ==
+      (1L to 60L).filter(_ % 3 == 1)
+        .map(k => (k, "g1", k * 10)).toSet)
+    // prune on the SECOND level (the walker descends to its depth)
+    val (df2, r2, t2) = Versioned.readPartitionPruned(
+      spark, path, "val", Seq("300"))
+    assert(r2 < t2, s"level-1 prune did not skip files ($r2/$t2)")
+    assert(df2.as[(Long, String, Long)].collect().toSet ==
+      Set((30L, "g0", 300L)))
+  }
+
+  test("days(ts) transform: files keep the full timestamp, dirs carry the rendering, range prunes") {
+    val path = tmpTable()
+    Versioned.commitPartitionedSpec(tsRows(1, 40), path,
+      Seq(Versioned.PartField("ts", Some("days"))))
+    assert(Versioned.partSpecIds(path, 0).values.toSeq ==
+      Seq("days(ts)"))
+    // dirs named ts__days=yyyy-MM-dd
+    val d = Versioned.dataDirIds(path, 0).head
+    val dirNames = {
+      val ls = java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "data", d))
+      try ls.iterator().asScala.map(_.getFileName.toString).toSet
+      finally ls.close()
+    }
+    assert(dirNames.exists(_.startsWith("ts__days=2024-01-")),
+      s"unexpected layout: $dirNames")
+    // the FULL timestamp survives in the file bytes — read is exact
+    val back = Versioned.read(spark, path)
+      .as[(Long, String, java.sql.Timestamp, Long)].collect().toSet
+    assert(back == tsRows(1, 40)
+      .as[(Long, String, java.sql.Timestamp, Long)].collect().toSet)
+    // time-range pruning: only the asked days' dirs read
+    val (pdf, read, tot) = Versioned.readPartitionPrunedTime(
+      spark, path, "ts",
+      java.time.LocalDateTime.of(2024, 1, 3, 0, 0),
+      java.time.LocalDateTime.of(2024, 1, 4, 23, 59))
+    assert(read < tot, s"day-range prune did not skip files ($read/$tot)")
+    // superset contract: every row of the kept days present
+    val days = pdf.select(date_format(col("ts"), "yyyy-MM-dd"))
+      .as[String].collect().toSet
+    assert(days == Set("2024-01-03", "2024-01-04"))
+  }
+
+  test("transform partitioning composes with DV deletes and partition evolution") {
+    val path = tmpTable()
+    Versioned.commitPartitionedSpec(tsRows(1, 20), path,
+      Seq(Versioned.PartField("ts", Some("days"))))
+    Versioned.commit(tsRows(21, 30), path, overwrite = false) // plain
+    Versioned.deleteWhereDV(spark, path, col("k") % 5 === 0)
+    val want = (1L to 30L).filter(_ % 5 != 0).toSet
+    assert(Versioned.read(spark, path).select("k")
+      .as[Long].collect().toSet == want)
+    // pruned read overlays the mask and keeps the un-specced dir
+    val (pdf, _, _) = Versioned.readPartitionPrunedTime(
+      spark, path, "ts",
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0),
+      java.time.LocalDateTime.of(2024, 12, 31, 0, 0))
+    assert(pdf.select("k").as[Long].collect().toSet == want)
+  }
+
+  test("commitPartitionedSpec guards: unknown transform, non-time column, derived collision") {
+    val path = tmpTable()
+    val df = tsRows(1, 5)
+    intercept[Exception] { Versioned.commitPartitionedSpec(df, path,
+      Seq(Versioned.PartField("ts", Some("buckets")))) }
+    intercept[Exception] { Versioned.commitPartitionedSpec(df, path,
+      Seq(Versioned.PartField("grp", Some("days")))) }
+    intercept[Exception] { Versioned.commitPartitionedSpec(
+      df.withColumn("ts__days", lit("x")), path,
+      Seq(Versioned.PartField("ts", Some("days")))) }
+    assert(Versioned.latestVersion(path) == -1,
+      "a rejected spec must commit nothing")
   }
 }
