@@ -53,9 +53,18 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * guarded metadata commit — null-filled history, fresh physical
   * names, off-ladder drift loud) before the merge resolves.
   *
+  * UNCORRELATED scalar subqueries are supported in DELETE/UPDATE
+  * WHERE, in UPDATE SET values, and in MERGE assignment values —
+  * the subplan executes once (distributed) and its single value
+  * lands as a literal, loud past one row. A DELETE whose
+  * IN-subquery key set overflows [[MaxInSetKeys]] falls back to a
+  * DISTRIBUTED semi-join mask ([[Versioned.deleteWhereDVJoin]])
+  * instead of refusing — the >1M-id GDPR erasure lands as one
+  * statement with nothing key-set-sized on the driver.
+  *
   * Loud, documented limits (each throws with the workaround named):
   * correlated/multi-column IN, multi-equality EXISTS correlations,
-  * scalar subqueries in SET values or MERGE clauses, nested-field
+  * CORRELATED scalar subqueries in assignments, nested-field
   * assignment, MERGE conditions that are not (target-column =
   * source-expression) equalities plus source-only prefilters, and
   * MERGE clauses that reassign an ON key column.
@@ -148,29 +157,41 @@ object GraftSqlDml extends PredicateHelper {
       else Literal.create(rows.head.get(0), s.dataType)
   }
 
-  /** `value IN (<plan's first column>)` as a literal-set [[In]]:
-    * executes `plan` distributed, collects the DISTINCT key set
-    * (capped), and keeps SQL's exact three-valued IN — a NULL in the
-    * set makes non-matches NULL (so NOT IN matches nothing), an
-    * empty set is FALSE even for a NULL probe. */
-  private def inSetOf(spark: SparkSession, value: Expression,
-      plan: LogicalPlan, what: String): Expression = {
-    val rows = GraftBridge.ofRows(spark, plan).distinct()
-      .limit(MaxInSetKeys + 1).collect()
-    if (rows.length > MaxInSetKeys)
-      unsupported(s"$what subquery with more than $MaxInSetKeys " +
-        "distinct keys",
-        "the rewrite broadcasts the key set from the driver; a set " +
-          "this large is a join — materialize the subquery as a " +
-          "table and MERGE (or anti-join + overwrite) against it")
+  /** `value IN (<plan's first column>)` as a literal-set [[In]] when
+    * the DISTINCT key set fits [[MaxInSetKeys]] (keeping SQL's exact
+    * three-valued IN — a NULL in the set makes non-matches NULL so
+    * NOT IN matches nothing, an empty set is FALSE even for a NULL
+    * probe), or Left(the distributed distinct-key frame) when it
+    * does not — the caller either falls back to a semi-join mask
+    * (DELETE) or fails loudly ([[inSetOf]]). */
+  private def inSetOrKeys(spark: SparkSession, value: Expression,
+      plan: LogicalPlan)
+      : Either[org.apache.spark.sql.DataFrame, Expression] = {
+    val distinctKeys = GraftBridge.ofRows(spark, plan).distinct()
+    val rows = distinctKeys.limit(MaxInSetKeys + 1).collect()
+    if (rows.length > MaxInSetKeys) return Left(distinctKeys)
     val dt = plan.output.head.dataType
     val hasNull = rows.exists(_.isNullAt(0))
     val lits = rows.toIndexedSeq.filterNot(_.isNullAt(0))
       .map(r => Literal.create(r.get(0), dt))
-    if (lits.isEmpty && !hasNull) Literal.FalseLiteral
-    else In(value,
-      lits ++ (if (hasNull) Seq(Literal.create(null, dt)) else Nil))
+    Right(
+      if (lits.isEmpty && !hasNull) Literal.FalseLiteral
+      else In(value,
+        lits ++ (if (hasNull) Seq(Literal.create(null, dt)) else Nil)))
   }
+
+  private def inSetOf(spark: SparkSession, value: Expression,
+      plan: LogicalPlan, what: String): Expression =
+    inSetOrKeys(spark, value, plan) match {
+      case Right(e) => e
+      case Left(_) => unsupported(
+        s"$what subquery with more than $MaxInSetKeys distinct keys",
+        "the rewrite broadcasts the key set from the driver; a set " +
+          "this large is a join — DELETE falls back to a distributed " +
+          "semi-join mask automatically, elsewhere materialize the " +
+          "subquery as a table and MERGE (or anti-join + overwrite) " +
+          "against it")
+    }
 
   /** EXISTS rewrite: uncorrelated probes the subplan once (LIMIT 1);
     * correlated requires exactly ONE outer-column = inner-expression
@@ -268,15 +289,59 @@ object GraftSqlDml extends PredicateHelper {
         // subquery rewrite runs INSIDE the exec (execution time — it
         // runs the subplan), so planning/explain stays side-effect-free
         GraftDmlExec(s"GraftDelete ${t.name()}", sp => {
-          val pred = bareCol(rewritePredicateSubqueries(sp, cond,
-            "DELETE WHERE"), "DELETE WHERE")
-          Versioned.deleteWhereDV(sp, t.path, pred): Unit
+          // Conjunct-wise rewrite with a SCALE fallback: the first
+          // top-level uncorrelated single-column `IN (subquery)`
+          // whose distinct key set overflows [[MaxInSetKeys]] does
+          // NOT refuse — the delete becomes a DISTRIBUTED semi-join
+          // mask ([[Versioned.deleteWhereDVJoin]]): both sides
+          // shuffle on the key, nothing key-set-sized reaches the
+          // driver — the >1M-id GDPR erasure lands as one statement.
+          // Remaining conjuncts rewrite bounded-or-loud as before
+          // and ride as the join path's pre-filter. Semi-join scope
+          // == IN's TRUE-only scope for a DELETE (NULLs delete
+          // nothing either way), so the two paths are
+          // interchangeable row-for-row.
+          var semiJoin: Option[(Expression, LogicalPlan)] = None
+          val rewritten = splitConjunctivePredicates(cond).map {
+            case InSubquery(values, lq: ListQuery)
+                if semiJoin.isEmpty && values.size == 1 &&
+                  lq.outerAttrs.isEmpty && lq.joinCond.isEmpty =>
+              inSetOrKeys(sp, values.head, lq.plan) match {
+                case Right(e) => e
+                case Left(_) =>
+                  logInfo(s"GraftDelete ${t.name()}: IN-subquery key " +
+                    s"set exceeds $MaxInSetKeys — falling back to " +
+                    "the distributed semi-join mask")
+                  semiJoin = Some((values.head, lq.plan))
+                  Literal.TrueLiteral // scoped by the join instead
+              }
+            case other =>
+              rewritePredicateSubqueries(sp, other, "DELETE WHERE")
+          }
+          semiJoin match {
+            case None =>
+              val pred = bareCol(rewritten.reduce(And), "DELETE WHERE")
+              Versioned.deleteWhereDV(sp, t.path, pred): Unit
+            case Some((value, plan)) =>
+              val keyCol = bareCol(value, "DELETE WHERE")
+              val extras = rewritten.filter(_ != Literal.TrueLiteral)
+              val extra = if (extras.isEmpty) None
+                else Some(bareCol(extras.reduce(And), "DELETE WHERE"))
+              Versioned.deleteWhereDVJoin(sp, t.path, keyCol,
+                GraftBridge.ofRows(sp, plan), extra): Unit
+          }
         }) :: Nil
 
       case UpdateTable(VersionedRel(_, t), assignments, cond) =>
-        val set = assignments.map(a =>
-          assignName(a) -> bareCol(a.value, "UPDATE SET"))
         GraftDmlExec(s"GraftUpdate ${t.name()}", sp => {
+          // assignment VALUES rewrite too (execution time): an
+          // uncorrelated scalar subquery — `SET v = (SELECT max(…)…)`
+          // — executes once and lands as a literal (loud past one
+          // row); correlated shapes remain loud via bareCol's
+          // no-subquery gate
+          val set = assignments.map(a =>
+            assignName(a) -> bareCol(rewritePredicateSubqueries(
+              sp, a.value, "UPDATE SET"), "UPDATE SET"))
           val pred = cond.map(c => bareCol(rewritePredicateSubqueries(
             sp, c, "UPDATE WHERE"), "UPDATE WHERE")).getOrElse(lit(true))
           Versioned.updateWhereDV(sp, t.path, pred, set): Unit
@@ -437,7 +502,9 @@ object GraftSqlDml extends PredicateHelper {
         guardKeyAssigns(assigns, "WHEN MATCHED UPDATE", sourceSideOk = true)
         Some(assigns.map(a =>
           assignName(a).toLowerCase(java.util.Locale.ROOT) ->
-            sidedCol(a.value, tOut, tAl, sAl, "MERGE UPDATE SET")).toMap)
+            sidedCol(rewritePredicateSubqueries(spark, a.value,
+              "MERGE UPDATE SET"), tOut, tAl, sAl,
+              "MERGE UPDATE SET")).toMap)
       case DeleteAction(_) => None
       case other => unsupported(s"MERGE matched action $other",
         "WHEN MATCHED supports UPDATE and DELETE")
@@ -472,7 +539,8 @@ object GraftSqlDml extends PredicateHelper {
           sourceSideOk = true)
         assigns.map(a =>
           assignName(a).toLowerCase(java.util.Locale.ROOT) ->
-            sidedCol(a.value, tOut, tAl, sAl, "MERGE INSERT")).toMap
+            sidedCol(rewritePredicateSubqueries(spark, a.value,
+              "MERGE INSERT"), tOut, tAl, sAl, "MERGE INSERT")).toMap
       case other => unsupported(s"MERGE not-matched action $other",
         "WHEN NOT MATCHED supports INSERT")
     }
@@ -503,7 +571,8 @@ object GraftSqlDml extends PredicateHelper {
           guardKeyAssigns(assigns, "WHEN NOT MATCHED BY SOURCE UPDATE",
             sourceSideOk = false)
           Some(assigns.map(a => fold(assignName(a)) ->
-            sidedCol(a.value, tOut, tAl, sAl,
+            sidedCol(rewritePredicateSubqueries(spark, a.value,
+              "MERGE NOT MATCHED BY SOURCE SET"), tOut, tAl, sAl,
               "MERGE NOT MATCHED BY SOURCE SET")).toMap)
         case DeleteAction(_) => None
         case other => unsupported(

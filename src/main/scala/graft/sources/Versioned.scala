@@ -2910,7 +2910,54 @@ object Versioned {
   def deleteWhereDV(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       txn: Option[String] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    deleteWhereDVCore(spark, path, txn,
+      m => dmlLiveRows(spark, path, m, predicate)
+        .filter(coalesce(predicate, lit(false)))) // NULL keeps the row
+  }
+
+  /** DELETE whose row scope is a DISTRIBUTED SEMI-JOIN instead of a
+    * row-local predicate — the 100 TB GDPR-erasure path when the key
+    * set is too large to materialize on the driver
+    * ([[GraftSqlDml]]'s IN-subquery rewrite falls back here past its
+    * bounded-collect cap): live target rows whose `keyCol` equals any
+    * row of the single-column `keys` frame are masked, optionally
+    * pre-filtered by `extra` (the statement's other conjuncts, NULL
+    * keeps the row). The join is one shuffle of both sides on the key
+    * (AQE broadcasts `keys` when it turns out small); NOTHING
+    * key-set-sized ever reaches the driver. Equality-based semi-join
+    * scope matches SQL `IN (subquery)` exactly for the rows a DELETE
+    * touches: NULL keys witness nothing on either side, so they
+    * delete nothing — identical to IN's three-valued TRUE-only
+    * scope. Same mask/feed/OCC mechanics as [[deleteWhereDV]]. */
+  def deleteWhereDVJoin(spark: SparkSession, path: String,
+      keyCol: org.apache.spark.sql.Column, keys: DataFrame,
+      extra: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[String] = None): DeleteResult = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(keys.columns.length == 1,
+      s"versioned deleteWhereDVJoin: keys frame must have exactly " +
+        s"one column, got [${keys.columns.mkString(", ")}]")
+    deleteWhereDVCore(spark, path, txn, { m =>
+      val live = dmlLiveRows(spark, path, m,
+        extra.getOrElse(lit(true)))
+      val pre = extra.map(e => live.filter(coalesce(e, lit(false))))
+        .getOrElse(live)
+      val k = keys.toDF("__graft_semi_k").distinct()
+      pre.join(k, keyCol === col("__graft_semi_k"), "left_semi")
+    })
+  }
+
+  /** The shared mask-stage → publish → feed loop behind
+    * [[deleteWhereDV]] and [[deleteWhereDVJoin]]: `hitRows` receives
+    * the base manifest and returns the LIVE rows to delete (still
+    * carrying their `__dv_rel`/`__dv_pos` identities — derived from
+    * [[dmlLiveRows]] so the existing mask is already applied and
+    * masked rows are never double-counted). */
+  private def deleteWhereDVCore(spark: SparkSession, path: String,
+      txn: Option[String],
+      hitRows: Manifest => DataFrame): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, lit}
     var attempt = 0
     while (true) {
       require(attempt < 50,
@@ -2925,15 +2972,13 @@ object Versioned {
         case None => ()
       }
       val m = readManifest(path, base)
-      val hit = coalesce(predicate, lit(false)) // NULL keeps the row
       // ONE distributed job stages the mask: the base snapshot with
       // the EXISTING mask applied (already-deleted rows must not be
       // re-masked and double-counted), filtered to matches, reduced
       // to (rel, pos) row ids — bloom-pruned to candidate files when
       // the predicate carries an indexed point lookup (dmlLiveRows)
-      val live = dmlLiveRows(spark, path, m, predicate)
       val dvId = java.util.UUID.randomUUID().toString
-      live.filter(hit)
+      hitRows(m)
         .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
         .write.mode("errorifexists").parquet(s"$path/dv/$dvId")
       // count from the immutable staged mask (no recompute drift)

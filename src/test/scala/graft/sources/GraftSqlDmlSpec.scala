@@ -966,6 +966,76 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(Versioned.latestVersion(path) == headBefore)
   }
 
+  test("scalar subqueries in UPDATE SET and MERGE assignment values: one value lands, >1 row is loud") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, Some(10L)), (2L, Some(20L)),
+        (3L, Some(30L))).toDF("k", "v"), path, overwrite = false)
+    Versioned.commit(Seq((100L, "a"), (7L, "b")).toDF("x", "tag"),
+      s"$wh/side", overwrite = false)
+    val cat = freshCat(wh)
+    // UPDATE SET v = (SELECT max(x) …): the subplan runs once,
+    // distributed, and its one value lands as a literal
+    spark.sql(s"""UPDATE $cat.t SET v = (SELECT max(x) FROM $cat.side)
+      WHERE k = 2""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq ==
+      Seq((1L, Some(10L)), (2L, Some(100L)), (3L, Some(30L))))
+    // MERGE assignment value carrying a scalar subquery
+    spark.sql(s"""MERGE INTO $cat.t t USING (SELECT 3L AS k) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = (SELECT min(x) FROM $cat.side)""")
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 3")
+      .head.getLong(0) == 7L)
+    // >1-row scalar subquery: loud, nothing lands
+    val headBefore = Versioned.latestVersion(path)
+    val err = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.t SET v = (SELECT x FROM $cat.side)")
+    }
+    assert(err.getMessage.contains("more than one row"),
+      s"wrong error: ${err.getMessage}")
+    assert(Versioned.latestVersion(path) == headBefore)
+    // an EMPTY scalar subquery assigns NULL (SQL semantics)
+    spark.sql(s"""UPDATE $cat.t SET v =
+      (SELECT max(x) FROM $cat.side WHERE x > 1000) WHERE k = 1""")
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 1")
+      .head.isNullAt(0))
+  }
+
+  test("DELETE with a >MaxInSetKeys IN-subquery falls back to the distributed semi-join mask") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    // 1.3M-row target; the erase list holds 1.1M distinct keys —
+    // past the 2^20 bounded-collect cap, so the IN-set rewrite MUST
+    // NOT materialize it on the driver
+    val n = 1300000L
+    val erased = 1100000L // > (1 << 20)
+    Versioned.commit(
+      spark.range(1, n + 1).toDF("k")
+        .withColumn("m", col("k") % 7).repartition(4),
+      path, overwrite = false)
+    val dirsBefore = Versioned.dataDirIds(path, 0)
+    spark.range(1, erased + 1).toDF("id")
+      .createOrReplaceTempView("erase_src")
+    val cat = freshCat(wh)
+    // the extra conjunct rides the join path as a pre-filter
+    spark.sql(s"""DELETE FROM $cat.t WHERE k IN
+        (SELECT id FROM erase_src) AND m <> 0""")
+    val expectDeleted = (1L to erased).count(_ % 7 != 0).toLong
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t")
+      .head.getLong(0) == n - expectDeleted)
+    // merge-on-read: zero dirs rewritten, ONE mask ∝ the matches
+    assert(Versioned.dataDirIds(path, 1) == dirsBefore)
+    val dv = Versioned.dvDirIds(path, 1)
+    assert(dv.size == 1)
+    assert(spark.read.parquet(s"$path/dv/${dv.head}").count() ==
+      expectDeleted)
+    // the surviving rows are exactly the complement
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t " +
+      s"WHERE k <= $erased").head.getLong(0) ==
+      (1L to erased).count(_ % 7 == 0).toLong)
+  }
+
   test("CREATE TABLE PARTITIONED BY (days(ts)): inserts land daily dirs, SQL time ranges prune") {
     val wh = freshWarehouse()
     val cat = freshCat(wh)
