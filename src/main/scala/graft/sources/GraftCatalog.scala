@@ -515,8 +515,17 @@ private[sources] final class HistorySqlTable(ident: String,
 /** `<table>.files` — the head snapshot's physical file inventory as
   * a SQL table (one row per data file: dir id, dir-relative path,
   * size, partition spec). The scan bridges to
-  * [[Versioned.filesDetail]]'s DISTRIBUTED listing RDD — files-sized
-  * output lists at cluster width, nothing collects on the driver. */
+  * [[Versioned.filesDetailPruned]]'s DISTRIBUTED listing RDD —
+  * files-sized output lists at cluster width, nothing collects on
+  * the driver — and PUSHES DOWN the filters the manifest itself can
+  * answer: `dir_id` equality/IN and `part_spec`
+  * equality/IN/prefix(LIKE 'x%') become a DIRECTORY-LIST filter, so
+  * `SELECT sum(size_bytes) FROM t.files WHERE part_spec LIKE
+  * 'days%'` walks only matching dirs instead of the whole tree (a
+  * 10⁶-file table answers a one-dir question in one dir's walk).
+  * Accepted filters still re-apply row-level; everything else is
+  * rejected back to Spark. Dir-walk accounting lands in
+  * [[GraftCatalog.lastFilesScan]]. */
 private[sources] final class FilesSqlTable(ident: String, path: String)
     extends Table with SupportsRead {
   private val filesSchema = StructType(Seq(
@@ -533,9 +542,87 @@ private[sources] final class FilesSqlTable(ident: String, path: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
-    GraftCatalog.frameScan(filesSchema, s"graft-files $path",
-      spark => Versioned.filesDetail(spark, path))
+      : ScanBuilder = new FilesScanBuilder(path, filesSchema)
+}
+
+/** Pushdown surface for `<table>.files`: fold accepted `dir_id` /
+  * `part_spec` filters into a dir-level predicate evaluated against
+  * the MANIFEST's (dirId, partSpec) pairs before any filesystem walk.
+  * Conjunction-only and always a RELAXATION-free exact dir gate (both
+  * columns are per-dir constants); anything else rejects back to
+  * Spark. */
+private[sources] final class FilesScanBuilder(path: String,
+    filesSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = filesSchema
+
+  private def dirLevel(f: Filter): Boolean = f match {
+    case sources.EqualTo(a, _: String) =>
+      Seq("dir_id", "part_spec").contains(
+        a.toLowerCase(java.util.Locale.ROOT))
+    case sources.In(a, vs) => vs.nonEmpty &&
+      vs.forall(_.isInstanceOf[String]) &&
+      Seq("dir_id", "part_spec").contains(
+        a.toLowerCase(java.util.Locale.ROOT))
+    case sources.StringStartsWith(a, _) =>
+      Seq("dir_id", "part_spec").contains(
+        a.toLowerCase(java.util.Locale.ROOT))
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rejected) = filters.partition(f =>
+      dirLevel(f) || GraftCatalog.translateFilter(f).isDefined)
+    accepted = ok
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"graft-files $path pushed=[${accepted.mkString(", ")}]"
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val rel = new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = readSchema()
+        override def needConversion: Boolean = true
+        override def buildScan(): org.apache.spark.rdd.RDD[
+            org.apache.spark.sql.Row] = {
+          import org.apache.spark.sql.functions.col
+          val spark = context.sparkSession
+          def dirPred(id: String, spec: String): Boolean =
+            accepted.filter(dirLevel).forall {
+              case sources.EqualTo(a, v: String) =>
+                (if (a.equalsIgnoreCase("dir_id")) id else spec) == v
+              case sources.In(a, vs) =>
+                vs.contains(
+                  if (a.equalsIgnoreCase("dir_id")) id else spec)
+              case sources.StringStartsWith(a, v) =>
+                (if (a.equalsIgnoreCase("dir_id")) id else spec)
+                  .startsWith(v)
+              case _ => true
+            }
+          val (df0, walked, total) =
+            Versioned.filesDetailPruned(spark, path, dirPred)
+          GraftCatalog.lastFilesScan.set((path, walked, total))
+          var df = df0
+          accepted.flatMap(GraftCatalog.translateFilter)
+            .foreach(c => df = df.filter(c))
+          df.select(readSchema().fieldNames
+            .map(col).toIndexedSeq: _*).rdd
+        }
+      }
+      rel.asInstanceOf[T]
+    }
+  }
 }
 
 /** `<table>.changes` — the STORED change-data feed as a SQL table:
@@ -1042,6 +1129,14 @@ object GraftCatalog {
     * or sidecar-skipped files; the `filesRead < filesTotal` evidence
     * driver rows and specs gate on. */
   val lastVersionedScan =
+    new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)](
+      ("", 0, 0))
+
+  /** Dir-walk accounting of the most recent `<t>.files` scan in this
+    * JVM: (table path, dirs walked, dirs total) — set by
+    * [[FilesScanBuilder]] so specs can gate `dirsWalked < dirsTotal`
+    * when a pushed `dir_id`/`part_spec` filter pruned the listing. */
+  val lastFilesScan =
     new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)](
       ("", 0, 0))
 

@@ -77,16 +77,34 @@ object GraftProcedures {
       }),
     Proc("vacuum",
       "reclaim history older than retain_hours (guarded below the " +
-        "safety window unless force)",
+        "safety window unless force); dry_run => true previews the " +
+        "reclaimable manifests/dirs/bytes without deleting anything",
       Seq(in("table", StringType), in("retain_hours", DoubleType),
-        inDefault("force", BooleanType, "false")),
+        inDefault("force", BooleanType, "false"),
+        inDefault("dry_run", BooleanType, "false")),
       (spark, path, input) => {
         val cutoff = System.currentTimeMillis() -
           (input.getDouble(1) * 3600 * 1000).toLong
-        val oldest = Versioned.vacuumOlderThan(path(str(input, 0)),
-          cutoff, force = input.getBoolean(2))
-        outRow(StructType(Seq(
-          StructField("oldest_retained", IntegerType))), Seq(oldest))
+        if (input.getBoolean(3)) {
+          // the operator's pre-flight check: read-only, guard-free
+          val p = Versioned.vacuumPreview(path(str(input, 0)), cutoff)
+          outRow(StructType(Seq(
+            StructField("oldest_retained", IntegerType),
+            StructField("n_manifests", IntegerType),
+            StructField("n_data_dirs", IntegerType),
+            StructField("n_dv_dirs", IntegerType),
+            StructField("reclaim_bytes", LongType))),
+            // Seq[Any], not Seq(...): Scala's numeric widening would
+            // silently promote the Int fields to Long beside p.bytes
+            // and the Int readers downstream would ClassCastException
+            Seq[Any](p.retainFrom, p.nManifests, p.nDataDirs,
+              p.nDvDirs, p.bytes))
+        } else {
+          val oldest = Versioned.vacuumOlderThan(path(str(input, 0)),
+            cutoff, force = input.getBoolean(2))
+          outRow(StructType(Seq(
+            StructField("oldest_retained", IntegerType))), Seq(oldest))
+        }
       }),
     Proc("restore",
       "roll the head back to an earlier version as a new commit " +

@@ -56,18 +56,24 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * UNCORRELATED scalar subqueries are supported in DELETE/UPDATE
   * WHERE, in UPDATE SET values, and in MERGE assignment values —
   * the subplan executes once (distributed) and its single value
-  * lands as a literal, loud past one row. A DELETE whose
-  * IN-subquery key set overflows [[MaxInSetKeys]] falls back to a
-  * DISTRIBUTED semi-join mask ([[Versioned.deleteWhereDVJoin]])
-  * instead of refusing — the >1M-id GDPR erasure lands as one
-  * statement with nothing key-set-sized on the driver.
+  * lands as a literal, loud past one row.
+  *
+  * DELETE additionally carries a DISTRIBUTED SEMI-JOIN fallback
+  * ([[Versioned.deleteWhereDVJoin]] — nothing key-set-sized on the
+  * driver) for the subquery shapes the bounded IN-set rewrite
+  * cannot: an uncorrelated IN whose key set overflows
+  * [[MaxInSetKeys]] (the >1M-id GDPR erasure), correlated EXISTS
+  * with ANY number of outer = inner equality correlations, and
+  * correlated single-column IN — composite keys join as structs
+  * with null key fields filtered from both sides.
   *
   * Loud, documented limits (each throws with the workaround named):
-  * correlated/multi-column IN, multi-equality EXISTS correlations,
-  * CORRELATED scalar subqueries in assignments, nested-field
-  * assignment, MERGE conditions that are not (target-column =
-  * source-expression) equalities plus source-only prefilters, and
-  * MERGE clauses that reassign an ON key column.
+  * correlated IN / multi-equality EXISTS outside DELETE,
+  * multi-column IN, non-equality correlation conjuncts, CORRELATED
+  * scalar subqueries in assignments, nested-field assignment, MERGE
+  * conditions that are not (target-column = source-expression)
+  * equalities plus source-only prefilters, and MERGE clauses that
+  * reassign an ON key column.
   */
 object GraftSqlDml extends PredicateHelper {
 
@@ -193,30 +199,14 @@ object GraftSqlDml extends PredicateHelper {
           "against it")
     }
 
-  /** EXISTS rewrite: uncorrelated probes the subplan once (LIMIT 1);
-    * correlated requires exactly ONE outer-column = inner-expression
-    * equality (conjoined with any number of inner-only predicates)
-    * and decorrelates to `outer IN (SELECT inner FROM …)` wrapped in
-    * COALESCE(…, false) — EXISTS is two-valued, a NULL outer value
-    * witnesses nothing. */
-  private def existsOf(spark: SparkSession, ex: Exists,
-      what: String): Expression = {
-    if (ex.outerAttrs.isEmpty && ex.joinCond.isEmpty)
-      return Literal(
-        GraftBridge.ofRows(spark, ex.plan).limit(1).count() > 0L)
-    // EXISTS ignores the subquery's projection — peel to the filter
-    def peelP(p: LogicalPlan): LogicalPlan = p match {
-      case Project(_, child) => peelP(child)
-      case SubqueryAlias(_, child) => peelP(child)
-      case other => other
-    }
-    val (conjuncts, base) =
-      if (ex.joinCond.nonEmpty) (ex.joinCond, ex.plan)
-      else peelP(ex.plan) match {
-        case Filter(cond, child) =>
-          (splitConjunctivePredicates(cond), child)
-        case other => (Seq.empty[Expression], other)
-      }
+  /** Classify correlation conjuncts against inner plan `base`:
+    * (outer-expression, inner-expression) equality pairs + inner-only
+    * predicates; anything else (outer ranges, outer-only predicates)
+    * is loudly unsupported. Shared by the EXISTS rewrite and the
+    * DELETE semi-join fallback. */
+  private def classifyCorrelation(conjuncts: Seq[Expression],
+      base: LogicalPlan, what: String)
+      : (Seq[(Expression, Expression)], Seq[Expression]) = {
     val baseOut = base.outputSet
     def hasOuter(x: Expression): Boolean =
       x.exists(_.isInstanceOf[OuterReference]) ||
@@ -232,19 +222,98 @@ object GraftSqlDml extends PredicateHelper {
       case EqualTo(l, r) if hasOuter(r) && !hasOuter(l) =>
         outerEqs += ((stripOuterRef(r), l))
       case p if !hasOuter(p) => innerOnly += p
-      case p => unsupported(s"$what EXISTS correlation conjunct " +
-        s"`${p.sql}`",
+      case p => unsupported(s"$what correlation conjunct `${p.sql}`",
         "supported correlations are conjuncts of outer-column = " +
           "inner-expression equalities plus inner-only predicates")
     }
+    (outerEqs.toSeq, innerOnly.toSeq)
+  }
+
+  /** Decompose a CORRELATED EXISTS into its outer=inner equality
+    * pairs and the inner base plan with inner-only predicates applied
+    * (both the OuterReference-in-plan and pulled-up joinCond analyzer
+    * shapes). EXISTS ignores the subquery's projection, so Projects
+    * peel off. */
+  private def existsEqs(ex: Exists, what: String)
+      : (Seq[(Expression, Expression)], LogicalPlan) = {
+    def peelP(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child) => peelP(child)
+      case SubqueryAlias(_, child) => peelP(child)
+      case other => other
+    }
+    val (conjuncts, base) =
+      if (ex.joinCond.nonEmpty) (ex.joinCond, ex.plan)
+      else peelP(ex.plan) match {
+        case Filter(cond, child) =>
+          (splitConjunctivePredicates(cond), child)
+        case other => (Seq.empty[Expression], other)
+      }
+    val (eqs, innerOnly) =
+      classifyCorrelation(conjuncts, base, s"$what EXISTS")
+    (eqs, if (innerOnly.isEmpty) base
+      else Filter(innerOnly.reduce(And), base))
+  }
+
+  /** Decompose a CORRELATED single-column `value IN (subquery)` into
+    * equality pairs (the correlations PLUS the IN's own value =
+    * subquery-column pair), and the filtered inner base — the shape
+    * the DELETE semi-join fallback consumes (for a TOP-LEVEL DELETE
+    * conjunct, IN TRUE ⟺ EXISTS of the conjoined equalities; NULL
+    * and FALSE both keep the row, so the IN/EXISTS distinction is
+    * immaterial there). None when the plan shape is not the
+    * analyzer's Project-over-optional-Filter. */
+  private def correlatedInEqs(value: Expression, lq: ListQuery,
+      what: String)
+      : Option[(Seq[(Expression, Expression)], LogicalPlan)] = {
+    def peelA(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => peelA(child)
+      case other => other
+    }
+    if (lq.joinCond.nonEmpty) {
+      val (eqs, innerOnly) =
+        classifyCorrelation(lq.joinCond, lq.plan, s"$what IN")
+      val base = if (innerOnly.isEmpty) lq.plan
+        else Filter(innerOnly.reduce(And), lq.plan)
+      Some((eqs :+ (value -> lq.plan.output.head), base))
+    } else peelA(lq.plan) match {
+      case Project(projList, child) if projList.size == 1 =>
+        val (cond, base) = peelA(child) match {
+          case Filter(c, b) => (splitConjunctivePredicates(c), b)
+          case other => (Seq.empty[Expression], other)
+        }
+        val (eqs, innerOnly) =
+          classifyCorrelation(cond, base, s"$what IN")
+        val filtered = if (innerOnly.isEmpty) base
+          else Filter(innerOnly.reduce(And), base)
+        val valueExpr = projList.head match {
+          case a: Alias => a.child
+          case e => e
+        }
+        Some((eqs :+ (value -> valueExpr), filtered))
+      case _ => None
+    }
+  }
+
+  /** EXISTS rewrite: uncorrelated probes the subplan once (LIMIT 1);
+    * correlated requires exactly ONE outer-column = inner-expression
+    * equality (conjoined with any number of inner-only predicates)
+    * and decorrelates to `outer IN (SELECT inner FROM …)` wrapped in
+    * COALESCE(…, false) — EXISTS is two-valued, a NULL outer value
+    * witnesses nothing. (Multi-equality correlations decorrelate too,
+    * but only on the DELETE semi-join path — see the Strategy.) */
+  private def existsOf(spark: SparkSession, ex: Exists,
+      what: String): Expression = {
+    if (ex.outerAttrs.isEmpty && ex.joinCond.isEmpty)
+      return Literal(
+        GraftBridge.ofRows(spark, ex.plan).limit(1).count() > 0L)
+    val (outerEqs, filtered) = existsEqs(ex, what)
     if (outerEqs.size != 1)
       unsupported(s"$what EXISTS with ${outerEqs.size} outer-equality " +
         "correlations",
-        "exactly one outer = inner equality decorrelates here — " +
-          "fold a composite key into one expression, or materialize " +
-          "the subquery and MERGE")
-    val filtered =
-      if (innerOnly.isEmpty) base else Filter(innerOnly.reduce(And), base)
+        "exactly one outer = inner equality decorrelates here (a " +
+          "DELETE decorrelates multi-equality EXISTS through the " +
+          "distributed semi-join mask) — fold a composite key into " +
+          "one expression, or materialize the subquery and MERGE")
     val proj = Project(Seq(Alias(outerEqs.head._2, "__graft_in")()),
       filtered)
     Coalesce(Seq(inSetOf(spark, outerEqs.head._1, proj, what),
@@ -289,31 +358,74 @@ object GraftSqlDml extends PredicateHelper {
         // subquery rewrite runs INSIDE the exec (execution time — it
         // runs the subplan), so planning/explain stays side-effect-free
         GraftDmlExec(s"GraftDelete ${t.name()}", sp => {
-          // Conjunct-wise rewrite with a SCALE fallback: the first
-          // top-level uncorrelated single-column `IN (subquery)`
-          // whose distinct key set overflows [[MaxInSetKeys]] does
-          // NOT refuse — the delete becomes a DISTRIBUTED semi-join
-          // mask ([[Versioned.deleteWhereDVJoin]]): both sides
+          // Conjunct-wise rewrite with a DISTRIBUTED SEMI-JOIN
+          // fallback ([[Versioned.deleteWhereDVJoin]] — both sides
           // shuffle on the key, nothing key-set-sized reaches the
-          // driver — the >1M-id GDPR erasure lands as one statement.
+          // driver) for the first top-level subquery conjunct that
+          // cannot ride the bounded IN-set rewrite:
+          //  - an uncorrelated single-column `IN (subquery)` whose
+          //    distinct key set overflows [[MaxInSetKeys]] (the
+          //    >1M-id GDPR erasure);
+          //  - a correlated EXISTS with MULTIPLE outer = inner
+          //    equality correlations (composite struct key; both
+          //    sides filter null key fields first — struct ordering
+          //    treats null fields as equal where the equality
+          //    conjuncts never match them);
+          //  - a correlated single-column `IN (subquery)` (its
+          //    correlations + the value = subquery-column pair are
+          //    the composite key).
           // Remaining conjuncts rewrite bounded-or-loud as before
           // and ride as the join path's pre-filter. Semi-join scope
-          // == IN's TRUE-only scope for a DELETE (NULLs delete
-          // nothing either way), so the two paths are
+          // == the subquery predicate's TRUE-only scope for a DELETE
+          // (NULL and FALSE both keep the row), so the paths are
           // interchangeable row-for-row.
-          var semiJoin: Option[(Expression, LogicalPlan)] = None
+          var semiJoin: Option[(Seq[Expression],
+            org.apache.spark.sql.DataFrame)] = None
+          def keysFrame(eqs: Seq[(Expression, Expression)],
+              base: LogicalPlan): org.apache.spark.sql.DataFrame =
+            GraftBridge.ofRows(sp, Project(
+              eqs.map(_._2).zipWithIndex.map { case (e, i) =>
+                Alias(e, s"__graft_k$i")() }, base))
           val rewritten = splitConjunctivePredicates(cond).map {
             case InSubquery(values, lq: ListQuery)
                 if semiJoin.isEmpty && values.size == 1 &&
                   lq.outerAttrs.isEmpty && lq.joinCond.isEmpty =>
               inSetOrKeys(sp, values.head, lq.plan) match {
                 case Right(e) => e
-                case Left(_) =>
+                case Left(keys) =>
                   logInfo(s"GraftDelete ${t.name()}: IN-subquery key " +
                     s"set exceeds $MaxInSetKeys — falling back to " +
                     "the distributed semi-join mask")
-                  semiJoin = Some((values.head, lq.plan))
+                  semiJoin = Some((Seq(values.head), keys))
                   Literal.TrueLiteral // scoped by the join instead
+              }
+            case InSubquery(values, lq: ListQuery)
+                if semiJoin.isEmpty && values.size == 1 &&
+                  (lq.outerAttrs.nonEmpty || lq.joinCond.nonEmpty) &&
+                  correlatedInEqs(values.head, lq,
+                    "DELETE WHERE").isDefined =>
+              val (eqs, base) =
+                correlatedInEqs(values.head, lq, "DELETE WHERE").get
+              semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
+              Literal.TrueLiteral
+            case ex: Exists
+                if semiJoin.isEmpty &&
+                  (ex.outerAttrs.nonEmpty || ex.joinCond.nonEmpty) &&
+                  existsEqs(ex, "DELETE WHERE")._1.nonEmpty =>
+              val (eqs, base) = existsEqs(ex, "DELETE WHERE")
+              if (eqs.sizeIs == 1) {
+                // one equality: bounded IN first, join past the cap
+                inSetOrKeys(sp, eqs.head._1, Project(
+                  Seq(Alias(eqs.head._2, "__graft_in")()), base)) match {
+                  case Right(e) =>
+                    Coalesce(Seq(e, Literal.FalseLiteral))
+                  case Left(keys) =>
+                    semiJoin = Some((Seq(eqs.head._1), keys))
+                    Literal.TrueLiteral
+                }
+              } else {
+                semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
+                Literal.TrueLiteral
               }
             case other =>
               rewritePredicateSubqueries(sp, other, "DELETE WHERE")
@@ -322,13 +434,26 @@ object GraftSqlDml extends PredicateHelper {
             case None =>
               val pred = bareCol(rewritten.reduce(And), "DELETE WHERE")
               Versioned.deleteWhereDV(sp, t.path, pred): Unit
-            case Some((value, plan)) =>
-              val keyCol = bareCol(value, "DELETE WHERE")
+            case Some((outerExprs, keysDf0)) =>
+              import org.apache.spark.sql.functions.struct
+              val outerCols =
+                outerExprs.map(e => bareCol(e, "DELETE WHERE"))
+              // composite keys join on a STRUCT: struct ordering
+              // treats null fields as EQUAL, diverging from the
+              // equality conjuncts — so null key fields filter out
+              // of BOTH sides first (they can never witness a match)
+              val (keyCol, keysDf, nnPred) =
+                if (outerCols.size == 1) (outerCols.head, keysDf0, None)
+                else (struct(outerCols: _*),
+                  keysDf0.na.drop("any").select(struct(
+                    keysDf0.columns.toIndexedSeq.map(col): _*).as("k")),
+                  Some(outerCols.map(_.isNotNull).reduce(_ && _)))
               val extras = rewritten.filter(_ != Literal.TrueLiteral)
-              val extra = if (extras.isEmpty) None
-                else Some(bareCol(extras.reduce(And), "DELETE WHERE"))
+              val extraPred = (extras.headOption.map(_ =>
+                bareCol(extras.reduce(And), "DELETE WHERE")).toSeq ++
+                nnPred).reduceOption(_ && _)
               Versioned.deleteWhereDVJoin(sp, t.path, keyCol,
-                GraftBridge.ofRows(sp, plan), extra): Unit
+                keysDf, extraPred): Unit
           }
         }) :: Nil
 

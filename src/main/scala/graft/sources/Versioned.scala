@@ -1056,11 +1056,82 @@ object Versioned {
             Files.createDirectories(changeDirPath(path, m.version)): Unit
           case _ => ()
         }
+        // auto-index the new dir when the parent's dirs are indexed
+        // (appends only — an overwrite has no carried dirs to match,
+        // and hive-partitioned dirs use partition pruning instead)
+        if (partSpec.isEmpty)
+          retrofitIndexes(df.sparkSession, path, parent, dataId)
         return Some(m.version)
       }
     }
     None // unreachable
   }
+
+  /** The file-skipping index columns any of `m`'s spec-free data dirs
+    * carry: (stats-indexed cols, bloom-indexed cols), PHYSICAL names
+    * (sidecars live beside physical-named files). Cheap: sidecar
+    * footers only, no data IO; unreadable sidecars count as
+    * un-indexed. */
+  private def indexedColumns(spark: SparkSession, path: String,
+      m: Manifest): (Set[String], Set[String]) = {
+    var stats = Set.empty[String]
+    var blooms = Set.empty[String]
+    m.dataDirs.filterNot(m.partSpecs.contains).foreach { d =>
+      val dir = s"$path/data/$d"
+      val sp = Paths.get(Clustered.statsPath(dir))
+      if (Files.isDirectory(sp)) {
+        try {
+          val names = spark.read.parquet(sp.toString)
+            .schema.fieldNames.toSet
+          stats ++= names.filter(_.startsWith("lo_")).map(_.drop(3))
+            .filter(c => names.contains("hi_" + c))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      if (Files.isDirectory(Paths.get(dir))) eachEntry(Paths.get(dir)) {
+        p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("_graft_bloom_") && Files.isDirectory(p))
+            blooms += n.stripPrefix("_graft_bloom_")
+      }
+    }
+    (stats, blooms)
+  }
+
+  /** AUTO-INDEX a freshly committed data dir: when the PARENT head's
+    * dirs already carry stats/bloom sidecars on some column, the new
+    * dir gets the same sidecars at commit time — without this,
+    * point-lookup/range pruning DECAYS as data arrives (every append
+    * would sit un-indexed until a manual `CALL index`). Runs
+    * post-publish and in place, exactly like the
+    * [[buildStatsIndex]]/[[buildBloomIndex]] retrofit verbs; sidecars
+    * the commit itself staged (commitIndexed / commitBloomIndexed /
+    * commitClustered) are detected and left alone. BEST-EFFORT by
+    * design: the commit is already published, so an index-build
+    * failure (e.g. the indexed column was dropped from the new
+    * schema) degrades to an un-indexed dir — readers keep every file
+    * of un-indexed dirs, never wrong — and logs instead of failing
+    * the committed write. */
+  private def retrofitIndexes(spark: SparkSession, path: String,
+      parent: Option[Manifest], dirId: String): Unit =
+    parent.foreach { pm =>
+      try {
+        val dir = s"$path/data/$dirId"
+        if (listDataFiles(dir).nonEmpty) {
+          val (stats, blooms) = indexedColumns(spark, path, pm)
+          if (stats.nonEmpty &&
+              !Files.isDirectory(Paths.get(Clustered.statsPath(dir))))
+            Clustered.writeStats(spark, dir, stats.toSeq.sorted)
+          blooms.toSeq.sorted.foreach { c =>
+            if (!Files.isDirectory(Paths.get(Clustered.bloomPath(dir, c))))
+              Clustered.writeBloomIndex(spark, dir, c, 100000L)
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] auto-index of $path/data/" +
+            s"$dirId skipped: ${e.getMessage}")
+      }
+    }
 
   /** Snapshot read: the table as of `version` (default: latest).
     * The manifest is resolved BEFORE any data is opened — commits
@@ -1672,6 +1743,58 @@ object Versioned {
       finally w.close()
       if (newest < cutoffMillis) dropDirRec(q)
     }
+  }
+
+  /** What a [[vacuumOlderThan]] at `cutoffMillis` WOULD reclaim —
+    * the operator's pre-flight check, nothing deleted. */
+  final case class VacuumPreview(retainFrom: Int, nManifests: Int,
+      nDataDirs: Int, nDvDirs: Int, bytes: Long)
+
+  /** DRY-RUN of [[vacuumOlderThan]]: resolve `retainFrom` under the
+    * same rule, then report — without deleting anything — the
+    * manifests below it, the data/DV dirs no retained manifest
+    * references, and their total bytes. The retention guard does not
+    * apply (a read-only preview endangers no pinned reader — that is
+    * the point: check BEFORE forcing). Driver-side directory walk
+    * over only the RECLAIMABLE dirs (normally a small suffix of
+    * history, not the live table). */
+  def vacuumPreview(path: String, cutoffMillis: Long): VacuumPreview = {
+    val head = latestVersion(path)
+    require(head >= 0, s"versioned vacuum: no committed version at $path")
+    val retainFrom = (0 to head).find { v =>
+      Files.exists(manifestPath(path, v)) &&
+        readManifest(path, v).ts.exists(_ >= cutoffMillis)
+    }.getOrElse(head)
+    val nManifests = (0 until retainFrom)
+      .count(v => Files.exists(manifestPath(path, v)))
+    val retained = (retainFrom to head)
+      .map(readManifest(path, _).dataDirs.toSet)
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val retainedDv = (retainFrom to head)
+      .map(readManifest(path, _).dvDirs.toSet)
+      .foldLeft(Set.empty[String])(_ ++ _)
+    var nData = 0
+    var nDv = 0
+    var bytes = 0L
+    def sizeOf(p: java.nio.file.Path): Long = {
+      val w = Files.walk(p)
+      try w.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally w.close()
+    }
+    if (Files.isDirectory(Paths.get(path, "data")))
+      eachEntry(Paths.get(path, "data")) { p =>
+        if (!retained(p.getFileName.toString)) {
+          nData += 1; bytes += sizeOf(p)
+        }
+      }
+    if (Files.isDirectory(dvRoot(path)))
+      eachEntry(dvRoot(path)) { p =>
+        if (!retainedDv(p.getFileName.toString)) {
+          nDv += 1; bytes += sizeOf(p)
+        }
+      }
+    VacuumPreview(retainFrom, nManifests, nData, nDv, bytes)
   }
 
   /** Drop data dirs unreferenced by any manifest ≥ `retainFrom`
@@ -2753,6 +2876,9 @@ object Versioned {
         if (masked == 0L) dropDirRec(Paths.get(path, "dv", dvId))
         publishMergeFeed(path, next.version, target, updates, keys,
           deleteWhen)
+        // the merge's upsert dir inherits the head's indexes, so
+        // point-lookup pruning does not decay under CDC traffic
+        retrofitIndexes(spark, path, Some(m), dataId)
         return next.version
       } else {
         // a commit landed at base+1 first — drop BOTH staged dirs
@@ -3185,6 +3311,9 @@ object Versioned {
           stagedBack.withColumn("ct", lit("update"))
             .select((cols.map(col) :+ col("ct")): _*),
           path, next.version)
+        // the post-image dir inherits the head's indexes (the
+        // update-DV dir the r14 advice named)
+        retrofitIndexes(spark, path, Some(m), dataId)
         return DeleteResult(next.version, 0, m.dataDirs.size,
           updatedRows)
       }
@@ -3240,15 +3369,28 @@ object Versioned {
     * Local filesystem walk here — an HDFS/object-store deployment
     * swaps in FileSystem.listStatus, same contract as every listing
     * in this format. */
-  def filesDetail(spark: SparkSession, path: String): DataFrame = {
+  def filesDetail(spark: SparkSession, path: String): DataFrame =
+    filesDetailPruned(spark, path, (_, _) => true)._1
+
+  /** [[filesDetail]] with DIRECTORY pruning: `dirPred(dirId,
+    * partSpec)` decides which manifest dirs are walked at all — the
+    * `<t>.files` SQL pushdown surface routes `dir_id` / `part_spec`
+    * filters here so `SELECT sum(size_bytes) FROM t.files WHERE
+    * part_spec LIKE 'days%'` walks ONLY matching dirs instead of the
+    * whole table tree. Returns (frame, dirsWalked, dirsTotal) — the
+    * accounting the spec gates on. */
+  def filesDetailPruned(spark: SparkSession, path: String,
+      dirPred: (String, String) => Boolean): (DataFrame, Int, Int) = {
     val head = latestVersion(path)
     require(head >= 0, s"versioned files: no committed version at $path")
     val m = readManifest(path, head)
     import spark.implicits._
+    val dirsTotal = m.dataDirs.size
     val dirs = m.dataDirs.map(d =>
       (d, s"$path/data/$d", m.partSpecs.getOrElse(d, "")))
-    spark.sparkContext
-      .parallelize(dirs, math.max(1, math.min(dirs.size, 64)))
+      .filter { case (d, _, spec) => dirPred(d, spec) }
+    val df = spark.sparkContext
+      .parallelize(dirs, math.max(1, math.min(math.max(dirs.size, 1), 64)))
       .flatMap { case (id, dir, spec) =>
         val root = java.nio.file.Paths.get(dir)
         if (!java.nio.file.Files.isDirectory(root)) Iterator.empty
@@ -3266,6 +3408,7 @@ object Versioned {
           finally w.close()
         }
       }.toDF("dir_id", "file", "size_bytes", "part_spec")
+    (df, dirs.size, dirsTotal)
   }
 
   /** SHALLOW CLONE (zero-copy table fork): materialize `srcPath`'s

@@ -740,6 +740,72 @@ class GraftSqlDmlSpec extends SparkSpec {
       s"retrofitted bloom must prune, got ($p2, $read2, $tot2)")
   }
 
+  test("<t>.files pushdown: dir_id / part_spec filters walk only matching dirs") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    // three dirs: one grp-partitioned, two plain
+    Versioned.commitPartitioned(
+      (1L to 30L).map(i => (i, s"g${i % 3}")).toDF("k", "grp"),
+      path, "grp")
+    Versioned.commit((31L to 40L).map(i => (i, "x")).toDF("k", "grp"),
+      path, overwrite = false)
+    Versioned.commit((41L to 50L).map(i => (i, "y")).toDF("k", "grp"),
+      path, overwrite = false)
+    val cat = freshCat(wh)
+    val dirs = Versioned.dataDirIds(path, 2)
+    // part_spec prefix filter: only the hive-laid-out dir walks
+    val n = spark.sql(s"""SELECT count(*) AS n FROM $cat.t.files
+        WHERE part_spec LIKE 'grp%'""").head.getLong(0)
+    val (p1, walked1, total1) = GraftCatalog.lastFilesScan.get()
+    assert(p1 == path && total1 == 3 && walked1 == 1,
+      s"part_spec prune walked $walked1/$total1 at $p1")
+    assert(n > 0)
+    // dir_id equality: exactly one dir walks, sizes are real
+    val bytes = spark.sql(s"""SELECT sum(size_bytes) AS b
+        FROM $cat.t.files WHERE dir_id = '${dirs.last}'""")
+      .head.getLong(0)
+    val (_, walked2, total2) = GraftCatalog.lastFilesScan.get()
+    assert(walked2 == 1 && total2 == 3,
+      s"dir_id prune walked $walked2/$total2")
+    assert(bytes > 0)
+    // un-pushable filters stay correct (applied on top, full walk)
+    assert(spark.sql(s"""SELECT count(*) AS n FROM $cat.t.files
+        WHERE size_bytes > 0""").head.getLong(0) ==
+      spark.sql(s"SELECT count(*) AS n FROM $cat.t.files")
+        .head.getLong(0))
+  }
+
+  test("CALL vacuum dry_run previews reclaimable history without deleting; real run matches") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    // v0 append, v1 OVERWRITE: v0's dir becomes reclaimable history
+    Versioned.commit((1L to 50L).map(i => (i, i)).toDF("k", "v"),
+      path, overwrite = false)
+    Versioned.commit((1L to 5L).map(i => (i, i)).toDF("k", "v"),
+      path, overwrite = true)
+    val cat = freshCat(wh)
+    val pre = spark.sql(s"""CALL $cat.system.vacuum(`table` => 't',
+        retain_hours => 0.0, dry_run => true)""").head
+    assert(pre.getInt(0) == 1, s"oldest_retained ${pre.getInt(0)}")
+    assert(pre.getInt(1) == 1, s"n_manifests ${pre.getInt(1)}")
+    assert(pre.getInt(2) == 1, s"n_data_dirs ${pre.getInt(2)}")
+    assert(pre.getInt(3) == 0)
+    assert(pre.getLong(4) > 0L, "reclaimable bytes must be real")
+    // the preview deleted NOTHING: v0 still time-travels
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 0")
+      .head.getLong(0) == 50L)
+    // the real (forced) run reclaims exactly what the preview said
+    spark.sql(s"""CALL $cat.system.vacuum(`table` => 't',
+        retain_hours => 0.0, force => true)""").collect()
+    assert(Versioned.oldestRetainedVersion(path) == 1)
+    val dataDirs = {
+      val ls = java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "data"))
+      try ls.count() finally ls.close()
+    }
+    assert(dataDirs == 1, s"real vacuum left $dataDirs dirs")
+  }
+
   test("optimistic concurrency through SQL: racing INSERTs all land, none lost") {
     val wh = freshWarehouse()
     val cat = freshCat(wh)
@@ -1000,6 +1066,41 @@ class GraftSqlDmlSpec extends SparkSpec {
       (SELECT max(x) FROM $cat.side WHERE x > 1000) WHERE k = 1""")
     assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 1")
       .head.isNullAt(0))
+  }
+
+  test("DELETE with correlated EXISTS/IN: multi-equality correlations land as a semi-join mask") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq(
+      (1L, "eu", 10L), (2L, "eu", 20L), (3L, "us", 10L),
+      (4L, "us", 40L), (5L, "ap", 50L)).toDF("k", "region", "v"),
+      path, overwrite = false)
+    // the erase side: (region, v) pairs + a null-keyed row that must
+    // witness NOTHING (equality semantics, not struct ordering)
+    Versioned.commit(Seq(
+      (Some("eu"), Some(10L), "x"), (Some("us"), Some(40L), "y"),
+      (None: Option[String], None: Option[Long], "z"))
+      .toDF("region", "v", "tag"), s"$wh/s", overwrite = false)
+    val cat = freshCat(wh)
+    // TWO outer equalities — pre-r15 this was loud; now: semi-join
+    // mask on the composite struct key
+    spark.sql(s"""DELETE FROM $cat.t WHERE EXISTS (
+        SELECT 1 FROM $cat.s s
+        WHERE s.region = t.region AND s.v = t.v AND s.tag <> 'q')""")
+    assert(spark.sql(s"SELECT k FROM $cat.t ORDER BY k")
+      .as[Long].collect().toSeq == Seq(2L, 3L, 5L))
+    // zero rewrite, one mask of exactly the two matches
+    assert(Versioned.dvDirIds(path, 1).size == 1)
+    assert(spark.read.parquet(
+      s"$path/dv/${Versioned.dvDirIds(path, 1).head}").count() == 2)
+    // correlated IN decorrelates the same way (value pair + the
+    // correlation pair form the composite key)
+    spark.sql(s"""DELETE FROM $cat.t WHERE v IN (
+        SELECT s.v FROM $cat.s s WHERE s.region = t.region)""")
+    // remaining: (2,eu,20) kept, (3,us,10) kept (us rows in s carry
+    // v=40 only), (5,ap,50) kept (no ap rows in s)
+    assert(spark.sql(s"SELECT k FROM $cat.t ORDER BY k")
+      .as[Long].collect().toSeq == Seq(2L, 3L, 5L))
   }
 
   test("DELETE with a >MaxInSetKeys IN-subquery falls back to the distributed semi-join mask") {

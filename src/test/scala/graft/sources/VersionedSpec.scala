@@ -275,6 +275,47 @@ class VersionedSpec extends SparkSpec {
     } finally Versioned.prePublishHook = () => ()
   }
 
+  test("auto-index: appends to an indexed table inherit the head's sidecars, no CALL needed") {
+    val path = tmpTable()
+    // v0: bloom-indexed on k AND stats-indexed on v
+    Versioned.commitBloomIndexed((1L to 4000L).map(i => (i, i * 2))
+      .toDF("k", "v").repartition(4, col("k")), path, "k",
+      expectedPerFile = 2000L, overwrite = false)
+    Versioned.buildStatsIndex(spark, path, Seq("v"))
+    // a PLAIN append: the new dir must get BOTH sidecars at commit
+    // time (pre-r15 it sat un-indexed until a manual CALL index)
+    Versioned.commit((4001L to 8000L).map(i => (i, i * 2))
+      .toDF("k", "v").repartition(4, col("k")), path,
+      overwrite = false)
+    val newDir = Versioned.dataDirIds(path, 1).last
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+      Clustered.bloomPath(s"$path/data/$newDir", "k"))),
+      "appended dir did not inherit the bloom sidecar")
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+      Clustered.statsPath(s"$path/data/$newDir"))),
+      "appended dir did not inherit the stats sidecar")
+    // the point lookup prunes files of the NEW dir too — a key in
+    // the appended range skips most of both dirs' files
+    val (df, read, tot) = Versioned.readEqualityClustered(
+      spark, path, "k", 6000L)
+    assert(read < tot, s"no files skipped ($read/$tot)")
+    assert(df.select("v").as[Long].head() == 12000L)
+    // range skipping on the inherited stats index covers the append
+    val (df2, r2, t2) = Versioned.readRangeClustered(
+      spark, path, "v", 15000.0, 15010.0)
+    assert(r2 < t2, s"stats index did not skip ($r2/$t2)")
+    assert(df2.count() == 6) // v = 15000..15010 even
+    // merge-dv's upsert dir inherits too
+    Versioned.mergeDV(spark, path,
+      Seq((2L, 999L), (9999L, 9L)).toDF("k", "v"), Seq("k"))
+    val mergeDir = Versioned.dataDirIds(path, 2).last
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+      Clustered.bloomPath(s"$path/data/$mergeDir", "k"))),
+      "merge-dv dir did not inherit the bloom sidecar")
+    assert(Versioned.read(spark, path)
+      .filter(col("k") === 2L).select("v").as[Long].head() == 999L)
+  }
+
   test("clusterRewrite (CALL cluster's engine path) loses a racing append and re-derives") {
     val path = tmpTable()
     Versioned.commit((1L to 100L).map(i => (i, i % 7)).toDF("a", "b"),
