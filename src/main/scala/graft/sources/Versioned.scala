@@ -1314,19 +1314,26 @@ object Versioned {
     * (mask rows for pruned files simply never match the anti-join),
     * and restore logical names. Skipping therefore composes with
     * schema evolution AND time travel — each version prunes on the
-    * index it was committed with. Returns (frame, filesRead,
+    * index it was committed with.
+    *
+    * LAYOUT-AWARE: hive-partitioned dirs (no flat sidecar contract)
+    * read FULLY through the layout-aware [[readDirs]] and union with
+    * the pruned flat read — so a table that mixes partitioned history
+    * with indexed appends (partition evolution's normal end state)
+    * keeps file skipping on its indexed dirs instead of losing it
+    * everywhere (the pre-r15 behavior). Returns (frame, filesRead,
     * filesTotal). */
   private def sidecarPrunedRead(spark: SparkSession, path: String,
       version: Option[Int],
       pruneDir: (String, Manifest) => Option[(Seq[String], Int)],
-      predPhys: Manifest => Column): (DataFrame, Int, Int) = {
+      predLogical: Column): (DataFrame, Int, Int) = {
     val v = version.getOrElse(latestVersion(path))
     require(v >= 0, s"versioned read: no committed version at $path")
     val m = readManifest(path, v)
-    val dirs = m.dataDirs.map(d => s"$path/data/$d")
+    val (specced, plainIds) = m.dataDirs.partition(m.partSpecs.contains)
     var kept = Vector.empty[String]
     var total = 0
-    dirs.foreach { dir =>
+    plainIds.map(d => s"$path/data/$d").foreach { dir =>
       pruneDir(dir, m) match {
         case Some((k, t)) => kept ++= k; total += t
         case None =>
@@ -1334,19 +1341,33 @@ object Versioned {
           kept ++= fs; total += fs.size
       }
     }
+    val speccedFiles = specced
+      .map(d => countDataFiles(Paths.get(path, "data", d))).sum
+    total += speccedFiles
     val logicalOpt = m.schemaDdl.map(
       org.apache.spark.sql.types.StructType.fromDDL)
-    val reader = logicalOpt match {
-      case Some(st) => spark.read.schema(physStruct(m, st))
-      case None => spark.read
+    val ids = Seq("__dv_rel", "__dv_pos")
+    val frames = Seq.newBuilder[DataFrame]
+    if (kept.nonEmpty) {
+      val reader = logicalOpt match {
+        case Some(st) => spark.read.schema(physStruct(m, st))
+        case None => spark.read
+      }
+      val flat = withRowId(reader.parquet(kept: _*))
+      frames += logicalOpt.map(toLogical(m, _, flat, ids))
+        .getOrElse(flat)
     }
-    val pred = predPhys(m)
-    val phys =
-      if (kept.isEmpty) reader.parquet(dirs: _*).filter(pred).limit(0)
-      else applyDvMask(spark, path, m.dvDirs,
-        reader.parquet(kept: _*).filter(pred))
-    val df = logicalOpt.map(toLogical(m, _, phys)).getOrElse(phys)
-    (df, kept.size, total)
+    if (specced.nonEmpty)
+      frames += readDirs(spark, path, m, specced, withIds = true)
+    val all = frames.result()
+    val df =
+      if (all.isEmpty) // every file pruned away: empty frame, no IO
+        readDirs(spark, path, m, m.dataDirs, withIds = true)
+          .filter(predLogical).limit(0)
+      else all.reduce(_.unionByName(_)).filter(predLogical)
+    val masked = maskByPos(spark, path, m.dvDirs, df)
+      .drop("__dv_rel", "__dv_pos")
+    (masked, kept.size + speccedFiles, total)
   }
 
   /** An INDEX read must never fail a read that can proceed
@@ -1387,7 +1408,7 @@ object Versioned {
     import org.apache.spark.sql.functions.col
     sidecarPrunedRead(spark, path, version,
       (dir, m) => statsPruneDir(spark, dir, m.physOf(c), lo, hi),
-      m => col(m.physOf(c)) >= lo && col(m.physOf(c)) <= hi)
+      col(c) >= lo && col(c) <= hi)
   }
 
   /** Snapshot read with BLOOM file skipping — the equality sibling of
@@ -1410,7 +1431,7 @@ object Versioned {
           Some(Clustered.pruneEquality(spark, dir, cPhys, value))
         else None
       },
-      m => col(m.physOf(c)) === lit(value))
+      col(c) === lit(value))
   }
 
   /** File accounting of the most recent bloom-pruned DML mask scan
@@ -1438,8 +1459,7 @@ object Versioned {
       m: Manifest, predicate: Column): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val pruned: Option[DataFrame] =
-      if (m.partSpecs.nonEmpty) None
-      else org.apache.spark.sql.GraftBridge.topLevelEquality(predicate)
+      org.apache.spark.sql.GraftBridge.topLevelEquality(predicate)
         .flatMap { case (rawName, v) =>
         // resolve the predicate's name against the schema (folded —
         // Spark resolves case-insensitively) before the physical map
@@ -1448,10 +1468,16 @@ object Versioned {
           .find(n => foldName(n) == foldName(rawName)))
           .getOrElse(rawName)
         val cPhys = m.physOf(logical)
+        // hive-partitioned dirs have no flat sidecar contract: they
+        // read fully beside the bloom-pruned flat dirs — one indexed
+        // spec-free dir still bounds the scan (pre-r15 ANY
+        // partitioned dir disabled pruning table-wide)
+        val (specced, plainIds) =
+          m.dataDirs.partition(m.partSpecs.contains)
         var kept = Vector.empty[String]
         var total = 0
         var anyIndexed = false
-        m.dataDirs.foreach { d =>
+        plainIds.foreach { d =>
           val dir = s"$path/data/$d"
           val pruned =
             if (Files.isDirectory(Paths.get(Clustered.bloomPath(dir, cPhys))))
@@ -1469,19 +1495,31 @@ object Versioned {
         }
         if (!anyIndexed) None
         else {
-          lastDmlScan.set((path, kept.size, total))
+          val speccedFiles = specced
+            .map(d => countDataFiles(Paths.get(path, "data", d))).sum
+          lastDmlScan.set((path, kept.size + speccedFiles,
+            total + speccedFiles))
           val physOpt = stOpt.map(physStruct(m, _))
           val reader = physOpt match {
             case Some(st) => spark.read.schema(st)
             case None => spark.read
           }
-          val raw =
-            if (kept.nonEmpty) reader.parquet(kept: _*)
-            else reader.parquet(m.dataDirs.map(d => s"$path/data/$d"): _*)
-              .filter(org.apache.spark.sql.functions.lit(false))
-          val withIds = withRowId(raw)
-          Some(stOpt.map(toLogical(m, _, withIds,
-            Seq("__dv_rel", "__dv_pos"))).getOrElse(withIds))
+          val frames = Seq.newBuilder[DataFrame]
+          if (kept.nonEmpty) {
+            val withIds = withRowId(reader.parquet(kept: _*))
+            frames += stOpt.map(toLogical(m, _, withIds,
+              Seq("__dv_rel", "__dv_pos"))).getOrElse(withIds)
+          }
+          if (specced.nonEmpty)
+            frames += readDirs(spark, path, m, specced, withIds = true)
+          val all = frames.result()
+          if (all.isEmpty) { // every file bloom-pruned: empty frame
+            val raw = withRowId(reader
+              .parquet(m.dataDirs.map(d => s"$path/data/$d"): _*)
+              .filter(org.apache.spark.sql.functions.lit(false)))
+            Some(stOpt.map(toLogical(m, _, raw,
+              Seq("__dv_rel", "__dv_pos"))).getOrElse(raw))
+          } else Some(all.reduce(_.unionByName(_)))
         }
       }
     maskByPos(spark, path, m.dvDirs, pruned.getOrElse(
@@ -1513,16 +1551,17 @@ object Versioned {
     * ([[GraftCatalog]] consults it before routing a pushed filter
     * through the sidecar read paths). `kind` is "stats" or "bloom".
     * Cheap on purpose: directory existence checks plus at most one
-    * memoized sidecar footer, no data IO. Manifests with
-    * hive-partitioned dirs return false — those dirs' files live
-    * under partition subdirs the flat sidecar listing does not see,
-    * and the partition-pruned read path covers them instead. */
+    * memoized sidecar footer, no data IO. Hive-partitioned dirs do
+    * not count (no flat sidecar contract) but no longer disqualify
+    * the whole table — [[sidecarPrunedRead]] reads them fully beside
+    * the pruned flat dirs, so ONE indexed spec-free dir is enough to
+    * route the skipping path. */
   def hasSkippingIndex(spark: SparkSession, path: String, v: Int,
       c: String, kind: String): Boolean = {
     val m = readManifest(path, v)
-    if (m.partSpecs.nonEmpty) return false
     val cPhys = m.physOf(c)
-    m.dataDirs.map(d => s"$path/data/$d").exists { dir =>
+    m.dataDirs.filterNot(m.partSpecs.contains)
+      .map(d => s"$path/data/$d").exists { dir =>
       kind match {
         case "bloom" =>
           Files.isDirectory(Paths.get(Clustered.bloomPath(dir, cPhys)))

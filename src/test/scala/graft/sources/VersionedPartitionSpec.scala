@@ -262,6 +262,40 @@ class VersionedPartitionSpec extends SparkSpec {
     assert(pdf.select("k").as[Long].collect().toSet == want)
   }
 
+  test("mixed layouts keep sidecar skipping: a partitioned dir no longer disables indexed reads") {
+    val path = tmpTable()
+    // v0: a hive-partitioned dir (no flat sidecar possible)
+    Versioned.commitPartitioned(
+      (1L to 30L).map(k => (k, s"g${k % 3}", k * 10))
+        .toDF("k", "grp", "val"), path, "grp")
+    // v1: a BLOOM-indexed plain append — pre-r15, the mere presence
+    // of the v0 hive dir disabled skipping for the whole table
+    Versioned.commitBloomIndexed(
+      (1000L to 4999L).map(k => (k, "x", k)).toDF("k", "grp", "val")
+        .repartition(8, col("k")), path, "k",
+      expectedPerFile = 1000L, overwrite = false)
+    assert(Versioned.hasSkippingIndex(spark,
+      path, 1, "k", "bloom"), "mixed layout must keep the index route")
+    val (df, read, tot) = Versioned.readEqualityClustered(
+      spark, path, "k", 3000L)
+    // the hive dir reads fully, the indexed dir prunes — net skip
+    assert(read < tot, s"no files skipped ($read/$tot)")
+    assert(df.select("val").as[Long].collect().toSeq == Seq(3000L))
+    // a key living in the HIVE dir is still found (full read there)
+    val (df2, _, _) = Versioned.readEqualityClustered(
+      spark, path, "k", 7L)
+    assert(df2.select("val").as[Long].collect().toSeq == Seq(70L))
+    // bloom-pruned DML masks stay sound across the mix: the delete
+    // covers matches in BOTH dirs
+    Versioned.commit(Seq((7L, "y", 777L)).toDF("k", "grp", "val"),
+      path, overwrite = false)
+    val r = Versioned.deleteWhereDV(spark, path, col("k") === 7L)
+    assert(r.deletedRows == 2L,
+      s"mask must cover hive-dir + plain-dir matches: $r")
+    assert(Versioned.read(spark, path).filter(col("k") === 7L)
+      .count() == 0L)
+  }
+
   test("commitPartitionedSpec guards: unknown transform, non-time column, derived collision") {
     val path = tmpTable()
     val df = tsRows(1, 5)
