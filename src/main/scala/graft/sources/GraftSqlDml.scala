@@ -58,8 +58,9 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * the subplan executes once (distributed) and its single value
   * lands as a literal, loud past one row.
   *
-  * DELETE additionally carries a DISTRIBUTED SEMI-JOIN fallback
-  * ([[Versioned.deleteWhereDVJoin]] — nothing key-set-sized on the
+  * DELETE and UPDATE WHERE additionally carry a DISTRIBUTED
+  * SEMI-JOIN fallback ([[Versioned.deleteWhereDVJoin]] /
+  * [[Versioned.updateWhereDVJoin]] — nothing key-set-sized on the
   * driver) for the subquery shapes the bounded IN-set rewrite
   * cannot: an uncorrelated IN whose key set overflows
   * [[MaxInSetKeys]] (the >1M-id GDPR erasure), correlated EXISTS
@@ -68,7 +69,7 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * with null key fields filtered from both sides.
   *
   * Loud, documented limits (each throws with the workaround named):
-  * correlated IN / multi-equality EXISTS outside DELETE,
+  * correlated IN / multi-equality EXISTS in MERGE clauses,
   * multi-column IN, non-equality correlation conjuncts, CORRELATED
   * scalar subqueries in assignments, nested-field assignment, MERGE
   * conditions that are not (target-column = source-expression)
@@ -349,6 +350,104 @@ object GraftSqlDml extends PredicateHelper {
       "assign the whole top-level column")
   }
 
+  /** Conjunct-wise DELETE/UPDATE WHERE rewrite with a DISTRIBUTED
+    * SEMI-JOIN fallback ([[Versioned.deleteWhereDVJoin]] /
+    * [[Versioned.updateWhereDVJoin]] — both sides shuffle on the key,
+    * nothing key-set-sized reaches the driver) for the first
+    * top-level subquery conjunct the bounded IN-set rewrite cannot
+    * carry:
+    *
+    *  - an uncorrelated single-column `IN (subquery)` whose distinct
+    *    key set overflows [[MaxInSetKeys]] (the >1M-id GDPR erasure);
+    *  - a correlated EXISTS with ANY number of outer = inner equality
+    *    correlations (composite struct key; both sides filter null
+    *    key fields first — struct ordering treats null fields as
+    *    equal where the equality conjuncts never match them);
+    *  - a correlated single-column `IN (subquery)` (its correlations
+    *    + the value = subquery-column pair are the composite key).
+    *
+    * Remaining conjuncts rewrite bounded-or-loud as before and ride
+    * as the join path's pre-filter. Semi-join scope == the subquery
+    * predicate's TRUE-only scope for row-level DML (NULL and FALSE
+    * both keep the row untouched), so the paths are interchangeable
+    * row-for-row. Returns Right(row-local predicate) on the plain
+    * path, Left((keyCol, keys frame, extra pre-filter)) on the join
+    * path. */
+  private def rewriteWhereOrJoin(sp: SparkSession, cond: Expression,
+      what: String, label: String): Either[
+        (Column, org.apache.spark.sql.DataFrame, Option[Column]),
+        Column] = {
+    var semiJoin: Option[(Seq[Expression],
+      org.apache.spark.sql.DataFrame)] = None
+    def keysFrame(eqs: Seq[(Expression, Expression)],
+        base: LogicalPlan): org.apache.spark.sql.DataFrame =
+      GraftBridge.ofRows(sp, Project(
+        eqs.map(_._2).zipWithIndex.map { case (e, i) =>
+          Alias(e, s"__graft_k$i")() }, base))
+    val rewritten = splitConjunctivePredicates(cond).map {
+      case InSubquery(values, lq: ListQuery)
+          if semiJoin.isEmpty && values.size == 1 &&
+            lq.outerAttrs.isEmpty && lq.joinCond.isEmpty =>
+        inSetOrKeys(sp, values.head, lq.plan) match {
+          case Right(e) => e
+          case Left(keys) =>
+            logInfo(s"$label: IN-subquery key set exceeds " +
+              s"$MaxInSetKeys — falling back to the distributed " +
+              "semi-join mask")
+            semiJoin = Some((Seq(values.head), keys))
+            Literal.TrueLiteral // scoped by the join instead
+        }
+      case InSubquery(values, lq: ListQuery)
+          if semiJoin.isEmpty && values.size == 1 &&
+            (lq.outerAttrs.nonEmpty || lq.joinCond.nonEmpty) &&
+            correlatedInEqs(values.head, lq, what).isDefined =>
+        val (eqs, base) = correlatedInEqs(values.head, lq, what).get
+        semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
+        Literal.TrueLiteral
+      case ex: Exists
+          if semiJoin.isEmpty &&
+            (ex.outerAttrs.nonEmpty || ex.joinCond.nonEmpty) &&
+            existsEqs(ex, what)._1.nonEmpty =>
+        val (eqs, base) = existsEqs(ex, what)
+        if (eqs.sizeIs == 1) {
+          // one equality: bounded IN first, join past the cap
+          inSetOrKeys(sp, eqs.head._1, Project(
+            Seq(Alias(eqs.head._2, "__graft_in")()), base)) match {
+            case Right(e) =>
+              Coalesce(Seq(e, Literal.FalseLiteral))
+            case Left(keys) =>
+              semiJoin = Some((Seq(eqs.head._1), keys))
+              Literal.TrueLiteral
+          }
+        } else {
+          semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
+          Literal.TrueLiteral
+        }
+      case other => rewritePredicateSubqueries(sp, other, what)
+    }
+    semiJoin match {
+      case None => Right(bareCol(rewritten.reduce(And), what))
+      case Some((outerExprs, keysDf0)) =>
+        import org.apache.spark.sql.functions.struct
+        val outerCols = outerExprs.map(e => bareCol(e, what))
+        // composite keys join on a STRUCT: struct ordering treats
+        // null fields as EQUAL, diverging from the equality
+        // conjuncts — so null key fields filter out of BOTH sides
+        // first (they can never witness a match)
+        val (keyCol, keysDf, nnPred) =
+          if (outerCols.size == 1) (outerCols.head, keysDf0, None)
+          else (struct(outerCols: _*),
+            keysDf0.na.drop("any").select(struct(
+              keysDf0.columns.toIndexedSeq.map(col): _*).as("k")),
+            Some(outerCols.map(_.isNotNull).reduce(_ && _)))
+        val extras = rewritten.filter(_ != Literal.TrueLiteral)
+        val extraPred = (extras.headOption.map(_ =>
+          bareCol(extras.reduce(And), what)).toSeq ++
+          nnPred).reduceOption(_ && _)
+        Left((keyCol, keysDf, extraPred))
+    }
+  }
+
   /** The planner strategy. Only commands whose target is a
     * [[VersionedSqlTable]] match; everything else falls through to
     * Spark's own strategies. */
@@ -358,100 +457,11 @@ object GraftSqlDml extends PredicateHelper {
         // subquery rewrite runs INSIDE the exec (execution time — it
         // runs the subplan), so planning/explain stays side-effect-free
         GraftDmlExec(s"GraftDelete ${t.name()}", sp => {
-          // Conjunct-wise rewrite with a DISTRIBUTED SEMI-JOIN
-          // fallback ([[Versioned.deleteWhereDVJoin]] — both sides
-          // shuffle on the key, nothing key-set-sized reaches the
-          // driver) for the first top-level subquery conjunct that
-          // cannot ride the bounded IN-set rewrite:
-          //  - an uncorrelated single-column `IN (subquery)` whose
-          //    distinct key set overflows [[MaxInSetKeys]] (the
-          //    >1M-id GDPR erasure);
-          //  - a correlated EXISTS with MULTIPLE outer = inner
-          //    equality correlations (composite struct key; both
-          //    sides filter null key fields first — struct ordering
-          //    treats null fields as equal where the equality
-          //    conjuncts never match them);
-          //  - a correlated single-column `IN (subquery)` (its
-          //    correlations + the value = subquery-column pair are
-          //    the composite key).
-          // Remaining conjuncts rewrite bounded-or-loud as before
-          // and ride as the join path's pre-filter. Semi-join scope
-          // == the subquery predicate's TRUE-only scope for a DELETE
-          // (NULL and FALSE both keep the row), so the paths are
-          // interchangeable row-for-row.
-          var semiJoin: Option[(Seq[Expression],
-            org.apache.spark.sql.DataFrame)] = None
-          def keysFrame(eqs: Seq[(Expression, Expression)],
-              base: LogicalPlan): org.apache.spark.sql.DataFrame =
-            GraftBridge.ofRows(sp, Project(
-              eqs.map(_._2).zipWithIndex.map { case (e, i) =>
-                Alias(e, s"__graft_k$i")() }, base))
-          val rewritten = splitConjunctivePredicates(cond).map {
-            case InSubquery(values, lq: ListQuery)
-                if semiJoin.isEmpty && values.size == 1 &&
-                  lq.outerAttrs.isEmpty && lq.joinCond.isEmpty =>
-              inSetOrKeys(sp, values.head, lq.plan) match {
-                case Right(e) => e
-                case Left(keys) =>
-                  logInfo(s"GraftDelete ${t.name()}: IN-subquery key " +
-                    s"set exceeds $MaxInSetKeys — falling back to " +
-                    "the distributed semi-join mask")
-                  semiJoin = Some((Seq(values.head), keys))
-                  Literal.TrueLiteral // scoped by the join instead
-              }
-            case InSubquery(values, lq: ListQuery)
-                if semiJoin.isEmpty && values.size == 1 &&
-                  (lq.outerAttrs.nonEmpty || lq.joinCond.nonEmpty) &&
-                  correlatedInEqs(values.head, lq,
-                    "DELETE WHERE").isDefined =>
-              val (eqs, base) =
-                correlatedInEqs(values.head, lq, "DELETE WHERE").get
-              semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
-              Literal.TrueLiteral
-            case ex: Exists
-                if semiJoin.isEmpty &&
-                  (ex.outerAttrs.nonEmpty || ex.joinCond.nonEmpty) &&
-                  existsEqs(ex, "DELETE WHERE")._1.nonEmpty =>
-              val (eqs, base) = existsEqs(ex, "DELETE WHERE")
-              if (eqs.sizeIs == 1) {
-                // one equality: bounded IN first, join past the cap
-                inSetOrKeys(sp, eqs.head._1, Project(
-                  Seq(Alias(eqs.head._2, "__graft_in")()), base)) match {
-                  case Right(e) =>
-                    Coalesce(Seq(e, Literal.FalseLiteral))
-                  case Left(keys) =>
-                    semiJoin = Some((Seq(eqs.head._1), keys))
-                    Literal.TrueLiteral
-                }
-              } else {
-                semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
-                Literal.TrueLiteral
-              }
-            case other =>
-              rewritePredicateSubqueries(sp, other, "DELETE WHERE")
-          }
-          semiJoin match {
-            case None =>
-              val pred = bareCol(rewritten.reduce(And), "DELETE WHERE")
+          rewriteWhereOrJoin(sp, cond, "DELETE WHERE",
+            s"GraftDelete ${t.name()}") match {
+            case Right(pred) =>
               Versioned.deleteWhereDV(sp, t.path, pred): Unit
-            case Some((outerExprs, keysDf0)) =>
-              import org.apache.spark.sql.functions.struct
-              val outerCols =
-                outerExprs.map(e => bareCol(e, "DELETE WHERE"))
-              // composite keys join on a STRUCT: struct ordering
-              // treats null fields as EQUAL, diverging from the
-              // equality conjuncts — so null key fields filter out
-              // of BOTH sides first (they can never witness a match)
-              val (keyCol, keysDf, nnPred) =
-                if (outerCols.size == 1) (outerCols.head, keysDf0, None)
-                else (struct(outerCols: _*),
-                  keysDf0.na.drop("any").select(struct(
-                    keysDf0.columns.toIndexedSeq.map(col): _*).as("k")),
-                  Some(outerCols.map(_.isNotNull).reduce(_ && _)))
-              val extras = rewritten.filter(_ != Literal.TrueLiteral)
-              val extraPred = (extras.headOption.map(_ =>
-                bareCol(extras.reduce(And), "DELETE WHERE")).toSeq ++
-                nnPred).reduceOption(_ && _)
+            case Left((keyCol, keysDf, extraPred)) =>
               Versioned.deleteWhereDVJoin(sp, t.path, keyCol,
                 keysDf, extraPred): Unit
           }
@@ -467,9 +477,22 @@ object GraftSqlDml extends PredicateHelper {
           val set = assignments.map(a =>
             assignName(a) -> bareCol(rewritePredicateSubqueries(
               sp, a.value, "UPDATE SET"), "UPDATE SET"))
-          val pred = cond.map(c => bareCol(rewritePredicateSubqueries(
-            sp, c, "UPDATE WHERE"), "UPDATE WHERE")).getOrElse(lit(true))
-          Versioned.updateWhereDV(sp, t.path, pred, set): Unit
+          cond match {
+            case None =>
+              Versioned.updateWhereDV(sp, t.path, lit(true), set): Unit
+            case Some(c) =>
+              // same WHERE rewrite + semi-join fallback as DELETE:
+              // UPDATE touches TRUE rows only, so the join scope and
+              // the predicate scope are interchangeable here too
+              rewriteWhereOrJoin(sp, c, "UPDATE WHERE",
+                s"GraftUpdate ${t.name()}") match {
+                case Right(pred) =>
+                  Versioned.updateWhereDV(sp, t.path, pred, set): Unit
+                case Left((keyCol, keysDf, extraPred)) =>
+                  Versioned.updateWhereDVJoin(sp, t.path, keyCol,
+                    keysDf, set, extraPred): Unit
+              }
+          }
         }) :: Nil
 
       case MergeIntoTable(VersionedRel(tOut, t), source, mergeCond,

@@ -3098,19 +3098,27 @@ object Versioned {
   def deleteWhereDVJoin(spark: SparkSession, path: String,
       keyCol: org.apache.spark.sql.Column, keys: DataFrame,
       extra: Option[org.apache.spark.sql.Column] = None,
-      txn: Option[String] = None): DeleteResult = {
+      txn: Option[String] = None): DeleteResult =
+    deleteWhereDVCore(spark, path, txn,
+      m => semiJoinHits(spark, path, m, keyCol, keys, extra))
+
+  /** The semi-join hit selector shared by [[deleteWhereDVJoin]] and
+    * [[updateWhereDVJoin]]: live rows (existing mask applied),
+    * pre-filtered by `extra` (NULL keeps the row), left-semi-joined
+    * to the single-column distinct `keys` frame on `keyCol`. */
+  private def semiJoinHits(spark: SparkSession, path: String,
+      m: Manifest, keyCol: org.apache.spark.sql.Column,
+      keys: DataFrame,
+      extra: Option[org.apache.spark.sql.Column]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(keys.columns.length == 1,
-      s"versioned deleteWhereDVJoin: keys frame must have exactly " +
+      s"versioned semi-join DML: keys frame must have exactly " +
         s"one column, got [${keys.columns.mkString(", ")}]")
-    deleteWhereDVCore(spark, path, txn, { m =>
-      val live = dmlLiveRows(spark, path, m,
-        extra.getOrElse(lit(true)))
-      val pre = extra.map(e => live.filter(coalesce(e, lit(false))))
-        .getOrElse(live)
-      val k = keys.toDF("__graft_semi_k").distinct()
-      pre.join(k, keyCol === col("__graft_semi_k"), "left_semi")
-    })
+    val live = dmlLiveRows(spark, path, m, extra.getOrElse(lit(true)))
+    val pre = extra.map(e => live.filter(coalesce(e, lit(false))))
+      .getOrElse(live)
+    pre.join(keys.toDF("__graft_semi_k").distinct(),
+      keyCol === col("__graft_semi_k"), "left_semi")
   }
 
   /** The shared mask-stage → publish → feed loop behind
@@ -3261,7 +3269,36 @@ object Versioned {
       predicate: org.apache.spark.sql.Column,
       set: Seq[(String, org.apache.spark.sql.Column)],
       txn: Option[String] = None): DeleteResult = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    updateWhereDVCore(spark, path, set, txn,
+      m => dmlLiveRows(spark, path, m, predicate)
+        .filter(coalesce(predicate, lit(false)))) // NULL keeps the row
+  }
+
+  /** UPDATE whose row scope is a DISTRIBUTED SEMI-JOIN — the update
+    * twin of [[deleteWhereDVJoin]], same contract: rows whose
+    * `keyCol` equals any row of the single-column `keys` frame
+    * (optionally pre-filtered by `extra`) are masked and re-appended
+    * with the assignments applied; nothing key-set-sized reaches the
+    * driver. [[GraftSqlDml]]'s UPDATE falls back here for the
+    * subquery shapes the bounded IN-set rewrite cannot carry. */
+  def updateWhereDVJoin(spark: SparkSession, path: String,
+      keyCol: org.apache.spark.sql.Column, keys: DataFrame,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      extra: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[String] = None): DeleteResult =
+    updateWhereDVCore(spark, path, set, txn,
+      m => semiJoinHits(spark, path, m, keyCol, keys, extra))
+
+  /** The shared mask + post-image + publish loop behind
+    * [[updateWhereDV]] and [[updateWhereDVJoin]]: `hitRows` receives
+    * the base manifest and returns the LIVE rows to update (carrying
+    * their `__dv_rel`/`__dv_pos` identities). */
+  private def updateWhereDVCore(spark: SparkSession, path: String,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      txn: Option[String],
+      hitRows: Manifest => DataFrame): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, lit, not}
     require(set.nonEmpty, "versioned updateWhereDV: empty SET list")
     // each column once: the SET list folds into a map below, so a
     // duplicate assignment (SET v = 1, v = 2) would silently last-win
@@ -3301,13 +3338,11 @@ object Versioned {
             s"(have: ${st.fieldNames.mkString(", ")})")
         foldName(n) -> c
       }.toMap
-      val hit = coalesce(predicate, lit(false)) // NULL keeps the row
       // stage the mask: live matching rows reduced to (rel, pos) —
       // identical first job to [[deleteWhereDV]], bloom-pruned the
       // same way
-      val live = dmlLiveRows(spark, path, m, predicate)
       val dvId = java.util.UUID.randomUUID().toString
-      live.filter(hit)
+      hitRows(m)
         .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
         .write.mode("errorifexists").parquet(s"$path/dv/$dvId")
       val updatedRows = spark.read.parquet(s"$path/dv/$dvId").count()

@@ -1068,6 +1068,28 @@ class GraftSqlDmlSpec extends SparkSpec {
       .head.isNullAt(0))
   }
 
+  test("UPDATE rides the semi-join fallback too: correlated EXISTS scopes the post-images") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq(
+      (1L, "eu", 10L), (2L, "eu", 20L), (3L, "us", 10L))
+      .toDF("k", "region", "v"), path, overwrite = false)
+    Versioned.commit(Seq(("eu", 10L), ("us", 99L))
+      .toDF("region", "v"), s"$wh/s", overwrite = false)
+    val cat = freshCat(wh)
+    // multi-equality correlated EXISTS in UPDATE WHERE — the same
+    // composite-key semi-join mask as DELETE, post-images appended
+    spark.sql(s"""UPDATE $cat.t SET v = v + 1000 WHERE EXISTS (
+        SELECT 1 FROM $cat.s s
+        WHERE s.region = t.region AND s.v = t.v)""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 1010L), (2L, 20L), (3L, 10L)))
+    // merge-on-read shape: one mask + one post-image dir
+    assert(Versioned.dvDirIds(path, 1).size == 1)
+    assert(Versioned.dataDirIds(path, 1).size == 2)
+  }
+
   test("DELETE with correlated EXISTS/IN: multi-equality correlations land as a semi-join mask") {
     val wh = freshWarehouse()
     val path = s"$wh/t"
