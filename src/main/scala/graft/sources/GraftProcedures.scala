@@ -93,12 +93,13 @@ object GraftProcedures {
             StructField("n_manifests", IntegerType),
             StructField("n_data_dirs", IntegerType),
             StructField("n_dv_dirs", IntegerType),
+            StructField("n_feed_dirs", IntegerType),
             StructField("reclaim_bytes", LongType))),
             // Seq[Any], not Seq(...): Scala's numeric widening would
             // silently promote the Int fields to Long beside p.bytes
             // and the Int readers downstream would ClassCastException
             Seq[Any](p.retainFrom, p.nManifests, p.nDataDirs,
-              p.nDvDirs, p.bytes))
+              p.nDvDirs, p.nFeedDirs, p.bytes))
         } else {
           val oldest = Versioned.vacuumOlderThan(path(str(input, 0)),
             cutoff, force = input.getBoolean(2))

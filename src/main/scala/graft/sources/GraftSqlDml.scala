@@ -174,9 +174,18 @@ object GraftSqlDml extends PredicateHelper {
   private def inSetOrKeys(spark: SparkSession, value: Expression,
       plan: LogicalPlan)
       : Either[org.apache.spark.sql.DataFrame, Expression] = {
+    // the distinct frame CACHES before the overflow probe, so the
+    // subplan executes once whichever path wins: the probe is a
+    // bounded count (a long to the driver, never 2^20 rows), small
+    // sets collect from cache and unpersist, and an overflowing set
+    // hands the CACHED frame to the semi-join (the join's caller
+    // unpersists after the DML lands — see [[Strategy]])
     val distinctKeys = GraftBridge.ofRows(spark, plan).distinct()
-    val rows = distinctKeys.limit(MaxInSetKeys + 1).collect()
-    if (rows.length > MaxInSetKeys) return Left(distinctKeys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = distinctKeys.limit(MaxInSetKeys + 1).count()
+    if (n > MaxInSetKeys) return Left(distinctKeys)
+    val rows = distinctKeys.collect()
+    distinctKeys.unpersist()
     val dt = plan.output.head.dataType
     val hasNull = rows.exists(_.isNullAt(0))
     val lits = rows.toIndexedSeq.filterNot(_.isNullAt(0))
@@ -371,11 +380,14 @@ object GraftSqlDml extends PredicateHelper {
     * predicate's TRUE-only scope for row-level DML (NULL and FALSE
     * both keep the row untouched), so the paths are interchangeable
     * row-for-row. Returns Right(row-local predicate) on the plain
-    * path, Left((keyCol, keys frame, extra pre-filter)) on the join
-    * path. */
+    * path, Left((keyCol, keys frame, extra pre-filter, cleanup)) on
+    * the join path — the caller invokes `cleanup` after the DML lands
+    * (it unpersists the cached big-IN key frame; a no-op for the
+    * never-persisted correlated frames). */
   private def rewriteWhereOrJoin(sp: SparkSession, cond: Expression,
       what: String, label: String): Either[
-        (Column, org.apache.spark.sql.DataFrame, Option[Column]),
+        (Column, org.apache.spark.sql.DataFrame, Option[Column],
+          () => Unit),
         Column] = {
     var semiJoin: Option[(Seq[Expression],
       org.apache.spark.sql.DataFrame)] = None
@@ -397,31 +409,35 @@ object GraftSqlDml extends PredicateHelper {
             semiJoin = Some((Seq(values.head), keys))
             Literal.TrueLiteral // scoped by the join instead
         }
-      case InSubquery(values, lq: ListQuery)
+      case in @ InSubquery(values, lq: ListQuery)
           if semiJoin.isEmpty && values.size == 1 &&
-            (lq.outerAttrs.nonEmpty || lq.joinCond.nonEmpty) &&
-            correlatedInEqs(values.head, lq, what).isDefined =>
-        val (eqs, base) = correlatedInEqs(values.head, lq, what).get
-        semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
-        Literal.TrueLiteral
+            (lq.outerAttrs.nonEmpty || lq.joinCond.nonEmpty) =>
+        correlatedInEqs(values.head, lq, what) match {
+          case Some((eqs, base)) =>
+            semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
+            Literal.TrueLiteral
+          case None => // unrecognized plan shape: the loud path
+            rewritePredicateSubqueries(sp, in, what)
+        }
       case ex: Exists
           if semiJoin.isEmpty &&
-            (ex.outerAttrs.nonEmpty || ex.joinCond.nonEmpty) &&
-            existsEqs(ex, what)._1.nonEmpty =>
-        val (eqs, base) = existsEqs(ex, what)
-        if (eqs.sizeIs == 1) {
-          // one equality: bounded IN first, join past the cap
-          inSetOrKeys(sp, eqs.head._1, Project(
-            Seq(Alias(eqs.head._2, "__graft_in")()), base)) match {
-            case Right(e) =>
-              Coalesce(Seq(e, Literal.FalseLiteral))
-            case Left(keys) =>
-              semiJoin = Some((Seq(eqs.head._1), keys))
-              Literal.TrueLiteral
-          }
-        } else {
-          semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
-          Literal.TrueLiteral
+            (ex.outerAttrs.nonEmpty || ex.joinCond.nonEmpty) =>
+        existsEqs(ex, what) match {
+          case (Seq(), _) => // no equality correlations: loud path
+            rewritePredicateSubqueries(sp, ex, what)
+          case (Seq(eq), base) =>
+            // one equality: bounded IN first, join past the cap
+            inSetOrKeys(sp, eq._1, Project(
+              Seq(Alias(eq._2, "__graft_in")()), base)) match {
+              case Right(e) =>
+                Coalesce(Seq(e, Literal.FalseLiteral))
+              case Left(keys) =>
+                semiJoin = Some((Seq(eq._1), keys))
+                Literal.TrueLiteral
+            }
+          case (eqs, base) =>
+            semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
+            Literal.TrueLiteral
         }
       case other => rewritePredicateSubqueries(sp, other, what)
     }
@@ -444,7 +460,8 @@ object GraftSqlDml extends PredicateHelper {
         val extraPred = (extras.headOption.map(_ =>
           bareCol(extras.reduce(And), what)).toSeq ++
           nnPred).reduceOption(_ && _)
-        Left((keyCol, keysDf, extraPred))
+        Left((keyCol, keysDf, extraPred,
+          () => { keysDf0.unpersist(): Unit }))
     }
   }
 
@@ -461,9 +478,10 @@ object GraftSqlDml extends PredicateHelper {
             s"GraftDelete ${t.name()}") match {
             case Right(pred) =>
               Versioned.deleteWhereDV(sp, t.path, pred): Unit
-            case Left((keyCol, keysDf, extraPred)) =>
-              Versioned.deleteWhereDVJoin(sp, t.path, keyCol,
+            case Left((keyCol, keysDf, extraPred, cleanup)) =>
+              try Versioned.deleteWhereDVJoin(sp, t.path, keyCol,
                 keysDf, extraPred): Unit
+              finally cleanup()
           }
         }) :: Nil
 
@@ -488,9 +506,10 @@ object GraftSqlDml extends PredicateHelper {
                 s"GraftUpdate ${t.name()}") match {
                 case Right(pred) =>
                   Versioned.updateWhereDV(sp, t.path, pred, set): Unit
-                case Left((keyCol, keysDf, extraPred)) =>
-                  Versioned.updateWhereDVJoin(sp, t.path, keyCol,
+                case Left((keyCol, keysDf, extraPred, cleanup)) =>
+                  try Versioned.updateWhereDVJoin(sp, t.path, keyCol,
                     keysDf, set, extraPred): Unit
+                  finally cleanup()
               }
           }
         }) :: Nil

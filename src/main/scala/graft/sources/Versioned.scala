@@ -480,11 +480,23 @@ object Versioned {
     * the files keep the FULL source column, so transform dirs read
     * back exactly and the derived value exists only in directory
     * names). Serialized into the manifest's per-dir spec string as
-    * `col` / `unit(col)`, comma-joined in layout order — a bare
-    * column name parses identically to the single-identity specs
-    * every pre-r15 manifest carries. */
-  final case class PartField(col: String, unit: Option[String]) {
-    def render: String = unit.map(u => s"$u($col)").getOrElse(col)
+    * `col` / `unit(col)` / `unit(col)@zone`, comma-joined in layout
+    * order — a bare column name parses identically to the
+    * single-identity specs every pre-r15 manifest carries.
+    *
+    * `zone` records the WRITER's session timezone for transforms of
+    * TimestampType columns (`date_format` renders under it): the
+    * pruned read only skips a dir when the READER's session clock
+    * matches the recorded one — under a mismatch the dir reads fully
+    * (sound, merely unskipped) instead of rendering bounds under the
+    * wrong clock and silently skipping a needed directory. Clock-free
+    * columns (TIMESTAMP_NTZ, DATE) record no zone and always
+    * prune. */
+  final case class PartField(col: String, unit: Option[String],
+      zone: Option[String] = None) {
+    def render: String =
+      unit.map(u => s"$u($col)" + zone.map(z => s"@$z").getOrElse(""))
+        .getOrElse(col)
     /** The hive directory-level column name this entry lays out. */
     def dirName: String = unit.map(u => s"${col}__$u").getOrElse(col)
   }
@@ -497,13 +509,20 @@ object Versioned {
     spec.map(_.render).mkString(",")
 
   private[graft] def parsePartSpec(s: String): Seq[PartField] =
-    s.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty).map {
-      case e if e.endsWith(")") && e.contains("(") =>
-        val u = e.takeWhile(_ != '(')
-        require(PartUnits.contains(u),
-          s"versioned partition spec: unknown transform '$u' in '$s'")
-        PartField(e.drop(u.length + 1).dropRight(1).trim, Some(u))
-      case e => PartField(e, None)
+    s.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty).map { e0 =>
+      // optional writer-clock suffix: `unit(col)@zone`
+      val (e, zone) = e0.lastIndexOf(")@") match {
+        case -1 => (e0, None)
+        case i => (e0.take(i + 1), Some(e0.drop(i + 2)))
+      }
+      e match {
+        case _ if e.endsWith(")") && e.contains("(") =>
+          val u = e.takeWhile(_ != '(')
+          require(PartUnits.contains(u),
+            s"versioned partition spec: unknown transform '$u' in '$s'")
+          PartField(e.drop(u.length + 1).dropRight(1).trim, Some(u), zone)
+        case _ => PartField(e, None)
+      }
     }
 
   /** PARTITION-EVOLUTION commit, general form: stage `df` hive-laid-
@@ -517,8 +536,17 @@ object Versioned {
     * the single-column form always did. The derived renderings use
     * [[PartUnits]]' zero-padded formats, which are LEXICOGRAPHICALLY
     * monotonic in time — what makes date-range directory pruning a
-    * string-range compare ([[readPartitionPrunedTransform]]). All
-    * commit mechanics ([[commitPartitioned]] docs) unchanged. */
+    * string-range compare ([[readPartitionPrunedTime]]). All
+    * commit mechanics ([[commitPartitioned]] docs) unchanged.
+    *
+    * CLOCK CONTRACT: `date_format` renders TimestampType values under
+    * the SESSION timezone, so the spec records the writer's zone per
+    * entry (`days(ts)@UTC`) and the pruned read SKIPS a dir only when
+    * the reader's session clock matches the recorded one — a
+    * mismatched reader reads the dir fully (sound, merely unskipped)
+    * instead of rendering bounds under the wrong clock and silently
+    * missing rows. TIMESTAMP_NTZ and DATE columns are clock-free:
+    * no zone recorded, pruning always engages. */
   def commitPartitionedSpec(df: DataFrame, path: String,
       spec: Seq[PartField], overwrite: Boolean = false,
       txn: Option[String] = None): Int = {
@@ -529,7 +557,7 @@ object Versioned {
       s"versioned commitPartitionedSpec: a column appears twice in " +
         s"'${renderPartSpec(spec)}'")
     val byFold = df.schema.fields.map(f => foldName(f.name) -> f).toMap
-    spec.foreach { f =>
+    val zoned = spec.map { f =>
       val fld = byFold.getOrElse(foldName(f.col), sys.error(
         s"versioned commitPartitionedSpec: no column '${f.col}' to " +
           s"partition by (have: ${df.columns.mkString(", ")})"))
@@ -546,6 +574,12 @@ object Versioned {
           s"versioned commitPartitionedSpec: derived partition " +
             s"column '${f.dirName}' collides with a table column")
       }
+      // record the writer's clock for TimestampType transforms (see
+      // the PartField zone contract); clock-free types record none
+      if (f.unit.isDefined && fld.dataType == TimestampType)
+        f.copy(zone = Some(df.sparkSession.sessionState.conf
+          .sessionLocalTimeZone))
+      else f.copy(zone = None)
     }
     commitCore(df, path, overwrite, txn, expectedBase = None,
       stage = (dataDir, pdf, phys) => {
@@ -563,7 +597,7 @@ object Versioned {
         staged.write.partitionBy(dirCols: _*)
           .mode("errorifexists").parquet(dataDir)
       },
-      partSpec = Some(spec)).get
+      partSpec = Some(zoned)).get
   }
 
   /** Per-dir partition specs of `v`'s manifest (observability /
@@ -637,14 +671,20 @@ object Versioned {
   def readPartitionPrunedTime(spark: SparkSession, path: String,
       c: String, lo: java.time.LocalDateTime,
       hi: java.time.LocalDateTime, version: Option[Int] = None)
-      : (DataFrame, Int, Int) =
+      : (DataFrame, Int, Int) = {
+    val readerZone = spark.sessionState.conf.sessionLocalTimeZone
     specPrunedRead(spark, path, version, c,
-      matches = _.unit.isDefined,
+      // a TimestampType dir rendered under a DIFFERENT session clock
+      // than this reader's cannot prune soundly — it reads fully
+      // (the PartField zone contract); clock-free dirs always prune
+      matches = f => f.unit.isDefined &&
+        f.zone.forall(_ == readerZone),
       keep = (f, v) => {
         val fmt = java.time.format.DateTimeFormatter
           .ofPattern(PartUnits(f.unit.get))
         v >= fmt.format(lo) && v <= fmt.format(hi)
       })
+  }
 
   /** The shared spec-pruned snapshot read behind
     * [[readPartitionPruned]] and [[readPartitionPrunedTime]]: per data
@@ -1056,22 +1096,36 @@ object Versioned {
             Files.createDirectories(changeDirPath(path, m.version)): Unit
           case _ => ()
         }
-        // auto-index the new dir when the parent's dirs are indexed
-        // (appends only — an overwrite has no carried dirs to match,
-        // and hive-partitioned dirs use partition pruning instead)
+        // auto-index the new dir when the HEAD's dirs are indexed —
+        // parentMeta, not parent: an overwrite (compact/cluster/
+        // INSERT OVERWRITE) inherits the REPLACED snapshot's index
+        // policy too, so compaction no longer silently drops a
+        // table's file-skipping sidecars (index policy survives
+        // overwrites the way constraints and props do).
+        // Hive-partitioned commits skip (partition pruning covers
+        // them); sidecars the commit itself staged are detected and
+        // left alone inside retrofitIndexes.
         if (partSpec.isEmpty)
-          retrofitIndexes(df.sparkSession, path, parent, dataId)
+          retrofitIndexes(df.sparkSession, path, parentMeta, dataId)
         return Some(m.version)
       }
     }
     None // unreachable
   }
 
+  /** Per-sidecar memo of the stats columns a `_graft_stats` dir
+    * indexes, keyed by sidecar mtime — [[retrofitIndexes]] runs on
+    * EVERY commit, and without this an append-heavy table would
+    * re-read O(dataDirs) sidecar footers per commit (the same
+    * planning-tax shape [[statsIndexMemo]] exists for). */
+  private val statsColsMemo = new java.util.concurrent
+    .ConcurrentHashMap[String, (Long, Set[String])]()
+
   /** The file-skipping index columns any of `m`'s spec-free data dirs
     * carry: (stats-indexed cols, bloom-indexed cols), PHYSICAL names
-    * (sidecars live beside physical-named files). Cheap: sidecar
-    * footers only, no data IO; unreadable sidecars count as
-    * un-indexed. */
+    * (sidecars live beside physical-named files). Cheap: directory
+    * listings plus memoized sidecar footers, no data IO; unreadable
+    * sidecars count as un-indexed. */
   private def indexedColumns(spark: SparkSession, path: String,
       m: Manifest): (Set[String], Set[String]) = {
     var stats = Set.empty[String]
@@ -1080,12 +1134,26 @@ object Versioned {
       val dir = s"$path/data/$d"
       val sp = Paths.get(Clustered.statsPath(dir))
       if (Files.isDirectory(sp)) {
-        try {
-          val names = spark.read.parquet(sp.toString)
-            .schema.fieldNames.toSet
-          stats ++= names.filter(_.startsWith("lo_")).map(_.drop(3))
-            .filter(c => names.contains("hi_" + c))
-        } catch { case scala.util.control.NonFatal(_) => () }
+        val mtime =
+          try Files.getLastModifiedTime(sp).toMillis
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        val key = sp.toString
+        stats ++= (statsColsMemo.get(key) match {
+          case (`mtime`, cols) => cols
+          case _ =>
+            if (statsColsMemo.size > StatsIndexMemoCap)
+              statsColsMemo.clear()
+            val cols = try {
+              val names = spark.read.parquet(sp.toString)
+                .schema.fieldNames.toSet
+              names.filter(_.startsWith("lo_")).map(_.drop(3))
+                .filter(c => names.contains("hi_" + c))
+            } catch {
+              case scala.util.control.NonFatal(_) => Set.empty[String]
+            }
+            statsColsMemo.put(key, (mtime, cols))
+            cols
+        })
       }
       if (Files.isDirectory(Paths.get(dir))) eachEntry(Paths.get(dir)) {
         p =>
@@ -1096,6 +1164,31 @@ object Versioned {
     }
     (stats, blooms)
   }
+
+  /** Recover the per-file item sizing a PARENT bloom sidecar was
+    * built with, so an auto-indexed dir inherits the original
+    * capacity instead of a hardcoded default (a 10M-row file under a
+    * 100k-expected bloom saturates and its false-positive rate
+    * approaches 1 — skipping silently stops). Spark's BloomFilter
+    * with default 3% FPP allocates bits = -n·ln(p)/ln²2, so
+    * n ≈ bits × 0.1368; one sidecar row read, degrade to the default
+    * on any failure. */
+  private def parentBloomExpected(spark: SparkSession, path: String,
+      m: Manifest, c: String): Long =
+    try {
+      m.dataDirs.filterNot(m.partSpecs.contains).iterator
+        .map(d => Clustered.bloomPath(s"$path/data/$d", c))
+        .find(bp => Files.isDirectory(Paths.get(bp)))
+        .flatMap { bp =>
+          spark.read.parquet(bp).select("bloom").limit(1)
+            .collect().headOption.map { r =>
+              val bits = org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(
+                  r.getAs[Array[Byte]](0))).bitSize()
+              math.max(100000L, (bits * 0.1368).toLong)
+            }
+        }.getOrElse(100000L)
+    } catch { case scala.util.control.NonFatal(_) => 100000L }
 
   /** AUTO-INDEX a freshly committed data dir: when the PARENT head's
     * dirs already carry stats/bloom sidecars on some column, the new
@@ -1123,7 +1216,8 @@ object Versioned {
             Clustered.writeStats(spark, dir, stats.toSeq.sorted)
           blooms.toSeq.sorted.foreach { c =>
             if (!Files.isDirectory(Paths.get(Clustered.bloomPath(dir, c))))
-              Clustered.writeBloomIndex(spark, dir, c, 100000L)
+              Clustered.writeBloomIndex(spark, dir, c,
+                parentBloomExpected(spark, path, pm, c))
           }
         }
       } catch {
@@ -1787,16 +1881,18 @@ object Versioned {
   /** What a [[vacuumOlderThan]] at `cutoffMillis` WOULD reclaim —
     * the operator's pre-flight check, nothing deleted. */
   final case class VacuumPreview(retainFrom: Int, nManifests: Int,
-      nDataDirs: Int, nDvDirs: Int, bytes: Long)
+      nDataDirs: Int, nDvDirs: Int, nFeedDirs: Int, bytes: Long)
 
   /** DRY-RUN of [[vacuumOlderThan]]: resolve `retainFrom` under the
     * same rule, then report — without deleting anything — the
     * manifests below it, the data/DV dirs no retained manifest
-    * references, and their total bytes. The retention guard does not
-    * apply (a read-only preview endangers no pinned reader — that is
-    * the point: check BEFORE forcing). Driver-side directory walk
-    * over only the RECLAIMABLE dirs (normally a small suffix of
-    * history, not the live table). */
+    * references, the change-feed `cv=` dirs below the cut (on a
+    * CDC-heavy table the feed can dominate the reclaim), and their
+    * total bytes. The retention guard does not apply (a read-only
+    * preview endangers no pinned reader — that is the point: check
+    * BEFORE forcing). Driver-side directory walk over only the
+    * RECLAIMABLE dirs (normally a small suffix of history, not the
+    * live table). */
   def vacuumPreview(path: String, cutoffMillis: Long): VacuumPreview = {
     val head = latestVersion(path)
     require(head >= 0, s"versioned vacuum: no committed version at $path")
@@ -1833,7 +1929,16 @@ object Versioned {
           nDv += 1; bytes += sizeOf(p)
         }
       }
-    VacuumPreview(retainFrom, nManifests, nData, nDv, bytes)
+    var nFeed = 0
+    if (Files.isDirectory(changesRoot(path)))
+      eachEntry(changesRoot(path)) { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("cv=") &&
+            n.drop(3).toIntOption.exists(_ < retainFrom)) {
+          nFeed += 1; bytes += sizeOf(p)
+        }
+      }
+    VacuumPreview(retainFrom, nManifests, nData, nDv, nFeed, bytes)
   }
 
   /** Drop data dirs unreferenced by any manifest ≥ `retainFrom`

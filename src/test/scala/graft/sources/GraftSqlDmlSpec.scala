@@ -790,7 +790,9 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(pre.getInt(1) == 1, s"n_manifests ${pre.getInt(1)}")
     assert(pre.getInt(2) == 1, s"n_data_dirs ${pre.getInt(2)}")
     assert(pre.getInt(3) == 0)
-    assert(pre.getLong(4) > 0L, "reclaimable bytes must be real")
+    // v0's insert feed dir (cv=0) falls below the cut too
+    assert(pre.getInt(4) == 1, s"n_feed_dirs ${pre.getInt(4)}")
+    assert(pre.getLong(5) > 0L, "reclaimable bytes must be real")
     // the preview deleted NOTHING: v0 still time-travels
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 0")
       .head.getLong(0) == 50L)
@@ -1172,7 +1174,7 @@ class GraftSqlDmlSpec extends SparkSpec {
     // daily hive dirs under the staged data dir
     val path = s"$wh/tp"
     assert(Versioned.partSpecIds(path, 1).values.toSeq ==
-      Seq("days(ts)"))
+      Seq("days(ts)@UTC"))
     // row-exact full read (files keep the full timestamp)
     assert(spark.sql(s"SELECT k, ts, v FROM $cat.tp")
       .as[(Long, java.sql.Timestamp, Long)].collect().toSet ==

@@ -216,8 +216,9 @@ class VersionedPartitionSpec extends SparkSpec {
     val path = tmpTable()
     Versioned.commitPartitionedSpec(tsRows(1, 40), path,
       Seq(Versioned.PartField("ts", Some("days"))))
+    // TimestampType transforms record the WRITER's session clock
     assert(Versioned.partSpecIds(path, 0).values.toSeq ==
-      Seq("days(ts)"))
+      Seq("days(ts)@UTC"))
     // dirs named ts__days=yyyy-MM-dd
     val d = Versioned.dataDirIds(path, 0).head
     val dirNames = {
