@@ -6626,6 +6626,91 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 291: PARTITION-SCOPED ATOMIC OVERWRITE through SQL — the daily
+    // re-land idiom: `INSERT OVERWRITE … PARTITION (p = v)` routes
+    // through SupportsOverwrite onto Versioned.replaceWhere, and a
+    // partition that landed as its own commit is DROPPED from the dir
+    // chain metadata-only (zero existing bytes moved, zero mask rows
+    // — the `replaced` flag gates n_dv_dirs == 0 on the accounting),
+    // while everything outside the scope carries by reference. The
+    // pre-replace snapshot stays time-travelable; the feed classifies
+    // the replace. Oracle = the recomputed partition unioned with the
+    // untouched rest.
+    "q_sql_replace_where" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_replw"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        s.sql(s"""CREATE TABLE $cat.sql_replw (
+            o_orderkey BIGINT, o_orderpriority STRING,
+            price_cents BIGINT) PARTITIONED BY (o_orderpriority)""")
+        // two loads: the urgent partition as its OWN aligned commit
+        // (the dir the replace can prove), the rest as a second one
+        s.sql(s"""INSERT INTO $cat.sql_replw
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+          FROM orders WHERE o_orderpriority = '1-URGENT'""")
+        s.sql(s"""INSERT INTO $cat.sql_replw
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+          FROM orders WHERE o_orderpriority <> '1-URGENT'""")
+        // the re-land: recompute the urgent partition (fewer rows,
+        // repriced) and replace EXACTLY that scope in one commit
+        s.sql(s"""INSERT OVERWRITE $cat.sql_replw
+          PARTITION (o_orderpriority = '1-URGENT')
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) * 2
+          FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0""")
+      }
+      val head = V.latestVersion(table)
+      // metadata-only proof: no deletion-vector mask and the replaced
+      // dir LEFT the chain (v0 schema dir + rest dir + re-land dir)
+      val replaced = head >= 0 && V.dvDirIds(table, head).isEmpty &&
+        V.dataDirIds(table, head).size == 3
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders,
+            CAST(sum(price_cents) AS DOUBLE) / 100.0 AS sum_price
+          FROM $cat.sql_replw GROUP BY o_orderpriority""")
+        .withColumn("replaced", lit(replaced))
+        .orderBy("o_orderpriority")
+    }),
+
+    // 292: predicate-scoped replace, MASK tier (DSL) — when the scope
+    // is not provably partition-aligned (here: one mixed dir),
+    // replaceWhere stays row-EXACT by masking the matching live rows
+    // via a deletion-vector sidecar and landing the batch beside the
+    // carried dirs: mask rows ∝ matches, ZERO files rewritten (gated:
+    // exactly one dv dir, original dir still in the chain). The GDPR/
+    // backfill shape for scopes that cut across the layout. Oracle =
+    // the recomputed scope unioned with the untouched complement.
+    "q_replace_where" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/replw_dsl"
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        V.commit(ev, table, overwrite = false) // one mixed dir
+        val batch = t(s, dir, "events")
+          .filter(col("event_type") === "click" &&
+            col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"),
+            (cents(col("value")) * 3).as("vc"))
+        V.replaceWhere(s, table, batch,
+          col("event_type") === "click"): Unit
+      }
+      val head = V.latestVersion(table)
+      val carried = head >= 0 &&
+        V.dataDirIds(table, head).size == 2 &&
+        V.dvDirIds(table, head).size == 1
+      V.read(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum("vc").cast("double") / 100.0).as("sum_value"))
+        .withColumn("masked", lit(carried))
+        .orderBy("event_type")
+    }),
+
     // 282: SQL MERGE full-sync mirror driver-gated — WHEN NOT MATCHED
     // BY SOURCE completes the mirror idiom: matched rows revalue,
     // source-only rows insert, target rows that VANISHED from the
@@ -7735,6 +7820,35 @@ object SparkEntry {
       WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
         AND ts < TIMESTAMP '2024-01-08 00:00:00'
       GROUP BY event_type ORDER BY event_type""",
+    "q_sql_replace_where" -> """
+      WITH src AS (SELECT o_orderkey, o_orderpriority,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS price_cents
+                   FROM orders),
+      fin AS (SELECT o_orderpriority, price_cents FROM src
+              WHERE o_orderpriority <> '1-URGENT'
+              UNION ALL
+              SELECT o_orderpriority, price_cents * 2
+              FROM src
+              WHERE o_orderpriority = '1-URGENT'
+                AND o_orderkey % 3 = 0)
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(price_cents) AS DOUBLE) / 100.0 AS sum_price,
+             TRUE AS replaced
+      FROM fin GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_replace_where" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events),
+      fin AS (SELECT event_type, vc FROM ev
+              WHERE event_type <> 'click'
+              UNION ALL
+              SELECT event_type, vc * 3 FROM ev
+              WHERE event_type = 'click' AND event_id % 2 = 0)
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             TRUE AS masked
+      FROM fin GROUP BY event_type ORDER BY event_type""",
     "q_sql_merge_sync" -> """
       WITH ev AS (SELECT event_id, event_type,
                     CAST(round(value * 100) AS BIGINT) AS vc FROM events),

@@ -431,6 +431,33 @@ private[sources] final class VersionedSqlTable(ident: String,
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def version(): String = pinned.toString
+
+  /** The table's declared partition POLICY (`partCol` props —
+    * CREATE TABLE … PARTITIONED BY) as DSv2 transforms, so SQL's
+    * `PARTITION (col=value)` clauses resolve against it (Spark
+    * validates static partition specs against identity transform
+    * references) and DESCRIBE shows the layout. Time transforms
+    * surface as their Spark forms (`days(ts)` …); identity columns
+    * as themselves. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    Versioned.tableProps(path, Some(pinned)).get("partCol") match {
+      case None => Array.empty
+      case Some(s) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        Versioned.parsePartSpec(s).map { f =>
+          f.unit match {
+            case None => Expressions.identity(f.col)
+            case Some("days") => Expressions.days(f.col)
+            case Some("months") => Expressions.months(f.col)
+            case Some("years") => Expressions.years(f.col)
+            case Some("hours") => Expressions.hours(f.col)
+            case Some(u) => sys.error(
+              s"versioned table $ident: unknown partition transform '$u'")
+          }
+        }.toArray
+    }
+
   override def capabilities(): util.Set[TableCapability] =
     // V1_BATCH_WRITE (not BATCH_WRITE): the batch write IS a V1Write
     // bridge — Spark's exec path calls toInsertableRelation only
@@ -444,8 +471,14 @@ private[sources] final class VersionedSqlTable(ident: String,
     // guarded alterColumns/widening ledger — before resolving the
     // merge, so the CDC-mirror idiom survives upstream schema drift
     // with zero new commit machinery (see [[GraftSqlDml]]).
+    // OVERWRITE_BY_FILTER routes `INSERT OVERWRITE … PARTITION (…)`
+    // and DataFrameWriterV2.overwrite(cond) through the write
+    // builder's SupportsOverwrite onto [[Versioned.replaceWhere]] —
+    // the predicate-scoped atomic replace; a bare INSERT OVERWRITE
+    // still truncates (AlwaysTrue → the overwrite commit).
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
@@ -802,11 +835,26 @@ private[sources] final class ChangesScanBuilder(path: String,
 private[sources] final class VersionedWriteBuilder(path: String,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var overwrite = false
+  // non-empty → predicate-scoped replace instead of truncate (the
+  // static `INSERT OVERWRITE … PARTITION (…)` / writerV2
+  // `.overwrite(cond)` path onto [[Versioned.replaceWhere]])
+  private var replaceFilters: Array[Filter] = Array.empty
   override def truncate()
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    overwrite = true; this
+    overwrite = true; replaceFilters = Array.empty; this
+  }
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftCatalog.translateFilter(f).isDefined)
+  override def overwrite(filters: Array[Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val always = filters.isEmpty ||
+      filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (always) { overwrite = true; replaceFilters = Array.empty }
+    else replaceFilters = filters
+    this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.V1Write {
@@ -823,6 +871,21 @@ private[sources] final class VersionedWriteBuilder(path: String,
           : org.apache.spark.sql.sources.InsertableRelation =
         new org.apache.spark.sql.sources.InsertableRelation {
           override def insert(data: DataFrame, ow: Boolean): Unit = {
+            if (replaceFilters.nonEmpty) {
+              // predicate-scoped replace: ONE atomic commit drops the
+              // provably-covered partition dirs, DV-masks the residue
+              // row-exactly, and lands the batch under the table's
+              // partition policy ([[Versioned.replaceWhere]])
+              val pred = replaceFilters.toIndexedSeq
+                .map(f => GraftCatalog.translateFilter(f).getOrElse(
+                  sys.error(s"INSERT OVERWRITE at $path: filter $f " +
+                    "is not translatable to a replace predicate")))
+                .reduce(_ && _)
+              Versioned.replaceWhere(data.sparkSession, path, data,
+                pred, GraftCatalog.partEqsOf(replaceFilters)
+                  .getOrElse(Seq.empty)): Unit
+              return
+            }
             // the table's declared partition policy (CREATE TABLE …
             // PARTITIONED BY) routes the insert through the
             // hive-layout commit — per-dir spec recorded, partition
@@ -1161,6 +1224,43 @@ object GraftCatalog {
   /** `sources.Filter` → `Column` for the standard pushdown algebra.
     * None = inexpressible here (e.g. AlwaysTrue subtypes added later)
     * → rejected back to Spark, which evaluates it post-scan. */
+  /** The structured `col IN values` rendering of an OVERWRITE filter
+    * set — [[Versioned.replaceWhere]]'s dir-drop proof input. Some
+    * only when EVERY filter is an equality/IN whose values render
+    * canonically as hive partition-directory strings (strings,
+    * integrals, booleans, dates — floats/decimals/timestamps have no
+    * canonical rendering and fall to the row-exact mask tier); the
+    * proof demands the WHOLE predicate, so one unprovable conjunct
+    * voids it. Same-column conjuncts intersect. */
+  private[sources] def partEqsOf(fs: Array[Filter])
+      : Option[Seq[(String, Set[String])]] = {
+    def render(v: Any): Option[String] = v match {
+      case null => None
+      case s: String => Some(s)
+      case _: java.lang.Integer | _: java.lang.Long |
+           _: java.lang.Short | _: java.lang.Byte |
+           _: java.lang.Boolean => Some(v.toString)
+      case d: java.sql.Date => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _ => None
+    }
+    val parts = fs.toIndexedSeq.map {
+      case sources.EqualTo(c, v) => render(v).map(r => c -> Set(r))
+      case sources.EqualNullSafe(c, v) =>
+        render(v).map(r => c -> Set(r))
+      case sources.In(c, vs) if vs.nonEmpty =>
+        val rs = vs.toIndexedSeq.map(render)
+        if (rs.forall(_.isDefined)) Some(c -> rs.flatten.toSet)
+        else None
+      case _ => None
+    }
+    if (parts.exists(_.isEmpty)) None
+    else Some(parts.flatten
+      .groupBy(_._1.toLowerCase(java.util.Locale.ROOT)).valuesIterator
+      .map(g => g.head._1 -> g.map(_._2).reduce(_ intersect _))
+      .toSeq.sortBy(_._1))
+  }
+
   private[sources] def translateFilter(f: Filter): Option[Column] =
     f match {
       case sources.EqualTo(a, v) => Some(col(a) === lit(v))

@@ -550,14 +550,27 @@ object Versioned {
   def commitPartitionedSpec(df: DataFrame, path: String,
       spec: Seq[PartField], overwrite: Boolean = false,
       txn: Option[String] = None): Int = {
-    import org.apache.spark.sql.functions.{col, date_format}
+    val zoned = zonedPartSpec(df, spec)
+    commitCore(df, path, overwrite, txn, expectedBase = None,
+      stage = (dataDir, pdf, phys) =>
+        stageHiveSpec(dataDir, pdf, phys, spec),
+      partSpec = Some(zoned)).get
+  }
+
+  /** Validate `spec` against `df`'s schema and record the writer's
+    * session clock on TimestampType transforms (the PartField zone
+    * contract) — the spec a partitioned commit RECORDS per-dir.
+    * Shared by [[commitPartitionedSpec]] and [[replaceWhere]]'s
+    * policy staging. */
+  private def zonedPartSpec(df: DataFrame,
+      spec: Seq[PartField]): Seq[PartField] = {
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     require(spec.nonEmpty, "versioned commitPartitionedSpec: empty spec")
     require(spec.map(f => foldName(f.col)).distinct.sizeIs == spec.size,
       s"versioned commitPartitionedSpec: a column appears twice in " +
         s"'${renderPartSpec(spec)}'")
     val byFold = df.schema.fields.map(f => foldName(f.name) -> f).toMap
-    val zoned = spec.map { f =>
+    spec.map { f =>
       val fld = byFold.getOrElse(foldName(f.col), sys.error(
         s"versioned commitPartitionedSpec: no column '${f.col}' to " +
           s"partition by (have: ${df.columns.mkString(", ")})"))
@@ -581,23 +594,31 @@ object Versioned {
           .sessionLocalTimeZone))
       else f.copy(zone = None)
     }
-    commitCore(df, path, overwrite, txn, expectedBase = None,
-      stage = (dataDir, pdf, phys) => {
-        var staged = pdf
-        val dirCols = spec.map { f =>
-          f.unit match {
-            case None => phys(f.col)
-            case Some(u) =>
-              val dn = PartField(phys(f.col), Some(u)).dirName
-              staged = staged.withColumn(dn,
-                date_format(col(phys(f.col)), PartUnits(u)))
-              dn
-          }
-        }
-        staged.write.partitionBy(dirCols: _*)
-          .mode("errorifexists").parquet(dataDir)
-      },
-      partSpec = Some(zoned)).get
+  }
+
+  /** Stage the PHYSICAL-named frame `pdf` hive-laid-out under the
+    * LOGICAL `spec` at `dataDir` (`phys` translates spec columns to
+    * their physical names) — identity entries lay out the column
+    * itself, time transforms lay out the [[PartUnits]] rendering in a
+    * derived `<col>__<unit>` directory column while the files keep
+    * the full source column. The staging writer shared by
+    * [[commitPartitionedSpec]] and [[replaceWhere]]. */
+  private def stageHiveSpec(dataDir: String, pdf: DataFrame,
+      phys: String => String, spec: Seq[PartField]): Unit = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    var staged = pdf
+    val dirCols = spec.map { f =>
+      f.unit match {
+        case None => phys(f.col)
+        case Some(u) =>
+          val dn = PartField(phys(f.col), Some(u)).dirName
+          staged = staged.withColumn(dn,
+            date_format(col(phys(f.col)), PartUnits(u)))
+          dn
+      }
+    }
+    staged.write.partitionBy(dirCols: _*)
+      .mode("errorifexists").parquet(dataDir)
   }
 
   /** Per-dir partition specs of `v`'s manifest (observability /
@@ -3034,6 +3055,228 @@ object Versioned {
     -1 // unreachable
   }
 
+
+  /** Result of a [[replaceWhere]]: the committed version plus the
+    * scope accounting — how many data dirs the predicate DROPPED
+    * whole (metadata-only, the daily re-land), how many carried by
+    * reference, and how many rows the residual deletion-vector mask
+    * covers. droppedDirs > 0 && maskedRows == 0 is the proof a
+    * partition replace moved zero existing bytes. */
+  final case class ReplaceResult(version: Int, droppedDirs: Int,
+      carriedDirs: Int, maskedRows: Long)
+
+  /** Predicate-scoped atomic OVERWRITE — the `replaceWhere` /
+    * `INSERT OVERWRITE … PARTITION (…)` lake idiom: ONE commit that
+    * removes every live row matching `predicate` and lands `data` in
+    * its place, leaving everything outside the scope untouched. The
+    * daily re-land on a 100 TB table replaces one day, not the table
+    * (the plain overwrite commit truncates everything).
+    *
+    * Scale shape, two tiers:
+    *  - **Dir drop (metadata-only)**: when `partEqs` is supplied — a
+    *    structured rendering of the predicate as a conjunction of
+    *    `col IN values` over identity-partitioned columns — every
+    *    data dir whose hive subtrees PROVABLY all match (directory
+    *    listing only, no data IO) is dropped from the manifest's dir
+    *    chain. Replacing a whole region/day that landed as its own
+    *    commit moves zero existing bytes.
+    *  - **DV mask (merge-on-read)**: matching rows in the remaining
+    *    dirs are masked via a deletion-vector sidecar — mask rows ∝
+    *    matches, zero files rewritten — so the predicate stays
+    *    row-EXACT whatever the layout (mixed specs, unaligned
+    *    boundaries, extra conjuncts).
+    *
+    * CALLER CONTRACT on `partEqs`: when non-empty it must be EXACTLY
+    * equivalent to `predicate` (every conjunct present — the SQL
+    * bridge derives both from the same filter set). A dir is dropped
+    * only when EVERY conjunct is proven dir-wide from its recorded
+    * spec and listed subtree values; anything unproven falls to the
+    * mask tier — unknown never justifies a drop.
+    *
+    * SCOPE GATE (the replaceWhere contract every lakehouse enforces):
+    * all incoming rows must satisfy `predicate` — a batch row outside
+    * the replaced scope fails loudly BEFORE any staging, because it
+    * would silently survive the next replace of its own scope.
+    *
+    * The new batch stages under the table's declared partition
+    * POLICY (`partCol` props — CREATE TABLE … PARTITIONED BY), so a
+    * re-landed day keeps the layout and its pruning. Constraints,
+    * type-drift gate, txn dedup, and the optimistic-concurrency
+    * retry loop all apply as in [[mergeDV]]; the change feed
+    * publishes classified rows (`ct=delete` pre-images for dropped
+    * dirs' live rows and masked rows, `ct=insert` for the staged
+    * batch read BACK from its committed bytes), so `.changes`
+    * streams a partition replace exactly like any other row DML. */
+  def replaceWhere(spark: SparkSession, path: String, data: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      partEqs: Seq[(String, Set[String])] = Seq.empty,
+      txn: Option[String] = None): ReplaceResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    import org.apache.spark.sql.types.StructType
+    txn.foreach(t => require(t.nonEmpty && t.forall(ch =>
+      ch.isLetterOrDigit && ch < 128 || ch == ':' || ch == '_' || ch == '-'),
+      s"versioned replaceWhere: txn token must match [A-Za-z0-9:_-]+, got '$t'"))
+    var attempt = 0
+    while (true) {
+      require(attempt < 50,
+        s"versioned replaceWhere: 50 lost races at $path")
+      attempt += 1
+      val base = latestVersion(path)
+      require(base >= 0,
+        s"versioned replaceWhere: no committed version at $path")
+      txn.flatMap(findTxn(path, _, base)) match {
+        case Some(v) => return ReplaceResult(v, -1, -1, -1L) // replay
+        case None => ()
+      }
+      val m = readManifest(path, base)
+      val st = StructType.fromDDL(m.schemaDdl.getOrElse(sys.error(
+        s"versioned replaceWhere: table at $path predates schema tracking")))
+      // align the batch to the table schema by (folded) name; exact
+      // types only — replace batches carry the table's own shape
+      val byFold = data.columns.map(c => foldName(c) -> c).toMap
+      val batch = data.select(st.fields.toIndexedSeq.map { f =>
+        val src = byFold.getOrElse(foldName(f.name), sys.error(
+          s"versioned replaceWhere: batch lacks column '${f.name}' " +
+            s"(have: ${data.columns.mkString(", ")})"))
+        col(src).as(f.name)
+      }: _*)
+      st.fields.foreach { f =>
+        val got = batch.schema(f.name).dataType
+        require(got == f.dataType,
+          s"versioned replaceWhere: column ${f.name} type drift " +
+            s"(${f.dataType} -> $got) at $path")
+      }
+      if (m.constraints.nonEmpty) {
+        import org.apache.spark.sql.functions.expr
+        val pred = m.constraints.map(expr).reduce(_ && _)
+        val viol = batch.filter(not(pred)).limit(1).collect().headOption
+        require(viol.isEmpty, s"versioned replaceWhere at $path " +
+          s"violates constraint(s) [${m.constraints.mkString("; ")}]; " +
+          s"example row: ${viol.map(_.toString).getOrElse("")}")
+      }
+      // scope gate: every incoming row must be IN the replaced scope
+      // (NULL predicate = outside — it would not be deleted by the
+      // next replace of this scope)
+      val outside = batch.filter(!coalesce(predicate, lit(false)))
+        .limit(1).collect().headOption
+      require(outside.isEmpty, s"versioned replaceWhere at $path: " +
+        "the batch contains rows NOT matching the replace predicate " +
+        "— such rows would silently escape the next replace of " +
+        "their own scope; widen the predicate or filter the batch. " +
+        s"Example row: ${outside.map(_.toString).getOrElse("")}")
+      // tier 1 — dir drop: every conjunct proven dir-wide from the
+      // recorded spec + listed subtree values (metadata IO only)
+      val droppedSet: Set[String] =
+        if (partEqs.isEmpty) Set.empty
+        else m.dataDirs.filter { d =>
+          m.partSpecs.get(d).map(parsePartSpec) match {
+            case None => false
+            case Some(spec) => partEqs.forall { case (cLog, vals) =>
+              val cPhys = m.physOf(cLog)
+              val idx = spec.indexWhere(f => f.unit.isEmpty &&
+                foldName(f.col) == foldName(cPhys))
+              idx >= 0 && hiveSubtreesCovered(
+                Paths.get(path, "data", d), spec, idx, vals)
+            }
+          }
+        }.toSet
+      val dropped = m.dataDirs.filter(droppedSet)
+      val kept = m.dataDirs.filterNot(droppedSet)
+      // tier 2 — DV mask over the KEPT dirs only (row-exact residue);
+      // bloom-pruned to candidate files when the predicate carries an
+      // indexed point lookup, like every DML mask scan
+      val dvId = java.util.UUID.randomUUID().toString
+      val maskedRows = if (kept.isEmpty) 0L else {
+        dmlLiveRows(spark, path, m.copy(dataDirs = kept), predicate)
+          .filter(coalesce(predicate, lit(false)))
+          .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
+          .write.mode("errorifexists").parquet(s"$path/dv/$dvId")
+        spark.read.parquet(s"$path/dv/$dvId").count()
+      }
+      // stage the batch under the table's partition POLICY, so the
+      // re-landed scope keeps its layout (and its pruning)
+      val dataId = java.util.UUID.randomUUID().toString
+      val dataDir = s"$path/data/$dataId"
+      val policy = m.props.get("partCol").map(parsePartSpec)
+      val zoned = policy.map(sp => zonedPartSpec(batch, sp))
+      zoned match {
+        case Some(_) => stageHiveSpec(dataDir, toPhysical(m, batch),
+          c => m.physOf(c), policy.get)
+        case None => toPhysical(m, batch)
+          .write.mode("errorifexists").parquet(dataDir)
+      }
+      val next = Manifest(base + 1, "replace", kept :+ dataId, txn,
+        m.schemaDdl, ts = Some(System.currentTimeMillis()),
+        constraints = m.constraints,
+        dvDirs = if (maskedRows == 0L) m.dvDirs else m.dvDirs :+ dvId,
+        partSpecs = m.specsFor(kept) ++ zoned.map(sp =>
+          dataId -> renderPartSpec(sp.map(f =>
+            f.copy(col = m.physOf(f.col))))),
+        droppedCols = m.droppedCols, props = m.props, colMap = m.colMap)
+      if (publishManifest(path, next)) {
+        if (maskedRows == 0L) dropDirRec(Paths.get(path, "dv", dvId))
+        // classified feed: pre-image deletes (dropped dirs' LIVE rows
+        // + the staged mask's rows) and the batch as inserts, read
+        // BACK from the committed bytes so feed == committed content
+        val cols = st.fields.toIndexedSeq.map(_.name)
+        val delDropped = if (dropped.isEmpty) None else Some(
+          maskByPos(spark, path, m.dvDirs,
+            readDirs(spark, path, m, dropped, withIds = true))
+            .select(cols.map(col): _*))
+        val delMasked = if (maskedRows == 0L) None
+          else Some(stagedMaskRows(spark, path, m, dvId)
+            .select(cols.map(col): _*))
+        val pst = physStruct(m, st)
+        val insBack = zoned match {
+          case None => toLogical(m, st,
+            spark.read.schema(pst).parquet(dataDir))
+          case Some(_) => toLogical(m, st, alignToSchema(
+            spark.read.schema(pst).option("basePath", dataDir)
+              .parquet(dataDir), pst, withIds = false))
+        }
+        val feed = ((delDropped.toSeq ++ delMasked.toSeq)
+          .map(_.withColumn("ct", lit("delete")))
+          :+ insBack.select(cols.map(col): _*)
+            .withColumn("ct", lit("insert")))
+          .reduce(_.unionByName(_))
+        publishWrittenFeed(feed, path, next.version)
+        // the new dir inherits the head's indexes (hive-partitioned
+        // staging skips, like commitCore: pruning covers it)
+        if (zoned.isEmpty) retrofitIndexes(spark, path, Some(m), dataId)
+        return ReplaceResult(next.version, dropped.size, kept.size,
+          maskedRows)
+      }
+      // lost the race: both staged dirs derive from a stale head
+      dropDirRec(Paths.get(path, "dv", dvId))
+      dropDirRec(Paths.get(path, "data", dataId))
+    }
+    sys.error("unreachable")
+  }
+
+  /** Does EVERY data file under `dirPath` sit inside a depth-`idx`
+    * hive subtree whose (unescaped) value is in `vals`? Directory
+    * listing only — the dir-drop proof of [[replaceWhere]]. A stray
+    * data file above the entry depth, a non-matching subtree, or an
+    * empty dir all answer false: unknown never justifies a drop. */
+  private def hiveSubtreesCovered(dirPath: java.nio.file.Path,
+      spec: Seq[PartField], idx: Int, vals: Set[String]): Boolean = {
+    val prefix = s"${spec(idx).dirName}="
+    def walk(p: java.nio.file.Path, depth: Int): Boolean = {
+      val ls = Files.list(p)
+      try ls.iterator().asScala.forall { ch =>
+        val n = ch.getFileName.toString
+        if (n.startsWith("_") || n.startsWith(".")) true // sidecars
+        else if (Files.isDirectory(ch)) {
+          if (depth == idx)
+            n.startsWith(prefix) &&
+              vals.contains(unescapePartVal(n.drop(prefix.length)))
+          else walk(ch, depth + 1)
+        } else !n.endsWith(".parquet") // stray data file: unproven
+      } finally ls.close()
+    }
+    Files.isDirectory(dirPath) && countDataFiles(dirPath) > 0 &&
+      walk(dirPath, 0)
+  }
 
   /** Result of a [[deleteWhere]]: the committed version plus the
     * dir-granular copy-on-write accounting (how many data dirs were
