@@ -6711,6 +6711,50 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 293: DYNAMIC partition overwrite — `INSERT OVERWRITE` under
+    // partitionOverwriteMode=dynamic / writerV2.overwritePartitions():
+    // the batch's DISTINCT partition renderings become the replace
+    // scope (Versioned.replaceDynamic through the real DSv2
+    // BatchWrite — executor parquet staging, ONE atomic commit), so
+    // re-landing one event type drops that type's aligned dir
+    // metadata-only and leaves every untouched partition alone — the
+    // ETL idiom q_lake_refresh proves on the plain lake, here with
+    // versions, OCC, and the change feed. Gated: zero mask dirs and
+    // the replaced dir gone. Oracle = recomputed type ∪ the rest.
+    "q_sql_replace_dynamic" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_repld"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        s.sql(s"""CREATE TABLE $cat.sql_repld (
+            event_id BIGINT, event_type STRING, vc BIGINT)
+          PARTITIONED BY (event_type)""")
+        s.sql(s"""INSERT INTO $cat.sql_repld
+          SELECT event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT)
+          FROM events WHERE event_type = 'click'""")
+        s.sql(s"""INSERT INTO $cat.sql_repld
+          SELECT event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT)
+          FROM events WHERE event_type <> 'click'""")
+        // the dynamic re-land: touches ONLY the click partition
+        s.sql(s"""SELECT event_id, 'click' AS event_type,
+                 CAST(round(value * 100) AS BIGINT) * 5 AS vc
+          FROM events
+          WHERE event_type = 'click' AND event_id % 4 = 0""")
+          .writeTo(s"$cat.sql_repld").overwritePartitions()
+      }
+      val head = V.latestVersion(table)
+      val dynamic = head >= 0 && V.dvDirIds(table, head).isEmpty &&
+        V.dataDirIds(table, head).size == 3
+      s.sql(s"""SELECT event_type, count(*) AS n_events,
+            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.sql_repld GROUP BY event_type""")
+        .withColumn("dynamic", lit(dynamic))
+        .orderBy("event_type")
+    }),
+
     // 282: SQL MERGE full-sync mirror driver-gated — WHEN NOT MATCHED
     // BY SOURCE completes the mirror idiom: matched rows revalue,
     // source-only rows insert, target rows that VANISHED from the
@@ -7848,6 +7892,19 @@ object SparkEntry {
       SELECT event_type, count(*) AS n_events,
              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
              TRUE AS masked
+      FROM fin GROUP BY event_type ORDER BY event_type""",
+    "q_sql_replace_dynamic" -> """
+      WITH ev AS (SELECT event_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events),
+      fin AS (SELECT event_type, vc FROM ev
+              WHERE event_type <> 'click'
+              UNION ALL
+              SELECT event_type, vc * 5 FROM ev
+              WHERE event_type = 'click' AND event_id % 4 = 0)
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             TRUE AS dynamic
       FROM fin GROUP BY event_type ORDER BY event_type""",
     "q_sql_merge_sync" -> """
       WITH ev AS (SELECT event_id, event_type,

@@ -476,9 +476,20 @@ private[sources] final class VersionedSqlTable(ident: String,
     // builder's SupportsOverwrite onto [[Versioned.replaceWhere]] —
     // the predicate-scoped atomic replace; a bare INSERT OVERWRITE
     // still truncates (AlwaysTrue → the overwrite commit).
+    // OVERWRITE_DYNAMIC: `INSERT OVERWRITE` under
+    // partitionOverwriteMode=dynamic / writerV2.overwritePartitions()
+    // plans OverwritePartitionsDynamic (no V1 fallback exists), so
+    // the builder's real BatchWrite ([[DynamicOverwriteBatch]]) stages
+    // on executors and commits through [[Versioned.replaceDynamic]].
+    // BATCH_WRITE rides along because TableCapabilityCheck demands it
+    // literally for dynamic overwrite — appends/truncates still run
+    // the V1 bridge (exec choice keys on the returned V1Write, and
+    // the builder's toBatch is loud for anything but dynamic).
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
@@ -836,7 +847,8 @@ private[sources] final class VersionedWriteBuilder(path: String,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate
-    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var overwrite = false
   // non-empty → predicate-scoped replace instead of truncate (the
   // static `INSERT OVERWRITE … PARTITION (…)` / writerV2
@@ -856,8 +868,23 @@ private[sources] final class VersionedWriteBuilder(path: String,
     else replaceFilters = filters
     this
   }
+  private var dynamic = false
+  override def overwriteDynamicPartitions()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    dynamic = true; this
+  }
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.V1Write {
+      // dynamic partition overwrite has NO V1 fallback exec — this is
+      // the one batch path that runs as a REAL DSv2 BatchWrite
+      // (executor parquet staging, one replaceDynamic commit)
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite = {
+        require(dynamic, s"versioned table at $path: unexpected " +
+          "DSv2 batch write (only dynamic partition overwrite runs " +
+          "as a real BatchWrite; appends/truncates ride the V1 bridge)")
+        new DynamicOverwriteBatch(path, info.schema())
+      }
       // writeStream.toTable: stage on executors, commit each epoch
       // through Versioned.commitTxn with a stream:<queryId>:<epoch>
       // token — exactly-once, every engine guard reused (see
@@ -901,6 +928,59 @@ private[sources] final class VersionedWriteBuilder(path: String,
           }
         }
     }
+}
+
+/** The DSv2 BatchWrite behind dynamic partition overwrite
+  * (`INSERT OVERWRITE` under partitionOverwriteMode=dynamic /
+  * `writerV2.overwritePartitions()`): executors stage the query's
+  * rows as parquet parts through the SAME writer the streaming sink
+  * uses ([[graft.streaming.StreamTableSink.StageWriterFactory]] —
+  * Spark's own row codec, crash-salted file names, under the
+  * `.stream_stage/` root the stage-vacuum already sweeps), and the
+  * driver commits the acknowledged files as ONE
+  * [[Versioned.replaceDynamic]] — the touched partitions drop/mask
+  * atomically and the batch lands, every engine guard applied. The
+  * stage dir is removed on commit and abort; a hard crash orphans
+  * one dir for the sweeper. */
+private[sources] final class DynamicOverwriteBatch(path: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import graft.streaming.StreamTableSink
+  private val root = StreamTableSink.stageRoot(path,
+    s"batch-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new StreamTableSink.StageWriterFactory(root, schema)
+
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val files = messages.collect {
+      case StreamTableSink.StagedFile(f) if f.nonEmpty => f }
+    val spark = SparkSession.active
+    try {
+      val df =
+        if (files.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+      Versioned.replaceDynamic(spark, path, df): Unit
+    } finally dropStage()
+  }
+
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = dropStage()
+
+  private def dropStage(): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(p)) return
+    val w = java.nio.file.Files.walk(p)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => java.nio.file.Files.deleteIfExists(q): Unit)
+    finally w.close()
+  }
 }
 
 /** V2 pushdown surface: accepted filters and the pruned column set

@@ -3110,7 +3110,79 @@ object Versioned {
   def replaceWhere(spark: SparkSession, path: String, data: DataFrame,
       predicate: org.apache.spark.sql.Column,
       partEqs: Seq[(String, Set[String])] = Seq.empty,
-      txn: Option[String] = None): ReplaceResult = {
+      txn: Option[String] = None): ReplaceResult =
+    replaceCore(spark, path, data, predicate,
+      partEqs.map { case (c, vs) => (PartField(c, None), vs) }, txn)
+
+  /** DYNAMIC partition overwrite — `INSERT OVERWRITE` replacing
+    * exactly the partitions the batch TOUCHES (Spark's
+    * partitionOverwriteMode=dynamic semantics, atomic here): the
+    * batch's distinct partition renderings (identity values / time-
+    * transform unit renderings under the table's declared policy)
+    * become the replace scope, dirs wholly inside it drop metadata-
+    * only, the residue masks row-exactly, and the batch lands — one
+    * [[replaceWhere]]-shaped commit. Partition-tuple membership is
+    * the scope (rendering equality — dir granularity is WHAT dynamic
+    * overwrite replaces), so multi-field policies are tuple-exact
+    * (never the per-column cross product); NULL partition values
+    * match the hive default-partition rendering. Bounded by
+    * [[MaxDynamicPartitions]] distinct touched partitions per batch
+    * (the scope tuples drive the predicate; a batch touching more is
+    * almost certainly missing its partition column — loud). */
+  def replaceDynamic(spark: SparkSession, path: String,
+      data: DataFrame, txn: Option[String] = None): ReplaceResult = {
+    import org.apache.spark.sql.functions.{col, date_format, lit}
+    val head = latestVersion(path)
+    require(head >= 0,
+      s"versioned replaceDynamic: no committed version at $path")
+    val m = readManifest(path, head)
+    val policy = m.props.get("partCol").map(parsePartSpec).getOrElse(
+      sys.error(s"versioned replaceDynamic: table at $path declares " +
+        "no partitioning — dynamic overwrite replaces the partitions " +
+        "the batch touches; for an unpartitioned table use a plain " +
+        "overwrite (truncate) or replaceWhere with an explicit scope"))
+    val zoned = zonedPartSpec(data, policy)
+    // each field's DIRECTORY rendering as an expression — what the
+    // staged hive layout will name its dirs, so scope == layout
+    val exprs = zoned.map { f =>
+      f.unit match {
+        case None => col(f.col).cast("string")
+        case Some(u) => date_format(col(f.col), PartUnits(u))
+      }
+    }
+    val tuples = data.select(exprs.zipWithIndex.map { case (e, i) =>
+      e.as(s"p$i") }: _*).distinct()
+      .limit(MaxDynamicPartitions + 1).collect()
+    require(tuples.length <= MaxDynamicPartitions,
+      s"versioned replaceDynamic at $path: the batch touches more " +
+        s"than $MaxDynamicPartitions distinct partitions — almost " +
+        "certainly a missing/mis-typed partition column; land it as " +
+        "a plain overwrite or split the load")
+    val predicate =
+      if (tuples.isEmpty) lit(false) // empty batch: replace nothing
+      else tuples.toIndexedSeq.map { row =>
+        exprs.zipWithIndex.map { case (e, i) =>
+          if (row.isNullAt(i)) e.isNull else e === lit(row.getString(i))
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+    // single-field policies prove dir drops (a value-set rendering is
+    // exactly the predicate); multi-field tuple scopes have no
+    // conjunctive rendering — they stay on the row-exact mask tier
+    val proof =
+      if (zoned.sizeIs != 1 || tuples.isEmpty) Seq.empty
+      else Seq(zoned.head -> tuples.toIndexedSeq.map(r =>
+        if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__"
+        else r.getString(0)).toSet)
+    replaceCore(spark, path, data, predicate, proof, txn)
+  }
+
+  /** Distinct-touched-partitions bound per [[replaceDynamic]] batch. */
+  private val MaxDynamicPartitions = 10000
+
+  private def replaceCore(spark: SparkSession, path: String,
+      data: DataFrame, predicate: org.apache.spark.sql.Column,
+      partEqs: Seq[(PartField, Set[String])],
+      txn: Option[String]): ReplaceResult = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     import org.apache.spark.sql.types.StructType
     txn.foreach(t => require(t.nonEmpty && t.forall(ch =>
@@ -3171,10 +3243,15 @@ object Versioned {
         else m.dataDirs.filter { d =>
           m.partSpecs.get(d).map(parsePartSpec) match {
             case None => false
-            case Some(spec) => partEqs.forall { case (cLog, vals) =>
-              val cPhys = m.physOf(cLog)
-              val idx = spec.indexWhere(f => f.unit.isEmpty &&
-                foldName(f.col) == foldName(cPhys))
+            case Some(spec) => partEqs.forall { case (pf, vals) =>
+              val cPhys = m.physOf(pf.col)
+              // a transform entry proves only under the SAME clock it
+              // was rendered with (the PartField zone contract — a
+              // mismatched dir stays on the mask tier, never wrong)
+              val zone = spark.sessionState.conf.sessionLocalTimeZone
+              val idx = spec.indexWhere(f => f.unit == pf.unit &&
+                foldName(f.col) == foldName(cPhys) &&
+                (f.unit.isEmpty || f.zone.forall(_ == zone)))
               idx >= 0 && hiveSubtreesCovered(
                 Paths.get(path, "data", d), spec, idx, vals)
             }

@@ -57,7 +57,7 @@ object StreamTableSink {
     s"$path/.stream_stage/$queryId"
 
   /** One staged part file, acknowledged by its writer task. */
-  private[streaming] final case class StagedFile(file: String)
+  private[graft] final case class StagedFile(file: String)
       extends WriterCommitMessage
 
   /** Hadoop conf for [[org.apache.spark.sql.execution.datasources
@@ -98,10 +98,16 @@ object StreamTableSink {
     * constructed there and serialized to executors), so within one
     * run the partition/task ids keep retried tasks apart exactly as
     * before. */
-  private[streaming] final class StageWriterFactory(stageRoot: String,
-      schema: StructType) extends StreamingDataWriterFactory {
+  private[graft] final class StageWriterFactory(stageRoot: String,
+      schema: StructType) extends StreamingDataWriterFactory
+      with org.apache.spark.sql.connector.write.DataWriterFactory {
     private val runSalt: String =
       java.util.UUID.randomUUID().toString.take(8)
+    /** Batch writes stage as epoch 0 — the one-shot shape
+      * [[graft.sources.DynamicOverwriteBatch]] commits. */
+    override def createWriter(partitionId: Int,
+        taskId: Long): DataWriter[InternalRow] =
+      createWriter(partitionId, taskId, 0L)
     override def createWriter(partitionId: Int, taskId: Long,
         epochId: Long): DataWriter[InternalRow] = {
       val dir = s"$stageRoot/e$epochId"

@@ -205,6 +205,102 @@ class VersionedReplaceSpec extends SparkSpec {
     assert(Versioned.dvDirIds(path, head).size == 1)
   }
 
+  test("replaceDynamic: only the partitions the batch touches are replaced; aligned dirs drop") {
+    val path = tmpTable()
+    Versioned.commitWithProps(regionRows("EU", 1, 10).limit(0), path,
+      overwrite = false, props = Map("partCol" -> "region")) // v0 policy
+    Versioned.commitPartitionedSpec(regionRows("EU", 1, 10), path, spec)
+    Versioned.commitPartitionedSpec(regionRows("US", 11, 20), path, spec)
+    Versioned.commitPartitionedSpec(regionRows("AP", 21, 30), path, spec)
+    val r = Versioned.replaceDynamic(spark, path,
+      regionRows("EU", 101, 103).union(regionRows("AP", 104, 105)))
+    assert(r.droppedDirs == 2 && r.maskedRows == 0L,
+      s"EU and AP dirs should drop whole, got $r")
+    val got = Versioned.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    val want = ((101L to 103L).map(k => (k, "EU", k * 10)) ++
+      (104L to 105L).map(k => (k, "AP", k * 10)) ++
+      (11L to 20L).map(k => (k, "US", k * 10))).toSet
+    assert(got == want, "US (untouched partition) must survive")
+  }
+
+  test("replaceDynamic multi-field policy is tuple-exact, not a per-column cross product") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    val cat = freshCat(wh)
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, d STRING, g STRING)
+        PARTITIONED BY (d, g)""")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'd1', 'a'), " +
+      "(2, 'd1', 'b'), (3, 'd2', 'a'), (4, 'd2', 'b')")
+    // touches tuples (d1,a) and (d2,b) ONLY — (d1,b) and (d2,a) must
+    // survive even though their column values each appear in the batch
+    val r = Versioned.replaceDynamic(spark, path,
+      Seq((10L, "d1", "a"), (11L, "d2", "b")).toDF("k", "d", "g"))
+    assert(r.maskedRows == 2L, s"exactly the two touched tuples, got $r")
+    val got = spark.sql(s"SELECT k, d, g FROM $cat.t")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((10L, "d1", "a"), (11L, "d2", "b"),
+      (2L, "d1", "b"), (3L, "d2", "a")))
+  }
+
+  test("SQL: INSERT OVERWRITE under dynamic mode and writerV2.overwritePartitions") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    val cat = freshCat(wh)
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, region STRING)
+        PARTITIONED BY (region)""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'EU' FROM range(1, 11)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'US' FROM range(11, 21)")
+    val mode = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(mode)
+    try {
+      spark.conf.set(mode, "dynamic")
+      spark.sql(s"INSERT OVERWRITE $cat.t " +
+        "SELECT id, 'EU' FROM range(100, 103)")
+    } finally spark.conf.set(mode, prev)
+    val got = spark.sql(s"SELECT k, region FROM $cat.t")
+      .as[(Long, String)].collect().toSet
+    assert(got == ((100L to 102L).map((_, "EU")) ++
+      (11L to 20L).map((_, "US"))).toSet,
+      s"dynamic overwrite must keep the untouched US partition: $got")
+    // the EU dir was aligned — dropped whole, no mask
+    val head = Versioned.latestVersion(path)
+    assert(Versioned.dvDirIds(path, head).isEmpty)
+    // writerV2: the conf-independent dynamic surface
+    Seq((200L, "US")).toDF("k", "region")
+      .writeTo(s"$cat.t").overwritePartitions()
+    val got2 = spark.sql(s"SELECT k, region FROM $cat.t")
+      .as[(Long, String)].collect().toSet
+    assert(got2 == Set((200L, "US")) ++
+      (100L to 102L).map((_, "EU")).toSet)
+  }
+
+  test("replaceDynamic: NULL partition values replace the hive default-partition dir") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    val cat = freshCat(wh)
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, region STRING)
+        PARTITIONED BY (region)""")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, NULL), (2, 'EU')")
+    val r = Versioned.replaceDynamic(spark, path,
+      Seq((10L, null.asInstanceOf[String])).toDF("k", "region"))
+    assert(r.version > 0)
+    val got = spark.sql(s"SELECT k, region FROM $cat.t")
+      .as[(Long, Option[String])].collect().toSet
+    assert(got == Set((10L, None), (2L, Some("EU"))),
+      s"the NULL partition replaced, EU survived: $got")
+  }
+
+  test("replaceDynamic on an unpartitioned table is loud") {
+    val path = tmpTable()
+    Versioned.commit(regionRows("EU", 1, 5), path, overwrite = false)
+    val e = intercept[Exception] {
+      Versioned.replaceDynamic(spark, path, regionRows("EU", 6, 7))
+    }
+    assert(e.getMessage.contains("declares no partitioning"),
+      e.getMessage)
+  }
+
   test("time-transform policy: the re-landed batch keeps days(ts) layout and prunes") {
     val wh = freshWarehouse()
     val path = s"$wh/t"
