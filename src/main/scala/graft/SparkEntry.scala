@@ -6755,6 +6755,59 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // 294: PARTITION-SCOPED COMPACTION through CALL — OPTIMIZE one
+    // partition, not the table: `CALL g.system.compact(scope =>
+    // 'col=v')` merges exactly the data dirs provably covered by the
+    // scope (Versioned.compactWhere — recorded spec + subtree
+    // listing) into one dir, materializing the scope's DV masks away,
+    // while every other dir carries BY REFERENCE — the nightly
+    // per-partition OPTIMIZE a 100 TB table needs (a full rewrite
+    // would move 99 untouched regions). Gated on the ledger: a
+    // 'compact' commit landed and the urgent partition's fragmented
+    // dirs left the chain. Oracle = the untouched logical content.
+    "q_sql_compact_scope" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_compactw"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        s.sql(s"""CREATE TABLE $cat.sql_compactw (
+            o_orderkey BIGINT, o_orderpriority STRING,
+            price_cents BIGINT) PARTITIONED BY (o_orderpriority)""")
+        // the urgent partition lands FRAGMENTED (two commits)…
+        s.sql(s"""INSERT INTO $cat.sql_compactw
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+          FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0""")
+        s.sql(s"""INSERT INTO $cat.sql_compactw
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+          FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 1""")
+        s.sql(s"""INSERT INTO $cat.sql_compactw
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+          FROM orders WHERE o_orderpriority <> '1-URGENT'""")
+        // …and the scoped OPTIMIZE merges exactly that partition
+        s.sql(s"""CALL $cat.system.compact(`table` => 'sql_compactw',
+          target_files => 1, scope => 'o_orderpriority=1-URGENT')""")
+          .collect(): Unit // ≤1 accounting row
+      }
+      val head = V.latestVersion(table)
+      // ledger proof: a compact commit landed and the two fragmented
+      // urgent dirs merged (v0 schema dir + rest dir + compacted dir)
+      val compacted = head >= 0 &&
+        V.history(s, table).filter(col("mode") === "compact")
+          .count() == 1L &&
+        V.dataDirIds(table, head).size == 3
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders,
+            CAST(sum(price_cents) AS DOUBLE) / 100.0 AS sum_price
+          FROM $cat.sql_compactw GROUP BY o_orderpriority""")
+        .withColumn("compacted", lit(compacted))
+        .orderBy("o_orderpriority")
+    }),
+
     // 282: SQL MERGE full-sync mirror driver-gated — WHEN NOT MATCHED
     // BY SOURCE completes the mirror idiom: matched rows revalue,
     // source-only rows insert, target rows that VANISHED from the
@@ -7893,6 +7946,12 @@ object SparkEntry {
              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
              TRUE AS masked
       FROM fin GROUP BY event_type ORDER BY event_type""",
+    "q_sql_compact_scope" -> """
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_price,
+             TRUE AS compacted
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_sql_replace_dynamic" -> """
       WITH ev AS (SELECT event_id, event_type,
                     CAST(round(value * 100) AS BIGINT) AS vc

@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.sql.extensions)
     ext.injectPlannerStrategy(_ => graft.sources.GraftSqlDml.Strategy)
     ext.injectResolutionRule(sp => new graft.sources.GraftStreamRewrite(sp))
+    // broadcast-size hints for versioned scans (the V1ScanWrapper
+    // hides scan statistics from join selection — see the rule)
+    ext.injectOptimizerRule(_ => graft.sources.VersionedJoinHint)
   }
 }
 

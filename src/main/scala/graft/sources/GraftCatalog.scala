@@ -1031,13 +1031,32 @@ private[sources] final class VersionedScanBuilder(path: String,
   * accepted filter re-applies row-level either way (double-filtering
   * safe). */
 private[sources] final class VersionedV1Scan(path: String, pinned: Int,
-    required: StructType, accepted: Array[Filter]) extends V1Scan {
+    required: StructType, accepted: Array[Filter]) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft-versioned $path v$pinned " +
       s"pushed=[${accepted.mkString(", ")}]"
+
+  /** Snapshot size from the pinned version's file listing (memoized —
+    * versions are immutable), so Catalyst's join planning sees the
+    * REAL table size instead of defaultSizeInBytes=Long.MaxValue:
+    * without this, a 2 MB dimension table on the build side of a join
+    * can never plan as a broadcast join and every dim⨝fact through
+    * the SQL catalog pays a full shuffle — the defining join shape of
+    * a 100 TB star schema. Bytes-on-disk, the same basis
+    * FileSourceScanExec reports (fileCompressionFactor defaults 1). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = Versioned.versionBytes(path, pinned)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   private def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
 
@@ -1423,6 +1442,12 @@ object GraftCatalog {
           .contains(GraftSqlDml.Strategy))
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ GraftSqlDml.Strategy
+      // join-size planning for versioned scans (see
+      // [[VersionedJoinHint]]) — same live-session seam
+      if (!spark.experimental.extraOptimizations
+          .contains(VersionedJoinHint))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ VersionedJoinHint
     }
 
   /** Wire the catalog onto a LIVE session (catalogs resolve lazily,

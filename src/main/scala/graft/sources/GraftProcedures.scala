@@ -67,13 +67,41 @@ object GraftProcedures {
 
   private val procs: Seq[Proc] = Seq(
     Proc("compact",
-      "rewrite the head snapshot as one commit of target_files files",
+      "rewrite the head snapshot as one commit of target_files " +
+        "files; scope => \"col=v1|v2,col2=w\" compacts ONLY the data " +
+        "dirs provably covered by those partition values (OPTIMIZE " +
+        "one partition, not the table — dirs outside the scope carry " +
+        "by reference; an already-compact scope no-ops)",
       Seq(in("table", StringType),
-        inDefault("target_files", IntegerType, "1")),
+        inDefault("target_files", IntegerType, "1"),
+        inDefault("scope", StringType, "''")),
       (spark, path, input) => {
-        val v = Versioned.compact(spark, path(str(input, 0)),
-          input.getInt(1))
-        outRow(versionOut, Seq(v))
+        val scope = if (input.isNullAt(2)) "" else str(input, 2)
+        if (scope.isEmpty) {
+          val v = Versioned.compact(spark, path(str(input, 0)),
+            input.getInt(1))
+          outRow(versionOut, Seq(v))
+        } else {
+          val eqs = scope.split(",").toIndexedSeq.map(_.trim)
+            .filter(_.nonEmpty).map { c =>
+              c.split("=", 2) match {
+                case Array(k, vs) if k.trim.nonEmpty =>
+                  k.trim -> vs.split("\\|").map(_.trim).toSet
+                case _ => sys.error(s"CALL compact: bad scope " +
+                  s"conjunct '$c' — want col=v1|v2[,col2=w]")
+              }
+            }
+          val r = Versioned.compactWhere(spark, path(str(input, 0)),
+            eqs, input.getInt(1))
+          outRow(StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("rewritten_dirs", IntegerType),
+            StructField("carried_dirs", IntegerType),
+            StructField("files_before", IntegerType),
+            StructField("files_after", IntegerType))),
+            Seq[Any](r.version, r.rewrittenDirs, r.carriedDirs,
+              r.filesBefore, r.filesAfter))
+        }
       }),
     Proc("vacuum",
       "reclaim history older than retain_hours (guarded below the " +

@@ -68,8 +68,15 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * correlated single-column IN — composite keys join as structs
   * with null key fields filtered from both sides.
   *
+  * MERGE clause conditions and ON source-only prefilters ride the
+  * SAME bounded rewrite (`WHEN MATCHED AND t.v IN (SELECT …)`,
+  * single-equality-correlated EXISTS included — clause conditions
+  * are two-valued, so the COALESCE(…, false) decorrelation is
+  * exact).
+  *
   * Loud, documented limits (each throws with the workaround named):
-  * correlated IN / multi-equality EXISTS in MERGE clauses,
+  * correlated IN / multi-equality-correlated EXISTS in MERGE clauses
+  * (a clause condition cannot ride the DELETE-only semi-join mask),
   * multi-column IN, non-equality correlation conjuncts, CORRELATED
   * scalar subqueries in assignments, nested-field assignment, MERGE
   * conditions that are not (target-column = source-expression)
@@ -625,7 +632,10 @@ object GraftSqlDml extends PredicateHelper {
     }
     // ---- source: prefilters applied, key expressions materialized
     var sdf = GraftBridge.ofRows(spark, source)
-    srcOnly.foreach(p => sdf = sdf.filter(bareCol(p, "MERGE ON")))
+    // source-only prefilters may carry subqueries too (`ON t.k = s.k
+    // AND s.region IN (SELECT …)`) — same bounded rewrite
+    srcOnly.foreach(p => sdf = sdf.filter(bareCol(
+      rewritePredicateSubqueries(spark, p, "MERGE ON"), "MERGE ON")))
     val gk = keys.indices.map(i => s"__graft_k$i")
     val sdf2 = sdf.select(col("*") +: keys.zipWithIndex.map {
       case ((_, se), i) => bareCol(se, "MERGE key").as(gk(i)) }.toSeq: _*)
@@ -657,10 +667,18 @@ object GraftSqlDml extends PredicateHelper {
       case other => unsupported(s"MERGE action $other",
         "UPDATE / DELETE / INSERT actions only")
     }
+    // clause conditions ride the same subquery rewrite as assignment
+    // values: uncorrelated IN/EXISTS/scalar subqueries execute once
+    // (bounded), single-equality-correlated EXISTS decorrelates to an
+    // IN over the merge row's own columns — `WHEN MATCHED AND t.v IN
+    // (SELECT …)` works; correlated IN stays loud (three-valued
+    // semantics don't survive the EXISTS-shaped decorrelation)
     def verdictOf(actions: Seq[MergeAction], what: String): Column =
       actions.zipWithIndex.foldRight(lit(-1)) { case ((a, i), els) =>
         val c = actionCond(a)
-          .map(e => coalesce(sidedCol(e, tOut, tAl, sAl, what), lit(false)))
+          .map(e => coalesce(sidedCol(
+            rewritePredicateSubqueries(spark, e, s"$what condition"),
+            tOut, tAl, sAl, what), lit(false)))
           .getOrElse(lit(true))
         when(c, lit(i)).otherwise(els)
       }

@@ -1751,6 +1751,119 @@ object Versioned {
         },
         modeOverride = Some("cluster")))
 
+  /** Result of a scoped [[compactWhere]]: the committed version plus
+    * the dir accounting — how many dirs merged into the compacted
+    * one, how many carried by reference, and the file counts before/
+    * after inside the rewritten scope (the small-files proof). A
+    * version of -1 means the scope was already compact: no-op, no
+    * commit. */
+  final case class CompactResult(version: Int, rewrittenDirs: Int,
+      carriedDirs: Int, filesBefore: Int, filesAfter: Int)
+
+  /** PARTITION-SCOPED compaction — OPTIMIZE one partition, not the
+    * table: merges exactly the data dirs PROVABLY covered by the
+    * `partEqs` scope (the [[replaceWhere]] dir proof: recorded spec +
+    * hive subtree listing, metadata IO only) into one dir of
+    * `targetFiles` files, applying — and thereby materializing away —
+    * the deletion-vector masks of the rewritten scope; every other
+    * dir carries BY REFERENCE. At 100 TB the nightly OPTIMIZE runs
+    * per-partition behind the ingest watermark; a whole-table
+    * [[compact]] there would rewrite 99 untouched regions. An empty
+    * scope selects every dir (the full compact, scoped mechanics).
+    *
+    * Physical-only: content is byte-for-byte the masked snapshot of
+    * the scope, so dirs PARTIALLY matching the scope are simply left
+    * alone (correct, merely unmerged — the proof never over-selects).
+    * The compacted dir keeps the scope's hive layout when every
+    * selected dir shares one spec whose clock matches this session
+    * (pruning survives); otherwise it stages plain (readers handle
+    * mixed layouts). Mode `compact`: the change feed records zero
+    * rows, exactly like the full rewrite. Already-compact scopes
+    * (one dir, ≤ targetFiles files, no mask to absorb) no-op without
+    * a commit. Same optimistic read→rewrite→publish-if-base loop as
+    * [[compact]]. */
+  def compactWhere(spark: SparkSession, path: String,
+      partEqs: Seq[(String, Set[String])],
+      targetFiles: Int = 1): CompactResult = {
+    require(targetFiles >= 1,
+      s"versioned compactWhere: targetFiles must be >= 1, got $targetFiles")
+    var attempt = 0
+    while (true) {
+      require(attempt < 50,
+        s"versioned compactWhere: 50 lost races at $path")
+      attempt += 1
+      val base = latestVersion(path)
+      require(base >= 0,
+        s"versioned compactWhere: no committed version at $path")
+      val m = readManifest(path, base)
+      val zone = spark.sessionState.conf.sessionLocalTimeZone
+      val selected = m.dataDirs.filter { d =>
+        partEqs.isEmpty || (m.partSpecs.get(d).map(parsePartSpec) match {
+          case None => false
+          case Some(spec) => partEqs.forall { case (cLog, vals) =>
+            val cPhys = m.physOf(cLog)
+            val idx = spec.indexWhere(f => f.unit.isEmpty &&
+              foldName(f.col) == foldName(cPhys))
+            idx >= 0 && hiveSubtreesCovered(
+              Paths.get(path, "data", d), spec, idx, vals)
+          }
+        })
+      }
+      val carried = m.dataDirs.filterNot(selected.toSet)
+      val filesBefore = selected
+        .map(d => countDataFiles(Paths.get(path, "data", d))).sum
+      if (selected.isEmpty)
+        return CompactResult(-1, 0, carried.size, 0, 0)
+      // already compact AND no mask to absorb: no-op, no version churn
+      if (selected.sizeIs == 1 && filesBefore <= targetFiles &&
+          m.dvDirs.isEmpty)
+        return CompactResult(-1, 0, carried.size, filesBefore,
+          filesBefore)
+      // the scope's masked snapshot — DV rows for the rewritten files
+      // materialize away; kept dirs' mask entries stay live
+      val scopeDf = maskByPos(spark, path, m.dvDirs,
+        readDirs(spark, path, m, selected, withIds = true))
+        .drop("__dv_rel", "__dv_pos")
+      // keep the hive layout iff every selected dir shares ONE spec
+      // whose transform clock (if any) matches this session — a
+      // re-render under another clock would move rows across dirs
+      // the recorded spec string then lies about
+      val specs = selected.map(m.partSpecs.get).distinct
+      val keepSpec: Option[Seq[PartField]] = specs match {
+        case Seq(Some(one)) =>
+          val parsed = parsePartSpec(one)
+          if (parsed.forall(f => f.unit.isEmpty ||
+              f.zone.forall(_ == zone))) Some(parsed) else None
+        case _ => None
+      }
+      val dataId = java.util.UUID.randomUUID().toString
+      val dataDir = s"$path/data/$dataId"
+      val pdf = toPhysical(m, scopeDf).coalesce(targetFiles)
+      keepSpec match {
+        // partSpecs record PHYSICAL names — the translator is identity
+        case Some(sp) => stageHiveSpec(dataDir, pdf, identity, sp)
+        case None => pdf.write.mode("errorifexists").parquet(dataDir)
+      }
+      val next = Manifest(base + 1, "compact", carried :+ dataId,
+        txn = None, m.schemaDdl, ts = Some(System.currentTimeMillis()),
+        constraints = m.constraints, dvDirs = m.dvDirs,
+        partSpecs = m.specsFor(carried) ++
+          keepSpec.map(sp => dataId -> renderPartSpec(sp)),
+        droppedCols = m.droppedCols, props = m.props, colMap = m.colMap)
+      if (publishManifest(path, next)) {
+        // compaction changes no logical rows: the feed is the
+        // committed EMPTY dir (same contract as the full compact)
+        Files.createDirectories(changeDirPath(path, next.version))
+        if (keepSpec.isEmpty)
+          retrofitIndexes(spark, path, Some(m), dataId)
+        return CompactResult(next.version, selected.size, carried.size,
+          filesBefore, countDataFiles(Paths.get(path, "data", dataId)))
+      }
+      dropDirRec(Paths.get(path, "data", dataId)) // lost race: re-derive
+    }
+    sys.error("unreachable")
+  }
+
   /** The shared read-head → rewrite → publish-if-base loop behind
     * [[compact]] and [[clusterRewrite]]: `attemptCommit` receives the
     * pinned base snapshot and its version and returns None on a lost
@@ -3855,6 +3968,43 @@ object Versioned {
     * reference instead of rewriting them). */
   def dataDirIds(path: String, v: Int): Seq[String] =
     readManifest(path, v).dataDirs
+
+  /** Total data-file bytes of version `v`'s snapshot — the size the
+    * SQL scan reports to Catalyst's join planner
+    * ([[GraftCatalog.VersionedV1Scan]] SupportsReportStatistics), so
+    * small versioned tables BROADCAST instead of defaulting to
+    * Long.MaxValue and shuffling every dim⨝fact join. Memoized: a
+    * version's dir chain is immutable, so one filesystem walk per
+    * (table, version) per session; the memo clears past a bound like
+    * [[statsIndexMemo]] (an estimate re-walk, never a wrong answer).
+    * Vacuumed versions answer from the memo if present — stats are
+    * planning estimates, staleness is harmless. */
+  def versionBytes(path: String, v: Int): Long = {
+    val key = (path, v)
+    val cached = versionBytesMemo.get(key)
+    if (cached != null) return cached
+    val m = readManifest(path, v)
+    val bytes = m.dataDirs.map { d =>
+      val p = Paths.get(path, "data", d)
+      if (!Files.exists(p)) 0L
+      else {
+        val w = Files.walk(p)
+        try w.iterator().asScala.map { q =>
+          val n = q.getFileName.toString
+          if (Files.isRegularFile(q) && n.endsWith(".parquet") &&
+              !n.startsWith("_") && !n.startsWith(".")) Files.size(q)
+          else 0L
+        }.sum
+        finally w.close()
+      }
+    }.sum
+    if (versionBytesMemo.size > StatsIndexMemoCap)
+      versionBytesMemo.clear()
+    versionBytesMemo.put(key, bytes)
+    bytes
+  }
+  private val versionBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Long]()
 
   /** `<table>.files` — one row per physical data FILE of the head
     * snapshot (dir id, dir-relative file path, size, the dir's

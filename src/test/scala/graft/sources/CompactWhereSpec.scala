@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Partition-scoped compaction ([[Versioned.compactWhere]] + the
+  * `CALL g.system.compact(scope => …)` verb): OPTIMIZE one partition,
+  * not the table. Load-bearing claims: only the dirs provably covered
+  * by the scope merge (everything else carries by reference), the
+  * scope's deletion-vector masks materialize away while masks outside
+  * the scope keep applying, the compacted dir keeps the scope's hive
+  * layout (pruning survives), content is byte-identical, the change
+  * feed records zero rows for the compact version, and an
+  * already-compact scope no-ops without version churn. */
+class CompactWhereSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String = java.nio.file.Files
+    .createTempDirectory("graft_compactw").toString
+
+  private def rows(region: String, lo: Long, hi: Long) =
+    (lo to hi).map(k => (k, region, k * 10)).toDF("k", "region", "v")
+
+  private val spec = Seq(Versioned.PartField("region", None))
+
+  test("scoped compact merges only the covered dirs; content and pruning survive") {
+    val path = tmpTable()
+    // EU lands fragmented across three commits; US in one
+    Versioned.commitPartitionedSpec(rows("EU", 1, 10), path, spec)
+    Versioned.commitPartitionedSpec(rows("EU", 11, 20), path, spec)
+    Versioned.commitPartitionedSpec(rows("EU", 21, 30), path, spec)
+    Versioned.commitPartitionedSpec(rows("US", 31, 40), path, spec)
+    val usDirs = Versioned.dataDirIds(path, 3).last
+    val r = Versioned.compactWhere(spark, path,
+      Seq("region" -> Set("EU")), targetFiles = 1)
+    assert(r.rewrittenDirs == 3 && r.carriedDirs == 1,
+      s"three EU dirs merge, US carries: $r")
+    assert(r.filesAfter < r.filesBefore,
+      s"fewer files after: $r")
+    val dirs = Versioned.dataDirIds(path, r.version)
+    assert(dirs.size == 2 && dirs.contains(usDirs),
+      "US dir carried BY REFERENCE")
+    val got = Versioned.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == (1L to 40L).map(k =>
+      (k, if (k <= 30) "EU" else "US", k * 10)).toSet)
+    // the compacted dir kept the hive layout: pruning still skips
+    val (pruned, read, total) =
+      Versioned.readPartitionPruned(spark, path, "region", Seq("US"))
+    assert(read < total && pruned.count() == 10L)
+    // feed contract: a compact version contributes zero change rows
+    assert(Versioned.readChanges(spark, path, r.version, r.version)
+      .count() == 0L)
+    // re-running the same scope no-ops: already compact
+    val again = Versioned.compactWhere(spark, path,
+      Seq("region" -> Set("EU")), targetFiles = 1)
+    assert(again.version == -1 && again.rewrittenDirs == 0,
+      s"already-compact scope must no-op, got $again")
+    assert(Versioned.latestVersion(path) == r.version)
+  }
+
+  test("scope masks materialize away; masks outside the scope keep applying") {
+    val path = tmpTable()
+    Versioned.commitPartitionedSpec(rows("EU", 1, 10), path, spec)
+    Versioned.commitPartitionedSpec(rows("EU", 11, 20), path, spec)
+    Versioned.commitPartitionedSpec(rows("US", 21, 30), path, spec)
+    // one DV delete in each region
+    Versioned.deleteWhereDV(spark, path, col("k") === 5L)
+    Versioned.deleteWhereDV(spark, path, col("k") === 25L)
+    val r = Versioned.compactWhere(spark, path,
+      Seq("region" -> Set("EU")), targetFiles = 1)
+    assert(r.rewrittenDirs == 2, s"got $r")
+    val got = Versioned.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    val want = (1L to 30L).filterNot(k => k == 5 || k == 25)
+      .map(k => (k, if (k <= 20) "EU" else "US", k * 10)).toSet
+    assert(got == want,
+      "masked rows stay deleted in AND outside the compacted scope")
+  }
+
+  test("CALL compact with scope routes through compactWhere; bad scope is loud") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_compactw_sql").toString
+    val path = s"$wh/t"
+    GraftCatalog.register(spark, "gcw", wh)
+    spark.sql("CREATE TABLE gcw.t (k BIGINT, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql("INSERT INTO gcw.t SELECT id, 'EU' FROM range(1, 6)")
+    spark.sql("INSERT INTO gcw.t SELECT id, 'EU' FROM range(6, 11)")
+    spark.sql("INSERT INTO gcw.t SELECT id, 'US' FROM range(11, 16)")
+    val out = spark.sql(
+      "CALL gcw.system.compact(`table` => 't', target_files => 1, " +
+        "scope => 'region=EU')").collect().head
+    assert(out.getInt(1) == 2 && out.getInt(2) == 2,
+      s"two EU dirs rewritten, v0+US carried: $out") // v0 schema dir
+    assert(spark.sql("SELECT count(*) FROM gcw.t").head.getLong(0) == 15L)
+    val e = intercept[Exception] {
+      spark.sql("CALL gcw.system.compact(`table` => 't', " +
+        "scope => 'region')").collect()
+    }
+    assert(e.getMessage.contains("bad scope"), e.getMessage)
+  }
+}

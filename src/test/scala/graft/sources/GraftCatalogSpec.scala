@@ -183,6 +183,35 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("small versioned tables broadcast-join: the size hint sees the real file listing") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_cat_stats").toString
+    Versioned.commit((1L to 500L).map(k => (k, s"n$k"))
+      .toDF("k", "name"), s"$wh/dim", overwrite = false)
+    GraftCatalog.register(spark, "gstat", wh)
+    // the evidence: the pinned version's REAL file bytes, tiny
+    val bytes = Versioned.versionBytes(s"$wh/dim", 0)
+    assert(bytes > 0 && bytes < (10L << 20), s"bytes=$bytes")
+    // …so the dim⨝fact join PLANS as a broadcast with no user hints
+    // (the V1ScanWrapper hides scan stats — VersionedJoinHint is the
+    // path that makes this possible)
+    val q = "SELECT count(*) FROM range(100000) b " +
+      "JOIN gstat.dim d ON b.id = d.k"
+    val df = spark.sql(q)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      df.queryExecution.executedPlan.toString.take(2000))
+    assert(df.head.getLong(0) == 500L)
+    // a disabled threshold disables the hint — never a forced plan
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      assert(!spark.sql(q).queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("INSERT INTO / OVERWRITE commit through the versioned ledger; missing tables fail loudly") {
     val wh = freshWarehouse()
     val path = s"$wh/w"

@@ -1070,6 +1070,61 @@ class GraftSqlDmlSpec extends SparkSpec {
       .head.isNullAt(0))
   }
 
+  test("subqueries in MERGE clause conditions: uncorrelated IN, correlated EXISTS, ON prefilter") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("k", "v"), path, overwrite = false)
+    Versioned.commit(Seq(20L, 40L).toDF("hot"), s"$wh/hot",
+      overwrite = false)
+    Versioned.commit(Seq((1L, "y"), (3L, "n")).toDF("hk", "flag"),
+      s"$wh/aux", overwrite = false)
+    val cat = freshCat(wh)
+    // WHEN MATCHED AND t.v IN (SELECT …): uncorrelated IN in the
+    // clause condition — only the hot-listed rows revalue
+    spark.sql(s"""MERGE INTO $cat.t t
+      USING (SELECT * FROM VALUES (1L), (2L), (4L) AS s(k)) s
+      ON t.k = s.k
+      WHEN MATCHED AND t.v IN (SELECT hot FROM $cat.hot)
+        THEN UPDATE SET v = t.v * 100""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 2000L), (3L, 30L), (4L, 4000L)))
+    // WHEN MATCHED AND EXISTS (… WHERE aux.hk = t.k AND …): a
+    // single-equality-correlated EXISTS decorrelates over the merge
+    // row's own column — only k=1 carries a 'y' aux row
+    spark.sql(s"""MERGE INTO $cat.t t
+      USING (SELECT * FROM VALUES (1L), (3L) AS s(k)) s
+      ON t.k = s.k
+      WHEN MATCHED AND EXISTS (SELECT 1 FROM $cat.aux a
+          WHERE a.hk = t.k AND a.flag = 'y')
+        THEN UPDATE SET v = 0L""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L), (2L, 2000L), (3L, 30L), (4L, 4000L)))
+    // ON source-only prefilter with a subquery: the source narrows
+    // to hot values BEFORE the join
+    spark.sql(s"""MERGE INTO $cat.t t
+      USING (SELECT k, k * 10 AS nv FROM VALUES (2L), (3L) AS s(k)) s
+      ON t.k = s.k AND s.nv * 100 IN (SELECT hot * 100 FROM $cat.hot)
+      WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 2")
+      .head.getLong(0) == 20L)
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 3")
+      .head.getLong(0) == 30L, "k=3 prefiltered out of the source")
+    // correlated IN in a clause condition stays loud (three-valued)
+    val headBefore = Versioned.latestVersion(path)
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.t t USING (SELECT 1L AS k) s
+        ON t.k = s.k
+        WHEN MATCHED AND t.v IN (SELECT hot FROM $cat.hot
+            WHERE hot > t.k)
+          THEN UPDATE SET v = 1L""")
+    }
+    assert(e.getMessage.contains("CORRELATED IN"), e.getMessage)
+    assert(Versioned.latestVersion(path) == headBefore)
+  }
+
   test("UPDATE rides the semi-join fallback too: correlated EXISTS scopes the post-images") {
     val wh = freshWarehouse()
     val path = s"$wh/t"
