@@ -6808,6 +6808,72 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // 295: BROADCAST-PLANNED dim⨝fact through the SQL catalog — the
+    // defining star-schema join shape at 100 TB: the V1 read bridge
+    // hides scan statistics from join selection (V1ScanWrapper), so
+    // without VersionedJoinHint a 2 KB nation dimension would shuffle
+    // the whole customer side; the rule reads the pinned snapshot's
+    // REAL file bytes and hints BROADCAST, and the checked `bcast`
+    // flag gates the EXECUTED plan containing BroadcastHashJoin with
+    // zero user hints. Oracle = the plain join aggregate.
+    "q_sql_dim_join" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/dim_nation"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0)
+        V.commit(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")), table,
+          overwrite = false)
+      val df = s.sql(s"""SELECT n.n_name, count(*) AS n_cust,
+            CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+              AS DOUBLE) / 100.0 AS sum_acctbal
+          FROM customer c JOIN $cat.dim_nation n
+            ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name""")
+      val bcast = df.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin")
+      df.withColumn("bcast", lit(bcast)).orderBy("n_name")
+    }),
+
+    // 296: `<t>.partitions` metadata table — SHOW PARTITIONS for the
+    // format: one row per partition VALUE with file/byte/commit-dir
+    // accounting, derived from the same DISTRIBUTED listing as
+    // `.files` (files-sized work at cluster width, partitions-sized
+    // output — the operator's "how big is each day, how fragmented"
+    // without driver materialization). Physical sizes aren't
+    // oracle-reconstructable, so the checked columns are the
+    // partition values, the per-value commit-dir count (deterministic
+    // from the staging), and a files-present gate. Oracle = the
+    // distinct partition values of the source.
+    "q_sql_partitions" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_parts"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        s.sql(s"""CREATE TABLE $cat.sql_parts (
+            event_id BIGINT, event_type STRING, vc BIGINT)
+          PARTITIONED BY (event_type)""")
+        // one commit per type — dirs align with partitions, so
+        // n_dirs is deterministic (1 per value)
+        val types = t(s, dir, "events").select("event_type")
+          .distinct().collect().map(_.getString(0)).sorted // ≤ handful
+        types.foreach { et =>
+          s.sql(s"""INSERT INTO $cat.sql_parts
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT)
+            FROM events WHERE event_type = '$et'""")
+        }
+      }
+      s.sql(s"""SELECT part_value,
+            CAST(n_dirs AS INT) AS n_dirs,
+            n_files > 0 AND size_bytes > 0 AS has_files
+          FROM $cat.sql_parts.partitions
+          WHERE part_value IS NOT NULL""")
+        .orderBy("part_value")
+    }),
+
     // 282: SQL MERGE full-sync mirror driver-gated — WHEN NOT MATCHED
     // BY SOURCE completes the mirror idiom: matched rows revalue,
     // source-only rows insert, target rows that VANISHED from the
@@ -7946,6 +8012,18 @@ object SparkEntry {
              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
              TRUE AS masked
       FROM fin GROUP BY event_type ORDER BY event_type""",
+    "q_sql_partitions" -> """
+      SELECT 'event_type=' || event_type AS part_value,
+             CAST(1 AS INT) AS n_dirs, TRUE AS has_files
+      FROM (SELECT DISTINCT event_type FROM events)
+      ORDER BY part_value""",
+    "q_sql_dim_join" -> """
+      SELECT n.n_name, count(*) AS n_cust,
+             CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_acctbal,
+             TRUE AS bcast
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name ORDER BY n.n_name""",
     "q_sql_compact_scope" -> """
       SELECT o_orderpriority, count(*) AS n_orders,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -200,6 +200,9 @@ class GraftCatalog extends TableCatalog
             return new HistorySqlTable(s"$parentName.history", parentPath)
           case "files" =>
             return new FilesSqlTable(s"$parentName.files", parentPath)
+          case "partitions" =>
+            return new PartitionsSqlTable(s"$parentName.partitions",
+              parentPath)
           case "changes" =>
             return new ChangesSqlTable(s"$parentName.changes",
               parentPath,
@@ -587,6 +590,56 @@ private[sources] final class FilesSqlTable(ident: String, path: String)
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new FilesScanBuilder(path, filesSchema)
+}
+
+/** `<table>.partitions` — SHOW PARTITIONS for this format: one row
+  * per (partition spec, partition value) of the head snapshot with
+  * its file count, byte size, and the number of commits (dirs)
+  * contributing — the operator's first question on a partitioned
+  * table ("how big is each day, and how fragmented?"). DERIVED from
+  * the same distributed listing as `<t>.files` (files-sized work at
+  * cluster width, the aggregate is partitions-sized), so a 10⁶-file
+  * table answers without driver materialization; unpartitioned dirs
+  * aggregate under a NULL spec/value row. Hive subtree renderings
+  * (`region=EU`, `ts__days=2024-01-15/region=EU`) are the values —
+  * exactly the directory names pruning operates on. */
+private[sources] final class PartitionsSqlTable(ident: String,
+    path: String) extends Table with SupportsRead {
+  private val partitionsSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("part_spec",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("part_value",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_files",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("size_bytes",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_dirs",
+      org.apache.spark.sql.types.LongType)))
+  override def name(): String = ident
+  override def schema(): StructType = partitionsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    GraftCatalog.frameScan(partitionsSchema, s"graft-partitions $path",
+      { spark =>
+        import org.apache.spark.sql.functions._
+        val files = Versioned.filesDetail(spark, path)
+        files
+          .withColumn("part_value",
+            when(col("part_spec") === "",
+              lit(null).cast("string"))
+              .otherwise(array_join(slice(split(col("file"), "/"),
+                lit(1), size(split(col("file"), "/")) - 1), "/")))
+          .withColumn("part_spec",
+            when(col("part_spec") === "", lit(null).cast("string"))
+              .otherwise(col("part_spec")))
+          .groupBy("part_spec", "part_value")
+          .agg(count(lit(1)).as("n_files"),
+            sum("size_bytes").as("size_bytes"),
+            countDistinct("dir_id").as("n_dirs"))
+      })
 }
 
 /** Pushdown surface for `<table>.files`: fold accepted `dir_id` /

@@ -82,17 +82,8 @@ object GraftProcedures {
             input.getInt(1))
           outRow(versionOut, Seq(v))
         } else {
-          val eqs = scope.split(",").toIndexedSeq.map(_.trim)
-            .filter(_.nonEmpty).map { c =>
-              c.split("=", 2) match {
-                case Array(k, vs) if k.trim.nonEmpty =>
-                  k.trim -> vs.split("\\|").map(_.trim).toSet
-                case _ => sys.error(s"CALL compact: bad scope " +
-                  s"conjunct '$c' — want col=v1|v2[,col2=w]")
-              }
-            }
           val r = Versioned.compactWhere(spark, path(str(input, 0)),
-            eqs, input.getInt(1))
+            parseScope(scope), input.getInt(1))
           outRow(StructType(Seq(
             StructField("version", IntegerType),
             StructField("rewritten_dirs", IntegerType),
@@ -213,19 +204,50 @@ object GraftProcedures {
       "rewrite the head snapshot z-ordered on two numeric columns " +
         "(OPTIMIZE ZORDER): one overwrite commit whose files carry " +
         "tight (c1, c2) bounding boxes plus the min/max sidecar, so " +
-        "later SQL range filters on either column skip files",
+        "later SQL range filters on either column skip files; " +
+        "scope => \"col=v1|v2\" z-orders ONLY the covered partition " +
+        "dirs (dirs outside the scope carry by reference)",
       Seq(in("table", StringType), in("c1", StringType),
-        in("c2", StringType), inDefault("files", IntegerType, "4")),
+        in("c2", StringType), inDefault("files", IntegerType, "4"),
+        inDefault("scope", StringType, "''")),
       (spark, path, input) => {
-        // clusterRewrite, not a bare read+commitClustered: the rewrite
-        // republishes the snapshot it READ, so it must carry the
-        // derive-from-head precondition — a concurrent INSERT landing
-        // between the read and the publish re-derives instead of
-        // being silently dropped from the new head
-        val v = Versioned.clusterRewrite(spark, path(str(input, 0)),
-          str(input, 1), str(input, 2), input.getInt(3))
-        outRow(versionOut, Seq(v))
+        val scope = if (input.isNullAt(4)) "" else str(input, 4)
+        if (scope.isEmpty) {
+          // clusterRewrite, not a bare read+commitClustered: the
+          // rewrite republishes the snapshot it READ, so it must
+          // carry the derive-from-head precondition — a concurrent
+          // INSERT landing between the read and the publish
+          // re-derives instead of being silently dropped
+          val v = Versioned.clusterRewrite(spark, path(str(input, 0)),
+            str(input, 1), str(input, 2), input.getInt(3))
+          outRow(versionOut, Seq(v))
+        } else {
+          val r = Versioned.clusterWhere(spark, path(str(input, 0)),
+            parseScope(scope), str(input, 1), str(input, 2),
+            input.getInt(3))
+          outRow(StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("rewritten_dirs", IntegerType),
+            StructField("carried_dirs", IntegerType),
+            StructField("files_before", IntegerType),
+            StructField("files_after", IntegerType))),
+            Seq[Any](r.version, r.rewrittenDirs, r.carriedDirs,
+              r.filesBefore, r.filesAfter))
+        }
       }))
+
+  /** `col=v1|v2[,col2=w]` → the partEqs scope [[Versioned
+    * .compactWhere]]/[[Versioned.clusterWhere]] consume. */
+  private def parseScope(scope: String): Seq[(String, Set[String])] =
+    scope.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+      .map { c =>
+        c.split("=", 2) match {
+          case Array(k, vs) if k.trim.nonEmpty =>
+            k.trim -> vs.split("\\|").map(_.trim).toSet
+          case _ => sys.error(s"CALL scope: bad scope conjunct '$c' " +
+            "— want col=v1|v2[,col2=w]")
+        }
+      }
 
   private def str(input: InternalRow, i: Int): String = {
     require(!input.isNullAt(i), s"procedure argument $i must not be NULL")

@@ -1749,7 +1749,15 @@ object Versioned {
           Clustered.writeStats(pdf.sparkSession, dataDir,
             Seq(phys(c1), phys(c2)))
         },
-        modeOverride = Some("cluster")))
+        modeOverride = Some("cluster")).map { v =>
+        // THIS rewrite stages the masked head snapshot — zero logical
+        // row changes — so its feed is the committed EMPTY dir, like
+        // compact (pre-r15 the version was a feed GAP and readChanges
+        // across it errored; commitClustered with caller-supplied
+        // content rightly stays feed-less — ITS rows did change)
+        Files.createDirectories(changeDirPath(path, v))
+        v
+      })
 
   /** Result of a scoped [[compactWhere]]: the committed version plus
     * the dir accounting — how many dirs merged into the compacted
@@ -1787,14 +1795,64 @@ object Versioned {
       targetFiles: Int = 1): CompactResult = {
     require(targetFiles >= 1,
       s"versioned compactWhere: targetFiles must be >= 1, got $targetFiles")
+    rewriteScope(spark, path, partEqs, "compactWhere", "compact",
+      skipWhenTidy = Some(targetFiles),
+      stage = (m, scopeDf, dataDir, keepSpec) => {
+        val pdf = toPhysical(m, scopeDf).coalesce(targetFiles)
+        keepSpec match {
+          // partSpecs hold PHYSICAL names — the translator is identity
+          case Some(sp) => stageHiveSpec(dataDir, pdf, identity, sp)
+          case None => pdf.write.mode("errorifexists").parquet(dataDir)
+        }
+        keepSpec.isDefined
+      })
+  }
+
+  /** PARTITION-SCOPED clustering — OPTIMIZE ZORDER one partition:
+    * the covered dirs rewrite z-ordered on `(c1, c2)` with the
+    * min/max stats sidecar (range filters skip the scope's files
+    * immediately), the scope's DV masks materialize away, everything
+    * else carries by reference — [[compactWhere]]'s scope mechanics
+    * with [[Clustered]]'s layout. The clustered dir stages FLAT (the
+    * z-order curve replaces the hive layout as this scope's skipping
+    * structure; readers handle mixed layouts). An empty scope
+    * clusters every dir — then prefer [[clusterRewrite]], whose
+    * overwrite resets the mask chain too. */
+  def clusterWhere(spark: SparkSession, path: String,
+      partEqs: Seq[(String, Set[String])], c1: String, c2: String,
+      targetFiles: Int): CompactResult =
+    rewriteScope(spark, path, partEqs, "clusterWhere", "cluster",
+      skipWhenTidy = None,
+      stage = (m, scopeDf, dataDir, _) => {
+        val pdf = toPhysical(m, scopeDf)
+        Clustered.clusteredFrame(pdf, m.physOf(c1), m.physOf(c2),
+          targetFiles).write.mode("errorifexists").parquet(dataDir)
+        Clustered.writeStats(spark, dataDir,
+          Seq(m.physOf(c1), m.physOf(c2)))
+        false // flat + sidecar: no hive spec recorded
+      })
+
+  /** The shared scope-selection → masked-read → stage → publish loop
+    * behind [[compactWhere]] and [[clusterWhere]]: `stage` writes the
+    * scope's masked snapshot (PHYSICAL names) at `dataDir` — given
+    * the shared hive spec when one exists clock-compatibly — and
+    * answers whether the new dir RECORDS that spec. Physical-only
+    * rewrites: content is byte-identical, the feed is the committed
+    * empty dir, kept dirs' masks stay live (rewritten files' mask
+    * rows dangle harmlessly). */
+  private def rewriteScope(spark: SparkSession, path: String,
+      partEqs: Seq[(String, Set[String])], what: String, mode: String,
+      skipWhenTidy: Option[Int],
+      stage: (Manifest, DataFrame, String, Option[Seq[PartField]]) => Boolean)
+      : CompactResult = {
     var attempt = 0
     while (true) {
       require(attempt < 50,
-        s"versioned compactWhere: 50 lost races at $path")
+        s"versioned $what: 50 lost races at $path")
       attempt += 1
       val base = latestVersion(path)
       require(base >= 0,
-        s"versioned compactWhere: no committed version at $path")
+        s"versioned $what: no committed version at $path")
       val m = readManifest(path, base)
       val zone = spark.sessionState.conf.sessionLocalTimeZone
       val selected = m.dataDirs.filter { d =>
@@ -1814,9 +1872,9 @@ object Versioned {
         .map(d => countDataFiles(Paths.get(path, "data", d))).sum
       if (selected.isEmpty)
         return CompactResult(-1, 0, carried.size, 0, 0)
-      // already compact AND no mask to absorb: no-op, no version churn
-      if (selected.sizeIs == 1 && filesBefore <= targetFiles &&
-          m.dvDirs.isEmpty)
+      // already tidy AND no mask to absorb: no-op, no version churn
+      if (skipWhenTidy.exists(t => selected.sizeIs == 1 &&
+          filesBefore <= t) && m.dvDirs.isEmpty)
         return CompactResult(-1, 0, carried.size, filesBefore,
           filesBefore)
       // the scope's masked snapshot — DV rows for the rewritten files
@@ -1824,7 +1882,7 @@ object Versioned {
       val scopeDf = maskByPos(spark, path, m.dvDirs,
         readDirs(spark, path, m, selected, withIds = true))
         .drop("__dv_rel", "__dv_pos")
-      // keep the hive layout iff every selected dir shares ONE spec
+      // offer the hive layout iff every selected dir shares ONE spec
       // whose transform clock (if any) matches this session — a
       // re-render under another clock would move rows across dirs
       // the recorded spec string then lies about
@@ -1838,23 +1896,20 @@ object Versioned {
       }
       val dataId = java.util.UUID.randomUUID().toString
       val dataDir = s"$path/data/$dataId"
-      val pdf = toPhysical(m, scopeDf).coalesce(targetFiles)
-      keepSpec match {
-        // partSpecs record PHYSICAL names — the translator is identity
-        case Some(sp) => stageHiveSpec(dataDir, pdf, identity, sp)
-        case None => pdf.write.mode("errorifexists").parquet(dataDir)
-      }
-      val next = Manifest(base + 1, "compact", carried :+ dataId,
+      val recordedSpec = stage(m, scopeDf, dataDir, keepSpec)
+      val next = Manifest(base + 1, mode, carried :+ dataId,
         txn = None, m.schemaDdl, ts = Some(System.currentTimeMillis()),
         constraints = m.constraints, dvDirs = m.dvDirs,
         partSpecs = m.specsFor(carried) ++
-          keepSpec.map(sp => dataId -> renderPartSpec(sp)),
+          (if (recordedSpec)
+            keepSpec.map(sp => dataId -> renderPartSpec(sp))
+          else None),
         droppedCols = m.droppedCols, props = m.props, colMap = m.colMap)
       if (publishManifest(path, next)) {
-        // compaction changes no logical rows: the feed is the
+        // physical rewrites change no logical rows: the feed is the
         // committed EMPTY dir (same contract as the full compact)
         Files.createDirectories(changeDirPath(path, next.version))
-        if (keepSpec.isEmpty)
+        if (!recordedSpec)
           retrofitIndexes(spark, path, Some(m), dataId)
         return CompactResult(next.version, selected.size, carried.size,
           filesBefore, countDataFiles(Paths.get(path, "data", dataId)))

@@ -78,6 +78,49 @@ class CompactWhereSpec extends SparkSpec {
       "masked rows stay deleted in AND outside the compacted scope")
   }
 
+  test("clusterWhere: the covered scope rewrites z-ordered with a stats sidecar; range reads skip") {
+    val path = tmpTable()
+    Versioned.commitPartitionedSpec(rows("EU", 1, 60), path, spec)
+    Versioned.commitPartitionedSpec(rows("EU", 61, 120), path, spec)
+    Versioned.commitPartitionedSpec(rows("US", 121, 160), path, spec)
+    Versioned.deleteWhereDV(spark, path, col("k") === 10L)
+    val r = Versioned.clusterWhere(spark, path,
+      Seq("region" -> Set("EU")), "k", "v", targetFiles = 4)
+    assert(r.rewrittenDirs == 2 && r.carriedDirs == 1, s"got $r")
+    // content identical, the scope's DV mask materialized away
+    val got = Versioned.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == (1L to 160L).filterNot(_ == 10L).map(k =>
+      (k, if (k <= 120) "EU" else "US", k * 10)).toSet)
+    // the clustered dir's stats sidecar prunes a range read
+    val (df, read, total) =
+      Versioned.readRangeClustered(spark, path, "k", 1.0, 15.0)
+    assert(read < total, s"expected skipping, read $read of $total")
+    assert(df.count() == 14L) // 1..15 minus the masked k=10
+    // a cluster version contributes ZERO feed rows (scoped AND full)
+    assert(Versioned.readChanges(spark, path, r.version, r.version)
+      .count() == 0L)
+    val full = Versioned.clusterRewrite(spark, path, "k", "v", 2)
+    assert(Versioned.readChanges(spark, path, full, full).count() == 0L)
+  }
+
+  test("CALL cluster with scope routes through clusterWhere") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_clusterw_sql").toString
+    val path = s"$wh/t"
+    GraftCatalog.register(spark, "gclw", wh)
+    spark.sql("CREATE TABLE gclw.t (k BIGINT, v BIGINT, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql("INSERT INTO gclw.t SELECT id, id * 2, 'EU' FROM range(1, 200)")
+    spark.sql("INSERT INTO gclw.t SELECT id, id * 2, 'US' FROM range(200, 300)")
+    val out = spark.sql(
+      "CALL gclw.system.cluster(`table` => 't', c1 => 'k', c2 => 'v', " +
+        "files => 2, scope => 'region=EU')").collect().head
+    assert(out.getInt(1) == 1 && out.getInt(2) == 2,
+      s"EU dir rewritten, v0+US carried: $out")
+    assert(spark.sql("SELECT count(*) FROM gclw.t").head.getLong(0) == 299L)
+  }
+
   test("CALL compact with scope routes through compactWhere; bad scope is loud") {
     val wh = java.nio.file.Files
       .createTempDirectory("graft_compactw_sql").toString

@@ -183,6 +183,34 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test(".partitions metadata table: per-value file/byte/dir accounting, NULL for plain dirs") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_cat_parts").toString
+    val path = s"$wh/t"
+    val spec = Seq(Versioned.PartField("grp", None))
+    Versioned.commitPartitionedSpec(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "grp"), path, spec)
+    Versioned.commitPartitionedSpec(
+      Seq((3L, "a")).toDF("k", "grp"), path, spec) // 'a' again: 2 dirs
+    Versioned.commit(Seq((4L, "c")).toDF("k", "grp"), path,
+      overwrite = false) // plain dir
+    GraftCatalog.register(spark, "gparts", wh)
+    val rows = spark.sql(
+      "SELECT part_spec, part_value, n_files, size_bytes, n_dirs " +
+        "FROM gparts.t.partitions ORDER BY part_value NULLS LAST")
+      .collect()
+    val byValue = rows.map(r => Option(r.getString(1)) ->
+      (Option(r.getString(0)), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(byValue.keySet == Set(Some("grp=a"), Some("grp=b"), None))
+    val (specA, filesA, bytesA, dirsA) = byValue(Some("grp=a"))
+    assert(specA.contains("grp") && filesA >= 2 && bytesA > 0 &&
+      dirsA == 2, s"grp=a spans two commits: $byValue")
+    assert(byValue(Some("grp=b"))._4 == 1)
+    val (specN, filesN, _, _) = byValue(None)
+    assert(specN.isEmpty && filesN >= 1, "plain dir under NULL spec")
+  }
+
   test("small versioned tables broadcast-join: the size hint sees the real file listing") {
     val wh = java.nio.file.Files
       .createTempDirectory("graft_cat_stats").toString
