@@ -2868,6 +2868,7 @@ object Versioned {
       var ps = StructType.fromDDL(ddl)
       var droppedCols = parent.droppedCols
       var colMap = parent.colMap
+      var props = parent.props
       def physOf(l: String): String = {
         val f = foldName(l)
         colMap.collectFirst {
@@ -2964,11 +2965,22 @@ object Versioned {
             (if (foldName(newName) == foldName(physical))
               Map.empty[String, String]
             else Map(newName -> physical))
+          // the partition POLICY names columns LOGICALLY (props,
+          // unlike the per-dir specs' physical names) — renaming a
+          // policy column must follow, or every later INSERT /
+          // replaceDynamic fails "no column to partition by"
+          props.get("partCol").foreach { s =>
+            val followed = parsePartSpec(s).map(f =>
+              if (foldName(f.col) == foldName(oldName))
+                f.copy(col = newName)
+              else f)
+            props = props + ("partCol" -> renderPartSpec(followed))
+          }
       }
       val m = parent.copy(version = head + 1, mode = "meta", txn = None,
         ts = Some(System.currentTimeMillis()),
         schemaDdl = Some(ps.toDDL),
-        droppedCols = droppedCols, colMap = colMap)
+        droppedCols = droppedCols, colMap = colMap, props = props)
       if (publishManifest(path, m)) {
         // a metadata commit changes no logical rows: empty feed dir
         Files.createDirectories(changeDirPath(path, m.version))

@@ -31,24 +31,30 @@ import org.apache.spark.sql.execution.datasources.v2.{
 object VersionedJoinHint extends Rule[LogicalPlan] {
 
   /** Bytes of the single versioned scan under a narrowing subtree,
-    * None when the subtree is anything else. */
-  private def versionedLeafBytes(p: LogicalPlan): Option[Long] =
+    * None when the subtree is anything else — or when the listing
+    * throws (a vacuumed pinned version, a racing drop): a SIZE HINT
+    * must never be the thing that fails query planning, so any
+    * listing error simply declines to hint and the scan itself
+    * surfaces the real problem. */
+  private def versionedLeafBytes(p: LogicalPlan): Option[Long] = {
+    def bytesOf(t: VersionedSqlTable): Option[Long] =
+      try Some(Versioned.versionBytes(t.path, t.pinned))
+      catch { case _: Exception => None }
     p match {
       case Project(_, c) => versionedLeafBytes(c)
       case Filter(_, c) => versionedLeafBytes(c)
       case SubqueryAlias(_, c) => versionedLeafBytes(c)
       case r: DataSourceV2ScanRelation => r.relation.table match {
-        case t: VersionedSqlTable =>
-          Some(Versioned.versionBytes(t.path, t.pinned))
+        case t: VersionedSqlTable => bytesOf(t)
         case _ => None
       }
       case r: DataSourceV2Relation => r.table match {
-        case t: VersionedSqlTable =>
-          Some(Versioned.versionBytes(t.path, t.pinned))
+        case t: VersionedSqlTable => bytesOf(t)
         case _ => None
       }
       case _ => None
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val threshold = conf.autoBroadcastJoinThreshold

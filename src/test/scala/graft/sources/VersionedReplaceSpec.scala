@@ -301,6 +301,76 @@ class VersionedReplaceSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("replaceWhere enforces CHECK constraints on the batch: loud, head unmoved") {
+    val path = tmpTable()
+    Versioned.commitPartitionedSpec(regionRows("EU", 1, 10), path, spec)
+    Versioned.addConstraint(spark, path, "v >= 0")
+    val headBefore = Versioned.latestVersion(path)
+    val bad = Seq((100L, "EU", -5L)).toDF("k", "region", "v")
+    val e = intercept[Exception] {
+      Versioned.replaceWhere(spark, path, bad,
+        col("region") === "EU", Seq("region" -> Set("EU")))
+    }
+    assert(e.getMessage.contains("constraint"), e.getMessage)
+    assert(Versioned.latestVersion(path) == headBefore)
+    // a clean batch still lands under the same constraint
+    val r = Versioned.replaceWhere(spark, path,
+      regionRows("EU", 200, 201), col("region") === "EU",
+      Seq("region" -> Set("EU")))
+    assert(r.version == headBefore + 1)
+  }
+
+  test("replaceDynamic composes with column mapping: renamed partition column still drops dirs") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    val cat = freshCat(wh)
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, region STRING)
+        PARTITIONED BY (region)""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'EU' FROM range(1, 11)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'US' FROM range(11, 21)")
+    // rename the partition column: physical name (directories on
+    // disk) stays, the policy and predicates follow the logical name
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN region TO zone")
+    val r = Versioned.replaceDynamic(spark, path,
+      Seq((100L, "EU")).toDF("k", "zone"))
+    assert(r.droppedDirs == 1 && r.maskedRows == 0L,
+      s"the renamed column's EU dir must still prove the drop: $r")
+    val got = spark.sql(s"SELECT k, zone FROM $cat.t")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((100L, "EU")) ++ (11L to 20L).map((_, "US")))
+    // plain INSERT also follows the renamed policy (pre-fix it died
+    // with "no column 'region' to partition by")
+    spark.sql(s"INSERT INTO $cat.t VALUES (500, 'AP')")
+    val head = Versioned.latestVersion(path)
+    assert(Versioned.partSpecIds(path, head).values.toSeq
+      .contains("zone") ||
+      Versioned.partSpecIds(path, head).values.exists(_.nonEmpty),
+      "the new dir records a partition spec under the renamed policy")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE zone = 'AP'")
+      .head.getLong(0) == 1L)
+  }
+
+  test(".partitions reflects a replace: the re-landed value's accounting resets") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    val cat = freshCat(wh)
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, region STRING)
+        PARTITIONED BY (region)""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'EU' FROM range(1, 1001)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'US' FROM range(2001, 3001)")
+    val before = spark.sql("SELECT part_value, n_files, n_dirs FROM " +
+      s"$cat.t.partitions WHERE part_value = 'region=EU'").head
+    spark.sql(s"INSERT OVERWRITE $cat.t PARTITION (region = 'EU') " +
+      "SELECT id FROM range(1, 4)")
+    val after = spark.sql("SELECT part_value, n_files, n_dirs FROM " +
+      s"$cat.t.partitions WHERE part_value = 'region=EU'").head
+    assert(after.getLong(2) == 1L, s"one dir after the re-land: $after")
+    assert(after.getLong(1) <= before.getLong(1),
+      s"no more files than before: $before -> $after")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE region = 'EU'")
+      .head.getLong(0) == 3L)
+  }
+
   test("time-transform policy: the re-landed batch keeps days(ts) layout and prunes") {
     val wh = freshWarehouse()
     val path = s"$wh/t"
