@@ -628,7 +628,10 @@ private[sources] final class PartitionsSqlTable(ident: String,
         val files = Versioned.filesDetail(spark, path)
         files
           .withColumn("part_value",
-            when(col("part_spec") === "",
+            // a file at a spec'd dir's ROOT derives an empty value —
+            // surface NULL, not a phantom ''-named partition row
+            when(col("part_spec") === "" ||
+              size(split(col("file"), "/")) <= 1,
               lit(null).cast("string"))
               .otherwise(array_join(slice(split(col("file"), "/"),
                 lit(1), size(split(col("file"), "/")) - 1), "/")))

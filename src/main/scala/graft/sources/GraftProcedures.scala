@@ -237,7 +237,16 @@ object GraftProcedures {
       }))
 
   /** `col=v1|v2[,col2=w]` → the partEqs scope [[Versioned
-    * .compactWhere]]/[[Versioned.clusterWhere]] consume. */
+    * .compactWhere]]/[[Versioned.clusterWhere]] consume.
+    *
+    * GRAMMAR LIMIT (documented, not silent): ',' and '|' are the
+    * separators and carry no escaping, so a partition VALUE that
+    * itself contains a comma or pipe cannot be expressed through the
+    * CALL string — it mis-splits and fails the conjunct check below.
+    * Such values are rare in partition keys by design; when one
+    * exists, call the Scala DSL (`Versioned.compactWhere` /
+    * `clusterWhere` / `replaceWhere`), whose structured
+    * `Seq[(col, Set[value])]` scope carries any string exactly. */
   private def parseScope(scope: String): Seq[(String, Set[String])] =
     scope.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
       .map { c =>
@@ -245,7 +254,10 @@ object GraftProcedures {
           case Array(k, vs) if k.trim.nonEmpty =>
             k.trim -> vs.split("\\|").map(_.trim).toSet
           case _ => sys.error(s"CALL scope: bad scope conjunct '$c' " +
-            "— want col=v1|v2[,col2=w]")
+            "— want col=v1|v2[,col2=w]; values containing ',' or '|' " +
+            "cannot be expressed in this grammar (use the Scala " +
+            "compactWhere/clusterWhere APIs, whose structured scope " +
+            "carries any string)")
         }
       }
 

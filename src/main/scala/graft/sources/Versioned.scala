@@ -1872,11 +1872,42 @@ object Versioned {
         .map(d => countDataFiles(Paths.get(path, "data", d))).sum
       if (selected.isEmpty)
         return CompactResult(-1, 0, carried.size, 0, 0)
-      // already tidy AND no mask to absorb: no-op, no version churn
+      // per-DV-dir data-dir prefixes its mask rows reference (masks
+      // are deleted-rows-sized, the distinct prefix set dirs-sized):
+      // feeds the SCOPE-AWARE tidy gate and the dv-retirement below.
+      // None on a read error — treated conservatively as "touches the
+      // scope, not retirable" (retiring wrongly would resurrect
+      // deleted rows; a dangling dir kept wrongly is harmless).
+      val dvInfo: Seq[(String, Option[Set[String]])] = m.dvDirs.map {
+        dvd => dvd -> (
+          try {
+            import org.apache.spark.sql.functions.{col, regexp_extract}
+            Some(spark.read.parquet(s"$path/dv/$dvd")
+              .select(regexp_extract(col("rel"), "^([^/]+)/", 1).as("d"))
+              .distinct().collect().map(_.getString(0)).toSet)
+          } catch { case scala.util.control.NonFatal(_) => None })
+      }
+      val selectedSet = selected.toSet
+      // a mask chain on OTHER partitions must not force this scope to
+      // re-rewrite (the nightly-maintenance churn bug: one DV row
+      // anywhere made every already-compact partition rewrite forever)
+      val maskTouchesScope =
+        dvInfo.exists { case (_, p) => p.forall(_.exists(selectedSet)) }
+      // already tidy AND no mask row targets the scope: no-op
       if (skipWhenTidy.exists(t => selected.sizeIs == 1 &&
-          filesBefore <= t) && m.dvDirs.isEmpty)
+          filesBefore <= t) && !maskTouchesScope)
         return CompactResult(-1, 0, carried.size, filesBefore,
           filesBefore)
+      // DV RETIREMENT: a dv dir whose every mask row references only
+      // dirs absent from the NEXT manifest (rewritten away now, or
+      // dangling from an earlier rewrite) can never mask anything
+      // again — drop it from the chain so maintenance loops converge
+      // instead of re-absorbing an eternally-nonempty mask list; the
+      // orphaned dv dir itself is the vacuum sweep's to reclaim
+      val carriedSet = carried.toSet
+      val retainedDv = dvInfo.collect {
+        case (dvd, p) if !p.exists(_.forall(d => !carriedSet(d))) => dvd
+      }
       // the scope's masked snapshot — DV rows for the rewritten files
       // materialize away; kept dirs' mask entries stay live
       val scopeDf = maskByPos(spark, path, m.dvDirs,
@@ -1899,7 +1930,7 @@ object Versioned {
       val recordedSpec = stage(m, scopeDf, dataDir, keepSpec)
       val next = Manifest(base + 1, mode, carried :+ dataId,
         txn = None, m.schemaDdl, ts = Some(System.currentTimeMillis()),
-        constraints = m.constraints, dvDirs = m.dvDirs,
+        constraints = m.constraints, dvDirs = retainedDv,
         partSpecs = m.specsFor(carried) ++
           (if (recordedSpec)
             keepSpec.map(sp => dataId -> renderPartSpec(sp))
@@ -2897,6 +2928,16 @@ object Versioned {
               .contains(foldName(physical)),
             s"${pfx(op)}: '$colName' is a live dir's partition " +
               s"column at $path — compact() first to flatten the layout")
+          // the partition POLICY (props, logical names) guards too —
+          // a full compact flattens the per-dir specs, but dropping
+          // the policy column would break every LATER insert (the
+          // rename path follows the policy; the drop path refuses)
+          require(!props.get("partCol").toSeq.flatMap(parsePartSpec)
+              .exists(f => foldName(f.col) == foldName(logical)),
+            s"${pfx(op)}: '$colName' is the table's PARTITIONED BY " +
+              s"policy column at $path — every future INSERT would " +
+              "fail to lay out; change the policy first (re-CREATE " +
+              "or clear partCol) before dropping the column")
           constraintGuard(pfx(op), colName)
           ps = StructType(ps.fields.filterNot(f =>
             foldName(f.name) == foldName(colName)))

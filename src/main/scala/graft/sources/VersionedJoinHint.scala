@@ -56,9 +56,26 @@ object VersionedJoinHint extends Rule[LogicalPlan] {
     }
   }
 
+  /** Whether ANY versioned scan exists in the tree — the cheap
+    * pre-check that keeps this rule ~free on the 99% of plans with no
+    * versioned relation (it runs from extraOptimizations on EVERY
+    * query of a session that ever touched the catalog, so the full
+    * transform+leaf-walk must not tax unrelated pipelines). */
+  private def hasVersionedScan(plan: LogicalPlan): Boolean =
+    // children only, matching transform's reach (neither descends
+    // into subquery expressions — those optimize as their own plans)
+    plan.exists {
+      case r: DataSourceV2ScanRelation =>
+        r.relation.table.isInstanceOf[VersionedSqlTable]
+      case r: DataSourceV2Relation =>
+        r.table.isInstanceOf[VersionedSqlTable]
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val threshold = conf.autoBroadcastJoinThreshold
     if (threshold <= 0) return plan
+    if (!hasVersionedScan(plan)) return plan
     plan.transform {
       case j: Join if j.hint == JoinHint.NONE =>
         def small(side: LogicalPlan): Boolean =

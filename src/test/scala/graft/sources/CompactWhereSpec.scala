@@ -104,6 +104,45 @@ class CompactWhereSpec extends SparkSpec {
     assert(Versioned.readChanges(spark, path, full, full).count() == 0L)
   }
 
+  test("a mask on ANOTHER partition never re-rewrites an already-compact scope; dangling dv dirs retire") {
+    val path = tmpTable()
+    Versioned.commitPartitionedSpec(rows("EU", 1, 10), path, spec)
+    Versioned.commitPartitionedSpec(rows("EU", 11, 20), path, spec)
+    Versioned.commitPartitionedSpec(rows("US", 21, 30), path, spec)
+    // DV rows in BOTH regions
+    Versioned.deleteWhereDV(spark, path, col("k") === 5L)
+    Versioned.deleteWhereDV(spark, path, col("k") === 25L)
+    // first EU compact absorbs the EU mask...
+    val r1 = Versioned.compactWhere(spark, path,
+      Seq("region" -> Set("EU")), targetFiles = 1)
+    assert(r1.version > 0 && r1.rewrittenDirs == 2, s"got $r1")
+    // ...and the nightly RE-RUN no-ops even though the US mask is
+    // still live (pre-fix: the table-wide dvDirs.isEmpty gate made
+    // every maintenance pass commit a fresh version forever)
+    val r2 = Versioned.compactWhere(spark, path,
+      Seq("region" -> Set("EU")), targetFiles = 1)
+    assert(r2.version == -1 && r2.rewrittenDirs == 0,
+      s"already-compact EU must no-op under a US-only mask, got $r2")
+    assert(Versioned.latestVersion(path) == r1.version)
+    // the US mask still applies (retirement never over-drops)
+    val got = Versioned.read(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == (1L to 30L).filterNot(k => k == 5 || k == 25)
+      .map(k => (k, if (k <= 20) "EU" else "US", k * 10)).toSet)
+    // now compact US too: BOTH masks' dirs are rewritten away, so
+    // the whole dv chain retires from the manifest
+    val r3 = Versioned.compactWhere(spark, path,
+      Seq("region" -> Set("US")), targetFiles = 1)
+    assert(r3.version > 0, s"got $r3")
+    assert(Versioned.dvDirIds(path, r3.version).isEmpty,
+      "fully-dangling dv dirs must retire from the chain")
+    assert(Versioned.read(spark, path).count() == 28L)
+    // retired chain: the next EU pass is STILL a no-op
+    val r4 = Versioned.compactWhere(spark, path,
+      Seq("region" -> Set("EU")), targetFiles = 1)
+    assert(r4.version == -1, s"got $r4")
+  }
+
   test("CALL cluster with scope routes through clusterWhere") {
     val wh = java.nio.file.Files
       .createTempDirectory("graft_clusterw_sql").toString

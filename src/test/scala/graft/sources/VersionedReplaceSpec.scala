@@ -350,6 +350,27 @@ class VersionedReplaceSpec extends SparkSpec {
       .head.getLong(0) == 1L)
   }
 
+  test("DROP COLUMN of the partition-policy column is refused even after a full compact") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    val cat = freshCat(wh)
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, region STRING)
+        PARTITIONED BY (region)""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'EU' FROM range(1, 11)")
+    // a full compact flattens the per-dir specs — pre-fix, the drop
+    // then succeeded and every later INSERT died "no column 'region'
+    // to partition by"
+    Versioned.compact(spark, path, targetFiles = 1)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN region")
+    }
+    assert(e.getMessage.contains("PARTITIONED BY"), e.getMessage)
+    // the policy still works: INSERT lands laid out
+    spark.sql(s"INSERT INTO $cat.t VALUES (100, 'US')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE region = 'US'")
+      .head.getLong(0) == 1L)
+  }
+
   test(".partitions reflects a replace: the re-landed value's accounting resets") {
     val wh = freshWarehouse()
     val path = s"$wh/t"
