@@ -6966,6 +6966,56 @@ object SparkEntry {
         .orderBy("event_type", "src")
     }),
 
+    // 297: NESTED-STRUCT SCHEMA EVOLUTION driver-gated — upstream
+    // adding a field INSIDE a struct column is the most common
+    // remaining drift shape once structs are first-class
+    // (q_json_nested). v0 commits events packed into a struct WITHOUT
+    // `flag`; `ALTER TABLE … ADD COLUMN meta.flag STRING` lands as
+    // ONE metadata commit through the dotted-path alter ledger
+    // (Versioned.alterColumns — zero data moved, history null-fills
+    // the nested field under the explicit read schema); the next
+    // INSERT populates it; and `UPDATE … SET meta.flag = …` exercises
+    // nested-field assignment (GraftSqlDml.composeSet — a struct
+    // rebuild via withField, so merge-on-read masks/feed/constraints
+    // see a plain whole-column update). The `evolved` flag gates the
+    // REAL evidence: v0's struct provably lacking the field plus
+    // exactly one 'meta' ledger mode. Oracle reconstructs the final
+    // snapshot with 'none' for null-filled pre-evolution rows.
+    "q_sql_evolve_nested" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_evnested"
+      val cat = sqlCatalogFor(s, dir)
+      Tables.registerAll(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          struct(col("event_type").as("etype"),
+            cents(col("value")).as("vc")).as("meta"))
+        V.commit(ev, table, overwrite = false) // v0: meta has NO flag
+        s.sql(s"ALTER TABLE $cat.sql_evnested " +
+          "ADD COLUMN meta.flag STRING")
+        s.sql(s"""INSERT INTO $cat.sql_evnested
+          SELECT event_id + 1000000000,
+                 named_struct('etype', 'new_batch',
+                   'vc', CAST(round(value * 100) AS BIGINT),
+                   'flag', 'new')
+          FROM events WHERE event_type = 'click'""")
+        s.sql(s"""UPDATE $cat.sql_evnested SET meta.flag = 'seen'
+          WHERE meta.etype = 'purchase'""")
+      }
+      val evolved = !V.schemaAt(s, table, 0)("meta").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.contains("flag") &&
+        V.history(s, table).filter(col("mode") === "meta")
+          .count() == 1L
+      s.sql(s"""SELECT meta.etype AS etype,
+            coalesce(meta.flag, 'none') AS flag, count(*) AS n_events,
+            CAST(sum(meta.vc) AS DOUBLE) / 100.0 AS sum_value
+          FROM $cat.sql_evnested
+          GROUP BY meta.etype, coalesce(meta.flag, 'none')""")
+        .withColumn("evolved", lit(evolved))
+        .orderBy("etype", "flag")
+    }),
+
     // 281: SQL DELETE WHERE … IN (subquery) driver-gated — the GDPR
     // erasure shape, the loudest former limit of the DML front door:
     // the subplan (purchasing users with event_id % 10 = 0) executes
@@ -8070,6 +8120,21 @@ object SparkEntry {
              CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
              TRUE AS evolved
       FROM m GROUP BY event_type, src ORDER BY event_type, src""",
+    "q_sql_evolve_nested" -> """
+      WITH ev AS (SELECT event_type AS etype,
+                    CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events),
+      m AS (SELECT etype,
+                   CASE WHEN etype = 'purchase' THEN 'seen'
+                        ELSE 'none' END AS flag, vc
+            FROM ev
+            UNION ALL
+            SELECT 'new_batch', 'new', vc FROM ev
+            WHERE etype = 'click')
+      SELECT etype, flag, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             TRUE AS evolved
+      FROM m GROUP BY etype, flag ORDER BY etype, flag""",
     "q_sql_delete_subq" -> """
       WITH del AS (SELECT DISTINCT user_id FROM events
                    WHERE event_type = 'purchase' AND event_id % 10 = 0),

@@ -320,7 +320,11 @@ class GraftCatalog extends TableCatalog
         .TableAlreadyExistsException(
           (ident.namespace() :+ ident.name()).toIndexedSeq)
     val spark = SparkSession.active
-    val norm = StructType(schema.fields.map(_.copy(nullable = true)))
+    // recursively nullable: nested fields null-fill under evolution
+    // exactly like top-level ones, so nested NOT NULL is equally
+    // unenforceable history-wide
+    val norm = StructType(schema.fields.map(f => f.copy(
+      nullable = true, dataType = Versioned.asNullable(f.dataType))))
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), norm)
     Versioned.commitWithProps(empty, path, overwrite = false,
@@ -342,33 +346,33 @@ class GraftCatalog extends TableCatalog
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val path = pathOf(ident)
+    // multi-part field names address STRUCT fields (`meta.flag`) —
+    // the dotted-path grammar [[Versioned.alterColumns]] resolves;
+    // a name segment containing a literal '.' cannot be addressed
+    // (rejected there as a missing path level, never mis-routed)
+    def dotted(fieldNames: Array[String]): String =
+      fieldNames.mkString(".")
     val ops: Seq[Versioned.ColumnOp] = changes.map {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          "GraftCatalog: nested ADD COLUMN is not supported")
         require(add.isNullable,
-          s"GraftCatalog: ADD COLUMN ${add.fieldNames()(0)} NOT NULL " +
-            "is not supported — existing rows null-fill a new column, " +
-            "so the constraint would be violated at birth; add it " +
-            "nullable, backfill, then add a CHECK constraint")
-        Versioned.ColumnOp.Add(add.fieldNames()(0), add.dataType().sql)
+          s"GraftCatalog: ADD COLUMN ${dotted(add.fieldNames())} NOT " +
+            "NULL is not supported — existing rows null-fill a new " +
+            "column, so the constraint would be violated at birth; " +
+            "add it nullable, backfill, then add a CHECK constraint")
+        Versioned.ColumnOp.Add(dotted(add.fieldNames()),
+          add.dataType().sql)
       case ren: TableChange.RenameColumn =>
-        require(ren.fieldNames().length == 1,
-          "GraftCatalog: nested RENAME COLUMN is not supported")
-        Versioned.ColumnOp.Rename(ren.fieldNames()(0), ren.newName())
+        Versioned.ColumnOp.Rename(dotted(ren.fieldNames()),
+          ren.newName())
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames().length == 1,
-          "GraftCatalog: nested DROP COLUMN is not supported")
-        Versioned.ColumnOp.Drop(del.fieldNames()(0))
+        Versioned.ColumnOp.Drop(dotted(del.fieldNames()))
       case upd: TableChange.UpdateColumnType =>
         // `ALTER TABLE … ALTER COLUMN … TYPE` — and the analyzer's
         // MERGE … WITH SCHEMA EVOLUTION when the source column is
         // wider: lossless widenings are metadata commits (the guard
         // lives in [[Versioned.ColumnOp.Widen]]); anything else is
         // loudly rejected there
-        require(upd.fieldNames().length == 1,
-          "GraftCatalog: nested ALTER COLUMN TYPE is not supported")
-        Versioned.ColumnOp.Widen(upd.fieldNames()(0),
+        Versioned.ColumnOp.Widen(dotted(upd.fieldNames()),
           upd.newDataType().sql)
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change $other — " +
@@ -844,7 +848,13 @@ private[sources] final class ChangesScanBuilder(path: String,
   override def pushedFilters(): Array[Filter] = accepted
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // top-level pruning only — see [[VersionedScanBuilder]]: a
+    // nested-pruned struct type here would crash the V1 row codec
+    required = StructType(requiredSchema.fields.map { f =>
+      feedSchema.fields.find(t => t.name.equalsIgnoreCase(f.name))
+        .map(t => f.copy(dataType = t.dataType, nullable = t.nullable))
+        .getOrElse(f)
+    })
 
   override def build(): Scan = new V1Scan {
     override def readSchema(): StructType = required
@@ -1060,7 +1070,18 @@ private[sources] final class VersionedScanBuilder(path: String,
   override def pushedFilters(): Array[Filter] = accepted
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // TOP-LEVEL pruning only: Spark also offers NESTED pruning by
+    // narrowing a struct field's type here, but the V1 bridge serves
+    // whole top-level columns (`SELECT meta.flag` would then hand
+    // Spark full structs under a narrowed declared schema — a row
+    // codec crash). Restoring the table's full field type is the
+    // legal "scan ignored that part of the prune" answer; Spark
+    // re-projects the subfield on top.
+    required = StructType(requiredSchema.fields.map { f =>
+      tableSchema.fields.find(t => t.name.equalsIgnoreCase(f.name))
+        .map(t => f.copy(dataType = t.dataType, nullable = t.nullable))
+        .getOrElse(f)
+    })
 
   override def build(): Scan =
     new VersionedV1Scan(path, pinned, required, accepted)

@@ -74,14 +74,19 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * are two-valued, so the COALESCE(…, false) decorrelation is
   * exact).
   *
+  * UPDATE and MERGE SET clauses assign NESTED struct fields
+  * (`SET meta.flag = …`, any depth): [[composeSet]] rebuilds the top
+  * column via withField, so the merge-on-read primitives see a plain
+  * whole-column update — masks, feed, and constraints unchanged.
+  *
   * Loud, documented limits (each throws with the workaround named):
   * correlated IN / multi-equality-correlated EXISTS in MERGE clauses
   * (a clause condition cannot ride the DELETE-only semi-join mask),
   * multi-column IN, non-equality correlation conjuncts, CORRELATED
-  * scalar subqueries in assignments, nested-field assignment, MERGE
-  * conditions that are not (target-column = source-expression)
-  * equalities plus source-only prefilters, and MERGE clauses that
-  * reassign an ON key column.
+  * scalar subqueries in assignments, MERGE conditions that are not
+  * (target-column = source-expression) equalities plus source-only
+  * prefilters, MERGE clauses that reassign an ON key column (or a
+  * field of one), and assignment targets inside arrays/maps.
   */
 object GraftSqlDml extends PredicateHelper {
 
@@ -360,10 +365,55 @@ object GraftSqlDml extends PredicateHelper {
     })
   }
 
-  private def assignName(a: Assignment): String = a.key match {
-    case ar: AttributeReference => ar.name
-    case other => unsupported(s"assignment to a nested field ($other)",
-      "assign the whole top-level column")
+  /** Assignment target as a column path: `SET v = …` → [v],
+    * `SET meta.flag = …` → [meta, flag] (any struct depth). Anything
+    * else (array elements, map keys) is loud. */
+  private def assignPath(a: Assignment): Seq[String] = {
+    def go(e: Expression): Seq[String] = e match {
+      case ar: AttributeReference => Seq(ar.name)
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        go(g.child) :+ g.extractFieldName
+      case other => unsupported(s"assignment to $other",
+        "assign a top-level column or a struct field (t.meta.flag)")
+    }
+    go(a.key)
+  }
+
+  private def assignName(a: Assignment): String = assignPath(a) match {
+    case Seq(n) => n
+    case p => unsupported(
+      s"INSERT assignment to nested field ${p.mkString(".")}",
+      "INSERT clauses assign whole columns")
+  }
+
+  /** Group SET assignments by top-level column, composing nested
+    * field assignments (`SET meta.flag = …`) into ONE struct rebuild
+    * over the column's current value (Column.withField — dotted
+    * paths address any depth): the merge-on-read primitives then see
+    * a plain whole-column update, so masks/feed/constraints need no
+    * new machinery. Assigning a column AND one of its own fields in
+    * one statement is ambiguous and loud. `target` supplies the
+    * current-value column (bare name for UPDATE, `t`-aliased for
+    * MERGE clauses); `mkValue` runs the per-value rewrite. */
+  private def composeSet(assigns: Seq[Assignment], what: String,
+      mkValue: Expression => Column,
+      target: String => Column): Seq[(String, Column)] = {
+    val paths = assigns.map(a => (assignPath(a), a.value))
+    paths.groupBy(p =>
+        p._1.head.toLowerCase(java.util.Locale.ROOT)).toSeq
+      .map { case (_, group) =>
+        val top = group.head._1.head
+        if (group.exists(_._1.sizeIs == 1)) {
+          if (group.sizeIs > 1) unsupported(
+            s"$what assigning column `$top` and one of its nested " +
+              "fields in the same statement",
+            "assign either the whole column or its fields, not both")
+          top -> mkValue(group.head._2)
+        } else top -> group.foldLeft(target(top)) {
+          case (acc, (p, v)) =>
+            acc.withField(p.tail.mkString("."), mkValue(v))
+        }
+      }
   }
 
   /** Conjunct-wise DELETE/UPDATE WHERE rewrite with a DISTRIBUTED
@@ -499,9 +549,10 @@ object GraftSqlDml extends PredicateHelper {
           // — executes once and lands as a literal (loud past one
           // row); correlated shapes remain loud via bareCol's
           // no-subquery gate
-          val set = assignments.map(a =>
-            assignName(a) -> bareCol(rewritePredicateSubqueries(
-              sp, a.value, "UPDATE SET"), "UPDATE SET"))
+          val set = composeSet(assignments, "UPDATE SET",
+            e => bareCol(rewritePredicateSubqueries(
+              sp, e, "UPDATE SET"), "UPDATE SET"),
+            top => col(top))
           cond match {
             case None =>
               Versioned.updateWhereDV(sp, t.path, lit(true), set): Unit
@@ -611,8 +662,18 @@ object GraftSqlDml extends PredicateHelper {
     }
     def guardKeyAssigns(assigns: Seq[Assignment], clause: String,
         sourceSideOk: Boolean): Unit = assigns.foreach { a =>
-      val n = fold(assignName(a))
+      val path = assignPath(a)
+      val n = fold(path.head)
       keyExprByFold.get(n).foreach { keyExpr =>
+        // a nested assignment INTO a key column changes the value the
+        // ON equality matched — the same mask hazard as reassigning
+        // the whole key, with no provably-safe form
+        if (path.sizeIs > 1) unsupported(
+          s"MERGE $clause assigning nested field `${path.mkString(".")}` " +
+            s"of ON key column `${path.head}`",
+          "the merge masks target rows by the batch's key values; " +
+            "mutating a field of the matched key would strand the " +
+            "pre-image row — MERGE on a stable key instead")
         val v = stripCasts(a.value)
         val identity = v match {
           case ar: AttributeReference =>
@@ -622,7 +683,7 @@ object GraftSqlDml extends PredicateHelper {
         val matchedKey =
           sourceSideOk && stripCasts(keyExpr).semanticEquals(v)
         if (!identity && !matchedKey) unsupported(
-          s"MERGE $clause assigning ON key column `${assignName(a)}` " +
+          s"MERGE $clause assigning ON key column `${path.head}` " +
             "a value other than the matched key itself",
           "the merge masks target rows by the batch's key values, so " +
             "a reassigned key would duplicate the pre-image row or " +
@@ -685,11 +746,11 @@ object GraftSqlDml extends PredicateHelper {
     val matchedAssigns: Seq[Option[Map[String, Column]]] = matched.map {
       case UpdateAction(_, assigns, _) =>
         guardKeyAssigns(assigns, "WHEN MATCHED UPDATE", sourceSideOk = true)
-        Some(assigns.map(a =>
-          assignName(a).toLowerCase(java.util.Locale.ROOT) ->
-            sidedCol(rewritePredicateSubqueries(spark, a.value,
-              "MERGE UPDATE SET"), tOut, tAl, sAl,
-              "MERGE UPDATE SET")).toMap)
+        Some(composeSet(assigns, "MERGE UPDATE SET",
+          e => sidedCol(rewritePredicateSubqueries(spark, e,
+            "MERGE UPDATE SET"), tOut, tAl, sAl, "MERGE UPDATE SET"),
+          top => col(s"$tAl.$top"))
+          .map { case (k, c) => fold(k) -> c }.toMap)
       case DeleteAction(_) => None
       case other => unsupported(s"MERGE matched action $other",
         "WHEN MATCHED supports UPDATE and DELETE")
@@ -755,10 +816,12 @@ object GraftSqlDml extends PredicateHelper {
         case UpdateAction(_, assigns, _) =>
           guardKeyAssigns(assigns, "WHEN NOT MATCHED BY SOURCE UPDATE",
             sourceSideOk = false)
-          Some(assigns.map(a => fold(assignName(a)) ->
-            sidedCol(rewritePredicateSubqueries(spark, a.value,
+          Some(composeSet(assigns, "MERGE NOT MATCHED BY SOURCE SET",
+            e => sidedCol(rewritePredicateSubqueries(spark, e,
               "MERGE NOT MATCHED BY SOURCE SET"), tOut, tAl, sAl,
-              "MERGE NOT MATCHED BY SOURCE SET")).toMap)
+              "MERGE NOT MATCHED BY SOURCE SET"),
+            top => col(s"$tAl.$top"))
+            .map { case (k, c) => fold(k) -> c }.toMap)
         case DeleteAction(_) => None
         case other => unsupported(
           s"MERGE not-matched-by-source action $other",

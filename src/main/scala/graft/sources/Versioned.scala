@@ -212,27 +212,65 @@ object Versioned {
     }
   }
 
+  /** The immutable physical LEAF name of the column/field at logical
+    * dotted path `path` (length 1 = a top-level column; deeper =
+    * a struct field — nested mapping entries key the FULL dotted
+    * logical path). Folded lookup, like [[Manifest.physOf]]. */
+  private def physLeaf(m: Manifest, path: Seq[String]): String = {
+    val key = foldName(path.mkString("."))
+    m.colMap.collectFirst {
+      case (k, p) if foldName(k) == key => p
+    }.getOrElse(path.last)
+  }
+
+  /** Logical type → PHYSICAL type: struct fields renamed (at any
+    * depth) to their immutable physical names via the dotted
+    * [[Manifest.colMap]] entries. Structs only — fields inside
+    * arrays/maps carry no mapping (nested ALTER rejects those paths),
+    * so their types pass through unchanged. */
+  private def physType(m: Manifest, prefix: Seq[String],
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(st.fields.map { f =>
+        val p = prefix :+ f.name
+        f.copy(name = physLeaf(m, p), dataType = physType(m, p, f.dataType))
+      })
+    case other => other
+  }
+
   /** The manifest's schema with every field under its PHYSICAL name —
     * what the files actually carry; the one read schema that covers
-    * every data dir of every era (physical names never change). */
+    * every data dir of every era (physical names never change).
+    * Nested struct fields rename too (dotted colMap entries). */
   private def physStruct(m: Manifest,
       st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
     if (m.colMap.isEmpty) st
     else org.apache.spark.sql.types.StructType(
-      st.fields.map(f => f.copy(name = m.physOf(f.name))))
+      st.fields.map(f => f.copy(name = m.physOf(f.name),
+        dataType = physType(m, Seq(f.name), f.dataType))))
 
   /** Rename a physical-named frame to the manifest's LOGICAL names
     * (identity — and plan-invisible — when no column ever diverged),
-    * passing `extra` columns (row ids, feed partition cols) through. */
+    * passing `extra` columns (row ids, feed partition cols) through.
+    * Nested renames restore through a POSITIONAL struct cast — safe
+    * because both sides are the same manifest struct, one under
+    * physical and one under logical field names. */
   private def toLogical(m: Manifest,
       st: org.apache.spark.sql.types.StructType, df: DataFrame,
       extra: Seq[String] = Seq.empty): DataFrame =
     if (m.colMap.isEmpty) df
     else {
       import org.apache.spark.sql.functions.col
-      df.select((st.fields.toIndexedSeq.map(f =>
-        col(m.physOf(f.name)).as(f.name)) ++ extra.map(col)): _*)
+      df.select((st.fields.toIndexedSeq.map { f =>
+        val c = col(m.physOf(f.name))
+        // cast target normalized nullable: the read frame's fields
+        // are nullable (null-filled evolution), and a cast to a
+        // NOT NULL struct field is an analysis error
+        (if (physType(m, Seq(f.name), f.dataType) == f.dataType) c
+         else c.cast(asNullable(f.dataType))).as(f.name)
+      } ++ extra.map(col)): _*)
     }
 
   /** Rename a logical-named frame to PHYSICAL names before a file
@@ -242,9 +280,32 @@ object Versioned {
     if (m.colMap.isEmpty) df
     else {
       import org.apache.spark.sql.functions.col
-      df.select((df.columns.toIndexedSeq.filterNot(extra.contains)
-        .map(c => col(c).as(m.physOf(c))) ++ extra.map(col)): _*)
+      df.select((df.schema.fields.toIndexedSeq
+        .filterNot(f => extra.contains(f.name))
+        .map { f =>
+          val pt = physType(m, Seq(f.name), f.dataType)
+          (if (pt == f.dataType) col(f.name)
+           else col(f.name).cast(asNullable(pt))).as(m.physOf(f.name))
+        } ++ extra.map(col)): _*)
     }
+
+  /** Nullability erased recursively — schema-evolution compares and
+    * the stored DDL of evolved nested fields use this: every read
+    * here null-fills evolved fields, so nested NOT NULL is
+    * unenforceable history-wide, exactly like top-level. */
+  private[sources] def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f => f.copy(
+        nullable = true, dataType = asNullable(f.dataType))))
+      case a: ArrayType =>
+        ArrayType(asNullable(a.elementType), containsNull = true)
+      case mp: MapType => MapType(asNullable(mp.keyType),
+        asNullable(mp.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
 
   /** THE commit-coordination primitive — delegates to the pluggable
     * [[CommitArbiter]] (see [[arbiter]]): atomically publish manifest
@@ -888,20 +949,32 @@ object Versioned {
           }
         }.toMap
     }
-    def physRename(mapping: Map[String, String]): DataFrame =
-      if (df.columns.forall(c => mapping(c) == c)) df
-      else {
-        import org.apache.spark.sql.functions.col
-        df.select(df.columns.toIndexedSeq
-          .map(c => col(c).as(mapping(c))): _*)
-      }
+    // physical renaming covers NESTED fields too: struct columns cast
+    // positionally to their physical type (dotted colMap entries of
+    // the manifest the mapping derives from) so the staged files
+    // carry physical leaf names at every depth — identity (and
+    // plan-invisible) when nothing ever diverged
+    def physRename(mapping: Map[String, String],
+        pm: Option[Manifest]): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      def physT(f: org.apache.spark.sql.types.StructField) =
+        pm.map(physType(_, Seq(f.name), f.dataType)).getOrElse(f.dataType)
+      if (df.schema.fields.forall(f =>
+          mapping(f.name) == f.name && physT(f) == f.dataType)) df
+      else df.select(df.schema.fields.toIndexedSeq.map { f =>
+        val pt = physT(f)
+        (if (pt == f.dataType) col(f.name)
+         else col(f.name).cast(asNullable(pt))).as(mapping(f.name))
+      }: _*)
+    }
     // default staging is a plain distributed parquet write of the
     // PHYSICAL-named frame; a commit MODE (e.g. [[commitClustered]])
     // swaps in its own layout writer, receiving the physical frame
     // and the name translator — the ledger mechanics below are
     // identical either way
-    def runStage(mapping: Map[String, String]): Unit = {
-      val pdf = physRename(mapping)
+    def runStage(mapping: Map[String, String],
+        pm: Option[Manifest]): Unit = {
+      val pdf = physRename(mapping, pm)
       if (stage == null) pdf.write.mode("errorifexists").parquet(dataDir)
       else stage(dataDir, pdf, (c: String) => mapping.getOrElse(c, c))
     }
@@ -919,7 +992,7 @@ object Versioned {
     val stageParent = if (stageHead < 0) None
       else Some(readManifest(path, stageHead))
     var stagedMapping = assignPhys(stageParent, stageHead + 1)
-    runStage(stagedMapping)
+    runStage(stagedMapping, stageParent)
     Files.createDirectories(versionsDir(path))
     var attempt = 0
     while (true) {
@@ -958,7 +1031,7 @@ object Versioned {
       if (mappingNow != stagedMapping) {
         dropDirRec(Paths.get(dataDir))
         stagedMapping = mappingNow
-        runStage(stagedMapping)
+        runStage(stagedMapping, parentMeta)
       }
       // CHECK-constraint enforcement (SQL semantics: NULL passes):
       // one batch job finds any violating row BEFORE the publish; the
@@ -1004,6 +1077,72 @@ object Versioned {
               .filterNot(p => keptFold(foldName(p))))
           (pm.droppedCols ++ implicitDrops).distinct
       }
+      // NESTED GHOST GUARD input: an implicitly added struct FIELD
+      // whose dotted PHYSICAL path a nested DROP tombstoned must not
+      // come back through a data commit — data files would null-fill
+      // it (fresh bytes), but historical FEED files still carry the
+      // old bytes under that physical path, and only ALTER TABLE ADD
+      // COLUMN assigns the fresh physical leaf name that keeps them
+      // unresurrectable. Checked only when the TOP column persists
+      // from the parent (a brand-new top column gets a fresh physical
+      // top name from assignPhys, which orphans every nested path).
+      def nestedTombstoned(lpath: Seq[String]): Boolean =
+        lpath.sizeIs > 1 && parentMeta.exists { pm =>
+          val topLive = pm.schemaDdl.exists(d =>
+            org.apache.spark.sql.types.StructType.fromDDL(d)
+              .fields.exists(f => foldName(f.name) == foldName(lpath.head)))
+          topLive && {
+            val phys = lpath.indices.map(i =>
+              physLeaf(pm, lpath.take(i + 1))).mkString(".")
+            pm.droppedCols.exists(d => foldName(d) == foldName(phys))
+          }
+        }
+      // recursive type evolution for a column both sides carry:
+      // nullability differences are immaterial (every read here
+      // null-fills), atomic leaves may widen along the lossless
+      // ladder, and STRUCTS evolve field-wise — incoming-only fields
+      // are implicit nested ADDS (older files null-fill them under
+      // the explicit read schema), parent-only fields persist (the
+      // new files null-fill them). Arrays/maps/off-ladder leaves must
+      // match (normalized) exactly — anything else is drift, loud.
+      def mergeEvolved(lpath: Seq[String],
+          pf: org.apache.spark.sql.types.DataType,
+          in: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType = {
+        import org.apache.spark.sql.types.StructType
+        if (asNullable(pf) == asNullable(in)) pf
+        else if (widens(pf, in)) in
+        else if (widens(in, pf)) pf
+        else (pf, in) match {
+          case (psS: StructType, inS: StructType) =>
+            val inByFold = inS.fields.map(f =>
+              foldName(f.name) -> f).toMap
+            val merged = psS.fields.map { f =>
+              inByFold.get(foldName(f.name)) match {
+                case Some(g) => f.copy(dataType = mergeEvolved(
+                  lpath :+ f.name, f.dataType, g.dataType))
+                case None => f
+              }
+            }
+            val have = psS.fields.map(f => foldName(f.name)).toSet
+            val added = inS.fields
+              .filterNot(f => have.contains(foldName(f.name)))
+              .map { f =>
+                require(!nestedTombstoned(lpath :+ f.name),
+                  s"versioned commit: nested field ${(lpath :+ f.name)
+                    .mkString(".")} at $path was DROPPED — its bytes " +
+                    "still sit in historical feed files; re-add it " +
+                    "through ALTER TABLE ADD COLUMN (which assigns a " +
+                    "fresh physical name) instead of a data commit")
+                f.copy(nullable = true,
+                  dataType = asNullable(f.dataType))
+              }
+            StructType(merged ++ added)
+          case _ => sys.error(
+            s"versioned commit: column ${lpath.mkString(".")} type " +
+              s"drift ($pf -> $in) at $path")
+        }
+      }
       val ddl = parent.flatMap(_.schemaDdl) match {
         case Some(pd) =>
           import org.apache.spark.sql.types._
@@ -1021,12 +1160,8 @@ object Versioned {
             df.schema.fields.map(f => fold(f.name) -> f.dataType).toMap
           val merged = ps.fields.map { f =>
             byName.get(fold(f.name)) match {
-              case Some(d) if d == f.dataType => f
-              case Some(d) if widens(f.dataType, d) => f.copy(dataType = d)
-              case Some(d) if widens(d, f.dataType) => f
-              case Some(d) => sys.error(
-                s"versioned commit: column ${f.name} type drift " +
-                  s"(${f.dataType} -> $d) at $path")
+              case Some(d) => f.copy(
+                dataType = mergeEvolved(Seq(f.name), f.dataType, d))
               case None => f
             }
           }
@@ -1034,16 +1169,44 @@ object Versioned {
           val added =
             df.schema.fields.filterNot(f => have.contains(fold(f.name)))
           StructType(merged ++ added).toDDL
-        case None => df.schema.toDDL
+        case None =>
+          // overwrite / fresh baseline: the ghost guard still applies
+          // to nested paths whose top column PERSISTS from the
+          // replaced head (feed eras outlive overwrites)
+          df.schema.fields.foreach { f =>
+            def walk(lpath: Seq[String],
+                dt: org.apache.spark.sql.types.DataType): Unit =
+              dt match {
+                case st: org.apache.spark.sql.types.StructType =>
+                  st.fields.foreach { g =>
+                    require(!nestedTombstoned(lpath :+ g.name),
+                      s"versioned commit: nested field ${(lpath :+
+                        g.name).mkString(".")} at $path was DROPPED — " +
+                        "re-add it through ALTER TABLE ADD COLUMN")
+                    walk(lpath :+ g.name, g.dataType)
+                  }
+                case _ => ()
+              }
+            walk(Seq(f.name), f.dataType)
+          }
+          df.schema.toDDL
       }
       // carry the parent's mapping (covers columns this commit does
       // not touch) plus this commit's non-identity assignments (new
       // columns that collided with a live physical or a tombstone).
       // An overwrite's schema holds exactly this commit's columns, so
-      // its mapping is exactly the staged assignment — which already
-      // carries forward the parent's physical names for persisting
-      // logical columns (stageParent above)
-      val nextColMap = (if (overwrite) Map.empty[String, String]
+      // its top-level mapping is exactly the staged assignment —
+      // which already carries forward the parent's physical names for
+      // persisting logical columns (stageParent above); NESTED
+      // (dotted) entries of persisting top columns carry across the
+      // overwrite too, because historical FEED files keep the old
+      // physical leaf names and feedSchema reads every era under the
+      // head's mapping.
+      val nextColMap = (if (overwrite)
+          parentMeta.map(_.colMap).getOrElse(Map.empty)
+            .filter { case (k, _) => k.contains(".") &&
+              df.columns.exists(c =>
+                foldName(c) == foldName(k.takeWhile(_ != '.'))) }
         else parent.map(_.colMap).getOrElse(Map.empty)) ++
         stagedMapping.filter { case (l, p) => foldName(l) != foldName(p) }
       // an APPEND carries the parent's deletion-vector mask — new
@@ -1103,11 +1266,19 @@ object Versioned {
             // (publishWrittenFeed owns the physical translation)
             val backSchema = org.apache.spark.sql.types.StructType(
               df.schema.fields.map(f =>
-                f.copy(name = stagedMapping(f.name))))
+                f.copy(name = stagedMapping(f.name),
+                  dataType = parentMeta
+                    .map(physType(_, Seq(f.name), f.dataType))
+                    .getOrElse(f.dataType))))
             val back0 = df.sparkSession.read.schema(backSchema)
               .option("basePath", dataDir).parquet(dataDir)
-            val back = back0.select(df.columns.toIndexedSeq.map(c =>
-              col(stagedMapping(c)).as(c)): _*)
+            val back = back0.select(df.schema.fields.toIndexedSeq.map {
+              f =>
+                val c = col(stagedMapping(f.name))
+                (if (backSchema(stagedMapping(f.name)).dataType ==
+                    f.dataType) c
+                 else c.cast(asNullable(f.dataType))).as(f.name)
+            }: _*)
             publishWrittenFeed(
               back.withColumn("ct", lit("insert"))
                 .select((df.columns.toIndexedSeq.map(col)
@@ -2913,7 +3084,182 @@ object Versioned {
           sys.error(s"$p: '$name' appears in CHECK constraint '$c' " +
             s"at $path — remove the constraint first"))
       }
+      // ---- NESTED (dotted-path) machinery: `meta.flag` names struct
+      // field `flag` inside top-level column `meta`, at any depth;
+      // paths through arrays/maps are rejected loudly. LOGICAL dotted
+      // paths key nested colMap entries; PHYSICAL dotted paths (every
+      // level under its immutable physical name) key nested
+      // droppedCols tombstones — the same two ledgers top-level
+      // evolution uses, extended one axis.
+      def splitPath(n: String): Seq[String] = {
+        val segs = n.split("\\.").toIndexedSeq.map(_.trim)
+        require(segs.forall(_.nonEmpty),
+          s"$loopPfx: malformed nested path '$n' at $path")
+        segs
+      }
+      // canonical (schema-spelled) path — validates every level
+      // exists and every intermediate level is a struct
+      def canonPath(p: Seq[String], what: String): Seq[String] = {
+        var dt: DataType = ps
+        p.map { seg =>
+          dt match {
+            case st: StructType =>
+              val f = st.fields.find(x =>
+                  foldName(x.name) == foldName(seg))
+                .getOrElse(sys.error(
+                  s"$what: no field '$seg' in nested path at $path " +
+                    s"(have: ${st.fieldNames.mkString(", ")})"))
+              dt = f.dataType
+              f.name
+            case other => sys.error(
+              s"$what: nested path segment '$seg' traverses " +
+                s"non-struct type ${other.sql} at $path — nested " +
+                "ALTER supports struct fields only")
+          }
+        }
+      }
+      def physLeafLocal(p: Seq[String]): String = {
+        val key = foldName(p.mkString("."))
+        colMap.collectFirst { case (k, v) if foldName(k) == key => v }
+          .getOrElse(p.last)
+      }
+      def physDotted(p: Seq[String]): String =
+        p.indices.map(i => physLeafLocal(p.take(i + 1))).mkString(".")
+      def structAt(p: Seq[String], what: String): StructType = {
+        var dt: DataType = ps
+        p.foreach { seg =>
+          dt = dt.asInstanceOf[StructType].fields
+            .find(x => foldName(x.name) == foldName(seg)).get.dataType
+        }
+        dt match {
+          case st: StructType => st
+          case other => sys.error(
+            s"$what: '${p.mkString(".")}' is ${other.sql}, not a " +
+              s"struct at $path")
+        }
+      }
+      // rebuild the evolving schema with the struct at CANONICAL path
+      // `p` transformed by `f`
+      def rebuildAt(p: Seq[String], what: String)(
+          f: StructType => StructType): Unit = {
+        def go(dt: DataType, rest: Seq[String]): DataType =
+          if (rest.isEmpty) f(dt.asInstanceOf[StructType])
+          else {
+            val st = dt.asInstanceOf[StructType]
+            StructType(st.fields.map(x =>
+              if (foldName(x.name) == foldName(rest.head))
+                x.copy(dataType = go(x.dataType, rest.tail))
+              else x))
+          }
+        structAt(p, what): Unit // validates the path lands on a struct
+        ps = go(ps, p).asInstanceOf[StructType]
+      }
       ops.foreach {
+        // ---------------------------------------- nested struct ops
+        case op @ ColumnOp.Drop(colName) if colName.contains(".") =>
+          val full = canonPath(splitPath(colName), pfx(op))
+          val st = structAt(full.init, pfx(op))
+          require(st.fields.length > 1,
+            s"${pfx(op)}: cannot drop the last field of struct " +
+              s"'${full.init.mkString(".")}' at $path — drop the " +
+              "column itself instead")
+          constraintGuard(pfx(op), full.last)
+          val dotted = physDotted(full)
+          rebuildAt(full.init, pfx(op))(s => StructType(
+            s.fields.filterNot(x =>
+              foldName(x.name) == foldName(full.last))))
+          droppedCols = droppedCols :+ dotted
+          val fullFold = foldName(full.mkString("."))
+          colMap = colMap.filterNot { case (k, _) =>
+            foldName(k) == fullFold ||
+              foldName(k).startsWith(fullFold + ".") }
+        case op @ ColumnOp.Add(colName, ddlType)
+            if colName.contains(".") =>
+          val dt = DataType.fromDDL(ddlType)
+          val segs = splitPath(colName)
+          val parentPath = canonPath(segs.init, pfx(op))
+          val leaf = segs.last
+          val st = structAt(parentPath, pfx(op))
+          require(!st.fields.exists(x =>
+              foldName(x.name) == foldName(leaf)),
+            s"${pfx(op)}: field '$colName' already exists at $path")
+          // physical naming mirrors top-level ADD: the leaf name
+          // itself unless a sibling's physical name or a nested
+          // tombstone under this physical parent owns it — then a
+          // fresh `<leaf>_p<version>` recorded in the nested colMap,
+          // so drop-then-re-add can never resurrect old bytes (data
+          // OR feed eras)
+          val physParent = foldName(physDotted(parentPath))
+          val sibUsed = st.fields.map(x =>
+            foldName(physLeafLocal(parentPath :+ x.name))).toSet
+          val tombUsed = droppedCols.iterator.map(foldName)
+            .filter(_.startsWith(physParent + "."))
+            .map(_.drop(physParent.length + 1))
+            .filterNot(_.contains(".")).toSet
+          var phys = leaf
+          var i = 0
+          while (sibUsed(foldName(phys)) || tombUsed(foldName(phys))) {
+            i += 1
+            phys = if (i == 1) s"${leaf}_p${head + 1}"
+              else s"${leaf}_p${head + 1}_$i"
+          }
+          rebuildAt(parentPath, pfx(op))(s => StructType(
+            s.fields :+ StructField(leaf, asNullable(dt),
+              nullable = true)))
+          if (foldName(phys) != foldName(leaf))
+            colMap = colMap +
+              ((parentPath :+ leaf).mkString(".") -> phys)
+        case op @ ColumnOp.Widen(colName, ddlType)
+            if colName.contains(".") =>
+          val want = DataType.fromDDL(ddlType)
+          val full = canonPath(splitPath(colName), pfx(op))
+          val st = structAt(full.init, pfx(op))
+          val field = st.fields.find(x =>
+            foldName(x.name) == foldName(full.last)).get
+          if (field.dataType != want) {
+            require(widens(field.dataType, want),
+              s"${pfx(op)}: cannot change '$colName' from " +
+                s"${field.dataType.sql} to ${want.sql} at $path — " +
+                "only lossless widenings (byte→short→int→long, " +
+                "float→double) are metadata-only; anything else " +
+                "would reinterpret committed bytes")
+            rebuildAt(full.init, pfx(op))(s => StructType(
+              s.fields.map(x =>
+                if (foldName(x.name) == foldName(full.last))
+                  x.copy(dataType = want)
+                else x)))
+          }
+        case op @ ColumnOp.Rename(oldName, newName)
+            if oldName.contains(".") =>
+          require(!newName.contains("."),
+            s"${pfx(op)}: the new name must be a bare field name, " +
+              s"got '$newName'")
+          val full = canonPath(splitPath(oldName), pfx(op))
+          val st = structAt(full.init, pfx(op))
+          require(!st.fields.exists(x =>
+              foldName(x.name) == foldName(newName)),
+            s"${pfx(op)}: field '$newName' already exists in " +
+              s"'${full.init.mkString(".")}' at $path")
+          constraintGuard(pfx(op), full.last)
+          val physical = physLeafLocal(full)
+          rebuildAt(full.init, pfx(op))(s => StructType(
+            s.fields.map(x =>
+              if (foldName(x.name) == foldName(full.last))
+                x.copy(name = newName)
+              else x)))
+          val oldDotted = full.mkString(".")
+          val newDotted = (full.init :+ newName).mkString(".")
+          // re-key this path's entry and every DEEPER entry under it
+          // (folded prefix compare is length-preserving for ASCII)
+          colMap = colMap.flatMap { case (k, p) =>
+            if (foldName(k) == foldName(oldDotted)) None
+            else if (foldName(k).startsWith(foldName(oldDotted) + "."))
+              Some((newDotted + k.drop(oldDotted.length), p))
+            else Some((k, p))
+          }
+          if (foldName(newName) != foldName(physical))
+            colMap = colMap + (newDotted -> physical)
+        // ----------------------------------------- top-level ops
         case op @ ColumnOp.Drop(colName) =>
           val logical = ps.fields.find(f =>
               foldName(f.name) == foldName(colName))
@@ -2942,8 +3288,11 @@ object Versioned {
           ps = StructType(ps.fields.filterNot(f =>
             foldName(f.name) == foldName(colName)))
           droppedCols = droppedCols :+ physical
+          // the column's own entry AND any nested (dotted) entries
+          // under it go — the logical namespace vanished with it
           colMap = colMap.filterNot { case (l, _) =>
-            foldName(l) == foldName(logical) }
+            foldName(l) == foldName(logical) ||
+              foldName(l).startsWith(foldName(logical) + ".") }
         case op @ ColumnOp.Add(colName, ddlType) =>
           val dt = DataType.fromDDL(ddlType)
           require(!ps.fields.exists(f =>
@@ -2999,8 +3348,15 @@ object Versioned {
             if (foldName(f.name) == foldName(oldName))
               f.copy(name = newName)
             else f))
-          colMap = colMap.filterNot { case (l, _) =>
-            foldName(l) == foldName(oldName) } ++
+          colMap = colMap.flatMap { case (l, p) =>
+            if (foldName(l) == foldName(oldName)) None
+            // nested (dotted) entries under the renamed column re-key
+            // to the new top-level logical name — their physical leaf
+            // names are untouched
+            else if (foldName(l).startsWith(foldName(oldName) + "."))
+              Some((newName + l.drop(oldName.length), p))
+            else Some((l, p))
+          } ++
             // identity entries stay OUT of the map — a rename back to
             // the physical name fully dissolves the divergence
             (if (foldName(newName) == foldName(physical))

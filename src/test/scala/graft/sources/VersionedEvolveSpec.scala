@@ -373,6 +373,149 @@ class VersionedEvolveSpec extends SparkSpec {
     assert(Versioned.read(spark, path).columns.toSeq == Seq("k", "b"))
   }
 
+  test("nested ADD: metadata-only, null-fills history, later commits populate, feed follows") {
+    val path = tmpTable()
+    Versioned.commit(
+      Seq((1L, (10, "x"))).toDF("k", "meta"), path, overwrite = false)
+    // ALTER ... ADD COLUMN meta.flag STRING — one metadata commit
+    val v = Versioned.alterColumns(path,
+      Seq(Versioned.ColumnOp.Add("meta.flag", "STRING")))
+    assert(v == 1)
+    // pre-existing row null-fills the new nested field
+    val head = Versioned.read(spark, path)
+    assert(head.selectExpr("k", "meta._1", "meta.flag")
+      .as[(Long, Int, Option[String])].collect().toSet ==
+      Set((1L, 10, None)))
+    // a later commit populates it (implicit struct-shape merge)
+    Versioned.commit(spark.sql(
+      "SELECT 2L AS k, named_struct('_1', 20, '_2', 'y', " +
+        "'flag', 'hot') AS meta"), path, overwrite = false)
+    assert(Versioned.read(spark, path)
+      .selectExpr("k", "meta.flag").as[(Long, Option[String])]
+      .collect().toSet == Set((1L, None), (2L, Some("hot"))))
+    // time travel below the add still shows the NARROW struct
+    assert(!Versioned.read(spark, path, Some(0)).schema("meta")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("flag"))
+    // the change feed reads every era under the HEAD schema: the
+    // pre-add insert's feed rows null-fill the nested field
+    val feed = Versioned.readChanges(spark, path, 0,
+      Versioned.latestVersion(path))
+    assert(feed.selectExpr("k", "meta.flag", "_change_type")
+      .as[(Long, Option[String], String)].collect().toSet ==
+      Set((1L, None, "insert"), (2L, Some("hot"), "insert")))
+  }
+
+  test("nested WIDEN: int leaf upcasts under the widened schema; off-ladder rejected") {
+    val path = tmpTable()
+    Versioned.commit(
+      Seq((1L, (10, 1.5f))).toDF("k", "meta"), path, overwrite = false)
+    // explicit nested widen via ALTER
+    Versioned.alterColumns(path,
+      Seq(Versioned.ColumnOp.Widen("meta._1", "BIGINT")))
+    assert(Versioned.read(spark, path).selectExpr("meta._1")
+      .schema.head.dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(Versioned.read(spark, path).selectExpr("meta._1")
+      .as[Long].collect().toSet == Set(10L))
+    // implicit nested widen at a data commit (float→double leaf)
+    Versioned.commit(spark.sql(
+      "SELECT 2L AS k, named_struct('_1', 20L, '_2', " +
+        "CAST(2.25 AS DOUBLE)) AS meta"), path, overwrite = false)
+    assert(Versioned.read(spark, path).selectExpr("meta._2")
+      .as[Double].collect().toSet == Set(1.5, 2.25))
+    // off-ladder nested drift is loud — both through ALTER...
+    val e1 = intercept[Exception] { Versioned.alterColumns(path,
+      Seq(Versioned.ColumnOp.Widen("meta._1", "STRING"))) }
+    assert(e1.getMessage.contains("lossless"), e1.getMessage)
+    // ...and through a data commit
+    val e2 = intercept[Exception] { Versioned.commit(spark.sql(
+      "SELECT 3L AS k, named_struct('_1', 'nope', '_2', " +
+        "CAST(1 AS DOUBLE)) AS meta"), path, overwrite = false) }
+    assert(e2.getMessage.contains("drift"), e2.getMessage)
+  }
+
+  test("nested RENAME is metadata-only: old files read under the new name; feed crosses it") {
+    val path = tmpTable()
+    Versioned.commit(
+      Seq((1L, (10, "x"))).toDF("k", "meta"), path, overwrite = false)
+    Versioned.alterColumns(path,
+      Seq(Versioned.ColumnOp.Rename("meta._2", "tag")))
+    // the OLD file's bytes surface under the new logical name
+    assert(Versioned.read(spark, path).selectExpr("meta.tag")
+      .as[String].collect().toSet == Set("x"))
+    // new commits write under the new logical name (physical name
+    // immutable underneath) and read back united with the old era
+    Versioned.commit(spark.sql(
+      "SELECT 2L AS k, named_struct('_1', 20, 'tag', 'y') AS meta"),
+      path, overwrite = false)
+    assert(Versioned.read(spark, path).selectExpr("k", "meta.tag")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "y")))
+    // time travel below the rename shows the OLD name
+    assert(Versioned.read(spark, path, Some(0)).schema("meta")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("_1", "_2"))
+    // the feed reads BOTH eras under the head's names
+    assert(Versioned.readChanges(spark, path, 0,
+        Versioned.latestVersion(path))
+      .selectExpr("k", "meta.tag").as[(Long, String)]
+      .collect().toSet == Set((1L, "x"), (2L, "y")))
+  }
+
+  test("nested DROP tombstones the field: a data-commit re-add is refused, ALTER re-add null-fills") {
+    val path = tmpTable()
+    Versioned.commit(
+      Seq((1L, (10, "ghost"))).toDF("k", "meta"), path,
+      overwrite = false)
+    Versioned.alterColumns(path,
+      Seq(Versioned.ColumnOp.Drop("meta._2")))
+    assert(Versioned.read(spark, path).schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("_1"))
+    // a data commit trying to bring `_2` back is the GHOST hazard —
+    // historical feed files still carry the old bytes — so it is loud
+    val e = intercept[Exception] { Versioned.commit(spark.sql(
+      "SELECT 2L AS k, named_struct('_1', 20, '_2', 'new') AS meta"),
+      path, overwrite = false) }
+    assert(e.getMessage.contains("ALTER TABLE"), e.getMessage)
+    // ALTER re-add assigns a FRESH physical leaf: history null-fills,
+    // the old 'ghost' bytes never resurface
+    Versioned.alterColumns(path,
+      Seq(Versioned.ColumnOp.Add("meta._2", "STRING")))
+    assert(Versioned.read(spark, path).selectExpr("k", "meta._2")
+      .as[(Long, Option[String])].collect().toSet ==
+      Set((1L, None)))
+    Versioned.commit(spark.sql(
+      "SELECT 2L AS k, named_struct('_1', 20, '_2', 'new') AS meta"),
+      path, overwrite = false)
+    assert(Versioned.read(spark, path).selectExpr("k", "meta._2")
+      .as[(Long, Option[String])].collect().toSet ==
+      Set((1L, None), (2L, Some("new"))))
+  }
+
+  test("nested guards: missing path, non-struct traversal, last-field drop, bad new name") {
+    val path = tmpTable()
+    Versioned.commit(
+      Seq((1L, (10, "x"))).toDF("k", "meta"), path, overwrite = false)
+    val miss = intercept[Exception] { Versioned.alterColumns(path,
+      Seq(Versioned.ColumnOp.Widen("meta.nope", "BIGINT"))) }
+    assert(miss.getMessage.contains("no field 'nope'"), miss.getMessage)
+    val nonStruct = intercept[Exception] { Versioned.alterColumns(path,
+      Seq(Versioned.ColumnOp.Add("k.sub", "INT"))) }
+    assert(nonStruct.getMessage.contains("not a struct"),
+      nonStruct.getMessage)
+    Versioned.alterColumns(path,
+      Seq(Versioned.ColumnOp.Drop("meta._2")))
+    val last = intercept[Exception] { Versioned.alterColumns(path,
+      Seq(Versioned.ColumnOp.Drop("meta._1"))) }
+    assert(last.getMessage.contains("last field"), last.getMessage)
+    val dottedNew = intercept[Exception] { Versioned.alterColumns(path,
+      Seq(Versioned.ColumnOp.Rename("meta._1", "a.b"))) }
+    assert(dottedNew.getMessage.contains("bare field name"),
+      dottedNew.getMessage)
+  }
+
   test("updateWhereDV: zero matches is a pure no-op; unknown SET column fails before IO") {
     val path = tmpTable()
     Versioned.commit(Seq((1L, 10L)).toDF("k", "v"), path,
