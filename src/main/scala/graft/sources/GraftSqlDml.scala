@@ -69,10 +69,15 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * with null key fields filtered from both sides.
   *
   * MERGE clause conditions and ON source-only prefilters ride the
-  * SAME bounded rewrite (`WHEN MATCHED AND t.v IN (SELECT …)`,
-  * single-equality-correlated EXISTS included — clause conditions
-  * are two-valued, so the COALESCE(…, false) decorrelation is
-  * exact).
+  * SAME bounded rewrites (`WHEN MATCHED AND t.v IN (SELECT …)`):
+  * uncorrelated single-column IN as a native [[In]] set, correlated
+  * EXISTS over one OR MANY outer = inner equalities (composite keys
+  * probe as a struct-IN over the null-free inner tuple set — exact,
+  * because a NULL outer field witnesses nothing), and correlated /
+  * multi-column IN as an exact OR-of-ANDs literal chain
+  * ([[inChainOf]] — three-valued IN semantics preserved; bounded by
+  * [[MaxInChainKeys]], loud past it with the MERGE workaround
+  * named).
   *
   * UPDATE and MERGE SET clauses assign NESTED struct fields
   * (`SET meta.flag = …`, any depth): [[composeSet]] rebuilds the top
@@ -80,10 +85,10 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * whole-column update — masks, feed, and constraints unchanged.
   *
   * Loud, documented limits (each throws with the workaround named):
-  * correlated IN / multi-equality-correlated EXISTS in MERGE clauses
-  * (a clause condition cannot ride the DELETE-only semi-join mask),
-  * multi-column IN, non-equality correlation conjuncts, CORRELATED
-  * scalar subqueries in assignments, MERGE conditions that are not
+  * non-equality correlation conjuncts (outer ranges), CORRELATED
+  * scalar subqueries in assignments, clause-context correlated/
+  * multi-column IN past [[MaxInChainKeys]] tuples (expression-size
+  * bound — a set that big is a join), MERGE conditions that are not
   * (target-column = source-expression) equalities plus source-only
   * prefilters, MERGE clauses that reassign an ON key column (or a
   * field of one), and assignment targets inside arrays/maps.
@@ -152,15 +157,16 @@ object GraftSqlDml extends PredicateHelper {
   private def rewritePredicateSubqueries(spark: SparkSession,
       e: Expression, what: String): Expression = e.transformUp {
     case InSubquery(values, lq: ListQuery) =>
-      if (lq.outerAttrs.nonEmpty || lq.joinCond.nonEmpty)
-        unsupported(s"$what with a CORRELATED IN subquery",
-          "rewrite as EXISTS with one outer = inner equality, or " +
-            "materialize the subquery and MERGE against it")
-      if (values.size != 1)
-        unsupported(s"$what with a multi-column IN subquery",
-          "rewrite as EXISTS with one equality over a composite key " +
-            "expression, or materialize the subquery and MERGE")
-      inSetOf(spark, values.head, lq.plan, what)
+      if (values.size == 1 && lq.outerAttrs.isEmpty &&
+          lq.joinCond.isEmpty)
+        inSetOf(spark, values.head, lq.plan, what)
+      else
+        // correlated and/or multi-column IN: the exact bounded
+        // OR-of-ANDs chain (three-valued semantics preserved — see
+        // [[inChainOf]]); top-level DML WHERE conjuncts never reach
+        // here (the distributed semi-join path in
+        // [[rewriteWhereOrJoin]] takes them first, unbounded)
+        inChainOf(spark, values, lq, what)
     case ex: Exists => existsOf(spark, ex, what)
     // uncorrelated scalar subquery → its one value as a literal
     // (also what the optimizer's RewriteNonCorrelatedExists turns an
@@ -276,17 +282,19 @@ object GraftSqlDml extends PredicateHelper {
       else Filter(innerOnly.reduce(And), base))
   }
 
-  /** Decompose a CORRELATED single-column `value IN (subquery)` into
-    * equality pairs (the correlations PLUS the IN's own value =
-    * subquery-column pair), and the filtered inner base — the shape
-    * the DELETE semi-join fallback consumes (for a TOP-LEVEL DELETE
-    * conjunct, IN TRUE ⟺ EXISTS of the conjoined equalities; NULL
-    * and FALSE both keep the row, so the IN/EXISTS distinction is
-    * immaterial there). None when the plan shape is not the
-    * analyzer's Project-over-optional-Filter. */
-  private def correlatedInEqs(value: Expression, lq: ListQuery,
-      what: String)
-      : Option[(Seq[(Expression, Expression)], LogicalPlan)] = {
+  /** Decompose a (possibly correlated, possibly multi-column)
+    * `values IN (subquery)` into its correlation equality pairs, the
+    * subquery's value expressions (positionally matching `values`),
+    * and the filtered inner base — the shape the DELETE/UPDATE
+    * semi-join fallback AND the bounded OR-chain rewrite both
+    * consume (for a TOP-LEVEL DML conjunct, IN TRUE ⟺ EXISTS of the
+    * conjoined equalities; NULL and FALSE both keep the row, so the
+    * IN/EXISTS distinction is immaterial there). None when the plan
+    * shape is not the analyzer's Project-over-optional-Filter (or
+    * the pulled-up joinCond form). */
+  private def inParts(values: Seq[Expression], lq: ListQuery,
+      what: String): Option[(Seq[(Expression, Expression)],
+        Seq[Expression], LogicalPlan)] = {
     def peelA(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, child) => peelA(child)
       case other => other
@@ -296,9 +304,13 @@ object GraftSqlDml extends PredicateHelper {
         classifyCorrelation(lq.joinCond, lq.plan, s"$what IN")
       val base = if (innerOnly.isEmpty) lq.plan
         else Filter(innerOnly.reduce(And), lq.plan)
-      Some((eqs :+ (value -> lq.plan.output.head), base))
+      // the pulled-up plan's output lists the VALUE columns first,
+      // then any appended correlation columns — take the value prefix
+      if (lq.plan.output.size < values.size) None
+      else Some((eqs,
+        lq.plan.output.take(values.size).toIndexedSeq, base))
     } else peelA(lq.plan) match {
-      case Project(projList, child) if projList.size == 1 =>
+      case Project(projList, child) if projList.size == values.size =>
         val (cond, base) = peelA(child) match {
           case Filter(c, b) => (splitConjunctivePredicates(c), b)
           case other => (Seq.empty[Expression], other)
@@ -307,39 +319,137 @@ object GraftSqlDml extends PredicateHelper {
           classifyCorrelation(cond, base, s"$what IN")
         val filtered = if (innerOnly.isEmpty) base
           else Filter(innerOnly.reduce(And), base)
-        val valueExpr = projList.head match {
+        val valueExprs = projList.toIndexedSeq.map {
           case a: Alias => a.child
           case e => e
         }
-        Some((eqs :+ (value -> valueExpr), filtered))
+        Some((eqs, valueExprs, filtered))
+      case p if lq.outerAttrs.isEmpty && lq.joinCond.isEmpty &&
+          p.output.size == values.size =>
+        // uncorrelated multi-column IN over a non-Project shape
+        // (aggregate, distinct, union): the outputs ARE the values
+        Some((Seq.empty, p.output.toIndexedSeq, p))
       case _ => None
     }
   }
 
+  /** Cap on the OR-of-ANDs chain [[inChainOf]] builds: each collected
+    * tuple becomes one conjunction in a literal expression tree, so
+    * the bound is EXPRESSION size (codegen), not driver memory — far
+    * below [[MaxInSetKeys]]. Clause-condition sets (quarantine lists,
+    * category pairs) are typically tiny; anything bigger is a join
+    * and the error names the MERGE workaround. */
+  private val MaxInChainKeys = 1000
+
+  /** EXACT bounded rewrite for correlated and/or multi-column
+    * `values IN (subquery)` in a row-local context (MERGE clause
+    * conditions, non-top-level WHERE shapes): the subplan's DISTINCT
+    * (value…, correlation-key…) tuples collect (bounded by
+    * [[MaxInChainKeys]], loud past it), inner tuples with a NULL
+    * correlation key drop (they can never witness a correlated
+    * match), and the IN becomes
+    *
+    *   OR_i ( AND_j(value_j = v_ij) AND AND_k(outer_k <=> key_ik) )
+    *
+    * — plain `=` on the VALUE columns keeps SQL's three-valued IN
+    * exactly (NULL values/probes propagate NULL), while null-SAFE
+    * `<=>` on the correlation keys makes a NULL outer key yield
+    * FALSE — the empty-set semantics of a correlation that matches
+    * nothing. An empty set is FALSE even for a NULL probe. */
+  private def inChainOf(spark: SparkSession, values: Seq[Expression],
+      lq: ListQuery, what: String): Expression = {
+    val (corrEqs, valueExprs, base) = inParts(values, lq, what)
+      .getOrElse(unsupported(
+        s"$what with this correlated IN subquery plan shape",
+        "supported shapes are SELECT <exprs> FROM … WHERE <outer = " +
+          "inner equalities AND inner-only predicates>; materialize " +
+          "the subquery and MERGE against it otherwise"))
+    val cols = valueExprs ++ corrEqs.map(_._2)
+    val proj = Project(cols.zipWithIndex.map { case (e, i) =>
+      Alias(e, s"__graft_c$i")() }.toSeq, base)
+    var df = GraftBridge.ofRows(spark, proj).distinct()
+    (values.size until cols.size).foreach(i =>
+      df = df.filter(col(s"__graft_c$i").isNotNull))
+    val rows = df.limit(MaxInChainKeys + 1).collect()
+    if (rows.length > MaxInChainKeys) unsupported(
+      s"$what IN subquery with more than $MaxInChainKeys distinct " +
+        "tuples",
+      "the rewrite builds a literal predicate per tuple; a set this " +
+        "large is a join — materialize the subquery as a table and " +
+        "MERGE (or anti-join + overwrite) against it")
+    val types = proj.output.map(_.dataType)
+    val terms = rows.toIndexedSeq.map { r =>
+      val valueEqs = values.zipWithIndex.map { case (v, i) =>
+        EqualTo(v, Literal.create(r.get(i), types(i)))
+          : Expression }
+      val corrSafe = corrEqs.zipWithIndex.map { case ((outer, _), j) =>
+        val i = values.size + j
+        org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+          outer, Literal.create(r.get(i), types(i))): Expression
+      }
+      (valueEqs ++ corrSafe).reduce(And)
+    }
+    terms.reduceOption(org.apache.spark.sql.catalyst.expressions
+      .Or(_, _)).getOrElse(Literal.FalseLiteral)
+  }
+
   /** EXISTS rewrite: uncorrelated probes the subplan once (LIMIT 1);
-    * correlated requires exactly ONE outer-column = inner-expression
-    * equality (conjoined with any number of inner-only predicates)
-    * and decorrelates to `outer IN (SELECT inner FROM …)` wrapped in
-    * COALESCE(…, false) — EXISTS is two-valued, a NULL outer value
-    * witnesses nothing. (Multi-equality correlations decorrelate too,
-    * but only on the DELETE semi-join path — see the Strategy.) */
+    * one outer = inner equality decorrelates to `outer IN (SELECT
+    * inner …)` wrapped in COALESCE(…, false) — EXISTS is two-valued,
+    * a NULL outer value witnesses nothing. N-equality correlations
+    * (the composite-key erasure) decorrelate the same way over a
+    * STRUCT key: inner tuples with any NULL key field drop (they can
+    * never witness an equality match) and the probe is
+    * `struct(outer…) IN (tuple literals)` — Catalyst's struct
+    * equality over the null-free set is exact, and a NULL outer
+    * field simply never equals any literal tuple (FALSE, the EXISTS
+    * answer). Both arms are bounded-or-loud like every driver-side
+    * materialization here; top-level DML WHERE conjuncts never reach
+    * this (the unbounded semi-join path takes them first). */
   private def existsOf(spark: SparkSession, ex: Exists,
       what: String): Expression = {
     if (ex.outerAttrs.isEmpty && ex.joinCond.isEmpty)
       return Literal(
         GraftBridge.ofRows(spark, ex.plan).limit(1).count() > 0L)
     val (outerEqs, filtered) = existsEqs(ex, what)
-    if (outerEqs.size != 1)
-      unsupported(s"$what EXISTS with ${outerEqs.size} outer-equality " +
-        "correlations",
-        "exactly one outer = inner equality decorrelates here (a " +
-          "DELETE decorrelates multi-equality EXISTS through the " +
-          "distributed semi-join mask) — fold a composite key into " +
-          "one expression, or materialize the subquery and MERGE")
-    val proj = Project(Seq(Alias(outerEqs.head._2, "__graft_in")()),
-      filtered)
-    Coalesce(Seq(inSetOf(spark, outerEqs.head._1, proj, what),
-      Literal.FalseLiteral))
+    if (outerEqs.isEmpty)
+      unsupported(s"$what EXISTS with no outer-equality correlation",
+        "supported correlations are conjuncts of outer = inner " +
+          "equalities plus inner-only predicates — materialize the " +
+          "subquery and MERGE against it otherwise")
+    if (outerEqs.size == 1) {
+      val proj = Project(Seq(Alias(outerEqs.head._2, "__graft_in")()),
+        filtered)
+      return Coalesce(Seq(inSetOf(spark, outerEqs.head._1, proj, what),
+        Literal.FalseLiteral))
+    }
+    // composite key: collect the DISTINCT null-free inner key tuples
+    val proj = Project(outerEqs.map(_._2).zipWithIndex.map {
+      case (e, i) => Alias(e, s"__graft_k$i")() }.toSeq, filtered)
+    var df = GraftBridge.ofRows(spark, proj).distinct()
+    outerEqs.indices.foreach(i =>
+      df = df.filter(col(s"__graft_k$i").isNotNull))
+    df = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = df.limit(MaxInSetKeys + 1).count()
+      if (n > MaxInSetKeys) unsupported(
+        s"$what EXISTS subquery with more than $MaxInSetKeys " +
+          "distinct key tuples",
+        "the rewrite broadcasts the tuple set from the driver; a set " +
+          "this large is a join — DELETE/UPDATE WHERE fall back to a " +
+          "distributed semi-join mask automatically, elsewhere " +
+          "materialize the subquery as a table and MERGE against it")
+      val rows = df.collect()
+      val structType = org.apache.spark.sql.types.StructType(
+        proj.output.map(a => org.apache.spark.sql.types.StructField(
+          a.name, a.dataType)))
+      val probe = org.apache.spark.sql.catalyst.expressions
+        .CreateStruct(outerEqs.map(_._1).toSeq)
+      if (rows.isEmpty) Literal.FalseLiteral
+      else Coalesce(Seq(In(probe, rows.toIndexedSeq.map(r =>
+        Literal.create(r, structType))), Literal.FalseLiteral))
+    } finally { df.unpersist(): Unit }
   }
 
   /** Resolved single-relation expression → a Column that re-resolves
@@ -466,14 +576,18 @@ object GraftSqlDml extends PredicateHelper {
             semiJoin = Some((Seq(values.head), keys))
             Literal.TrueLiteral // scoped by the join instead
         }
-      case in @ InSubquery(values, lq: ListQuery)
-          if semiJoin.isEmpty && values.size == 1 &&
-            (lq.outerAttrs.nonEmpty || lq.joinCond.nonEmpty) =>
-        correlatedInEqs(values.head, lq, what) match {
-          case Some((eqs, base)) =>
+      case in @ InSubquery(values, lq: ListQuery) if semiJoin.isEmpty =>
+        // correlated and/or MULTI-COLUMN IN: for a top-level DML
+        // conjunct, IN TRUE ⟺ EXISTS of the conjoined equalities
+        // (value columns AND correlations — NULL and FALSE both keep
+        // the row), so the whole shape rides ONE distributed
+        // semi-join, unbounded
+        inParts(values, lq, what) match {
+          case Some((corrEqs, valueExprs, base)) =>
+            val eqs = values.zip(valueExprs) ++ corrEqs
             semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
             Literal.TrueLiteral
-          case None => // unrecognized plan shape: the loud path
+          case None => // unrecognized plan shape: the bounded chain
             rewritePredicateSubqueries(sp, in, what)
         }
       case ex: Exists

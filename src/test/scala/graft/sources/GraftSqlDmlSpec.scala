@@ -1112,8 +1112,20 @@ class GraftSqlDmlSpec extends SparkSpec {
       .head.getLong(0) == 20L)
     assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 3")
       .head.getLong(0) == 30L, "k=3 prefiltered out of the source")
-    // correlated IN in a clause condition stays loud (three-valued)
-    val headBefore = Versioned.latestVersion(path)
+    // correlated IN in a clause condition: the exact bounded
+    // OR-of-ANDs chain (pre-r16 this was loud) — k=2's v=20 is in
+    // {hot : hot = t.v} = {20}; k=1's v=0 matches nothing
+    spark.sql(s"""MERGE INTO $cat.t t
+      USING (SELECT * FROM VALUES (1L), (2L) AS s(k)) s
+      ON t.k = s.k
+      WHEN MATCHED AND t.v IN (SELECT hot FROM $cat.hot
+          WHERE hot = t.v)
+        THEN UPDATE SET v = -1L""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L), (2L, -1L), (3L, 30L), (4L, 4000L)))
+    // non-equality correlations (outer ranges) stay a documented
+    // loud limit
     val e = intercept[Exception] {
       spark.sql(s"""MERGE INTO $cat.t t USING (SELECT 1L AS k) s
         ON t.k = s.k
@@ -1121,8 +1133,92 @@ class GraftSqlDmlSpec extends SparkSpec {
             WHERE hot > t.k)
           THEN UPDATE SET v = 1L""")
     }
-    assert(e.getMessage.contains("CORRELATED IN"), e.getMessage)
-    assert(Versioned.latestVersion(path) == headBefore)
+    assert(e.getMessage.contains("correlation conjunct"), e.getMessage)
+  }
+
+  test("MERGE clause conditions: composite-key EXISTS (2 equalities) and multi-column IN") {
+    val wh = freshWarehouse()
+    Versioned.commit(Seq(
+      (1L, "eu", 10L), (2L, "eu", 20L), (3L, "us", 10L))
+      .toDF("k", "region", "v"), s"$wh/t", overwrite = false)
+    // aux carries (region, v) pairs + a NULL-keyed row that must
+    // witness NOTHING under equality semantics
+    Versioned.commit(Seq(
+      (Some("eu"), Some(10L)), (Some("us"), Some(10L)),
+      (None: Option[String], None: Option[Long]))
+      .toDF("r", "w"), s"$wh/aux", overwrite = false)
+    val cat = freshCat(wh)
+    // 2-equality correlated EXISTS in a clause condition — pre-r16
+    // loud ("exactly one outer = inner equality"); now a struct-IN
+    // over the null-free inner tuple set
+    spark.sql(s"""MERGE INTO $cat.t t
+      USING (SELECT * FROM VALUES (1L), (2L), (3L) AS s(k)) s
+      ON t.k = s.k
+      WHEN MATCHED AND EXISTS (SELECT 1 FROM $cat.aux a
+          WHERE a.r = t.region AND a.w = t.v)
+        THEN UPDATE SET v = t.v * 100""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 1000L), (2L, 20L), (3L, 1000L)))
+    // multi-column IN in a clause condition (the same pairs)
+    spark.sql(s"""MERGE INTO $cat.t t
+      USING (SELECT * FROM VALUES (1L), (2L), (3L) AS s(k)) s
+      ON t.k = s.k
+      WHEN MATCHED AND (t.region, t.v) IN (SELECT a.r, a.w * 100
+          FROM $cat.aux a)
+        THEN UPDATE SET v = -1L""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, -1L), (2L, 20L), (3L, -1L)))
+  }
+
+  test("DELETE WHERE multi-column IN rides the semi-join mask; NULL tuples witness nothing") {
+    val wh = freshWarehouse()
+    val path = s"$wh/t"
+    Versioned.commit(Seq(
+      (1L, Some("eu"), 10L), (2L, Some("eu"), 20L),
+      (3L, Some("us"), 10L), (4L, None: Option[String], 40L))
+      .toDF("k", "region", "v"), path, overwrite = false)
+    Versioned.commit(Seq(
+      (Some("eu"), Some(10L)), (None: Option[String], Some(40L)))
+      .toDF("r", "w"), s"$wh/s", overwrite = false)
+    val cat = freshCat(wh)
+    // (region, v) IN (SELECT r, w …): only the (eu, 10) row provably
+    // matches — the NULL-field tuples on EITHER side never witness
+    // TRUE, and NULL/FALSE both keep the row in DML scope
+    spark.sql(s"""DELETE FROM $cat.t WHERE (region, v) IN
+        (SELECT r, w FROM $cat.s)""")
+    assert(spark.sql(s"SELECT k FROM $cat.t ORDER BY k")
+      .as[Long].collect().toSeq == Seq(2L, 3L, 4L))
+    // merge-on-read: one mask, zero dirs rewritten
+    assert(Versioned.dvDirIds(path, 1).size == 1)
+    assert(Versioned.dataDirIds(path, 1) == Versioned.dataDirIds(path, 0))
+  }
+
+  test("clause-context NOT IN with a correlated subquery keeps three-valued semantics") {
+    val wh = freshWarehouse()
+    Versioned.commit(Seq(
+      (1L, "a", 10L), (2L, "a", 99L), (3L, "b", 10L))
+      .toDF("k", "grp", "v"), s"$wh/t", overwrite = false)
+    // group 'a' carries a NULL inner value: NOT IN over a set with a
+    // NULL is never TRUE (three-valued), so k=2 must NOT update even
+    // though 99 matches nothing; group 'b' has no NULL, so k=3's
+    // NOT IN {20} is TRUE
+    Versioned.commit(Seq(
+      (Some("a"), Some(10L)), (Some("a"), None: Option[Long]),
+      (Some("b"), Some(20L))).toDF("g", "w"), s"$wh/s",
+      overwrite = false)
+    val cat = freshCat(wh)
+    spark.sql(s"""MERGE INTO $cat.t t
+      USING (SELECT * FROM VALUES (1L), (2L), (3L) AS s(k)) s
+      ON t.k = s.k
+      WHEN MATCHED AND t.v NOT IN (SELECT w FROM $cat.s x
+          WHERE x.g = t.grp)
+        THEN UPDATE SET v = -1L""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 99L), (3L, -1L)),
+      "k=1 in-set, k=2 NULL (not TRUE), k=3 true complement")
   }
 
   test("UPDATE rides the semi-join fallback too: correlated EXISTS scopes the post-images") {
