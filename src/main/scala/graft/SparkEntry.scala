@@ -7097,6 +7097,43 @@ object SparkEntry {
     // positives. Same skipped-flag gate on the scan's file
     // accounting; oracle = the point lookup + TRUE. The collect is
     // the 1-row point lookup.
+    // 298: HASH-BUCKET PARTITION LAYOUT driver-gated — `PARTITIONED
+    // BY (bucket(16, doc_id))` through pure SQL: every INSERT lays
+    // its dir out as pmod(hash(doc_id), 16) hive subdirs
+    // (Versioned.bucketModulus / stageHiveSpec), and a pushed point
+    // equality routes VersionedV1Scan through
+    // readPartitionPrunedBucket — the probe value hashes driver-side
+    // with the SAME Murmur3 expression the writer used, so only 1/16
+    // of each bucketed dir's files are even LISTED, before any data
+    // IO. The join-locality/point-lookup layout for high-cardinality
+    // keys at 100 TB, where identity partitioning (one dir per value)
+    // cannot go. Checked output gates the lookup AND the real file
+    // accounting (filesRead < filesTotal); the 1-row collect is the
+    // point lookup itself. Oracle = the filter + TRUE.
+    "q_sql_bucketed" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_bucketed"
+      val cat = sqlCatalogFor(s, dir)
+      if (V.latestVersion(table) < 0) {
+        s.sql(s"""CREATE TABLE $cat.sql_bucketed
+            (doc_id BIGINT, n_chars BIGINT)
+            PARTITIONED BY (bucket(16, doc_id))""")
+        Tables(s, dir, "documents").select(col("doc_id"),
+            col("n_chars")).createOrReplaceTempView("bucketed_src")
+        s.sql(s"INSERT INTO $cat.sql_bucketed " +
+          "SELECT doc_id, n_chars FROM bucketed_src")
+      }
+      val r = s.sql(s"""SELECT doc_id, n_chars FROM $cat.sql_bucketed
+          WHERE doc_id = 42""").collect() // 1 row (point lookup)
+      val (accPath, read, tot) =
+        graft.sources.GraftCatalog.lastVersionedScan.get()
+      require(accPath == table,
+        s"q_sql_bucketed: accounting is for '$accPath', not '$table'")
+      import s.implicits._
+      r.toSeq.map(x => (x.getLong(0), x.getLong(1), read < tot))
+        .toDF("doc_id", "n_chars", "bucket_pruned")
+    }),
+
     "q_sql_bloom_skip" -> ((s, dir) => {
       val V = graft.sources.Versioned
       val table = stagingRoot(dir) + "/sql_bloom"
@@ -8153,6 +8190,9 @@ object SparkEntry {
              TRUE AS skipped
       FROM events
       WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 0 AND 500""",
+    "q_sql_bucketed" -> """
+      SELECT doc_id, n_chars, TRUE AS bucket_pruned
+      FROM documents WHERE doc_id = 42""",
     "q_sql_bloom_skip" -> """
       SELECT doc_id, n_chars, TRUE AS skipped
       FROM documents WHERE doc_id = 42""",

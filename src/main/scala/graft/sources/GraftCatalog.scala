@@ -308,11 +308,25 @@ class GraftCatalog extends TableCatalog
           s"GraftCatalog: PARTITIONED BY ${t.name}($c) needs a " +
             s"timestamp/date column, got ${dt.sql}")
         Versioned.PartField(c, Some(t.name))
+      case t if t.name == "bucket" =>
+        // `PARTITIONED BY (bucket(16, k))` — hash-bucket dir layout
+        // ([[Versioned.bucketModulus]]): point reads on `k` walk one
+        // bucket dir in n, the join-locality story for
+        // high-cardinality keys identity layout cannot carry
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"GraftCatalog: PARTITIONED BY ${t.describe()} needs a " +
+            "literal bucket count — bucket(<n>, <col>)"))
+        require(n > 0 && n <= (1 << 20),
+          s"GraftCatalog: bucket count must be in 1..2^20, got $n")
+        Versioned.PartField(canonCol(t), Some(s"bucket$n"))
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: PARTITIONED BY ${other.describe()} is not " +
-          "supported — identity columns and days/months/years/hours " +
-          "transforms only (bucketing: cluster via CALL " +
-          "system.cluster / Versioned.commitClustered instead)")
+          "supported — identity columns, days/months/years/hours " +
+          "time transforms, and bucket(n, col) hash buckets only")
     }
     val path = pathOf(ident)
     if (Versioned.latestVersion(path) >= 0)
@@ -459,6 +473,8 @@ private[sources] final class VersionedSqlTable(ident: String,
             case Some("months") => Expressions.months(f.col)
             case Some("years") => Expressions.years(f.col)
             case Some("hours") => Expressions.hours(f.col)
+            case Some(u) if Versioned.bucketModulus(u).isDefined =>
+              Expressions.bucket(Versioned.bucketModulus(u).get, f.col)
             case Some(u) => sys.error(
               s"versioned table $ident: unknown partition transform '$u'")
           }
@@ -1252,7 +1268,8 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
       : Option[(String, java.time.LocalDateTime,
         java.time.LocalDateTime)] = {
     val transFold = Versioned.partSpecIds(path, pinned).values
-      .flatMap(Versioned.parsePartSpec).filter(_.unit.isDefined)
+      .flatMap(Versioned.parsePartSpec)
+      .filter(_.unit.exists(Versioned.PartUnits.contains))
       .map(f => fold(f.col)).toSet
     if (transFold.isEmpty) return None
     val zone = java.time.ZoneId.of(
@@ -1296,6 +1313,27 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
       .map { case (c, (lo, hi)) => (c, lo, hi) }
   }
 
+  /** The first accepted equality/IN over a column some dir of this
+    * version BUCKET-partitions on → (logical col, raw probe values).
+    * Null probes never prune (an equality on NULL matches nothing the
+    * row filter wouldn't drop anyway). */
+  private def bucketPrune(): Option[(String, Seq[Any])] = {
+    val bucketFold = Versioned.partSpecIds(path, pinned).values
+      .flatMap(Versioned.parsePartSpec)
+      .filter(_.unit.exists(u => Versioned.bucketModulus(u).isDefined))
+      .map(f => fold(f.col)).toSet
+    if (bucketFold.isEmpty) return None
+    def specd(a: String): Boolean =
+      bucketFold(fold(Versioned.physicalColumnName(path, pinned, a)))
+    accepted.iterator.collectFirst {
+      case sources.EqualTo(a, v) if v != null && specd(a) =>
+        (a, Seq(v))
+      case sources.In(a, vs)
+          if vs.nonEmpty && vs.forall(_ != null) && specd(a) =>
+        (a, vs.toIndexedSeq)
+    }
+  }
+
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     val rel = new BaseRelation with TableScan {
@@ -1305,9 +1343,10 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
       override def buildScan(): org.apache.spark.rdd.RDD[
           org.apache.spark.sql.Row] = {
         val spark = context.sparkSession
-        // prune priority: whole partition dirs > bloom point lookups
-        // > min/max ranges > plain snapshot — coarsest index first;
-        // every branch is a relaxation the row-level replay tightens
+        // prune priority: whole partition dirs > bucket dirs > bloom
+        // point lookups > min/max ranges > plain snapshot — coarsest
+        // index first; every branch is a relaxation the row-level
+        // replay tightens
         var df = partitionPrune() match {
           case Some((c, vals)) =>
             val (pdf, read, tot) = Versioned.readPartitionPruned(
@@ -1318,6 +1357,12 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
             case Some((c, lo, hi)) =>
               val (pdf, read, tot) = Versioned.readPartitionPrunedTime(
                 spark, path, c, lo, hi, Some(pinned))
+              GraftCatalog.lastVersionedScan.set((path, read, tot))
+              pdf
+            case None => bucketPrune() match {
+            case Some((c, vals)) =>
+              val (pdf, read, tot) = Versioned.readPartitionPrunedBucket(
+                spark, path, c, vals, Some(pinned))
               GraftCatalog.lastVersionedScan.set((path, read, tot))
               pdf
             case None => bloomPrune(spark) match {
@@ -1334,6 +1379,7 @@ private[sources] final class VersionedV1Scan(path: String, pinned: Int,
                 pdf
               case None => Versioned.read(spark, path, Some(pinned))
             }
+          }
           }
           }
         }

@@ -566,6 +566,20 @@ object Versioned {
     "days" -> "yyyy-MM-dd", "months" -> "yyyy-MM",
     "years" -> "yyyy", "hours" -> "yyyy-MM-dd-HH")
 
+  /** The modulus of a `bucket<N>` transform unit (`bucket16` → 16);
+    * None for time units and identity. HASH-BUCKET layout: dirs carry
+    * `pmod(hash(col), N)` — Spark's Murmur3 `hash()` (seed 42) on
+    * both the write side ([[stageHiveSpec]]) and the read-side probe
+    * ([[readPartitionPrunedBucket]] evaluates the same expression on
+    * the literal), so an equality point read provably lives in ONE
+    * bucket directory of each bucketed dir — the join-locality /
+    * point-lookup layout for high-cardinality keys that identity
+    * partitioning (one dir per value) cannot carry at 100 TB. */
+  private[graft] def bucketModulus(unit: String): Option[Int] =
+    if (unit.startsWith("bucket"))
+      unit.drop("bucket".length).toIntOption.filter(_ > 0)
+    else None
+
   private[graft] def renderPartSpec(spec: Seq[PartField]): String =
     spec.map(_.render).mkString(",")
 
@@ -579,7 +593,7 @@ object Versioned {
       e match {
         case _ if e.endsWith(")") && e.contains("(") =>
           val u = e.takeWhile(_ != '(')
-          require(PartUnits.contains(u),
+          require(PartUnits.contains(u) || bucketModulus(u).isDefined,
             s"versioned partition spec: unknown transform '$u' in '$s'")
           PartField(e.drop(u.length + 1).dropRight(1).trim, Some(u), zone)
         case _ => PartField(e, None)
@@ -636,21 +650,27 @@ object Versioned {
         s"versioned commitPartitionedSpec: no column '${f.col}' to " +
           s"partition by (have: ${df.columns.mkString(", ")})"))
       f.unit.foreach { u =>
-        require(PartUnits.contains(u),
+        require(PartUnits.contains(u) || bucketModulus(u).isDefined,
           s"versioned commitPartitionedSpec: unknown transform '$u' " +
-            s"(have: ${PartUnits.keys.toSeq.sorted.mkString(", ")})")
-        require(Seq(TimestampType, TimestampNTZType, DateType)
-            .contains(fld.dataType),
-          s"versioned commitPartitionedSpec: $u(${f.col}) needs a " +
-            s"timestamp/date column, got ${fld.dataType.sql}")
+            s"(have: bucket<N>, ${PartUnits.keys.toSeq.sorted
+              .mkString(", ")})")
+        // time transforms need a time column; bucket hashes anything
+        // Spark's hash() accepts (atomic keys — the point of a bucket)
+        if (bucketModulus(u).isEmpty)
+          require(Seq(TimestampType, TimestampNTZType, DateType)
+              .contains(fld.dataType),
+            s"versioned commitPartitionedSpec: $u(${f.col}) needs a " +
+              s"timestamp/date column, got ${fld.dataType.sql}")
         // the derived directory column must not shadow a real one
         require(!byFold.contains(foldName(f.dirName)),
           s"versioned commitPartitionedSpec: derived partition " +
             s"column '${f.dirName}' collides with a table column")
       }
       // record the writer's clock for TimestampType transforms (see
-      // the PartField zone contract); clock-free types record none
-      if (f.unit.isDefined && fld.dataType == TimestampType)
+      // the PartField zone contract); clock-free types — and bucket
+      // transforms, whose hash is clock-independent — record none
+      if (f.unit.exists(u => bucketModulus(u).isEmpty) &&
+          fld.dataType == TimestampType)
         f.copy(zone = Some(df.sparkSession.sessionState.conf
           .sessionLocalTimeZone))
       else f.copy(zone = None)
@@ -666,15 +686,19 @@ object Versioned {
     * [[commitPartitionedSpec]] and [[replaceWhere]]. */
   private def stageHiveSpec(dataDir: String, pdf: DataFrame,
       phys: String => String, spec: Seq[PartField]): Unit = {
-    import org.apache.spark.sql.functions.{col, date_format}
+    import org.apache.spark.sql.functions.{col, date_format, hash, lit, pmod}
     var staged = pdf
     val dirCols = spec.map { f =>
       f.unit match {
         case None => phys(f.col)
         case Some(u) =>
           val dn = PartField(phys(f.col), Some(u)).dirName
-          staged = staged.withColumn(dn,
-            date_format(col(phys(f.col)), PartUnits(u)))
+          staged = staged.withColumn(dn, bucketModulus(u) match {
+            // bucket dirs carry pmod(hash, N) — NULL keys hash too
+            // (hash(NULL) = the seed), so every row has a bucket
+            case Some(n) => pmod(hash(col(phys(f.col))), lit(n))
+            case None => date_format(col(phys(f.col)), PartUnits(u))
+          })
           dn
       }
     }
@@ -758,13 +782,60 @@ object Versioned {
     specPrunedRead(spark, path, version, c,
       // a TimestampType dir rendered under a DIFFERENT session clock
       // than this reader's cannot prune soundly — it reads fully
-      // (the PartField zone contract); clock-free dirs always prune
-      matches = f => f.unit.isDefined &&
+      // (the PartField zone contract); clock-free dirs always prune;
+      // bucket transforms are not time-rangeable and never match here
+      matches = f => f.unit.exists(PartUnits.contains) &&
         f.zone.forall(_ == readerZone),
       keep = (f, v) => {
         val fmt = java.time.format.DateTimeFormatter
           .ofPattern(PartUnits(f.unit.get))
         v >= fmt.format(lo) && v <= fmt.format(hi)
+      })
+  }
+
+  /** BUCKET-pruned snapshot read over `bucket(n)`-partitioned dirs
+    * ([[bucketModulus]]): an equality/IN probe on `c` keeps, per
+    * bucketed dir, ONLY the bucket directories the probe values hash
+    * into — `pmod(hash(v), n)` evaluated driver-side with the SAME
+    * Murmur3 expression the writer laid the dirs out with, so a point
+    * lookup on a 10⁶-file bucketed table walks 1/n of each dir before
+    * any file IO. Values hash under the column's DECLARED type (the
+    * staged layout hashed the typed column); a probe that cannot
+    * represent as that type keeps everything (sound, merely
+    * unskipped). Dirs not bucket-partitioned on `c` read fully.
+    *
+    * SUPERSET contract like [[readPartitionPrunedTime]]: a bucket dir
+    * holds every key that hashes there, so the caller re-applies the
+    * exact predicate (the SQL scan replays its accepted filters).
+    * Returns (frame, filesRead, filesTotal). */
+  def readPartitionPrunedBucket(spark: SparkSession, path: String,
+      c: String, values: Seq[Any], version: Option[Int] = None)
+      : (DataFrame, Int, Int) = {
+    require(values.nonEmpty,
+      "versioned readPartitionPrunedBucket: empty value set")
+    val v = version.getOrElse(latestVersion(path))
+    require(v >= 0,
+      s"versioned readPartitionPrunedBucket: no table at $path")
+    val dt = schemaAt(spark, path, v).fields
+      .find(f => foldName(f.name) == foldName(c))
+      .map(_.dataType).getOrElse(sys.error(
+        s"versioned readPartitionPrunedBucket: no column '$c' at $path"))
+    def bucketOf(value: Any, n: Int): Option[Int] =
+      try {
+        val lit = org.apache.spark.sql.catalyst.expressions.Literal
+          .create(value, dt)
+        val h = new org.apache.spark.sql.catalyst.expressions
+          .Murmur3Hash(Seq(lit)).eval(null).asInstanceOf[Int]
+        Some(((h % n) + n) % n)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    specPrunedRead(spark, path, version, c,
+      matches = f => f.unit.exists(u => bucketModulus(u).isDefined),
+      keep = (f, dirVal) => {
+        val n = bucketModulus(f.unit.get).get
+        val wanted = values.map(bucketOf(_, n))
+        // any probe that cannot hash under the declared type keeps
+        // the dir (unknown never justifies a skip)
+        wanted.exists(b => b.isEmpty || b.get.toString == dirVal)
       })
   }
 
@@ -3724,7 +3795,12 @@ object Versioned {
     val exprs = zoned.map { f =>
       f.unit match {
         case None => col(f.col).cast("string")
-        case Some(u) => date_format(col(f.col), PartUnits(u))
+        case Some(u) => bucketModulus(u) match {
+          case Some(n) => org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(col(f.col)),
+            lit(n)).cast("string")
+          case None => date_format(col(f.col), PartUnits(u))
+        }
       }
     }
     val tuples = data.select(exprs.zipWithIndex.map { case (e, i) =>

@@ -297,6 +297,67 @@ class VersionedPartitionSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("bucket(n) transform: point reads walk one bucket dir, row-exact, NULL keys land somewhere") {
+    val path = tmpTable()
+    val df = (1L to 200L).map(k => (if (k % 50 == 0) None else Some(k),
+      k * 10)).toDF("k", "val")
+    Versioned.commitPartitionedSpec(df, path,
+      Seq(Versioned.PartField("k", Some("bucket8"))))
+    // layout: the dir records the spec and carries k__bucket8=… dirs
+    val spec = Versioned.partSpecIds(path, 0).values.head
+    assert(spec == "bucket8(k)", s"recorded spec: $spec")
+    // full read is row-exact (the derived bucket column never leaks)
+    val full = Versioned.read(spark, path)
+    assert(full.columns.toSeq == Seq("k", "val"))
+    assert(full.count() == 200L)
+    // point probe: only the probe's bucket dir reads
+    val (pruned, read, tot) =
+      Versioned.readPartitionPrunedBucket(spark, path, "k", Seq(42L))
+    assert(read < tot, s"expected bucket pruning, read $read of $tot")
+    // SUPERSET contract: the caller re-applies the exact predicate
+    assert(pruned.filter(col("k") === 42L).count() == 1L)
+    // IN probe spans its buckets; still pruned vs total
+    val (pruned2, read2, tot2) =
+      Versioned.readPartitionPrunedBucket(spark, path, "k",
+        Seq(7L, 8L, 9L))
+    assert(read2 < tot2)
+    assert(pruned2.filter(col("k").isin(7L, 8L, 9L)).count() == 3L)
+    // NULL keys hashed into a real bucket — never lost
+    assert(full.filter(col("k").isNull).count() == 4L)
+  }
+
+  test("SQL bucket(n): CREATE TABLE PARTITIONED BY (bucket(8, k)), point SELECT prunes dirs") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_bucket_sql").toString
+    GraftCatalog.register(spark, "gbkt", wh)
+    spark.sql("CREATE TABLE gbkt.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO gbkt.t SELECT id, id * 2 FROM range(1, 501)")
+    // the declared partitioning surfaces as a bucket transform
+    val cat = spark.sessionState.catalogManager.catalog("gbkt")
+      .asInstanceOf[GraftCatalog]
+    val tbl = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "t"))
+    assert(tbl.partitioning().map(_.describe()).toSeq ==
+      Seq("bucket(8, k)"), tbl.partitioning().map(_.describe()).toSeq)
+    // point lookup: pushed equality routes through the bucket prune
+    val got = spark.sql("SELECT k, v FROM gbkt.t WHERE k = 42")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((42L, 84L)))
+    val (accPath, read, tot) = GraftCatalog.lastVersionedScan.get()
+    assert(accPath == s"$wh/t" && read < tot,
+      s"expected bucket dir pruning, read $read of $tot at $accPath")
+    // a second INSERT auto-buckets under the policy; the probe still
+    // prunes across BOTH dirs
+    spark.sql("INSERT INTO gbkt.t SELECT id, id * 2 " +
+      "FROM range(501, 1001)")
+    assert(spark.sql("SELECT count(*) FROM gbkt.t WHERE k = 777")
+      .head.getLong(0) == 1L)
+    val (_, read2, tot2) = GraftCatalog.lastVersionedScan.get()
+    assert(read2 < tot2, s"read $read2 of $tot2")
+  }
+
   test("commitPartitionedSpec guards: unknown transform, non-time column, derived collision") {
     val path = tmpTable()
     val df = tsRows(1, 5)
