@@ -7097,6 +7097,49 @@ object SparkEntry {
     // positives. Same skipped-flag gate on the scan's file
     // accounting; oracle = the point lookup + TRUE. The collect is
     // the 1-row point lookup.
+    // 299: PERSISTENT SQL VIEWS driver-gated — `CREATE VIEW` into the
+    // warehouse metadata (GraftViewRules: Spark's own analyzer
+    // blanket-rejects v2-catalog view DDL, so the hint-batch rule
+    // routes it onto GraftCatalog.createView; reads serve the stored
+    // text through loadTable as ViewSqlTable). Two views gate the two
+    // load-bearing semantics: the LIVE view re-runs its text per
+    // query (follows the table head across a later INSERT — snapshot-
+    // consistent like any read), and the PINNED view's text carries
+    // `VERSION AS OF 1`, so it answers v1's count forever
+    // (time-travel-safe). The `pinned_ok` flag compares the pinned
+    // view's 1-row count against the source row count (driver-side
+    // 1-row aggregates, annotated). Oracle reconstructs the live
+    // view's groups with the re-typed second batch.
+    "q_sql_view" -> ((s, dir) => {
+      val V = graft.sources.Versioned
+      val table = stagingRoot(dir) + "/sql_viewt"
+      val cat = sqlCatalogFor(s, dir)
+      if (V.latestVersion(table) < 0) {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("vc"))
+        V.commit(ev, table, overwrite = false) // v0
+        s.sql(s"""CREATE VIEW $cat.sql_view_live AS
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+            FROM $cat.sql_viewt GROUP BY event_type""")
+        s.sql(s"""CREATE VIEW $cat.sql_view_pinned AS
+            SELECT count(*) AS n0 FROM $cat.sql_viewt VERSION AS OF 0""")
+        // the live view must FOLLOW this insert; the pinned must not
+        s.sql(s"""INSERT INTO $cat.sql_viewt
+          SELECT event_id + 1000000000, 'view_batch' AS event_type, vc
+          FROM $cat.sql_viewt VERSION AS OF 0
+          WHERE event_type = 'click'""")
+      }
+      // 1-row collects: the pinned view's count and the source count
+      val n0 = s.sql(s"SELECT n0 FROM $cat.sql_view_pinned")
+        .collect()(0).getLong(0)
+      val nSrc = t(s, dir, "events").count()
+      s.sql(s"SELECT event_type, n_events, sum_value " +
+          s"FROM $cat.sql_view_live")
+        .withColumn("pinned_ok", lit(n0 == nSrc))
+        .orderBy("event_type")
+    }),
+
     // 298: HASH-BUCKET PARTITION LAYOUT driver-gated — `PARTITIONED
     // BY (bucket(16, doc_id))` through pure SQL: every INSERT lays
     // its dir out as pmod(hash(doc_id), 16) hive subdirs
@@ -8190,6 +8233,18 @@ object SparkEntry {
              TRUE AS skipped
       FROM events
       WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 0 AND 500""",
+    "q_sql_view" -> """
+      WITH ev AS (SELECT event_type,
+                    CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events),
+      m AS (SELECT event_type, vc FROM ev
+            UNION ALL
+            SELECT 'view_batch', vc FROM ev
+            WHERE event_type = 'click')
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value,
+             TRUE AS pinned_ok
+      FROM m GROUP BY event_type ORDER BY event_type""",
     "q_sql_bucketed" -> """
       SELECT doc_id, n_chars, TRUE AS bucket_pruned
       FROM documents WHERE doc_id = 42""",

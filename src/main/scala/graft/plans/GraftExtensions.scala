@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // broadcast-size hints for versioned scans (the V1ScanWrapper
     // hides scan statistics from join selection — see the rule)
     ext.injectOptimizerRule(_ => graft.sources.VersionedJoinHint)
+    // persistent views: CREATE/DROP VIEW against a GraftCatalog —
+    // intercepted in the HINT batch, BEFORE Spark's own
+    // ResolveSessionCatalog blanket-rejects v2-catalog view DDL
+    // (see [[graft.sources.GraftViewRules]])
+    ext.injectHintResolutionRule(sp =>
+      new graft.sources.GraftViewRules(sp))
   }
 }
 

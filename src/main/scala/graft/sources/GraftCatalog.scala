@@ -76,9 +76,159 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catName: String = _
   private var warehouse: String = _
+
+  // ------------------------------------------------------------ views
+  // PERSISTENT VIEWS in warehouse metadata: `CREATE VIEW g.ns.v AS …`
+  // stores one JSON file `<warehouse>/ns/_views/<v>.json` (the
+  // `_views` container can never collide with a table — tables are
+  // DIRECTORIES carrying a `_versions` ledger) holding the view text
+  // plus the analysis context Spark's view resolution replays (the
+  // defining catalog/namespace, the analyzed schema, column names).
+  // Resolution is the ANALYZER's own V2 view path: loadView hands the
+  // stored definition back and Spark re-parses the text per query, so
+  // a view over a versioned table pins the table's CURRENT head at
+  // each query (snapshot-consistent like any read), and a view text
+  // carrying `VERSION AS OF` stays pinned forever (time-travel-safe).
+  // Create is atomic (CREATE_NEW write — racing creators lose loudly).
+
+  private def viewsDir(namespace: Array[String]): java.nio.file.Path =
+    nsDir(namespace).resolve("_views")
+
+  private def viewPath(ident: Identifier): java.nio.file.Path =
+    viewsDir(ident.namespace())
+      .resolve(GraftCatalog.checkSegment(ident.name()) + ".json")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val dir = viewsDir(ns)
+    if (!java.nio.file.Files.isDirectory(dir)) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Identifier]
+    val s = java.nio.file.Files.list(dir)
+    try s.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".json"))
+        out += Identifier.of(ns, n.stripSuffix(".json"))
+    } finally s.close()
+    out.sortBy(_.name()).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    java.nio.file.Files.isRegularFile(viewPath(ident))
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val p = viewPath(ident)
+    if (!java.nio.file.Files.isRegularFile(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    val m = ManifestJson.parseObject(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    def strs(k: String): Array[String] =
+      m.getOrElse(k, List.empty[Any]).asInstanceOf[List[Any]]
+        .map(_.asInstanceOf[String]).toArray
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = s"$catName.${ident.toString}"
+      override def query(): String = m("sql").asInstanceOf[String]
+      override def currentCatalog(): String =
+        m("currentCatalog").asInstanceOf[String]
+      override def currentNamespace(): Array[String] =
+        strs("currentNamespace")
+      override def schema(): StructType = StructType.fromDDL(
+        new String(java.util.Base64.getDecoder.decode(
+          m("schemaB64").asInstanceOf[String]), "UTF-8"))
+      override def queryColumnNames(): Array[String] =
+        strs("queryColumnNames")
+      override def columnAliases(): Array[String] =
+        strs("columnAliases")
+      override def columnComments(): Array[String] =
+        strs("columnComments")
+      override def properties(): util.Map[String, String] = {
+        val out = new java.util.HashMap[String, String]()
+        m.getOrElse("properties", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]]
+          .foreach { case (k, v) =>
+            out.put(k, v.asInstanceOf[String]): Unit }
+        out
+      }
+    }
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    if (Versioned.latestVersion(pathOf(ident)) >= 0)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toIndexedSeq)
+    def arr(xs: Array[String]): String =
+      xs.map(ManifestJson.quote).mkString("[", ",", "]")
+    import scala.jdk.CollectionConverters._
+    val body = s"""{"sql":${ManifestJson.quote(info.sql())},""" +
+      s""""currentCatalog":${ManifestJson.quote(info.currentCatalog())},""" +
+      s""""currentNamespace":${arr(info.currentNamespace())},""" +
+      s""""schemaB64":"${java.util.Base64.getEncoder.encodeToString(
+        info.schema().toDDL.getBytes("UTF-8"))}",""" +
+      s""""queryColumnNames":${arr(info.queryColumnNames())},""" +
+      s""""columnAliases":${arr(info.columnAliases())},""" +
+      s""""columnComments":${arr(info.columnComments())},""" +
+      s""""properties":{${info.properties().asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          s"${ManifestJson.quote(k)}:${ManifestJson.quote(v)}" }
+        .mkString(",")}}}"""
+    val p = viewPath(ident)
+    java.nio.file.Files.createDirectories(p.getParent): Unit
+    try java.nio.file.Files.write(p, body.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(ident)
+    }
+    loadView(ident)
+  }
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.View = {
+    // CREATE OR REPLACE: last writer wins on the single metadata file
+    // (an atomic overwrite via temp + move keeps readers torn-free)
+    val p = viewPath(info.ident())
+    if (!orCreate && !java.nio.file.Files.isRegularFile(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident())
+    java.nio.file.Files.deleteIfExists(p): Unit
+    createView(info)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: ALTER VIEW properties are not supported — " +
+        "CREATE OR REPLACE the view")
+
+  override def dropView(ident: Identifier): Boolean =
+    java.nio.file.Files.deleteIfExists(viewPath(ident))
+
+  override def renameView(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val src = viewPath(oldIdent)
+    if (!java.nio.file.Files.isRegularFile(src))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    val dst = viewPath(newIdent)
+    if (java.nio.file.Files.exists(dst))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    java.nio.file.Files.createDirectories(dst.getParent): Unit
+    java.nio.file.Files.move(src, dst): Unit
+  }
 
   // ------------------------------------------------------- namespaces
   // A namespace is a warehouse subdirectory that is not itself a
@@ -190,6 +340,13 @@ class GraftCatalog extends TableCatalog
     GraftCatalog.ensureDmlStrategy(SparkSession.active)
     val head = Versioned.latestVersion(pathOf(ident))
     if (head >= 0) return tableAt(ident, head)
+    // a stored VIEW reads as a read-only table (the analyzer's own
+    // V2 view resolution is absent in stock Spark — see
+    // [[GraftViewRules]]); a real table of the same name always wins
+    // (createView refuses the collision at create time)
+    if (viewExists(ident))
+      return new ViewSqlTable(s"$catName.${ident.toString}",
+        pathOf(ident), loadView(ident))
     if (ident.namespace().nonEmpty) {
       val parentPath = (warehouse +: ident.namespace()).mkString("/")
       val parentHead = Versioned.latestVersion(parentPath)
@@ -1424,6 +1581,16 @@ object GraftCatalog {
   val lastFilesScan =
     new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)](
       ("", 0, 0))
+
+  /** Per-thread set of view keys currently EXPANDING (a view scan
+    * re-runs its stored SQL, which may read other views) — the
+    * recursion guard [[ViewScanBuilder]] trips loudly instead of
+    * looping forever on a self-referencing definition. */
+  private[sources] val viewExpansion =
+    new ThreadLocal[java.util.HashSet[String]] {
+      override def initialValue(): java.util.HashSet[String] =
+        new java.util.HashSet[String]()
+    }
 
   /** Path-containment gate for every identifier segment the catalog
     * (or a CALL verb) turns into a filesystem path: the catalog is

@@ -701,6 +701,11 @@ object GraftSqlDml extends PredicateHelper {
           mergeRun(tOut, t, source, mergeCond, matched, notMatched,
             notMatchedBySource)) :: Nil
 
+      // view DDL rewritten by [[GraftViewRules]] (CREATE/DROP VIEW
+      // against a GraftCatalog — Spark's own analyzer blanket-rejects
+      // v2-catalog view DDL, so the rewrite runs in the hint batch)
+      case GraftViewDdl(label, run) => GraftDmlExec(label, run) :: Nil
+
       case _ => Nil
     }
   }

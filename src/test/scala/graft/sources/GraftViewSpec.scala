@@ -1,0 +1,149 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Persistent SQL views ([[GraftViewRules]] + [[ViewSqlTable]]):
+  * CREATE/DROP VIEW against the warehouse metadata, readable from any
+  * session that can loadTable, snapshot-consistent per query,
+  * time-travel-safe, schema-bound at creation, and loud on drift and
+  * recursion. */
+class GraftViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWarehouse(): String = java.nio.file.Files
+    .createTempDirectory("graft_views").toString
+
+  private var seq = 0
+  private def freshCat(wh: String): String = {
+    seq += 1
+    val cat = s"gvw$seq"
+    GraftCatalog.register(spark, cat, wh)
+    cat
+  }
+
+  test("CREATE VIEW persists in warehouse metadata; reads follow the table head") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 2 FROM range(1, 6)")
+    spark.sql(s"CREATE VIEW $cat.w AS " +
+      s"SELECT k, v * 10 AS v10 FROM $cat.t WHERE k > 2")
+    assert(spark.sql(s"SELECT * FROM $cat.w ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 60L), (4L, 80L), (5L, 100L)))
+    // the view follows the TABLE head (re-runs its text per query)
+    spark.sql(s"INSERT INTO $cat.t VALUES (9, 9)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.w")
+      .head.getLong(0) == 4L)
+    // PERSISTENT: a fresh catalog registration over the same
+    // warehouse (a "new session") still serves it
+    val cat2 = freshCat(wh)
+    assert(spark.sql(s"SELECT count(*) FROM $cat2.w")
+      .head.getLong(0) == 4L)
+    // the metadata file is real and named for the view
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(s"$wh/_views/w.json")))
+  }
+
+  test("time-travel-safe: a VERSION AS OF view stays pinned while the head moves") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(1, 4)") // v1
+    spark.sql(s"CREATE VIEW $cat.pinned AS " +
+      s"SELECT k FROM $cat.t VERSION AS OF 1")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(10, 20)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pinned")
+      .head.getLong(0) == 3L, "the pinned view must not see v2")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t")
+      .head.getLong(0) == 13L)
+  }
+
+  test("OR REPLACE re-binds; IF NOT EXISTS no-ops; plain re-create is loud; DROP works") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2), (3)")
+    spark.sql(s"CREATE VIEW $cat.w AS SELECT k FROM $cat.t")
+    intercept[Exception] {
+      spark.sql(s"CREATE VIEW $cat.w AS SELECT k + 1 AS k FROM $cat.t")
+    }
+    spark.sql(s"CREATE VIEW IF NOT EXISTS $cat.w AS " +
+      s"SELECT k + 100 AS k FROM $cat.t") // no-op: exists
+    assert(spark.sql(s"SELECT max(k) FROM $cat.w").head.getLong(0) == 3L)
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.w AS " +
+      s"SELECT k * 10 AS k10 FROM $cat.t")
+    assert(spark.sql(s"SELECT max(k10) FROM $cat.w")
+      .head.getLong(0) == 30L)
+    spark.sql(s"DROP VIEW $cat.w")
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.w") }
+    // DROP of a missing view: loud without IF EXISTS, silent with
+    intercept[Exception] { spark.sql(s"DROP VIEW $cat.w") }
+    spark.sql(s"DROP VIEW IF EXISTS $cat.w")
+  }
+
+  test("schema binding at creation: drifted underlying query is loud, not silently re-shaped") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10)")
+    spark.sql(s"CREATE VIEW $cat.w AS SELECT * FROM $cat.t")
+    assert(spark.sql(s"SELECT * FROM $cat.w").count() == 1L)
+    // widen the underlying SELECT * by adding a column: arity drift
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN extra STRING")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.w").collect()
+    }
+    assert(e.getMessage.contains("CREATE OR REPLACE"), e.getMessage)
+    // re-bind picks up the new shape
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.w AS SELECT * FROM $cat.t")
+    assert(spark.sql(s"SELECT * FROM $cat.w").columns.toSeq ==
+      Seq("k", "v", "extra"))
+  }
+
+  test("views over views compose; a recursive definition is loud; table-name collisions refused") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2), (3), (4)")
+    spark.sql(s"CREATE VIEW $cat.evens AS " +
+      s"SELECT k FROM $cat.t WHERE k % 2 = 0")
+    spark.sql(s"CREATE VIEW $cat.big_evens AS " +
+      s"SELECT k FROM $cat.evens WHERE k > 2")
+    assert(spark.sql(s"SELECT k FROM $cat.big_evens")
+      .as[Long].collect().toSeq == Seq(4L))
+    // recursion: re-bind evens to read big_evens -> cycle, loud
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.evens AS " +
+      s"SELECT k FROM $cat.big_evens")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.evens").collect()
+    }
+    assert(e.getMessage.contains("recursive"), e.getMessage)
+    // a view may not shadow an existing table
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE VIEW $cat.t AS SELECT 1 AS one")
+    }
+    assert(e2.getMessage.toLowerCase.contains("already exists"),
+      e2.getMessage)
+  }
+
+  test("outer filters and projections push into the view's inner scans") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'EU' FROM range(1, 100)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'US' FROM range(100, 200)")
+    spark.sql(s"CREATE VIEW $cat.w AS SELECT k, region FROM $cat.t")
+    // the outer equality lands on the inner frame, where the
+    // versioned scan partition-prunes — real skipped IO through the
+    // view boundary
+    val n = spark.sql(s"SELECT count(*) FROM $cat.w " +
+      "WHERE region = 'US'").head.getLong(0)
+    assert(n == 100L)
+    val (accPath, read, tot) = GraftCatalog.lastVersionedScan.get()
+    assert(accPath == s"$wh/t" && read < tot,
+      s"expected partition pruning through the view, " +
+        s"read $read of $tot at $accPath")
+  }
+}
