@@ -10584,17 +10584,33 @@ object SparkEntry {
   }
 
   /** Blocked levenshtein ≤ 2 duplicate pairs over part names —
-    * shared by the pair row and the clustering row. */
+    * shared by the pair row and the clustering row.
+    *
+    * The block key carries an EXACT length band on top of
+    * (size, first-word): |len(a)−len(b)| ≤ 2 is a NECESSARY condition
+    * for lev ≤ 2, so banding `floor(len/3)` — with ±1 neighbor
+    * replication on ONE side, so every qualifying pair meets in
+    * exactly one band — moves that condition from a post-join filter
+    * INTO the equi-join key. Candidate generation then scales with
+    * Σ(per-length-band block sizes)² instead of Σ(block sizes)²: the
+    * r15 10× probe measured this row 16.2× superlinear because hot
+    * (size, first-word) blocks grow linearly with the corpus and the
+    * kernel is block-quadratic — the length band divides each hot
+    * block by its length spread before any levenshtein runs. Lossless
+    * by construction (unlike a MinHash band, which would drop true
+    * pairs and break the exact oracle); the 10k block guard stays. */
   private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
     val a = fuzzyBlocked(s, dir).toDF("id_a", "name_a", "size_a", "blk_a")
+      .withColumn("lb", floor(length(col("name_a")) / 3))
     val b = fuzzyBlocked(s, dir).toDF("id_b", "name_b", "size_b", "blk_b")
-    // |len(a)−len(b)| ≤ 2 is a necessary condition for lev ≤ 2 and
-    // costs a subtraction per candidate; the thresholded levenshtein
-    // runs the banded O(n·k) algorithm and bails at -1 past the bound
-    // instead of filling the full O(n·m) matrix — together they cut
-    // the block-quadratic kernel's constant, which IS this query's
-    // cost at scale.
-    a.join(b, col("size_a") === col("size_b") &&
+      .withColumn("lb", explode(array((-1 to 1).map(d =>
+        floor(length(col("name_b")) / 3) + d): _*)))
+    // the thresholded levenshtein runs the banded O(n·k) algorithm
+    // and bails at -1 past the bound instead of filling the full
+    // O(n·m) matrix; the residual |len| filter tightens the band's
+    // relaxation before the kernel
+    a.join(b, a("lb") === b("lb") &&
+        col("size_a") === col("size_b") &&
         col("blk_a") === col("blk_b") && col("id_a") < col("id_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= 2)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))

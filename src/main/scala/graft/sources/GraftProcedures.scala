@@ -188,6 +188,42 @@ object GraftProcedures {
         outRow(StructType(Seq(
           StructField("n_dirs_indexed", IntegerType))), Seq(n))
       }),
+    Proc("detail",
+      "DESCRIBE DETAIL for the format: one row of head-snapshot " +
+        "accounting — version, data/dv dir counts, file count and " +
+        "bytes (distributed listing), constraints, the PARTITIONED " +
+        "BY policy, and the per-dir partition spec count — the " +
+        "operator's is-it-fragmented / is-it-masked / what-layout " +
+        "view in one CALL",
+      Seq(in("table", StringType)),
+      (spark, path, input) => {
+        val p = path(str(input, 0))
+        val head = Versioned.latestVersion(p)
+        require(head >= 0, s"CALL detail: no committed version at $p")
+        val files = Versioned.filesDetail(spark, p)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum("size_bytes"))
+          .collect()(0) // 1-row aggregate of the distributed listing
+        outRow(StructType(Seq(
+          StructField("version", IntegerType),
+          StructField("n_data_dirs", IntegerType),
+          StructField("n_dv_dirs", IntegerType),
+          StructField("n_files", LongType),
+          StructField("size_bytes", LongType),
+          StructField("n_constraints", IntegerType),
+          StructField("partitioning", StringType),
+          StructField("n_spec_dirs", IntegerType))),
+          Seq[Any](head,
+            Versioned.dataDirIds(p, head).size,
+            Versioned.dvDirIds(p, head).size,
+            files.getLong(0),
+            if (files.isNullAt(1)) 0L else files.getLong(1),
+            Versioned.constraints(p).size,
+            UTF8String.fromString(
+              Versioned.tableProps(p).getOrElse("partCol", "")),
+            Versioned.partSpecIds(p, head).size))
+      }),
     Proc("bloom_index",
       "build the per-file bloom sidecar for an equality key over the " +
         "head's data dirs IN PLACE — point lookups skip files that " +

@@ -1377,6 +1377,24 @@ class GraftSqlDmlSpec extends SparkSpec {
       s"wrong error: ${err.getMessage}")
   }
 
+  test("CALL system.detail: one-row head accounting (DESCRIBE DETAIL)") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'EU' FROM range(1, 11)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'US' FROM range(11, 21)")
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 5")
+    val d = spark.sql(s"CALL $cat.system.detail(`table` => 't')")
+      .collect().head
+    assert(d.getInt(0) == 3, s"head version: $d") // v0..v3
+    assert(d.getInt(1) == 3, s"data dirs (v0 + two inserts): $d")
+    assert(d.getInt(2) == 1, s"one dv dir: $d")
+    assert(d.getLong(3) > 0L && d.getLong(4) > 0L, s"files/bytes: $d")
+    assert(d.getString(6) == "region", s"policy: $d")
+    assert(d.getInt(7) == 2, s"two spec'd dirs: $d")
+  }
+
   test("UPDATE SET meta.flag: nested assignment rebuilds the struct, other fields untouched") {
     val wh = freshWarehouse()
     val cat = freshCat(wh)
