@@ -394,12 +394,13 @@ class GraftSqlDmlSpec extends SparkSpec {
     val eNn = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.ctas ADD COLUMNS (q INT NOT NULL)") }
     assert(eNn.getMessage.contains("NOT NULL"))
-    // non-identity partition transforms rejected loudly (identity
-    // PARTITIONED BY is first-class — its own test below)
+    // unsupported partition transforms rejected loudly (identity,
+    // time transforms, and bucket(n) are first-class — own tests)
     val ePart = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.p (k INT, d STRING) " +
-        "PARTITIONED BY (bucket(4, k))") }
-    assert(ePart.getMessage.contains("identity"))
+        "PARTITIONED BY (truncate(4, d))") }
+    assert(ePart.getMessage.contains("not supported"),
+      ePart.getMessage)
   }
 
   test("CREATE TABLE … PARTITIONED BY: inserts land hive-laid-out, SQL reads partition-prune") {
@@ -440,11 +441,11 @@ class GraftSqlDmlSpec extends SparkSpec {
       .contains("grp"))
     assert(Versioned.partSpecIds(s"$wh/p2",
       Versioned.latestVersion(s"$wh/p2")).values.toSet == Set("grp"))
-    // multi-column identity specs are supported since r15 (see the
-    // dedicated multi-identity test); non-time transforms stay loud
+    // multi-column identity specs are supported since r15, bucket(n)
+    // since r16 (dedicated tests); other transforms stay loud
     val e = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.bad (k BIGINT, g STRING) " +
-        "PARTITIONED BY (bucket(8, g))") }
+        "PARTITIONED BY (truncate(8, g))") }
     assert(e.getMessage.contains("not supported"))
   }
 
@@ -1368,10 +1369,10 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(accPath == path && read < tot,
       s"nested identity prune did not skip ($accPath $read/$tot)")
     assert(got == (1L to 40L).filter(_ % 4 == 2).toSet)
-    // transforms that are not time units stay loud
+    // transforms outside identity/time/bucket stay loud
     val err = intercept[Exception] {
-      spark.sql(s"""CREATE TABLE $cat.tb (k BIGINT)
-        PARTITIONED BY (bucket(4, k))""")
+      spark.sql(s"""CREATE TABLE $cat.tb (k BIGINT, d STRING)
+        PARTITIONED BY (truncate(4, d))""")
     }
     assert(err.getMessage.contains("not supported"),
       s"wrong error: ${err.getMessage}")
