@@ -84,10 +84,17 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * column via withField, so the merge-on-read primitives see a plain
   * whole-column update — masks, feed, and constraints unchanged.
   *
+  * NON-EQUALITY correlations (outer ranges, inequalities) ride the
+  * bounded chains too: mixed conjuncts substitute each collected
+  * inner tuple's values (COALESCE-false wrapped — a NULL evaluation
+  * witnesses nothing), so `EXISTS (… WHERE s.th < t.v)` and
+  * range-correlated IN work everywhere the chain does. Only the
+  * UNBOUNDED semi-join path is equality-only (a range cannot
+  * equi-join); past [[MaxInChainKeys]] tuples the chain is loud.
+  *
   * Loud, documented limits (each throws with the workaround named):
-  * non-equality correlation conjuncts (outer ranges), CORRELATED
-  * scalar subqueries in assignments, clause-context correlated/
-  * multi-column IN past [[MaxInChainKeys]] tuples (expression-size
+  * CORRELATED scalar subqueries in assignments, chain-context
+  * subqueries past [[MaxInChainKeys]] tuples (expression-size
   * bound — a set that big is a join), MERGE conditions that are not
   * (target-column = source-expression) equalities plus source-only
   * prefilters, MERGE clauses that reassign an ON key column (or a
@@ -228,13 +235,17 @@ object GraftSqlDml extends PredicateHelper {
     }
 
   /** Classify correlation conjuncts against inner plan `base`:
-    * (outer-expression, inner-expression) equality pairs + inner-only
-    * predicates; anything else (outer ranges, outer-only predicates)
-    * is loudly unsupported. Shared by the EXISTS rewrite and the
-    * DELETE semi-join fallback. */
+    * (outer-expression, inner-expression) equality pairs, inner-only
+    * predicates, and — when `allowMixed` — MIXED conjuncts (any
+    * shape referencing both sides: outer ranges, inequalities;
+    * OuterReferences stripped so outer attrs appear bare). Mixed
+    * conjuncts can only ride the BOUNDED chain rewrites (per-tuple
+    * literal substitution), never the unbounded semi-join, so the
+    * strict call sites keep them loud. */
   private def classifyCorrelation(conjuncts: Seq[Expression],
-      base: LogicalPlan, what: String)
-      : (Seq[(Expression, Expression)], Seq[Expression]) = {
+      base: LogicalPlan, what: String, allowMixed: Boolean = false)
+      : (Seq[(Expression, Expression)], Seq[Expression],
+        Seq[Expression]) = {
     val baseOut = base.outputSet
     def hasOuter(x: Expression): Boolean =
       x.exists(_.isInstanceOf[OuterReference]) ||
@@ -244,17 +255,21 @@ object GraftSqlDml extends PredicateHelper {
     val outerEqs =
       scala.collection.mutable.ArrayBuffer.empty[(Expression, Expression)]
     val innerOnly = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val mixed = scala.collection.mutable.ArrayBuffer.empty[Expression]
     conjuncts.foreach {
       case EqualTo(l, r) if hasOuter(l) && !hasOuter(r) =>
         outerEqs += ((stripOuterRef(l), r))
       case EqualTo(l, r) if hasOuter(r) && !hasOuter(l) =>
         outerEqs += ((stripOuterRef(r), l))
       case p if !hasOuter(p) => innerOnly += p
+      case p if allowMixed => mixed += stripOuterRef(p)
       case p => unsupported(s"$what correlation conjunct `${p.sql}`",
-        "supported correlations are conjuncts of outer-column = " +
-          "inner-expression equalities plus inner-only predicates")
+        "this position supports conjuncts of outer-column = " +
+          "inner-expression equalities plus inner-only predicates " +
+          "(non-equality correlations ride the bounded clause-context " +
+          "rewrites only)")
     }
-    (outerEqs.toSeq, innerOnly.toSeq)
+    (outerEqs.toSeq, innerOnly.toSeq, mixed.toSeq)
   }
 
   /** Decompose a CORRELATED EXISTS into its outer=inner equality
@@ -263,7 +278,7 @@ object GraftSqlDml extends PredicateHelper {
     * shapes). EXISTS ignores the subquery's projection, so Projects
     * peel off. */
   private def existsEqs(ex: Exists, what: String)
-      : (Seq[(Expression, Expression)], LogicalPlan) = {
+      : (Seq[(Expression, Expression)], Seq[Expression], LogicalPlan) = {
     def peelP(p: LogicalPlan): LogicalPlan = p match {
       case Project(_, child) => peelP(child)
       case SubqueryAlias(_, child) => peelP(child)
@@ -276,11 +291,28 @@ object GraftSqlDml extends PredicateHelper {
           (splitConjunctivePredicates(cond), child)
         case other => (Seq.empty[Expression], other)
       }
-    val (eqs, innerOnly) =
-      classifyCorrelation(conjuncts, base, s"$what EXISTS")
-    (eqs, if (innerOnly.isEmpty) base
+    val (eqs, innerOnly, mixed) = classifyCorrelation(conjuncts, base,
+      s"$what EXISTS", allowMixed = true)
+    (eqs, mixed, if (innerOnly.isEmpty) base
       else Filter(innerOnly.reduce(And), base))
   }
+
+  /** Per-tuple LITERAL SUBSTITUTION of a mixed correlation conjunct:
+    * inner attribute references (resolved against `cols`' positions)
+    * become the collected row's values, outer references stay
+    * symbolic, and the whole conjunct wraps in COALESCE(…, false) —
+    * a subquery row enters the set iff its condition is TRUE, so a
+    * NULL evaluation must contribute nothing, exactly like a
+    * non-matching row. */
+  private def substMixed(m: Expression,
+      colIdx: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int],
+      r: org.apache.spark.sql.Row,
+      types: Seq[org.apache.spark.sql.types.DataType]): Expression =
+    Coalesce(Seq(m.transform {
+      case a: AttributeReference if colIdx.contains(a.exprId) =>
+        val i = colIdx(a.exprId)
+        Literal.create(r.get(i), types(i))
+    }, Literal.FalseLiteral))
 
   /** Decompose a (possibly correlated, possibly multi-column)
     * `values IN (subquery)` into its correlation equality pairs, the
@@ -293,21 +325,22 @@ object GraftSqlDml extends PredicateHelper {
     * shape is not the analyzer's Project-over-optional-Filter (or
     * the pulled-up joinCond form). */
   private def inParts(values: Seq[Expression], lq: ListQuery,
-      what: String): Option[(Seq[(Expression, Expression)],
+      what: String, allowMixed: Boolean = false)
+      : Option[(Seq[(Expression, Expression)], Seq[Expression],
         Seq[Expression], LogicalPlan)] = {
     def peelA(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, child) => peelA(child)
       case other => other
     }
     if (lq.joinCond.nonEmpty) {
-      val (eqs, innerOnly) =
-        classifyCorrelation(lq.joinCond, lq.plan, s"$what IN")
+      val (eqs, innerOnly, mixed) = classifyCorrelation(lq.joinCond,
+        lq.plan, s"$what IN", allowMixed)
       val base = if (innerOnly.isEmpty) lq.plan
         else Filter(innerOnly.reduce(And), lq.plan)
       // the pulled-up plan's output lists the VALUE columns first,
       // then any appended correlation columns — take the value prefix
       if (lq.plan.output.size < values.size) None
-      else Some((eqs,
+      else Some((eqs, mixed,
         lq.plan.output.take(values.size).toIndexedSeq, base))
     } else peelA(lq.plan) match {
       case Project(projList, child) if projList.size == values.size =>
@@ -315,20 +348,20 @@ object GraftSqlDml extends PredicateHelper {
           case Filter(c, b) => (splitConjunctivePredicates(c), b)
           case other => (Seq.empty[Expression], other)
         }
-        val (eqs, innerOnly) =
-          classifyCorrelation(cond, base, s"$what IN")
+        val (eqs, innerOnly, mixed) =
+          classifyCorrelation(cond, base, s"$what IN", allowMixed)
         val filtered = if (innerOnly.isEmpty) base
           else Filter(innerOnly.reduce(And), base)
         val valueExprs = projList.toIndexedSeq.map {
           case a: Alias => a.child
           case e => e
         }
-        Some((eqs, valueExprs, filtered))
+        Some((eqs, mixed, valueExprs, filtered))
       case p if lq.outerAttrs.isEmpty && lq.joinCond.isEmpty &&
           p.output.size == values.size =>
         // uncorrelated multi-column IN over a non-Project shape
         // (aggregate, distinct, union): the outputs ARE the values
-        Some((Seq.empty, p.output.toIndexedSeq, p))
+        Some((Seq.empty, Seq.empty, p.output.toIndexedSeq, p))
       case _ => None
     }
   }
@@ -358,17 +391,26 @@ object GraftSqlDml extends PredicateHelper {
     * nothing. An empty set is FALSE even for a NULL probe. */
   private def inChainOf(spark: SparkSession, values: Seq[Expression],
       lq: ListQuery, what: String): Expression = {
-    val (corrEqs, valueExprs, base) = inParts(values, lq, what)
-      .getOrElse(unsupported(
-        s"$what with this correlated IN subquery plan shape",
-        "supported shapes are SELECT <exprs> FROM … WHERE <outer = " +
-          "inner equalities AND inner-only predicates>; materialize " +
-          "the subquery and MERGE against it otherwise"))
-    val cols = valueExprs ++ corrEqs.map(_._2)
+    val (corrEqs, mixed, valueExprs, base) =
+      inParts(values, lq, what, allowMixed = true).getOrElse(
+        unsupported(
+          s"$what with this correlated IN subquery plan shape",
+          "supported shapes are SELECT <exprs> FROM … WHERE " +
+            "<correlated conjuncts AND inner-only predicates>; " +
+            "materialize the subquery and MERGE against it otherwise"))
+    // the collected tuple: value exprs, equality-correlation inner
+    // exprs, then every inner column a MIXED conjunct references
+    val baseOut = base.outputSet
+    val mixedRefs = mixed.flatMap(_.references.toSeq)
+      .filter(baseOut.contains).distinct
+    val cols = valueExprs ++ corrEqs.map(_._2) ++ mixedRefs
     val proj = Project(cols.zipWithIndex.map { case (e, i) =>
       Alias(e, s"__graft_c$i")() }.toSeq, base)
     var df = GraftBridge.ofRows(spark, proj).distinct()
-    (values.size until cols.size).foreach(i =>
+    // null EQUALITY-correlation keys can never witness: drop them
+    // inner-side (mixed-conjunct refs stay — their NULL evaluation
+    // is handled by the per-term COALESCE)
+    (values.size until values.size + corrEqs.size).foreach(i =>
       df = df.filter(col(s"__graft_c$i").isNotNull))
     val rows = df.limit(MaxInChainKeys + 1).collect()
     if (rows.length > MaxInChainKeys) unsupported(
@@ -378,6 +420,8 @@ object GraftSqlDml extends PredicateHelper {
         "large is a join — materialize the subquery as a table and " +
         "MERGE (or anti-join + overwrite) against it")
     val types = proj.output.map(_.dataType)
+    val refIdx = mixedRefs.zipWithIndex.map { case (a, j) =>
+      a.exprId -> (values.size + corrEqs.size + j) }.toMap
     val terms = rows.toIndexedSeq.map { r =>
       val valueEqs = values.zipWithIndex.map { case (v, i) =>
         EqualTo(v, Literal.create(r.get(i), types(i)))
@@ -387,7 +431,8 @@ object GraftSqlDml extends PredicateHelper {
         org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
           outer, Literal.create(r.get(i), types(i))): Expression
       }
-      (valueEqs ++ corrSafe).reduce(And)
+      val mixedSubst = mixed.map(m => substMixed(m, refIdx, r, types))
+      (valueEqs ++ corrSafe ++ mixedSubst).reduce(And)
     }
     terms.reduceOption(org.apache.spark.sql.catalyst.expressions
       .Or(_, _)).getOrElse(Literal.FalseLiteral)
@@ -411,12 +456,20 @@ object GraftSqlDml extends PredicateHelper {
     if (ex.outerAttrs.isEmpty && ex.joinCond.isEmpty)
       return Literal(
         GraftBridge.ofRows(spark, ex.plan).limit(1).count() > 0L)
-    val (outerEqs, filtered) = existsEqs(ex, what)
-    if (outerEqs.isEmpty)
-      unsupported(s"$what EXISTS with no outer-equality correlation",
-        "supported correlations are conjuncts of outer = inner " +
-          "equalities plus inner-only predicates — materialize the " +
-          "subquery and MERGE against it otherwise")
+    val (outerEqs, mixed, filtered) = existsEqs(ex, what)
+    if (outerEqs.isEmpty && mixed.isEmpty)
+      unsupported(s"$what EXISTS with no correlated conjunct",
+        "supported correlations are conjuncts over outer and inner " +
+          "columns — materialize the subquery and MERGE against it " +
+          "otherwise")
+    if (mixed.nonEmpty)
+      // NON-EQUALITY correlations (outer ranges, inequalities): the
+      // bounded chain — distinct inner tuples collect (capped), each
+      // conjunct substitutes the tuple's values (COALESCE-false
+      // wrapped: a NULL evaluation witnesses nothing, like a
+      // non-matching row), EXISTS = OR over tuples. Equality
+      // conjuncts ride the same terms as coalesce(=), exact.
+      return existsChainOf(spark, outerEqs, mixed, filtered, what)
     if (outerEqs.size == 1) {
       val proj = Project(Seq(Alias(outerEqs.head._2, "__graft_in")()),
         filtered)
@@ -450,6 +503,46 @@ object GraftSqlDml extends PredicateHelper {
       else Coalesce(Seq(In(probe, rows.toIndexedSeq.map(r =>
         Literal.create(r, structType))), Literal.FalseLiteral))
     } finally { df.unpersist(): Unit }
+  }
+
+  /** The bounded EXISTS chain for correlations carrying MIXED
+    * (non-equality) conjuncts: distinct (eq-inner…, mixed-ref…)
+    * tuples collect under [[MaxInChainKeys]] (loud past it), and
+    * EXISTS becomes OR over tuples of
+    * `AND(coalesce(outer = eqLit, false)…, coalesce(mixed[refs→lits],
+    * false)…)` — every term is two-valued (COALESCE), a NULL outer
+    * or a NULL-evaluating conjunct witnesses nothing, exactly the
+    * EXISTS answer. */
+  private def existsChainOf(spark: SparkSession,
+      outerEqs: Seq[(Expression, Expression)], mixed: Seq[Expression],
+      base: LogicalPlan, what: String): Expression = {
+    val baseOut = base.outputSet
+    val mixedRefs = mixed.flatMap(_.references.toSeq)
+      .filter(baseOut.contains).distinct
+    val cols: Seq[Expression] = outerEqs.map(_._2) ++ mixedRefs
+    val proj = Project(cols.zipWithIndex.map { case (e, i) =>
+      Alias(e, s"__graft_e$i")() }.toSeq, base)
+    val rows = GraftBridge.ofRows(spark, proj).distinct()
+      .limit(MaxInChainKeys + 1).collect()
+    if (rows.length > MaxInChainKeys) unsupported(
+      s"$what EXISTS subquery with more than $MaxInChainKeys " +
+        "distinct correlated tuples",
+      "the rewrite builds a literal predicate per tuple; a set this " +
+        "large is a join — materialize the subquery as a table and " +
+        "MERGE (or anti-join + overwrite) against it")
+    val types = proj.output.map(_.dataType)
+    val refIdx = mixedRefs.zipWithIndex.map { case (a, j) =>
+      a.exprId -> (outerEqs.size + j) }.toMap
+    val terms = rows.toIndexedSeq.map { r =>
+      val eqTerms = outerEqs.zipWithIndex.map { case ((outer, _), i) =>
+        Coalesce(Seq(EqualTo(outer, Literal.create(r.get(i), types(i))),
+          Literal.FalseLiteral)): Expression
+      }
+      val mixedSubst = mixed.map(m => substMixed(m, refIdx, r, types))
+      (eqTerms ++ mixedSubst).reduce(And)
+    }
+    terms.reduceOption(org.apache.spark.sql.catalyst.expressions
+      .Or(_, _)).getOrElse(Literal.FalseLiteral)
   }
 
   /** Resolved single-relation expression → a Column that re-resolves
@@ -581,22 +674,26 @@ object GraftSqlDml extends PredicateHelper {
         // conjunct, IN TRUE ⟺ EXISTS of the conjoined equalities
         // (value columns AND correlations — NULL and FALSE both keep
         // the row), so the whole shape rides ONE distributed
-        // semi-join, unbounded
-        inParts(values, lq, what) match {
-          case Some((corrEqs, valueExprs, base)) =>
+        // semi-join, unbounded; MIXED (non-equality) correlations
+        // cannot join and fall to the bounded chain
+        inParts(values, lq, what, allowMixed = true) match {
+          case Some((corrEqs, Seq(), valueExprs, base)) =>
             val eqs = values.zip(valueExprs) ++ corrEqs
             semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
             Literal.TrueLiteral
-          case None => // unrecognized plan shape: the bounded chain
+          case _ => // mixed conjuncts / unrecognized: bounded chain
             rewritePredicateSubqueries(sp, in, what)
         }
       case ex: Exists
           if semiJoin.isEmpty &&
             (ex.outerAttrs.nonEmpty || ex.joinCond.nonEmpty) =>
         existsEqs(ex, what) match {
-          case (Seq(), _) => // no equality correlations: loud path
+          case (_, mixed, _) if mixed.nonEmpty =>
+            // non-equality correlations: the bounded chain
             rewritePredicateSubqueries(sp, ex, what)
-          case (Seq(eq), base) =>
+          case (Seq(), _, _) => // no correlations recognized: loud
+            rewritePredicateSubqueries(sp, ex, what)
+          case (Seq(eq), _, base) =>
             // one equality: bounded IN first, join past the cap
             inSetOrKeys(sp, eq._1, Project(
               Seq(Alias(eq._2, "__graft_in")()), base)) match {
@@ -606,7 +703,7 @@ object GraftSqlDml extends PredicateHelper {
                 semiJoin = Some((Seq(eq._1), keys))
                 Literal.TrueLiteral
             }
-          case (eqs, base) =>
+          case (eqs, _, base) =>
             semiJoin = Some((eqs.map(_._1), keysFrame(eqs, base)))
             Literal.TrueLiteral
         }

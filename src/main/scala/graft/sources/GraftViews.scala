@@ -112,6 +112,75 @@ class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
                   throw new NoSuchViewException(ident)
               })
         }
+      // ALTER VIEW g.v AS <query> — re-bind in place (the analyzer's
+      // session-catalog AlterViewAsCommand never fires for v2
+      // targets; same blanket rejection as CreateView)
+      case av @ org.apache.spark.sql.catalyst.plans.logical
+          .AlterViewAs(org.apache.spark.sql.catalyst.analysis
+            .UnresolvedView(nameParts, _, _, _), originalText, query) =>
+        graftTarget(nameParts) match {
+          case None => av
+          case Some((cat, ident)) =>
+            GraftViewDdl(s"GraftAlterViewAs ${nameParts.mkString(".")}",
+              sp => {
+                if (!cat.viewExists(ident))
+                  throw new NoSuchViewException(ident)
+                val analyzed = GraftBridge.ofRows(sp, query)
+                val cm = sp.sessionState.catalogManager
+                cat.replaceView(new ViewInfo(ident, originalText,
+                  cm.currentCatalog.name, cm.currentNamespace,
+                  analyzed.schema, analyzed.schema.fieldNames,
+                  Array.empty[String], Array.empty[String],
+                  java.util.Collections.emptyMap[String, String]()),
+                  orCreate = false): Unit
+              })
+        }
+      // SHOW VIEWS [IN g[.ns]] [LIKE 'pattern'] — listed straight
+      // from the warehouse metadata at ANALYSIS time (a dir listing,
+      // metadata-cheap) into a LocalRelation carrying the statement's
+      // own output attributes
+      case sv @ org.apache.spark.sql.catalyst.plans.logical.ShowViews(
+          ns, pattern, output) =>
+        val target: Option[(GraftCatalog, Array[String])] = ns match {
+          case org.apache.spark.sql.catalyst.analysis
+              .UnresolvedNamespace(nameParts, _) if nameParts.nonEmpty =>
+            val cm = spark.sessionState.catalogManager
+            (try cm.catalog(nameParts.head) match {
+              case g: GraftCatalog => Some(g)
+              case _ => None
+            } catch { case _: Exception => None })
+              .map(g => (g, nameParts.tail.toArray))
+          case org.apache.spark.sql.catalyst.analysis
+                .CurrentNamespace |
+              org.apache.spark.sql.catalyst.analysis
+                .UnresolvedNamespace(Seq(), _) =>
+            val cm = spark.sessionState.catalogManager
+            cm.currentCatalog match {
+              case g: GraftCatalog => Some((g, cm.currentNamespace))
+              case _ => None
+            }
+          case _ => None
+        }
+        target match {
+          case None => sv
+          case Some((cat, ns2)) =>
+            val names = cat.listViews(ns2.toIndexedSeq: _*)
+              .map(_.name()).toIndexedSeq
+            val kept = pattern match {
+              case Some(p) => org.apache.spark.sql.catalyst.util
+                .StringUtils.filterPattern(names, p)
+              case None => names
+            }
+            val nsStr = ns2.mkString(".")
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+              output.map(_.asInstanceOf[org.apache.spark.sql.catalyst
+                .expressions.AttributeReference]),
+              kept.map(n => org.apache.spark.sql.catalyst.InternalRow(
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(nsStr),
+                org.apache.spark.unsafe.types.UTF8String.fromString(n),
+                false)))
+        }
     }
 }
 

@@ -269,12 +269,12 @@ class GraftSqlDmlSpec extends SparkSpec {
       s"(SELECT 1 FROM $cat.flagged)")
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t3")
       .head.getLong(0) == 0L)
-    // unsupported correlation shapes stay loud
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.t WHERE EXISTS " +
-        s"(SELECT 1 FROM $cat.flagged f WHERE f.id > k)") }
-    assert(e.getMessage.contains("EXISTS"),
-      s"wrong error: ${e.getMessage}")
+    // pure range correlation rides the bounded chain (pre-r16 loud):
+    // ids {2,4} — k<4 rows see a larger id and die, k>=5 survive
+    spark.sql(s"DELETE FROM $cat.t WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.flagged f WHERE f.id > k)")
+    assert(spark.sql(s"SELECT k FROM $cat.t ORDER BY k")
+      .as[Long].collect().toSeq == (5L to 10L))
   }
 
   test("MERGE ON-key reassignment is refused loudly; key-preserving shapes pass") {
@@ -1125,16 +1125,49 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
       .as[(Long, Long)].collect().toSeq ==
       Seq((1L, 0L), (2L, -1L), (3L, 30L), (4L, 4000L)))
-    // non-equality correlations (outer ranges) stay a documented
-    // loud limit
-    val e = intercept[Exception] {
-      spark.sql(s"""MERGE INTO $cat.t t USING (SELECT 1L AS k) s
-        ON t.k = s.k
-        WHEN MATCHED AND t.v IN (SELECT hot FROM $cat.hot
-            WHERE hot > t.k)
-          THEN UPDATE SET v = 1L""")
-    }
-    assert(e.getMessage.contains("correlation conjunct"), e.getMessage)
+    // NON-EQUALITY correlation (outer range) in a clause condition:
+    // the mixed-conjunct chain substitutes the collected tuples —
+    // k=4's v=4000 is in {hot*100 : hot > 4} = {2000, 4000}; k=1's
+    // v=0 is not (pre-r16 this was loud)
+    spark.sql(s"""MERGE INTO $cat.t t
+      USING (SELECT * FROM VALUES (1L), (4L) AS s(k)) s
+      ON t.k = s.k
+      WHEN MATCHED AND t.v IN (SELECT hot * 100 FROM $cat.hot
+          WHERE hot > t.k)
+        THEN UPDATE SET v = -9L""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L), (2L, -1L), (3L, 30L), (4L, -9L)))
+  }
+
+  test("range-correlated EXISTS in DML WHERE rides the bounded chain") {
+    val wh = freshWarehouse()
+    Versioned.commit(Seq((1L, 10L), (2L, 25L), (3L, 50L))
+      .toDF("k", "v"), s"$wh/t", overwrite = false)
+    // thresholds: a row dies when some threshold row with th < v and
+    // matching grp... use a pure range correlation plus an inner-only
+    Versioned.commit(Seq((Some(30L), "live"), (None, "live"),
+      (Some(100L), "dead")).toDF("th", "st"), s"$wh/s",
+      overwrite = false)
+    val cat = freshCat(wh)
+    // EXISTS with NO equality correlation, one outer range: delete
+    // rows with some live threshold BELOW v (th=30 < 50 only; the
+    // NULL threshold witnesses nothing, 'dead' is inner-only-filtered)
+    spark.sql(s"""DELETE FROM $cat.t WHERE EXISTS (
+        SELECT 1 FROM $cat.s s WHERE s.th < t.v AND s.st = 'live')""")
+    assert(spark.sql(s"SELECT k FROM $cat.t ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // mixed + equality in one EXISTS: outer = inner equality AND an
+    // outer range — only k=1 has grp 'a' with lo < 15
+    Versioned.commit(Seq((10L, "a", 1L), (20L, "a", 2L), (5L, "b", 3L))
+      .toDF("w", "grp", "kk"), s"$wh/t2", overwrite = false)
+    Versioned.commit(Seq(("a", 15L), ("b", 3L)).toDF("g", "lo"),
+      s"$wh/aux2", overwrite = false)
+    spark.sql(s"""DELETE FROM $cat.t2 WHERE EXISTS (
+        SELECT 1 FROM $cat.aux2 x WHERE x.g = t2.grp AND x.lo > t2.w)""")
+    // (10,a): lo=15 > 10 -> dies; (20,a): 15 > 20 false; (5,b): 3 > 5 false
+    assert(spark.sql(s"SELECT kk FROM $cat.t2 ORDER BY kk")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
   }
 
   test("MERGE clause conditions: composite-key EXISTS (2 equalities) and multi-column IN") {

@@ -127,6 +127,32 @@ class GraftViewSpec extends SparkSpec {
       e2.getMessage)
   }
 
+  test("SHOW VIEWS lists warehouse views; LIKE filters; ALTER VIEW AS re-binds") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2), (3)")
+    spark.sql(s"CREATE VIEW $cat.alpha AS SELECT k FROM $cat.t")
+    spark.sql(s"CREATE VIEW $cat.beta AS SELECT k * 2 AS k2 FROM $cat.t")
+    assert(spark.sql(s"SHOW VIEWS IN $cat")
+      .select("viewName").as[String].collect().toSeq ==
+      Seq("alpha", "beta"))
+    assert(spark.sql(s"SHOW VIEWS IN $cat LIKE 'al*'")
+      .select("viewName").as[String].collect().toSeq == Seq("alpha"))
+    // ALTER VIEW ... AS re-binds in place (exists-checked)
+    spark.sql(s"ALTER VIEW $cat.alpha AS SELECT k + 100 AS k FROM $cat.t")
+    assert(spark.sql(s"SELECT min(k) FROM $cat.alpha")
+      .head.getLong(0) == 101L)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER VIEW $cat.nope AS SELECT 1 AS one")
+    }
+    assert(e.getMessage.toLowerCase.contains("view"), e.getMessage)
+    // DROP then SHOW reflects it
+    spark.sql(s"DROP VIEW $cat.alpha")
+    assert(spark.sql(s"SHOW VIEWS IN $cat")
+      .select("viewName").as[String].collect().toSeq == Seq("beta"))
+  }
+
   test("outer filters and projections push into the view's inner scans") {
     val wh = freshWarehouse()
     val cat = freshCat(wh)
