@@ -53,10 +53,15 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * guarded metadata commit — null-filled history, fresh physical
   * names, off-ladder drift loud) before the merge resolves.
   *
-  * UNCORRELATED scalar subqueries are supported in DELETE/UPDATE
-  * WHERE, in UPDATE SET values, and in MERGE assignment values —
-  * the subplan executes once (distributed) and its single value
-  * lands as a literal, loud past one row.
+  * Scalar subqueries are supported in DELETE/UPDATE WHERE, in UPDATE
+  * SET values, and in MERGE assignment values: UNCORRELATED ones
+  * execute once (distributed) and land as a literal (loud past one
+  * row); CORRELATED aggregate-shaped ones (`SET v = (SELECT max(x)
+  * FROM s WHERE s.k = t.k)`) decorrelate through [[scalarChainOf]] —
+  * the aggregate re-groups by the correlation keys, the per-key
+  * values become a bounded CASE chain, and the ELSE arm is the SAME
+  * aggregate over zero rows (NULL for max/sum but 0 for count — the
+  * classic count-bug — and the answer for NULL/unmatched keys).
   *
   * DELETE and UPDATE WHERE additionally carry a DISTRIBUTED
   * SEMI-JOIN fallback ([[Versioned.deleteWhereDVJoin]] /
@@ -93,7 +98,7 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * equi-join); past [[MaxInChainKeys]] tuples the chain is loud.
   *
   * Loud, documented limits (each throws with the workaround named):
-  * CORRELATED scalar subqueries in assignments, chain-context
+  * non-aggregate correlated scalar subqueries, chain-context
   * subqueries past [[MaxInChainKeys]] tuples (expression-size
   * bound — a set that big is a join), MERGE conditions that are not
   * (target-column = source-expression) equalities plus source-only
@@ -187,6 +192,137 @@ object GraftSqlDml extends PredicateHelper {
       if (rows.isEmpty || rows.head.isNullAt(0))
         Literal.create(null, s.dataType)
       else Literal.create(rows.head.get(0), s.dataType)
+    // CORRELATED scalar subquery (the groupwise lookup:
+    // `SET v = (SELECT max(x) FROM s WHERE s.k = t.k)`) → a bounded
+    // CASE chain over the per-key aggregates
+    case s: ScalarSubquery => scalarChainOf(spark, s, what)
+  }
+
+  /** Decorrelate an aggregate-shaped correlated scalar subquery into
+    * a bounded CASE chain: the subplan must be
+    * `Aggregate(global, [one agg], Filter(corr ∧ inner-only, base))`
+    * (optionally under aliases) with EQUALITY-only correlations. The
+    * aggregate re-groups BY the correlation keys and executes once
+    * (distributed); the distinct (key…, value) rows collect (capped
+    * by [[MaxInChainKeys]], loud past it, null-key groups dropped —
+    * an equality can never reach them) and the subquery becomes
+    *
+    *   CASE WHEN outer₁ <=> k₁ᵢ AND … THEN vᵢ … ELSE <empty-agg> END
+    *
+    * where `<empty-agg>` is the SAME aggregate evaluated over ZERO
+    * rows — the value the original subquery answers for an outer key
+    * matching nothing (NULL for max/sum, 0 for count — NOT simply
+    * NULL), and also what a NULL outer key answers (its equality
+    * matches nothing). Exact. */
+  private def scalarChainOf(spark: SparkSession, s: ScalarSubquery,
+      what: String): Expression = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
+    def peelA(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => peelA(child)
+      case other => other
+    }
+    // the PULLED-UP analyzer/optimizer shape: the subplan is already
+    // grouped by its correlation columns and joinCond carries the
+    // outer = inner-output equalities (plus possibly mixed
+    // conjuncts); output.head is the scalar value. The original
+    // IN-PLAN shape (OuterReferences inside a global aggregate's
+    // filter) re-groups first, then lands in the same tail.
+    val (plan, eqs, mixed, valueAgg, aggChild) =
+      if (s.joinCond.nonEmpty) {
+        val (eqs, innerOnly, mixed) = classifyCorrelation(s.joinCond,
+          s.plan, s"$what scalar subquery", allowMixed = true)
+        val base = if (innerOnly.isEmpty) s.plan
+          else Filter(innerOnly.reduce(And), s.plan)
+        peelA(s.plan) match {
+          case Aggregate(_, aggList, aggChild, _) =>
+            val va = aggList.collectFirst {
+              case ne if ne.exprId == s.plan.output.head.exprId => ne }
+            (base, eqs, mixed, va, Some(aggChild))
+          case _ => (base, eqs, mixed, None, None)
+        }
+      } else peelA(s.plan) match {
+        case Aggregate(Seq(), aggs, c, _) if aggs.sizeIs == 1 =>
+          val (conds, base) = peelA(c) match {
+            case Filter(cnd, b) => (splitConjunctivePredicates(cnd), b)
+            case other => (Seq.empty[Expression], other)
+          }
+          val (eqs, innerOnly, mixed) = classifyCorrelation(conds,
+            base, s"$what scalar subquery", allowMixed = true)
+          val filtered = if (innerOnly.isEmpty) base
+            else Filter(innerOnly.reduce(And), base)
+          val keyAliases = eqs.map(_._2).zipWithIndex.map {
+            case (e, i) => Alias(e, s"__graft_g$i")() }
+          val grouped = Aggregate(eqs.map(_._2),
+            (aggs ++ keyAliases).toSeq, filtered)
+          val eqs2 = eqs.zip(keyAliases).map { case ((outer, _), ka) =>
+            (outer, ka.toAttribute: Expression) }
+          (grouped: LogicalPlan, eqs2, mixed, aggs.headOption,
+            Some(filtered))
+        case other => unsupported(
+          s"$what with a correlated scalar subquery of shape " +
+            s"${other.nodeName}",
+          "supported: a single aggregate over correlated equality " +
+            "conjuncts — materialize the subquery as a keyed table " +
+            "and MERGE/join against it otherwise")
+      }
+    if (eqs.isEmpty) unsupported(
+      s"$what with a scalar subquery correlated only through " +
+        "non-equality conjuncts",
+      "a groupwise aggregate decorrelates over outer = inner " +
+        "equalities; materialize the subquery and join against it")
+    // collect the per-key rows: value, equality keys, mixed refs
+    val planOut = plan.outputSet
+    val mixedRefs = mixed.flatMap(_.references.toSeq)
+      .filter(planOut.contains).distinct
+    val valueExpr: Expression = plan.output.head
+    val cols: Seq[Expression] =
+      valueExpr +: (eqs.map(_._2) ++ mixedRefs)
+    val proj = Project(cols.zipWithIndex.map { case (e, i) =>
+      Alias(e, s"__graft_s$i")() }.toSeq, plan)
+    var df = GraftBridge.ofRows(spark, proj)
+    (1 to eqs.size).foreach(i =>
+      df = df.filter(col(s"__graft_s$i").isNotNull))
+    val rows = df.limit(MaxInChainKeys + 1).collect()
+    if (rows.length > MaxInChainKeys) unsupported(
+      s"$what scalar subquery with more than $MaxInChainKeys " +
+        "distinct correlation keys",
+      "the rewrite builds one CASE branch per key; a set this large " +
+        "is a join — materialize the grouped subquery as a table and " +
+        "MERGE/join against it")
+    val types = proj.output.map(_.dataType)
+    // the empty-group answer: the SAME aggregate over ZERO rows —
+    // NULL for max/sum but 0 for count (the classic count-bug), and
+    // also what a NULL or unmatched outer key answers
+    val elseLit = (valueAgg, aggChild) match {
+      case (Some(va), Some(ac)) =>
+        val r = GraftBridge.ofRows(spark, Aggregate(Seq(), Seq(va),
+          LocalRelation(ac.output.map(_.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions
+              .AttributeReference])))).collect()(0)
+        if (r.isNullAt(0)) Literal.create(null, s.dataType)
+        else Literal.create(r.get(0), s.dataType)
+      case _ => unsupported(
+        s"$what with a correlated scalar subquery whose empty-group " +
+          "default cannot be derived",
+        "the subplan is not a recognizable aggregate — materialize " +
+          "the subquery as a keyed table and MERGE/join against it")
+    }
+    val refIdx = mixedRefs.zipWithIndex.map { case (a, j) =>
+      a.exprId -> (1 + eqs.size + j) }.toMap
+    val branches = rows.toIndexedSeq.map { r =>
+      val eqConds = eqs.zipWithIndex.map { case ((outer, _), i) =>
+        org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+          outer, Literal.create(r.get(i + 1), types(i + 1)))
+          : Expression
+      }
+      val mixedSubst = mixed.map(m => substMixed(m, refIdx, r, types))
+      ((eqConds ++ mixedSubst).reduce(And),
+        (if (r.isNullAt(0)) Literal.create(null, s.dataType)
+         else Literal.create(r.get(0), types(0))): Expression)
+    }
+    if (branches.isEmpty) elseLit
+    else org.apache.spark.sql.catalyst.expressions.CaseWhen(
+      branches, Some(elseLit))
   }
 
   /** `value IN (<plan's first column>)` as a literal-set [[In]] when

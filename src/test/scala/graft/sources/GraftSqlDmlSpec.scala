@@ -1140,6 +1140,49 @@ class GraftSqlDmlSpec extends SparkSpec {
       Seq((1L, 0L), (2L, -1L), (3L, 30L), (4L, -9L)))
   }
 
+  test("correlated scalar subquery in SET: groupwise aggregate, empty-group default exact") {
+    val wh = freshWarehouse()
+    Versioned.commit(Seq((1L, "a", Some(0L)), (2L, "b", Some(0L)),
+      (3L, "c", Some(0L))).toDF("k", "grp", "v"), s"$wh/t",
+      overwrite = false)
+    // group 'a' has rows, 'b' has only filtered-out rows, 'c' none
+    Versioned.commit(Seq(("a", 10L, true), ("a", 30L, true),
+      ("b", 99L, false)).toDF("g", "x", "ok"), s"$wh/s",
+      overwrite = false)
+    val cat = freshCat(wh)
+    // max(): empty groups answer NULL (b and c)
+    spark.sql(s"""UPDATE $cat.t SET v = (SELECT max(x) FROM $cat.s s
+        WHERE s.g = t.grp AND s.ok)""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq ==
+      Seq((1L, Some(30L)), (2L, None), (3L, None)))
+    // count(): the empty-group default is 0, NOT NULL — the exactness
+    // trap a naive ELSE NULL would fail
+    spark.sql(s"""UPDATE $cat.t SET v = (SELECT count(*) FROM $cat.s s
+        WHERE s.g = t.grp AND s.ok)""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 2L), (2L, 0L), (3L, 0L)))
+    // MERGE assignment values ride the same rewrite
+    Seq(1L, 3L).toDF("k").createOrReplaceTempView("scalar_src")
+    spark.sql(s"""MERGE INTO $cat.t t USING scalar_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = (SELECT sum(x) FROM $cat.s x
+          WHERE x.g = t.grp)""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq ==
+      Seq((1L, Some(40L)), (2L, Some(0L)), (3L, None)))
+    // non-aggregate correlated scalars stay loud (the exact message
+    // varies with Spark's own limit-decorrelation shape — what
+    // matters is no silent wrong answer)
+    intercept[Exception] {
+      spark.sql(s"""UPDATE $cat.t SET v = (SELECT x FROM $cat.s s
+          WHERE s.g = t.grp LIMIT 1)""")
+    }
+    // head unmoved by the failed statement
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 2")
+      .as[Option[Long]].head().contains(0L))
+  }
+
   test("range-correlated EXISTS in DML WHERE rides the bounded chain") {
     val wh = freshWarehouse()
     Versioned.commit(Seq((1L, 10L), (2L, 25L), (3L, 50L))
