@@ -153,6 +153,42 @@ class GraftViewSpec extends SparkSpec {
       .select("viewName").as[String].collect().toSeq == Seq("beta"))
   }
 
+  test("views interplay with nested evolution: projections survive, star views re-bind") {
+    val wh = freshWarehouse()
+    val cat = freshCat(wh)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, meta STRUCT<a: INT>)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, named_struct('a', 10))")
+    // a view projecting a NESTED FIELD — stable under nested ADDs
+    // (the projection's shape doesn't change when a sibling arrives)
+    spark.sql(s"CREATE VIEW $cat.va AS SELECT k, meta.a AS a FROM $cat.t")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN meta.flag STRING")
+    spark.sql(s"INSERT INTO $cat.t VALUES " +
+      "(2, named_struct('a', 20, 'flag', 'x'))")
+    assert(spark.sql(s"SELECT k, a FROM $cat.va ORDER BY k")
+      .as[(Long, Int)].collect().toSeq == Seq((1L, 10), (2L, 20)))
+    // a STAR view binds the struct type at creation: the nested add
+    // changes the struct's shape underneath — loud, re-bind recovers
+    spark.sql(s"CREATE VIEW $cat.vs AS SELECT * FROM $cat.t")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN meta.extra INT")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.vs").collect()
+    }
+    assert(e.getMessage.contains("CREATE OR REPLACE"), e.getMessage)
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.vs AS SELECT * FROM $cat.t")
+    assert(spark.sql(s"SELECT meta.flag FROM $cat.vs WHERE k = 2")
+      .as[String].head() == "x")
+    // nested RENAME under the field-projecting view: the old name is
+    // gone — loud analysis error from the re-run text, never silent
+    // nulls
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN meta.a TO aa")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.va").collect()
+    }
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.va AS " +
+      s"SELECT k, meta.aa AS a FROM $cat.t")
+    assert(spark.sql(s"SELECT sum(a) FROM $cat.va").head.getLong(0) == 30L)
+  }
+
   test("outer filters and projections push into the view's inner scans") {
     val wh = freshWarehouse()
     val cat = freshCat(wh)
