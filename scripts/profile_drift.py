@@ -2,7 +2,8 @@
 """Freeze gate: the PROFILE steady-state reference must stay
 adjudicable round over round.
 
-Usage: python3 scripts/profile_drift.py PROFILE_r{N-1}.json PROFILE_r{N}.json
+Usage: python3 scripts/profile_drift.py PROFILE_r{N-1}.json PROFILE_r{N}.json \
+           [prev-freeze-ref]
 
 Compares the two profiles' COMMON-row sum of per-query min (the
 steady-state reference the judge adjudicates drift against) and fails
@@ -31,10 +32,15 @@ def load(path):
 
 
 def main():
-    if len(sys.argv) != 3:
+    if len(sys.argv) not in (3, 4):
         print(__doc__)
         return 2
     prev, curr = load(sys.argv[1]), load(sys.argv[2])
+    # the ref the plan audit is diffed against: the PREVIOUS round's
+    # freeze commit when given (so plan changes already committed THIS
+    # round still count as an explanation), else HEAD (which only sees
+    # uncommitted working-tree edits)
+    base_ref = sys.argv[3] if len(sys.argv) == 4 else "HEAD"
     meta = {"sf", "runs_per_query"}
     common = sorted((set(prev) & set(curr)) - meta)
     if not common:
@@ -61,7 +67,7 @@ def main():
     # drift past gate: explained only if the plan audit itself changed
     repo = os.path.join(os.path.dirname(__file__), "..")
     diff = subprocess.run(
-        ["git", "diff", "HEAD", "--stat", "--", "PLANAUDIT.md"],
+        ["git", "diff", base_ref, "--stat", "--", "PLANAUDIT.md"],
         cwd=repo, capture_output=True, text=True).stdout.strip()
     if diff:
         print("profile_drift: drift >5% but PLANAUDIT.md changed this "

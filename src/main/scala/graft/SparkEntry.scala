@@ -30,6 +30,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** The documents corpus with [[Tables.fanned]] scan fan-out: every
+    * consumer runs corpus-CPU work (tokenize / shingle / hash /
+    * regex) directly on the scan output, and a single-row-group file
+    * would serialize all of it on one core (guide §2.5 input skew).
+    * No-op when the scan already plans enough splits (cluster
+    * layouts). */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.fanned(t(s, dir, "documents"))
+
+  /** Decode fan-out width for the bounded media corpora (48–64 ids):
+    * one container encode+decode per row is the unit of work — heavy
+    * enough that the historical fixed 8 left 3/4 of a 32-core box
+    * idle. Spread ids over every core; the floor of 8 keeps the old
+    * width on smaller sessions. */
+  private def mediaSlots(s: SparkSession): Int =
+    math.max(8, s.sparkContext.defaultParallelism)
+
   /** decimal(18,2) cast used identically on both engines for money. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
@@ -53,7 +70,13 @@ object SparkEntry {
     * AMBITO ← orderpriority, CANT ← quantity. Gives the reference's
     * rule queries realistic grouping/skew without synthesizing data. */
   private def sendas(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+    // fanned (guide §2.5): the broadcast join and the heavy per-row
+    // projection below (format_string, array element_at, string
+    // concat per line item) inherit the lineitem scan's partitioning,
+    // and a single-row-group file would run ALL of it in one task
+    val li = Tables.fanned(t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "l_shipdate"))
     val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select(
@@ -2891,7 +2914,7 @@ object SparkEntry {
     // in j (so Σ flags IS the split point), and the cap level floors
     // to integer chars. Both scalar hops ride fenced 1-row carriers.
     "q_mix_waterfill" -> ((s, dir) => {
-      val src = t(s, dir, "documents").groupBy("source")
+      val src = docs(s, dir).groupBy("source")
         .agg(sum(col("n_chars")).as("chars"))
       val tot = src.agg(sum(col("chars")).as("tc"), count(lit(1)).as("m"))
         .select(expr("tc * 3 div 5").as("bb"), col("m"))
@@ -5304,7 +5327,7 @@ object SparkEntry {
         when(t === "the", "de").when(t === "a", "la")
           .when(t === "of", "del").when(t === "to", "los").otherwise(t))
       val name = upper(array_join(mapped, " "))
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
         .select(col("doc_id"), name.as("nombre_completo"))
         .withColumn("p", Names.splitFullName(col("nombre_completo")))
       d.select(col("doc_id"), col("nombre_completo"),
@@ -5328,7 +5351,7 @@ object SparkEntry {
         when(t === "the", "de").when(t === "a", "la")
           .when(t === "of", "del").when(t === "to", "los").otherwise(t))
       val name = upper(array_join(mapped, " "))
-      val capital = t(s, dir, "documents")
+      val capital = docs(s, dir)
         .select(col("doc_id").as("doc"), name.as("nombre_completo"))
       // partial-coverage lookup (reference: dfBases covers only some
       // patients) — without it every doc matches and comprobar is
@@ -8400,7 +8423,7 @@ object SparkEntry {
     // frame (the same scalar-broadcast shape as the TF-IDF corpus
     // constants — no driver collect, no second wide shuffle).
     "q_domain_mix" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
       val per = d.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       val tot = d.agg(count(lit(1)).as("t_docs"),
@@ -8422,7 +8445,7 @@ object SparkEntry {
       val tk = TF.tokens(col("text"))
       val stop = array(Seq("the", "a", "of", "to", "and", "in", "is",
         "it", "on", "for").map(lit): _*)
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           size(tk).as("n_tokens"),
           size(array_distinct(tk)).as("n_distinct"),
@@ -8433,7 +8456,7 @@ object SparkEntry {
 
     // 25: exact dedup — one shuffle on the text hash.
     "q_dedup_exact" -> ((s, dir) => {
-      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      Dedup.exact(docs(s, dir), "text", "doc_id")
         .select(col("doc_id"), col("n_dups"))
         .orderBy("doc_id")
     }),
@@ -8445,7 +8468,7 @@ object SparkEntry {
     // ownership is a struct-min aggregate, so a hot boilerplate
     // chunk pre-reduces map-side instead of hammering one reducer.
     "q_chunk_dedup" -> ((s, dir) => {
-      Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id", 10)
+      Dedup.chunkDedup(docs(s, dir), "text", "doc_id", 10)
         .orderBy("doc_id")
     }),
 
@@ -8456,7 +8479,7 @@ object SparkEntry {
     // cost of alignment-free detection; ownership still pre-reduces
     // map-side via the struct-min aggregate.
     "q_shingle_dedup" -> ((s, dir) => {
-      Dedup.shingleDedup(t(s, dir, "documents"), "text", "doc_id", 10)
+      Dedup.shingleDedup(docs(s, dir), "text", "doc_id", 10)
         .orderBy("doc_id")
     }),
 
@@ -8469,13 +8492,13 @@ object SparkEntry {
     // corpus is never re-read. Oracle = the same first-seen-wins
     // dedup computed from scratch, restricted to the new batch.
     "q_dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val dd = docs(s, dir)
       val artPath = dedupArtifactPath(dir)
-      docs.filter(col("doc_id") % 5 =!= 0)
+      dd.filter(col("doc_id") % 5 =!= 0)
         .select(md5(col("text")).as("fp")).distinct()
         .write.mode("overwrite").parquet(artPath)
       val artifact = s.read.parquet(artPath)
-      docs.filter(col("doc_id") % 5 === 0)
+      dd.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), md5(col("text")).as("fp"))
         .join(artifact, Seq("fp"), "left_anti")
         .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
@@ -8490,13 +8513,13 @@ object SparkEntry {
     // self-join LSH pair set restricted to pairs touching a new doc —
     // proving incremental == from-scratch on the refresh slice.
     "q_minhash_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val dd = docs(s, dir)
       val artPath = minhashArtifactPath(dir)
-      Dedup.bandedSignatures(docs.filter(col("doc_id") % 5 =!= 0),
+      Dedup.bandedSignatures(dd.filter(col("doc_id") % 5 =!= 0),
           "text", "doc_id", shingleK = 5, nPerm = 16, bands = 4)
         .write.mode("overwrite").parquet(artPath)
       val newBanded = Dedup.bandedSignatures(
-        docs.filter(col("doc_id") % 5 === 0), "text", "doc_id",
+        dd.filter(col("doc_id") % 5 === 0), "text", "doc_id",
         shingleK = 5, nPerm = 16, bands = 4)
       Dedup.minhashLshIncrementalPairs(newBanded, s.read.parquet(artPath))
         .orderBy("id_a", "id_b")
@@ -8514,11 +8537,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
           sum(TF.tokenCount(col("text")).cast("long")).as("sum_tokens"))
-      val docs = t(s, dir, "documents")
-      partial(docs.filter(col("doc_id") % 5 =!= 0))
+      val dd = docs(s, dir)
+      partial(dd.filter(col("doc_id") % 5 =!= 0))
         .write.mode("overwrite").parquet(aggArtifactPath(dir))
       s.read.parquet(aggArtifactPath(dir))
-        .unionByName(partial(docs.filter(col("doc_id") % 5 === 0)))
+        .unionByName(partial(dd.filter(col("doc_id") % 5 === 0)))
         .groupBy("lang")
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("sum_chars")).as("sum_chars"),
@@ -8528,7 +8551,7 @@ object SparkEntry {
 
     // 26: token counting (pure Column tree, codegen'd).
     "q_token_count" -> ((s, dir) => {
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
     }),
@@ -8606,7 +8629,7 @@ object SparkEntry {
     // cross join (fenced as an intended nested loop in PlanSpec).
     "q_tfidf" -> ((s, dir) => {
       graft.text.Relevance
-        .tfidfTopK(t(s, dir, "documents"), "text", "doc_id", 3)
+        .tfidfTopK(docs(s, dir), "text", "doc_id", 3)
         .orderBy("doc_id", "rank")
     }),
 
@@ -8616,7 +8639,7 @@ object SparkEntry {
     // the already-20-row result, where a 1-partition window is free.
     "q_bm25" -> ((s, dir) => {
       val top = graft.text.Relevance
-        .bm25(t(s, dir, "documents"), "text", "doc_id",
+        .bm25(docs(s, dir), "text", "doc_id",
           Seq("table", "join", "window"))
         .orderBy(col("score").desc, col("doc_id")).limit(20)
       top.withColumn("rank",
@@ -8632,7 +8655,7 @@ object SparkEntry {
     // from its doc_id — the operator still does the real regex work
     // over the full text.
     "q_pii_redact" -> ((s, dir) => {
-      val aug = t(s, dir, "documents").select(col("doc_id"),
+      val aug = docs(s, dir).select(col("doc_id"),
         concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
           lit("@ex.com or +1-555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
@@ -8648,7 +8671,7 @@ object SparkEntry {
     // as exact integers (max_count·20 > total ⇔ share > 5%; no float
     // threshold). Two shuffles: (doc, bigram) count, then per-doc.
     "q_repetition" -> ((s, dir) => {
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), TF.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"),
@@ -8668,11 +8691,11 @@ object SparkEntry {
     // synthetic vocab gives a non-trivial hit mix; real corpora use
     // 8-13). Long↔long equi-join on gram hashes, never on text.
     "q_contamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val dd = docs(s, dir)
       val isTest = TF.hash32(
         concat(lit("cont:"), col("doc_id").cast("string"))) % 10 === 0
       graft.text.Contamination.report(
-          docs.filter(!isTest), docs.filter(isTest), "text", "doc_id", 5)
+          dd.filter(!isTest), dd.filter(isTest), "text", "doc_id", 5)
         .orderBy("doc_id")
     }),
 
@@ -8680,7 +8703,7 @@ object SparkEntry {
     // postings per token, md5-pinned (the full list is checked, not
     // sampled).
     "q_inverted_index" -> ((s, dir) => {
-      graft.text.Corpus.postings(t(s, dir, "documents"), "text", "doc_id")
+      graft.text.Corpus.postings(docs(s, dir), "text", "doc_id")
         .select(col("token"), col("df"),
           md5(col("postings")).as("postings_md5"))
         .orderBy("token")
@@ -8725,7 +8748,7 @@ object SparkEntry {
       // ("of the") lands on a reducer as one row per document instead
       // of millions of instance rows; AQE skew-split covers the
       // residue and the per-doc rollup rides the doc_id grouping.
-      val bg = t(s, dir, "documents")
+      val bg = docs(s, dir)
         .select(col("doc_id"), TF.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"),
@@ -8748,7 +8771,7 @@ object SparkEntry {
     }),
 
     "q_bigram_lm" -> ((s, dir) => {
-      val c = t(s, dir, "documents")
+      val c = docs(s, dir)
         .select(TF.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(explode(TF.bigramPairsFromTokens(col("t"))).as("p"))
@@ -8771,7 +8794,7 @@ object SparkEntry {
     // join (the q_lm_coverage de-skew discipline), and the prob table
     // is bigram-vocabulary-sized, never corpus-sized.
     "q_perplexity" -> ((s, dir) => {
-      val bg = t(s, dir, "documents")
+      val bg = docs(s, dir)
         .select(col("doc_id"), TF.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"),
@@ -8801,7 +8824,7 @@ object SparkEntry {
     // (the only shuffle chain). kept derives from reason, so the two
     // can never disagree.
     "q_quality_gate" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
         .select(col("doc_id"), TF.tokens(col("text")).as("t"))
       val m = d.select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -8828,7 +8851,7 @@ object SparkEntry {
     // 27: text-quality scoring — ratios rounded to 6dp (both engines
     // evaluate the identical double expression tree).
     "q_text_quality" -> ((s, dir) => {
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           round(TF.stopwordRatioFromTokens(col("toks")), 6).as("stopword_ratio"),
@@ -8840,7 +8863,7 @@ object SparkEntry {
 
     // 28: heuristic language ID (stopword profiles, first-max wins).
     "q_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("lang"),
           TF.langIdFromTokens(col("toks")).as("lang_pred"))
@@ -8849,7 +8872,7 @@ object SparkEntry {
 
     // 29: order-insensitive document fingerprint.
     "q_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
@@ -8862,7 +8885,7 @@ object SparkEntry {
     // for cross-engine parity. Two partial-aggregable groupBys on
     // doc-rooted keys; no joins, no window.
     "q_entropy" -> ((s, dir) => {
-      val c = t(s, dir, "documents")
+      val c = docs(s, dir)
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       c.groupBy("doc_id")
@@ -8879,7 +8902,7 @@ object SparkEntry {
     // rational compare); blocking on (lang, source, length bucket)
     // bounds the pair blow-up.
     "q_ngram_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
         .withColumn("len_bucket", floor(col("n_chars") / 100))
       Dedup.ngramJaccardPairs(d, "text", "doc_id",
           Seq("lang", "source", "len_bucket"), 3, 1, 2)
@@ -8898,7 +8921,7 @@ object SparkEntry {
       val shExpr = org.apache.spark.sql.GraftBridge.column(
         graft.plans.CharShingleHashes(
           org.apache.spark.sql.GraftBridge.expression(col("text")), 5, 8))
-      val sv = t(s, dir, "documents")
+      val sv = docs(s, dir)
         .select(col("source"), explode(array_distinct(shExpr)).as("h"))
         .distinct()
         .staged // reused by sizes + the pair join
@@ -8926,7 +8949,7 @@ object SparkEntry {
     "q_survivorship" -> ((s, dir) => {
       val w = Window.partitionBy(col("fp"))
         .orderBy(col("n_chars").desc, col("doc_id"))
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(md5(col("text")).as("fp"), col("doc_id"), col("n_chars"))
         .withColumn("rn", row_number().over(w))
         .withColumn("n_members", count(lit(1))
@@ -8943,7 +8966,7 @@ object SparkEntry {
     // (md5 text digests — the dedup key, never the raw text, moves
     // through the shuffle); one mirrored division per source row.
     "q_dupe_ratio" -> ((s, dir) => {
-      t(s, dir, "documents")
+      docs(s, dir)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(md5(col("text"))).as("n_unique"))
@@ -8963,7 +8986,7 @@ object SparkEntry {
     "q_boilerplate" -> ((s, dir) => {
       val w = Window.partitionBy("source")
         .orderBy(col("n_docs_sh").desc, col("sh"))
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("source"),
           explode(TF.shingles(col("text"), 5)).as("sh"))
         .groupBy("source", "sh")
@@ -8983,7 +9006,7 @@ object SparkEntry {
     // head, float only in the final ln/2-sum chain under round(6)
     // (the q_entropy bounded-frame float class).
     "q_zipf" -> ((s, dir) => {
-      val vocab = t(s, dir, "documents")
+      val vocab = docs(s, dir)
         .select(explode(TF.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("freq"))
       val pts = Ranking.withRank(vocab, Seq.empty,
@@ -9013,7 +9036,7 @@ object SparkEntry {
       val shExpr = org.apache.spark.sql.GraftBridge.column(
         graft.plans.CharShingleHashes(
           org.apache.spark.sql.GraftBridge.expression(col("text")), 3, 8))
-      val ex = t(s, dir, "documents")
+      val ex = docs(s, dir)
         .select(col("doc_id"), explode(array_distinct(shExpr)).as("h"))
       val owner = ex.groupBy("h").agg(min(col("doc_id")).as("owner"))
       ex.join(owner, "h")
@@ -9034,7 +9057,7 @@ object SparkEntry {
     // (inter·4 ≥ min(|A|,|B|)·3); same blocked never-all-pairs shape
     // and loud block-size guard as q_ngram_jaccard.
     "q_containment" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
         .withColumn("len_bucket", floor(col("n_chars") / 100))
       Dedup.containmentPairs(d, "text", "doc_id",
           Seq("lang", "source", "len_bucket"), 3, 3, 4)
@@ -9048,7 +9071,7 @@ object SparkEntry {
     // one tiny groupBy; the division happens once per LANGUAGE on
     // exact integer sums, never per row.
     "q_token_fertility" -> ((s, dir) => {
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("lang"), col("n_chars"),
           TF.tokenCount(col("text")).cast("long").as("n_toks"))
         .groupBy("lang")
@@ -9074,7 +9097,7 @@ object SparkEntry {
         col("sl") <= col("n") * 10
       val okDiv = col("ntypes") * 2 >= col("n")
       val okStop = col("nstop") >= 2
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), TF.tokens(col("text")).as("t"))
         .select(col("doc_id"), size(col("t")).as("n"),
           aggregate(transform(col("t"), x => length(x)),
@@ -9091,14 +9114,14 @@ object SparkEntry {
 
     // 31: MinHash + LSH banding — candidates only within band buckets.
     "q_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+      Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
           shingleK = 5, nPerm = 16, bands = 4)
         .orderBy("id_a", "id_b")
     }),
 
     // 32: 60-bit SimHash near-dup pairs, hamming ≤ 3, banded join.
     "q_simhash" -> ((s, dir) => {
-      SimHash.simhashPairs(t(s, dir, "documents"), "text", "doc_id", 3)
+      SimHash.simhashPairs(docs(s, dir), "text", "doc_id", 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -9119,7 +9142,7 @@ object SparkEntry {
     // text payloads ⇒ DuckDB's char slicing == Spark's byte slicing).
     "q_frame_sample" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMedia(
-        t(s, dir, "documents"), "doc_id", "text",
+        docs(s, dir), "doc_id", "text",
         "video_stub", "application/octet-stream")
       graft.multimodal.Multimodal
         .sampleFrames(media, expr("meta.n_bytes div 64"), 4, 64)
@@ -9140,7 +9163,7 @@ object SparkEntry {
       val bucket = conv(substring(
         md5(concat(col("doc_id").cast("string"), lit(":"), col("lang"))),
         1, 8), 16, 10).cast("long") % 1000
-      t(s, dir, "documents")
+      docs(s, dir)
         .withColumn("bucket", bucket)
         .filter(col("bucket") < rate)
         .select("doc_id", "lang", "bucket")
@@ -9156,7 +9179,7 @@ object SparkEntry {
     // vocabulary-sized and broadcasts. Support floor c_xy ≥ 25 keeps
     // the output the interesting tail, not the cross product.
     "q_pmi" -> ((s, dir) => {
-      val dt = t(s, dir, "documents")
+      val dt = docs(s, dir)
         .select(col("doc_id"),
           array_distinct(TF.tokens(col("text"))).as("ts"))
       val pairs = dt
@@ -9232,12 +9255,12 @@ object SparkEntry {
     "q_class_balance" -> ((s, dir) => {
       val k = 80
       val h = md5(concat(col("doc_id").cast("string"), lit("#bal")))
-      val docs = t(s, dir, "documents")
+      val dd = docs(s, dir)
         .select(col("doc_id"), col("lang"), h.as("h"))
         .withColumn("hv", conv(substring(col("h"), 1, 8), 16, 10)
           .cast("long"))
-      val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      val pre = docs.join(broadcast(cnt), Seq("lang"))
+      val cnt = dd.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val pre = dd.join(broadcast(cnt), Seq("lang"))
         .withColumn("keep", col("hv").cast("double") < lit(4294967296.0) *
           least(lit(1.0), lit(4.0 * k) / col("n_lang")))
       val gate = cnt.join(
@@ -9262,7 +9285,7 @@ object SparkEntry {
     // content pinned by an md5 hash both engines compute.
     "q_text_chunk" -> ((s, dir) => {
       graft.text.Chunker
-        .chunkTokens(t(s, dir, "documents"), "text", "doc_id", 50, 40)
+        .chunkTokens(docs(s, dir), "text", "doc_id", 50, 40)
         .select(col("doc_id"), col("chunk_id"),
           size(col("toks")).as("n_tokens"),
           md5(array_join(col("toks"), " ")).as("chunk_hash"))
@@ -9275,7 +9298,7 @@ object SparkEntry {
     // form every distributed packer uses.
     "q_token_pack" -> ((s, dir) => {
       val chunks = graft.text.Chunker
-        .chunkTokens(t(s, dir, "documents"), "text", "doc_id", 50, 40)
+        .chunkTokens(docs(s, dir), "text", "doc_id", 50, 40)
         .select(col("doc_id"), col("chunk_id"),
           size(col("toks")).as("n_tokens"))
         .withColumn("shard", (col("doc_id") % 8).cast("int"))
@@ -9293,7 +9316,7 @@ object SparkEntry {
     // broadcast anti-join: the full text never shuffles.
     "q_corpus_stopwords" -> ((s, dir) => {
       graft.text.Corpus
-        .stripCommonCounts(t(s, dir, "documents"), "text", "doc_id", 39, 50)
+        .stripCommonCounts(docs(s, dir), "text", "doc_id", 39, 50)
         .select(col("doc_id"), col("n_before").cast("int").as("n_before"),
           col("n_after"))
         .orderBy("doc_id")
@@ -9468,7 +9491,7 @@ object SparkEntry {
     "q_sample_split" -> ((s, dir) => {
       val bucket = (conv(substring(md5(concat(lit("split:"),
         col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           when(bucket < 80, "train").when(bucket < 90, "valid")
             .otherwise("test").as("split"))
@@ -9487,10 +9510,10 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, dir) => {
       val h = conv(substring(md5(concat(lit("ws:"),
         col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
-      val docs = t(s, dir, "documents")
+      val dd = docs(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val maxw = docs.agg(max(col("n_chars")).as("maxw"))
-      docs.crossJoin(broadcast(maxw))
+      val maxw = dd.agg(max(col("n_chars")).as("maxw"))
+      dd.crossJoin(broadcast(maxw))
         .filter((h.cast("double") / lit(1152921504606846976.0)) <
           (col("n_chars").cast("double") / col("maxw")))
         .groupBy("lang")
@@ -9507,7 +9530,7 @@ object SparkEntry {
     // individually oracle-checked by its own row; this row proves the
     // composition — the engine's flagship LLM-corpus use-case.
     "q_datapipe_e2e" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
       // exact dedup as a window (keep min doc_id per identical text):
       // one shuffle on the text hash, no join-back — same set as
       // Dedup.exact's agg+join (row 25 keeps that as the operator)
@@ -9610,7 +9633,7 @@ object SparkEntry {
     // stubbed decode (deterministic md5 features).
     "q_multimodal" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMedia(
-        t(s, dir, "documents"), "doc_id", "text", "text", "text/plain")
+        docs(s, dir), "doc_id", "text", "text", "text/plain")
       media.select(col("media_id"), col("modality"),
           col("meta.n_bytes").as("n_bytes"),
           round(element_at(
@@ -9691,7 +9714,7 @@ object SparkEntry {
       import s.implicits._
       val ids = t(s, dir, "documents").select(col("doc_id"))
         .orderBy("doc_id").limit(64)
-      val media = ids.as[Long].repartition(8).mapPartitions { it =>
+      val media = ids.as[Long].repartition(mediaSlots(s)).mapPartitions { it =>
         it.map(m => (m, graft.multimodal.Multimodal.patternPng(m)))
       }.toDF("media_id", "content")
       graft.multimodal.Multimodal.decodePixelHex(media)
@@ -9720,7 +9743,7 @@ object SparkEntry {
     "q_jpeg_decode" -> ((s, dir) => {
       import s.implicits._
       val fresh = graft.multimodal.Multimodal.decodeLumaHist(
-        s.range(48).as[Long].repartition(8).mapPartitions { it =>
+        s.range(48).as[Long].repartition(mediaSlots(s)).mapPartitions { it =>
           it.map(m => (m, graft.multimodal.Multimodal.patternJpeg(m)))
         }.toDF("media_id", "content"), bins = 16)
         .orderBy("media_id")
@@ -9751,7 +9774,7 @@ object SparkEntry {
       import s.implicits._
       val ids = t(s, dir, "documents").select(col("doc_id"))
         .orderBy("doc_id").limit(48)
-      val media = ids.as[Long].repartition(8).mapPartitions { it =>
+      val media = ids.as[Long].repartition(mediaSlots(s)).mapPartitions { it =>
         it.map(m => (m, graft.multimodal.Multimodal.patternGif(m)))
       }.toDF("media_id", "content")
       graft.multimodal.Multimodal.demuxGifFrames(media)
@@ -9773,7 +9796,7 @@ object SparkEntry {
       import s.implicits._
       val ids = t(s, dir, "documents").select(col("doc_id"))
         .orderBy("doc_id").limit(48)
-      val media = ids.as[Long].repartition(8).mapPartitions { it =>
+      val media = ids.as[Long].repartition(mediaSlots(s)).mapPartitions { it =>
         it.map(m => (m, graft.multimodal.Avi.patternAvi(m)))
       }.toDF("media_id", "content")
       graft.multimodal.Avi.demuxAviFrames(media)
@@ -9795,7 +9818,7 @@ object SparkEntry {
       import s.implicits._
       val ids = t(s, dir, "documents").select(col("doc_id"))
         .orderBy("doc_id").limit(48)
-      val media = ids.as[Long].repartition(8).mapPartitions { it =>
+      val media = ids.as[Long].repartition(mediaSlots(s)).mapPartitions { it =>
         it.map(m => (m, graft.multimodal.Multimodal.patternWav(m)))
       }.toDF("media_id", "content")
       graft.multimodal.Multimodal.decodeWav(media).orderBy("media_id")
@@ -9814,7 +9837,7 @@ object SparkEntry {
     // driver-checked, not asserted away.
     "q_countmin" -> ((s, dir) => {
       val W = 256L
-      val cnt = t(s, dir, "documents")
+      val cnt = docs(s, dir)
         .select(explode(TF.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("exact"))
       val cells = cnt.select(col("tok"), col("exact"),
@@ -10049,7 +10072,7 @@ object SparkEntry {
     // sorted-array aggregate — bit-identical on every partitioning,
     // and to DuckDB's list_reduce over the same ordered list.
     "q_mutual_info" -> ((s, dir) => {
-      val joint = t(s, dir, "documents")
+      val joint = docs(s, dir)
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("nxy"))
       val contrib = joint

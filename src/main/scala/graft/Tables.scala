@@ -24,9 +24,30 @@ object Tables {
     * [[stage]] with a `.schema` DDL sidecar (schema-exact — never
     * inference). Every driver query runs unchanged over any of the
     * three. */
+  /** Per-(session, dir, table) relation memo for the immutable
+    * parquet sources. Creating a parquet DataFrame is NOT free: the
+    * reader lists the path and reads footers for schema inference on
+    * every `spark.read.parquet` call — driver-side metadata work
+    * (guide §5: the driver should do almost no data work) that the
+    * bench pays hundreds of times over 299 queries (the SQL rows
+    * re-register all ten tables per invocation). The memo caches the
+    * LAZY plan only — every action still computes from the parquet
+    * files, so no results or intermediates are ever reused. Only the
+    * parquet branch memoizes: csv/json/orc reads serve the staging
+    * tests, whose directories are overwritten between calls. */
+  private val relationMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val pq = s"$dir/$name.parquet"
-    if (new java.io.File(pq).exists()) {
+    if (new java.io.File(pq).exists())
+      relationMemo.computeIfAbsent((spark, dir, name), _ =>
+        readParquet(spark, pq))
+    else readStaged(spark, dir, name)
+  }
+
+  private def readParquet(spark: SparkSession, pq: String): DataFrame = {
+    {
       val df = spark.read.parquet(pq)
       // The events ts column has shipped as TIMESTAMP(NANOS) (read as a
       // nanos LONG under spark.sql.legacy.parquet.nanosAsLong — set by
@@ -48,7 +69,12 @@ object Tables {
             org.apache.spark.sql.functions.col("ts").cast("timestamp"))
         case _ => df
       }
-    } else if (new java.io.File(s"$dir/$name.orc").exists()) {
+    }
+  }
+
+  private def readStaged(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    if (new java.io.File(s"$dir/$name.orc").exists()) {
       // ORC is self-describing and type-exact (arrays, timestamps at
       // micros) — no sidecar needed. Staged FROM the normalized frame,
       // so the events ts is already a micros TimestampType.
@@ -69,6 +95,36 @@ object Tables {
         spark.read.schema(ddl).option("timestampFormat", tsFmt)
           .json(s"$dir/$name.json")
     }
+  }
+
+  /** Scale-ADAPTIVE scan fan-out — optimization guide §2.5's "input
+    * skew: one huge unsplittable file → repartition immediately after
+    * the read". The sandbox tables are single-row-group parquet
+    * files, so a bare scan plans as ONE task and every pre-shuffle
+    * per-row expression (tokenize, shingle, hash, date parse, a
+    * broadcast join's probe + projection) serializes on one core no
+    * matter the machine size. When the planned scan parallelism is
+    * below the session's default parallelism, redistribute
+    * round-robin so the per-row work uses the whole cluster; when
+    * the layout already carries enough splits (any real multi-file
+    * table at warehouse scale), this is a NO-OP — no shuffle is
+    * inserted at 100 TB. Apply it where heavy per-row work follows a
+    * scan, AFTER the narrow select, so only needed columns cross the
+    * exchange (guide §2.3).
+    *
+    * Correctness: round-robin repartition is retry-deterministic
+    * (Spark sorts before round-robin — SPARK-23207), filters still
+    * push THROUGH the repartition to the scan (PushPredicateThrough-
+    * NonJoin covers RepartitionOperation), and the suite's checked
+    * outputs are partitioning-independent by construction (exact
+    * integer sums, total-ordered windows, bounded-frame floats) —
+    * the same robustness the driver's varying-core-count bench runs
+    * already require. */
+  def fanned(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** Stage a table into `destDir` as csv or json with a schema DDL

@@ -157,18 +157,13 @@ class GraftCatalog extends TableCatalog
     }
   }
 
-  override def createView(
-      info: org.apache.spark.sql.connector.catalog.ViewInfo)
-      : org.apache.spark.sql.connector.catalog.View = {
-    val ident = info.ident()
-    if (Versioned.latestVersion(pathOf(ident)) >= 0)
-      throw new org.apache.spark.sql.catalyst.analysis
-        .TableAlreadyExistsException(
-          (ident.namespace() :+ ident.name()).toIndexedSeq)
+  /** The persisted view-metadata JSON for `info`. */
+  private def viewBody(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): String = {
     def arr(xs: Array[String]): String =
       xs.map(ManifestJson.quote).mkString("[", ",", "]")
     import scala.jdk.CollectionConverters._
-    val body = s"""{"sql":${ManifestJson.quote(info.sql())},""" +
+    s"""{"sql":${ManifestJson.quote(info.sql())},""" +
       s""""currentCatalog":${ManifestJson.quote(info.currentCatalog())},""" +
       s""""currentNamespace":${arr(info.currentNamespace())},""" +
       s""""schemaB64":"${java.util.Base64.getEncoder.encodeToString(
@@ -180,9 +175,19 @@ class GraftCatalog extends TableCatalog
         .map { case (k, v) =>
           s"${ManifestJson.quote(k)}:${ManifestJson.quote(v)}" }
         .mkString(",")}}}"""
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    if (Versioned.latestVersion(pathOf(ident)) >= 0)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toIndexedSeq)
     val p = viewPath(ident)
     java.nio.file.Files.createDirectories(p.getParent): Unit
-    try java.nio.file.Files.write(p, body.getBytes("UTF-8"),
+    try java.nio.file.Files.write(p, viewBody(info).getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW): Unit
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -196,14 +201,33 @@ class GraftCatalog extends TableCatalog
       info: org.apache.spark.sql.connector.catalog.ViewInfo,
       orCreate: Boolean)
       : org.apache.spark.sql.connector.catalog.View = {
-    // CREATE OR REPLACE: last writer wins on the single metadata file
-    // (an atomic overwrite via temp + move keeps readers torn-free)
-    val p = viewPath(info.ident())
+    // CREATE OR REPLACE: last writer wins on the single metadata
+    // file. The new body lands in a temp sibling and MOVES onto the
+    // target atomically — a concurrent reader sees either the old or
+    // the new metadata, never a missing file (the delete+CREATE_NEW
+    // form had a window where readers got NoSuchViewException and a
+    // racing creator made the replace itself fail).
+    val ident = info.ident()
+    if (Versioned.latestVersion(pathOf(ident)) >= 0)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toIndexedSeq)
+    val p = viewPath(ident)
     if (!orCreate && !java.nio.file.Files.isRegularFile(p))
       throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchViewException(info.ident())
-    java.nio.file.Files.deleteIfExists(p): Unit
-    createView(info)
+        .NoSuchViewException(ident)
+    java.nio.file.Files.createDirectories(p.getParent): Unit
+    val tmp = java.nio.file.Files.createTempFile(p.getParent,
+      s".${p.getFileName}", ".tmp")
+    java.nio.file.Files.write(tmp, viewBody(info).getBytes("UTF-8")): Unit
+    try java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    catch { case e: Throwable =>
+      java.nio.file.Files.deleteIfExists(tmp): Unit
+      throw e
+    }
+    loadView(ident)
   }
 
   override def alterView(ident: Identifier,
@@ -438,6 +462,12 @@ class GraftCatalog extends TableCatalog
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // mirror of createView's table-collision check: a table silently
+    // shadowing an existing view (loadTable prefers tables) would
+    // orphan the _views entry
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
     def canonCol(t: Transform): String = {
       require(t.references().length == 1 &&
         t.references()(0).fieldNames().length == 1,

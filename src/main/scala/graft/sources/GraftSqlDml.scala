@@ -90,11 +90,16 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   * whole-column update — masks, feed, and constraints unchanged.
   *
   * NON-EQUALITY correlations (outer ranges, inequalities) ride the
-  * bounded chains too: mixed conjuncts substitute each collected
-  * inner tuple's values (COALESCE-false wrapped — a NULL evaluation
-  * witnesses nothing), so `EXISTS (… WHERE s.th < t.v)` and
-  * range-correlated IN work everywhere the chain does. Only the
-  * UNBOUNDED semi-join path is equality-only (a range cannot
+  * bounded EXISTS/IN chains: mixed conjuncts substitute each
+  * collected inner tuple's values (COALESCE-false wrapped — a NULL
+  * evaluation witnesses nothing), so `EXISTS (… WHERE s.th < t.v)`
+  * and range-correlated IN work everywhere the chain does. Those
+  * chains collect PRE-aggregation tuples, which is what makes the
+  * substitution sound. SCALAR subqueries aggregate first, so an
+  * outer-row-dependent conjunct cannot be applied to the per-key
+  * aggregate after the fact — [[scalarChainOf]] keeps non-equality
+  * correlations LOUD (equality + inner-only conjuncts only). Only
+  * the UNBOUNDED semi-join path is equality-only (a range cannot
   * equi-join); past [[MaxInChainKeys]] tuples the chain is loud.
   *
   * Loud, documented limits (each throws with the workaround named):
@@ -223,22 +228,28 @@ object GraftSqlDml extends PredicateHelper {
     }
     // the PULLED-UP analyzer/optimizer shape: the subplan is already
     // grouped by its correlation columns and joinCond carries the
-    // outer = inner-output equalities (plus possibly mixed
-    // conjuncts); output.head is the scalar value. The original
-    // IN-PLAN shape (OuterReferences inside a global aggregate's
-    // filter) re-groups first, then lands in the same tail.
-    val (plan, eqs, mixed, valueAgg, aggChild) =
+    // outer = inner-output equalities; output.head is the scalar
+    // value. The original IN-PLAN shape (OuterReferences inside a
+    // global aggregate's filter) re-groups first, then lands in the
+    // same tail. Mixed (non-equality) correlation conjuncts are LOUD
+    // here (classifyCorrelation's default): the aggregate runs over
+    // the whole group, so an outer-row-dependent predicate — which
+    // mathematically filters BELOW the aggregate, per outer row —
+    // cannot be applied to the per-key aggregate value afterwards;
+    // the EXISTS/IN chains (pre-aggregation tuples) are the sound
+    // home for mixed correlations.
+    val (plan, eqs, valueAgg, aggChild) =
       if (s.joinCond.nonEmpty) {
-        val (eqs, innerOnly, mixed) = classifyCorrelation(s.joinCond,
-          s.plan, s"$what scalar subquery", allowMixed = true)
+        val (eqs, innerOnly, _) = classifyCorrelation(s.joinCond,
+          s.plan, s"$what scalar subquery")
         val base = if (innerOnly.isEmpty) s.plan
           else Filter(innerOnly.reduce(And), s.plan)
         peelA(s.plan) match {
           case Aggregate(_, aggList, aggChild, _) =>
             val va = aggList.collectFirst {
               case ne if ne.exprId == s.plan.output.head.exprId => ne }
-            (base, eqs, mixed, va, Some(aggChild))
-          case _ => (base, eqs, mixed, None, None)
+            (base, eqs, va, Some(aggChild))
+          case _ => (base, eqs, None, None)
         }
       } else peelA(s.plan) match {
         case Aggregate(Seq(), aggs, c, _) if aggs.sizeIs == 1 =>
@@ -246,8 +257,8 @@ object GraftSqlDml extends PredicateHelper {
             case Filter(cnd, b) => (splitConjunctivePredicates(cnd), b)
             case other => (Seq.empty[Expression], other)
           }
-          val (eqs, innerOnly, mixed) = classifyCorrelation(conds,
-            base, s"$what scalar subquery", allowMixed = true)
+          val (eqs, innerOnly, _) = classifyCorrelation(conds,
+            base, s"$what scalar subquery")
           val filtered = if (innerOnly.isEmpty) base
             else Filter(innerOnly.reduce(And), base)
           val keyAliases = eqs.map(_._2).zipWithIndex.map {
@@ -256,7 +267,7 @@ object GraftSqlDml extends PredicateHelper {
             (aggs ++ keyAliases).toSeq, filtered)
           val eqs2 = eqs.zip(keyAliases).map { case ((outer, _), ka) =>
             (outer, ka.toAttribute: Expression) }
-          (grouped: LogicalPlan, eqs2, mixed, aggs.headOption,
+          (grouped: LogicalPlan, eqs2, aggs.headOption,
             Some(filtered))
         case other => unsupported(
           s"$what with a correlated scalar subquery of shape " +
@@ -270,13 +281,9 @@ object GraftSqlDml extends PredicateHelper {
         "non-equality conjuncts",
       "a groupwise aggregate decorrelates over outer = inner " +
         "equalities; materialize the subquery and join against it")
-    // collect the per-key rows: value, equality keys, mixed refs
-    val planOut = plan.outputSet
-    val mixedRefs = mixed.flatMap(_.references.toSeq)
-      .filter(planOut.contains).distinct
+    // collect the per-key rows: value, equality keys
     val valueExpr: Expression = plan.output.head
-    val cols: Seq[Expression] =
-      valueExpr +: (eqs.map(_._2) ++ mixedRefs)
+    val cols: Seq[Expression] = valueExpr +: eqs.map(_._2)
     val proj = Project(cols.zipWithIndex.map { case (e, i) =>
       Alias(e, s"__graft_s$i")() }.toSeq, plan)
     var df = GraftBridge.ofRows(spark, proj)
@@ -307,16 +314,13 @@ object GraftSqlDml extends PredicateHelper {
         "the subplan is not a recognizable aggregate — materialize " +
           "the subquery as a keyed table and MERGE/join against it")
     }
-    val refIdx = mixedRefs.zipWithIndex.map { case (a, j) =>
-      a.exprId -> (1 + eqs.size + j) }.toMap
     val branches = rows.toIndexedSeq.map { r =>
       val eqConds = eqs.zipWithIndex.map { case ((outer, _), i) =>
         org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
           outer, Literal.create(r.get(i + 1), types(i + 1)))
           : Expression
       }
-      val mixedSubst = mixed.map(m => substMixed(m, refIdx, r, types))
-      ((eqConds ++ mixedSubst).reduce(And),
+      (eqConds.reduce(And),
         (if (r.isNullAt(0)) Literal.create(null, s.dataType)
          else Literal.create(r.get(0), types(0))): Expression)
     }

@@ -256,6 +256,30 @@ private[sources] final class ViewScanBuilder(ident: String,
             s"GraftCatalog: recursive view definition — $ident " +
               "(transitively) reads itself")
           expanding.add(viewKey): Unit
+          // Replay the DEFINING session's name-resolution context:
+          // the stored text may carry unqualified relation names,
+          // which must resolve against the catalog/namespace current
+          // at CREATE VIEW time, not whatever the READING session has
+          // current (a same-named table there would be a silent
+          // wrong-table read). Restored in the finally. If the stored
+          // catalog name is not registered in this session the switch
+          // is skipped — the pre-fix behavior, where only fully
+          // qualified view text can resolve.
+          val cm = spark.sessionState.catalogManager
+          val (prevCat, prevNs) = (cm.currentCatalog.name,
+            cm.currentNamespace)
+          val switched =
+            try {
+              if (prevCat != view.currentCatalog ||
+                  !java.util.Arrays.equals(
+                    prevNs.asInstanceOf[Array[AnyRef]],
+                    view.currentNamespace.asInstanceOf[Array[AnyRef]])) {
+                cm.setCurrentCatalog(view.currentCatalog)
+                if (view.currentNamespace.nonEmpty)
+                  cm.setCurrentNamespace(view.currentNamespace)
+                true
+              } else false
+            } catch { case _: Exception => false }
           try {
             var df = spark.sql(view.query())
             require(df.columns.length == viewSchema.fields.length,
@@ -277,7 +301,13 @@ private[sources] final class ViewScanBuilder(ident: String,
               .foreach(c => df = df.filter(c))
             df.select(readSchema().fieldNames
               .map(col).toIndexedSeq: _*).rdd
-          } finally { expanding.remove(viewKey): Unit }
+          } finally {
+            if (switched) {
+              cm.setCurrentCatalog(prevCat)
+              if (prevNs.nonEmpty) cm.setCurrentNamespace(prevNs)
+            }
+            expanding.remove(viewKey): Unit
+          }
         }
       }
       rel.asInstanceOf[T]

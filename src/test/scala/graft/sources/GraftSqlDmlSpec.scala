@@ -1178,7 +1178,17 @@ class GraftSqlDmlSpec extends SparkSpec {
       spark.sql(s"""UPDATE $cat.t SET v = (SELECT x FROM $cat.s s
           WHERE s.g = t.grp LIMIT 1)""")
     }
-    // head unmoved by the failed statement
+    // MIXED (non-equality) correlation conjuncts in a SCALAR subquery
+    // are loud, never silently dropped: the aggregate runs over the
+    // whole group, so an outer-row-dependent predicate (s.x < t.k)
+    // cannot be applied to the per-key aggregate after the fact —
+    // applying the filter post-aggregation would be mathematically
+    // wrong for every outer row (the r16 advice's silent-wrong shape)
+    intercept[Exception] {
+      spark.sql(s"""UPDATE $cat.t SET v = (SELECT max(x) FROM $cat.s s
+          WHERE s.g = t.grp AND s.x < t.k)""")
+    }
+    // head unmoved by the failed statements
     assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 2")
       .as[Option[Long]].head().contains(0L))
   }
