@@ -39,6 +39,12 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.fanned(t(s, dir, "documents"))
 
+  /** The embeddings corpus with [[Tables.fanned]] scan fan-out: the
+    * ANN paths broadcast the query side against the corpus scan, so a
+    * single-split file serializes ALL vector scoring on one core. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.fanned(t(s, dir, "embeddings"))
+
   /** Decode fan-out width for the bounded media corpora (48–64 ids):
     * one container encode+decode per row is the unit of work — heavy
     * enough that the historical fixed 8 left 3/4 of a 32-core box
@@ -9553,7 +9559,7 @@ object SparkEntry {
     // 33: brute-force cosine top-k with per-partition heap
     // pre-reduction (the full scored product never shuffles).
     "q_embed_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val q = e.filter(col("vec_id") % 50 === 0)
       Similarity.bruteTopK(e, q, "embedding", "vec_id", 10)
         .orderBy("query_id", "rank")
@@ -9561,7 +9567,7 @@ object SparkEntry {
 
     // 34: LSH-bucketed ANN — equi-join on the hyperplane signature.
     "q_embed_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val q = e.filter(col("vec_id") % 50 === 0)
       Similarity.lshTopK(e, q, "embedding", "vec_id", dim = 64,
           planes = 8, k = 5)
@@ -9573,7 +9579,7 @@ object SparkEntry {
     // cells + probe only those via an equi-join. The full IVF query
     // the centroid row (41) is the building block for.
     "q_embed_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val q = e.filter(col("vec_id") % 50 === 0)
       Similarity.ivfTopK(e, q, "embedding", "vec_id", dim = 64,
           cellPlanes = 4, nprobe = 4, k = 5)
@@ -9582,7 +9588,7 @@ object SparkEntry {
 
     // 35: embedding near-dup pairs (cosine ≥ 0.3) within label blocks.
     "q_embed_neardup" -> ((s, dir) => {
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), "embedding",
+      Similarity.nearDupPairs(emb(s, dir), "embedding",
           "vec_id", "label", 0.3)
         .orderBy("id_a", "id_b")
     }),
@@ -9594,7 +9600,7 @@ object SparkEntry {
     // Pairwise work is cell-bounded, never corpus-quadratic; the
     // verdict row carries keep/dup_of so the kept set is auditable.
     "q_semantic_dedup" -> ((s, dir) => {
-      Similarity.semanticDedup(t(s, dir, "embeddings"), "embedding",
+      Similarity.semanticDedup(emb(s, dir), "embedding",
           "vec_id", "label", 0.3)
         .orderBy("vec_id")
     }),
@@ -9609,7 +9615,7 @@ object SparkEntry {
     // the argmax run on the |queries|·|labels| frame, never the
     // corpus.
     "q_knn_classify" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val q = e.filter(col("vec_id") % 50 === 0)
       val nn = Similarity.bruteTopK(e, q, "embedding", "vec_id", 5)
       val votes = nn
@@ -9650,7 +9656,7 @@ object SparkEntry {
     // update must match float-for-float. Corpus scans twice (score,
     // update); the k-row centroid table broadcasts.
     "q_kmeans" -> ((s, dir) => {
-      Similarity.kmeansStep(t(s, dir, "embeddings"), "embedding",
+      Similarity.kmeansStep(emb(s, dir), "embedding",
           "vec_id", "label")
         .orderBy("cluster", "pos")
     }),
@@ -9658,7 +9664,7 @@ object SparkEntry {
     // 41: per-label embedding centroids (IVF coarse-quantizer
     // building block); decimal component sums are row-order-proof.
     "q_embed_centroid" -> ((s, dir) => {
-      Similarity.centroids(t(s, dir, "embeddings"), "embedding", "label")
+      Similarity.centroids(emb(s, dir), "embedding", "label")
         .orderBy("grp", "pos")
     }),
 
@@ -9671,7 +9677,7 @@ object SparkEntry {
     // engine-unambiguous, and the quantized codes are pinned by an
     // md5 of the int sequence. Pure per-row Column tree, no shuffle.
     "q_embed_quantize" -> ((s, dir) => {
-      Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding", "vec_id")
+      Similarity.quantizeInt8(emb(s, dir), "embedding", "vec_id")
         .select(col("id").as("vec_id"), col("amax"),
           aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("qsum"),
           md5(array_join(transform(col("qvec"), _.cast("string")), ","))

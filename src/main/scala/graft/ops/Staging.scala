@@ -20,10 +20,20 @@ import org.apache.spark.sql.DataFrame
 object Staging {
   implicit final class StagedDF(private val df: DataFrame) extends AnyVal {
     /** Lineage-truncating materialization: reliable `checkpoint()`
-      * when a checkpoint dir is set, `localCheckpoint()` otherwise. */
+      * when a checkpoint dir is set, `localCheckpoint()` otherwise.
+      *
+      * LAZY (eager = false): the eager form ran a dedicated count()
+      * job per staged frame — one extra job round-trip per call, ~40
+      * calls across the hot queries. Lazily-marked checkpoints are
+      * materialized by the FIRST consuming job and finalized at that
+      * job's end (Spark backfills any partitions the job skipped
+      * before truncating lineage), so the determinism contract is
+      * unchanged: every consumer after that job reads the same frozen
+      * blocks, and concurrent first-consumers serialize per-partition
+      * on the block-manager write lock. */
     def staged: DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint()
-      else df.localCheckpoint()
+        df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
   }
 }
