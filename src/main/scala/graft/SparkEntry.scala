@@ -39,11 +39,18 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.fanned(t(s, dir, "documents"))
 
-  /** The embeddings corpus with [[Tables.fanned]] scan fan-out: the
-    * ANN paths broadcast the query side against the corpus scan, so a
-    * single-split file serializes ALL vector scoring on one core. */
+  /** The embeddings corpus with a SIZE-FLOORED [[Tables.fanned]] scan
+    * fan-out: the ANN paths broadcast the query side against the
+    * corpus scan, so a single-split file serializes all vector
+    * scoring on one core — but 64-float dot products are cheap per
+    * byte (native FloatVecDot), so below ~4 MB of vectors the
+    * exchange costs more than the serial scoring it parallelizes
+    * (measured: the embed family regressed ~0.5s/query at sf0.1 with
+    * an unconditional fan). Text corpora (docs) stay unconditional:
+    * tokenize/shingle/md5 per-row cost dwarfs the exchange at any
+    * size. */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.fanned(t(s, dir, "embeddings"))
+    Tables.fanned(t(s, dir, "embeddings"), minBytes = 4L << 20)
 
   /** Decode fan-out width for the bounded media corpora (48–64 ids):
     * one container encode+decode per row is the unit of work — heavy
@@ -675,8 +682,7 @@ object SparkEntry {
     // the ONE string below runs verbatim on both engines; Catalyst
     // decorrelates the two per-part subqueries into an aggregate+join.
     "q_corr_subquery" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-      t(s, dir, "part").createOrReplaceTempView("part")
+      Tables.registerAll(s, dir)
       s.sql(corrSubquerySql)
     }),
 
@@ -707,8 +713,7 @@ object SparkEntry {
     // into a left-anti join (per-priority counts of orders with a
     // discounted line / with no lines at all).
     "q_exists_subquery" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders")
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      Tables.registerAll(s, dir)
       s.sql(existsSubquerySql)
     }),
 
@@ -1061,7 +1066,7 @@ object SparkEntry {
     // control than the rollup/cube rows (a hand-picked lattice), one
     // shared SQL string, exact cents for the money sum.
     "q_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      Tables.registerAll(s, dir)
       s.sql(groupingSetsSql)
     }),
 
@@ -1070,7 +1075,7 @@ object SparkEntry {
     // are exact integer divisions: identical doubles on any engine;
     // ntile ordering made total with the unique key.
     "q_window_cume" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables.registerAll(s, dir)
       s.sql(windowCumeSql)
     }),
 
@@ -5239,7 +5244,11 @@ object SparkEntry {
     // month filter + EDAD day-diff bucketing.
     "q_date_derive" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
+      // fanned (guide §2.5): the broadcast probe and the per-row date
+      // formatting + reference-format parse below otherwise run in
+      // the scan's single task
+      val l = Tables.fanned(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate"))
       val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
         .select(o("o_orderkey").as("factura"), l("l_linenumber").as("linea"),
           date_format(o("o_orderdate"), "EEE MMM dd yyyy HH:mm:ss").as("fstr"),

@@ -120,9 +120,10 @@ object Tables {
     * integer sums, total-ordered windows, bounded-frame floats) —
     * the same robustness the driver's varying-core-count bench runs
     * already require. */
-  def fanned(df: DataFrame): DataFrame = {
+  def fanned(df: DataFrame, minBytes: Long = 0L): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < target)
+    if (df.queryExecution.toRdd.getNumPartitions < target &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes)
       df.repartition(target)
     else df
   }
@@ -147,14 +148,38 @@ object Tables {
       java.nio.file.Paths.get(s"$destDir/$name.schema"), df.schema.toDDL)
   }
 
+  /** Fact-sized tables: their temp views register [[fanned]] so SQL
+    * queries inherit the scan fan-out (filters and column pruning
+    * push through the repartition to the scan — verified in the
+    * physical plan: PushedFilters populated, ReadSchema pruned, the
+    * projection lands below the exchange). Dimension tables stay
+    * bare: fanning a broadcast-bound dim would put an exchange in
+    * front of every broadcast build. */
+  private val factTables =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  /** Per-table fan-out byte floor: embeddings' per-row work (native
+    * float dots) is cheap per byte, so the fan only pays off once the
+    * corpus outgrows a single core's trivial scoring range (see
+    * SparkEntry.emb). */
+  private def fanFloor(name: String): Long =
+    if (name == "embeddings") 4L << 20 else 0L
+
   /** Register every table under `dir` as a temp view, so the whole
     * surface is reachable through `spark.sql(...)` — the SQL front
-    * door a reference user expects. Views are lazy: registration
-    * costs nothing until a query reads one. */
+    * door a reference user expects. Memoized per (session, dir):
+    * re-registering ten views per SQL query re-planned ten scans
+    * each time. */
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach { name =>
-      apply(spark, dir, name).createOrReplaceTempView(name)
-    }
+    if (registered.put(spark, dir) != dir)
+      all.foreach { name =>
+        val df = apply(spark, dir, name)
+        (if (factTables(name)) fanned(df, fanFloor(name)) else df)
+          .createOrReplaceTempView(name)
+      }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
