@@ -15,6 +15,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Whole-stage-codegen class cache: the default 100-entry LRU
+      // thrashes under a 299-query suite (thousands of codegen units),
+      // so every pass re-ran Janino + C2 on plans the warmup had
+      // already compiled (jit_ms 10-30s on the big rows). Static conf,
+      // scale-independent: a long-running production driver repeating
+      // query shapes wants the same cache.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
